@@ -1,0 +1,122 @@
+"""Per-table CDC ingestion pipeline — the reference's ``process_raw_data``
+loop (processData.py:272-402) rebuilt Spark-first.
+
+Run shape (entry point A/B in SURVEY §3):
+
+1. fetch control records (``ControlStore`` — replaces DynamoDB);
+2. per table: bookmarked scan of the raw dir (only files no successful run
+   has consumed);
+3. lowercase column names (P1);
+4. initial load (table absent) → bulk_insert the batch as-is
+   (processData.py:311-313,337-342);
+5. incremental → W1 window-dedup by key on ``transaction_id`` desc, then op
+   routing: I/U upserts then D deletes (with optional split-upsert and
+   single-commit modes);
+6. commit the bookmark ledger only after the write(s) succeed;
+7. register the snapshot in the session catalog (hive-sync parity).
+
+The reference's per-batch ``persist``/``unpersist`` (C5,
+processData.py:301,388) lives inside ``apply_cdc_batch``. The logging
+``count()`` (processData.py:303) is intentionally not reproduced — it costs
+a full extra job (SURVEY §4 known inefficiency).
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+from glue_hudi_spark.config import ControlStore, JobControl
+from glue_hudi_spark.operators import cdc
+from glue_hudi_spark.sources.batch import BookmarkedScan
+from glue_hudi_spark.storage.native import NativeTable
+
+
+@dataclass
+class RunResult:
+    table_name: str
+    mode: str  # 'initial' | 'incremental' | 'noop'
+    commits: list
+
+
+class CdcPipeline:
+    """Drives CDC ingestion for every table a control store manages."""
+
+    def __init__(self, spark: SparkSession, raw_root: str | Path,
+                 curated_root: str | Path, single_commit: bool = False):
+        self.spark = spark
+        self.raw_root = Path(raw_root)
+        self.curated_root = Path(curated_root)
+        self.single_commit = single_commit
+
+    def _raw_dir(self, ctl: JobControl) -> Path:
+        return self.raw_root / ctl.db_name / ctl.schema_name / ctl.table_name
+
+    def _table(self, ctl: JobControl) -> NativeTable:
+        return NativeTable.for_control(self.spark, self.curated_root, ctl)
+
+    def _scan(self, ctl: JobControl) -> BookmarkedScan:
+        table_dir = Path(self._table(ctl).root)
+        table_dir.mkdir(parents=True, exist_ok=True)
+        return BookmarkedScan(
+            self.spark,
+            self._raw_dir(ctl),
+            ledger_path=table_dir / "_processed_files.json",
+        )
+
+    def process_table(self, ctl: JobControl) -> RunResult:
+        table = self._table(ctl)
+        scan = self._scan(ctl)
+        batch = scan.read_batch()
+        if batch is None:
+            return RunResult(ctl.table_name, "noop", [])
+        batch = cdc.lowercase_columns(batch)
+
+        if not table.exists():
+            # initial load: no dedup, envelope dropped, bulk_insert
+            out = cdc.drop_envelope(batch)
+            commit = table.bulk_insert(out, parallelism=ctl.bulkinsert_parallelism)
+            scan.commit()
+            self._sync_catalog(ctl, table)
+            return RunResult(ctl.table_name, "initial", [commit] if commit else [])
+
+        deduped = cdc.dedup_latest_by_key(
+            batch, ctl.primary_keys, order_col=cdc.ORDER_COL
+        )
+        commits = cdc.apply_cdc_batch(
+            table,
+            deduped,
+            split_upsert=ctl.split_upsert,
+            upsert_parallelism=ctl.upsert_parallelism,
+            bulkinsert_parallelism=ctl.bulkinsert_parallelism,
+            single_commit=self.single_commit,
+        )
+        scan.commit()
+        self._sync_catalog(ctl, table)
+        return RunResult(ctl.table_name, "incremental", commits)
+
+    def _sync_catalog(self, ctl: JobControl, table: NativeTable) -> None:
+        """Register snapshot views in the session catalog — the role of Hudi
+        hive-sync (processData.py:160-169). MoR registers both the
+        read-optimized ``_ro`` and real-time ``_rt`` views
+        (processData.py:131-132)."""
+        base = f"{ctl.catalog_db}_{ctl.table_name}"
+        if ctl.is_mor:
+            table.register_view(f"{base}_ro", view="read_optimized")
+            table.register_view(f"{base}_rt", view="snapshot")
+        else:
+            table.register_view(base)
+
+    def run(self, store: ControlStore, glue_job_name: str | None = None) -> list[RunResult]:
+        """The main() loop (processData.py:393-402)."""
+        return [self.process_table(ctl) for ctl in store.load(glue_job_name)]
+
+    def reset_table(self, ctl: JobControl) -> None:
+        """Replay support (resetForInitialLoad.sh:1-14): drop curated data
+        and bookmark state so the next run is an initial load again."""
+        table_dir = self._table(ctl).root
+        if Path(table_dir).exists():
+            shutil.rmtree(table_dir)

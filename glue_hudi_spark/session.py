@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+The reference bootstraps a Glue-wrapped session with Kryo serialization
+(processData.py:28-33); Kryo was a Hudi-jar requirement and is unnecessary
+here. We instead pin the configs that matter for a deterministic,
+scale-ready DataFrame engine:
+
+* AQE on (runtime shuffle-partition coalescing + skew-join splitting — the
+  modern replacement for the reference's hand-tuned
+  ``hoodie.*.shuffle.parallelism``, processData.py:194,202,208).
+* Arrow for all pandas UDF / applyInPandas exchange (extension operators).
+* UTC session timezone so timestamp semantics match the DuckDB oracle and
+  the reference's ``TIMESTAMP_MICROS`` fidelity (processData.py:210-211).
+* ``spark.sql.caseSensitive=false`` left at default — the reference relies
+  on case-insensitive resolution after lowercasing columns
+  (processData.py:307-308, SURVEY §1.2).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "glue_hudi_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession configured for this engine.
+
+    ``master`` defaults to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``
+    (driver contract) or all cores. On a real cluster, pass ``master=None``
+    and submit normally — every setting below is cluster-safe.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,168 @@
+"""Commit timeline for NativeTable.
+
+Reproduces the transactional behaviors the reference gets from the Hudi
+timeline: snapshot isolation for readers (a reader always sees the file set
+of one fully-committed manifest), commit retention cleaning
+(``KEEP_LATEST_COMMITS`` / retain 10 — processData.py:196-197), and a
+consistency guarantee on publish (the reference enables
+``hoodie.consistency.check.enabled`` for S3, processData.py:164; on a POSIX
+filesystem an atomic rename gives the same property; on object stores a
+conditional-put of the manifest plays the same role).
+
+Layout under the table root::
+
+    <root>/_commits/00000000000000000001.commit.json   # full live manifest
+    <root>/data/00000000000000000001/<hive dirs>/*.parquet
+
+Each manifest is a *full* snapshot (every live file), not a delta — readers
+need exactly one file to plan a scan, and driver-side partition pruning is a
+pure-metadata operation. At 100 TB the manifest is one JSON entry per data
+file; with ~512 MB files that's ~200k entries, a few MB of JSON — fine for a
+driver. (Hudi/Iceberg shard manifests at much larger file counts; the
+format here leaves room for that by versioning the manifest schema.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+COMMITS_DIR = "_commits"
+DATA_DIR = "data"
+MANIFEST_VERSION = 1
+
+
+@dataclass
+class Commit:
+    """One committed snapshot of the table."""
+
+    commit_id: int
+    action: str  # bulk_insert | insert | upsert | delete | delta_upsert | delta_delete | compact
+    files: list[str]  # live *base* files, relative to table root
+    deltas: list[dict] = field(default_factory=list)  # MoR: [{commit_id, action, files}]
+    schema_json: str | None = None
+    wall_time: float = 0.0
+    stats: dict = field(default_factory=dict)
+
+    @property
+    def commit_time(self) -> str:
+        """Deterministic, sortable commit token (plays the role of Hudi's
+        ``_hoodie_commit_time``)."""
+        return f"{self.commit_id:020d}"
+
+
+class CommitTimeline:
+    """Manages the ``_commits/`` directory of one table."""
+
+    def __init__(self, root: str | Path):
+        self.root = Path(root)
+        self.commits_path = self.root / COMMITS_DIR
+
+    # -- read side ---------------------------------------------------------
+
+    def exists(self) -> bool:
+        return self.commits_path.is_dir() and any(self._manifest_paths())
+
+    def _manifest_paths(self) -> list[Path]:
+        if not self.commits_path.is_dir():
+            return []
+        return sorted(self.commits_path.glob("*.commit.json"))
+
+    def latest(self) -> Commit | None:
+        paths = self._manifest_paths()
+        if not paths:
+            return None
+        return self._load(paths[-1])
+
+    def at(self, commit_id: int) -> Commit | None:
+        """Time-travel read: the snapshot as of ``commit_id``."""
+        p = self.commits_path / f"{commit_id:020d}.commit.json"
+        return self._load(p) if p.exists() else None
+
+    def history(self) -> list[Commit]:
+        return [self._load(p) for p in self._manifest_paths()]
+
+    def _load(self, path: Path) -> Commit:
+        d = json.loads(path.read_text())
+        return Commit(
+            commit_id=d["commit_id"],
+            action=d["action"],
+            files=d["files"],
+            deltas=d.get("deltas", []),
+            schema_json=d.get("schema_json"),
+            wall_time=d.get("wall_time", 0.0),
+            stats=d.get("stats", {}),
+        )
+
+    # -- write side ----------------------------------------------------------
+
+    def next_commit_id(self) -> int:
+        paths = self._manifest_paths()
+        if not paths:
+            return 1
+        return int(paths[-1].name.split(".")[0]) + 1
+
+    def publish(self, commit: Commit) -> None:
+        """Atomically publish a manifest (write-temp + rename)."""
+        self.commits_path.mkdir(parents=True, exist_ok=True)
+        payload = json.dumps(
+            {
+                "manifest_version": MANIFEST_VERSION,
+                "commit_id": commit.commit_id,
+                "action": commit.action,
+                "files": commit.files,
+                "deltas": commit.deltas,
+                "schema_json": commit.schema_json,
+                "wall_time": commit.wall_time or time.time(),
+                "stats": commit.stats,
+            },
+            indent=1,
+        )
+        final = self.commits_path / f"{commit.commit_id:020d}.commit.json"
+        fd, tmp = tempfile.mkstemp(dir=self.commits_path, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+            os.rename(tmp, final)  # atomic on POSIX
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    # -- cleaning (processData.py:196-197: KEEP_LATEST_COMMITS, retain 10) --
+
+    def clean(self, retain_commits: int = 10) -> list[str]:
+        """Drop manifests beyond the newest ``retain_commits`` and delete
+        data files no retained manifest references. Returns deleted files."""
+        paths = self._manifest_paths()
+        if len(paths) <= retain_commits:
+            return []
+        keep, drop = paths[-retain_commits:], paths[:-retain_commits]
+        live: set[str] = set()
+        for p in keep:
+            c = self._load(p)
+            live.update(c.files)
+            for d in c.deltas:
+                live.update(d["files"])
+        deleted: list[str] = []
+        for p in drop:
+            c = self._load(p)
+            doomed = set(c.files)
+            for d in c.deltas:
+                doomed.update(d["files"])
+            for rel in doomed - live:
+                f = self.root / rel
+                if f.exists():
+                    f.unlink()
+                    deleted.append(rel)
+            p.unlink()
+        # prune empty partition/commit dirs left behind
+        data_root = self.root / DATA_DIR
+        if data_root.is_dir():
+            for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
+                if not dirnames and not filenames and Path(dirpath) != data_root:
+                    os.rmdir(dirpath)
+        return deleted

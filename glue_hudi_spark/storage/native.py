@@ -1,0 +1,445 @@
+"""NativeTable — a pure-PySpark keyed table with copy-on-write / merge-on-read
+semantics, reproducing what the reference delegates to Apache Hudi.
+
+Semantics matched to the reference (file:line cites into /root/reference):
+
+* record key, single or composite  — processData.py:162,173-176 (Hudi
+  Simple/ComplexKeyGenerator); composite keys are encoded ``col:value``
+  joined by ``,``, nulls as ``__null__``, like ComplexKeyGenerator.
+* precombine conflict winner = max  — processData.py:161
+* hive-style partitioning          — processData.py:178-185
+* unpartitioned layout             — processData.py:187-191
+* bulk_insert / insert / upsert / delete write operations
+                                   — processData.py:193-218
+* commit retention cleaning (10)   — processData.py:196-197
+* CoW vs MoR storage types         — processData.py:131,150-155,220-221
+* MoR compaction every N deltas    — processData.py:152-153
+* timestamp fidelity (µs)          — processData.py:210-211 (session-level
+  ``spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS``)
+
+Scale design (100 TB target):
+
+* Upsert/delete rewrite only the partitions the batch touches — the touched
+  partition set is derived from the (small) distinct partition values of the
+  batch, and untouched files carry over by manifest reference. A 100 TB
+  table with daily partitions and a single-day batch rewrites ~1/365th.
+* The existing↔batch merge is one anti-join on a single precomputed key
+  string column (``_ghs_record_key``) — hash-partitionable, salted by AQE
+  skew handling, no row-by-row driver logic.
+* Data files keep the *typed* partition columns (directory layout uses
+  mirrored ``_pp_*`` string columns), so snapshot reads never re-infer types
+  from directory names.
+* Reads plan from the manifest on the driver (pure metadata); partition
+  pruning happens before Spark ever lists a file.
+"""
+
+from __future__ import annotations
+
+import json
+import urllib.parse
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from glue_hudi_spark.storage.commits import DATA_DIR, Commit, CommitTimeline
+
+# Meta columns (the role of Hudi's _hoodie_* columns, SURVEY §1.1.3).
+COMMIT_TIME_COL = "_ghs_commit_time"
+RECORD_KEY_COL = "_ghs_record_key"
+DELTA_OP_COL = "_ghs_delta_op"  # MoR delta marker: 'u' (upsert) | 'd' (delete)
+META_COLS = [COMMIT_TIME_COL, RECORD_KEY_COL, DELTA_OP_COL]
+
+_PP_PREFIX = "_pp_"  # mirrored string partition columns used for dir layout
+NULL_KEY = "__null__"
+
+
+def record_key_expr(keys: list[str]):
+    """Build the record-key string column.
+
+    Single key → raw string value (Hudi SimpleKeyGenerator); composite →
+    ``col1:v1,col2:v2`` (Hudi ComplexKeyGenerator, processData.py:173-176).
+    Nulls encode as ``__null__`` so null-keyed rows still merge null-safely.
+    """
+    parts = []
+    for k in keys:
+        v = F.coalesce(F.col(k).cast("string"), F.lit(NULL_KEY))
+        parts.append(F.concat(F.lit(f"{k}:"), v) if len(keys) > 1 else v)
+    return F.concat_ws(",", *parts)
+
+
+class NativeTable:
+    """A keyed, partitioned, versioned table stored as parquet + manifests."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str | Path,
+        record_keys: list[str],
+        precombine: str | None = None,
+        partition_keys: list[str] | None = None,
+        storage_type: str = "cow",
+        retain_commits: int = 10,
+        compact_every: int = 20,
+    ):
+        self.spark = spark
+        self.root = Path(path)
+        self.record_keys = list(record_keys)
+        self.precombine = precombine
+        self.partition_keys = list(partition_keys or [])
+        self.storage_type = storage_type.lower()
+        self.retain_commits = retain_commits
+        self.compact_every = compact_every
+        self.timeline = CommitTimeline(self.root)
+
+    # ------------------------------------------------------------------ util
+
+    @classmethod
+    def for_control(cls, spark: SparkSession, curated_root: str | Path, ctl) -> "NativeTable":
+        """Table location mirrors the reference's curated layout
+        ``<curated>/<db>/<schema>/<table>`` (processData.py:283-284)."""
+        path = Path(curated_root) / ctl.db_name / ctl.schema_name / ctl.table_name
+        return cls(
+            spark,
+            path,
+            record_keys=ctl.primary_keys,
+            precombine=ctl.precombine_field,
+            partition_keys=ctl.partition_keys,
+            storage_type=ctl.hudi_storage_type,
+        )
+
+    def exists(self) -> bool:
+        """Initial-vs-incremental probe (replaces the Glue catalog
+        ``get_table`` check, processData.py:57-97,134-140)."""
+        return self.timeline.exists()
+
+    def _pp_cols(self) -> list[str]:
+        return [_PP_PREFIX + c for c in self.partition_keys]
+
+    def _with_meta(self, df: DataFrame, commit_time: str, delta_op: str = "u") -> DataFrame:
+        return (
+            df.withColumn(COMMIT_TIME_COL, F.lit(commit_time))
+            .withColumn(RECORD_KEY_COL, record_key_expr(self.record_keys))
+            .withColumn(DELTA_OP_COL, F.lit(delta_op))
+        )
+
+    def _write_files(self, df: DataFrame, commit_id: int) -> list[str]:
+        """Write one commit's data dir; return new file paths (rel to root).
+
+        Directory layout uses mirrored ``_pp_*`` string columns (added here,
+        stripped by ``partitionBy``) so the data files keep the *typed*
+        partition columns — no type re-inference from dir names on read.
+        The ``_pp_*`` names never appear in any stored schema.
+        """
+        commit_dir = self.root / DATA_DIR / f"{commit_id:020d}"
+        out = df
+        for c in self.partition_keys:
+            out = out.withColumn(
+                _PP_PREFIX + c,
+                F.coalesce(F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")),
+            )
+        writer = out.write.mode("error")
+        if self.partition_keys:
+            writer = writer.partitionBy(*self._pp_cols())
+        writer.parquet(str(commit_dir))
+        return sorted(
+            str(p.relative_to(self.root))
+            for p in commit_dir.rglob("*.parquet")
+            if not p.name.startswith("_")
+        )
+
+    def _file_partition(self, rel: str) -> tuple[str, ...]:
+        """Parse a file's partition values from its hive-style dir path."""
+        vals: dict[str, str] = {}
+        for seg in Path(rel).parts[2:-1]:  # skip 'data/<cid>', skip filename
+            if "=" in seg:
+                k, v = seg.split("=", 1)
+                if k.startswith(_PP_PREFIX):
+                    vals[k[len(_PP_PREFIX):]] = urllib.parse.unquote(v)
+        return tuple(vals.get(c, "") for c in self.partition_keys)
+
+    def _batch_partitions(self, df: DataFrame) -> set[tuple[str, ...]] | None:
+        """Distinct partition tuples present in a batch (None → cannot prune).
+
+        Partition cardinality is assumed small (it is a *partition* key);
+        the collect here is metadata-sized, not data-sized.
+        """
+        if not self.partition_keys:
+            return None
+        if not all(c in df.columns for c in self.partition_keys):
+            return None
+        rows = (
+            df.select(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")).alias(c)
+                    for c in self.partition_keys
+                ]
+            )
+            .distinct()
+            .collect()
+        )
+        return {tuple(r[c] for c in self.partition_keys) for r in rows}
+
+    def _split_files(
+        self, files: list[str], touched: set[tuple[str, ...]] | None
+    ) -> tuple[list[str], list[str]]:
+        """(affected, untouched) file lists under partition pruning."""
+        if touched is None or not self.partition_keys:
+            return list(files), []
+        affected, untouched = [], []
+        for f in files:
+            (affected if self._file_partition(f) in touched else untouched).append(f)
+        return affected, untouched
+
+    def _read_files(self, files: list[str], schema_json: str | None) -> DataFrame:
+        if not files:
+            if schema_json:
+                return self.spark.createDataFrame(
+                    [], T.StructType.fromJson(json.loads(schema_json))
+                )
+            raise ValueError(f"table {self.root} is empty and has no schema")
+        paths = [str(self.root / f) for f in files]
+        reader = self.spark.read
+        if schema_json:
+            reader = reader.schema(T.StructType.fromJson(json.loads(schema_json)))
+        return reader.parquet(*paths)
+
+    def _precombine_dedup(self, batch: DataFrame) -> DataFrame:
+        """Latest-per-key within the batch by max precombine value — Hudi's
+        precombine semantics (processData.py:161). The pipeline's W1 window
+        dedup normally runs first; this is the storage-level guarantee."""
+        if not self.precombine or self.precombine not in batch.columns:
+            return batch.dropDuplicates([RECORD_KEY_COL])
+        w = Window.partitionBy(RECORD_KEY_COL).orderBy(F.col(self.precombine).desc())
+        return (
+            batch.withColumn("_ghs_pc_rn", F.row_number().over(w))
+            .filter(F.col("_ghs_pc_rn") == 1)
+            .drop("_ghs_pc_rn")
+        )
+
+    # ----------------------------------------------------------------- reads
+
+    def read_snapshot(
+        self,
+        with_meta: bool = False,
+        as_of: int | None = None,
+        view: str = "snapshot",
+    ) -> DataFrame:
+        """Current (or time-travel ``as_of``) table contents.
+
+        ``view``: ``snapshot`` — CoW files, or MoR base+deltas merged
+        (Hudi's ``_rt`` real-time view); ``read_optimized`` — base files
+        only (Hudi's ``_ro`` view, processData.py:131-132).
+        """
+        commit = self.timeline.at(as_of) if as_of is not None else self.timeline.latest()
+        if commit is None:
+            raise ValueError(f"table {self.root} has no commits")
+        base = self._read_files(commit.files, commit.schema_json)
+        if view == "read_optimized" or not commit.deltas:
+            out = base
+        else:
+            delta_files = [f for d in commit.deltas for f in d["files"]]
+            deltas = self._read_files(delta_files, commit.schema_json)
+            merged = base.unionByName(deltas, allowMissingColumns=True)
+            order = [F.col(COMMIT_TIME_COL).desc()]
+            if self.precombine:
+                order.append(F.col(self.precombine).desc())
+            w = Window.partitionBy(RECORD_KEY_COL).orderBy(*order)
+            out = (
+                merged.withColumn("_ghs_rn", F.row_number().over(w))
+                .filter(F.col("_ghs_rn") == 1)
+                .drop("_ghs_rn")
+                .filter(F.col(DELTA_OP_COL) != "d")
+            )
+        if not with_meta:
+            out = out.drop(*META_COLS)
+        return out
+
+    def register_view(self, name: str, **kwargs) -> None:
+        """Session-catalog registration (the role of Hudi hive-sync,
+        processData.py:160-169 — S8 in SURVEY §2.1)."""
+        self.read_snapshot(**kwargs).createOrReplaceTempView(name)
+
+    def partitions(self) -> set[tuple[str, ...]]:
+        commit = self.timeline.latest()
+        if commit is None:
+            return set()
+        return {self._file_partition(f) for f in commit.files}
+
+    # ---------------------------------------------------------------- writes
+
+    def _commit(self, commit_id: int, action: str, files: list[str],
+                deltas: list[dict], schema_json: str, stats: dict) -> Commit:
+        commit = Commit(
+            commit_id=commit_id,
+            action=action,
+            files=files,
+            deltas=deltas,
+            schema_json=schema_json,
+            stats=stats,
+        )
+        self.timeline.publish(commit)
+        self.timeline.clean(self.retain_commits)
+        return commit
+
+    def bulk_insert(self, df: DataFrame, parallelism: int = 0) -> Commit | None:
+        """Initial/full load (processData.py:207-213,337-342): sorted bulk
+        write, no key-index lookup. ``parallelism`` mirrors
+        ``hoodie.bulkinsert.shuffle.parallelism``; 0 → leave it to AQE."""
+        if df.isEmpty():
+            return None
+        cid = self.timeline.next_commit_id()
+        out = self._with_meta(df, f"{cid:020d}")
+        if parallelism > 0:
+            out = out.repartition(parallelism, *self.record_keys)
+        out = out.sortWithinPartitions(*self.record_keys)
+        files = self._write_files(out, cid)
+        prev = self.timeline.latest()
+        prev_files = prev.files if prev else []
+        prev_deltas = prev.deltas if prev else []
+        return self._commit(
+            cid, "bulk_insert", prev_files + files, prev_deltas,
+            out.schema.json(), {},
+        )
+
+    def insert(self, df: DataFrame) -> Commit | None:
+        """Plain append (the reference defines but never routes to this —
+        processData.py:201-205; exposed for completeness)."""
+        if df.isEmpty():
+            return None
+        cid = self.timeline.next_commit_id()
+        out = self._with_meta(df, f"{cid:020d}")
+        files = self._write_files(out, cid)
+        prev = self.timeline.latest()
+        return self._commit(
+            cid,
+            "insert",
+            (prev.files if prev else []) + files,
+            prev.deltas if prev else [],
+            out.schema.json(),
+            {},
+        )
+
+    def upsert(self, batch: DataFrame, parallelism: int = 0) -> Commit | None:
+        """Keyed merge (processData.py:193-199,369-374): incoming rows
+        replace current rows with the same record key. CoW → partition-pruned
+        rewrite; MoR → delta append + threshold compaction."""
+        if batch.isEmpty():
+            return None
+        if self.storage_type == "mor":
+            return self._delta_commit(batch, "delta_upsert", "u")
+        return self._cow_merge(batch, deletes=False, parallelism=parallelism)
+
+    def delete(self, batch: DataFrame, parallelism: int = 0) -> Commit | None:
+        """Hard delete by key (processData.py:215-218,377-382 — the
+        EmptyHoodieRecordPayload path)."""
+        if batch.isEmpty():
+            return None
+        if self.storage_type == "mor":
+            return self._delta_commit(batch, "delta_delete", "d")
+        return self._cow_merge(batch, deletes=True, parallelism=parallelism)
+
+    def _cow_merge(self, batch: DataFrame, deletes: bool, parallelism: int) -> Commit:
+        prev = self.timeline.latest()
+        if prev is None:
+            if deletes:  # delete against an empty table is a no-op
+                return None
+            return self.bulk_insert(batch, parallelism)
+        cid = self.timeline.next_commit_id()
+        keyed = self._with_meta(batch, f"{cid:020d}")
+        keyed = self._precombine_dedup(keyed)
+
+        touched = self._batch_partitions(batch)
+        affected, untouched = self._split_files(prev.files, touched)
+        existing = self._read_files(affected, prev.schema_json)
+
+        keys_only = keyed.select(RECORD_KEY_COL)
+        if parallelism > 0:
+            existing = existing.repartition(parallelism, RECORD_KEY_COL)
+        kept = existing.join(keys_only, on=RECORD_KEY_COL, how="left_anti")
+        if deletes:
+            merged = kept
+        else:
+            merged = kept.unionByName(keyed, allowMissingColumns=True)
+
+        files = self._write_files(merged, cid)
+        return self._commit(
+            cid,
+            "delete" if deletes else "upsert",
+            untouched + files,
+            [],
+            merged.schema.json(),
+            {"files_rewritten": len(affected), "files_carried": len(untouched)},
+        )
+
+    def merge(self, batch: DataFrame, op_col: str = "op",
+              drop_cols: list[str] | None = None,
+              parallelism: int = 0) -> Commit | None:
+        """Single-commit CDC merge: one atomic commit applies inserts,
+        updates, and deletes together (the improvement SURVEY §4 suggests
+        over the reference's non-atomic I→U→D triple commit,
+        processData.py:357,373,381).
+
+        ``batch`` must be W1-deduped (≤1 surviving op per key) and still
+        carry ``op_col``; payload/envelope columns in ``drop_cols`` are
+        projected away before write.
+        """
+        if batch.isEmpty():
+            return None
+        prev = self.timeline.latest()
+        drop_cols = drop_cols or []
+        if self.storage_type == "mor":
+            # MoR writes are cheap delta appends already; atomicity across
+            # the two appends is not provided (documented limitation).
+            self.upsert(batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols))
+            return self.delete(batch.filter(F.col(op_col) == "D").drop(op_col, *drop_cols))
+        if prev is None:
+            keep = batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
+            return self.bulk_insert(keep, parallelism)
+        cid = self.timeline.next_commit_id()
+        keyed = self._with_meta(batch, f"{cid:020d}")
+        keyed = self._precombine_dedup(keyed)
+
+        touched = self._batch_partitions(batch)
+        affected, untouched = self._split_files(prev.files, touched)
+        existing = self._read_files(affected, prev.schema_json)
+        if parallelism > 0:
+            existing = existing.repartition(parallelism, RECORD_KEY_COL)
+
+        kept = existing.join(
+            keyed.select(RECORD_KEY_COL), on=RECORD_KEY_COL, how="left_anti"
+        )
+        incoming = keyed.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
+        merged = kept.unionByName(incoming, allowMissingColumns=True)
+        files = self._write_files(merged, cid)
+        return self._commit(
+            cid, "merge", untouched + files, [], merged.schema.json(),
+            {"files_rewritten": len(affected), "files_carried": len(untouched)},
+        )
+
+    # ------------------------------------------------------------------- MoR
+
+    def _delta_commit(self, batch: DataFrame, action: str, op: str) -> Commit:
+        prev = self.timeline.latest()
+        cid = self.timeline.next_commit_id()
+        keyed = self._precombine_dedup(self._with_meta(batch, f"{cid:020d}", op))
+        files = self._write_files(keyed, cid)
+        if prev is None:
+            base_files, deltas, schema = [], [], keyed.schema.json()
+        else:
+            base_files, deltas, schema = prev.files, list(prev.deltas), keyed.schema.json()
+        deltas.append({"commit_id": cid, "action": action, "files": files})
+        commit = self._commit(cid, action, base_files, deltas, schema, {})
+        if len(deltas) >= self.compact_every:
+            commit = self.compact()
+        return commit
+
+    def compact(self) -> Commit:
+        """Materialize base+deltas into new base files (Hudi inline/async
+        compaction, processData.py:152-153)."""
+        merged = self.read_snapshot(with_meta=True)
+        cid = self.timeline.next_commit_id()
+        merged = merged.withColumn(COMMIT_TIME_COL, F.lit(f"{cid:020d}"))
+        files = self._write_files(merged, cid)
+        return self._commit(cid, "compact", files, [], merged.schema.json(), {})

@@ -1,0 +1,182 @@
+"""Unit tests for NativeTable: commit timeline, partition-pruned merge,
+time travel, cleaning, MoR views and compaction, schema evolution."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from glue_hudi_spark.storage.commits import CommitTimeline
+from glue_hudi_spark.storage.native import NativeTable
+
+
+def _mk(spark, path, **kw):
+    kw.setdefault("record_keys", ["id"])
+    kw.setdefault("precombine", "seq")
+    kw.setdefault("partition_keys", ["pt"])
+    return NativeTable(spark, path, **kw)
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def test_bulk_insert_and_snapshot(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    df = _rows(spark, [dict(id=i, v=f"v{i}", seq=1, pt="a" if i < 5 else "b") for i in range(10)])
+    c = t.bulk_insert(df)
+    assert c.action == "bulk_insert" and c.commit_id == 1
+    snap = t.read_snapshot()
+    assert snap.count() == 10
+    assert set(snap.columns) == {"id", "v", "seq", "pt"}
+    # typed partition column preserved (no dir-name re-inference)
+    assert dict(snap.dtypes)["pt"] == "string"
+    # meta columns retrievable on demand
+    meta = t.read_snapshot(with_meta=True)
+    assert "_ghs_record_key" in meta.columns
+
+
+def test_upsert_updates_and_inserts(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(_rows(spark, [dict(id=i, v="old", seq=1, pt="a") for i in range(5)]))
+    t.upsert(
+        _rows(
+            spark,
+            [dict(id=3, v="new", seq=2, pt="a"), dict(id=99, v="fresh", seq=1, pt="a")],
+        )
+    )
+    got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got[3] == "new" and got[99] == "fresh" and got[0] == "old"
+    assert len(got) == 6
+
+
+def test_partition_pruned_rewrite(spark, tmp_table_dir):
+    """An upsert touching only partition 'b' must carry partition-'a' files
+    over by reference — the 100 TB-scale guarantee."""
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(
+        _rows(spark, [dict(id=i, v="x", seq=1, pt="a" if i % 2 else "b") for i in range(10)])
+    )
+    before = set(t.timeline.latest().files)
+    a_files = {f for f in before if "_pp_pt=a" in f}
+    c = t.upsert(_rows(spark, [dict(id=2, v="y", seq=2, pt="b")]))
+    after = set(t.timeline.latest().files)
+    assert a_files <= after, "untouched partition files must carry over"
+    assert c.stats["files_carried"] == len(a_files)
+    got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got[2] == "y" and len(got) == 10
+
+
+def test_delete_and_precombine(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(_rows(spark, [dict(id=i, v="x", seq=1, pt="a") for i in range(4)]))
+    # delete id 1,2
+    t.delete(_rows(spark, [dict(id=1, v="x", seq=9, pt="a"), dict(id=2, v="x", seq=9, pt="a")]))
+    assert {r["id"] for r in t.read_snapshot().collect()} == {0, 3}
+    # precombine: two same-key rows in one batch → max seq wins
+    t.upsert(
+        _rows(
+            spark,
+            [dict(id=0, v="low", seq=5, pt="a"), dict(id=0, v="high", seq=7, pt="a")],
+        )
+    )
+    got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got[0] == "high"
+
+
+def test_composite_key_null_safe(spark, tmp_table_dir):
+    t = NativeTable(
+        spark, tmp_table_dir, record_keys=["k1", "k2"], precombine="seq", partition_keys=[]
+    )
+    schema = "k1 string, k2 string, v int, seq int"
+    t.bulk_insert(
+        spark.createDataFrame([("a", None, 1, 1), ("a", "x", 2, 1)], schema)
+    )
+    t.upsert(spark.createDataFrame([("a", None, 10, 2)], schema))
+    got = {(r["k1"], r["k2"]): r["v"] for r in t.read_snapshot().collect()}
+    assert got[("a", None)] == 10 and got[("a", "x")] == 2
+
+
+def test_time_travel_and_history(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(_rows(spark, [dict(id=1, v="v1", seq=1, pt="a")]))
+    t.upsert(_rows(spark, [dict(id=1, v="v2", seq=2, pt="a")]))
+    assert [r["v"] for r in t.read_snapshot(as_of=1).collect()] == ["v1"]
+    assert [r["v"] for r in t.read_snapshot(as_of=2).collect()] == ["v2"]
+    assert [c.action for c in t.timeline.history()] == ["bulk_insert", "upsert"]
+
+
+def test_cleaner_retention(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, retain_commits=3)
+    t.bulk_insert(_rows(spark, [dict(id=1, v="v0", seq=0, pt="a")]))
+    for i in range(1, 6):
+        t.upsert(_rows(spark, [dict(id=1, v=f"v{i}", seq=i, pt="a")]))
+    hist = t.timeline.history()
+    assert len(hist) == 3, "older manifests cleaned"
+    # data files only referenced by dropped manifests are gone
+    live = {f for c in hist for f in c.files}
+    on_disk = {
+        str(p.relative_to(t.root))
+        for p in Path(t.root, "data").rglob("*.parquet")
+    }
+    assert on_disk == live
+    assert [r["v"] for r in t.read_snapshot().collect()] == ["v5"]
+
+
+def test_mor_delta_and_compaction(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir, storage_type="mor", compact_every=3)
+    t.bulk_insert(_rows(spark, [dict(id=i, v="base", seq=1, pt="a") for i in range(3)]))
+    t.upsert(_rows(spark, [dict(id=0, v="d1", seq=2, pt="a")]))
+    t.delete(_rows(spark, [dict(id=1, v="", seq=3, pt="a")]))
+    # read-optimized view ignores deltas (Hudi _ro, processData.py:131-132)
+    ro = {r["id"]: r["v"] for r in t.read_snapshot(view="read_optimized").collect()}
+    assert ro == {0: "base", 1: "base", 2: "base"}
+    # real-time view merges deltas (Hudi _rt)
+    rt = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert rt == {0: "d1", 2: "base"}
+    # third delta triggers compaction (compact_every=3)
+    t.upsert(_rows(spark, [dict(id=2, v="d3", seq=4, pt="a")]))
+    last = t.timeline.latest()
+    assert last.action == "compact" and last.deltas == []
+    ro2 = {r["id"]: r["v"] for r in t.read_snapshot(view="read_optimized").collect()}
+    assert ro2 == {0: "d1", 2: "d3"}
+
+
+def test_schema_evolution_add_column(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(_rows(spark, [dict(id=1, v="a", seq=1, pt="a")]))
+    t.upsert(
+        spark.createDataFrame([Row(id=2, v="b", seq=1, pt="a", extra="NEW")])
+    )
+    snap = t.read_snapshot()
+    assert "extra" in snap.columns
+    got = {r["id"]: r["extra"] for r in snap.collect()}
+    assert got == {1: None, 2: "NEW"}
+
+
+def test_merge_single_commit(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(_rows(spark, [dict(id=i, v="old", seq=1, pt="a") for i in range(4)]))
+    batch = _rows(
+        spark,
+        [
+            dict(id=1, v="upd", seq=2, pt="a", op="U"),
+            dict(id=2, v="", seq=2, pt="a", op="D"),
+            dict(id=9, v="new", seq=1, pt="a", op="I"),
+        ],
+    )
+    c = t.merge(batch, op_col="op")
+    assert c.action == "merge"
+    got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got == {0: "old", 1: "upd", 3: "old", 9: "new"}
+    assert len(t.timeline.history()) == 2  # exactly one commit for all ops
+
+
+def test_empty_guards(spark, tmp_table_dir):
+    t = _mk(spark, tmp_table_dir)
+    empty = _rows(spark, [dict(id=1, v="x", seq=1, pt="a")]).filter(F.lit(False))
+    assert t.bulk_insert(empty) is None
+    assert not CommitTimeline(tmp_table_dir).exists()
