@@ -1,0 +1,87 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": "..."}
+
+Each query executes end-to-end into the ``noop`` sink (full plan runs,
+no sink cost). A warmup pass on a tiny aggregate absorbs session/JIT
+startup so per-query numbers reflect steady-state execution.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+from glue_hudi_spark.session import get_spark
+
+# headline set: every operator family, weighted toward the scale-relevant
+# paths (merge, dedup, similarity). The full queries() surface is checked
+# for correctness by the driver; bench tracks throughput of these.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "revenue_by_nation",
+    "cdc_window_dedup",
+    "cdc_merge_sql",
+    "cdc_table_merge",
+    "topk_orders_per_customer",
+    "events_sessionization",
+    "scalar_split_explode",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality",
+    "text_fingerprint",
+    "text_lang_id",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "multimodal_image_meta",
+]
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="glue_hudi_spark-bench")
+
+    # warmup: session, codegen, parquet footer caches
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    queries = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure JVM-side expressions (``pyspark.sql.functions`` built-ins — no
+Python UDFs in the hot path), so they stay inside whole-stage codegen and
+scale linearly with input splits. Each has a matching ANSI-SQL formulation
+the DuckDB oracle runs side-by-side (see ``__spark_entry__.oracle_sql``).
+
+Design note: everything here is *deterministic* — hashes are md5 (same
+result in any engine), no RNG, no time — so results are reproducible across
+engines and runs, which is what makes a 100 TB dedup job auditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny embedded stopword list per language — enough for a deterministic
+# language-ID heuristic and stopword-ratio quality signal. (Real pipelines
+# plug in fastText etc.; the operator contract is what matters here.)
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "fr": ["le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "nicht", "mit"],
+    "es": ["el", "la", "y", "de", "un", "una", "es", "que", "por", "con"],
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, no empties)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(col: str | Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: str | Column) -> Column:
+    """BPE-ish token estimate: count word pieces + digits + punctuation via
+    a regex over letter-runs/digit-runs/symbols — a cheap, deterministic
+    stand-in for a subword tokenizer (≈ GPT-2 pre-tokenizer granularity)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"))
+
+
+def punct_ratio(col: str | Column) -> Column:
+    """Punctuation chars / total chars (0 for empty strings)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    p = F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+    return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(col: str | Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    toks = tokens(F.lower(col if isinstance(col, Column) else F.col(col)))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0,
+                  hits.cast("double") / F.size(toks).cast("double")
+                  ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: str | Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length documents,
+    low punctuation density, and presence of stopwords (prose-ness).
+    Deterministic and SQL-expressible; thresholds are conventional."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    sw_score = F.least(stopword_ratio(c) * 10.0, F.lit(1.0))
+    return F.round((len_score + punct_score + sw_score) / 3.0, 6)
+
+
+def lang_id(col: str | Column) -> Column:
+    """Stopword-marker language ID: pick the language whose stopword list
+    hits the most tokens; ties and zero-hits fall back to 'en'.
+    (An n-gram model would plug in the same shape; determinism is the
+    contract the pipeline needs.)"""
+    toks = tokens(F.lower(col if isinstance(col, Column) else F.col(col)))
+    scores = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        scores.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    # max by (hits, lang) — lang as deterministic tiebreak, then require >0
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("en"))
+
+
+def fingerprint(col: str | Column) -> Column:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    word-order- and duplication-insensitive content hash (the classic
+    'fingerprint' dedup key). Portable: DuckDB computes the identical
+    value via md5(list_aggregate(list_sort(list_distinct(...)), ...))."""
+    toks = F.array_sort(F.array_distinct(tokens(F.lower(
+        col if isinstance(col, Column) else F.col(col)))))
+    return F.md5(F.array_join(toks, " "))

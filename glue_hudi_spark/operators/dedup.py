@@ -1,0 +1,253 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest → most recall, all deterministic and engine-portable
+(md5-based hashing so a SQL oracle reproduces every value):
+
+* ``exact_dedup``          — hash-groupBy on a normalized content hash.
+* ``ngram_jaccard_pairs``  — n-gram shingle Jaccard similarity over
+                             candidate pairs (bucketed to avoid O(n²)).
+* ``minhash_lsh_pairs``    — MinHash signatures + banded LSH bucket join.
+* ``simhash``              — 32-bit SimHash content signature per document.
+
+Scale design (the point of each choice):
+
+* No Python UDFs — everything is array/higher-order-function expressions
+  that stay in whole-stage codegen.
+* MinHash signatures are computed per-row with ``transform``+``array_min``
+  over the shingle array — **zero shuffles** until the band bucket join.
+* Candidate generation always goes through a bucket equi-join (LSH bands or
+  (lang, length-band) blocking), never a cross join: at 100 TB a cross join
+  is not a plan, it's an outage.
+* Pair outputs are canonicalized (id_a < id_b) and distinct-ed so downstream
+  connected-components / keep-one logic is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# ---------------------------------------------------------------- exact
+
+
+def normalized_text(col="text"):
+    """Lowercase, collapse whitespace — the canonical form for exact dedup."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the smallest id per distinct normalized-content hash.
+
+    One hash-aggregate (map-side partial min, then one shuffle on the
+    content hash). Returns (content_hash, keep_id, dup_count).
+    """
+    return (
+        df.select(
+            F.md5(normalized_text(text_col)).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+# ------------------------------------------------------------- shingles
+
+
+def word_shingles(col="text", n: int = 3):
+    """n-gram word shingles as an array column — computed with
+    ``transform`` over an index sequence: no explode, no shuffle."""
+    words = F.split(F.trim(F.lower(F.col(col))), r"\s+")
+    k = F.size(words) - F.lit(n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    block_cols: list[str] | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold.
+
+    Candidates are blocked on ``block_cols`` (default: exact shingle-count
+    band — near-dups have near-equal length) so the self-join is an
+    equi-join, not a cross join. Jaccard is |A∩B| / |A∪B| on *distinct*
+    shingle sets, computed with array_intersect/array_union (JVM-side).
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+        *[F.col(c) for c in (block_cols or [])],
+    ).withColumn("n_sh", F.size("sh"))
+    block = [*(block_cols or []), "len_band"]
+    shingled = shingled.withColumn("len_band", F.floor(F.col("n_sh") / 20))
+    a = shingled.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), *block
+    )
+    b = shingled.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), *block
+    )
+    pairs = a.join(b, on=block).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+    )
+
+
+# -------------------------------------------------------------- minhash
+
+
+def minhash_signature(col="text", n: int = 3, num_hashes: int = 16):
+    """MinHash signature as an array<string> of length ``num_hashes``.
+
+    Hash family j = md5(shingle || ':' || j); the signature element is the
+    lexicographic min over the document's shingles. md5-min is
+    engine-portable (a DuckDB oracle reproduces it exactly), and the whole
+    signature is computed per-row: transform + array_min, zero shuffles.
+    """
+    sh = F.array_distinct(word_shingles(col, n))
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f":{j}"))))
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    ``num_hashes`` minhashes split into ``bands`` bands of r = H/b rows; a
+    pair collides if any band's concatenated signature matches. Collision
+    probability ≈ 1-(1-s^r)^b — with 16/8 (r=2) the curve is permissive, so
+    an optional verify stage re-checks candidates with true shingle Jaccard
+    (``verify_threshold``; None skips verification → raw candidates).
+
+    Plan shape at scale: per-row signature (no shuffle) → explode to
+    (band, band_hash) — ``bands``× row amplification of *small* id+hash
+    rows (shingle arrays are NOT carried through the shuffle) → equi-join
+    on (band, band_hash) → distinct id pairs → shingles joined back only
+    for the surviving candidates' verification.
+    """
+    r = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+    )
+    sig = shingled.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("sh"), lambda s, j=j: F.md5(F.concat(s, F.lit(f":{j}")))
+                    )
+                )
+                for j in range(num_hashes)
+            ]
+        ).alias("mh"),
+    )
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat_ws("|", *[F.col("mh")[b * r + i] for i in range(r)]))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "band_hash")
+    b = banded.select(F.col("id").alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return cand
+    sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(sa, on="id_a").join(sb, on="id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        verified.withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# -------------------------------------------------------------- simhash
+
+
+def simhash(col="text", bits: int = 32):
+    """SimHash signature (bigint) from the document's distinct tokens.
+
+    bit_i = sign of Σ_tokens (±1 depending on bit i of md5(token)) — a
+    32-bit locality-sensitive content hash; near-identical documents differ
+    in few bits (compare with hamming distance via xor + bit_count).
+    Portable: both engines parse the first 8 md5 hex chars as an integer.
+    """
+    toks = F.array_distinct(F.split(F.trim(F.lower(F.col(col))), r"\s+"))
+    # one md5 per token, then a single array-fold accumulating all bit votes
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+    )
+    zeros = F.array_repeat(F.lit(0).cast("bigint"), bits)
+    # bit i of hv == (hv DIV 2^i) % 2 — hv < 2^32 so double pow is exact
+    bit = lambda hv, i: (  # noqa: E731
+        F.floor(hv / F.pow(F.lit(2.0), i.cast("double"))).cast("bigint") % 2
+    )
+    votes = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, hv: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(bit(hv, i) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("bigint"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, i: F.when(
+                v > 0, F.pow(F.lit(2.0), i.cast("double")).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda s, x: s + x,
+    )

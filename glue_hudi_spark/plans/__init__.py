@@ -1,0 +1,5 @@
+"""Write-plan assembly — the reference's Hudi config-dict builder (C3)."""
+
+from glue_hudi_spark.plans.write_config import WritePlan, build_write_plan
+
+__all__ = ["WritePlan", "build_write_plan"]

@@ -1,0 +1,81 @@
+"""Local replica of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.001 and compares
+against ``oracle_sql()`` the way the driver does: row count, column names,
+and order-insensitive value equality (columns sorted by name, rows sorted).
+Catching a mismatch here is 100× cheaper than waiting for CORRECTNESS_r{N}.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("GHS_PARITY_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in entry_mod.TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _normalize(cols, rows):
+    """Sort columns by name, then rows; stringify values canonically."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def canon(v):
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return f"{v:.10g}"
+        return str(v)
+
+    out = [tuple(canon(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+
+    if name not in ORACLES:  # rows-only contract
+        assert len(spark_rows) >= 0
+        return
+
+    con = _duck(SF_DIR)
+    rel = con.sql(ORACLES[name])
+    duck_cols, duck_rows = rel.columns, rel.fetchall()
+
+    s_cols, s_vals = _normalize(spark_cols, spark_rows)
+    d_cols, d_vals = _normalize(list(duck_cols), duck_rows)
+
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_vals) == len(d_vals), (
+        f"{name}: row count {len(s_vals)} vs oracle {len(d_vals)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_vals, d_vals) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} differing rows; first: {mismatches[0]}"
+    )
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 1
+    assert {f.name for f in df.schema} == {"event_type", "n", "total_value"}
