@@ -1,0 +1,58 @@
+"""Session-catalog operations — S11 in SURVEY §2.1.
+
+The reference probes/creates a Glue Data Catalog database per table
+(``getCatalogDb``/``get_database``/``create_database``/``get_table``,
+processData.py:57-97) and drives its initial-vs-incremental branch off the
+table-existence check (processData.py:134-140). Here the same surface maps
+to ``spark.catalog`` / SQL DDL against the session catalog (works the same
+against a real Hive metastore when one is configured).
+
+``NativeTable.exists()`` is the storage-level truth used by the pipeline;
+these helpers provide the catalog-level registration the reference's
+hive-sync produced, so downstream SQL users can query curated tables by
+name (``SELECT … FROM dl_db_schema.table``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from glue_hudi_spark.config import JobControl
+from glue_hudi_spark.storage.native import NativeTable
+
+
+def ensure_database(spark: SparkSession, name: str) -> bool:
+    """Create the database if absent (processData.py:57-76). Returns True
+    if it already existed."""
+    existed = spark.catalog.databaseExists(name)
+    if not existed:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{name}`")
+    return existed
+
+
+def table_exists(spark: SparkSession, database: str, table: str) -> bool:
+    """The initial-load probe (processData.py:79-97,134-140)."""
+    return spark.catalog.tableExists(f"`{database}`.`{table}`")
+
+
+def register_snapshot(
+    spark: SparkSession, ctl: JobControl, table: NativeTable, as_of: int | None = None
+) -> str:
+    """Persistently register the current snapshot in the session catalog —
+    the role of Hudi hive-sync (processData.py:160-169). MoR registers both
+    ``<name>_ro`` and ``<name>_rt`` (processData.py:131-132).
+
+    Registration is by *data location* semantics: we materialize the
+    snapshot as a catalog table view over the manifest's file list. Since
+    the session catalog cannot express manifest-based tables natively, this
+    registers temp views scoped to the session (like hive-sync, re-run
+    after each write).
+    """
+    ensure_database(spark, ctl.catalog_db)
+    base = f"{ctl.catalog_db}_{ctl.table_name}"
+    if ctl.is_mor:
+        table.register_view(f"{base}_ro", view="read_optimized", as_of=as_of)
+        table.register_view(f"{base}_rt", view="snapshot", as_of=as_of)
+        return f"{base}_rt"
+    table.register_view(base, as_of=as_of)
+    return base

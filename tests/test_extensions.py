@@ -1,0 +1,106 @@
+"""Unit tests for the LLM-pipeline extension operators on controlled data
+(the oracle-parity suite covers them on driver tables; these pin exact
+semantics on hand-built cases)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from glue_hudi_spark.functions import text as TX
+from glue_hudi_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog", lang="en"),
+        Row(doc_id=2, text="The quick  brown fox jumps over the lazy dog", lang="en"),
+        Row(doc_id=3, text="completely different content about spark engines", lang="en"),
+        Row(doc_id=4, text="the quick brown fox jumps over the lazy cat", lang="en"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup_collapses_normalized(spark, docs):
+    out = {r["keep_id"]: r["dup_count"] for r in dedup.exact_dedup(docs).collect()}
+    # doc 2 differs only by case/whitespace → collapses into doc 1
+    assert out[1] == 2
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got  # whitespace/case variant
+    assert (1, 4) in got  # one-word change, 9-token doc
+    assert all(p not in got for p in [(1, 3), (2, 3), (3, 4)])
+
+
+def test_minhash_lsh_candidates_superset_sanity(spark, docs):
+    pairs = dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert (1, 3) not in got
+
+
+def test_simhash_near_for_near_dups(spark, docs):
+    sh = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dedup.simhash("text").alias("sh")).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(sh[1], sh[2]) == 0  # identical after lowering
+    assert hamming(sh[1], sh[4]) < hamming(sh[1], sh[3])
+
+
+def test_cosine_topk_exact(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0]),
+        Row(vec_id=1, embedding=[0.9, 0.1]),
+        Row(vec_id=2, embedding=[0.0, 1.0]),
+        Row(vec_id=3, embedding=[-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows)
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=2).collect()
+    ranked = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2]
+    assert out[0]["sim"] <= 1.0
+
+
+def test_lsh_bucket_reduces_candidates(spark):
+    rows = [Row(vec_id=i, embedding=[(1.0 if (i >> b) & 1 else -1.0) for b in range(4)] + [0.5] * 4)
+            for i in range(16)]
+    emb = spark.createDataFrame(rows)
+    out = similarity.lsh_bucketed_topk(emb, emb, k=16, m=4)
+    # each vector's bucket contains only itself → no candidate pairs at all
+    assert out.count() == 0
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="The cat, and a dog!")])
+    row = df.select(
+        TX.token_count("text").alias("n"),
+        TX.bpe_ish_token_count("text").alias("bpe"),
+        F.round(TX.punct_ratio("text"), 4).alias("pr"),
+        TX.lang_id("text").alias("lang"),
+        TX.fingerprint("text").alias("fp"),
+    ).collect()[0]
+    assert row["n"] == 5
+    # The/cat/,/and/a/dog/! → 7 pieces
+    assert row["bpe"] == 7
+    assert row["pr"] == round(2 / 19, 4)
+    assert row["lang"] == "en"
+    assert len(row["fp"]) == 32
+
+
+def test_multimodal_pipeline_shapes(spark, docs):
+    media = multimodal.attach_binary_payload(docs)
+    meta = multimodal.decode_image_metadata(media, fake=True)
+    rows = {r["media_id"]: r for r in meta.collect()}
+    assert rows[1]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert rows[1]["width"] == rows[1]["n_bytes"] % 512 + 1
+    frames = multimodal.sample_frames(media, fake=True).collect()
+    assert all(len(f["frame_sha256"]) == 64 for f in frames)
+    with pytest.raises(Exception, match="image library"):
+        multimodal.decode_image_metadata(media, fake=False).collect()
