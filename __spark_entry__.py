@@ -606,6 +606,100 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_bucketed_topk(emb, queries, k=10, m=4)
 
 
+def dedup_embedding_cosine(spark, sf_dir):
+    """5th dedup tier: embedding-cosine near-dup pairs (bucket-blocked)."""
+    return dedup.embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, m=4
+    )
+
+
+def _embedding_pairs_oracle() -> str:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(4)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_expr}) AS bucket FROM embeddings)
+SELECT id_a, id_b, sim FROM (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+         round(list_dot_product(a.v, c.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) t
+WHERE sim >= 0.4
+"""
+
+
+def events_hourly_rollup(spark, sf_dir):
+    """Hypertable-style time-bucket rollup: hourly counts + exact sums."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def region_nation_stats(spark, sf_dir):
+    """Dimension join breadth: nations per region with supplier balances."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(s, s.s_nationkey == n.n_nationkey, "left")
+        .groupBy("r_name")
+        .agg(
+            F.countDistinct("n_nationkey").alias("n_nations"),
+            F.count("s_suppkey").alias("n_suppliers"),
+            F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+REGION_ORACLE = """
+SELECT r_name,
+       COUNT(DISTINCT n_nationkey) AS n_nations,
+       COUNT(s_suppkey) AS n_suppliers,
+       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+FROM nation JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN supplier ON s_nationkey = n_nationkey
+GROUP BY r_name
+"""
+
+
+def part_brand_stats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_size") >= 10)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+            F.max("p_size").cast("int").alias("max_size"),
+        )
+    )
+
+
+PART_ORACLE = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(MAX(p_size) AS INT) AS max_size
+FROM part WHERE p_size >= 10 GROUP BY p_brand
+"""
+
+
 def multimodal_image_meta(spark, sf_dir):
     media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_image_metadata(media, fake=True)
@@ -671,6 +765,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "events_hourly_rollup": events_hourly_rollup,
+        "region_nation_stats": region_nation_stats,
+        "part_brand_stats": part_brand_stats,
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
@@ -706,6 +804,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": NGRAM_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(32),
+        "dedup_embedding_cosine": _embedding_pairs_oracle(),
+        "events_hourly_rollup": ROLLUP_ORACLE,
+        "region_nation_stats": REGION_ORACLE,
+        "part_brand_stats": PART_ORACLE,
         "text_token_stats": TOKEN_ORACLE,
         "text_quality": QUALITY_ORACLE,
         "text_lang_id": _lang_oracle(),

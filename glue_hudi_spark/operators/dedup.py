@@ -205,6 +205,43 @@ def minhash_lsh_pairs(
     )
 
 
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    m: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold.
+
+    Candidates are blocked on the deterministic sign-bit bucket (see
+    ``operators.similarity.signbit_bucket``): at high thresholds near-dup
+    vectors almost surely share leading-coordinate signs, so the equi-join
+    on bucket prunes ~2^m× of the pair space with negligible recall loss —
+    and keeps the plan a shuffle join instead of a cross join.
+    Output: (id_a, id_b, sim) with id_a < id_b, sim rounded to 6 dp.
+    """
+    from glue_hudi_spark.operators.similarity import cosine, signbit_bucket
+
+    keyed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        signbit_bucket(vec_col, m).alias("bucket"),
+    )
+    a = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 # -------------------------------------------------------------- simhash
 
 
