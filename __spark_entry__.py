@@ -31,9 +31,26 @@ TABLES = [
 ]
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The driver may run these queries in its own SparkSession; pin the
+    runtime-settable confs correctness depends on (UTC timestamps for
+    epoch/date_trunc parity with the DuckDB oracle, Arrow for mapInPandas,
+    AQE for the merge plans)."""
+    for k, v in {
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    }.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # read-only in this session → keep its value
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = _read_parquet_nanosafe(spark, f"{sf_dir}/{name}.parquet")
-    return df
+    _ensure_session_confs(spark)
+    return _read_parquet_nanosafe(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
