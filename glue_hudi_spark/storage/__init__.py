@@ -11,5 +11,6 @@ so this backend is the default; the public API is format-agnostic.
 
 from glue_hudi_spark.storage.native import NativeTable
 from glue_hudi_spark.storage.commits import CommitTimeline
+from glue_hudi_spark.storage.hudi import HudiBackend, open_table
 
-__all__ = ["NativeTable", "CommitTimeline"]
+__all__ = ["NativeTable", "CommitTimeline", "HudiBackend", "open_table"]
