@@ -278,21 +278,62 @@ def cdc_merge_sql(spark, sf_dir):
     )
 
 
-def cdc_table_merge(spark, sf_dir):
-    """The real storage path: bulk_insert the snapshot into a NativeTable,
-    merge the CDC batch as one commit, read the snapshot back."""
+def _table_merge_impl(spark, sf_dir, storage_type: str, output: str = "snapshot"):
+    """Shared storage-path harness: bulk_insert the pre-cutoff snapshot,
+    apply the post-cutoff CDC batch, return either the merged snapshot or
+    the incremental change feed — through the real NativeTable backend."""
     snap, batch = _events_merge_parts(spark, sf_dir)
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
     with tempfile.TemporaryDirectory(prefix="ghs_entry_") as tmp:
         table = NativeTable(
             spark, f"{tmp}/events_tbl", record_keys=["user_id"],
             precombine="event_id", partition_keys=[],
+            storage_type=storage_type,
         )
         table.bulk_insert(snap.select(*cols))
-        table.merge(batch.select(*cols, "op"), op_col="op")
-        out = table.read_snapshot().select(*cols)
+        first_commit = table.timeline.latest().commit_id
+        if storage_type == "mor":
+            # MoR path: delta upsert + delta delete, realtime view merges
+            table.upsert(cdc.filter_non_deletes(batch).select(*cols))
+            table.delete(cdc.filter_deletes(batch).select(*cols))
+        else:
+            table.merge(batch.select(*cols, "op"), op_col="op")
+        if output == "incremental":
+            out = table.read_incremental(first_commit).select(*cols)
+        else:
+            out = table.read_snapshot().select(*cols)
         out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
     return out
+
+
+def cdc_table_merge(spark, sf_dir):
+    """The real storage path (CoW): bulk_insert the snapshot, merge the CDC
+    batch as one atomic commit, read the snapshot back."""
+    return _table_merge_impl(spark, sf_dir, "cow")
+
+
+def cdc_table_merge_mor(spark, sf_dir):
+    """Same semantics through merge-on-read storage: delta appends +
+    real-time view merge — must hash-equal the CoW result and the SQL
+    oracle (Hudi _rt parity, processData.py:131-132,150-155)."""
+    return _table_merge_impl(spark, sf_dir, "mor")
+
+
+def cdc_incremental_read(spark, sf_dir):
+    """Hudi-style incremental query after the merge: exactly the rows the
+    CDC batch upserted (deletes not surfaced — CoW incremental semantics)."""
+    return _table_merge_impl(spark, sf_dir, "cow", output="incremental")
+
+
+_INCREMENTAL_ORACLE = f"""
+WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
+batch AS (
+  SELECT user_id, event_id, ts, event_type, value, op FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+)
+SELECT user_id, event_id, ts, event_type, value FROM batch WHERE op <> 'D'
+"""
 
 
 def scalar_string_funcs(spark, sf_dir):
@@ -772,6 +813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_rename_lowercase": cdc_rename_lowercase,
         "cdc_merge_sql": cdc_merge_sql,
         "cdc_table_merge": cdc_table_merge,
+        "cdc_table_merge_mor": cdc_table_merge_mor,
+        "cdc_incremental_read": cdc_incremental_read,
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
         "scalar_split_explode": scalar_split_explode,
@@ -812,6 +855,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rename_lowercase": "SELECT event_id, user_id, value FROM events",
         "cdc_merge_sql": _MERGE_ORACLE,
         "cdc_table_merge": _MERGE_ORACLE,
+        "cdc_table_merge_mor": _MERGE_ORACLE,
+        "cdc_incremental_read": _INCREMENTAL_ORACLE,
         "scalar_string_funcs": STRING_ORACLE,
         "scalar_datetime_funcs": DATETIME_ORACLE,
         "scalar_split_explode": EXPLODE_ORACLE,

@@ -256,6 +256,17 @@ class NativeTable:
             out = out.drop(*META_COLS)
         return out
 
+    def read_incremental(self, since_commit: int, **kwargs) -> DataFrame:
+        """Hudi-style incremental query: rows whose latest version was
+        written by a commit > ``since_commit`` (the change feed a downstream
+        consumer pulls instead of re-scanning the table). Deletes are not
+        surfaced (CoW incremental semantics — matching Hudi's incremental
+        view on copy-on-write tables)."""
+        snap = self.read_snapshot(with_meta=True, **kwargs)
+        token = f"{since_commit:020d}"
+        out = snap.filter(F.col(COMMIT_TIME_COL) > token)
+        return out.drop(*META_COLS)
+
     def register_view(self, name: str, **kwargs) -> None:
         """Session-catalog registration (the role of Hudi hive-sync,
         processData.py:160-169 — S8 in SURVEY §2.1)."""
