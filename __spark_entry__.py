@@ -487,8 +487,10 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 def _minhash_oracle() -> str:
+    # mirrors operators.dedup.minhash_hash_expr: hash j = 8 hex chars
+    # [1+8*(j%4) ..] of md5(shingle || ':' || j//4)
     mh = ", ".join(
-        f"list_aggregate(list_transform(sh, x -> md5(x || ':{j}')), 'min') AS mh{j}"
+        f"list_aggregate(list_transform(sh, x -> substr(md5(x || ':{j // 4}'), {1 + 8 * (j % 4)}, 8)), 'min') AS mh{j}"
         for j in range(16)
     )
     bands = " UNION ALL ".join(

@@ -33,12 +33,16 @@ BENCH_QUERIES = [
     "cdc_window_dedup",
     "cdc_merge_sql",
     "cdc_table_merge",
+    "cdc_table_merge_mor",
+    "cdc_incremental_read",
     "topk_orders_per_customer",
     "events_sessionization",
     "scalar_split_explode",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
+    "events_hourly_rollup",
     "text_quality",
     "text_fingerprint",
     "text_lang_id",

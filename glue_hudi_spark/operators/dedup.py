@@ -112,22 +112,54 @@ def ngram_jaccard_pairs(
 # -------------------------------------------------------------- minhash
 
 
+def minhash_hash_expr(s, j: int):
+    """The j-th member of the portable MinHash family: 32 bits carved out
+    of md5(shingle || ':' || j//4) — one md5 yields four independent 32-bit
+    hashes (hex chars 1-8, 9-16, 17-24, 25-32), so a 16-hash signature
+    costs 4 md5 calls per shingle instead of 16. Lexicographic min over
+    8-hex-char strings is a valid min-hash; DuckDB reproduces it with the
+    identical substr(md5(...)) expression."""
+    salt, chunk = divmod(j, 4)
+    return F.substring(F.md5(F.concat(s, F.lit(f":{salt}"))), 1 + 8 * chunk, 8)
+
+
+def minhash_signature_from_shingles(sh, num_hashes: int = 16):
+    """All ``num_hashes`` signature minima in ONE fold over the shingle
+    array: per shingle compute num_hashes/4 md5s, carve each into four
+    8-hex-char hashes, and `least` them into the accumulator. The shingle
+    expression is referenced exactly once (Catalyst does no CSE across
+    repeated higher-order-function arguments — 16 separate array_min
+    passes recompute their input 16×)."""
+    salts = num_hashes // 4
+    init = F.array_repeat(F.lit("~"), num_hashes)  # '~' > any hex char
+
+    def hashes_of(s):
+        return F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(salts - 1)),
+                lambda salt: F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda c: F.md5(
+                        F.concat(s, F.lit(":"), salt.cast("string"))
+                    ).substr(F.lit(1) + c * 8, F.lit(8)),
+                ),
+            )
+        )
+
+    return F.aggregate(
+        sh, init, lambda acc, s: F.zip_with(acc, hashes_of(s), lambda a, b: F.least(a, b))
+    )
+
+
 def minhash_signature(col="text", n: int = 3, num_hashes: int = 16):
     """MinHash signature as an array<string> of length ``num_hashes``.
 
-    Hash family j = md5(shingle || ':' || j); the signature element is the
-    lexicographic min over the document's shingles. md5-min is
-    engine-portable (a DuckDB oracle reproduces it exactly), and the whole
-    signature is computed per-row: transform + array_min, zero shuffles.
+    Signature element j = min over the document's shingles of the j-th
+    family hash (see ``minhash_hash_expr``). Engine-portable and computed
+    per-row: a single array fold, zero shuffles.
     """
-    sh = F.array_distinct(word_shingles(col, n))
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(f":{j}"))))
-            )
-            for j in range(num_hashes)
-        ]
+    return minhash_signature_from_shingles(
+        F.array_distinct(word_shingles(col, n)), num_hashes
     )
 
 
@@ -159,15 +191,18 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, n)).alias("sh"),
     )
+    # sh is a *materialized column* here, so 16 separate array_min passes
+    # are cheap (no recompute); the fold variant's per-element accumulator
+    # allocation is slower in this shape — see minhash_signature for the
+    # expression-input case where the fold wins 8×.
+    def _hash_j(j: int):
+        return lambda s: minhash_hash_expr(s, j)
+
     sig = shingled.select(
         "id",
         F.array(
             *[
-                F.array_min(
-                    F.transform(
-                        F.col("sh"), lambda s, j=j: F.md5(F.concat(s, F.lit(f":{j}")))
-                    )
-                )
+                F.array_min(F.transform(F.col("sh"), _hash_j(j)))
                 for j in range(num_hashes)
             ]
         ).alias("mh"),
