@@ -439,6 +439,36 @@ def events_sessionization(spark, sf_dir):
     return _sql(spark, sf_dir, _SESSION_SQL, ["events"])
 
 
+def events_asof_join(spark, sf_dir):
+    """As-of join: each purchase event sees the user's most recent
+    at-or-before click (union+window implementation — one shuffle,
+    no range join)."""
+    from glue_hudi_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return asof_join(
+        purchases, clicks, key_cols=["user_id"], left_time="ts",
+        right_time="click_ts", right_payload=["click_event_id"],
+    )
+
+
+ASOF_ORACLE = """
+SELECT l.event_id, l.user_id, l.ts, l.value, r.click_event_id
+FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT user_id, ts AS click_ts, event_id AS click_event_id
+                FROM events WHERE event_type = 'click') r
+ON l.user_id = r.user_id AND l.ts >= r.click_ts
+"""
+
+
 def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -666,6 +696,36 @@ def ann_lsh_bucketed(spark, sf_dir):
     return similarity.lsh_bucketed_topk(emb, queries, k=10, m=4)
 
 
+def skew_salted_agg(spark, sf_dir):
+    """Skew-safe two-stage aggregation on the hottest possible key
+    (event_type: 5 values over 100k rows) — result-identical to a plain
+    GROUP BY, never one-reducer-per-hot-key."""
+    from glue_hudi_spark.operators.skew import salted_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_d", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n": ("count", "event_id"), "total_value": ("sum", "value_d"),
+         "max_value": ("max", "value")},
+        salt_buckets=16,
+    )
+    return out.select(
+        "event_type", "n", F.col("total_value").cast("double").alias("total_value"),
+        "max_value",
+    )
+
+
+SKEW_ORACLE = """
+SELECT event_type, COUNT(event_id) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """5th dedup tier: embedding-cosine near-dup pairs (bucket-blocked)."""
     return dedup.embedding_cosine_pairs(
@@ -822,12 +882,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_split_explode": scalar_split_explode,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_sessionization": events_sessionization,
+        "events_asof_join": events_asof_join,
         # LLM-data-pipeline extensions
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "skew_salted_agg": skew_salted_agg,
         "events_hourly_rollup": events_hourly_rollup,
         "region_nation_stats": region_nation_stats,
         "part_brand_stats": part_brand_stats,
@@ -864,11 +926,13 @@ def oracle_sql() -> dict[str, str]:
         "scalar_split_explode": EXPLODE_ORACLE,
         "topk_orders_per_customer": TOPK_ORACLE,
         "events_sessionization": _SESSION_SQL,
+        "events_asof_join": ASOF_ORACLE,
         "dedup_exact": EXACT_ORACLE,
         "dedup_ngram_jaccard": NGRAM_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(32),
         "dedup_embedding_cosine": _embedding_pairs_oracle(),
+        "skew_salted_agg": SKEW_ORACLE,
         "events_hourly_rollup": ROLLUP_ORACLE,
         "region_nation_stats": REGION_ORACLE,
         "part_brand_stats": PART_ORACLE,

@@ -1,0 +1,109 @@
+"""As-of (point-in-time) join — the time-series operator Spark lacks.
+
+``asof_join(left, right)`` attaches to every left row the most recent
+right row with the same key and ``right.time <= left.time`` (backward
+as-of; the kdb/pandas ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics).
+
+Implementation is the scalable union+window trick, NOT a range join:
+
+1. tag both sides and union them on (key, time);
+2. one window per key ordered by (time, side-tag) computes ``last_value``
+   with ``IGNORE NULLS`` over the right-side payload columns — each left
+   row sees the latest right row at-or-before it;
+3. filter back to left rows.
+
+Cost: ONE shuffle on the key (the window), no cross product, no
+per-row Python — at 100 TB this is the same plan shape as a window
+dedup. A range-join formulation (`l JOIN r ON key AND r.t <= l.t` +
+row_number) explodes quadratically per key; this stays linear.
+
+Ties (right.time == left.time): the right row sorts before the left row
+(side tag 0 < 1), so an exactly-simultaneous right row IS visible to the
+left row — matching DuckDB ASOF (``>=``) and pandas ``merge_asof``
+defaults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "_asof_side"  # 0 = right (visible), 1 = left (observer)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    left_time: str,
+    right_time: str,
+    right_payload: list[str] | None = None,
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Backward as-of join.
+
+    Returns all ``left`` columns plus ``right_payload`` columns (default:
+    every right column except key/time) filled from the most recent
+    at-or-before right row per key, or NULL when none exists.
+    ``tolerance``: optional max staleness as an INTERVAL string (e.g.
+    ``'30 minutes'``) — older matches are nulled out.
+    """
+    payload = right_payload or [
+        c for c in right.columns if c not in {*key_cols, right_time}
+    ]
+    overlap = [c for c in payload if c in left.columns]
+    if overlap:
+        raise ValueError(f"right payload columns collide with left: {overlap}")
+
+    l_tag = left.select(
+        *key_cols,
+        F.col(left_time).alias("_asof_t"),
+        F.lit(1).alias(_SIDE),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.struct(*left.columns).alias("_asof_row"),
+    )
+    r_tag = right.select(
+        *key_cols,
+        F.col(right_time).alias("_asof_t"),
+        F.lit(0).alias(_SIDE),
+        *payload,
+        F.lit(None)
+        .cast(l_tag.schema["_asof_row"].dataType)
+        .alias("_asof_row"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.col("_asof_t").asc(), F.col(_SIDE).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        _SIDE,
+        "_asof_row",
+        "_asof_t",
+        *key_cols,
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last(F.when(F.col(_SIDE) == 0, F.col("_asof_t")), ignorenulls=True)
+        .over(w)
+        .alias("_asof_matched_t"),
+    )
+    out = filled.filter(F.col(_SIDE) == 1)
+    if tolerance is not None:
+        stale = F.col("_asof_matched_t") < (
+            F.col("_asof_t") - F.expr(f"INTERVAL {tolerance}")
+        )
+        out = out.select(
+            _SIDE,
+            "_asof_row",
+            "_asof_t",
+            "_asof_matched_t",
+            *key_cols,
+            *[
+                F.when(stale, F.lit(None)).otherwise(F.col(c)).alias(c)
+                for c in payload
+            ],
+        )
+    return out.select(
+        *[F.col("_asof_row")[c].alias(c) for c in left.columns], *payload
+    )

@@ -1,0 +1,71 @@
+"""As-of join semantics on hand-built cases: backward match, exact-time
+tie visibility, no-match NULLs, tolerance staleness, composite keys."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from glue_hudi_spark.operators.asof import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m, 0)
+
+
+@pytest.fixture()
+def quotes_trades(spark):
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", q_ts=_ts(1), bid=10.0),
+            Row(sym="A", q_ts=_ts(5), bid=11.0),
+            Row(sym="A", q_ts=_ts(9), bid=12.0),
+            Row(sym="B", q_ts=_ts(4), bid=99.0),
+        ]
+    )
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", t_ts=_ts(0), qty=1),   # before any quote
+            Row(sym="A", t_ts=_ts(5), qty=2),   # exactly at a quote
+            Row(sym="A", t_ts=_ts(7), qty=3),   # between quotes
+            Row(sym="B", t_ts=_ts(30), qty=4),  # long after the quote
+            Row(sym="C", t_ts=_ts(2), qty=5),   # key with no quotes at all
+        ]
+    )
+    return quotes, trades
+
+
+def test_backward_asof_semantics(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, key_cols=["sym"], left_time="t_ts", right_time="q_ts"
+    )
+    got = {(r["sym"], r["qty"]): r["bid"] for r in out.collect()}
+    assert got[("A", 1)] is None          # nothing at-or-before
+    assert got[("A", 2)] == 11.0          # exact-time quote IS visible
+    assert got[("A", 3)] == 11.0          # latest before
+    assert got[("B", 4)] == 99.0
+    assert got[("C", 5)] is None          # unseen key
+    assert out.count() == trades.count()  # left-join cardinality preserved
+
+
+def test_asof_tolerance(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    out = asof_join(
+        trades, quotes, key_cols=["sym"], left_time="t_ts", right_time="q_ts",
+        tolerance="10 minutes",
+    )
+    got = {(r["sym"], r["qty"]): r["bid"] for r in out.collect()}
+    assert got[("B", 4)] is None          # 26 min stale > 10 min tolerance
+    assert got[("A", 3)] == 11.0          # 2 min stale, kept
+
+
+def test_asof_payload_collision_raises(spark, quotes_trades):
+    quotes, trades = quotes_trades
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            trades, quotes.withColumnRenamed("bid", "qty"),
+            key_cols=["sym"], left_time="t_ts", right_time="q_ts",
+        )
