@@ -374,6 +374,48 @@ FROM orders
 """
 
 
+def scalar_timestamp_parse(spark, sf_dir):
+    """§2.4: to_timestamp / date_format round-trip + epoch reconstruction."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("od_str"),
+        F.to_timestamp(
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("od_parsed"),
+        F.timestamp_seconds(F.unix_timestamp("o_orderdate")).alias("od_from_epoch"),
+    )
+
+
+TS_PARSE_ORACLE = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS od_str,
+       strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS od_parsed,
+       CAST(to_timestamp(CAST(epoch(o_orderdate) AS BIGINT)) AS TIMESTAMP) AS od_from_epoch
+FROM orders
+"""
+
+
+def orders_priority_rollup(spark, sf_dir):
+    """ROLLUP subtotals: (status, priority), (status), grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
+        )
+    )
+
+
+ROLLUP_SETS_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
 def scalar_split_explode(spark, sf_dir):
     """§2.4: split + explode → word frequencies."""
     d = _t(spark, sf_dir, "documents")
@@ -880,6 +922,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
         "scalar_split_explode": scalar_split_explode,
+        "scalar_timestamp_parse": scalar_timestamp_parse,
+        "orders_priority_rollup": orders_priority_rollup,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_sessionization": events_sessionization,
         "events_asof_join": events_asof_join,
@@ -924,6 +968,8 @@ def oracle_sql() -> dict[str, str]:
         "scalar_string_funcs": STRING_ORACLE,
         "scalar_datetime_funcs": DATETIME_ORACLE,
         "scalar_split_explode": EXPLODE_ORACLE,
+        "scalar_timestamp_parse": TS_PARSE_ORACLE,
+        "orders_priority_rollup": ROLLUP_SETS_ORACLE,
         "topk_orders_per_customer": TOPK_ORACLE,
         "events_sessionization": _SESSION_SQL,
         "events_asof_join": ASOF_ORACLE,
