@@ -883,6 +883,20 @@ def multimodal_frame_sample(spark, sf_dir):
     return multimodal.sample_frames(media, fake=True)
 
 
+# The payload here is UTF-8 of pure-ASCII text (verified: octet_length ==
+# length for every document), so byte windows equal substring windows and
+# the frame sampler is exactly replicable in SQL.
+FRAMES_ORACLE = """
+WITH d AS (SELECT doc_id AS media_id, text, length(text) AS L FROM documents),
+p AS (SELECT media_id, text, L, greatest(1, least(8, L // 64)) AS n FROM d),
+q AS (SELECT media_id, text, L, n, greatest(1, L // n) AS step FROM p),
+f AS (SELECT media_id, text, step, unnest(range(0, n)) AS i FROM q)
+SELECT media_id, CAST(i AS INT) AS frame_idx,
+       sha256(substr(text, CAST(i * step + 1 AS INT), 64)) AS frame_sha256
+FROM f
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -989,6 +1003,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ann_oracle(bucketed=False),
         "ann_lsh_bucketed": _ann_oracle(bucketed=True),
         "multimodal_image_meta": MEDIA_ORACLE,
-        # multimodal_frame_sample: blob slicing is not portable SQL →
-        # rows-only check (driver contract allows omission)
+        "multimodal_frame_sample": FRAMES_ORACLE,
     }
