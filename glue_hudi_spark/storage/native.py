@@ -82,6 +82,7 @@ class NativeTable:
         storage_type: str = "cow",
         retain_commits: int = 10,
         compact_every: int = 20,
+        files_per_partition: int | None = None,
     ):
         self.spark = spark
         self.root = Path(path)
@@ -91,6 +92,11 @@ class NativeTable:
         self.storage_type = storage_type.lower()
         self.retain_commits = retain_commits
         self.compact_every = compact_every
+        # file sizing (the role of hoodie.parquet.small.file.limit /
+        # bin-packing): when set, each hive partition's rows are clustered
+        # into exactly N files per write — without it, every shuffle task
+        # writes a sliver into every partition dir (T×P tiny files).
+        self.files_per_partition = files_per_partition
         self.timeline = CommitTimeline(self.root)
 
     # ------------------------------------------------------------------ util
@@ -139,6 +145,17 @@ class NativeTable:
                 _PP_PREFIX + c,
                 F.coalesce(F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")),
             )
+        if self.files_per_partition and self.partition_keys:
+            # cluster each hive partition into at most N output files:
+            # hash-repartition on (partition dirs, record-key bucket) —
+            # buckets of one dir landing in the same task coalesce further
+            bucket = F.pmod(
+                F.xxhash64(record_key_expr(self.record_keys)),
+                F.lit(self.files_per_partition),
+            )
+            out = out.repartition(
+                *[F.col(c) for c in self._pp_cols()], bucket
+            ).sortWithinPartitions(*self.record_keys)
         writer = out.write.mode("error")
         if self.partition_keys:
             writer = writer.partitionBy(*self._pp_cols())

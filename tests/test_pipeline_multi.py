@@ -1,0 +1,86 @@
+"""Multi-table driver loop (C1) + DMS envelope tolerance.
+
+The reference iterates all control records per run (processData.py:393-402)
+and drops the general DMS envelope — including ``db`` and ``schema_name``
+columns its sample data never carries (processData.py:334). Both paths get
+explicit coverage here.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from glue_hudi_spark.config import ControlStore, JobControl
+from glue_hudi_spark.pipeline import CdcPipeline
+from tests.fixtures_cdc import CONTROL, make_cdc_df, make_full_load_df
+
+
+def _land(df, raw_dir: Path, name: str):
+    stage = str(raw_dir) + "__s__" + name
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    raw_dir.mkdir(parents=True, exist_ok=True)
+    for i, p in enumerate(Path(stage).glob("*.parquet")):
+        p.rename(raw_dir / f"{name}_{i}.parquet")
+
+
+def test_run_processes_all_control_records(spark, tmp_path):
+    """One run() call ingests every managed table — one CoW, one MoR."""
+    ctl_a = JobControl(**{**CONTROL, "table_name": "tbl_cow"})
+    ctl_b = JobControl(
+        **{**CONTROL, "table_name": "tbl_mor", "hudi_storage_type": "mor"}
+    )
+    store = ControlStore(tmp_path / "control.json")
+    store.save([ctl_a, ctl_b])
+
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
+    for ctl in (ctl_a, ctl_b):
+        _land(
+            make_full_load_df(spark),
+            tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name,
+            "LOAD1",
+        )
+    results = pipe.run(store, "test_job")
+    assert [r.mode for r in results] == ["initial", "initial"]
+
+    for ctl in (ctl_a, ctl_b):
+        _land(
+            make_cdc_df(spark),
+            tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name,
+            "CDC1",
+        )
+    results = pipe.run(store, "test_job")
+    assert [r.mode for r in results] == ["incremental", "incremental"]
+    for ctl in (ctl_a, ctl_b):
+        assert pipe._table(ctl).read_snapshot().count() == 190
+
+    # MoR registered both _ro and _rt views (hive-sync parity)
+    assert spark.catalog.tableExists("dl_msrmt_db_msrmt_schema_tbl_mor_rt")
+    assert spark.catalog.tableExists("dl_msrmt_db_msrmt_schema_tbl_mor_ro")
+
+
+def test_envelope_db_schema_columns_dropped(spark, tmp_path):
+    """CDC batches carrying the full DMS envelope (db, schema_name) must
+    merge cleanly and the snapshot must not contain envelope columns."""
+    ctl = JobControl(**{**CONTROL, "table_name": "tbl_env"})
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
+
+    _land(make_full_load_df(spark), raw, "LOAD1")
+    pipe.process_table(ctl)
+
+    cdc_env = (
+        make_cdc_df(spark)
+        .withColumn("db", F.lit("SRC_DB"))
+        .withColumn("SCHEMA_NAME", F.lit("SRC_SCHEMA"))
+    )
+    _land(cdc_env, raw, "CDC1")
+    res = pipe.process_table(ctl)
+    assert res.mode == "incremental"
+
+    snap = pipe._table(ctl).read_snapshot()
+    assert snap.count() == 190
+    assert {"db", "schema_name", "op", "transaction_id", "seq_by_pk"}.isdisjoint(
+        {c.lower() for c in snap.columns}
+    )
