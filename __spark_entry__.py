@@ -862,6 +862,37 @@ FROM part WHERE p_size >= 10 GROUP BY p_brand
 """
 
 
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN: nearest-centroid inverted lists (8 deterministic
+    centroids), queries probe their own cell only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _ivf_oracle(n_centroids: int = 8) -> str:
+    return f"""
+WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM base WHERE vec_id < {n_centroids}),
+assigned AS (
+  SELECT vec_id AS id, v, cell FROM (
+    SELECT b.vec_id, b.v, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             round(list_dot_product(b.v, c.cv) / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cell ASC) AS rn
+    FROM base b CROSS JOIN cent c) t WHERE rn = 1
+),
+q AS (SELECT id AS query_id, v AS qv, cell FROM assigned WHERE id < 5),
+scored AS (
+  SELECT q.query_id, a.id AS neighbor_id,
+         round(list_dot_product(q.qv, a.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+  FROM q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.id)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t WHERE rank <= 10
+"""
+
+
 def multimodal_image_meta(spark, sf_dir):
     media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_image_metadata(media, fake=True)
@@ -957,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
+        "ann_ivf_topk": ann_ivf_topk,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
     }
@@ -1002,6 +1034,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": FINGERPRINT_ORACLE,
         "ann_cosine_topk": _ann_oracle(bucketed=False),
         "ann_lsh_bucketed": _ann_oracle(bucketed=True),
+        "ann_ivf_topk": _ivf_oracle(),
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
     }

@@ -92,6 +92,72 @@ def signbit_bucket(vec_col="embedding", m: int = 4):
     return acc
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, ties to the
+    lowest centroid id) → (id, vec, cell). The centroid set is broadcast
+    (it is tiny by construction); assignment is one narrow pass over the
+    corpus — the IVF 'train-free' building block."""
+    c = centroids.select(
+        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(c))
+        .withColumn("csim", cosine(F.col("v"), F.col("cent_vec")))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("id", "v", "cell")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+) -> DataFrame:
+    """IVF-style ANN: inverted lists keyed by nearest centroid.
+
+    Centroids are the first ``n_centroids`` corpus vectors (deterministic,
+    train-free — a k-means step would slot in here without changing the
+    plan shape). Queries probe only their own cell (nprobe=1), so the
+    candidate join is an equi-join on ``cell``: candidate count shrinks
+    ~n_centroids× versus brute force. Recall follows the usual IVF curve.
+    """
+    centroids = corpus.filter(F.col(id_col) < n_centroids)
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col)
+    q = q_assigned.select(
+        F.col("id").alias("query_id"), F.col("v").alias("q_vec"), "cell"
+    )
+    cjoin = c_assigned.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "cell"
+    )
+    scored = (
+        q.join(cjoin, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
