@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "cdc_incremental_read",
     "topk_orders_per_customer",
     "events_sessionization",
+    "events_asof_join",
+    "orders_priority_rollup",
+    "skew_salted_agg",
     "scalar_split_explode",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -48,6 +51,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "multimodal_image_meta",
 ]
 
