@@ -1,0 +1,94 @@
+"""CLI entry points — the reference's operational surface (C8).
+
+The reference is driven by shell scripts (`runJobForInitialLoad.sh`,
+`runJobForIncrementalLoad.sh`, `resetForInitialLoad.sh`); here the same
+operations are subcommands::
+
+    python -m glue_hudi_spark run     --control control.json --raw RAW --curated CUR
+    python -m glue_hudi_spark reset   --control control.json --raw RAW --curated CUR [--table T]
+    python -m glue_hudi_spark compact --control control.json --curated CUR --table T
+    python -m glue_hudi_spark show    --control control.json --curated CUR --table T
+
+``run`` is mode-agnostic like the reference's job: each table's initial-
+vs-incremental branch is decided by the table-exists probe + bookmark
+ledger, so "initial load" is simply the first run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from glue_hudi_spark.config import ControlStore
+from glue_hudi_spark.pipeline import CdcPipeline
+from glue_hudi_spark.session import get_spark
+
+
+def _common(p: argparse.ArgumentParser, raw: bool = True) -> None:
+    p.add_argument("--control", required=True, help="control-store JSON path")
+    if raw:
+        p.add_argument("--raw", required=True, help="raw landing root dir")
+    p.add_argument("--curated", required=True, help="curated table root dir")
+    p.add_argument("--job", default=None, help="filter control records by glue_job_name")
+    p.add_argument("--table", default=None, help="restrict to one table_name")
+    p.add_argument("--single-commit", action="store_true",
+                   help="atomic one-commit merge instead of the reference's I/U/D commit sequence")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="glue_hudi_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _common(sub.add_parser("run", help="ingest pending raw files for every managed table"))
+    _common(sub.add_parser("reset", help="drop curated data + bookmarks (replay path)"))
+    pc = sub.add_parser("compact", help="force MoR compaction for one table")
+    _common(pc, raw=False)
+    ps = sub.add_parser("show", help="print snapshot stats + commit history")
+    _common(ps, raw=False)
+    args = ap.parse_args(argv)
+
+    try:
+        store = ControlStore(args.control)
+        records = store.load(args.job)
+    except FileNotFoundError:
+        print(json.dumps({"error": f"control file not found: {args.control}"}))
+        return 2
+    if args.table:
+        records = [r for r in records if r.table_name == args.table]
+    if not records:
+        print(json.dumps({"error": "no matching control records"}))
+        return 2
+
+    spark = get_spark(app_name=f"glue_hudi_spark-{args.cmd}")
+    pipe = CdcPipeline(
+        spark,
+        getattr(args, "raw", "/nonexistent"),
+        args.curated,
+        single_commit=args.single_commit,
+    )
+
+    out = []
+    for ctl in records:
+        if args.cmd == "run":
+            res = pipe.process_table(ctl)
+            out.append({"table": ctl.table_name, "mode": res.mode,
+                        "commits": [c.action for c in res.commits]})
+        elif args.cmd == "reset":
+            pipe.reset_table(ctl)
+            out.append({"table": ctl.table_name, "reset": True})
+        elif args.cmd == "compact":
+            table = pipe._table(ctl)
+            c = table.compact()
+            out.append({"table": ctl.table_name, "compacted": c.commit_id})
+        elif args.cmd == "show":
+            table = pipe._table(ctl)
+            hist = [(c.commit_id, c.action) for c in table.timeline.history()]
+            out.append({"table": ctl.table_name,
+                        "rows": table.read_snapshot().count(),
+                        "commits": hist})
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
