@@ -1,0 +1,53 @@
+"""CLI subcommands driven in-process (main(argv) — getOrCreate reuses the
+test session)."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from glue_hudi_spark.__main__ import main
+from glue_hudi_spark.config import ControlStore, JobControl
+from tests.fixtures_cdc import CONTROL, make_cdc_df, make_full_load_df
+
+
+def _land(df, raw_dir: Path, name: str):
+    stage = str(raw_dir) + "__s__" + name
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    raw_dir.mkdir(parents=True, exist_ok=True)
+    for i, p in enumerate(Path(stage).glob("*.parquet")):
+        p.rename(raw_dir / f"{name}_{i}.parquet")
+
+
+def test_cli_full_lifecycle(spark, tmp_path, capsys):
+    ctl = JobControl(**CONTROL)
+    control = tmp_path / "control.json"
+    ControlStore(control).save([ctl])
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    base = ["--control", str(control), "--curated", str(tmp_path / "curated")]
+    raw_args = ["--raw", str(tmp_path / "raw")]
+
+    def run_cmd(*argv):
+        rc = main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    _land(make_full_load_df(spark), raw, "LOAD1")
+    rc, out = run_cmd("run", *base, *raw_args)
+    assert rc == 0 and out[0]["mode"] == "initial"
+
+    _land(make_cdc_df(spark), raw, "CDC1")
+    rc, out = run_cmd("run", *base, *raw_args, "--single-commit")
+    assert rc == 0 and out[0]["mode"] == "incremental"
+    assert out[0]["commits"] == ["merge"]
+
+    rc, out = run_cmd("show", *base)
+    assert out[0]["rows"] == 190
+
+    rc, out = run_cmd("reset", *base, *raw_args)
+    assert out[0]["reset"] is True
+    rc, out = run_cmd("run", *base, *raw_args)
+    assert out[0]["mode"] == "initial"
+
+    rc, out = run_cmd("show", *base, "--table", "missing")
+    assert rc == 2 and "error" in out
