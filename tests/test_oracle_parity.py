@@ -8,6 +8,8 @@ Catching a mismatch here is 100× cheaper than waiting for CORRECTNESS_r{N}.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import math
 import os
 
@@ -26,17 +28,38 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def canon(v):
+    """Type-tagged canonical string.
+
+    Tagging int vs Decimal is deliberate: DuckDB SUM(INTEGER) — windowed
+    included — yields HUGEINT (arrow decimal128) while Spark yields BIGINT;
+    the driver's hasher distinguishes them, so the local replica must too
+    (round-1 `events_sessionization` escaped because plain str() hid it).
+    """
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.10g}"
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
 def _normalize(cols, rows):
-    """Sort columns by name, then rows; stringify values canonically."""
+    """Sort columns by name, then rows; canonicalize values with type tags."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-
-    def canon(v):
-        if isinstance(v, float):
-            if math.isnan(v):
-                return "nan"
-            return f"{v:.10g}"
-        return str(v)
-
     out = [tuple(canon(r[i]) for i in order) for r in rows]
     return sorted(cols), sorted(out)
 
@@ -45,11 +68,22 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 
+def _arrow_rows(table):
+    """pyarrow Table -> (cols, rows) with faithful python types.
+
+    Arrow fetch (not fetchall/collect) so dtype divergence is visible:
+    DuckDB HUGEINT surfaces as decimal128 -> Decimal here, but as plain
+    int through fetchall().
+    """
+    cols = table.schema.names
+    pydicts = table.to_pylist()
+    return cols, [tuple(d[c] for c in cols) for d in pydicts]
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     df = QUERIES[name](spark, SF_DIR)
-    spark_cols = df.columns
-    spark_rows = [tuple(r) for r in df.collect()]
+    spark_cols, spark_rows = _arrow_rows(df.toArrow())
 
     if name not in ORACLES:  # rows-only contract
         assert len(spark_rows) >= 0
@@ -57,7 +91,7 @@ def test_query_matches_oracle(spark, name):
 
     con = _duck(SF_DIR)
     rel = con.sql(ORACLES[name])
-    duck_cols, duck_rows = rel.columns, rel.fetchall()
+    duck_cols, duck_rows = _arrow_rows(rel.arrow())
 
     s_cols, s_vals = _normalize(spark_cols, spark_rows)
     d_cols, d_vals = _normalize(list(duck_cols), duck_rows)
