@@ -16,6 +16,8 @@ Determinism rules used throughout (so Spark and DuckDB hash-match):
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from collections.abc import Callable
 
@@ -41,6 +43,10 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.adaptive.enabled": "true",
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+        # events.parquet carries TIMESTAMP(NANOS) columns Spark 4 can't
+        # read natively; read them as epoch-nanos longs session-wide
+        # (deliberate, documented) instead of mutating the conf mid-read.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
     }.items():
         try:
             spark.conf.set(k, v)
@@ -70,7 +76,10 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     ]
     if not ns_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # nanosAsLong is pinned in _ensure_session_confs (session-wide, not a
+    # mid-read mutation); set here only as a fallback for direct callers.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
@@ -278,32 +287,49 @@ def cdc_merge_sql(spark, sf_dir):
     )
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Process-scoped scratch dir, cleaned at interpreter exit.
+
+    Storage-path queries build a NativeTable on local disk and must return a
+    *lazy* DataFrame over it — a driver-side collect() to detach from a
+    with-scoped TemporaryDirectory would pull the whole snapshot into the
+    driver (a non-starter at 100 TB). Instead the table outlives the
+    DataFrame and the caller collects whenever it wants.
+    """
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="ghs_entry_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 def _table_merge_impl(spark, sf_dir, storage_type: str, output: str = "snapshot"):
     """Shared storage-path harness: bulk_insert the pre-cutoff snapshot,
     apply the post-cutoff CDC batch, return either the merged snapshot or
-    the incremental change feed — through the real NativeTable backend."""
+    the incremental change feed — through the real NativeTable backend.
+    The result stays lazy end-to-end (no collect anywhere)."""
     snap, batch = _events_merge_parts(spark, sf_dir)
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
-    with tempfile.TemporaryDirectory(prefix="ghs_entry_") as tmp:
-        table = NativeTable(
-            spark, f"{tmp}/events_tbl", record_keys=["user_id"],
-            precombine="event_id", partition_keys=[],
-            storage_type=storage_type,
-        )
-        table.bulk_insert(snap.select(*cols))
-        first_commit = table.timeline.latest().commit_id
-        if storage_type == "mor":
-            # MoR path: delta upsert + delta delete, realtime view merges
-            table.upsert(cdc.filter_non_deletes(batch).select(*cols))
-            table.delete(cdc.filter_deletes(batch).select(*cols))
-        else:
-            table.merge(batch.select(*cols, "op"), op_col="op")
-        if output == "incremental":
-            out = table.read_incremental(first_commit).select(*cols)
-        else:
-            out = table.read_snapshot().select(*cols)
-        out = spark.createDataFrame(out.collect(), out.schema)  # detach from tmp files
-    return out
+    tmp = _scratch_dir(f"merge_{storage_type}_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+        storage_type=storage_type,
+    )
+    table.bulk_insert(snap.select(*cols))
+    first_commit = table.timeline.latest().commit_id
+    if storage_type == "mor":
+        # MoR path: delta upsert + delta delete, realtime view merges
+        table.upsert(cdc.filter_non_deletes(batch).select(*cols))
+        table.delete(cdc.filter_deletes(batch).select(*cols))
+    else:
+        table.merge(batch.select(*cols, "op"), op_col="op")
+    if output == "incremental":
+        return table.read_incremental(first_commit).select(*cols)
+    return table.read_snapshot().select(*cols)
 
 
 def cdc_table_merge(spark, sf_dir):

@@ -20,7 +20,10 @@ row_number) explodes quadratically per key; this stays linear.
 Ties (right.time == left.time): the right row sorts before the left row
 (side tag 0 < 1), so an exactly-simultaneous right row IS visible to the
 left row — matching DuckDB ASOF (``>=``) and pandas ``merge_asof``
-defaults.
+defaults. Two RIGHT rows sharing the same (key, time) resolve
+deterministically: the greatest payload tuple wins (final orderBy
+tiebreak) — without it, ``last(ignorenulls)`` would pick whichever row
+shuffled last.
 """
 
 from __future__ import annotations
@@ -75,7 +78,14 @@ def asof_join(
 
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("_asof_t").asc(), F.col(_SIDE).asc())
+        .orderBy(
+            F.col("_asof_t").asc(),
+            F.col(_SIDE).asc(),
+            # deterministic winner among equal-timestamp right rows:
+            # greatest payload tuple (left rows carry null payloads and are
+            # already separated by the side tag, so this only orders rights)
+            F.struct(*[F.col(c) for c in payload]).asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -81,7 +81,20 @@ def salted_join(
     """Skew-safe equi-join: ``small`` is exploded ``salt_buckets``× (one row
     per salt value), ``big`` rows take a deterministic salt — the join key
     becomes (keys…, salt), spreading each hot key over N reducers.
-    Result-identical to ``big.join(small, keys, how)``."""
+
+    Result-identical to ``big.join(small, keys, how)`` for ``how`` in
+    {inner, left, left_outer, left_semi, left_anti} — the only sides the
+    salting construction preserves. Right/full-outer (and right_semi/anti)
+    would emit each unmatched small-side row ``salt_buckets`` times, so
+    they are rejected; swap the operands instead.
+    """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched small-side "
+            f"rows {salt_buckets}x; use one of {sorted(allowed)} or swap sides"
+        )
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     small_x = small.withColumn("_salt", salts)
     big_s = big.withColumn(

@@ -55,6 +55,14 @@ class CdcPipeline:
     def _raw_dir(self, ctl: JobControl) -> Path:
         return self.raw_root / ctl.db_name / ctl.schema_name / ctl.table_name
 
+    def _raw_dirs(self, ctl: JobControl) -> list[Path]:
+        """Both case spellings of the landing dir — DMS may land files under
+        ``MSRMT_TABLE/`` while the control record says ``msrmt_table``
+        (processData.py:286-289 probes both)."""
+        return BookmarkedScan.candidate_dirs(
+            self.raw_root, ctl.db_name, ctl.schema_name, ctl.table_name
+        )
+
     def _table(self, ctl: JobControl) -> NativeTable:
         return NativeTable.for_control(self.spark, self.curated_root, ctl)
 
@@ -63,7 +71,7 @@ class CdcPipeline:
         table_dir.mkdir(parents=True, exist_ok=True)
         return BookmarkedScan(
             self.spark,
-            self._raw_dir(ctl),
+            self._raw_dirs(ctl),
             ledger_path=table_dir / "_processed_files.json",
         )
 

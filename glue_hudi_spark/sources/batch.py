@@ -33,22 +33,28 @@ from pyspark.sql import DataFrame, SparkSession
 class BookmarkedScan:
     """Incremental parquet reader over a raw landing directory."""
 
-    def __init__(self, spark: SparkSession, raw_dir: str | Path,
+    def __init__(self, spark: SparkSession,
+                 raw_dir: str | Path | list[str | Path],
                  ledger_path: str | Path | None = None):
+        dirs = raw_dir if isinstance(raw_dir, (list, tuple)) else [raw_dir]
         self.spark = spark
-        self.raw_dir = Path(raw_dir)
+        self.raw_dirs = [Path(d) for d in dirs]
+        self.raw_dir = self.raw_dirs[0]  # primary (lowercase) spelling
         self.ledger_path = Path(ledger_path or (self.raw_dir / "_processed_files.json"))
         self._pending: list[str] = []
 
     # the reference probes lowercase and UPPERCASE spellings of the table
     # path (processData.py:286-289); on a case-sensitive FS we check both.
+    # The lowercase spelling is always returned (even if absent yet) so a
+    # ledger/default path exists; the UPPER variant joins when present.
     @staticmethod
-    def candidate_dirs(base: Path, *parts: str) -> list[Path]:
-        dirs = []
-        for variant in ({p.lower() for p in [parts[-1]]} | {parts[-1].upper()}):
-            d = base.joinpath(*parts[:-1], variant)
-            if d.is_dir():
-                dirs.append(d)
+    def candidate_dirs(base: str | Path, *parts: str) -> list[Path]:
+        base = Path(base)
+        primary = base.joinpath(*parts[:-1], parts[-1].lower())
+        dirs = [primary]
+        upper = base.joinpath(*parts[:-1], parts[-1].upper())
+        if upper != primary and upper.is_dir():
+            dirs.append(upper)
         return dirs
 
     def _processed(self) -> set[str]:
@@ -57,12 +63,12 @@ class BookmarkedScan:
         return set()
 
     def list_unprocessed(self) -> list[str]:
-        if not self.raw_dir.is_dir():
-            return []
         seen = self._processed()
         files = sorted(
             str(p)
-            for p in self.raw_dir.rglob("*.parquet")
+            for d in self.raw_dirs
+            if d.is_dir()
+            for p in d.rglob("*.parquet")
             if not p.name.startswith("_") and str(p) not in seen
         )
         return files

@@ -47,6 +47,11 @@ class Commit:
     schema_json: str | None = None
     wall_time: float = 0.0
     stats: dict = field(default_factory=dict)
+    # per-file record-key [min, max] (from parquet footers) — the record-level
+    # index Hudi's bloom index provides (processData.py:369-374): upserts
+    # prune files whose key range can't intersect the batch. Optional —
+    # files absent here are treated as always-affected.
+    key_stats: dict = field(default_factory=dict)
 
     @property
     def commit_time(self) -> str:
@@ -96,6 +101,7 @@ class CommitTimeline:
             schema_json=d.get("schema_json"),
             wall_time=d.get("wall_time", 0.0),
             stats=d.get("stats", {}),
+            key_stats=d.get("key_stats", {}),
         )
 
     # -- write side ----------------------------------------------------------
@@ -119,6 +125,7 @@ class CommitTimeline:
                 "schema_json": commit.schema_json,
                 "wall_time": commit.wall_time or time.time(),
                 "stats": commit.stats,
+                "key_stats": commit.key_stats,
             },
             indent=1,
         )

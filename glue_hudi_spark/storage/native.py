@@ -53,6 +53,19 @@ META_COLS = [COMMIT_TIME_COL, RECORD_KEY_COL, DELTA_OP_COL]
 
 _PP_PREFIX = "_pp_"  # mirrored string partition columns used for dir layout
 NULL_KEY = "__null__"
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_str(col_name: str):
+    """Partition value as the directory string Spark will actually write.
+
+    Spark's partitionBy maps BOTH null and empty string to
+    ``__HIVE_DEFAULT_PARTITION__`` dirs; the pruning side must agree or
+    batches touching an empty-string partition silently miss the existing
+    files (stale/duplicate keys after upsert).
+    """
+    c = F.col(col_name).cast("string")
+    return F.when(c.isNull() | (c == ""), F.lit(HIVE_DEFAULT_PARTITION)).otherwise(c)
 
 
 def record_key_expr(keys: list[str]):
@@ -141,10 +154,7 @@ class NativeTable:
         commit_dir = self.root / DATA_DIR / f"{commit_id:020d}"
         out = df
         for c in self.partition_keys:
-            out = out.withColumn(
-                _PP_PREFIX + c,
-                F.coalesce(F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")),
-            )
+            out = out.withColumn(_PP_PREFIX + c, _partition_str(c))
         if self.files_per_partition and self.partition_keys:
             # cluster each hive partition into at most N output files:
             # hash-repartition on (partition dirs, record-key bucket) —
@@ -155,6 +165,14 @@ class NativeTable:
             )
             out = out.repartition(
                 *[F.col(c) for c in self._pp_cols()], bucket
+            ).sortWithinPartitions(*self.record_keys)
+        elif self.files_per_partition:
+            # unpartitioned: RANGE-cluster on the record key so each file
+            # covers a disjoint key interval — that's what makes the
+            # per-file key_stats index selective (hash bucketing would give
+            # every file the full key range and defeat upsert pruning).
+            out = out.repartitionByRange(
+                self.files_per_partition, RECORD_KEY_COL
             ).sortWithinPartitions(*self.record_keys)
         writer = out.write.mode("error")
         if self.partition_keys:
@@ -188,10 +206,7 @@ class NativeTable:
             return None
         rows = (
             df.select(
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("__HIVE_DEFAULT_PARTITION__")).alias(c)
-                    for c in self.partition_keys
-                ]
+                *[_partition_str(c).alias(c) for c in self.partition_keys]
             )
             .distinct()
             .collect()
@@ -207,6 +222,80 @@ class NativeTable:
         affected, untouched = [], []
         for f in files:
             (affected if self._file_partition(f) in touched else untouched).append(f)
+        return affected, untouched
+
+    # ------------------------------------------------- record-level key index
+
+    def _collect_key_stats(self, rel_files: list[str]) -> dict[str, list[str]]:
+        """Per-file [min, max] of the record-key column, read from parquet
+        footers — the record-level index Hudi's bloom index gives the
+        reference for free (processData.py:369-374). Footer reads are
+        metadata-only and touch just the files this commit wrote.
+
+        Parquet string stats are safe bounds even when the writer truncates
+        them (truncated max is rounded UP per the format spec), and both
+        parquet and Spark compare strings bytewise in UTF-8, which preserves
+        code-point order — so python-str comparisons against these bounds
+        are conservative, never wrong.
+        """
+        import pyarrow.parquet as pq
+
+        out: dict[str, list[str]] = {}
+        for rel in rel_files:
+            try:
+                md = pq.read_metadata(str(self.root / rel))
+                mins: list[str] = []
+                maxs: list[str] = []
+                ok = True
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    st = None
+                    for ci in range(row_group.num_columns):
+                        col = row_group.column(ci)
+                        if col.path_in_schema == RECORD_KEY_COL:
+                            st = col.statistics
+                            break
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mins.append(str(st.min))
+                    maxs.append(str(st.max))
+                if ok and mins:
+                    out[rel] = [min(mins), max(maxs)]
+            except Exception:
+                continue  # no stats → file treated as always-affected
+        return out
+
+    def _batch_key_range(self, batch: DataFrame) -> tuple[str, str] | None:
+        """[min, max] of the batch's record keys — one cheap agg, no window."""
+        if not all(k in batch.columns for k in self.record_keys):
+            return None
+        row = batch.select(
+            record_key_expr(self.record_keys).alias("k")
+        ).agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
+        if row is None or row.lo is None:
+            return None
+        return row.lo, row.hi
+
+    def _prune_by_key_range(
+        self,
+        files: list[str],
+        key_stats: dict[str, list[str]],
+        key_range: tuple[str, str] | None,
+    ) -> tuple[list[str], list[str]]:
+        """(affected, untouched): files whose key interval can't intersect
+        the batch's key range are carried over unread. Files without stats
+        stay affected — pruning is only ever an optimization."""
+        if key_range is None:
+            return list(files), []
+        lo, hi = key_range
+        affected, untouched = [], []
+        for f in files:
+            s = key_stats.get(f)
+            if s and (s[1] < lo or s[0] > hi):
+                untouched.append(f)
+            else:
+                affected.append(f)
         return affected, untouched
 
     def _read_files(self, files: list[str], schema_json: str | None) -> DataFrame:
@@ -298,7 +387,8 @@ class NativeTable:
     # ---------------------------------------------------------------- writes
 
     def _commit(self, commit_id: int, action: str, files: list[str],
-                deltas: list[dict], schema_json: str, stats: dict) -> Commit:
+                deltas: list[dict], schema_json: str, stats: dict,
+                key_stats: dict | None = None) -> Commit:
         commit = Commit(
             commit_id=commit_id,
             action=action,
@@ -306,6 +396,7 @@ class NativeTable:
             deltas=deltas,
             schema_json=schema_json,
             stats=stats,
+            key_stats=key_stats or {},
         )
         self.timeline.publish(commit)
         self.timeline.clean(self.retain_commits)
@@ -326,9 +417,11 @@ class NativeTable:
         prev = self.timeline.latest()
         prev_files = prev.files if prev else []
         prev_deltas = prev.deltas if prev else []
+        key_stats = dict(prev.key_stats) if prev else {}
+        key_stats.update(self._collect_key_stats(files))
         return self._commit(
             cid, "bulk_insert", prev_files + files, prev_deltas,
-            out.schema.json(), {},
+            out.schema.json(), {}, key_stats,
         )
 
     def insert(self, df: DataFrame) -> Commit | None:
@@ -340,6 +433,8 @@ class NativeTable:
         out = self._with_meta(df, f"{cid:020d}")
         files = self._write_files(out, cid)
         prev = self.timeline.latest()
+        key_stats = dict(prev.key_stats) if prev else {}
+        key_stats.update(self._collect_key_stats(files))
         return self._commit(
             cid,
             "insert",
@@ -347,6 +442,7 @@ class NativeTable:
             prev.deltas if prev else [],
             out.schema.json(),
             {},
+            key_stats,
         )
 
     def upsert(self, batch: DataFrame, parallelism: int = 0) -> Commit | None:
@@ -378,8 +474,15 @@ class NativeTable:
         keyed = self._with_meta(batch, f"{cid:020d}")
         keyed = self._precombine_dedup(keyed)
 
+        # two-level pruning: partition dirs first, then per-file key ranges
+        # (the record-level index) — a narrow-key upsert on an unpartitioned
+        # table rewrites only the files whose key interval it can hit.
         touched = self._batch_partitions(batch)
         affected, untouched = self._split_files(prev.files, touched)
+        affected, skipped = self._prune_by_key_range(
+            affected, prev.key_stats, self._batch_key_range(batch)
+        )
+        untouched = untouched + skipped
         existing = self._read_files(affected, prev.schema_json)
 
         keys_only = keyed.select(RECORD_KEY_COL)
@@ -392,6 +495,8 @@ class NativeTable:
             merged = kept.unionByName(keyed, allowMissingColumns=True)
 
         files = self._write_files(merged, cid)
+        key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
+        key_stats.update(self._collect_key_stats(files))
         return self._commit(
             cid,
             "delete" if deletes else "upsert",
@@ -399,6 +504,7 @@ class NativeTable:
             [],
             merged.schema.json(),
             {"files_rewritten": len(affected), "files_carried": len(untouched)},
+            key_stats,
         )
 
     def merge(self, batch: DataFrame, op_col: str = "op",
@@ -420,8 +526,11 @@ class NativeTable:
         if self.storage_type == "mor":
             # MoR writes are cheap delta appends already; atomicity across
             # the two appends is not provided (documented limitation).
-            self.upsert(batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols))
-            return self.delete(batch.filter(F.col(op_col) == "D").drop(op_col, *drop_cols))
+            # Return the newest commit that actually happened — an
+            # upsert-only batch must not look like a no-op to callers.
+            c_up = self.upsert(batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols))
+            c_del = self.delete(batch.filter(F.col(op_col) == "D").drop(op_col, *drop_cols))
+            return c_del or c_up
         if prev is None:
             keep = batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
             return self.bulk_insert(keep, parallelism)
@@ -431,6 +540,10 @@ class NativeTable:
 
         touched = self._batch_partitions(batch)
         affected, untouched = self._split_files(prev.files, touched)
+        affected, skipped = self._prune_by_key_range(
+            affected, prev.key_stats, self._batch_key_range(batch)
+        )
+        untouched = untouched + skipped
         existing = self._read_files(affected, prev.schema_json)
         if parallelism > 0:
             existing = existing.repartition(parallelism, RECORD_KEY_COL)
@@ -441,9 +554,12 @@ class NativeTable:
         incoming = keyed.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
         merged = kept.unionByName(incoming, allowMissingColumns=True)
         files = self._write_files(merged, cid)
+        key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
+        key_stats.update(self._collect_key_stats(files))
         return self._commit(
             cid, "merge", untouched + files, [], merged.schema.json(),
             {"files_rewritten": len(affected), "files_carried": len(untouched)},
+            key_stats,
         )
 
     # ------------------------------------------------------------------- MoR
@@ -458,7 +574,10 @@ class NativeTable:
         else:
             base_files, deltas, schema = prev.files, list(prev.deltas), keyed.schema.json()
         deltas.append({"commit_id": cid, "action": action, "files": files})
-        commit = self._commit(cid, action, base_files, deltas, schema, {})
+        commit = self._commit(
+            cid, action, base_files, deltas, schema, {},
+            dict(prev.key_stats) if prev else {},
+        )
         if len(deltas) >= self.compact_every:
             commit = self.compact()
         return commit
@@ -470,4 +589,7 @@ class NativeTable:
         cid = self.timeline.next_commit_id()
         merged = merged.withColumn(COMMIT_TIME_COL, F.lit(f"{cid:020d}"))
         files = self._write_files(merged, cid)
-        return self._commit(cid, "compact", files, [], merged.schema.json(), {})
+        return self._commit(
+            cid, "compact", files, [], merged.schema.json(), {},
+            self._collect_key_stats(files),
+        )

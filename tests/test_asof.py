@@ -6,7 +6,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
-from pyspark.sql import Row
+from pyspark.sql import Row, functions as F
 
 from glue_hudi_spark.operators.asof import asof_join
 
@@ -69,3 +69,20 @@ def test_asof_payload_collision_raises(spark, quotes_trades):
             trades, quotes.withColumnRenamed("bid", "qty"),
             key_cols=["sym"], left_time="t_ts", right_time="q_ts",
         )
+
+
+def test_asof_equal_time_right_rows_deterministic(spark):
+    """Two right rows at the identical (key, time) must resolve to the same
+    winner on every run: the greatest payload tuple."""
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [Row(k="a", t=t0, lv=1)]
+    )
+    right = spark.createDataFrame(
+        [Row(k="a", rt=t0, quote="early"), Row(k="a", rt=t0, quote="late")]
+    )
+    results = set()
+    for _ in range(5):
+        out = asof_join(left, right.orderBy(F.rand(seed=_)), ["k"], "t", "rt")
+        results.add(out.first()["quote"])
+    assert results == {"late"}  # max payload tuple, stable across shuffles

@@ -65,7 +65,10 @@ def test_partition_pruned_rewrite(spark, tmp_table_dir):
     c = t.upsert(_rows(spark, [dict(id=2, v="y", seq=2, pt="b")]))
     after = set(t.timeline.latest().files)
     assert a_files <= after, "untouched partition files must carry over"
-    assert c.stats["files_carried"] == len(a_files)
+    # at least every partition-'a' file carries; key-range pruning may carry
+    # additional partition-'b' files whose key interval misses the batch
+    assert c.stats["files_carried"] >= len(a_files)
+    assert c.stats["files_rewritten"] + c.stats["files_carried"] == len(before)
     got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
     assert got[2] == "y" and len(got) == 10
 
@@ -180,3 +183,61 @@ def test_empty_guards(spark, tmp_table_dir):
     empty = _rows(spark, [dict(id=1, v="x", seq=1, pt="a")]).filter(F.lit(False))
     assert t.bulk_insert(empty) is None
     assert not CommitTimeline(tmp_table_dir).exists()
+
+
+def test_empty_string_partition_upsert(spark, tmp_table_dir):
+    """'' and null partition values both land in __HIVE_DEFAULT_PARTITION__
+    dirs; the pruner must classify those files as touched or the upsert
+    silently leaves stale duplicates (round-1 advice finding)."""
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(
+        _rows(spark, [dict(id=1, v="old", seq=1, pt=""), dict(id=2, v="old", seq=1, pt="a")])
+    )
+    t.upsert(_rows(spark, [dict(id=1, v="new", seq=2, pt="")]))
+    got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got == {1: "new", 2: "old"}  # no duplicate id=1, value updated
+
+
+def test_key_range_pruning_unpartitioned(spark, tmp_table_dir):
+    """Record-level index: a narrow-key upsert on an UNPARTITIONED table must
+    rewrite only the files whose key interval it can hit (Hudi bloom-index
+    parity, processData.py:369-374)."""
+    t = NativeTable(
+        spark, tmp_table_dir, record_keys=["id"], precombine="seq",
+        partition_keys=[], files_per_partition=4,
+    )
+    t.bulk_insert(_rows(spark, [dict(id=f"{i:04d}", v="old", seq=1) for i in range(400)]))
+    first = t.timeline.latest()
+    assert len(first.files) == 4  # range-clustered into exactly N files
+    assert len(first.key_stats) == 4
+
+    c = t.upsert(_rows(spark, [dict(id="0010", v="new", seq=2), dict(id="0020", v="new", seq=2)]))
+    assert c.stats["files_rewritten"] < 4, c.stats
+    assert c.stats["files_rewritten"] >= 1
+    snap = t.read_snapshot()
+    assert snap.count() == 400
+    got = {r["id"]: r["v"] for r in snap.filter(F.col("id").isin("0010", "0020", "0300")).collect()}
+    assert got == {"0010": "new", "0020": "new", "0300": "old"}
+
+    # deletes prune the same way
+    c2 = t.delete(_rows(spark, [dict(id="0399", v="", seq=3)]))
+    assert c2.stats["files_rewritten"] < 4
+    assert t.read_snapshot().count() == 399
+
+    # inserts of brand-new keys beyond every file's range rewrite nothing
+    c3 = t.upsert(_rows(spark, [dict(id="zzzz", v="fresh", seq=1)]))
+    assert c3.stats["files_rewritten"] == 0, c3.stats
+    assert t.read_snapshot().count() == 400
+
+
+def test_mor_merge_returns_commit_without_deletes(spark, tmp_table_dir):
+    """merge() on MoR must report the upsert commit when the batch has no
+    deletes (round-1 advice: delete() returns None and the write looked
+    like a no-op)."""
+    t = _mk(spark, tmp_table_dir, storage_type="mor")
+    t.bulk_insert(_rows(spark, [dict(id=1, v="old", seq=1, pt="a")]))
+    batch = _rows(spark, [dict(id=1, v="upd", seq=2, pt="a", op="U")])
+    c = t.merge(batch, op_col="op")
+    assert c is not None and c.action == "delta_upsert"
+    got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got == {1: "upd"}

@@ -84,3 +84,29 @@ def test_envelope_db_schema_columns_dropped(spark, tmp_path):
     assert {"db", "schema_name", "op", "transaction_id", "seq_by_pk"}.isdisjoint(
         {c.lower() for c in snap.columns}
     )
+
+
+def test_uppercase_landing_dir_is_ingested(spark, tmp_path):
+    """DMS may land files under the UPPERCASE table-dir spelling; the scan
+    probes both (processData.py:286-289) — files in MSRMT_TABLE/ must not be
+    silently skipped."""
+    ctl = JobControl(**{**CONTROL, "table_name": "case_tbl"})
+    store = ControlStore(tmp_path / "control.json")
+    store.save([ctl])
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
+
+    upper = tmp_path / "raw" / ctl.db_name / ctl.schema_name / "CASE_TBL"
+    _land(make_full_load_df(spark), upper, "LOAD1")
+    results = pipe.run(store, "test_job")
+    assert [r.mode for r in results] == ["initial"]
+    assert pipe._table(ctl).read_snapshot().count() == 100
+
+    # CDC lands in the lowercase dir — both spellings feed one ledger
+    lower = tmp_path / "raw" / ctl.db_name / ctl.schema_name / "case_tbl"
+    _land(make_cdc_df(spark), lower, "CDC1")
+    results = pipe.run(store, "test_job")
+    assert [r.mode for r in results] == ["incremental"]
+    assert pipe._table(ctl).read_snapshot().count() == 190
+
+    # nothing new -> noop (UPPER files are in the ledger, not re-read)
+    assert [r.mode for r in pipe.run(store, "test_job")] == ["noop"]

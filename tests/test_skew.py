@@ -51,3 +51,10 @@ def test_salted_join_equals_plain_join(spark, skewed):
     # left join preserves unmatched big-side rows
     n_left = salted_join(skewed, dim.filter("k = 'hot'"), ["k"], 8, how="left").count()
     assert n_left == skewed.count()
+
+
+def test_salted_join_rejects_small_side_outer(spark, skewed):
+    big, small = skewed
+    for how in ("right", "full", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="duplicate unmatched"):
+            salted_join(big, small, ["k"], how=how)
