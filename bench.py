@@ -8,14 +8,18 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
      "queries": {"q1_pricing_summary": sec, ...}, "sf": "..."}
 
 Each query executes end-to-end into the ``noop`` sink (full plan runs,
-no sink cost). A warmup pass on a tiny aggregate absorbs session/JIT
-startup so per-query numbers reflect steady-state execution.
+no sink cost). Methodology (so a 15% regression is distinguishable from
+noise): one untimed cold pass per query (codegen + page cache), then
+``$SPARK_GRAFT_BENCH_RUNS`` (default 3) timed runs; the reported number is
+the per-query MEDIAN. The cold pass total is also reported
+(``cold_value``) since a first-boot page cache costs up to 3×.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -68,13 +72,21 @@ def main() -> None:
     # warmup: session, codegen, parquet footer caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = queries[name]
         t0 = time.perf_counter()
-        run_query(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        run_query(fn(spark, sf_dir))  # cold pass: codegen + page cache
+        cold[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            run_query(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -85,6 +97,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": n_runs,
+                "cold_value": round(sum(cold.values()), 3),
             }
         )
     )

@@ -63,21 +63,65 @@ def save_bucketed_table(
 def register_snapshot(
     spark: SparkSession, ctl: JobControl, table: NativeTable, as_of: int | None = None
 ) -> str:
-    """Persistently register the current snapshot in the session catalog —
-    the role of Hudi hive-sync (processData.py:160-169). MoR registers both
-    ``<name>_ro`` and ``<name>_rt`` (processData.py:131-132).
+    """Register the current snapshot — the role of Hudi hive-sync
+    (processData.py:160-169). MoR registers both ``<name>_ro`` and
+    ``<name>_rt`` (processData.py:131-132). Two registrations happen:
 
-    Registration is by *data location* semantics: we materialize the
-    snapshot as a catalog table view over the manifest's file list. Since
-    the session catalog cannot express manifest-based tables natively, this
-    registers temp views scoped to the session (like hive-sync, re-run
-    after each write).
+    * flat temp views (``dl_db_schema_table[_ro|_rt]``) — fast, exact
+      (manifest file list, schema from the manifest), session-scoped;
+    * a DURABLE external table ``dl_<db>_<schema>.<table>`` over the
+      exported snapshot dir (``NativeTable.export_snapshot``) — real
+      catalog DDL, so with a persistent metastore (``get_spark(...,
+      hive_metastore_dir=...)``) curated tables survive the session and
+      any later session/engine can query them without this library.
+      For MoR the durable table is the read-optimized view (``<table>_ro``)
+      — exactly what Hudi's hive-sync exposes as plain parquet; the
+      real-time view needs merge logic and stays session-registered.
     """
     ensure_database(spark, ctl.catalog_db)
     base = f"{ctl.catalog_db}_{ctl.table_name}"
     if ctl.is_mor:
         table.register_view(f"{base}_ro", view="read_optimized", as_of=as_of)
         table.register_view(f"{base}_rt", view="snapshot", as_of=as_of)
-        return f"{base}_rt"
-    table.register_view(base, as_of=as_of)
-    return base
+        out = f"{base}_rt"
+    else:
+        table.register_view(base, as_of=as_of)
+        out = base
+    if as_of is None:  # durable registration tracks the LATEST snapshot only
+        sync_external_table(spark, ctl, table)
+    return out
+
+
+def sync_external_table(spark: SparkSession, ctl: JobControl, table: NativeTable) -> str:
+    """Create/refresh the durable external table over the exported snapshot.
+
+    The snapshot dir path is stable across commits (hardlinks are swapped
+    in place), so after the first CREATE only a REFRESH TABLE (file-listing
+    cache invalidation) is needed — unless the schema evolved, in which
+    case the table is re-created with the manifest's current schema. DDL
+    carries an explicit column list: the dir can contain files written
+    under older schemas, and inference from a random file would be wrong.
+    """
+    import json
+
+    from pyspark.sql import types as T
+
+    snap_dir = table.export_snapshot()
+    commit = table.timeline.latest()
+    schema = T.StructType.fromJson(json.loads(commit.schema_json))
+    ddl_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    fq = f"`{ctl.catalog_db}`.`{ctl.catalog_table}`"
+    create = (
+        f"CREATE TABLE {fq} ({ddl_cols}) USING PARQUET "
+        f"LOCATION '{snap_dir}'"
+    )
+    if spark.catalog.tableExists(fq):
+        existing = spark.table(fq).schema
+        if existing == schema:
+            spark.sql(f"REFRESH TABLE {fq}")
+            return fq
+        spark.sql(f"DROP TABLE {fq}")
+    spark.sql(create)
+    return fq

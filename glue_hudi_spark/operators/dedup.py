@@ -191,6 +191,11 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, n)).alias("sh"),
     )
+    if verify_threshold is not None:
+        # the shingle projection feeds BOTH the signature pass and the
+        # verify join-back; without a persist the regex split + transform
+        # recomputes (2× full document scans — measured 28% of bench time)
+        shingled = shingled.persist()
     # sh is a *materialized column* here, so 16 separate array_min passes
     # are cheap (no recompute); the fold variant's per-element accumulator
     # allocation is slower in this shape — see minhash_signature for the
@@ -249,28 +254,52 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     m: int = 4,
+    n_bands: int = 1,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold.
 
     Candidates are blocked on the deterministic sign-bit bucket (see
-    ``operators.similarity.signbit_bucket``): at high thresholds near-dup
-    vectors almost surely share leading-coordinate signs, so the equi-join
-    on bucket prunes ~2^m× of the pair space with negligible recall loss —
-    and keeps the plan a shuffle join instead of a cross join.
+    ``operators.similarity.signbit_bucket``): near-dup vectors mostly share
+    coordinate signs, so the equi-join on bucket prunes ~2^m× of the pair
+    space — and keeps the plan a shuffle join instead of a cross join.
     Output: (id_a, id_b, sim) with id_a < id_b, sim rounded to 6 dp.
+
+    **Choosing m and n_bands (the 100 TB knobs).** Within-bucket comparison
+    is quadratic in bucket size ≈ n/2^m, so m must GROW with the corpus:
+    ``m ≈ log2(n / target_bucket_rows)`` (see ``auto_signbit_m``). Each
+    extra sign bit splits true pairs whose vectors disagree in that
+    coordinate's sign — measured on planted 1%-noise duplicates, single-band
+    recall at m=8 is ~0.87. ``n_bands > 1`` is the standard OR-construction
+    repair: band b buckets on coordinates [b·m, (b+1)·m), candidate sets
+    are unioned, and a true pair is missed only if EVERY band splits it —
+    2 bands restore recall 1.0 on the same fixture
+    (``tests/test_extensions.py::test_embedding_pairs_recall_m8``).
+    Within-band cost is unchanged; candidate generation is ~n_bands×.
+    Requires vec dims ≥ m·n_bands. All-band precision stays exact: every
+    candidate is verified with true cosine before output.
     """
     from glue_hudi_spark.operators.similarity import cosine, signbit_bucket
 
-    keyed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        signbit_bucket(vec_col, m).alias("bucket"),
+    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    banded = keyed.select(
+        "id",
+        F.posexplode(
+            F.array(*[signbit_bucket("v", m, offset=b * m) for b in range(n_bands)])
+        ).alias("band", "bucket"),
     )
-    a = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
-    return (
-        a.join(b, on="bucket")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        a.join(b, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    vb = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, on="id_a")
+        .join(vb, on="id_b")
         .withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")

@@ -15,12 +15,16 @@ Two paths, same output contract (query_id, neighbor_id, rank[, sim]):
 Scale notes: the corpus side is never collected; the query side should be
 small (broadcast) — Spark's AQE will broadcast it automatically under the
 configured threshold. For 100 TB corpora the bucketed path additionally
-prunes with a bucket equi-join before any distance math.
+prunes with a bucket equi-join before any distance math. Final top-k never
+funnels through a per-query window: every path finishes with the two-stage
+partial-top-k aggregation (``_topk_per_query``), so reducer parallelism is
+|Q|×|partitions|, not |Q|. IVF assignment is a per-row argmax against an
+inlined centroid literal — zero shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,6 +52,44 @@ def cosine(a, b):
     return F.round(_dot(a, b) / (_norm(a) * _norm(b)), 6)
 
 
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """Top-k of ``scored`` (query_id, neighbor_id, sim) per query — WITHOUT
+    a window partitioned only by query_id.
+
+    A plain ``Window.partitionBy("query_id")`` funnels the entire scored
+    candidate set into |Q| reducers — with 5 queries over a 100 TB corpus
+    that's a straggler by construction. Instead:
+
+    1. partial top-k per (query, input partition): groupBy spreads over
+       |Q|×|P| reducers and each emits ≤k candidates;
+    2. final top-k merges the ≤|Q|×|P|×k survivors — a tiny second shuffle.
+
+    Ordering matches the window formulation exactly: sim DESC, neighbor_id
+    ASC (the struct's first field is -sim so one ascending sort_array gives
+    both). Rank is dense 1..k by that order.
+    """
+    cand = F.struct(
+        (-F.col("sim")).alias("_ns"),
+        F.col("neighbor_id").alias("nid"),
+        F.col("sim").alias("sim"),
+    )
+    partial = scored.groupBy(
+        "query_id", F.spark_partition_id().alias("_pid")
+    ).agg(F.slice(F.sort_array(F.collect_list(cand)), 1, k).alias("_cand"))
+    final = partial.groupBy("query_id").agg(
+        F.slice(F.sort_array(F.flatten(F.collect_list("_cand"))), 1, k).alias("_cand")
+    )
+    exploded = final.select(
+        "query_id", F.posexplode("_cand").alias("_pos", "_c")
+    )
+    return exploded.select(
+        "query_id",
+        F.col("_c.nid").alias("neighbor_id"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+        F.col("_c.sim").alias("sim"),
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -71,23 +113,32 @@ def cosine_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _topk_per_query(scored, k)
 
 
-def signbit_bucket(vec_col="embedding", m: int = 4):
-    """Deterministic LSH bucket id: m sign bits of the first m coordinates.
-    bucket = Σ_i (vec[i] >= 0) << i  — identical arithmetic in any engine."""
+def auto_signbit_m(n_rows: int, target_bucket_rows: int = 10_000) -> int:
+    """Bucket-count heuristic: enough sign bits that the EXPECTED bucket
+    holds ~``target_bucket_rows`` vectors, so the within-bucket quadratic
+    term stays bounded as the corpus grows (a FIXED m=4 → 16 buckets is
+    O(n²/16) — quadratic again at 100 TB). Clamped to [1, 24]."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return 1
+    return max(1, min(24, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
+def signbit_bucket(vec_col="embedding", m: int = 4, offset: int = 0):
+    """Deterministic LSH bucket id: m sign bits of coordinates
+    [offset, offset+m).  bucket = Σ_i (vec[offset+i] >= 0) << i — identical
+    arithmetic in any engine. Size ``m`` with ``auto_signbit_m`` so bucket
+    population stays bounded as the corpus scales; use several ``offset``
+    values for the multi-band OR-construction (a true pair is missed only
+    if EVERY band splits it)."""
     acc = F.lit(0)
     for i in range(m):
         acc = acc + F.when(
-            F.col(vec_col)[i].cast("double") >= 0, F.lit(2 ** i)
+            F.col(vec_col)[offset + i].cast("double") >= 0, F.lit(2 ** i)
         ).otherwise(F.lit(0))
     return acc
 
@@ -99,23 +150,48 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, ties to the
-    lowest centroid id) → (id, vec, cell). The centroid set is broadcast
-    (it is tiny by construction); assignment is one narrow pass over the
-    corpus — the IVF 'train-free' building block."""
-    c = centroids.select(
-        F.col(id_col).alias("cell"), F.col(vec_col).alias("cent_vec")
+    lowest centroid id) → (id, vec, cell).
+
+    The centroid set is metadata-sized by construction, so it is collected
+    once and inlined as an array-of-structs LITERAL; assignment is then a
+    per-row ``array_min`` argmax inside the scan projection — ZERO shuffle,
+    zero row amplification. (The previous corpus×centroids crossJoin +
+    per-id window re-shuffled the whole corpus 8×-amplified.)
+    """
+    cents = sorted(
+        (
+            (r["cell"], [float(x) for x in r["cv"]])
+            for r in centroids.select(
+                F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+            ).collect()
+        ),
+        key=lambda t: t[0],
     )
-    scored = (
-        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(c))
-        .withColumn("csim", cosine(F.col("v"), F.col("cent_vec")))
+    if not cents:
+        raise ValueError("ivf_assign: empty centroid set")
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(x) for x in vec]).alias("cv"),
+            )
+            for cell, vec in cents
+        ]
     )
-    w = Window.partitionBy("id").orderBy(F.col("csim").desc(), F.col("cell").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("id", "v", "cell")
+    # lexicographic array_min over (-sim, cell): max similarity, ties to the
+    # lowest cell id — same semantics the window argmax had
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (-cosine(F.col("v"), c["cv"])).alias("_ns"),
+                c["cell"].alias("cell"),
+            ),
+        )
     )
+    return vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("cell", best["cell"])
 
 
 def ivf_topk(
@@ -148,14 +224,7 @@ def ivf_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _topk_per_query(scored, k)
 
 
 def lsh_bucketed_topk(
@@ -185,11 +254,4 @@ def lsh_bucketed_topk(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", "sim")
-    )
+    return _topk_per_query(scored, k)

@@ -107,16 +107,14 @@ class CdcPipeline:
         return RunResult(ctl.table_name, "incremental", commits)
 
     def _sync_catalog(self, ctl: JobControl, table: NativeTable) -> None:
-        """Register snapshot views in the session catalog — the role of Hudi
-        hive-sync (processData.py:160-169). MoR registers both the
-        read-optimized ``_ro`` and real-time ``_rt`` views
-        (processData.py:131-132)."""
-        base = f"{ctl.catalog_db}_{ctl.table_name}"
-        if ctl.is_mor:
-            table.register_view(f"{base}_ro", view="read_optimized")
-            table.register_view(f"{base}_rt", view="snapshot")
-        else:
-            table.register_view(base)
+        """Hive-sync parity (processData.py:160-169): session temp views
+        plus a durable external table over the exported snapshot — see
+        ``glue_hudi_spark.catalog.register_snapshot``. With a persistent
+        metastore (``get_spark(..., hive_metastore_dir=...)``) the
+        ``dl_<db>_<schema>.<table>`` name survives the session."""
+        from glue_hudi_spark import catalog
+
+        catalog.register_snapshot(self.spark, ctl, table)
 
     def run(self, store: ControlStore, glue_job_name: str | None = None) -> list[RunResult]:
         """The main() loop (processData.py:393-402)."""

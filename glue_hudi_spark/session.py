@@ -28,12 +28,21 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    hive_metastore_dir: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession configured for this engine.
 
     ``master`` defaults to ``local[N]`` with N from ``$SPARK_GRAFT_CPUS``
     (driver contract) or all cores. On a real cluster, pass ``master=None``
     and submit normally — every setting below is cluster-safe.
+
+    ``hive_metastore_dir``: when set, enables Hive support with a durable
+    (Derby-backed) metastore rooted there — catalog registrations made by
+    the pipeline (``dl_<db>_<schema>.<table>``) then survive the session
+    and are visible to any later session pointing at the same dir. This is
+    the hive-sync durability the reference gets from the Glue Data Catalog
+    (processData.py:160-169). On a real cluster, point
+    ``hive.metastore.uris`` at the shared metastore instead.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS")
     if master is None:
@@ -55,6 +64,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if hive_metastore_dir:
+        builder = (
+            builder.config("spark.sql.warehouse.dir", f"{hive_metastore_dir}/warehouse")
+            .config(
+                "spark.driver.extraJavaOptions",
+                f"-Dderby.system.home={hive_metastore_dir}",
+            )
+            .enableHiveSupport()
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -378,6 +378,48 @@ class NativeTable:
         processData.py:160-169 — S8 in SURVEY §2.1)."""
         self.read_snapshot(**kwargs).createOrReplaceTempView(name)
 
+    def export_snapshot(self) -> Path:
+        """Materialize the current live BASE file set as a flat hardlink
+        directory ``<root>/_snapshot/base`` — a plain-parquet rendering of
+        the snapshot any engine (a second Spark session, DuckDB, Trino) can
+        read without this library.
+
+        This is what makes durable catalog registration possible: an
+        external table's LOCATION must be a directory, but the live file
+        set spans commit dirs (carried files stay where they were written).
+        Hardlinks cost no data copy; the swap is two renames. For MoR this
+        renders the read-optimized (``_ro``) view — exactly what Hudi's
+        hive-sync exposes as plain parquet; the ``_rt`` view needs merge
+        logic and stays engine-registered. Meta columns (``_ghs_*``) are
+        visible, like Hudi's ``_hoodie_*``. Refresh after each commit.
+        """
+        import shutil
+
+        commit = self.timeline.latest()
+        if commit is None:
+            raise ValueError(f"table {self.root} has no commits")
+        snap_root = self.root / "_snapshot"
+        build = snap_root / f".build-{commit.commit_id}"
+        final = snap_root / "base"
+        shutil.rmtree(build, ignore_errors=True)
+        build.mkdir(parents=True)
+        for i, rel in enumerate(commit.files):
+            src = self.root / rel
+            dst = build / f"{i:05d}__{Path(rel).name}"
+            try:
+                import os
+
+                os.link(src, dst)
+            except OSError:
+                shutil.copy2(src, dst)
+        old = snap_root / f".old-{commit.commit_id}"
+        shutil.rmtree(old, ignore_errors=True)
+        if final.exists():
+            final.rename(old)
+        build.rename(final)
+        shutil.rmtree(old, ignore_errors=True)
+        return final
+
     def partitions(self) -> set[tuple[str, ...]]:
         commit = self.timeline.latest()
         if commit is None:

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
+import __spark_entry__ as entry_mod
 from glue_hudi_spark.functions import text as TX
 from glue_hudi_spark.operators import dedup, multimodal, similarity
 
@@ -104,3 +105,48 @@ def test_multimodal_pipeline_shapes(spark, docs):
     assert all(len(f["frame_sha256"]) == 64 for f in frames)
     with pytest.raises(Exception, match="image library"):
         multimodal.decode_image_metadata(media, fake=False).collect()
+
+
+def test_embedding_pairs_recall_m8(spark):
+    """Scaling the sign-bit bucket count must not lose true near-dup pairs
+    at threshold 0.99: recall at m=8 (256 buckets) vs the brute-force
+    result (m=0 → single bucket → exact) on a corpus with planted
+    near-duplicates. The testdata embeddings are random (no pairs ≥0.99),
+    so near-dups are planted here: 40 seeded base vectors + 15 copies with
+    ~1% noise."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    for j in range(15):  # planted near-dups of vectors 0..14
+        v = base[j] + rng.normal(scale=0.01, size=16)
+        rows.append((100 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.99, m=0).collect()
+    }
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.99, m=8).collect()
+    }
+    two_band = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(
+            emb, threshold=0.99, m=8, n_bands=2
+        ).collect()
+    }
+    assert len(truth) >= 15, f"fixture must plant near-dup pairs, got {truth}"
+    # single band: some 1%-noise dups flip a leading sign (documented trade)
+    assert len(single & truth) / len(truth) >= 0.8
+    # OR-construction over 2 bands restores full recall on this fixture
+    assert two_band == truth, f"2-band recall lost {truth - two_band}"
+    assert single <= truth  # verification is exact: no false positives
+
+
+def test_auto_signbit_m_scales_with_corpus():
+    assert similarity.auto_signbit_m(1_000) == 1
+    assert similarity.auto_signbit_m(10_000_000, 10_000) == 10
+    assert similarity.auto_signbit_m(10**12, 10_000) == 24  # clamped

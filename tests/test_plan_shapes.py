@@ -71,3 +71,27 @@ def test_no_python_udfs_in_jvm_operators(spark):
                  "events_sessionization"]:
         plan = _plan(entry_mod.queries()[name](spark, SF_DIR))
         assert "EvalPython" not in plan, f"{name} fell off the JVM fast path"
+
+
+@pytest.mark.parametrize("name", ["ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk"])
+def test_ann_topk_has_no_per_query_window(spark, name):
+    """Final top-k must be the two-stage partial aggregation, not a window
+    partitioned only by query_id (≤|Q| reducers over the full candidate
+    set — a straggler by construction at scale)."""
+    plan = _plan(entry_mod.queries()[name](spark, SF_DIR))
+    assert "Window" not in plan, f"{name} still funnels through a window"
+    # partial top-k must combine map-side: both aggregation stages present
+    assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+def test_ivf_assignment_is_shuffle_free(spark):
+    """ivf_assign must be a per-row argmax over an inlined centroid literal:
+    no join, no window, no exchange beyond the scan."""
+    from glue_hudi_spark.operators import similarity
+
+    emb = entry_mod._t(spark, SF_DIR, "embeddings")
+    from pyspark.sql import functions as F
+    assigned = similarity.ivf_assign(emb, emb.filter(F.col("vec_id") < 8))
+    plan = _plan(assigned)
+    for op in ("Join", "Window", "Exchange", "CartesianProduct"):
+        assert op not in plan, f"ivf_assign plan contains {op}"
