@@ -150,3 +150,23 @@ def test_auto_signbit_m_scales_with_corpus():
     assert similarity.auto_signbit_m(1_000) == 1
     assert similarity.auto_signbit_m(10_000_000, 10_000) == 10
     assert similarity.auto_signbit_m(10**12, 10_000) == 24  # clamped
+
+
+def test_current_timestamp_passthrough(spark):
+    """current_timestamp is part of the reference's imported scalar surface
+    (processData.py:10-11). Deliberately excluded from the oracle gate
+    (wall clock → nondeterministic); range-asserted here instead: the value
+    is constant within a query and falls inside the driver-observed window."""
+    import datetime as dt
+
+    before = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    rows = (
+        spark.range(3)
+        .select(F.current_timestamp().alias("now"))
+        .collect()
+    )
+    after = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+    stamps = {r["now"] for r in rows}
+    assert len(stamps) == 1, "current_timestamp must be constant per query"
+    got = stamps.pop()
+    assert before - dt.timedelta(seconds=60) <= got <= after + dt.timedelta(seconds=60)
