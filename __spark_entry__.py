@@ -795,6 +795,69 @@ FROM events GROUP BY event_type
 """
 
 
+def skew_salted_join(spark, sf_dir):
+    """Skew-safe big⋈small join: events (hot user keys) joined to the
+    customer dim through the salted construction (small side exploded
+    per-salt, big side salted deterministically), then rolled up per market
+    segment — result-identical to the plain join+groupBy the oracle runs."""
+    from glue_hudi_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("value_d")
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = salted_join(ev, cust, ["user_id"], salt_buckets=8, how="inner")
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_d").cast("double").alias("total_value"),
+    )
+
+
+SALTED_JOIN_ORACLE = """
+SELECT c_mktsegment, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def events_asof_tolerance(spark, sf_dir):
+    """As-of join with a 30-minute staleness bound: matches older than the
+    tolerance are nulled out (pandas merge_asof ``tolerance=`` semantics)."""
+    from glue_hudi_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return asof_join(
+        purchases, clicks, key_cols=["user_id"], left_time="ts",
+        right_time="click_ts", right_payload=["click_event_id"],
+        tolerance="30 minutes",
+    )
+
+
+ASOF_TOLERANCE_ORACLE = """
+SELECT event_id, user_id, ts, value,
+       CASE WHEN click_ts >= ts - INTERVAL 30 MINUTE THEN click_event_id END
+         AS click_event_id
+FROM (
+  SELECT l.event_id, l.user_id, l.ts, l.value, r.click_ts, r.click_event_id
+  FROM (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase') l
+  ASOF LEFT JOIN (SELECT user_id, ts AS click_ts, event_id AS click_event_id
+                  FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.click_ts
+) t
+"""
+
+
 def dedup_embedding_cosine(spark, sf_dir):
     """5th dedup tier: embedding-cosine near-dup pairs (bucket-blocked)."""
     return dedup.embedding_cosine_pairs(
@@ -813,6 +876,42 @@ SELECT id_a, id_b, sim FROM (
          round(list_dot_product(a.v, c.v)
                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
   FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) t
+WHERE sim >= 0.4
+"""
+
+
+def dedup_embedding_multiband(spark, sf_dir):
+    """Embedding near-dup with the 2-band OR-construction: band 0 buckets on
+    sign bits of coords 0-3, band 1 on coords 4-7; candidate sets union —
+    the recall repair for scaled-up bucket counts (see
+    ``dedup.embedding_cosine_pairs`` docstring)."""
+    return dedup.embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, m=4, n_bands=2
+    )
+
+
+def _embedding_multiband_oracle() -> str:
+    def bucket(offset: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN v[{offset + i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(4)
+        )
+
+    return f"""
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+k AS (SELECT vec_id, v, ({bucket(0)}) AS b0, ({bucket(4)}) AS b1 FROM b),
+cand AS (
+  SELECT a.vec_id AS id_a, c.vec_id AS id_b FROM k a JOIN k c
+    ON a.b0 = c.b0 AND a.vec_id < c.vec_id
+  UNION
+  SELECT a.vec_id, c.vec_id FROM k a JOIN k c
+    ON a.b1 = c.b1 AND a.vec_id < c.vec_id
+)
+SELECT id_a, id_b, sim FROM (
+  SELECT id_a, id_b,
+         round(list_dot_product(a.v, c.v)
+               / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+  FROM cand JOIN k a ON a.vec_id = cand.id_a JOIN k c ON c.vec_id = cand.id_b) t
 WHERE sim >= 0.4
 """
 
@@ -920,6 +1019,73 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
+def ann_ivf_kmeans(spark, sf_dir):
+    """IVF ANN with k-means-TRAINED centroids: 2 deterministic Lloyd's
+    iterations (decimal-exact means, round-9) before inverted-list
+    assignment — the full iterative training loop is replayed by the
+    DuckDB oracle as unrolled CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, train_iters=2
+    )
+
+
+def _ivf_kmeans_oracle(n_centroids: int = 8, iters: int = 2, dim: int = 64,
+                       k: int = 10) -> str:
+    """Unrolled-CTE replay of kmeans_centroids + ivf_topk: each Lloyd's
+    iteration is an assignment CTE (argmax by rounded cosine, ties to the
+    lowest cell) + a means CTE (exact DECIMAL sums → double → round 9) +
+    empty-cell carry-over via LEFT JOIN/COALESCE."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    mean_list = "[" + ", ".join(
+        f"ROUND(CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 9)"
+        for i in range(dim)
+    ) + "]"
+    parts = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cell, v AS cv FROM base WHERE vec_id < {n_centroids})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(f"""a{it} AS (
+  SELECT vec_id AS id, v, cell FROM (
+    SELECT b.vec_id, b.v, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {cos('b.v', 'c.cv')} DESC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN {prev} c) t WHERE rn = 1)""")
+        parts.append(
+            f"m{it} AS (SELECT cell, {mean_list} AS cv FROM a{it} GROUP BY cell)"
+        )
+        parts.append(
+            f"c{it} AS (SELECT p.cell, COALESCE(m.cv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN m{it} m USING (cell))"
+        )
+        prev = f"c{it}"
+    parts.append(f"""assigned AS (
+  SELECT vec_id AS id, v, cell FROM (
+    SELECT b.vec_id, b.v, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {cos('b.v', 'c.cv')} DESC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN {prev} c) t WHERE rn = 1)""")
+    parts.append("q AS (SELECT id AS query_id, v AS qv, cell FROM assigned WHERE id < 5)")
+    parts.append(f"""scored AS (
+  SELECT q.query_id, a.id AS neighbor_id, {cos('q.qv', 'a.v')} AS sim
+  FROM q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.id)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t WHERE rank <= {k}"""
+    )
+
+
 def multimodal_image_meta(spark, sf_dir):
     media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_image_metadata(media, fake=True)
@@ -1005,7 +1171,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_multiband": dedup_embedding_multiband,
         "skew_salted_agg": skew_salted_agg,
+        "skew_salted_join": skew_salted_join,
+        "events_asof_tolerance": events_asof_tolerance,
         "events_hourly_rollup": events_hourly_rollup,
         "region_nation_stats": region_nation_stats,
         "part_brand_stats": part_brand_stats,
@@ -1016,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_kmeans": ann_ivf_kmeans,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
     }
@@ -1051,7 +1221,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_simhash": _simhash_oracle(32),
         "dedup_embedding_cosine": _embedding_pairs_oracle(),
+        "dedup_embedding_multiband": _embedding_multiband_oracle(),
         "skew_salted_agg": SKEW_ORACLE,
+        "skew_salted_join": SALTED_JOIN_ORACLE,
+        "events_asof_tolerance": ASOF_TOLERANCE_ORACLE,
         "events_hourly_rollup": ROLLUP_ORACLE,
         "region_nation_stats": REGION_ORACLE,
         "part_brand_stats": PART_ORACLE,
@@ -1062,6 +1235,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ann_oracle(bucketed=False),
         "ann_lsh_bucketed": _ann_oracle(bucketed=True),
         "ann_ivf_topk": _ivf_oracle(),
+        "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
     }

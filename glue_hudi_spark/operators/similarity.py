@@ -143,6 +143,47 @@ def signbit_bucket(vec_col="embedding", m: int = 4, offset: int = 0):
     return acc
 
 
+def _nearest_cell_expr(cents: list[tuple], vec):
+    """Column expr: nearest-centroid cell id for ``vec`` against an inlined
+    centroid literal. Lexicographic ``array_min`` over (-sim, cell) = max
+    similarity, ties to the lowest cell id — zero shuffle, zero row
+    amplification."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(cell).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+            )
+            for cell, cv in cents
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (-cosine(vec, c["cv"])).alias("_ns"),
+                c["cell"].alias("cell"),
+            ),
+        )
+    )
+    return best["cell"]
+
+
+def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str) -> list[tuple]:
+    cents = sorted(
+        (
+            (r["cell"], [float(x) for x in r["cv"]])
+            for r in centroids.select(
+                F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
+            ).collect()
+        ),
+        key=lambda t: t[0],
+    )
+    if not cents:
+        raise ValueError("empty centroid set")
+    return cents
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -158,40 +199,57 @@ def ivf_assign(
     zero row amplification. (The previous corpus×centroids crossJoin +
     per-id window re-shuffled the whole corpus 8×-amplified.)
     """
-    cents = sorted(
-        (
-            (r["cell"], [float(x) for x in r["cv"]])
-            for r in centroids.select(
-                F.col(id_col).alias("cell"), F.col(vec_col).alias("cv")
-            ).collect()
-        ),
-        key=lambda t: t[0],
-    )
-    if not cents:
-        raise ValueError("ivf_assign: empty centroid set")
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(x) for x in vec]).alias("cv"),
-            )
-            for cell, vec in cents
-        ]
-    )
-    # lexicographic array_min over (-sim, cell): max similarity, ties to the
-    # lowest cell id — same semantics the window argmax had
-    best = F.array_min(
-        F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                (-cosine(F.col("v"), c["cv"])).alias("_ns"),
-                c["cell"].alias("cell"),
-            ),
-        )
-    )
+    cents = _collect_centroids(centroids, id_col, vec_col)
     return vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("cell", best["cell"])
+    ).withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple]:
+    """Deterministic Lloyd's k-means over an embedding column, returning
+    driver-side centroids [(cell, [components…]), …] — the training step in
+    front of IVF (the plan-shape slot the untrained variant documents).
+
+    Scale shape per iteration: assignment is the zero-shuffle inlined-
+    literal argmax; the update is ONE narrow groupBy(cell) with d parallel
+    aggregates (map-side partial sums). Nothing but the d-wide per-cell
+    sums ever reaches a reducer. Determinism (so a SQL oracle can replay
+    training exactly):
+
+    * init = the ``n_centroids`` lowest-id vectors; cell keeps that seed id;
+    * component means use exact DECIMAL(28,12) sums cast to double then
+      ROUND(…, 9) — summation-order independent;
+    * empty cells retain their previous centroid;
+    * cosine ties assign to the lowest cell id.
+    """
+    df = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    seed = df.orderBy("id").limit(n_centroids).collect()
+    cents = [(r["id"], [float(x) for x in r["v"]]) for r in seed]
+    if not cents:
+        raise ValueError("kmeans_centroids: empty input")
+    dim = len(cents[0][1])
+    mean_exprs = [
+        F.round(
+            F.sum(F.col("v")[i].cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias(f"c{i}")
+        for i in range(dim)
+    ]
+    for _ in range(iters):
+        assigned = df.withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
+        rows = assigned.groupBy("cell").agg(*mean_exprs).collect()
+        got = {r["cell"]: [float(r[f"c{i}"]) for i in range(dim)] for r in rows}
+        cents = [(cell, got.get(cell, prev)) for cell, prev in cents]
+    return cents
 
 
 def ivf_topk(
@@ -201,18 +259,30 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 8,
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF-style ANN: inverted lists keyed by nearest centroid.
 
-    Centroids are the first ``n_centroids`` corpus vectors (deterministic,
-    train-free — a k-means step would slot in here without changing the
-    plan shape). Queries probe only their own cell (nprobe=1), so the
-    candidate join is an equi-join on ``cell``: candidate count shrinks
-    ~n_centroids× versus brute force. Recall follows the usual IVF curve.
+    ``train_iters=0``: centroids are the ``n_centroids`` lowest-id corpus
+    vectors (train-free). ``train_iters>0``: centroids are refined with
+    that many deterministic Lloyd's iterations (``kmeans_centroids``) —
+    same plan shape, better-balanced cells. Queries probe only their own
+    cell (nprobe=1), so the candidate join is an equi-join on ``cell``:
+    candidate count shrinks ~n_centroids× versus brute force. Recall
+    follows the usual IVF curve.
     """
-    centroids = corpus.filter(F.col(id_col) < n_centroids)
-    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    q_assigned = ivf_assign(queries, centroids, id_col, vec_col)
+    if train_iters > 0:
+        cents = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
+        c_assigned = corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
+        q_assigned = queries.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
+    else:
+        centroids = corpus.filter(F.col(id_col) < n_centroids)
+        c_assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        q_assigned = ivf_assign(queries, centroids, id_col, vec_col)
     q = q_assigned.select(
         F.col("id").alias("query_id"), F.col("v").alias("q_vec"), "cell"
     )

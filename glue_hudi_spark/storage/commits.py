@@ -36,6 +36,13 @@ DATA_DIR = "data"
 MANIFEST_VERSION = 1
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published this commit id first (optimistic
+    concurrency — the role of Hudi's timeline-server conflict resolution).
+    The losing writer's data files are orphans the next clean() removes;
+    retry the write against the refreshed timeline."""
+
+
 @dataclass
 class Commit:
     """One committed snapshot of the table."""
@@ -113,7 +120,13 @@ class CommitTimeline:
         return int(paths[-1].name.split(".")[0]) + 1
 
     def publish(self, commit: Commit) -> None:
-        """Atomically publish a manifest (write-temp + rename)."""
+        """Atomically publish a manifest (write-temp + link).
+
+        ``os.link`` (not rename) is the optimistic-concurrency check: link
+        fails with EEXIST if another writer already published this commit
+        id, where rename would silently clobber the winner's manifest and
+        lose its files. On object stores the same role is played by a
+        conditional put (if-none-match)."""
         self.commits_path.mkdir(parents=True, exist_ok=True)
         payload = json.dumps(
             {
@@ -134,7 +147,13 @@ class CommitTimeline:
         try:
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
-            os.rename(tmp, final)  # atomic on POSIX
+            try:
+                os.link(tmp, final)  # atomic; EEXIST → lost the race
+            except FileExistsError:
+                raise ConcurrentWriteError(
+                    f"commit {commit.commit_id} at {self.root} was published "
+                    f"by another writer; refresh the timeline and retry"
+                ) from None
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)

@@ -170,3 +170,20 @@ def test_current_timestamp_passthrough(spark):
     assert len(stamps) == 1, "current_timestamp must be constant per query"
     got = stamps.pop()
     assert before - dt.timedelta(seconds=60) <= got <= after + dt.timedelta(seconds=60)
+
+
+def test_kmeans_centroids_deterministic_and_balanced(spark):
+    """Lloyd's training: deterministic across runs, centroids move from the
+    seed vectors, empty cells retain their previous centroid."""
+    emb = entry_mod._t(spark, "/root/testdata/sf0.001", "embeddings")
+    c1 = similarity.kmeans_centroids(emb, n_centroids=4, iters=2)
+    c2 = similarity.kmeans_centroids(emb, n_centroids=4, iters=2)
+    assert c1 == c2  # deterministic replay
+    assert [cell for cell, _ in c1] == [0, 1, 2, 3]  # seed ids kept
+    seeds = {r["vec_id"]: list(r["embedding"]) for r in
+             emb.filter(F.col("vec_id") < 4).collect()}
+    moved = sum(
+        1 for cell, cv in c1
+        if any(abs(a - float(b)) > 1e-9 for a, b in zip(cv, seeds[cell]))
+    )
+    assert moved >= 3, "training should move centroids off their seeds"

@@ -241,3 +241,41 @@ def test_mor_merge_returns_commit_without_deletes(spark, tmp_table_dir):
     assert c is not None and c.action == "delta_upsert"
     got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
     assert got == {1: "upd"}
+
+
+def test_schema_type_widening_with_carried_files(spark, tmp_table_dir):
+    """Column-type widening (int→bigint) on upsert: the union widens the
+    write schema, the manifest records it, and carried files written under
+    the narrower type still read correctly under the widened schema
+    (Spark 4 parquet reader upcasts int32→int64)."""
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(1, 10, 1, "a"), (2, 20, 1, "b")], "id int, v int, seq int, pt string"
+        )
+    )
+    t.upsert(
+        spark.createDataFrame(
+            [(2, 9_000_000_000, 2, "b")], "id int, v long, seq int, pt string"
+        )
+    )
+    snap = t.read_snapshot()
+    assert dict(snap.dtypes)["v"] == "bigint"
+    assert {(r["id"], r["v"]) for r in snap.collect()} == {(1, 10), (2, 9_000_000_000)}
+
+
+def test_concurrent_writer_conflict_detected(spark, tmp_table_dir):
+    """Two writers racing to the same commit id: the second publish must
+    fail loudly (optimistic concurrency), never silently clobber the
+    winner's manifest."""
+    from glue_hudi_spark.storage.commits import Commit, ConcurrentWriteError
+
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(_rows(spark, [dict(id=1, v="x", seq=1, pt="a")]))
+    c = t.timeline.latest()
+    loser = Commit(commit_id=c.commit_id, action="upsert", files=[],
+                   schema_json=c.schema_json)
+    with pytest.raises(ConcurrentWriteError, match="another writer"):
+        t.timeline.publish(loser)
+    # the winner's manifest is untouched
+    assert t.timeline.latest().files == c.files
