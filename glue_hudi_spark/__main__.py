@@ -7,6 +7,7 @@ operations are subcommands::
     python -m glue_hudi_spark run     --control control.json --raw RAW --curated CUR
     python -m glue_hudi_spark reset   --control control.json --raw RAW --curated CUR [--table T]
     python -m glue_hudi_spark compact --control control.json --curated CUR --table T
+    python -m glue_hudi_spark cluster --control control.json --curated CUR --table T
     python -m glue_hudi_spark show    --control control.json --curated CUR --table T
 
 ``run`` is mode-agnostic like the reference's job: each table's initial-
@@ -43,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
     _common(sub.add_parser("reset", help="drop curated data + bookmarks (replay path)"))
     pc = sub.add_parser("compact", help="force MoR compaction for one table")
     _common(pc, raw=False)
+    pk = sub.add_parser("cluster", help="rewrite CoW files at the configured clustering width")
+    _common(pk, raw=False)
     ps = sub.add_parser("show", help="print snapshot stats + commit history")
     _common(ps, raw=False)
     args = ap.parse_args(argv)
@@ -80,6 +83,11 @@ def main(argv: list[str] | None = None) -> int:
             table = pipe._table(ctl)
             c = table.compact()
             out.append({"table": ctl.table_name, "compacted": c.commit_id})
+        elif args.cmd == "cluster":
+            table = pipe._table(ctl)
+            c = table.cluster()
+            out.append({"table": ctl.table_name, "clustered": c.commit_id,
+                        "files": len(c.files)})
         elif args.cmd == "show":
             table = pipe._table(ctl)
             hist = [(c.commit_id, c.action) for c in table.timeline.history()]

@@ -143,36 +143,44 @@ class NativeTable:
             .withColumn(DELTA_OP_COL, F.lit(delta_op))
         )
 
-    def _write_files(self, df: DataFrame, commit_id: int) -> list[str]:
+    def _write_files(
+        self, df: DataFrame, commit_id: int, n_files: int | None = None
+    ) -> list[str]:
         """Write one commit's data dir; return new file paths (rel to root).
 
         Directory layout uses mirrored ``_pp_*`` string columns (added here,
         stripped by ``partitionBy``) so the data files keep the *typed*
         partition columns — no type re-inference from dir names on read.
         The ``_pp_*`` names never appear in any stored schema.
+
+        ``n_files`` overrides the clustering width for THIS write: merge
+        rewrites pass the affected-set size so rewriting 1 file emits ~1
+        file — a fixed width would shatter every small rewrite into N
+        slivers and balloon the file count commit over commit.
         """
         commit_dir = self.root / DATA_DIR / f"{commit_id:020d}"
+        width = n_files if n_files is not None else self.files_per_partition
         out = df
         for c in self.partition_keys:
             out = out.withColumn(_PP_PREFIX + c, _partition_str(c))
-        if self.files_per_partition and self.partition_keys:
+        if width and self.partition_keys:
             # cluster each hive partition into at most N output files:
             # hash-repartition on (partition dirs, record-key bucket) —
             # buckets of one dir landing in the same task coalesce further
             bucket = F.pmod(
                 F.xxhash64(record_key_expr(self.record_keys)),
-                F.lit(self.files_per_partition),
+                F.lit(width),
             )
             out = out.repartition(
                 *[F.col(c) for c in self._pp_cols()], bucket
             ).sortWithinPartitions(*self.record_keys)
-        elif self.files_per_partition:
+        elif width:
             # unpartitioned: RANGE-cluster on the record key so each file
             # covers a disjoint key interval — that's what makes the
             # per-file key_stats index selective (hash bucketing would give
             # every file the full key range and defeat upsert pruning).
             out = out.repartitionByRange(
-                self.files_per_partition, RECORD_KEY_COL
+                width, RECORD_KEY_COL
             ).sortWithinPartitions(*self.record_keys)
         writer = out.write.mode("error")
         if self.partition_keys:
@@ -536,7 +544,10 @@ class NativeTable:
         else:
             merged = kept.unionByName(keyed, allowMissingColumns=True)
 
-        files = self._write_files(merged, cid)
+        files = self._write_files(
+            merged, cid,
+            n_files=max(1, len(affected)) if not self.partition_keys else None,
+        )
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(self._collect_key_stats(files))
         return self._commit(
@@ -595,7 +606,10 @@ class NativeTable:
         )
         incoming = keyed.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
         merged = kept.unionByName(incoming, allowMissingColumns=True)
-        files = self._write_files(merged, cid)
+        files = self._write_files(
+            merged, cid,
+            n_files=max(1, len(affected)) if not self.partition_keys else None,
+        )
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(self._collect_key_stats(files))
         return self._commit(
@@ -623,6 +637,22 @@ class NativeTable:
         if len(deltas) >= self.compact_every:
             commit = self.compact()
         return commit
+
+    def cluster(self) -> Commit:
+        """Hudi-style CLUSTERING for CoW: rewrite the full live file set at
+        the configured ``files_per_partition`` width — restores a bounded
+        file count and tight per-file key ranges after many small merges
+        (each merge emits files sized to its affected set, so fragments
+        accumulate). Unlike ``compact`` this PRESERVES the per-record
+        ``_ghs_commit_time``, so the incremental change feed is unaffected.
+        """
+        merged = self.read_snapshot(with_meta=True)
+        cid = self.timeline.next_commit_id()
+        files = self._write_files(merged, cid)
+        return self._commit(
+            cid, "cluster", files, [], merged.schema.json(), {},
+            self._collect_key_stats(files),
+        )
 
     def compact(self) -> Commit:
         """Materialize base+deltas into new base files (Hudi inline/async

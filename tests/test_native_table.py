@@ -279,3 +279,36 @@ def test_concurrent_writer_conflict_detected(spark, tmp_table_dir):
         t.timeline.publish(loser)
     # the winner's manifest is untouched
     assert t.timeline.latest().files == c.files
+
+
+def test_merge_rewrite_width_and_cluster(spark, tmp_table_dir):
+    """A merge rewriting 1 affected file must emit ~1 file (not shatter into
+    the full clustering width), and cluster() restores the configured width
+    with tight key ranges while preserving the incremental feed."""
+    t = NativeTable(
+        spark, tmp_table_dir, record_keys=["id"], precombine="seq",
+        partition_keys=[], files_per_partition=8,
+    )
+    t.bulk_insert(
+        spark.createDataFrame(
+            [(f"{i:04d}", "old", 1) for i in range(800)], "id string, v string, seq int"
+        )
+    )
+    first_commit = t.timeline.latest().commit_id
+    assert len(t.timeline.latest().files) == 8
+    c = t.upsert(
+        spark.createDataFrame([("0000", "new", 2)], "id string, v string, seq int")
+    )
+    assert c.stats["files_rewritten"] == 1
+    # 7 carried + ~1 rewritten: no sliver-file explosion
+    assert len(t.timeline.latest().files) <= 9
+
+    c2 = t.cluster()
+    assert c2.action == "cluster"
+    assert len(c2.files) == 8 and len(c2.key_stats) == 8
+    snap = t.read_snapshot()
+    assert snap.count() == 800
+    assert snap.filter("v = 'new'").count() == 1
+    # clustering preserved per-record commit times → change feed intact
+    inc = t.read_incremental(first_commit)
+    assert {r["id"] for r in inc.collect()} == {"0000"}
