@@ -1,5 +1,18 @@
-"""Structured Streaming variant of the CDC pipeline."""
+"""Structured Streaming surface: CDC pipeline, watermarked analytics,
+stateful profiles, streaming dedup + sessionization."""
 
 from glue_hudi_spark.streaming.cdc_stream import CdcStream
+from glue_hudi_spark.streaming.dedup import (
+    streaming_exact_dedup,
+    streaming_sessionization,
+)
+from glue_hudi_spark.streaming.stateful import running_user_profiles
+from glue_hudi_spark.streaming.windowed import windowed_event_counts
 
-__all__ = ["CdcStream"]
+__all__ = [
+    "CdcStream",
+    "streaming_exact_dedup",
+    "streaming_sessionization",
+    "running_user_profiles",
+    "windowed_event_counts",
+]
