@@ -281,6 +281,19 @@ def embedding_cosine_pairs(
     from glue_hudi_spark.operators.similarity import cosine, signbit_bucket
 
     keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if n_bands <= 1:
+        # single band: carry vectors straight through the bucket join (one
+        # join, no distinct) — candidate sets can't overlap across bands
+        bucketed = keyed.withColumn("bucket", signbit_bucket("v", m))
+        a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+        b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+        return (
+            a.join(b, on="bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
+            .filter(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim")
+        )
     banded = keyed.select(
         "id",
         F.posexplode(
