@@ -187,30 +187,40 @@ def minhash_lsh_pairs(
     for the surviving candidates' verification.
     """
     r = num_hashes // bands
+    n_salts = (num_hashes + 3) // 4
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+    ).withColumn(
+        # per-shingle md5 digests, ONE per salt: every family member is an
+        # 8-hex-char slice of one of these, so the num_hashes array_min
+        # passes below never re-hash (Catalyst does no CSE across lambda
+        # args — recomputing md5 inside each pass measured 2.5× slower).
+        # When un-persisted, SimplifyExtractValueOps collapses hx[salt]
+        # back to the direct md5 call, so the lazy path loses nothing.
+        "hx",
+        F.transform(
+            F.col("sh"),
+            lambda s: F.array(
+                *[F.md5(F.concat(s, F.lit(f":{k}"))) for k in range(n_salts)]
+            ),
+        ),
     )
     if verify_threshold is not None:
-        # the shingle projection feeds BOTH the signature pass and the
-        # verify join-back; without a persist the regex split + transform
-        # recomputes (2× full document scans — measured 28% of bench time)
+        # one persist feeds the signature pass (hx), the verify join-back
+        # (sh), and keeps the regex shingle split single-scan
         shingled = shingled.persist()
-    # sh is a *materialized column* here, so 16 separate array_min passes
-    # are cheap (no recompute); the fold variant's per-element accumulator
-    # allocation is slower in this shape — see minhash_signature for the
-    # expression-input case where the fold wins 8×.
-    def _hash_j(j: int):
-        return lambda s: minhash_hash_expr(s, j)
+
+    def _min_j(j: int):
+        salt, chunk = divmod(j, 4)
+        return F.array_min(
+            F.transform(
+                F.col("hx"), lambda h: F.substring(h[salt], 1 + 8 * chunk, 8)
+            )
+        )
 
     sig = shingled.select(
-        "id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), _hash_j(j)))
-                for j in range(num_hashes)
-            ]
-        ).alias("mh"),
+        "id", F.array(*[_min_j(j) for j in range(num_hashes)]).alias("mh")
     )
     banded = sig.select(
         "id",
