@@ -288,19 +288,35 @@ def embedding_cosine_pairs(
     Requires vec dims ≥ m·n_bands. All-band precision stays exact: every
     candidate is verified with true cosine before output.
     """
-    from glue_hudi_spark.operators.similarity import cosine, signbit_bucket
+    from glue_hudi_spark.operators.similarity import _dot, _norm, signbit_bucket
 
-    keyed = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # norms are computed ONCE PER ROW below the join (the projection stays
+    # under the Join in the optimized plan), not once per pair inside the
+    # cosine — the per-pair work is a single dot-product fold. Arithmetic
+    # is identical (same ops, same order), so oracle hashes are unchanged.
+    def _sim(joined):
+        return F.round(
+            _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6
+        )
+
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("nv", _norm(F.col("v")))
     if n_bands <= 1:
         # single band: carry vectors straight through the bucket join (one
         # join, no distinct) — candidate sets can't overlap across bands
         bucketed = keyed.withColumn("bucket", signbit_bucket("v", m))
-        a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-        b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+        a = bucketed.select(
+            F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+            F.col("nv").alias("n_a"), "bucket",
+        )
+        b = bucketed.select(
+            F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+            F.col("nv").alias("n_b"), "bucket",
+        )
+        j = a.join(b, on="bucket").filter(F.col("id_a") < F.col("id_b"))
         return (
-            a.join(b, on="bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
+            j.withColumn("sim", _sim(j))
             .filter(F.col("sim") >= threshold)
             .select("id_a", "id_b", "sim")
         )
@@ -318,12 +334,15 @@ def embedding_cosine_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = keyed.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"))
-    vb = keyed.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    va = keyed.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), F.col("nv").alias("n_a")
+    )
+    vb = keyed.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), F.col("nv").alias("n_b")
+    )
+    j = cand.join(va, on="id_a").join(vb, on="id_b")
     return (
-        cand.join(va, on="id_a")
-        .join(vb, on="id_b")
-        .withColumn("sim", cosine(F.col("v_a"), F.col("v_b")))
+        j.withColumn("sim", _sim(j))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
