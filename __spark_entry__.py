@@ -585,9 +585,11 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_pair_ctes() -> str:
     # mirrors operators.dedup.minhash_hash_expr: hash j = 8 hex chars
-    # [1+8*(j%4) ..] of md5(shingle || ':' || j//4)
+    # [1+8*(j%4) ..] of md5(shingle || ':' || j//4). Ends with a
+    # ``verified`` CTE holding the (id_a, id_b, jaccard) survivor pairs so
+    # both the pairs query and the cluster-resolution query share it.
     mh = ", ".join(
         f"list_aggregate(list_transform(sh, x -> substr(md5(x || ':{j // 4}'), {1 + 8 * (j % 4)}, 8)), 'min') AS mh{j}"
         for j in range(16)
@@ -596,19 +598,50 @@ def _minhash_oracle() -> str:
         f"SELECT id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM m"
         for b in range(8)
     )
-    return f"""
-WITH {_SHINGLE_CTE},
+    return f"""{_SHINGLE_CTE},
 m AS (SELECT id, sh, {mh} FROM s),
 b AS ({bands}),
 pairs AS (
   SELECT DISTINCT a.id AS id_a, c.id AS id_b
-  FROM b a JOIN b c ON a.band = c.band AND a.band_hash = c.band_hash AND a.id < c.id)
-SELECT id_a, id_b, jaccard FROM (
-  SELECT p.id_a, p.id_b,
-         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
-               / len(list_distinct(list_cat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
-  FROM pairs p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b) t
-WHERE jaccard >= 0.5
+  FROM b a JOIN b c ON a.band = c.band AND a.band_hash = c.band_hash AND a.id < c.id),
+verified AS (
+  SELECT id_a, id_b, jaccard FROM (
+    SELECT p.id_a, p.id_b,
+           round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                 / len(list_distinct(list_cat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
+    FROM pairs p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b) t
+  WHERE jaccard >= 0.5)"""
+
+
+def _minhash_oracle() -> str:
+    return f"WITH {_minhash_pair_ctes()}\nSELECT id_a, id_b, jaccard FROM verified"
+
+
+def dedup_cluster_keep_one(spark, sf_dir):
+    """Pair → cluster resolution over the MinHash near-dup pairs:
+    distributed min-label connected components + keep-min-id. The oracle
+    replays the fixpoint as a recursive transitive closure — fixpoint
+    semantics are iteration-independent, so both engines agree exactly."""
+    pairs = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), n=3, num_hashes=16, bands=8,
+        verify_threshold=0.5,
+    )
+    return dedup.resolve_clusters(pairs)
+
+
+def _cluster_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.peer)
+SELECT id AS member_id, MIN(peer) AS cluster_id, MIN(peer) AS keep_id
+FROM reach GROUP BY id
 """
 
 
@@ -1169,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_cluster_keep_one": dedup_cluster_keep_one,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_multiband": dedup_embedding_multiband,
@@ -1219,6 +1253,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": EXACT_ORACLE,
         "dedup_ngram_jaccard": NGRAM_ORACLE,
         "dedup_minhash_lsh": _minhash_oracle(),
+        "dedup_cluster_keep_one": _cluster_oracle(),
         "dedup_simhash": _simhash_oracle(32),
         "dedup_embedding_cosine": _embedding_pairs_oracle(),
         "dedup_embedding_multiband": _embedding_multiband_oracle(),

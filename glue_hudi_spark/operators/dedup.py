@@ -171,6 +171,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 8,
     verify_threshold: float | None = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -185,6 +186,15 @@ def minhash_lsh_pairs(
     rows (shingle arrays are NOT carried through the shuffle) → equi-join
     on (band, band_hash) → distinct id pairs → shingles joined back only
     for the surviving candidates' verification.
+
+    ``materialize`` (verify path only): the shingled projection must be
+    cached (it feeds both the signature pass and the verify join-back);
+    with ``materialize=True`` the small survivor-pair output is local-
+    checkpointed eagerly and the O(corpus) shingle cache is released
+    before returning — repeated calls in a long session leak nothing.
+    ``materialize=False`` returns the fully lazy plan and leaves the
+    persist to the caller (used by plan-shape tests; call
+    ``.unpersist()`` yourself or accept the cache until session end).
     """
     r = num_hashes // bands
     n_salts = (num_hashes + 3) // 4
@@ -248,11 +258,18 @@ def minhash_lsh_pairs(
     verified = cand.join(sa, on="id_a").join(sb, on="id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    out = (
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= verify_threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if materialize:
+        # survivor pairs are tiny relative to the corpus: checkpoint them,
+        # then release the big shingle cache (a bare persist here leaks in
+        # the CacheManager until session end — round-2 ADVICE finding)
+        out = out.localCheckpoint(eager=True)
+        shingled.unpersist()
+    return out
 
 
 # ------------------------------------------------- embedding near-dup
@@ -346,6 +363,109 @@ def embedding_cosine_pairs(
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+# ------------------------------------------------- cluster resolution
+
+
+def resolve_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs → (member_id, cluster_id,
+    keep_id), the step every fuzzy-dedup tier needs before rows can be
+    dropped (A~B and B~C must resolve to ONE survivor of {A,B,C}).
+
+    Algorithm: distributed min-label propagation with path-halving.
+    Every node starts labeled with its own id; each round a node takes the
+    minimum of (its label, its neighbors' labels, its label's label — the
+    pointer-jump that turns O(diameter) rounds into O(log diameter) on
+    chain-shaped clusters). At fixpoint every member carries the minimum
+    id of its component — so ``cluster_id`` doubles as ``keep_id``
+    (keep-the-smallest-id policy, same tie-break as ``exact_dedup``).
+
+    Scale shape: the edge list is materialized ONCE (localCheckpoint —
+    iterations must not re-run the candidate-generation pipeline feeding
+    it), then every round is two joins + one groupBy on the label table,
+    whose size is |nodes-in-any-pair| — tiny next to the corpus. Label
+    tables are checkpointed per round to truncate lineage (the standard
+    Spark iterative-algorithm pattern; all driver-side state is a single
+    per-round changed-row COUNT, never data). Deterministic: fixpoint is
+    independent of iteration order/count, so a SQL oracle can replay it
+    with a recursive transitive closure.
+
+    Raises ``RuntimeError`` if not converged after ``max_iters`` rounds
+    (with path-halving that needs a component diameter > 2^max_iters —
+    pathological input, not a tuning problem).
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    sym = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                on="dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nl").alias("min_nl"))
+            .withColumnRenamed("src", "id")
+        )
+        # label-of-label lookup (path halving)
+        hop = labels.select(
+            F.col("id").alias("label"), F.col("label").alias("ll")
+        )
+        nxt = (
+            labels.join(neigh, on="id", how="left")
+            .join(hop, on="label", how="left")
+            .select(
+                "id",
+                F.col("label").alias("old"),
+                F.least(
+                    F.col("label"),
+                    F.coalesce("min_nl", "label"),
+                    F.coalesce("ll", "label"),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = nxt.filter(F.col("label") < F.col("old")).count()
+        labels = nxt.select("id", "label")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"resolve_clusters did not converge in {max_iters} rounds"
+        )
+    return labels.select(
+        F.col("id").alias("member_id"),
+        F.col("label").alias("cluster_id"),
+        F.col("label").alias("keep_id"),
+    )
+
+
+def drop_near_duplicates(
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep-one enforcement: remove every cluster member except its keeper.
+
+    ``clusters`` is ``resolve_clusters`` output. One left-anti join on the
+    id column; the loser set is |members| - |clusters| rows — let AQE pick
+    broadcast vs shuffle by its actual size (at 100 TB a heavy-dup corpus
+    makes it too big to broadcast blindly).
+    """
+    losers = clusters.filter(F.col("member_id") != F.col("keep_id")).select(
+        F.col("member_id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 # -------------------------------------------------------------- simhash

@@ -46,6 +46,35 @@ def test_minhash_lsh_candidates_superset_sanity(spark, docs):
     assert (1, 3) not in got
 
 
+def test_resolve_clusters_transitive_chain(spark):
+    # A~B, B~C, plus isolated pair D~E: {1,2,3} keep 1; {4,5} keep 4
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=4, id_b=5)]
+    )
+    out = {r["member_id"]: (r["cluster_id"], r["keep_id"])
+           for r in dedup.resolve_clusters(pairs).collect()}
+    assert out == {1: (1, 1), 2: (1, 1), 3: (1, 1), 4: (4, 4), 5: (4, 4)}
+
+
+def test_resolve_clusters_long_chain_and_empty(spark):
+    # a 12-node path exercises >1 propagation round (path halving)
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(100, 112)]
+    )
+    out = dedup.resolve_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in out} == {100}
+    assert len(out) == 13
+    empty = pairs.filter("id_a < 0")
+    assert dedup.resolve_clusters(empty).count() == 0
+
+
+def test_drop_near_duplicates_keeps_one_per_cluster(spark, docs):
+    pairs = spark.createDataFrame([Row(id_a=1, id_b=2), Row(id_a=2, id_b=4)])
+    clusters = dedup.resolve_clusters(pairs)
+    kept = dedup.drop_near_duplicates(docs, clusters, id_col="doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 3]
+
+
 def test_simhash_near_for_near_dups(spark, docs):
     sh = {r["doc_id"]: r["sh"] for r in docs.select(
         "doc_id", dedup.simhash("text").alias("sh")).collect()}

@@ -52,8 +52,7 @@ def test_asof_join_is_window_not_join(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_embedding_cosine",
-     "ann_lsh_bucketed"],
+    ["dedup_ngram_jaccard", "dedup_embedding_cosine", "ann_lsh_bucketed"],
 )
 def test_candidate_generation_never_cartesian(spark, name):
     plan = _plan(entry_mod.queries()[name](spark, SF_DIR))
@@ -61,6 +60,31 @@ def test_candidate_generation_never_cartesian(spark, name):
     assert "BroadcastNestedLoopJoin" not in plan, (
         f"{name} candidates must come from an equi-join, not a cross product"
     )
+
+
+def test_minhash_candidate_generation_never_cartesian(spark):
+    """The entry query checkpoints its (tiny) result to release the shingle
+    cache, so the guard inspects the underlying LAZY plan directly."""
+    from glue_hudi_spark.operators import dedup
+
+    docs = entry_mod._t(spark, SF_DIR, "documents")
+    lazy = dedup.minhash_lsh_pairs(docs, verify_threshold=0.5, materialize=False)
+    plan = _plan(lazy)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_releases_shingle_cache(spark):
+    """materialize=True (the entry-query default) must leave no cached RDDs
+    behind — the round-2 persist leak."""
+    from glue_hudi_spark.operators import dedup
+
+    docs = entry_mod._t(spark, SF_DIR, "documents")
+    spark.catalog.clearCache()
+    dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).count()
+    # localCheckpoint blocks of the small pair RESULT are freed by GC; the
+    # O(corpus) shingle persist was a CacheManager entry, pinned forever.
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
 
 
 def test_no_python_udfs_in_jvm_operators(spark):
