@@ -353,18 +353,32 @@ class NativeTable:
         if view == "read_optimized" or not commit.deltas:
             out = base
         else:
+            # Real-time (_rt) merge WITHOUT shuffling the base: Hudi merges
+            # log files file-group-locally; the Spark-first equivalent is
+            # (1) latest-version-per-key over the DELTAS ONLY — a window
+            # whose input is bounded by compact_every batches, not the
+            # table, (2) base LEFT ANTI JOIN delta keys — the delta key set
+            # is the small side, so AQE broadcasts it and base rows stream
+            # through unshuffled, (3) union the surviving delta rows.
+            # (Round-2 verdict: the previous whole-table window made every
+            # _rt read pay a full-table exchange.)
             delta_files = [f for d in commit.deltas for f in d["files"]]
             deltas = self._read_files(delta_files, commit.schema_json)
-            merged = base.unionByName(deltas, allowMissingColumns=True)
             order = [F.col(COMMIT_TIME_COL).desc()]
             if self.precombine:
                 order.append(F.col(self.precombine).desc())
             w = Window.partitionBy(RECORD_KEY_COL).orderBy(*order)
-            out = (
-                merged.withColumn("_ghs_rn", F.row_number().over(w))
+            latest = (
+                deltas.withColumn("_ghs_rn", F.row_number().over(w))
                 .filter(F.col("_ghs_rn") == 1)
                 .drop("_ghs_rn")
-                .filter(F.col(DELTA_OP_COL) != "d")
+            )
+            kept = base.join(
+                deltas.select(RECORD_KEY_COL), on=RECORD_KEY_COL, how="left_anti"
+            )
+            out = kept.unionByName(
+                latest.filter(F.col(DELTA_OP_COL) != "d"),
+                allowMissingColumns=True,
             )
         if not with_meta:
             out = out.drop(*META_COLS)

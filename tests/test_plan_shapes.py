@@ -108,6 +108,32 @@ def test_ann_topk_has_no_per_query_window(spark, name):
     assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
 
 
+def test_mor_rt_read_never_shuffles_base(spark, tmp_path):
+    """The _rt view must resolve deltas with a window over the DELTA set
+    only and anti-join the base against the (broadcast) delta keys — a
+    whole-table window partitioned by record key shuffles 100 TB of base
+    on every read between compactions."""
+    from pyspark.sql import Row
+
+    from glue_hudi_spark.storage.native import NativeTable
+
+    t = NativeTable(spark, tmp_path / "tbl", record_keys=["id"],
+                    precombine="seq", storage_type="mor", compact_every=100)
+    base = spark.createDataFrame([Row(id=i, v=f"v{i}", seq=1) for i in range(50)])
+    t.bulk_insert(base)
+    t.upsert(spark.createDataFrame([Row(id=1, v="new", seq=2)]))
+    t.delete(spark.createDataFrame([Row(id=2, v="x", seq=3)]))
+
+    df = t.read_snapshot()
+    plan = _plan(df)
+    # base joins the delta keys via broadcast — never a shuffled join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # correctness of the merge itself
+    rows = {r["id"]: r["v"] for r in df.collect()}
+    assert rows[1] == "new" and 2 not in rows and len(rows) == 49
+
+
 def test_ivf_assignment_is_shuffle_free(spark):
     """ivf_assign must be a per-row argmax over an inlined centroid literal:
     no join, no window, no exchange beyond the scan."""
