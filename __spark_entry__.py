@@ -1063,8 +1063,18 @@ def ann_ivf_kmeans(spark, sf_dir):
     )
 
 
+def ann_ivf_multiprobe(spark, sf_dir):
+    """Trained IVF at nprobe=2: each query probes its two nearest cells
+    (explode on the small query side only; corpus cells stay disjoint, so
+    the candidate equi-join never produces a repeated candidate)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, train_iters=2, nprobe=2
+    )
+
+
 def _ivf_kmeans_oracle(n_centroids: int = 8, iters: int = 2, dim: int = 64,
-                       k: int = 10) -> str:
+                       k: int = 10, nprobe: int = 1) -> str:
     """Unrolled-CTE replay of kmeans_centroids + ivf_topk: each Lloyd's
     iteration is an assignment CTE (argmax by rounded cosine, ties to the
     lowest cell) + a means CTE (exact DECIMAL sums → double → round 9) +
@@ -1106,7 +1116,17 @@ def _ivf_kmeans_oracle(n_centroids: int = 8, iters: int = 2, dim: int = 64,
            row_number() OVER (PARTITION BY b.vec_id
              ORDER BY {cos('b.v', 'c.cv')} DESC, c.cell ASC) AS rn
     FROM base b CROSS JOIN {prev} c) t WHERE rn = 1)""")
-    parts.append("q AS (SELECT id AS query_id, v AS qv, cell FROM assigned WHERE id < 5)")
+    if nprobe == 1:
+        parts.append(
+            "q AS (SELECT id AS query_id, v AS qv, cell FROM assigned WHERE id < 5)"
+        )
+    else:
+        parts.append(f"""q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM (
+    SELECT b.vec_id, b.v, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {cos('b.v', 'c.cv')} DESC, c.cell ASC) AS rn
+    FROM base b CROSS JOIN {prev} c WHERE b.vec_id < 5) t WHERE rn <= {nprobe})""")
     parts.append(f"""scored AS (
   SELECT q.query_id, a.id AS neighbor_id, {cos('q.qv', 'a.v')} AS sim
   FROM q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.id)""")
@@ -1220,6 +1240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_kmeans": ann_ivf_kmeans,
+        "ann_ivf_multiprobe": ann_ivf_multiprobe,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
     }
@@ -1271,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": _ann_oracle(bucketed=True),
         "ann_ivf_topk": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
+        "ann_ivf_multiprobe": _ivf_kmeans_oracle(nprobe=2),
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
     }

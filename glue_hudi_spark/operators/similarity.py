@@ -104,14 +104,24 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    ).withColumn("_nq", _norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    ).withColumn("_nc", _norm(F.col("c_vec")))
+    # norms live BELOW the join (the join barrier keeps the projection
+    # there), so each pair pays one dot product, not two extra d-folds;
+    # nq*nc keeps the exact multiplication order of cosine()
     scored = (
         F.broadcast(q).crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("_nq") * F.col("_nc")),
+                6,
+            ),
+        )
     )
     return _topk_per_query(scored, k)
 
@@ -143,30 +153,64 @@ def signbit_bucket(vec_col="embedding", m: int = 4, offset: int = 0):
     return acc
 
 
-def _nearest_cell_expr(cents: list[tuple], vec):
-    """Column expr: nearest-centroid cell id for ``vec`` against an inlined
-    centroid literal. Lexicographic ``array_min`` over (-sim, cell) = max
-    similarity, ties to the lowest cell id — zero shuffle, zero row
-    amplification."""
+def _py_norm(cv) -> float:
+    """Driver-side centroid norm with the SAME left-fold summation order as
+    ``_norm`` (init 0.0, += x² in array order), so the inlined literal is
+    bit-identical to what the JVM fold would produce — the 6-dp rounding in
+    ``cosine`` sits right at the oracle hash boundary."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _scored_cells_expr(cents: list[tuple], vec):
+    """Array column of struct(-sim, cell) for ``vec`` against an inlined
+    centroid literal — the shared core of argmax assignment (min element)
+    and multi-probe (first p of the sorted array).
+
+    The row norm is evaluated ONCE per row: it enters the per-centroid
+    lambda as a ``zip_with`` operand (``array_repeat(nv, k)`` — the
+    argument sits OUTSIDE the lambda, so Catalyst evaluates the d-element
+    fold a single time and the lambda reads a bound variable). Centroid
+    norms are driver-side literals. The round-2 version called
+    ``cosine(vec, cv)`` inside the lambda — no CSE across lambda args
+    meant k norm-folds per row, the one bench regression of the round."""
     cent_arr = F.array(
         *[
             F.struct(
                 F.lit(cell).alias("cell"),
                 F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
+                F.lit(_py_norm(cv)).alias("cn"),
             )
             for cell, cv in cents
         ]
     )
-    best = F.array_min(
-        F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                (-cosine(vec, c["cv"])).alias("_ns"),
-                c["cell"].alias("cell"),
-            ),
-        )
+    return F.zip_with(
+        cent_arr,
+        F.array_repeat(_norm(vec), len(cents)),
+        lambda c, nv: F.struct(
+            (-F.round(_dot(vec, c["cv"]) / (nv * c["cn"]), 6)).alias("_ns"),
+            c["cell"].alias("cell"),
+        ),
     )
-    return best["cell"]
+
+
+def _nearest_cell_expr(cents: list[tuple], vec):
+    """Column expr: nearest-centroid cell id for ``vec`` against an inlined
+    centroid literal. Lexicographic ``array_min`` over (-sim, cell) = max
+    similarity, ties to the lowest cell id — zero shuffle, zero row
+    amplification."""
+    return F.array_min(_scored_cells_expr(cents, vec))["cell"]
+
+
+def _probe_cells_expr(cents: list[tuple], vec, nprobe: int):
+    """Array of the ``nprobe`` nearest cell ids (sim desc, ties to lowest
+    cell) — the multi-probe variant of ``_nearest_cell_expr``."""
+    top = F.slice(F.sort_array(_scored_cells_expr(cents, vec)), 1, nprobe)
+    return F.transform(top, lambda s: s["cell"])
 
 
 def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str) -> list[tuple]:
@@ -184,6 +228,44 @@ def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str) -> list[
     return cents
 
 
+# above this many centroids the inlined literal stops being the right
+# plan: O(k·d) expression nodes per operator are codegen-hostile, and the
+# broadcast-join path amortizes the centroid table across the stage.
+INLINE_CENTROID_MAX = 64
+
+
+def _assign_by_join(vectors: DataFrame, cents: list[tuple]) -> DataFrame:
+    """Large-k assignment: broadcast the centroid table, score every
+    (row, centroid) pair, argmin map-side.
+
+    Plan shape: broadcast nested-loop join amplifies each row k× INSIDE its
+    partition; the immediately following groupBy(id) partial-aggregates the
+    k copies back to one row map-side (min over struct(-sim, cell), with
+    first(v) carrying the vector), so only one small row per input row ever
+    reaches the exchange. Same arithmetic as the literal path — norms
+    computed once per row below the join, centroid norms precomputed."""
+    spark = vectors.sparkSession
+    cdf = spark.createDataFrame(
+        [(int(cell), [float(x) for x in cv], _py_norm(cv)) for cell, cv in cents],
+        "cell bigint, cv array<double>, cn double",
+    )
+    scored = (
+        vectors.withColumn("_nv", _norm(F.col("v")))
+        .crossJoin(F.broadcast(cdf))
+        .withColumn(
+            "_ns",
+            -F.round(
+                _dot(F.col("v"), F.col("cv")) / (F.col("_nv") * F.col("cn")), 6
+            ),
+        )
+    )
+    best = scored.groupBy("id").agg(
+        F.min(F.struct(F.col("_ns"), F.col("cell"))).alias("_b"),
+        F.first("v").alias("v"),
+    )
+    return best.select("id", "v", F.col("_b.cell").alias("cell"))
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,
@@ -194,15 +276,19 @@ def ivf_assign(
     lowest centroid id) → (id, vec, cell).
 
     The centroid set is metadata-sized by construction, so it is collected
-    once and inlined as an array-of-structs LITERAL; assignment is then a
-    per-row ``array_min`` argmax inside the scan projection — ZERO shuffle,
-    zero row amplification. (The previous corpus×centroids crossJoin +
-    per-id window re-shuffled the whole corpus 8×-amplified.)
+    once. Up to ``INLINE_CENTROID_MAX`` centroids it is inlined as an
+    array-of-structs LITERAL and assignment is a per-row ``array_min``
+    argmax inside the scan projection — ZERO shuffle, zero row
+    amplification. (The previous corpus×centroids crossJoin + per-id
+    window re-shuffled the whole corpus 8×-amplified.) Beyond that the
+    broadcast-join path (``_assign_by_join``) takes over — same result,
+    plan sized for hundreds of centroids.
     """
     cents = _collect_centroids(centroids, id_col, vec_col)
-    return vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
+    keyed = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if len(cents) > INLINE_CENTROID_MAX:
+        return _assign_by_join(keyed, cents)
+    return keyed.withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
 
 
 def kmeans_centroids(
@@ -247,7 +333,18 @@ def kmeans_centroids(
     for _ in range(iters):
         assigned = df.withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
         rows = assigned.groupBy("cell").agg(*mean_exprs).collect()
-        got = {r["cell"]: [float(r[f"c{i}"]) for i in range(dim)] for r in rows}
+        got = {}
+        for r in rows:
+            comps = [r[f"c{i}"] for i in range(dim)]
+            if any(c is None for c in comps):
+                # non-ANSI DECIMAL(28,12) sum overflow yields NULL — fail
+                # loudly instead of poisoning centroids mid-training
+                raise ValueError(
+                    f"kmeans_centroids: NULL mean component for cell "
+                    f"{r['cell']} (decimal sum overflow — embedding "
+                    f"magnitudes too large for DECIMAL(28,12))"
+                )
+            got[r["cell"]] = [float(c) for c in comps]
         cents = [(cell, got.get(cell, prev)) for cell, prev in cents]
     return cents
 
@@ -260,39 +357,64 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_centroids: int = 8,
     train_iters: int = 0,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: inverted lists keyed by nearest centroid.
 
     ``train_iters=0``: centroids are the ``n_centroids`` lowest-id corpus
     vectors (train-free). ``train_iters>0``: centroids are refined with
     that many deterministic Lloyd's iterations (``kmeans_centroids``) —
-    same plan shape, better-balanced cells. Queries probe only their own
-    cell (nprobe=1), so the candidate join is an equi-join on ``cell``:
-    candidate count shrinks ~n_centroids× versus brute force. Recall
-    follows the usual IVF curve.
+    same plan shape, better-balanced cells.
+
+    ``nprobe``: each query probes its ``nprobe`` nearest cells (the
+    standard IVF recall knob — nprobe=1 misses true neighbors that sit
+    just across a cell boundary). Probing explodes the QUERY side only
+    (nprobe× a small set); the corpus stays one-cell-per-row, the
+    candidate join stays an equi-join on ``cell``, and a candidate can't
+    repeat (corpus cells are disjoint). nprobe = n_centroids degenerates
+    to exact brute force.
     """
     if train_iters > 0:
         cents = kmeans_centroids(corpus, n_centroids, train_iters, id_col, vec_col)
-        c_assigned = corpus.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-        ).withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
-        q_assigned = queries.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-        ).withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
     else:
-        centroids = corpus.filter(F.col(id_col) < n_centroids)
-        c_assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-        q_assigned = ivf_assign(queries, centroids, id_col, vec_col)
+        cents = _collect_centroids(
+            corpus.filter(F.col(id_col) < n_centroids), id_col, vec_col
+        )
+    keyed_c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    keyed_q = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if len(cents) > INLINE_CENTROID_MAX:
+        c_assigned = _assign_by_join(keyed_c, cents)
+    else:
+        c_assigned = keyed_c.withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
+    if nprobe <= 1:
+        if len(cents) > INLINE_CENTROID_MAX:
+            q_assigned = _assign_by_join(keyed_q, cents)
+        else:
+            q_assigned = keyed_q.withColumn(
+                "cell", _nearest_cell_expr(cents, F.col("v"))
+            )
+    else:
+        q_assigned = keyed_q.select(
+            "id", "v",
+            F.explode(_probe_cells_expr(cents, F.col("v"), nprobe)).alias("cell"),
+        )
     q = q_assigned.select(
         F.col("id").alias("query_id"), F.col("v").alias("q_vec"), "cell"
-    )
+    ).withColumn("_nq", _norm(F.col("q_vec")))
     cjoin = c_assigned.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("c_vec"), "cell"
-    )
+    ).withColumn("_nc", _norm(F.col("c_vec")))
     scored = (
         q.join(cjoin, on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("_nq") * F.col("_nc")),
+                6,
+            ),
+        )
     )
     return _topk_per_query(scored, k)
 
@@ -313,15 +435,22 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         signbit_bucket(vec_col, m).alias("bucket"),
-    )
+    ).withColumn("_nq", _norm(F.col("q_vec")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         signbit_bucket(vec_col, m).alias("bucket"),
-    )
+    ).withColumn("_nc", _norm(F.col("c_vec")))
     scored = (
         q.join(c, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "sim",
+            F.round(
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("_nq") * F.col("_nc")),
+                6,
+            ),
+        )
     )
     return _topk_per_query(scored, k)

@@ -98,6 +98,61 @@ def test_cosine_topk_exact(spark):
     assert out[0]["sim"] <= 1.0
 
 
+def _clustered_embeddings(spark, n_clusters=4, per_cluster=12, dim=8, noise=0.05):
+    """Deterministic clustered vectors: cluster c points along axis c with a
+    small id-dependent perturbation — same fixture idea as
+    test_embedding_pairs_recall_m8."""
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per_cluster):
+            vid = c * per_cluster + i
+            v = [0.0] * dim
+            v[c] = 1.0
+            v[(c + 1) % dim] = noise * ((vid % 7) - 3)
+            rows.append(Row(vec_id=vid, embedding=v))
+    return spark.createDataFrame(rows)
+
+
+def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark):
+    emb = _clustered_embeddings(spark)
+    queries = emb.filter(F.col("vec_id").isin([0, 13, 26]))
+
+    def result_set(df):
+        return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+    exact = result_set(similarity.cosine_topk(emb, queries, k=5))
+    p1 = result_set(similarity.ivf_topk(emb, queries, k=5, n_centroids=4, nprobe=1))
+    p2 = result_set(similarity.ivf_topk(emb, queries, k=5, n_centroids=4, nprobe=2))
+    # probing ALL cells degenerates to exact brute force
+    p_all = result_set(similarity.ivf_topk(emb, queries, k=5, n_centroids=4, nprobe=4))
+    assert p_all == exact
+    # recall is monotone in nprobe
+    assert len(p1 & exact) <= len(p2 & exact)
+    assert p1 <= p1 | p2  # sanity: candidate growth, never loss
+
+
+def test_ivf_assign_join_path_matches_literal_path(spark):
+    """Above INLINE_CENTROID_MAX the broadcast-join scorer takes over; both
+    paths must assign identically (same arithmetic, same tie-break)."""
+    emb = _clustered_embeddings(spark, n_clusters=6, per_cluster=10, dim=8)
+    cents_df = emb.filter(F.col("vec_id") < 6)
+    lit_path = similarity.ivf_assign(emb, cents_df)
+    cents = similarity._collect_centroids(cents_df, "vec_id", "embedding")
+    keyed = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v"))
+    join_path = similarity._assign_by_join(keyed, cents)
+    a = {r["id"]: r["cell"] for r in lit_path.collect()}
+    b = {r["id"]: r["cell"] for r in join_path.collect()}
+    assert a == b
+
+
+def test_ivf_topk_dispatches_to_join_path_above_inline_max(spark, monkeypatch):
+    monkeypatch.setattr(similarity, "INLINE_CENTROID_MAX", 2)
+    emb = _clustered_embeddings(spark)
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = similarity.ivf_topk(emb, queries, k=3, n_centroids=4)
+    assert out.count() == 3  # end-to-end through _assign_by_join
+
+
 def test_lsh_bucket_reduces_candidates(spark):
     rows = [Row(vec_id=i, embedding=[(1.0 if (i >> b) & 1 else -1.0) for b in range(4)] + [0.5] * 4)
             for i in range(16)]
