@@ -561,21 +561,19 @@ s AS (
 
 
 def dedup_ngram_jaccard(spark, sf_dir):
-    return dedup.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), n=3, threshold=0.5, block_cols=["lang"]
+    """Exact n-gram Jaccard ≥ 0.7 verified over MinHash-LSH candidates —
+    the composed plan (candidate volume governed by the LSH collision
+    curve, not by block population; the round-2 standalone
+    (lang, len_band) self-join was O(B²) within blocks)."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=8, verify_threshold=None
     )
+    return dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.7, candidates=cand)
 
 
-NGRAM_ORACLE = f"""
-WITH {_SHINGLE_CTE},
-sb AS (SELECT id, lang, sh, len(sh) AS n_sh, CAST(floor(len(sh) / 20) AS BIGINT) AS len_band FROM s)
-SELECT id_a, id_b, jaccard FROM (
-  SELECT a.id AS id_a, b.id AS id_b,
-         round(len(list_intersect(a.sh, b.sh))::DOUBLE
-               / len(list_distinct(list_cat(a.sh, b.sh)))::DOUBLE, 6) AS jaccard
-  FROM sb a JOIN sb b ON a.lang = b.lang AND a.len_band = b.len_band AND a.id < b.id) t
-WHERE jaccard >= 0.5
-"""
+def _ngram_oracle() -> str:
+    return f"WITH {_minhash_pair_ctes(threshold=0.7)}\nSELECT id_a, id_b, jaccard FROM verified"
 
 
 def dedup_minhash_lsh(spark, sf_dir):
@@ -585,7 +583,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _minhash_pair_ctes() -> str:
+def _minhash_pair_ctes(threshold: float = 0.5) -> str:
     # mirrors operators.dedup.minhash_hash_expr: hash j = 8 hex chars
     # [1+8*(j%4) ..] of md5(shingle || ':' || j//4). Ends with a
     # ``verified`` CTE holding the (id_a, id_b, jaccard) survivor pairs so
@@ -610,7 +608,7 @@ verified AS (
            round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
                  / len(list_distinct(list_cat(sa.sh, sb.sh)))::DOUBLE, 6) AS jaccard
     FROM pairs p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b) t
-  WHERE jaccard >= 0.5)"""
+  WHERE jaccard >= {threshold})"""
 
 
 def _minhash_oracle() -> str:
@@ -1272,7 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionization": _SESSION_SQL,
         "events_asof_join": ASOF_ORACLE,
         "dedup_exact": EXACT_ORACLE,
-        "dedup_ngram_jaccard": NGRAM_ORACLE,
+        "dedup_ngram_jaccard": _ngram_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_cluster_keep_one": _cluster_oracle(),
         "dedup_simhash": _simhash_oracle(32),

@@ -119,7 +119,14 @@ def sync_external_table(spark: SparkSession, ctl: JobControl, table: NativeTable
     )
     if spark.catalog.tableExists(fq):
         existing = spark.table(fq).schema
-        if existing == schema:
+        # compare names+types only: the manifest schema carries
+        # non-nullable meta columns (F.lit) while DDL-created tables are
+        # all-nullable, so a strict == never matches and every commit
+        # would drop+recreate — a window where concurrent readers of the
+        # durable table error (round-2 ADVICE)
+        if [(f.name, f.dataType) for f in existing.fields] == [
+            (f.name, f.dataType) for f in schema.fields
+        ]:
             spark.sql(f"REFRESH TABLE {fq}")
             return fq
         spark.sql(f"DROP TABLE {fq}")

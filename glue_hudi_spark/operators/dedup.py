@@ -77,19 +77,42 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     block_cols: list[str] | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold.
 
-    Candidates are blocked on ``block_cols`` (default: exact shingle-count
-    band — near-dups have near-equal length) so the self-join is an
-    equi-join, not a cross join. Jaccard is |A∩B| / |A∪B| on *distinct*
-    shingle sets, computed with array_intersect/array_union (JVM-side).
+    ``candidates`` (the 100 TB entry point): an (id_a, id_b) pair
+    DataFrame — typically ``minhash_lsh_pairs(..., verify_threshold=None)``
+    — whose pairs are verified with exact Jaccard. Candidate volume is
+    governed by the LSH collision curve, never by block population.
+
+    ``candidates=None`` falls back to blocking on ``block_cols`` plus an
+    exact shingle-count band (near-dups have near-equal length), keeping
+    the self-join an equi-join rather than a cross join. That is fine on
+    bounded corpora and as a verify stage, but the within-block cost is
+    O(B²): a popular (lang, length) block at corpus scale holds millions
+    of docs — route through LSH candidates there (round-2 verdict).
+
+    Jaccard is |A∩B| / |A∪B| on *distinct* shingle sets, computed with
+    array_intersect/array_union (JVM-side).
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, n)).alias("sh"),
-        *[F.col(c) for c in (block_cols or [])],
-    ).withColumn("n_sh", F.size("sh"))
+        *[F.col(c) for c in (block_cols or []) if candidates is None],
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    if candidates is not None:
+        sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        pairs = candidates.select("id_a", "id_b").join(sa, on="id_a").join(sb, on="id_b")
+        return (
+            pairs.withColumn("jaccard", F.round(inter / union, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+    shingled = shingled.withColumn("n_sh", F.size("sh"))
     block = [*(block_cols or []), "len_band"]
     shingled = shingled.withColumn("len_band", F.floor(F.col("n_sh") / 20))
     a = shingled.select(
@@ -99,8 +122,6 @@ def ngram_jaccard_pairs(
         F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), *block
     )
     pairs = a.join(b, on=block).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= threshold)

@@ -90,14 +90,27 @@ def sniff_image_header(data: bytes):
         (bpp,) = struct.unpack("<H", data[28:30])
         return ("bmp", w, abs(h), max(1, bpp // 8))
     if data[:2] == b"\xff\xd8":  # JPEG: scan for a start-of-frame marker
-        i = 2
-        while i + 9 < len(data) and data[i] == 0xFF:
+        i, n = 2, len(data)
+        while i + 1 < n and data[i] == 0xFF:
+            # skip 0xFF fill bytes before the marker id (legal padding)
+            while i + 1 < n and data[i + 1] == 0xFF:
+                i += 1
             marker = data[i + 1]
-            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
-                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
-                return ("jpeg", w, h, data[i + 9])
-            (seg,) = struct.unpack(">H", data[i + 2 : i + 4])
-            i += 2 + seg
+            i += 2
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                continue  # TEM/RSTn: standalone, no length field
+            if marker == 0xD9 or i + 2 > n:
+                break  # EOI / truncated
+            # SOFn = 0xC0-0xCF minus DHT(0xC4)/JPG(0xC8)/DAC(0xCC)
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 7 < n:
+                    h, w = struct.unpack(">HH", data[i + 3 : i + 7])
+                    return ("jpeg", w, h, data[i + 7])
+                break
+            (seg,) = struct.unpack(">H", data[i : i + 2])
+            if seg < 2:
+                break  # corrupt length
+            i += seg
         return ("jpeg", None, None, None)
     return None
 
@@ -263,8 +276,11 @@ def _resize_bmp24(data: bytes, out_w: int, out_h: int) -> bytes | None:
     out_row = (out_w * 3 + 3) // 4 * 4
     rows = np.zeros((out_h, out_row), dtype=np.uint8)
     rows[:, : out_w * 3] = out.reshape(out_h, out_w * 3)
-    if flipped:
-        rows = rows[::-1]
+    # px was normalized to top-down order above regardless of input
+    # orientation, and the output header always declares positive height
+    # (bottom-up), so rows must be reversed UNCONDITIONALLY — reversing
+    # only bottom-up inputs mirrored top-down BMPs vertically
+    rows = rows[::-1]
     body = rows.tobytes()
     header = (
         b"BM"

@@ -557,6 +557,14 @@ class NativeTable:
             merged = kept
         else:
             merged = kept.unionByName(keyed, allowMissingColumns=True)
+        # the anti-join fronts the record-key column; restore the stored
+        # schema's order (plus evolved columns at the end) so the schema is
+        # stable commit-over-commit — catalog sync's REFRESH fast path
+        # compares column order
+        prev_cols = [c for c in existing.columns]
+        merged = merged.select(
+            *prev_cols, *[c for c in merged.columns if c not in prev_cols]
+        )
 
         files = self._write_files(
             merged, cid,
@@ -620,6 +628,10 @@ class NativeTable:
         )
         incoming = keyed.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
         merged = kept.unionByName(incoming, allowMissingColumns=True)
+        prev_cols = [c for c in existing.columns]
+        merged = merged.select(
+            *prev_cols, *[c for c in merged.columns if c not in prev_cols]
+        )
         files = self._write_files(
             merged, cid,
             n_files=max(1, len(affected)) if not self.partition_keys else None,

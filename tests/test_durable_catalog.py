@@ -55,6 +55,40 @@ spark2.stop()
 """
 
 
+def test_refresh_fast_path_no_recreate(spark, tmp_path, monkeypatch):
+    """Same-schema re-sync must take the REFRESH path — the round-2 strict
+    schema == (nullability included) never matched, so every commit dropped
+    and recreated the external table, a visibility window for concurrent
+    readers."""
+    from pyspark.sql import Row
+
+    from glue_hudi_spark.catalog import ensure_database, sync_external_table
+    from glue_hudi_spark.config import JobControl
+    from glue_hudi_spark.storage.native import NativeTable
+
+    ctl = JobControl(db_name="refreshdb", schema_name="s", table_name="t",
+                     primary_key="id", precombine_field="seq")
+    t = NativeTable(spark, tmp_path / "tbl", record_keys=["id"], precombine="seq")
+    t.bulk_insert(spark.createDataFrame([Row(id=1, v="a", seq=1)]))
+    ensure_database(spark, ctl.catalog_db)
+    sync_external_table(spark, ctl, t)
+
+    t.upsert(spark.createDataFrame([Row(id=2, v="b", seq=1)]))
+    calls = []
+    real_sql = spark.sql
+    monkeypatch.setattr(
+        spark, "sql", lambda q, *a, **k: (calls.append(q), real_sql(q, *a, **k))[1]
+    )
+    sync_external_table(spark, ctl, t)
+    assert any(q.startswith("REFRESH TABLE") for q in calls), calls
+    assert not any(q.startswith(("DROP", "CREATE TABLE")) for q in calls), calls
+    monkeypatch.undo()
+    fq = f"`{ctl.catalog_db}`.`{ctl.catalog_table}`"
+    assert spark.sql(f"SELECT COUNT(*) c FROM {fq}").first().c == 2
+    spark.sql(f"DROP TABLE {fq}")
+    spark.sql(f"DROP DATABASE `{ctl.catalog_db}`")
+
+
 def test_second_session_sees_curated_table(tmp_path):
     script = tmp_path / "drive.py"
     script.write_text(DRIVE)

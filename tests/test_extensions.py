@@ -39,6 +39,14 @@ def test_ngram_jaccard_finds_near_dup(spark, docs):
     assert all(p not in got for p in [(1, 3), (2, 3), (3, 4)])
 
 
+def test_ngram_jaccard_over_lsh_candidates(spark, docs):
+    cand = dedup.minhash_lsh_pairs(docs, verify_threshold=None)
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5, candidates=cand)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (1, 2) in got and got[(1, 2)] == 1.0  # whitespace/case variant
+    assert all(p[0] != 3 and p[1] != 3 for p in got)  # unrelated doc never pairs
+
+
 def test_minhash_lsh_candidates_superset_sanity(spark, docs):
     pairs = dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -115,3 +115,60 @@ def test_resize_roundtrip_identity(spark):
     df = _media_df(spark, [src])
     out = M.resize_images(df, 3, 3).collect()[0]
     assert bytes(out["payload"])[54:] == src[54:]  # same pixel array
+
+
+def make_topdown_bmp(w: int, h: int, pixel_fn) -> bytes:
+    """24-bit BMP with NEGATIVE height — rows stored top-down."""
+    row_size = (w * 3 + 3) // 4 * 4
+    rows = bytearray()
+    for y in range(h):  # top-down
+        row = bytearray()
+        for x in range(w):
+            row.extend(pixel_fn(x, y))
+        row.extend(b"\x00" * (row_size - len(row)))
+        rows.extend(row)
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(rows), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(rows), 2835, 2835, 0, 0)
+    )
+    return bytes(header + rows)
+
+
+def test_resize_topdown_bmp_not_mirrored(spark):
+    # 2x2: TOP row red, BOTTOM row blue (in visual orientation)
+    src = make_topdown_bmp(
+        2, 2, lambda x, y: (0, 0, 255) if y == 0 else (255, 0, 0)
+    )
+    df = _media_df(spark, [src])
+    out = M.resize_images(df, 2, 2).collect()[0]
+    payload = bytes(out["payload"])
+    w, h = struct.unpack("<ii", payload[18:26])
+    assert h == 2  # output is declared bottom-up
+    body = payload[54:]
+    # bottom-up storage: first stored row is the visual BOTTOM row (blue);
+    # the round-2 bug left rows top-down under a positive-height header,
+    # which read back vertically mirrored
+    assert body[0:3] == b"\xff\x00\x00"  # bottom row blue (b,g,r)
+    assert body[8:11] == b"\x00\x00\xff"  # top row red
+
+
+def test_jpeg_sniff_fill_bytes_and_rst_markers():
+    # fill bytes before APP0, a TEM marker, and an SOF5 frame
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof5 = b"\xff\xc5" + struct.pack(">HBHHB", 11, 8, 600, 800, 3)
+    data = b"\xff\xd8" + b"\xff" * 3 + app0 + b"\xff\x01" + sof5 + b"\x00" * 9
+    assert M.sniff_image_header(data) == ("jpeg", 800, 600, 3)
+
+
+def test_jpeg_sniff_skips_dht_and_reads_sof2():
+    dht = b"\xff\xc4" + struct.pack(">H", 5) + b"\x00" * 3
+    sof2 = b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 10, 20, 1)
+    data = b"\xff\xd8" + dht + sof2 + b"\x00" * 3
+    assert M.sniff_image_header(data) == ("jpeg", 20, 10, 1)
+
+
+def test_jpeg_sniff_truncated_returns_nulls():
+    # APP0 whose declared length runs past the end of the payload
+    data = b"\xff\xd8\xff\xe0" + struct.pack(">H", 64) + b"JFIF"
+    assert M.sniff_image_header(data) == ("jpeg", None, None, None)
