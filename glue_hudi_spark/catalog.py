@@ -61,7 +61,11 @@ def save_bucketed_table(
 
 
 def register_snapshot(
-    spark: SparkSession, ctl: JobControl, table: NativeTable, as_of: int | None = None
+    spark: SparkSession,
+    ctl: JobControl,
+    table: NativeTable,
+    as_of: int | None = None,
+    durable: bool = True,
 ) -> str:
     """Register the current snapshot — the role of Hudi hive-sync
     (processData.py:160-169). MoR registers both ``<name>_ro`` and
@@ -87,7 +91,10 @@ def register_snapshot(
     else:
         table.register_view(base, as_of=as_of)
         out = base
-    if as_of is None:  # durable registration tracks the LATEST snapshot only
+    # durable registration tracks the LATEST snapshot only; durable=False
+    # skips the export entirely (object-store deployments — see
+    # NativeTable.export_snapshot)
+    if as_of is None and durable:
         sync_external_table(spark, ctl, table)
     return out
 

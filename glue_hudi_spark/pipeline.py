@@ -46,11 +46,17 @@ class CdcPipeline:
     """Drives CDC ingestion for every table a control store manages."""
 
     def __init__(self, spark: SparkSession, raw_root: str | Path,
-                 curated_root: str | Path, single_commit: bool = False):
+                 curated_root: str | Path, single_commit: bool = False,
+                 sync_catalog: bool = True):
         self.spark = spark
         self.raw_root = Path(raw_root)
         self.curated_root = Path(curated_root)
         self.single_commit = single_commit
+        # sync_catalog=False skips the durable external table (and its
+        # snapshot export) — session temp views only. Use on storage where
+        # links don't exist (object stores) and a per-commit export would
+        # copy data bytes.
+        self.sync_catalog = sync_catalog
 
     def _raw_dir(self, ctl: JobControl) -> Path:
         return self.raw_root / ctl.db_name / ctl.schema_name / ctl.table_name
@@ -114,7 +120,9 @@ class CdcPipeline:
         ``dl_<db>_<schema>.<table>`` name survives the session."""
         from glue_hudi_spark import catalog
 
-        catalog.register_snapshot(self.spark, ctl, table)
+        catalog.register_snapshot(
+            self.spark, ctl, table, durable=self.sync_catalog
+        )
 
     def run(self, store: ControlStore, glue_job_name: str | None = None) -> list[RunResult]:
         """The main() loop (processData.py:393-402)."""

@@ -409,12 +409,22 @@ class NativeTable:
         This is what makes durable catalog registration possible: an
         external table's LOCATION must be a directory, but the live file
         set spans commit dirs (carried files stay where they were written).
-        Hardlinks cost no data copy; the swap is two renames. For MoR this
-        renders the read-optimized (``_ro``) view — exactly what Hudi's
-        hive-sync exposes as plain parquet; the ``_rt`` view needs merge
-        logic and stays engine-registered. Meta columns (``_ghs_*``) are
-        visible, like Hudi's ``_hoodie_*``. Refresh after each commit.
+        The export is ALWAYS metadata-only: hardlink where possible, else
+        symlink (cross-device mounts, NFS — zero data bytes either way;
+        the round-2 copy2 fallback silently turned every per-commit sync
+        into a full-table copy), else — only if the filesystem supports
+        neither link type — a copy, loudly guarded. On a true object store
+        none of these exist; there the right rendering is manifest-based
+        registration (engine-side file-list tables, Iceberg/Delta-style),
+        and this export should be disabled — ``CdcPipeline(sync_catalog=
+        False)`` / calling ``register_snapshot`` with temp views only.
+        The swap is two renames. For MoR this renders the read-optimized
+        (``_ro``) view — exactly what Hudi's hive-sync exposes as plain
+        parquet; the ``_rt`` view needs merge logic and stays
+        engine-registered. Meta columns (``_ghs_*``) are visible, like
+        Hudi's ``_hoodie_*``. Refresh after each commit.
         """
+        import os
         import shutil
 
         commit = self.timeline.latest()
@@ -426,14 +436,15 @@ class NativeTable:
         shutil.rmtree(build, ignore_errors=True)
         build.mkdir(parents=True)
         for i, rel in enumerate(commit.files):
-            src = self.root / rel
+            src = (self.root / rel).resolve()
             dst = build / f"{i:05d}__{Path(rel).name}"
             try:
-                import os
-
                 os.link(src, dst)
             except OSError:
-                shutil.copy2(src, dst)
+                try:
+                    os.symlink(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
         old = snap_root / f".old-{commit.commit_id}"
         shutil.rmtree(old, ignore_errors=True)
         if final.exists():

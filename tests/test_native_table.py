@@ -129,6 +129,50 @@ def test_cleaner_retention(spark, tmp_table_dir):
     assert [r["v"] for r in t.read_snapshot().collect()] == ["v5"]
 
 
+def test_export_snapshot_zero_copy_without_hardlinks(spark, tmp_table_dir, monkeypatch):
+    """On a filesystem without hardlink support the export must fall back
+    to symlinks (metadata-only), never to a data-byte copy — the round-2
+    copy2 fallback made every per-commit catalog sync a full-table copy."""
+    import os
+    import shutil
+
+    t = _mk(spark, tmp_table_dir, partition_keys=[])
+    t.bulk_insert(_rows(spark, [dict(id=i, v=f"v{i}", seq=1) for i in range(10)]))
+
+    def no_link(*a, **k):
+        raise OSError("hardlinks unsupported")
+
+    def no_copy(*a, **k):
+        raise AssertionError("export copied data bytes")
+
+    monkeypatch.setattr(os, "link", no_link)
+    monkeypatch.setattr(shutil, "copy2", no_copy)
+    snap = t.export_snapshot()
+    files = sorted(snap.glob("*.parquet"))
+    assert files and all(f.is_symlink() for f in files)
+    # the exported dir is readable as plain parquet through the symlinks
+    assert spark.read.parquet(str(snap)).count() == 10
+
+
+def test_pipeline_sync_catalog_false_skips_export(spark, tmp_path):
+    from glue_hudi_spark.config import JobControl
+    from glue_hudi_spark.pipeline import CdcPipeline
+    from tests.fixtures_cdc import CONTROL, make_full_load_df
+
+    ctl = JobControl(**{**CONTROL, "db_name": "nosync_db"})
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated",
+                       sync_catalog=False)
+    raw = pipe._raw_dir(ctl)
+    raw.mkdir(parents=True, exist_ok=True)
+    make_full_load_df(spark).coalesce(1).write.parquet(str(raw / "LOAD1"))
+    pipe.process_table(ctl)
+    table = pipe._table(ctl)
+    assert not (Path(table.root) / "_snapshot").exists()
+    # session temp view still registered
+    name = f"{ctl.catalog_db}_{ctl.table_name}"
+    assert spark.sql(f"SELECT COUNT(*) c FROM {name}").first().c == 100
+
+
 def test_mor_delta_and_compaction(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir, storage_type="mor", compact_every=3)
     t.bulk_insert(_rows(spark, [dict(id=i, v="base", seq=1, pt="a") for i in range(3)]))
