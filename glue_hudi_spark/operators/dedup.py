@@ -219,6 +219,14 @@ def minhash_lsh_pairs(
     """
     r = num_hashes // bands
     n_salts = (num_hashes + 3) // 4
+    # fan out BEFORE the expensive per-row hashing: a small corpus arriving
+    # as few parquet files (one 10 MB file = one task) would hash on a
+    # single core. The repartition shuffles only raw (id, text) rows and
+    # costs far less than the md5 work it parallelizes; at corpus scale
+    # the scan already has >= cores partitions and this is a no-op.
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, n)).alias("sh"),
