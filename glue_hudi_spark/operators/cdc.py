@@ -101,6 +101,7 @@ def apply_cdc_batch(
     upsert_parallelism: int = 0,
     bulkinsert_parallelism: int = 0,
     single_commit: bool = False,
+    extra_stats: dict | None = None,
 ) -> list:
     """Route a deduped CDC batch into the table (processData.py:345-382).
 
@@ -122,24 +123,29 @@ def apply_cdc_batch(
             # ensure the batch is already W1-deduped (≤1 op per key).
             drops = [c for c in ENVELOPE_COLS if c != OP_COL]
             c = table.merge(batch, op_col=OP_COL, drop_cols=drops,
-                            parallelism=upsert_parallelism)
+                            parallelism=upsert_parallelism,
+                            extra_stats=extra_stats)
             return [c] if c else []
         if split_upsert:
             ins = drop_envelope(filter_inserts(batch))
-            c = table.bulk_insert(ins, parallelism=bulkinsert_parallelism)
+            c = table.bulk_insert(ins, parallelism=bulkinsert_parallelism,
+                                  extra_stats=extra_stats)
             if c:
                 commits.append(c)
             upd = drop_envelope(filter_updates(batch))
-            c = table.upsert(upd, parallelism=upsert_parallelism)
+            c = table.upsert(upd, parallelism=upsert_parallelism,
+                             extra_stats=extra_stats)
             if c:
                 commits.append(c)
         else:
             both = drop_envelope(filter_non_deletes(batch))
-            c = table.upsert(both, parallelism=upsert_parallelism)
+            c = table.upsert(both, parallelism=upsert_parallelism,
+                             extra_stats=extra_stats)
             if c:
                 commits.append(c)
         dels = drop_envelope(filter_deletes(batch))
-        c = table.delete(dels, parallelism=upsert_parallelism)
+        c = table.delete(dels, parallelism=upsert_parallelism,
+                         extra_stats=extra_stats)
         if c:
             commits.append(c)
         return commits

@@ -453,6 +453,22 @@ class NativeTable:
         shutil.rmtree(old, ignore_errors=True)
         return final
 
+    def last_stream_batch_id(self) -> int | None:
+        """Newest ``stream_batch_id`` marker in the retained timeline — the
+        exactly-once watermark for streaming foreachBatch sinks. The batch
+        id travels INSIDE the commit stats (``extra_stats``), so it is
+        atomic with the data publish: a crash between merge and streaming
+        checkpoint can't lose it, and the replayed batch is detected and
+        skipped. (Caveat: the marker ages out with commit retention; it
+        survives as long as fewer than ``retain_commits`` non-stream
+        commits landed since the last stream batch — interleave batch jobs
+        heavily and the worst case is an idempotent-by-key re-merge, never
+        data loss.)"""
+        for c in reversed(self.timeline.history()):
+            if "stream_batch_id" in c.stats:
+                return int(c.stats["stream_batch_id"])
+        return None
+
     def partitions(self) -> set[tuple[str, ...]]:
         commit = self.timeline.latest()
         if commit is None:
@@ -477,7 +493,8 @@ class NativeTable:
         self.timeline.clean(self.retain_commits)
         return commit
 
-    def bulk_insert(self, df: DataFrame, parallelism: int = 0) -> Commit | None:
+    def bulk_insert(self, df: DataFrame, parallelism: int = 0,
+                    extra_stats: dict | None = None) -> Commit | None:
         """Initial/full load (processData.py:207-213,337-342): sorted bulk
         write, no key-index lookup. ``parallelism`` mirrors
         ``hoodie.bulkinsert.shuffle.parallelism``; 0 → leave it to AQE."""
@@ -496,7 +513,7 @@ class NativeTable:
         key_stats.update(self._collect_key_stats(files))
         return self._commit(
             cid, "bulk_insert", prev_files + files, prev_deltas,
-            out.schema.json(), {}, key_stats,
+            out.schema.json(), dict(extra_stats or {}), key_stats,
         )
 
     def insert(self, df: DataFrame) -> Commit | None:
@@ -520,31 +537,36 @@ class NativeTable:
             key_stats,
         )
 
-    def upsert(self, batch: DataFrame, parallelism: int = 0) -> Commit | None:
+    def upsert(self, batch: DataFrame, parallelism: int = 0,
+               extra_stats: dict | None = None) -> Commit | None:
         """Keyed merge (processData.py:193-199,369-374): incoming rows
         replace current rows with the same record key. CoW → partition-pruned
         rewrite; MoR → delta append + threshold compaction."""
         if batch.isEmpty():
             return None
         if self.storage_type == "mor":
-            return self._delta_commit(batch, "delta_upsert", "u")
-        return self._cow_merge(batch, deletes=False, parallelism=parallelism)
+            return self._delta_commit(batch, "delta_upsert", "u", extra_stats)
+        return self._cow_merge(batch, deletes=False, parallelism=parallelism,
+                               extra_stats=extra_stats)
 
-    def delete(self, batch: DataFrame, parallelism: int = 0) -> Commit | None:
+    def delete(self, batch: DataFrame, parallelism: int = 0,
+               extra_stats: dict | None = None) -> Commit | None:
         """Hard delete by key (processData.py:215-218,377-382 — the
         EmptyHoodieRecordPayload path)."""
         if batch.isEmpty():
             return None
         if self.storage_type == "mor":
-            return self._delta_commit(batch, "delta_delete", "d")
-        return self._cow_merge(batch, deletes=True, parallelism=parallelism)
+            return self._delta_commit(batch, "delta_delete", "d", extra_stats)
+        return self._cow_merge(batch, deletes=True, parallelism=parallelism,
+                               extra_stats=extra_stats)
 
-    def _cow_merge(self, batch: DataFrame, deletes: bool, parallelism: int) -> Commit:
+    def _cow_merge(self, batch: DataFrame, deletes: bool, parallelism: int,
+                   extra_stats: dict | None = None) -> Commit:
         prev = self.timeline.latest()
         if prev is None:
             if deletes:  # delete against an empty table is a no-op
                 return None
-            return self.bulk_insert(batch, parallelism)
+            return self.bulk_insert(batch, parallelism, extra_stats)
         cid = self.timeline.next_commit_id()
         keyed = self._with_meta(batch, f"{cid:020d}")
         keyed = self._precombine_dedup(keyed)
@@ -589,13 +611,15 @@ class NativeTable:
             untouched + files,
             [],
             merged.schema.json(),
-            {"files_rewritten": len(affected), "files_carried": len(untouched)},
+            {"files_rewritten": len(affected), "files_carried": len(untouched),
+             **(extra_stats or {})},
             key_stats,
         )
 
     def merge(self, batch: DataFrame, op_col: str = "op",
               drop_cols: list[str] | None = None,
-              parallelism: int = 0) -> Commit | None:
+              parallelism: int = 0,
+              extra_stats: dict | None = None) -> Commit | None:
         """Single-commit CDC merge: one atomic commit applies inserts,
         updates, and deletes together (the improvement SURVEY §4 suggests
         over the reference's non-atomic I→U→D triple commit,
@@ -614,12 +638,18 @@ class NativeTable:
             # the two appends is not provided (documented limitation).
             # Return the newest commit that actually happened — an
             # upsert-only batch must not look like a no-op to callers.
-            c_up = self.upsert(batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols))
-            c_del = self.delete(batch.filter(F.col(op_col) == "D").drop(op_col, *drop_cols))
+            c_up = self.upsert(
+                batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols),
+                extra_stats=extra_stats,
+            )
+            c_del = self.delete(
+                batch.filter(F.col(op_col) == "D").drop(op_col, *drop_cols),
+                extra_stats=extra_stats,
+            )
             return c_del or c_up
         if prev is None:
             keep = batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
-            return self.bulk_insert(keep, parallelism)
+            return self.bulk_insert(keep, parallelism, extra_stats)
         cid = self.timeline.next_commit_id()
         keyed = self._with_meta(batch, f"{cid:020d}")
         keyed = self._precombine_dedup(keyed)
@@ -651,13 +681,15 @@ class NativeTable:
         key_stats.update(self._collect_key_stats(files))
         return self._commit(
             cid, "merge", untouched + files, [], merged.schema.json(),
-            {"files_rewritten": len(affected), "files_carried": len(untouched)},
+            {"files_rewritten": len(affected), "files_carried": len(untouched),
+             **(extra_stats or {})},
             key_stats,
         )
 
     # ------------------------------------------------------------------- MoR
 
-    def _delta_commit(self, batch: DataFrame, action: str, op: str) -> Commit:
+    def _delta_commit(self, batch: DataFrame, action: str, op: str,
+                      extra_stats: dict | None = None) -> Commit:
         prev = self.timeline.latest()
         cid = self.timeline.next_commit_id()
         keyed = self._precombine_dedup(self._with_meta(batch, f"{cid:020d}", op))
@@ -668,7 +700,7 @@ class NativeTable:
             base_files, deltas, schema = prev.files, list(prev.deltas), keyed.schema.json()
         deltas.append({"commit_id": cid, "action": action, "files": files})
         commit = self._commit(
-            cid, action, base_files, deltas, schema, {},
+            cid, action, base_files, deltas, schema, dict(extra_stats or {}),
             dict(prev.key_stats) if prev else {},
         )
         if len(deltas) >= self.compact_every:

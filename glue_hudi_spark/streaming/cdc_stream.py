@@ -54,15 +54,27 @@ class CdcStream:
         return self.spark.read.parquet(self.raw_dir).schema
 
     def _merge_batch(self, batch_df, batch_id: int) -> None:
+        # exactly-once: foreachBatch is at-least-once (a crash between the
+        # merge and the streaming checkpoint commit replays the batch).
+        # The batch id is written INSIDE the data commit's stats — atomic
+        # with the publish — so a replayed batch is detected here and
+        # skipped instead of double-applied (bulk_insert replay would
+        # duplicate rows; merge replay would emit spurious change events
+        # to incremental readers).
+        last = self.table.last_stream_batch_id()
+        if last is not None and batch_id <= last:
+            return
         if batch_df.isEmpty():
             return
+        marker = {"stream_batch_id": int(batch_id)}
         b = cdc.lowercase_columns(batch_df)
         if not self.table.exists():
             # first batch bootstraps the table; CDC envelope (if present)
             # routes through the normal path right away
             if cdc.OP_COL not in b.columns:
                 self.table.bulk_insert(
-                    cdc.drop_envelope(b), self.ctl.bulkinsert_parallelism
+                    cdc.drop_envelope(b), self.ctl.bulkinsert_parallelism,
+                    extra_stats=marker,
                 )
                 return
         if cdc.OP_COL in b.columns:
@@ -74,9 +86,13 @@ class CdcStream:
                 upsert_parallelism=self.ctl.upsert_parallelism,
                 bulkinsert_parallelism=self.ctl.bulkinsert_parallelism,
                 single_commit=self.single_commit,
+                extra_stats=marker,
             )
         else:  # full-load shaped files keep arriving → keyed upsert
-            self.table.upsert(cdc.drop_envelope(b), self.ctl.upsert_parallelism)
+            self.table.upsert(
+                cdc.drop_envelope(b), self.ctl.upsert_parallelism,
+                extra_stats=marker,
+            )
 
     def start(self, trigger_available_now: bool = True):
         """Start the stream. ``trigger_available_now=True`` processes the
