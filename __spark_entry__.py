@@ -351,6 +351,33 @@ def cdc_incremental_read(spark, sf_dir):
     return _table_merge_impl(spark, sf_dir, "cow", output="incremental")
 
 
+def cdc_pruned_read(spark, sf_dir):
+    """Column-stats data skipping through the storage engine (round 3):
+    bulk_insert events keyed by a zero-padded event id (so range
+    clustering gives disjoint per-file event_id intervals), then read back
+    with a range prune — the per-file [min,max] index drops files
+    driver-side before Spark lists them, and the paired row filter keeps
+    the result exact (which is what the oracle checks)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "value",
+    )
+    tmp = _scratch_dir("pruned_read_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"], precombine="event_id",
+        partition_keys=[], files_per_partition=8, stats_cols=["event_id"],
+    )
+    table.bulk_insert(ev)
+    out = table.read_snapshot(prune={"event_id": (2000, 2500)})
+    return out.select("event_id", "ts", "user_id", "value")
+
+
+PRUNED_READ_ORACLE = """
+SELECT event_id, ts, user_id, value FROM events
+WHERE event_id BETWEEN 2000 AND 2500
+"""
+
+
 _INCREMENTAL_ORACLE = f"""
 WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
 batch AS (
@@ -1208,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_merge": cdc_table_merge,
         "cdc_table_merge_mor": cdc_table_merge_mor,
         "cdc_incremental_read": cdc_incremental_read,
+        "cdc_pruned_read": cdc_pruned_read,
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
         "scalar_split_explode": scalar_split_explode,
@@ -1261,6 +1289,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_table_merge": _MERGE_ORACLE,
         "cdc_table_merge_mor": _MERGE_ORACLE,
         "cdc_incremental_read": _INCREMENTAL_ORACLE,
+        "cdc_pruned_read": PRUNED_READ_ORACLE,
         "scalar_string_funcs": STRING_ORACLE,
         "scalar_datetime_funcs": DATETIME_ORACLE,
         "scalar_split_explode": EXPLODE_ORACLE,

@@ -59,6 +59,11 @@ class Commit:
     # prune files whose key range can't intersect the batch. Optional —
     # files absent here are treated as always-affected.
     key_stats: dict = field(default_factory=dict)
+    # per-file per-column [min, max] for the table's configured stats_cols —
+    # the column-stats index (Hudi metadata-table column_stats / Delta
+    # data-skipping equivalent): reads prune files whose value range can't
+    # match a predicate, before Spark ever lists them. {file: {col: [lo,hi]}}
+    col_stats: dict = field(default_factory=dict)
 
     @property
     def commit_time(self) -> str:
@@ -109,6 +114,7 @@ class CommitTimeline:
             wall_time=d.get("wall_time", 0.0),
             stats=d.get("stats", {}),
             key_stats=d.get("key_stats", {}),
+            col_stats=d.get("col_stats", {}),
         )
 
     # -- write side ----------------------------------------------------------
@@ -139,6 +145,7 @@ class CommitTimeline:
                 "wall_time": commit.wall_time or time.time(),
                 "stats": commit.stats,
                 "key_stats": commit.key_stats,
+                "col_stats": commit.col_stats,
             },
             indent=1,
         )

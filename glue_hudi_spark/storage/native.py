@@ -96,6 +96,7 @@ class NativeTable:
         retain_commits: int = 10,
         compact_every: int = 20,
         files_per_partition: int | None = None,
+        stats_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = Path(path)
@@ -110,6 +111,11 @@ class NativeTable:
         # into exactly N files per write — without it, every shuffle task
         # writes a sliver into every partition dir (T×P tiny files).
         self.files_per_partition = files_per_partition
+        # column-stats index (Hudi column_stats / Delta data-skipping):
+        # per-file [min,max] of these columns is collected from parquet
+        # footers at write time and used by read_snapshot(prune=...) to
+        # drop files before Spark lists them
+        self.stats_cols = list(stats_cols or [])
         self.timeline = CommitTimeline(self.root)
 
     # ------------------------------------------------------------------ util
@@ -274,6 +280,94 @@ class NativeTable:
                 continue  # no stats → file treated as always-affected
         return out
 
+    @staticmethod
+    def _stat_value(v):
+        """JSON-safe, order-preserving rendering of a footer statistic.
+
+        ints/floats stay native; strings stay strings; date/datetime go to
+        ISO strings (lexicographic == chronological). Types whose string
+        form does NOT order correctly (Decimal, bytes) return None — the
+        column simply isn't indexed for that file, which is always safe.
+        """
+        import datetime as _dt
+
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, (int, float)):
+            return v
+        if isinstance(v, str):
+            return v
+        if isinstance(v, (_dt.date, _dt.datetime)):
+            return v.isoformat()
+        return None
+
+    def _collect_col_stats(self, rel_files: list[str]) -> dict[str, dict]:
+        """Per-file {col: [min, max]} for ``stats_cols``, from parquet
+        footers — metadata-only, same trip the key index already makes.
+        Row groups without stats (or unsupported types) drop the column
+        for that file: pruning is only ever an optimization."""
+        import pyarrow.parquet as pq
+
+        if not self.stats_cols:
+            return {}
+        out: dict[str, dict] = {}
+        for rel in rel_files:
+            try:
+                md = pq.read_metadata(str(self.root / rel))
+            except Exception:
+                continue
+            per_col: dict[str, list] = {}
+            for col in self.stats_cols:
+                mins, maxs = [], []
+                ok = True
+                for rg in range(md.num_row_groups):
+                    row_group = md.row_group(rg)
+                    st = None
+                    for ci in range(row_group.num_columns):
+                        c = row_group.column(ci)
+                        if c.path_in_schema == col:
+                            st = c.statistics
+                            break
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    lo = self._stat_value(st.min)
+                    hi = self._stat_value(st.max)
+                    if lo is None or hi is None:
+                        ok = False
+                        break
+                    mins.append(lo)
+                    maxs.append(hi)
+                if ok and mins:
+                    per_col[col] = [min(mins), max(maxs)]
+            if per_col:
+                out[rel] = per_col
+        return out
+
+    def _prune_files_by_col_stats(
+        self, files: list[str], col_stats: dict, prune: dict
+    ) -> list[str]:
+        """Files whose indexed value ranges can intersect every predicate.
+        ``prune``: {col: (lo, hi)} with None = open bound. Files without
+        stats for a predicate column are kept (safe)."""
+        kept = []
+        for f in files:
+            st = col_stats.get(f, {})
+            skip = False
+            for col, (lo, hi) in prune.items():
+                s = st.get(col)
+                if s is None:
+                    continue
+                plo, phi = self._stat_value(lo), self._stat_value(hi)
+                if (phi is not None and s[0] > phi) or (
+                    plo is not None and s[1] < plo
+                ):
+                    skip = True
+                    break
+            if not skip:
+                kept.append(f)
+        return kept
+
     def _batch_key_range(self, batch: DataFrame) -> tuple[str, str] | None:
         """[min, max] of the batch's record keys — one cheap agg, no window."""
         if not all(k in batch.columns for k in self.record_keys):
@@ -339,17 +433,32 @@ class NativeTable:
         with_meta: bool = False,
         as_of: int | None = None,
         view: str = "snapshot",
+        prune: dict | None = None,
     ) -> DataFrame:
         """Current (or time-travel ``as_of``) table contents.
 
         ``view``: ``snapshot`` — CoW files, or MoR base+deltas merged
         (Hudi's ``_rt`` real-time view); ``read_optimized`` — base files
         only (Hudi's ``_ro`` view, processData.py:131-132).
+
+        ``prune``: {col: (lo, hi)} range predicates (None = open bound)
+        served from the column-stats index (``stats_cols``): base files
+        whose per-file [min,max] can't intersect are dropped BEFORE Spark
+        lists them — driver-side metadata pruning, the manifest-level
+        analog of parquet row-group skipping. The equivalent row filter is
+        also applied, so results are exact even for files kept only
+        because they lack stats (and for MoR delta rows, which are always
+        read — deltas are small by construction).
         """
         commit = self.timeline.at(as_of) if as_of is not None else self.timeline.latest()
         if commit is None:
             raise ValueError(f"table {self.root} has no commits")
-        base = self._read_files(commit.files, commit.schema_json)
+        base_files = commit.files
+        if prune:
+            base_files = self._prune_files_by_col_stats(
+                base_files, commit.col_stats, prune
+            )
+        base = self._read_files(base_files, commit.schema_json)
         if view == "read_optimized" or not commit.deltas:
             out = base
         else:
@@ -380,6 +489,12 @@ class NativeTable:
                 latest.filter(F.col(DELTA_OP_COL) != "d"),
                 allowMissingColumns=True,
             )
+        if prune:
+            for col, (lo, hi) in prune.items():
+                if lo is not None:
+                    out = out.filter(F.col(col) >= F.lit(lo))
+                if hi is not None:
+                    out = out.filter(F.col(col) <= F.lit(hi))
         if not with_meta:
             out = out.drop(*META_COLS)
         return out
@@ -479,7 +594,8 @@ class NativeTable:
 
     def _commit(self, commit_id: int, action: str, files: list[str],
                 deltas: list[dict], schema_json: str, stats: dict,
-                key_stats: dict | None = None) -> Commit:
+                key_stats: dict | None = None,
+                col_stats: dict | None = None) -> Commit:
         commit = Commit(
             commit_id=commit_id,
             action=action,
@@ -488,6 +604,7 @@ class NativeTable:
             schema_json=schema_json,
             stats=stats,
             key_stats=key_stats or {},
+            col_stats=col_stats or {},
         )
         self.timeline.publish(commit)
         self.timeline.clean(self.retain_commits)
@@ -511,9 +628,11 @@ class NativeTable:
         prev_deltas = prev.deltas if prev else []
         key_stats = dict(prev.key_stats) if prev else {}
         key_stats.update(self._collect_key_stats(files))
+        col_stats = dict(prev.col_stats) if prev else {}
+        col_stats.update(self._collect_col_stats(files))
         return self._commit(
             cid, "bulk_insert", prev_files + files, prev_deltas,
-            out.schema.json(), dict(extra_stats or {}), key_stats,
+            out.schema.json(), dict(extra_stats or {}), key_stats, col_stats,
         )
 
     def insert(self, df: DataFrame) -> Commit | None:
@@ -527,6 +646,8 @@ class NativeTable:
         prev = self.timeline.latest()
         key_stats = dict(prev.key_stats) if prev else {}
         key_stats.update(self._collect_key_stats(files))
+        col_stats = dict(prev.col_stats) if prev else {}
+        col_stats.update(self._collect_col_stats(files))
         return self._commit(
             cid,
             "insert",
@@ -535,6 +656,7 @@ class NativeTable:
             out.schema.json(),
             {},
             key_stats,
+            col_stats,
         )
 
     def upsert(self, batch: DataFrame, parallelism: int = 0,
@@ -605,6 +727,8 @@ class NativeTable:
         )
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(self._collect_key_stats(files))
+        col_stats = {f: prev.col_stats[f] for f in untouched if f in prev.col_stats}
+        col_stats.update(self._collect_col_stats(files))
         return self._commit(
             cid,
             "delete" if deletes else "upsert",
@@ -614,6 +738,7 @@ class NativeTable:
             {"files_rewritten": len(affected), "files_carried": len(untouched),
              **(extra_stats or {})},
             key_stats,
+            col_stats,
         )
 
     def merge(self, batch: DataFrame, op_col: str = "op",
@@ -679,11 +804,14 @@ class NativeTable:
         )
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(self._collect_key_stats(files))
+        col_stats = {f: prev.col_stats[f] for f in untouched if f in prev.col_stats}
+        col_stats.update(self._collect_col_stats(files))
         return self._commit(
             cid, "merge", untouched + files, [], merged.schema.json(),
             {"files_rewritten": len(affected), "files_carried": len(untouched),
              **(extra_stats or {})},
             key_stats,
+            col_stats,
         )
 
     # ------------------------------------------------------------------- MoR
@@ -702,6 +830,7 @@ class NativeTable:
         commit = self._commit(
             cid, action, base_files, deltas, schema, dict(extra_stats or {}),
             dict(prev.key_stats) if prev else {},
+            dict(prev.col_stats) if prev else {},
         )
         if len(deltas) >= self.compact_every:
             commit = self.compact()
@@ -721,6 +850,7 @@ class NativeTable:
         return self._commit(
             cid, "cluster", files, [], merged.schema.json(), {},
             self._collect_key_stats(files),
+            self._collect_col_stats(files),
         )
 
     def compact(self) -> Commit:
@@ -733,4 +863,5 @@ class NativeTable:
         return self._commit(
             cid, "compact", files, [], merged.schema.json(), {},
             self._collect_key_stats(files),
+            self._collect_col_stats(files),
         )
