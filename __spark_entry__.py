@@ -378,6 +378,36 @@ WHERE event_id BETWEEN 2000 AND 2500
 """
 
 
+def events_zorder_read(spark, sf_dir):
+    """Z-order clustering + multi-dimensional data skipping (round 3):
+    ingest events, rewrite the layout along a Morton curve over
+    (user_id, event_id), then read with range predicates on BOTH
+    dimensions — each file covers a small hyper-rectangle of the
+    (user, event) space, so the column-stats index prunes on either
+    column (key-range layout only ever prunes on the leading key).
+    The paired row filter keeps the result exact, which the oracle checks."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "value",
+    )
+    tmp = _scratch_dir("zorder_read_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"], precombine="event_id",
+        partition_keys=[], files_per_partition=8,
+        stats_cols=["user_id", "event_id"],
+    )
+    table.bulk_insert(ev)
+    table.cluster(zorder_by=["user_id", "event_id"])
+    out = table.read_snapshot(prune={"user_id": (2, 10), "event_id": (50, 800)})
+    return out.select("event_id", "ts", "user_id", "value")
+
+
+ZORDER_READ_ORACLE = """
+SELECT event_id, ts, user_id, value FROM events
+WHERE user_id BETWEEN 2 AND 10 AND event_id BETWEEN 50 AND 800
+"""
+
+
 _INCREMENTAL_ORACLE = f"""
 WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
 batch AS (
@@ -1236,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_merge_mor": cdc_table_merge_mor,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_pruned_read": cdc_pruned_read,
+        "events_zorder_read": events_zorder_read,
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
         "scalar_split_explode": scalar_split_explode,
@@ -1290,6 +1321,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_table_merge_mor": _MERGE_ORACLE,
         "cdc_incremental_read": _INCREMENTAL_ORACLE,
         "cdc_pruned_read": PRUNED_READ_ORACLE,
+        "events_zorder_read": ZORDER_READ_ORACLE,
         "scalar_string_funcs": STRING_ORACLE,
         "scalar_datetime_funcs": DATETIME_ORACLE,
         "scalar_split_explode": EXPLODE_ORACLE,

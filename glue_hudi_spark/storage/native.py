@@ -150,7 +150,8 @@ class NativeTable:
         )
 
     def _write_files(
-        self, df: DataFrame, commit_id: int, n_files: int | None = None
+        self, df: DataFrame, commit_id: int, n_files: int | None = None,
+        cluster_col: str | None = None,
     ) -> list[str]:
         """Write one commit's data dir; return new file paths (rel to root).
 
@@ -163,13 +164,24 @@ class NativeTable:
         rewrites pass the affected-set size so rewriting 1 file emits ~1
         file — a fixed width would shatter every small rewrite into N
         slivers and balloon the file count commit over commit.
+
+        ``cluster_col`` overrides the layout column for an unpartitioned
+        write: range-partition + sort on it instead of the record key
+        (used by Z-order clustering, which passes a precomputed z-value);
+        the column is dropped before the files are written.
         """
         commit_dir = self.root / DATA_DIR / f"{commit_id:020d}"
         width = n_files if n_files is not None else self.files_per_partition
         out = df
         for c in self.partition_keys:
             out = out.withColumn(_PP_PREFIX + c, _partition_str(c))
-        if width and self.partition_keys:
+        if width and cluster_col and not self.partition_keys:
+            out = (
+                out.repartitionByRange(width, cluster_col)
+                .sortWithinPartitions(cluster_col)
+                .drop(cluster_col)
+            )
+        elif width and self.partition_keys:
             # cluster each hive partition into at most N output files:
             # hash-repartition on (partition dirs, record-key bucket) —
             # buckets of one dir landing in the same task coalesce further
@@ -367,6 +379,54 @@ class NativeTable:
             if not skip:
                 kept.append(f)
         return kept
+
+    def _zorder_value(self, df: DataFrame, cols: list[str], bits: int):
+        """Z-value (Morton code) column expression for ``cols``.
+
+        Each column is mapped to an equal-frequency bucket id in
+        [0, 2^bits) using approxQuantile boundaries — ONE sampled
+        aggregation pass for all columns, boundaries held driver-side
+        (metadata-sized: (2^bits - 1) doubles per column). Bucket lookup
+        and bit interleaving are pure JVM expressions (a filter-count over
+        a literal boundary array + shift/or folds), so the only data
+        movement Z-ordering adds is the range shuffle the rewrite already
+        pays. Equal-frequency (not min/max-uniform) buckets keep skewed
+        columns from collapsing into one bucket — same approach as
+        Delta's OSS Z-order (range ids from sampling).
+
+        Nulls bucket to 0 (sort first). Columns must be castable to
+        double (numeric / date / timestamp); strings would need a
+        order-preserving encoding and are rejected.
+        """
+        n = len(cols)
+        if not 2 <= n <= 4:
+            raise ValueError("zorder_by needs 2-4 columns")
+        if bits * n > 60:
+            raise ValueError(f"bits={bits} too wide for {n} columns")
+        for c in cols:
+            t = df.schema[c].dataType
+            if isinstance(t, (T.StringType, T.BinaryType)):
+                raise ValueError(
+                    f"zorder column {c!r} is {t.simpleString()}: no "
+                    "order-preserving double cast; bucket it yourself first"
+                )
+        probs = [i / 2**bits for i in range(1, 2**bits)]
+        dbl = df.select(
+            *[F.col(c).cast("double").alias(f"c{i}") for i, c in enumerate(cols)]
+        )
+        quantiles = dbl.approxQuantile(
+            [f"c{i}" for i in range(n)], probs, 0.25 / 2**bits
+        )
+        z = F.lit(0).cast("long")
+        for j, (c, bounds) in enumerate(zip(cols, quantiles)):
+            arr = F.array(*[F.lit(b) for b in sorted(set(bounds))])
+            bucket = F.size(
+                F.filter(arr, lambda b: b <= F.col(c).cast("double"))
+            ).cast("long")
+            for i in range(bits):
+                bit = F.shiftright(bucket, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+        return z
 
     def _batch_key_range(self, batch: DataFrame) -> tuple[str, str] | None:
         """[min, max] of the batch's record keys — one cheap agg, no window."""
@@ -836,17 +896,35 @@ class NativeTable:
             commit = self.compact()
         return commit
 
-    def cluster(self) -> Commit:
+    def cluster(self, zorder_by: list[str] | None = None,
+                zorder_bits: int = 8) -> Commit:
         """Hudi-style CLUSTERING for CoW: rewrite the full live file set at
         the configured ``files_per_partition`` width — restores a bounded
         file count and tight per-file key ranges after many small merges
         (each merge emits files sized to its affected set, so fragments
         accumulate). Unlike ``compact`` this PRESERVES the per-record
         ``_ghs_commit_time``, so the incremental change feed is unaffected.
+
+        ``zorder_by``: lay files out along a Morton curve over 2-4 columns
+        instead of the record-key range (Hudi clustering's ``zorder``
+        layout strategy). Each file then covers a small hyper-rectangle of
+        the column space, so the column-stats index (``stats_cols``)
+        prunes on ANY of the z-ordered dimensions — key-range layout only
+        ever prunes on the leading key. Unpartitioned tables only (a
+        partitioned table's layout is its partition dirs).
         """
+        if zorder_by and self.partition_keys:
+            raise ValueError("zorder clustering is for unpartitioned tables")
         merged = self.read_snapshot(with_meta=True)
         cid = self.timeline.next_commit_id()
-        files = self._write_files(merged, cid)
+        if zorder_by:
+            zcol = "_ghs_zvalue"
+            merged_z = merged.withColumn(
+                zcol, self._zorder_value(merged, zorder_by, zorder_bits)
+            )
+            files = self._write_files(merged_z, cid, cluster_col=zcol)
+        else:
+            files = self._write_files(merged, cid)
         return self._commit(
             cid, "cluster", files, [], merged.schema.json(), {},
             self._collect_key_stats(files),

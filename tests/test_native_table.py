@@ -163,6 +163,46 @@ def test_column_stats_data_skipping(spark, tmp_table_dir):
     assert {r["seq"] for r in out.filter("id = '0005'").collect()} == {9}
 
 
+def test_zorder_clustering_multi_dim_skipping(spark, tmp_table_dir):
+    """cluster(zorder_by=[x, y]) lays files along a Morton curve, so the
+    column-stats index prunes on EITHER dimension — key-range layout only
+    ever prunes on the leading key. x cycles with the record key here, so
+    before z-ordering every file sees the full x range (no skipping)."""
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"], precombine="s",
+                    files_per_partition=16, stats_cols=["x", "y"])
+    rows = spark.createDataFrame(
+        [(f"{i:05d}", i % 100, (i * 37) % 100, 1) for i in range(10_000)],
+        "id string, x int, y int, s int",
+    )
+    t.bulk_insert(rows)
+    assert len(t.read_snapshot(prune={"x": (0, 24)}).inputFiles()) == 16
+
+    t.cluster(zorder_by=["x", "y"])
+    commit = t.timeline.latest()
+    assert len(commit.files) == 16
+    prx = t.read_snapshot(prune={"x": (0, 24)})
+    pry = t.read_snapshot(prune={"y": (0, 24)})
+    assert len(prx.inputFiles()) < 16
+    assert len(pry.inputFiles()) < 16
+    assert prx.count() == 2500
+    assert pry.count() == 2500
+    both = t.read_snapshot(prune={"x": (0, 24), "y": (0, 24)})
+    assert len(both.inputFiles()) <= min(len(prx.inputFiles()),
+                                         len(pry.inputFiles()))
+    expected = sum(1 for i in range(10_000)
+                   if i % 100 <= 24 and (i * 37) % 100 <= 24)
+    assert both.count() == expected
+    # layout rewrite, not a data change
+    assert t.read_snapshot().count() == 10_000
+
+    with pytest.raises(ValueError, match="zorder column"):
+        t.cluster(zorder_by=["id", "x"])  # string col rejected
+    pt = NativeTable(spark, str(tmp_table_dir) + "_p", record_keys=["id"],
+                     partition_keys=["x"])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        pt.cluster(zorder_by=["x", "y"])
+
+
 def test_export_snapshot_zero_copy_without_hardlinks(spark, tmp_table_dir, monkeypatch):
     """On a filesystem without hardlink support the export must fall back
     to symlinks (metadata-only), never to a data-byte copy — the round-2
