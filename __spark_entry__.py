@@ -24,7 +24,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from glue_hudi_spark.functions import text as TX
-from glue_hudi_spark.operators import cdc, dedup, multimodal, similarity
+from glue_hudi_spark.operators import (
+    cdc, dedup, multimodal, ranges, sampling, similarity,
+)
 from glue_hudi_spark.storage.native import NativeTable
 
 TABLES = [
@@ -605,14 +607,18 @@ SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
 FROM documents GROUP BY 1
 """
 
-_SHINGLE_CTE = r"""
+def _shingle_cte(base: str = "documents") -> str:
+    """Word-3-shingle CTE over ``base`` (any table/CTE with doc_id, lang,
+    text) — parameterized so composed pipelines (corpus_curation) can run
+    the same MinHash machinery over a filtered subset."""
+    return rf"""
 s AS (
   SELECT doc_id AS id, lang,
          list_distinct(CASE WHEN len(w) >= 3
            THEN list_transform(range(1, len(w)-1), i -> array_to_string(w[i:i+2], ' '))
            ELSE [array_to_string(w, ' ')] END) AS sh
   FROM (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\s+') AS w
-        FROM documents) raw
+        FROM {base}) raw
 )
 """
 
@@ -640,11 +646,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-def _minhash_pair_ctes(threshold: float = 0.5) -> str:
+def _minhash_pair_ctes(threshold: float = 0.5, base: str = "documents") -> str:
     # mirrors operators.dedup.minhash_hash_expr: hash j = 8 hex chars
     # [1+8*(j%4) ..] of md5(shingle || ':' || j//4). Ends with a
     # ``verified`` CTE holding the (id_a, id_b, jaccard) survivor pairs so
     # both the pairs query and the cluster-resolution query share it.
+    # ``base``: the docs table/CTE to shingle (composed pipelines pass a
+    # filtered CTE).
     mh = ", ".join(
         f"list_aggregate(list_transform(sh, x -> substr(md5(x || ':{j // 4}'), {1 + 8 * (j % 4)}, 8)), 'min') AS mh{j}"
         for j in range(16)
@@ -653,7 +661,7 @@ def _minhash_pair_ctes(threshold: float = 0.5) -> str:
         f"SELECT id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM m"
         for b in range(8)
     )
-    return f"""{_SHINGLE_CTE},
+    return f"""{_shingle_cte(base)},
 m AS (SELECT id, sh, {mh} FROM s),
 b AS ({bands}),
 pairs AS (
@@ -817,6 +825,205 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# deterministic sampling (operators/sampling.py): the training-data side of
+# the corpus pipeline — stratified rates, token budgets, corpus mixing. All
+# keep decisions are md5-hash thresholds, so DuckDB replays them exactly.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 0.5, "fr": 0.25, "de": 1.0}
+# doc_id → [0,1): same expression sampling.hash_fraction spells in Spark
+_HASH_FRAC_SQL = (
+    "cast(concat('0x', substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " / 4294967296.0"
+)
+
+
+def corpus_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling: keep each doc iff
+    md5(doc_id)-derived uniform < its language's rate. Map-side only —
+    no shuffle, no RNG, stable under retries."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.stratified_sample(
+        d, "lang", _SAMPLE_RATES, "doc_id", default_rate=0.1
+    )
+    return out.select("doc_id", "lang", "source")
+
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_HASH_FRAC_SQL} <
+  CASE lang WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.25 WHEN 'de' THEN 1.0
+            ELSE 0.1 END
+"""
+
+
+def corpus_token_budget(spark, sf_dir):
+    """Per-language token budget: rank docs by quality (desc, doc_id
+    tie-break), keep the prefix whose running token total fits 2000
+    tokens — the budget buys the best documents deterministically."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "lang",
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        TX.quality_score("text").alias("quality"),
+    )
+    out = sampling.token_budget_sample(
+        scored, "n_tokens", budget=2000, stratum_col="lang",
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+    )
+    return out.select("doc_id", "lang", "n_tokens")
+
+
+TOKEN_BUDGET_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+    length(text) AS n,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), m AS (
+  SELECT doc_id, lang, n_tokens,
+    CASE WHEN n > 0 THEN n_punct::DOUBLE / n::DOUBLE ELSE 0.0 END AS pr,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({_SW}, x)))::DOUBLE / len(toks)::DOUBLE
+         ELSE 0.0 END AS sr,
+    len(toks)::DOUBLE AS n_tok
+  FROM base
+), q AS (
+  SELECT doc_id, lang, n_tokens,
+    round((least(n_tok / 50.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 10.0, 1.0)) / 3.0, 6) AS quality
+  FROM m
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+    sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM q
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 2000
+"""
+
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
+
+
+def corpus_mixed(spark, sf_dir):
+    """Corpus mixing: down-sample three sources so the output carries them
+    at 2:1:1. Keep rates derive from the per-source counts (one
+    metadata-sized agg); the sampling itself is the map-side hash filter."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.mix_corpora(d, "source", _MIX_WEIGHTS, "doc_id")
+    return out.select("doc_id", "source")
+
+
+# replays the driver-side rate computation in SQL with the identical
+# float-op order (w * t / n, t = min(n / w)), so thresholds are bit-equal
+MIXED_ORACLE = f"""
+WITH w(source, nw) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+cnt AS (
+  SELECT d.source, COUNT(*)::DOUBLE AS n FROM documents d
+  JOIN w ON d.source = w.source GROUP BY d.source
+),
+t AS (SELECT MIN(n / nw) AS tt FROM cnt JOIN w ON cnt.source = w.source),
+r AS (
+  SELECT cnt.source, LEAST(1.0, nw * (SELECT tt FROM t) / n) AS rate
+  FROM cnt JOIN w ON cnt.source = w.source
+)
+SELECT d.doc_id, d.source FROM documents d
+JOIN r ON d.source = r.source
+WHERE {_HASH_FRAC_SQL} < r.rate
+"""
+
+
+def corpus_curation(spark, sf_dir):
+    """End-to-end corpus curation — the composed flagship of the
+    LLM-data-pipeline extensions, every stage an operator this repo
+    already gates individually:
+
+      1. score: quality + token count per doc (pure JVM expressions);
+      2. filter: quality >= 0.6;
+      3. exact dedup: keep the min doc_id per normalized content hash;
+      4. near-dup: MinHash-LSH pairs -> connected components ->
+         drop every cluster member but its keeper;
+      5. budget: per language, keep the best docs (quality desc) whose
+         running token total fits 3000 tokens.
+
+    Scale shape: stages 1-2 are map-side; stage 3 is one groupBy + one
+    join; stage 4 is the LSH pipeline (collision-bounded) + label
+    propagation on the (tiny) paired-node set; stage 5 is one window per
+    language. The oracle replays all five stages as chained CTEs over the
+    shared MinHash machinery (``_minhash_pair_ctes(base=...)``)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        TX.token_count("text").cast("bigint").alias("n_tokens"),
+        TX.quality_score("text").alias("quality"),
+    )
+    kept = scored.filter(F.col("quality") >= 0.6)
+    winners = dedup.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+    ex = kept.join(winners, "doc_id", "left_semi")
+    pairs = dedup.minhash_lsh_pairs(
+        ex, n=3, num_hashes=16, bands=8, verify_threshold=0.5
+    )
+    clusters = dedup.resolve_clusters(pairs)
+    uniq = dedup.drop_near_duplicates(ex, clusters)
+    out = sampling.token_budget_sample(
+        uniq, "n_tokens", budget=3000, stratum_col="lang",
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+    )
+    return out.select("doc_id", "lang", "n_tokens", "quality")
+
+
+def _curation_oracle() -> str:
+    return rf"""
+WITH RECURSIVE base0 AS (
+  SELECT doc_id, lang, text,
+    length(text) AS n,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+), m0 AS (
+  SELECT doc_id, lang, text, n_tokens,
+    CASE WHEN n > 0 THEN n_punct::DOUBLE / n::DOUBLE ELSE 0.0 END AS pr,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({_SW}, x)))::DOUBLE / len(toks)::DOUBLE
+         ELSE 0.0 END AS sr,
+    len(toks)::DOUBLE AS n_tok
+  FROM base0
+), scored AS (
+  SELECT doc_id, lang, text, n_tokens,
+    round((least(n_tok / 50.0, 1.0) + (1.0 - least(pr * 5.0, 1.0)) + least(sr * 10.0, 1.0)) / 3.0, 6) AS quality
+  FROM m0
+), kept AS (SELECT * FROM scored WHERE quality >= 0.6),
+exw AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM kept GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+), ex AS (SELECT k.* FROM kept k JOIN exw ON k.doc_id = exw.doc_id),
+{_minhash_pair_ctes(base="ex")},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+losers AS (
+  SELECT id AS doc_id FROM reach GROUP BY id HAVING id <> MIN(peer)
+), uniq AS (
+  SELECT * FROM ex WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+), c AS (
+  SELECT doc_id, lang, n_tokens, quality,
+    sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM uniq
+)
+SELECT doc_id, lang, n_tokens, quality FROM c WHERE cum <= 3000
+"""
+
+
 def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -943,6 +1150,38 @@ FROM (
                   FROM events WHERE event_type = 'click') r
   ON l.user_id = r.user_id AND l.ts >= r.click_ts
 ) t
+"""
+
+
+def events_interval_join(spark, sf_dir):
+    """Range join without a nested loop: every click in the hour BEFORE
+    each purchase (attribution window), via the time-bucketed equi-join
+    in operators/ranges.py. A plain `ts BETWEEN start AND end` join has
+    no equi-key and Spark plans O(|P|·|I|); here intervals explode to
+    15-min buckets and the join runs on (user_id, bucket)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    out = ranges.interval_join(
+        clicks, purchases, on="user_id", point_ts="ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=900,
+    )
+    return out.select("user_id", "click_id", "purchase_id")
+
+
+INTERVAL_JOIN_ORACLE = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
 """
 
 
@@ -1286,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": skew_salted_agg,
         "skew_salted_join": skew_salted_join,
         "events_asof_tolerance": events_asof_tolerance,
+        "events_interval_join": events_interval_join,
         "events_hourly_rollup": events_hourly_rollup,
         "region_nation_stats": region_nation_stats,
         "part_brand_stats": part_brand_stats,
@@ -1293,6 +1533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "corpus_stratified_sample": corpus_stratified_sample,
+        "corpus_token_budget": corpus_token_budget,
+        "corpus_mixed": corpus_mixed,
+        "corpus_curation": corpus_curation,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
@@ -1340,6 +1584,7 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_agg": SKEW_ORACLE,
         "skew_salted_join": SALTED_JOIN_ORACLE,
         "events_asof_tolerance": ASOF_TOLERANCE_ORACLE,
+        "events_interval_join": INTERVAL_JOIN_ORACLE,
         "events_hourly_rollup": ROLLUP_ORACLE,
         "region_nation_stats": REGION_ORACLE,
         "part_brand_stats": PART_ORACLE,
@@ -1347,6 +1592,10 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": QUALITY_ORACLE,
         "text_lang_id": _lang_oracle(),
         "text_fingerprint": FINGERPRINT_ORACLE,
+        "corpus_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
+        "corpus_token_budget": TOKEN_BUDGET_ORACLE,
+        "corpus_mixed": MIXED_ORACLE,
+        "corpus_curation": _curation_oracle(),
         "ann_cosine_topk": _ann_oracle(bucketed=False),
         "ann_lsh_bucketed": _ann_oracle(bucketed=True),
         "ann_ivf_topk": _ivf_oracle(),

@@ -1,0 +1,96 @@
+"""Deterministic sampling operators (operators/sampling.py).
+
+The oracle gate (corpus_stratified_sample / corpus_token_budget /
+corpus_mixed) proves engine parity; these tests pin the semantic
+properties parity can't see: determinism across runs, rate monotonicity,
+budget edge cases, and mix proportions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_hudi_spark.operators import sampling
+
+
+def _docs(spark, n=2000):
+    return spark.createDataFrame(
+        [(i, ["en", "fr", "de", "zh"][i % 4], f"src{i % 3}", 10 + i % 90)
+         for i in range(n)],
+        "doc_id bigint, lang string, source string, n_tokens bigint",
+    )
+
+
+def test_stratified_sample_deterministic_and_proportional(spark):
+    d = _docs(spark)
+    rates = {"en": 0.5, "fr": 0.1, "de": 1.0}
+    a = sampling.stratified_sample(d, "lang", rates, "doc_id")
+    b = sampling.stratified_sample(d, "lang", rates, "doc_id")
+    ra = {r["doc_id"] for r in a.collect()}
+    assert ra == {r["doc_id"] for r in b.collect()}  # no RNG anywhere
+    by_lang = {r["lang"]: r["n"] for r in
+               a.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["de"] == 500           # rate 1.0 keeps everything
+    assert "zh" not in by_lang            # default_rate 0 drops the stratum
+    assert 150 <= by_lang["en"] <= 350    # ~250 expected at rate 0.5
+    assert 10 <= by_lang["fr"] <= 110     # ~50 expected at rate 0.1
+    # subset property: raising a rate only adds rows
+    wider = sampling.stratified_sample(d, "lang", {**rates, "fr": 0.5}, "doc_id")
+    assert ra <= {r["doc_id"] for r in wider.collect()}
+
+
+def test_stratified_sample_is_map_side(spark):
+    plan = sampling.stratified_sample(
+        _docs(spark), "lang", {"en": 0.5}, "doc_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure filter: one scan, no shuffle
+
+
+def test_token_budget_prefix_semantics(spark):
+    d = spark.createDataFrame(
+        [(1, "en", 50, 0.9), (2, "en", 40, 0.8), (3, "en", 30, 0.7),
+         (4, "en", 100, 0.6), (5, "fr", 500, 0.9), (6, "fr", 90, 0.5)],
+        "doc_id bigint, lang string, n_tokens bigint, quality double",
+    )
+    out = sampling.token_budget_sample(
+        d, "n_tokens", budget=100, stratum_col="lang",
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    # en: 50 + 40 fits, +30 would overflow → {1, 2}; doc 4 (worse quality)
+    # can't "fill the gap" — greedy prefix, not bin packing.
+    # fr: the best doc alone (500) overflows → nothing from fr.
+    assert got == {1, 2}
+
+
+def test_token_budget_unstratified(spark):
+    d = spark.createDataFrame(
+        [(i, 10) for i in range(10)], "doc_id bigint, n_tokens bigint"
+    )
+    out = sampling.token_budget_sample(
+        d, "n_tokens", budget=35, order_by=[F.col("doc_id").asc()]
+    )
+    assert {r["doc_id"] for r in out.collect()} == {0, 1, 2}
+
+
+def test_mix_corpora_proportions(spark):
+    d = _docs(spark, 3000)  # 1000 per src0/src1/src2
+    out = sampling.mix_corpora(
+        d, "source", {"src0": 2.0, "src1": 1.0, "src2": 1.0}, "doc_id"
+    )
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # t = min(1000/0.5, 1000/0.25, 1000/0.25) = 2000 →
+    # rates: src0 = 1.0 (keep all), src1 = src2 = 0.5 (~500 each)
+    assert by_src["src0"] == 1000
+    assert 400 <= by_src["src1"] <= 600
+    assert 400 <= by_src["src2"] <= 600
+    assert len(by_src) == 3
+
+
+def test_mix_corpora_missing_source_raises(spark):
+    with pytest.raises(ValueError, match="absent"):
+        sampling.mix_corpora(
+            _docs(spark, 30), "source", {"src0": 1.0, "nope": 1.0}, "doc_id"
+        )
