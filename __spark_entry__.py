@@ -501,6 +501,70 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def events_pivot(spark, sf_dir):
+    """Pivot (long→wide): per-user event-type counts as columns — the
+    `RelationalGroupedDataset.pivot` surface with an explicit value list
+    (no extra distinct-scan job; at scale always pass the list)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    p = ev.groupBy("user_id").pivot("event_type", kinds).agg(F.count(F.lit(1)))
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("bigint").alias(f"n_{k}")
+          for k in kinds],
+    )
+
+
+PIVOT_ORACLE = """
+SELECT user_id,
+  SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+  SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+  SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+  SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view
+FROM events GROUP BY user_id
+"""
+
+
+def events_window_suite(spark, sf_dir):
+    """The full ANSI window-function surface in one query: lag/lead and
+    row_number over a unique ordering, rank/dense_rank/percent_rank/
+    cume_dist over a tied ordering (value), ntile over the unique
+    ordering (ties would make ntile nondeterministic)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_uniq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy("value")
+    return ev.select(
+        "user_id", "event_id",
+        F.lag("value").over(w_uniq).alias("prev_value"),
+        F.lead("value").over(w_uniq).alias("next_value"),
+        F.row_number().over(w_uniq).alias("rn"),
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.round(F.percent_rank().over(w_val), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w_val), 6).alias("cdist"),
+        F.ntile(4).over(w_uniq).alias("quartile"),
+    )
+
+
+WINDOW_SUITE_ORACLE = """
+SELECT user_id, event_id,
+  lag(value) OVER u AS prev_value,
+  lead(value) OVER u AS next_value,
+  row_number() OVER u AS rn,
+  rank() OVER v AS rnk,
+  dense_rank() OVER v AS drnk,
+  round(percent_rank() OVER v, 6) AS prnk,
+  round(cume_dist() OVER v, 6) AS cdist,
+  ntile(4) OVER u AS quartile
+FROM events
+WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id),
+       v AS (PARTITION BY user_id ORDER BY value)
+"""
+
+
 def scalar_split_explode(spark, sf_dir):
     """§2.4: split + explode → word frequencies."""
     d = _t(spark, sf_dir, "documents")
@@ -1511,6 +1575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_split_explode": scalar_split_explode,
         "scalar_timestamp_parse": scalar_timestamp_parse,
         "orders_priority_rollup": orders_priority_rollup,
+        "events_pivot": events_pivot,
+        "events_window_suite": events_window_suite,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_sessionization": events_sessionization,
         "events_asof_join": events_asof_join,
@@ -1571,6 +1637,8 @@ def oracle_sql() -> dict[str, str]:
         "scalar_split_explode": EXPLODE_ORACLE,
         "scalar_timestamp_parse": TS_PARSE_ORACLE,
         "orders_priority_rollup": ROLLUP_SETS_ORACLE,
+        "events_pivot": PIVOT_ORACLE,
+        "events_window_suite": WINDOW_SUITE_ORACLE,
         "topk_orders_per_customer": TOPK_ORACLE,
         "events_sessionization": _SESSION_SQL,
         "events_asof_join": ASOF_ORACLE,

@@ -95,6 +95,7 @@ class NativeTable:
         storage_type: str = "cow",
         retain_commits: int = 10,
         compact_every: int = 20,
+        compact_delta_bytes: int | None = None,
         files_per_partition: int | None = None,
         stats_cols: list[str] | None = None,
     ):
@@ -111,6 +112,11 @@ class NativeTable:
         # into exactly N files per write — without it, every shuffle task
         # writes a sliver into every partition dir (T×P tiny files).
         self.files_per_partition = files_per_partition
+        # size-based inline-compaction trigger, alongside the count-based
+        # compact_every (Hudi's max-delta-commits vs log-file-size pair):
+        # a few huge delta commits hurt the _rt read path as much as many
+        # small ones, and only a byte bound sees that.
+        self.compact_delta_bytes = compact_delta_bytes
         # column-stats index (Hudi column_stats / Delta data-skipping):
         # per-file [min,max] of these columns is collected from parquet
         # footers at write time and used by read_snapshot(prune=...) to
@@ -892,9 +898,43 @@ class NativeTable:
             dict(prev.key_stats) if prev else {},
             dict(prev.col_stats) if prev else {},
         )
-        if len(deltas) >= self.compact_every:
+        if len(deltas) >= self.compact_every or (
+            self.compact_delta_bytes is not None
+            and self._delta_bytes(deltas) >= self.compact_delta_bytes
+        ):
             commit = self.compact()
         return commit
+
+    def _delta_bytes(self, deltas: list[dict]) -> int:
+        """On-disk bytes across all pending delta files — driver-side
+        stat() calls on the (bounded-by-compact_every) delta set, no data
+        read. Vanished files count 0: the trigger is advisory."""
+        total = 0
+        for d in deltas:
+            for f in d["files"]:
+                try:
+                    total += (self.root / f).stat().st_size
+                except OSError:
+                    pass
+        return total
+
+    def maybe_cluster(self, max_files: int,
+                      zorder_by: list[str] | None = None) -> Commit | None:
+        """Cluster only when fragmented: merges sized to their affected
+        set accumulate small files; once the live file count exceeds
+        ``max_files`` (per partition, averaged), rewrite the layout.
+        Returns None when the table is healthy — callers can run this
+        after every merge for Hudi-style inline clustering at a policy
+        they control."""
+        commit = self.timeline.latest()
+        if commit is None:
+            return None
+        n_parts = max(
+            1, len({self._file_partition(f) for f in commit.files})
+        ) if self.partition_keys else 1
+        if len(commit.files) <= max_files * n_parts:
+            return None
+        return self.cluster(zorder_by=zorder_by)
 
     def cluster(self, zorder_by: list[str] | None = None,
                 zorder_bits: int = 8) -> Commit:

@@ -203,6 +203,51 @@ def test_zorder_clustering_multi_dim_skipping(spark, tmp_table_dir):
         pt.cluster(zorder_by=["x", "y"])
 
 
+def test_compaction_byte_trigger(spark, tmp_table_dir):
+    """compact_delta_bytes compacts on cumulative delta SIZE, not count:
+    one delta commit whose files exceed the bound compacts immediately,
+    long before compact_every's count trigger would fire."""
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"], precombine="s",
+                    storage_type="mor", compact_every=100,
+                    compact_delta_bytes=1)  # any delta bytes trip it
+    t.bulk_insert(spark.createDataFrame([("a", 1, "x")], "id string, s int, v string"))
+    c = t.upsert(spark.createDataFrame([("b", 1, "y")], "id string, s int, v string"))
+    assert c.action == "compact"
+    assert c.deltas == []
+    assert t.read_snapshot().count() == 2
+
+    # a roomy bound leaves deltas pending (count trigger still far away)
+    t2 = NativeTable(spark, str(tmp_table_dir) + "_2", record_keys=["id"],
+                     precombine="s", storage_type="mor", compact_every=100,
+                     compact_delta_bytes=1 << 30)
+    t2.bulk_insert(spark.createDataFrame([("a", 1, "x")], "id string, s int, v string"))
+    c2 = t2.upsert(spark.createDataFrame([("b", 1, "y")], "id string, s int, v string"))
+    assert c2.action != "compact"
+    assert len(c2.deltas) == 1
+
+
+def test_maybe_cluster_policy(spark, tmp_table_dir):
+    """maybe_cluster is a no-op on a healthy table and rewrites the
+    layout once fragmentation passes the caller's bound."""
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"], precombine="s",
+                    files_per_partition=2)
+    t.bulk_insert(spark.createDataFrame(
+        [(f"{i:03d}", 1, "x") for i in range(20)], "id string, s int, v string"))
+    assert t.maybe_cluster(max_files=8) is None
+    # only-new-key upserts prune every existing file and append one
+    # fragment each — the accumulation clustering exists to undo
+    for i in range(8):
+        t.upsert(spark.createDataFrame(
+            [(f"n{i}", 2, "y")], "id string, s int, v string"))
+    frag = len(t.timeline.latest().files)
+    assert frag > 4
+    c = t.maybe_cluster(max_files=4)
+    assert c is not None and c.action == "cluster"
+    assert len(c.files) <= 4
+    assert t.read_snapshot().count() == 28
+    assert t.read_snapshot().filter("v = 'y'").count() == 8
+
+
 def test_export_snapshot_zero_copy_without_hardlinks(spark, tmp_table_dir, monkeypatch):
     """On a filesystem without hardlink support the export must fall back
     to symlinks (metadata-only), never to a data-byte copy — the round-2
