@@ -410,6 +410,42 @@ WHERE user_id BETWEEN 2 AND 10 AND event_id BETWEEN 50 AND 800
 """
 
 
+def cdc_bloom_scattered_upsert(spark, sf_dir):
+    """Bloom-index merge pruning (round 3): upsert the table's FIRST and
+    LAST keys — the batch's [lo, hi] hull spans every file, so the
+    interval index can't prune at all; the per-file record-key blooms
+    keep the rewrite to the (~2) files that actually contain the keys.
+    The oracle checks the merged result; `test_bloom_index.py` pins the
+    files_rewritten count."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "value",
+    )
+    tmp = _scratch_dir("bloom_merge_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"], precombine="event_id",
+        partition_keys=[], files_per_partition=8, bloom_index=True,
+    )
+    table.bulk_insert(ev)
+    bounds = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    ).first()
+    batch = ev.filter(
+        F.col("event_id").isin(bounds["lo"], bounds["hi"])
+    ).withColumn("value", F.col("value") + F.lit(1000.0))
+    table.upsert(batch)
+    return table.read_snapshot().select("event_id", "ts", "user_id", "value")
+
+
+BLOOM_UPSERT_ORACLE = """
+SELECT event_id, ts, user_id,
+  CASE WHEN event_id = (SELECT min(event_id) FROM events)
+         OR event_id = (SELECT max(event_id) FROM events)
+       THEN value + 1000.0 ELSE value END AS value
+FROM events
+"""
+
+
 _INCREMENTAL_ORACLE = f"""
 WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
 batch AS (
@@ -1570,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_pruned_read": cdc_pruned_read,
         "events_zorder_read": events_zorder_read,
+        "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
         "scalar_split_explode": scalar_split_explode,
@@ -1632,6 +1669,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_read": _INCREMENTAL_ORACLE,
         "cdc_pruned_read": PRUNED_READ_ORACLE,
         "events_zorder_read": ZORDER_READ_ORACLE,
+        "cdc_bloom_scattered_upsert": BLOOM_UPSERT_ORACLE,
         "scalar_string_funcs": STRING_ORACLE,
         "scalar_datetime_funcs": DATETIME_ORACLE,
         "scalar_split_explode": EXPLODE_ORACLE,

@@ -191,11 +191,16 @@ class CommitTimeline:
                 if f.exists():
                     f.unlink()
                     deleted.append(rel)
+                # a data file's index sidecars die with it
+                bloom = self.root / "_index" / "bloom" / (rel + ".bloom")
+                if bloom.exists():
+                    bloom.unlink()
             p.unlink()
-        # prune empty partition/commit dirs left behind
-        data_root = self.root / DATA_DIR
-        if data_root.is_dir():
-            for dirpath, dirnames, filenames in os.walk(data_root, topdown=False):
-                if not dirnames and not filenames and Path(dirpath) != data_root:
-                    os.rmdir(dirpath)
+        # prune empty partition/commit/index dirs left behind
+        for sub in (DATA_DIR, "_index"):
+            sub_root = self.root / sub
+            if sub_root.is_dir():
+                for dirpath, dirnames, filenames in os.walk(sub_root, topdown=False):
+                    if not dirnames and not filenames and Path(dirpath) != sub_root:
+                        os.rmdir(dirpath)
         return deleted

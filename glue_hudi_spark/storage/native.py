@@ -55,6 +55,28 @@ _PP_PREFIX = "_pp_"  # mirrored string partition columns used for dir layout
 NULL_KEY = "__null__"
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
+BLOOM_DIR = "_index/bloom"  # per-data-file bloom sidecars (immutable)
+
+
+def _bloom_indices(key: str, m_bits: int, k: int):
+    """k probe positions for ``key`` via double hashing over one md5
+    (Kirsch-Mitzenmacher): stable across processes and runs — no Python
+    hash randomization, no RNG."""
+    import hashlib
+
+    d = hashlib.md5(key.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:16], "little") | 1
+    for i in range(k):
+        yield (h1 + i * h2) % m_bits
+
+
+def _bloom_contains(bits: bytes, m_bits: int, k: int, key: str) -> bool:
+    for idx in _bloom_indices(key, m_bits, k):
+        if not (bits[idx >> 3] >> (idx & 7)) & 1:
+            return False
+    return True
+
 
 def _partition_str(col_name: str):
     """Partition value as the directory string Spark will actually write.
@@ -98,6 +120,7 @@ class NativeTable:
         compact_delta_bytes: int | None = None,
         files_per_partition: int | None = None,
         stats_cols: list[str] | None = None,
+        bloom_index: bool = False,
     ):
         self.spark = spark
         self.root = Path(path)
@@ -122,6 +145,11 @@ class NativeTable:
         # footers at write time and used by read_snapshot(prune=...) to
         # drop files before Spark lists them
         self.stats_cols = list(stats_cols or [])
+        # record-key bloom filters (Hudi BLOOM index): membership pruning
+        # for merges whose batch key SET is sparse even though its key
+        # RANGE spans the table — the case interval stats can't see (range
+        # pruning tests the batch's convex hull, blooms test each key).
+        self.bloom_index = bloom_index
         self.timeline = CommitTimeline(self.root)
 
     # ------------------------------------------------------------------ util
@@ -157,7 +185,7 @@ class NativeTable:
 
     def _write_files(
         self, df: DataFrame, commit_id: int, n_files: int | None = None,
-        cluster_col: str | None = None,
+        cluster_col: str | None = None, build_blooms: bool = True,
     ) -> list[str]:
         """Write one commit's data dir; return new file paths (rel to root).
 
@@ -210,11 +238,14 @@ class NativeTable:
         if self.partition_keys:
             writer = writer.partitionBy(*self._pp_cols())
         writer.parquet(str(commit_dir))
-        return sorted(
+        rel_files = sorted(
             str(p.relative_to(self.root))
             for p in commit_dir.rglob("*.parquet")
             if not p.name.startswith("_")
         )
+        if build_blooms:  # delta writes skip: deltas merge by key anyway
+            self._build_blooms(rel_files)
+        return rel_files
 
     def _file_partition(self, rel: str) -> tuple[str, ...]:
         """Parse a file's partition values from its hive-style dir path."""
@@ -464,6 +495,103 @@ class NativeTable:
                 untouched.append(f)
             else:
                 affected.append(f)
+        return affected, untouched
+
+    # ------------------------------------------------------------ bloom index
+
+    def _bloom_path(self, rel: str) -> Path:
+        return self.root / BLOOM_DIR / (rel + ".bloom")
+
+    def _build_blooms(self, rel_files: list[str]) -> None:
+        """Write one immutable bloom sidecar per NEW data file (record-key
+        membership, ~10 bits/key, k=7 → ~1% false positives).
+
+        Sidecars live beside the data (``_index/bloom/<rel>.bloom``), so
+        carried-over files keep their blooms with zero copying and the
+        manifest stays metadata-sized. Built driver-side from a
+        single-column read of the files this commit wrote — the same
+        locality as the footer-stats trip; at cluster scale this moves
+        into the write tasks (each task already holds its rows' keys).
+        Format: [k:1 byte][m_bits:8 bytes LE][bit array].
+        """
+        import pyarrow.parquet as pq
+
+        if not self.bloom_index:
+            return
+        k = 7
+        for rel in rel_files:
+            try:
+                keys = (
+                    pq.read_table(str(self.root / rel), columns=[RECORD_KEY_COL])
+                    .column(0)
+                    .to_pylist()
+                )
+            except Exception:
+                continue  # no sidecar → file simply stays always-affected
+            m_bits = max(1024, 10 * len(keys))
+            m_bits = (m_bits + 7) // 8 * 8
+            bits = bytearray(m_bits // 8)
+            for key in keys:
+                for idx in _bloom_indices(str(key), m_bits, k):
+                    bits[idx >> 3] |= 1 << (idx & 7)
+            path = self._bloom_path(rel)
+            path.parent.mkdir(parents=True, exist_ok=True)
+            path.write_bytes(bytes([k]) + m_bits.to_bytes(8, "little") + bits)
+
+    def _load_blooms(self, rel_files: list[str]) -> dict[str, tuple[int, int, bytes]]:
+        out: dict[str, tuple[int, int, bytes]] = {}
+        for rel in rel_files:
+            p = self._bloom_path(rel)
+            if not p.is_file():
+                continue
+            raw = p.read_bytes()
+            if len(raw) < 9:
+                continue
+            k, m_bits = raw[0], int.from_bytes(raw[1:9], "little")
+            if len(raw) - 9 == m_bits // 8:
+                out[rel] = (k, m_bits, raw[9:])
+        return out
+
+    def _prune_by_bloom(
+        self, files: list[str], keyed: DataFrame
+    ) -> tuple[list[str], list[str]]:
+        """(affected, untouched) by bloom membership: a file is untouched
+        when NO batch key possibly hits its bloom. The probing runs
+        executor-side (mapInPandas over the batch's key column with the
+        sidecar set broadcast) — batch keys are data-sized and never
+        collect to the driver; the result is at most one file name per
+        file. Files without a sidecar stay affected (safe)."""
+        blooms = self._load_blooms(files)
+        if not blooms:
+            return list(files), []
+        bc = self.spark.sparkContext.broadcast(blooms)
+
+        def probe(batches):
+            import pandas as pd
+
+            hits: set[str] = set()
+            items = bc.value
+            for pdf in batches:
+                if len(hits) == len(items):
+                    break
+                for key in pdf[RECORD_KEY_COL]:
+                    kk = str(key)
+                    for rel, (k, m_bits, bits) in items.items():
+                        if rel not in hits and _bloom_contains(bits, m_bits, k, kk):
+                            hits.add(rel)
+                    if len(hits) == len(items):
+                        break
+            yield pd.DataFrame({"f": sorted(hits)})
+
+        hit_files = {
+            r["f"]
+            for r in keyed.select(RECORD_KEY_COL)
+            .mapInPandas(probe, "f string")
+            .distinct()
+            .collect()
+        }
+        affected = [f for f in files if f not in blooms or f in hit_files]
+        untouched = [f for f in files if f in blooms and f not in hit_files]
         return affected, untouched
 
     def _read_files(self, files: list[str], schema_json: str | None) -> DataFrame:
@@ -768,6 +896,11 @@ class NativeTable:
             affected, prev.key_stats, self._batch_key_range(batch)
         )
         untouched = untouched + skipped
+        if self.bloom_index and affected:
+            # membership pass behind the interval pass: catches scattered
+            # batches whose [lo, hi] hull spans files none of their keys hit
+            affected, bloom_skipped = self._prune_by_bloom(affected, keyed)
+            untouched = untouched + bloom_skipped
         existing = self._read_files(affected, prev.schema_json)
 
         keys_only = keyed.select(RECORD_KEY_COL)
@@ -851,6 +984,9 @@ class NativeTable:
             affected, prev.key_stats, self._batch_key_range(batch)
         )
         untouched = untouched + skipped
+        if self.bloom_index and affected:
+            affected, bloom_skipped = self._prune_by_bloom(affected, keyed)
+            untouched = untouched + bloom_skipped
         existing = self._read_files(affected, prev.schema_json)
         if parallelism > 0:
             existing = existing.repartition(parallelism, RECORD_KEY_COL)
@@ -887,7 +1023,7 @@ class NativeTable:
         prev = self.timeline.latest()
         cid = self.timeline.next_commit_id()
         keyed = self._precombine_dedup(self._with_meta(batch, f"{cid:020d}", op))
-        files = self._write_files(keyed, cid)
+        files = self._write_files(keyed, cid, build_blooms=False)
         if prev is None:
             base_files, deltas, schema = [], [], keyed.schema.json()
         else:
