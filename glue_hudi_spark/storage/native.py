@@ -508,35 +508,52 @@ class NativeTable:
 
         Sidecars live beside the data (``_index/bloom/<rel>.bloom``), so
         carried-over files keep their blooms with zero copying and the
-        manifest stays metadata-sized. Built driver-side from a
-        single-column read of the files this commit wrote — the same
-        locality as the footer-stats trip; at cluster scale this moves
-        into the write tasks (each task already holds its rows' keys).
+        manifest stays metadata-sized.
+
+        EXECUTOR-SIDE build: one columnar scan of the new files' key
+        column grouped by source file — keys are hashed where they live
+        and only the finished bloom bytes (~10 bits/key) come back to the
+        driver, which writes the sidecars. The 10×-probe measured the
+        earlier driver-side loop at ~50 s for 6M keys; the grouped build
+        parallelizes the hashing across cores/executors.
         Format: [k:1 byte][m_bits:8 bytes LE][bit array].
         """
-        import pyarrow.parquet as pq
-
-        if not self.bloom_index:
+        if not self.bloom_index or not rel_files:
             return
         k = 7
-        for rel in rel_files:
-            try:
-                keys = (
-                    pq.read_table(str(self.root / rel), columns=[RECORD_KEY_COL])
-                    .column(0)
-                    .to_pylist()
-                )
-            except Exception:
-                continue  # no sidecar → file simply stays always-affected
-            m_bits = max(1024, 10 * len(keys))
-            m_bits = (m_bits + 7) // 8 * 8
+        paths = [str(self.root / f) for f in rel_files]
+        keys_by_file = self.spark.read.parquet(*paths).select(
+            F.input_file_name().alias("src"),
+            F.col(RECORD_KEY_COL).alias("key"),
+        )
+
+        def build(pdf):
+            import pandas as pd
+
+            n = len(pdf)
+            m_bits = (max(1024, 10 * n) + 7) // 8 * 8
             bits = bytearray(m_bits // 8)
-            for key in keys:
+            for key in pdf["key"]:
                 for idx in _bloom_indices(str(key), m_bits, k):
                     bits[idx >> 3] |= 1 << (idx & 7)
+            payload = bytes([k]) + m_bits.to_bytes(8, "little") + bytes(bits)
+            return pd.DataFrame({"src": [pdf["src"].iloc[0]], "bloom": [payload]})
+
+        rows = keys_by_file.groupBy("src").applyInPandas(
+            build, "src string, bloom binary"
+        ).collect()
+        # input_file_name is a file: URI; match it back to the rel path
+        by_suffix = {rel.replace("\\", "/"): rel for rel in rel_files}
+        for r in rows:
+            src = r["src"]
+            rel = next(
+                (v for s, v in by_suffix.items() if src.endswith(s)), None
+            )
+            if rel is None:
+                continue
             path = self._bloom_path(rel)
             path.parent.mkdir(parents=True, exist_ok=True)
-            path.write_bytes(bytes([k]) + m_bits.to_bytes(8, "little") + bits)
+            path.write_bytes(r["bloom"])
 
     def _load_blooms(self, rel_files: list[str]) -> dict[str, tuple[int, int, bytes]]:
         out: dict[str, tuple[int, int, bytes]] = {}
@@ -896,9 +913,13 @@ class NativeTable:
             affected, prev.key_stats, self._batch_key_range(batch)
         )
         untouched = untouched + skipped
+        persisted = None
         if self.bloom_index and affected:
             # membership pass behind the interval pass: catches scattered
-            # batches whose [lo, hi] hull spans files none of their keys hit
+            # batches whose [lo, hi] hull spans files none of their keys
+            # hit. Probing is an extra action over the batch, so persist
+            # it for the merge's lifetime (released after the write).
+            persisted = keyed = keyed.persist()
             affected, bloom_skipped = self._prune_by_bloom(affected, keyed)
             untouched = untouched + bloom_skipped
         existing = self._read_files(affected, prev.schema_json)
@@ -924,6 +945,8 @@ class NativeTable:
             merged, cid,
             n_files=max(1, len(affected)) if not self.partition_keys else None,
         )
+        if persisted is not None:
+            persisted.unpersist()
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(self._collect_key_stats(files))
         col_stats = {f: prev.col_stats[f] for f in untouched if f in prev.col_stats}
@@ -984,7 +1007,9 @@ class NativeTable:
             affected, prev.key_stats, self._batch_key_range(batch)
         )
         untouched = untouched + skipped
+        persisted = None
         if self.bloom_index and affected:
+            persisted = keyed = keyed.persist()
             affected, bloom_skipped = self._prune_by_bloom(affected, keyed)
             untouched = untouched + bloom_skipped
         existing = self._read_files(affected, prev.schema_json)
@@ -1004,6 +1029,8 @@ class NativeTable:
             merged, cid,
             n_files=max(1, len(affected)) if not self.partition_keys else None,
         )
+        if persisted is not None:
+            persisted.unpersist()
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(self._collect_key_stats(files))
         col_stats = {f: prev.col_stats[f] for f in untouched if f in prev.col_stats}

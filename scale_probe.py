@@ -93,6 +93,40 @@ def main() -> None:
     n = mor.read_snapshot().count()
     probe("mor_rt_read_6m", time.perf_counter() - t0, rows=n)
 
+    # ---- bloom index at 10×: hull-spanning batch, membership pruning ----
+    # (the no-bloom contrast is cow_upsert_scattered above: interval-only
+    # pruning rewrites everything a scattered hull touches)
+    bloom = NativeTable(spark, f"{work}/bloom", record_keys=["k", "ln"],
+                        precombine="qty", files_per_partition=32,
+                        bloom_index=True)
+    t0 = time.perf_counter()
+    c = bloom.bulk_insert(big)
+    probe("bloom_bulk_insert_6m", time.perf_counter() - t0,
+          rows=n_rows, files=len(c.files))  # includes sidecar build (driver-side here; write-task-side at cluster scale)
+    bounds = big.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
+    edge = big.filter(F.col("k").isin(bounds["lo"], bounds["hi"]))
+    t0 = time.perf_counter()
+    c = bloom.upsert(edge.withColumn("qty", F.col("qty") + 1))
+    probe("bloom_edge_upsert", time.perf_counter() - t0,
+          batch_rows=edge.count(), **c.stats)
+    t0 = time.perf_counter()
+    c = cow.upsert(edge.withColumn("qty", F.col("qty") + 2))
+    probe("nobloom_edge_upsert", time.perf_counter() - t0, **c.stats)
+
+    # ---- Z-order at 10×: layout rewrite cost + 2-dim pruned read ----
+    zt = NativeTable(spark, f"{work}/zorder", record_keys=["k", "ln"],
+                     precombine="qty", files_per_partition=32,
+                     stats_cols=["k", "qty"])
+    zt.bulk_insert(big)
+    t0 = time.perf_counter()
+    c = zt.cluster(zorder_by=["k", "qty"])
+    probe("zorder_cluster_6m", time.perf_counter() - t0, files=len(c.files))
+    t0 = time.perf_counter()
+    out = zt.read_snapshot(prune={"qty": (1.0, 5.0)})
+    n = out.count()
+    probe("zorder_pruned_read_qty", time.perf_counter() - t0,
+          rows=n, files_read=len(out.inputFiles()), files_total=len(c.files))
+
     # ---- MinHash at 10× docs (perturbed replicas; suffix token keeps
     # replica pairs below the verify threshold so pair count stays sane) --
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
