@@ -601,6 +601,35 @@ WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id),
 """
 
 
+def events_json_extract(spark, sf_dir):
+    """Semi-structured surface: parse the events' JSON `props` column
+    with a typed `from_json` (JVM-side, no UDF) and aggregate the
+    extracted field. At scale the parse is a projection inside the scan
+    stage; only (event_type, k) reaches the shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "k", F.from_json("props", "k BIGINT").getField("k")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_EXTRACT_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+  CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+  MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+  MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 def scalar_split_explode(spark, sf_dir):
     """§2.4: split + explode → word frequencies."""
     d = _t(spark, sf_dir, "documents")
@@ -1614,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_priority_rollup": orders_priority_rollup,
         "events_pivot": events_pivot,
         "events_window_suite": events_window_suite,
+        "events_json_extract": events_json_extract,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_sessionization": events_sessionization,
         "events_asof_join": events_asof_join,
@@ -1677,6 +1707,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_priority_rollup": ROLLUP_SETS_ORACLE,
         "events_pivot": PIVOT_ORACLE,
         "events_window_suite": WINDOW_SUITE_ORACLE,
+        "events_json_extract": JSON_EXTRACT_ORACLE,
         "topk_orders_per_customer": TOPK_ORACLE,
         "events_sessionization": _SESSION_SQL,
         "events_asof_join": ASOF_ORACLE,
