@@ -92,3 +92,48 @@ def test_interval_join_rejects_bad_bucket(spark, frames):
     with pytest.raises(ValueError):
         ranges.interval_join(points, intervals, "user_id", "ts",
                              "w_start", "w_end", bucket_seconds=0)
+
+
+# ---------------------------------------------------------- property test
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SEC = st.integers(min_value=0, max_value=7200)  # two hours of seconds
+_UID = st.integers(min_value=1, max_value=3)
+
+
+@st.composite
+def _scenario(draw):
+    pts = draw(st.lists(st.tuples(_UID, _SEC), min_size=1, max_size=15))
+    ivs = draw(st.lists(st.tuples(_UID, _SEC, _SEC), min_size=1, max_size=10))
+    bucket = draw(st.sampled_from([7, 60, 900, 10_000]))
+    return pts, ivs, bucket
+
+
+@given(data=_scenario())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_interval_join_property(spark, data):
+    """Random points/intervals at arbitrary bucket widths == the naive
+    O(P×I) reference — including inverted (dropped) intervals, boundary
+    hits, and intervals spanning many buckets."""
+    pts, ivs, bucket = data
+    points = spark.createDataFrame(
+        [(u, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s))
+         for i, (u, s) in enumerate(pts)],
+        "user_id bigint, click_id bigint, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(u, i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=a),
+          dt.datetime(2024, 1, 1) + dt.timedelta(seconds=b))
+         for i, (u, a, b) in enumerate(ivs)],
+        "user_id bigint, win_id bigint, w_start timestamp, w_end timestamp",
+    )
+    out = ranges.interval_join(
+        points, intervals, on="user_id", point_ts="ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=bucket,
+    )
+    got = {(r["user_id"], r["click_id"], r["win_id"]) for r in out.collect()}
+    assert got == _expected(points, intervals)
