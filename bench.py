@@ -57,6 +57,11 @@ BENCH_QUERIES = [
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "multimodal_image_meta",
+    # round-3 additions (no baseline counterpart — compare within-run):
+    "cdc_pruned_read",
+    "events_interval_join",
+    "corpus_stratified_sample",
+    "corpus_curation",
 ]
 
 

@@ -46,6 +46,10 @@ def main(argv: list[str] | None = None) -> int:
     _common(pc, raw=False)
     pk = sub.add_parser("cluster", help="rewrite CoW files at the configured clustering width")
     _common(pk, raw=False)
+    pk.add_argument("--zorder", default=None, metavar="COL,COL",
+                    help="lay files along a Morton curve over these 2-4 "
+                         "columns (multi-dimensional data skipping) "
+                         "instead of the record-key range")
     ps = sub.add_parser("show", help="print snapshot stats + commit history")
     _common(ps, raw=False)
     args = ap.parse_args(argv)
@@ -85,9 +89,11 @@ def main(argv: list[str] | None = None) -> int:
             out.append({"table": ctl.table_name, "compacted": c.commit_id})
         elif args.cmd == "cluster":
             table = pipe._table(ctl)
-            c = table.cluster()
+            zcols = [c for c in (args.zorder or "").split(",") if c] or None
+            c = table.cluster(zorder_by=zcols)
             out.append({"table": ctl.table_name, "clustered": c.commit_id,
-                        "files": len(c.files)})
+                        "files": len(c.files),
+                        **({"zorder": zcols} if zcols else {})})
         elif args.cmd == "show":
             table = pipe._table(ctl)
             hist = [(c.commit_id, c.action) for c in table.timeline.history()]

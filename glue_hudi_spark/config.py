@@ -41,6 +41,11 @@ class JobControl:
     hudi_bulkinsert_shuffle_parallelism: str = "0"  # 0 → let AQE decide
     hudi_upsert_shuffle_parallelism: str = "0"
     cdc_split_upsert: str = "no"  # 'yes' → route I via bulk_insert (C6)
+    # table-tuning extensions (absent from the reference's control file;
+    # defaults preserve old control JSONs byte-for-byte):
+    stats_cols: str = ""  # ';'-separated → column-stats index for reads
+    files_per_partition: str = "0"  # 0 → unset (writer-default clustering)
+    bloom_index: str = "no"  # 'yes' → per-file record-key blooms
 
     # --- enriched (derived) properties, processData.py:101-142 ---
 

@@ -159,6 +159,12 @@ class NativeTable:
         """Table location mirrors the reference's curated layout
         ``<curated>/<db>/<schema>/<table>`` (processData.py:283-284)."""
         path = Path(curated_root) / ctl.db_name / ctl.schema_name / ctl.table_name
+        fpp = int(getattr(ctl, "files_per_partition", "0") or 0)
+        stats = [
+            c.strip()
+            for c in getattr(ctl, "stats_cols", "").split(";")
+            if c.strip()
+        ]
         return cls(
             spark,
             path,
@@ -166,6 +172,9 @@ class NativeTable:
             precombine=ctl.precombine_field,
             partition_keys=ctl.partition_keys,
             storage_type=ctl.hudi_storage_type,
+            files_per_partition=fpp or None,
+            stats_cols=stats,
+            bloom_index=getattr(ctl, "bloom_index", "no") == "yes",
         )
 
     def exists(self) -> bool:
@@ -1118,6 +1127,7 @@ class NativeTable:
         """
         if zorder_by and self.partition_keys:
             raise ValueError("zorder clustering is for unpartitioned tables")
+        prev = self.timeline.latest()
         merged = self.read_snapshot(with_meta=True)
         cid = self.timeline.next_commit_id()
         if zorder_by:
@@ -1125,7 +1135,13 @@ class NativeTable:
             merged_z = merged.withColumn(
                 zcol, self._zorder_value(merged, zorder_by, zorder_bits)
             )
-            files = self._write_files(merged_z, cid, cluster_col=zcol)
+            # a z-order rewrite needs an explicit width (the range shuffle
+            # on the z-value IS the layout); tables without a configured
+            # files_per_partition keep their current file count
+            width = self.files_per_partition or max(1, len(prev.files))
+            files = self._write_files(
+                merged_z, cid, n_files=width, cluster_col=zcol
+            )
         else:
             files = self._write_files(merged, cid)
         return self._commit(

@@ -203,6 +203,48 @@ def test_zorder_clustering_multi_dim_skipping(spark, tmp_table_dir):
         pt.cluster(zorder_by=["x", "y"])
 
 
+def test_zorder_without_configured_width(spark, tmp_table_dir):
+    """A table opened without files_per_partition (the CLI path) must
+    still Z-order: the rewrite falls back to the current file count and
+    the z-value column never leaks into the files (it did before the
+    round-3 fix — the layout branch silently skipped on width=None)."""
+    seed = NativeTable(spark, tmp_table_dir, record_keys=["id"],
+                       precombine="s", files_per_partition=4,
+                       stats_cols=["x", "y"])
+    seed.bulk_insert(spark.createDataFrame(
+        [(f"{i:04d}", i % 50, (i * 7) % 50, 1) for i in range(800)],
+        "id string, x int, y int, s int"))
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"], precombine="s",
+                    stats_cols=["x", "y"])  # no files_per_partition
+    c = t.cluster(zorder_by=["x", "y"])
+    assert len(c.files) == 4
+    out = seed.read_snapshot(prune={"y": (0, 9)})
+    assert len(out.inputFiles()) < 4
+    assert out.count() == 160
+    assert "_ghs_zvalue" not in spark.read.parquet(
+        str(seed.root / c.files[0])
+    ).columns
+
+
+def test_for_control_table_tuning_fields(spark, tmp_path):
+    """Control records can carry the round-3 table-tuning extensions
+    (stats_cols / files_per_partition / bloom_index); old control JSONs
+    without them still load (defaults)."""
+    from glue_hudi_spark.config import JobControl
+    from tests.fixtures_cdc import CONTROL
+
+    ctl = JobControl(**{**CONTROL, "partition_key": "", "stats_cols": "a;b",
+                        "files_per_partition": "4", "bloom_index": "yes"})
+    t = NativeTable.for_control(spark, tmp_path, ctl)
+    assert t.stats_cols == ["a", "b"]
+    assert t.files_per_partition == 4
+    assert t.bloom_index is True
+    legacy = JobControl(**CONTROL)
+    t2 = NativeTable.for_control(spark, tmp_path, legacy)
+    assert t2.stats_cols == [] and t2.files_per_partition is None
+    assert t2.bloom_index is False
+
+
 def test_compaction_byte_trigger(spark, tmp_table_dir):
     """compact_delta_bytes compacts on cumulative delta SIZE, not count:
     one delta commit whose files exceed the bound compacts immediately,
