@@ -58,21 +58,28 @@ HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 BLOOM_DIR = "_index/bloom"  # per-data-file bloom sidecars (immutable)
 
 
-def _bloom_indices(key: str, m_bits: int, k: int):
-    """k probe positions for ``key`` via double hashing over one md5
-    (Kirsch-Mitzenmacher): stable across processes and runs — no Python
-    hash randomization, no RNG."""
+def _bloom_hash_pair(key: str) -> tuple[int, int]:
+    """(h1, h2) for double hashing (Kirsch-Mitzenmacher) from ONE md5 —
+    stable across processes and runs (no Python hash randomization, no
+    RNG). Hash once per key; probing a bloom is then k modular adds, so
+    testing one key against many files' blooms costs one digest total."""
     import hashlib
 
     d = hashlib.md5(key.encode("utf-8")).digest()
-    h1 = int.from_bytes(d[:8], "little")
-    h2 = int.from_bytes(d[8:16], "little") | 1
+    return int.from_bytes(d[:8], "little"), int.from_bytes(d[8:16], "little") | 1
+
+
+def _bloom_indices(key: str, m_bits: int, k: int):
+    h1, h2 = _bloom_hash_pair(key)
     for i in range(k):
         yield (h1 + i * h2) % m_bits
 
 
-def _bloom_contains(bits: bytes, m_bits: int, k: int, key: str) -> bool:
-    for idx in _bloom_indices(key, m_bits, k):
+def _bloom_contains_hashed(
+    bits: bytes, m_bits: int, k: int, h1: int, h2: int
+) -> bool:
+    for i in range(k):
+        idx = (h1 + i * h2) % m_bits
         if not (bits[idx >> 3] >> (idx & 7)) & 1:
             return False
     return True
@@ -601,9 +608,11 @@ class NativeTable:
                 if len(hits) == len(items):
                     break
                 for key in pdf[RECORD_KEY_COL]:
-                    kk = str(key)
+                    h1, h2 = _bloom_hash_pair(str(key))  # one digest per key
                     for rel, (k, m_bits, bits) in items.items():
-                        if rel not in hits and _bloom_contains(bits, m_bits, k, kk):
+                        if rel not in hits and _bloom_contains_hashed(
+                            bits, m_bits, k, h1, h2
+                        ):
                             hits.add(rel)
                     if len(hits) == len(items):
                         break
