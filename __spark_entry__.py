@@ -809,6 +809,45 @@ def _minhash_oracle() -> str:
     return f"WITH {_minhash_pair_ctes()}\nSELECT id_a, id_b, jaccard FROM verified"
 
 
+def dedup_embedding_cluster(spark, sf_dir):
+    """Pair→cluster resolution over the EMBEDDING near-dup tier — the
+    same connected-components + keep-min-id machinery the MinHash tier
+    uses, proving the resolution step composes across candidate
+    generators (any (id_a, id_b) pair source resolves identically)."""
+    pairs = dedup.embedding_cosine_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, m=4
+    )
+    return dedup.resolve_clusters(pairs)
+
+
+def _embedding_cluster_oracle() -> str:
+    bucket_expr = " + ".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(4)
+    )
+    return f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, ({bucket_expr}) AS bucket FROM embeddings),
+verified AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(a.v, c.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) t
+  WHERE sim >= 0.4),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.peer)
+SELECT id AS member_id, MIN(peer) AS cluster_id, MIN(peer) AS keep_id
+FROM reach GROUP BY id
+"""
+
+
 def dedup_cluster_keep_one(spark, sf_dir):
     """Pair → cluster resolution over the MinHash near-dup pairs:
     distributed min-label connected components + keep-min-id. The oracle
@@ -1652,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster_keep_one": dedup_cluster_keep_one,
+        "dedup_embedding_cluster": dedup_embedding_cluster,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_multiband": dedup_embedding_multiband,
@@ -1715,6 +1755,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _ngram_oracle(),
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_cluster_keep_one": _cluster_oracle(),
+        "dedup_embedding_cluster": _embedding_cluster_oracle(),
         "dedup_simhash": _simhash_oracle(32),
         "dedup_embedding_cosine": _embedding_pairs_oracle(),
         "dedup_embedding_multiband": _embedding_multiband_oracle(),

@@ -469,6 +469,29 @@ def test_schema_type_widening_with_carried_files(spark, tmp_table_dir):
     assert {(r["id"], r["v"]) for r in snap.collect()} == {(1, 10), (2, 9_000_000_000)}
 
 
+def test_schema_evolution_add_column(spark, tmp_table_dir):
+    """Add-column on upsert (Hudi-style evolution): the batch's new column
+    appends to the schema, existing rows read NULL for it, carried files
+    stay valid, and a later batch without the column still merges."""
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 10, 1, "a"), (2, 20, 1, "b")], "id int, v int, seq int, pt string"))
+    t.upsert(spark.createDataFrame(
+        [(2, 21, 2, "b", "extra")], "id int, v int, seq int, pt string, note string"))
+    snap = t.read_snapshot()
+    assert dict(snap.dtypes)["note"] == "string"
+    got = {(r["id"], r["v"], r["note"]) for r in snap.collect()}
+    assert got == {(1, 10, None), (2, 21, "extra")}
+
+    # upsert semantics are whole-row replacement: a later batch WITHOUT
+    # the evolved column nulls it for the rows it replaces (pinned —
+    # partial-row patch would need a read-modify merge, not an upsert)
+    t.upsert(spark.createDataFrame(
+        [(2, 22, 3, "b")], "id int, v int, seq int, pt string"))
+    got = {(r["id"], r["v"], r["note"]) for r in t.read_snapshot().collect()}
+    assert got == {(1, 10, None), (2, 22, None)}
+
+
 def test_concurrent_writer_conflict_detected(spark, tmp_table_dir):
     """Two writers racing to the same commit id: the second publish must
     fail loudly (optimistic concurrency), never silently clobber the
