@@ -601,6 +601,55 @@ WINDOW u AS (PARTITION BY user_id ORDER BY ts, event_id),
 """
 
 
+def orders_cube(spark, sf_dir):
+    """CUBE subtotals: all four grouping sets of (status, priority) —
+    completes the grouping-set surface next to the ROLLUP query."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total"),
+    )
+
+
+CUBE_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def orders_price_quantiles(spark, sf_dir):
+    """Exact distribution stats per priority: `F.percentile` (exact,
+    linear interpolation) matches DuckDB's quantile_cont bit-for-bit —
+    verified before wiring; approximate sketches (percentile_approx)
+    can't be oracle-gated and are deliberately not used here."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.75)).alias("p75"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+QUANTILES_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS n,
+  quantile_cont(o_totalprice, 0.25) AS p25,
+  quantile_cont(o_totalprice, 0.5) AS p50,
+  quantile_cont(o_totalprice, 0.75) AS p75,
+  MIN(o_totalprice) AS lo,
+  MAX(o_totalprice) AS hi
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def events_json_extract(spark, sf_dir):
     """Semi-structured surface: parse the events' JSON `props` column
     with a typed `from_json` (JVM-side, no UDF) and aggregate the
@@ -1683,6 +1732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot": events_pivot,
         "events_window_suite": events_window_suite,
         "events_json_extract": events_json_extract,
+        "orders_price_quantiles": orders_price_quantiles,
+        "orders_cube": orders_cube,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_sessionization": events_sessionization,
         "events_asof_join": events_asof_join,
@@ -1748,6 +1799,8 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": PIVOT_ORACLE,
         "events_window_suite": WINDOW_SUITE_ORACLE,
         "events_json_extract": JSON_EXTRACT_ORACLE,
+        "orders_price_quantiles": QUANTILES_ORACLE,
+        "orders_cube": CUBE_ORACLE,
         "topk_orders_per_customer": TOPK_ORACLE,
         "events_sessionization": _SESSION_SQL,
         "events_asof_join": ASOF_ORACLE,
