@@ -446,6 +446,31 @@ FROM events
 """
 
 
+def cdc_point_lookup(spark, sf_dir):
+    """Point lookups through the storage indexes (round 3): read_keys
+    serves literal record keys from only the files the key-range index
+    and bloom sidecars admit — the explicit-list form of data skipping.
+    The oracle checks the rows; `test_bloom_index.py` pins files read."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "value",
+    )
+    tmp = _scratch_dir("point_lookup_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"], precombine="event_id",
+        partition_keys=[], files_per_partition=8, bloom_index=True,
+    )
+    table.bulk_insert(ev)
+    keys = [f"{i:010d}" for i in (3, 250, 777)]
+    return table.read_keys(keys).select("event_id", "ts", "user_id", "value")
+
+
+POINT_LOOKUP_ORACLE = """
+SELECT event_id, ts, user_id, value FROM events
+WHERE event_id IN (3, 250, 777)
+"""
+
+
 _INCREMENTAL_ORACLE = f"""
 WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
 batch AS (
@@ -1724,6 +1749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_pruned_read": cdc_pruned_read,
         "events_zorder_read": events_zorder_read,
         "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
+        "cdc_point_lookup": cdc_point_lookup,
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
         "scalar_split_explode": scalar_split_explode,
@@ -1791,6 +1817,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_pruned_read": PRUNED_READ_ORACLE,
         "events_zorder_read": ZORDER_READ_ORACLE,
         "cdc_bloom_scattered_upsert": BLOOM_UPSERT_ORACLE,
+        "cdc_point_lookup": POINT_LOOKUP_ORACLE,
         "scalar_string_funcs": STRING_ORACLE,
         "scalar_datetime_funcs": DATETIME_ORACLE,
         "scalar_split_explode": EXPLODE_ORACLE,

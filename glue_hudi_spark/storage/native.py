@@ -655,6 +655,53 @@ class NativeTable:
             .drop("_ghs_pc_rn")
         )
 
+    def read_keys(self, keys: list[str], with_meta: bool = False) -> DataFrame:
+        """Point lookups: rows whose record key is in ``keys``, reading
+        only the files that can contain them.
+
+        The explicit-list form of the read-side index story: the key-range
+        index drops files whose [min, max] excludes every key, the bloom
+        sidecars (when present) drop files whose membership rejects all of
+        them, and the exact `isin` filter runs on what's left. ``keys``
+        are LITERAL key strings (composite keys in their encoded
+        ``col:v,...`` form), driver-sized by definition — for data-sized
+        key sets use a join against ``read_snapshot`` instead. Driver-side
+        probing here is deliberate: |keys| × |files| bit tests, no Spark
+        job. CoW only view of base files; on MoR tables the live deltas
+        are merged by the snapshot path first (correct, but unpruned) —
+        so point lookups are cheapest right after compaction.
+        """
+        commit = self.timeline.latest()
+        if commit is None:
+            raise ValueError(f"table {self.root} has no commits")
+        key_list = [str(k) for k in keys]
+        if commit.deltas:
+            out = self.read_snapshot(with_meta=True)
+            out = out.filter(F.col(RECORD_KEY_COL).isin(key_list))
+            return out if with_meta else out.drop(*META_COLS)
+        candidates = []
+        for f in commit.files:
+            s = commit.key_stats.get(f)
+            if s and all(k < s[0] or k > s[1] for k in key_list):
+                continue
+            candidates.append(f)
+        blooms = self._load_blooms(candidates) if self.bloom_index else {}
+        if blooms:
+            pairs = [_bloom_hash_pair(k) for k in key_list]
+            kept = []
+            for f in candidates:
+                b = blooms.get(f)
+                if b is None or any(
+                    _bloom_contains_hashed(b[2], b[1], b[0], h1, h2)
+                    for h1, h2 in pairs
+                ):
+                    kept.append(f)
+            candidates = kept
+        out = self._read_files(candidates, commit.schema_json).filter(
+            F.col(RECORD_KEY_COL).isin(key_list)
+        )
+        return out if with_meta else out.drop(*META_COLS)
+
     # ----------------------------------------------------------------- reads
 
     def read_snapshot(

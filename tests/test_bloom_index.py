@@ -83,6 +83,35 @@ def test_missing_sidecar_is_safe(spark, seeded):
     assert snap.filter("v = 'w'").count() == 2
 
 
+def test_read_keys_point_lookup(spark, seeded):
+    """read_keys reads only the files the range+bloom indexes admit."""
+    out = seeded.read_keys(["0000", "0999"])
+    assert {r["id"] for r in out.collect()} == {"0000", "0999"}
+    assert len(out.inputFiles()) <= 3  # 2 real hits (+ possible bloom fp)
+
+    # absent key inside the hull: range can't prune, blooms reject ~all
+    miss = seeded.read_keys(["0123x"])
+    assert miss.count() == 0
+    assert len(miss.inputFiles()) <= 1
+
+    # range-only table (no blooms): disjoint per-file ranges still prune
+    t2 = _mk(spark, str(seeded.root) + "_rk", bloom=False)
+    t2.bulk_insert(_rows(spark, [(f"{i:04d}", 1, "x") for i in range(1000)]))
+    out2 = t2.read_keys(["0500"])
+    assert out2.count() == 1
+    assert len(out2.inputFiles()) == 1
+
+
+def test_read_keys_mor_falls_back_to_snapshot(spark, tmp_table_dir):
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"], precombine="s",
+                    storage_type="mor", files_per_partition=4)
+    t.bulk_insert(_rows(spark, [(f"{i:03d}", 1, "x") for i in range(100)]))
+    t.upsert(_rows(spark, [("050", 2, "y")]))
+    out = t.read_keys(["050", "051"])
+    got = {(r["id"], r["v"]) for r in out.collect()}
+    assert got == {("050", "y"), ("051", "x")}
+
+
 def test_clean_removes_orphan_sidecars(spark, tmp_table_dir):
     t = NativeTable(spark, tmp_table_dir, record_keys=["id"], precombine="s",
                     retain_commits=2, files_per_partition=2, bloom_index=True)
