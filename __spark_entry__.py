@@ -471,6 +471,33 @@ WHERE event_id IN (3, 250, 777)
 """
 
 
+def cdc_retention_delete(spark, sf_dir):
+    """Predicate delete (retention, round 3): drop all events below an id
+    cutoff via delete_where, with the predicate's bounds handed to the
+    column-stats index so untouched files carry over unread. The oracle
+    checks the surviving rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "value",
+    )
+    tmp = _scratch_dir("retention_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"], precombine="event_id",
+        partition_keys=[], files_per_partition=8, stats_cols=["event_id"],
+    )
+    table.bulk_insert(ev)
+    table.delete_where(
+        F.col("event_id") < 300, prune={"event_id": (None, 299)}
+    )
+    return table.read_snapshot().select("event_id", "ts", "user_id", "value")
+
+
+RETENTION_DELETE_ORACLE = """
+SELECT event_id, ts, user_id, value FROM events
+WHERE event_id >= 300
+"""
+
+
 _INCREMENTAL_ORACLE = f"""
 WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
 batch AS (
@@ -1750,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_read": events_zorder_read,
         "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
         "cdc_point_lookup": cdc_point_lookup,
+        "cdc_retention_delete": cdc_retention_delete,
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
         "scalar_split_explode": scalar_split_explode,
@@ -1818,6 +1846,7 @@ def oracle_sql() -> dict[str, str]:
         "events_zorder_read": ZORDER_READ_ORACLE,
         "cdc_bloom_scattered_upsert": BLOOM_UPSERT_ORACLE,
         "cdc_point_lookup": POINT_LOOKUP_ORACLE,
+        "cdc_retention_delete": RETENTION_DELETE_ORACLE,
         "scalar_string_funcs": STRING_ORACLE,
         "scalar_datetime_funcs": DATETIME_ORACLE,
         "scalar_split_explode": EXPLODE_ORACLE,

@@ -1028,6 +1028,52 @@ class NativeTable:
             col_stats,
         )
 
+    def delete_where(self, cond, prune: dict | None = None,
+                     extra_stats: dict | None = None) -> Commit:
+        """Predicate delete (retention / right-to-be-forgotten): drop every
+        row matching ``cond``, rewriting only the files that can hold one.
+
+        ``prune``: the same {col: (lo, hi)} form ``read_snapshot`` takes,
+        served from the column-stats index — pass the predicate's bounds
+        (e.g. ``{"ts": (None, cutoff)}`` for ``ts < cutoff``) and files
+        whose ranges can't match are carried untouched. SQL-DELETE null
+        semantics: rows where ``cond`` is NULL are KEPT (a plain
+        ``filter(~cond)`` would silently drop them).
+
+        CoW only; MoR tables compact first (a predicate delete must see
+        merged rows to decide) — documented cost, not a surprise.
+        """
+        if self.storage_type == "mor" and (self.timeline.latest() or Commit(0, "", [])).deltas:
+            self.compact()
+        prev = self.timeline.latest()
+        if prev is None:
+            raise ValueError(f"table {self.root} has no commits")
+        cid = self.timeline.next_commit_id()
+        affected = prev.files
+        untouched: list[str] = []
+        if prune:
+            affected = self._prune_files_by_col_stats(
+                prev.files, prev.col_stats, prune
+            )
+            untouched = [f for f in prev.files if f not in set(affected)]
+        existing = self._read_files(affected, prev.schema_json)
+        kept = existing.filter(~F.coalesce(cond, F.lit(False)))
+        files = self._write_files(
+            kept, cid,
+            n_files=max(1, len(affected)) if not self.partition_keys else None,
+        )
+        key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
+        key_stats.update(self._collect_key_stats(files))
+        col_stats = {f: prev.col_stats[f] for f in untouched if f in prev.col_stats}
+        col_stats.update(self._collect_col_stats(files))
+        return self._commit(
+            cid, "delete", untouched + files, [], prev.schema_json,
+            {"files_rewritten": len(affected), "files_carried": len(untouched),
+             **(extra_stats or {})},
+            key_stats,
+            col_stats,
+        )
+
     def merge(self, batch: DataFrame, op_col: str = "op",
               drop_cols: list[str] | None = None,
               parallelism: int = 0,

@@ -469,10 +469,37 @@ def test_schema_type_widening_with_carried_files(spark, tmp_table_dir):
     assert {(r["id"], r["v"]) for r in snap.collect()} == {(1, 10), (2, 9_000_000_000)}
 
 
-def test_schema_evolution_add_column(spark, tmp_table_dir):
+def test_delete_where_predicate_retention(spark, tmp_table_dir):
+    """delete_where drops matching rows, carries stats-pruned files
+    unread, and keeps rows where the predicate is NULL (SQL DELETE
+    semantics — filter(~cond) alone would drop them)."""
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"], precombine="s",
+                    files_per_partition=4, stats_cols=["d"])
+    t.bulk_insert(spark.createDataFrame(
+        [(f"{i:04d}", i, 1) for i in range(1000)], "id string, d int, s int"))
+    c = t.delete_where(F.col("d") < 100, prune={"d": (None, 99)})
+    assert c.stats["files_rewritten"] == 1
+    assert c.stats["files_carried"] == 3
+    snap = t.read_snapshot()
+    assert snap.count() == 900
+    assert snap.filter("d < 100").count() == 0
+
+    # NULL predicate rows are kept
+    t2 = NativeTable(spark, str(tmp_table_dir) + "_n", record_keys=["id"],
+                     precombine="s")
+    t2.bulk_insert(spark.createDataFrame(
+        [("a", 1, 1), ("b", None, 1), ("c", 200, 1)],
+        "id string, d int, s int"))
+    t2.delete_where(F.col("d") < 100)
+    assert {r["id"] for r in t2.read_snapshot().collect()} == {"b", "c"}
+
+
+def test_schema_evolution_whole_row_replacement(spark, tmp_table_dir):
     """Add-column on upsert (Hudi-style evolution): the batch's new column
     appends to the schema, existing rows read NULL for it, carried files
-    stay valid, and a later batch without the column still merges."""
+    stay valid, and a later batch without the column still merges.
+    (The basic add-column case is also covered above; this pins the
+    whole-row-replacement semantics for batches missing evolved cols.)"""
     t = _mk(spark, tmp_table_dir)
     t.bulk_insert(spark.createDataFrame(
         [(1, 10, 1, "a"), (2, 20, 1, "b")], "id int, v int, seq int, pt string"))
