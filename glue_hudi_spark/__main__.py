@@ -52,6 +52,8 @@ def main(argv: list[str] | None = None) -> int:
                          "instead of the record-key range")
     ps = sub.add_parser("show", help="print snapshot stats + commit history")
     _common(ps, raw=False)
+    pf = sub.add_parser("fsck", help="manifest-vs-disk consistency report")
+    _common(pf, raw=False)
     args = ap.parse_args(argv)
 
     try:
@@ -94,6 +96,9 @@ def main(argv: list[str] | None = None) -> int:
             out.append({"table": ctl.table_name, "clustered": c.commit_id,
                         "files": len(c.files),
                         **({"zorder": zcols} if zcols else {})})
+        elif args.cmd == "fsck":
+            table = pipe._table(ctl)
+            out.append({"table": ctl.table_name, **table.validate()})
         elif args.cmd == "show":
             table = pipe._table(ctl)
             hist = [(c.commit_id, c.action) for c in table.timeline.history()]

@@ -655,6 +655,51 @@ class NativeTable:
             .drop("_ghs_pc_rn")
         )
 
+    def validate(self) -> dict:
+        """fsck: manifest-vs-disk consistency report (driver-side metadata
+        walk, no data read). A healthy table returns all-empty lists.
+
+        * ``missing_files`` — referenced by a retained manifest, absent on
+          disk (data loss or an interrupted clean);
+        * ``orphan_files`` — data files no retained manifest references
+          (a crashed writer's leftovers; next clean() removes them ONLY
+          if an old manifest covers them, so these need manual attention);
+        * ``orphan_blooms`` — bloom sidecars whose data file is gone;
+        * ``unreadable_manifests`` — commit JSONs that fail to parse.
+        """
+        live: set[str] = set()
+        unreadable: list[str] = []
+        for p in self.timeline._manifest_paths():
+            try:
+                c = self.timeline._load(p)
+            except Exception:
+                unreadable.append(p.name)
+                continue
+            live.update(c.files)
+            for d in c.deltas:
+                live.update(d["files"])
+        missing = [f for f in sorted(live) if not (self.root / f).is_file()]
+        data_root = self.root / DATA_DIR
+        on_disk = {
+            str(p.relative_to(self.root))
+            for p in data_root.rglob("*.parquet")
+            if not p.name.startswith("_")
+        } if data_root.is_dir() else set()
+        orphans = sorted(on_disk - live)
+        bloom_root = self.root / BLOOM_DIR
+        orphan_blooms = sorted(
+            str(p.relative_to(bloom_root))[: -len(".bloom")]
+            for p in bloom_root.rglob("*.bloom")
+            if not (self.root / str(p.relative_to(bloom_root))[: -len(".bloom")]).is_file()
+        ) if bloom_root.is_dir() else []
+        return {
+            "missing_files": missing,
+            "orphan_files": orphans,
+            "orphan_blooms": orphan_blooms,
+            "unreadable_manifests": unreadable,
+            "ok": not (missing or orphans or orphan_blooms or unreadable),
+        }
+
     def read_keys(self, keys: list[str], with_meta: bool = False) -> DataFrame:
         """Point lookups: rows whose record key is in ``keys``, reading
         only the files that can contain them.

@@ -469,6 +469,29 @@ def test_schema_type_widening_with_carried_files(spark, tmp_table_dir):
     assert {(r["id"], r["v"]) for r in snap.collect()} == {(1, 10), (2, 9_000_000_000)}
 
 
+def test_validate_fsck(spark, tmp_table_dir):
+    """validate() reports missing/orphan/sidecar inconsistencies and is
+    all-clear on a healthy table."""
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"], precombine="s",
+                    files_per_partition=2, bloom_index=True)
+    t.bulk_insert(spark.createDataFrame(
+        [(f"{i:03d}", i, 1) for i in range(100)], "id string, d int, s int"))
+    assert t.validate()["ok"]
+
+    # break it three ways
+    victim = t.timeline.latest().files[0]
+    (t.root / victim).unlink()                       # missing data file
+    orphan = t.root / "data" / "99999999999999999999" / "stray.parquet"
+    orphan.parent.mkdir(parents=True, exist_ok=True)
+    orphan.write_bytes(b"not parquet")               # orphan data file
+    rep = t.validate()
+    assert not rep["ok"]
+    assert rep["missing_files"] == [victim]
+    assert rep["orphan_files"] == [str(orphan.relative_to(t.root))]
+    # the missing data file's sidecar is now orphaned too
+    assert rep["orphan_blooms"] == [victim]
+
+
 def test_delete_where_predicate_retention(spark, tmp_table_dir):
     """delete_where drops matching rows, carries stats-pruned files
     unread, and keeps rows where the predicate is NULL (SQL DELETE
