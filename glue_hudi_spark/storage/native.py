@@ -1299,10 +1299,15 @@ class NativeTable:
 
     def compact(self) -> Commit:
         """Materialize base+deltas into new base files (Hudi inline/async
-        compaction, processData.py:152-153)."""
+        compaction, processData.py:152-153).
+
+        Per-record ``_ghs_commit_time`` is PRESERVED (Hudi compaction
+        keeps instant times too): re-stamping every row with the
+        compaction's own commit id would make ``read_incremental`` report
+        the whole table as changed after each compaction — a round-3 fix;
+        ``cluster()`` already behaved this way."""
         merged = self.read_snapshot(with_meta=True)
         cid = self.timeline.next_commit_id()
-        merged = merged.withColumn(COMMIT_TIME_COL, F.lit(f"{cid:020d}"))
         files = self._write_files(merged, cid)
         return self._commit(
             cid, "compact", files, [], merged.schema.json(), {},

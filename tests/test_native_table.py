@@ -469,6 +469,24 @@ def test_schema_type_widening_with_carried_files(spark, tmp_table_dir):
     assert {(r["id"], r["v"]) for r in snap.collect()} == {(1, 10), (2, 9_000_000_000)}
 
 
+def test_incremental_feed_survives_compaction(spark, tmp_table_dir):
+    """Compaction must not disturb the change feed: per-record commit
+    times are preserved, so read_incremental still reports only the rows
+    the delta commits actually changed (before the round-3 fix it
+    re-reported the whole table after every compaction)."""
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"], precombine="s",
+                    storage_type="mor", compact_every=100)
+    t.bulk_insert(spark.createDataFrame(
+        [(i, 1, "x") for i in range(10)], "id int, s int, v string"))
+    first = t.timeline.latest().commit_id
+    t.upsert(spark.createDataFrame([(3, 2, "y")], "id int, s int, v string"))
+    t.compact()
+    assert t.timeline.latest().action == "compact"
+    got = {(r["id"], r["v"]) for r in t.read_incremental(first).collect()}
+    assert got == {(3, "y")}
+    assert t.read_snapshot().count() == 10
+
+
 def test_validate_fsck(spark, tmp_table_dir):
     """validate() reports missing/orphan/sidecar inconsistencies and is
     all-clear on a healthy table."""
