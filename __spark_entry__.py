@@ -62,13 +62,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
-    """Read parquet tolerating TIMESTAMP(NANOS) columns.
+    """Read parquet normalizing every timestamp flavor to session-zone µs.
 
-    Spark (≤4.x) has no nanosecond timestamp type and refuses NANOS parquet
-    columns outright; the legacy conf reads them as epoch-nanos longs, which
-    we convert to µs timestamps JVM-side (integer DIV — no double-precision
-    loss at 1e18 magnitudes). Scale-safe: the conversion is a projection
-    inside the scan stage, not a post-pass.
+    Real-world parquet arrives in (at least) three timestamp flavors and
+    Spark 4 treats each differently:
+
+    * ``timestamp[ns]`` (tz or not) — refused outright; the legacy conf
+      reads them as epoch-nanos longs, which we convert to µs timestamps
+      JVM-side (integer DIV — no double-precision loss at 1e18).
+    * ``timestamp[us/ms] tz=...`` — read as TIMESTAMP (LTZ); fine as-is.
+    * ``timestamp[us/ms]`` with NO timezone — read as TIMESTAMP_NTZ, on
+      which epoch casts (``ts.cast('long')``) are illegal and several
+      datetime functions behave differently. We cast NTZ → session-zone
+      TIMESTAMP; with the session pinned to UTC the wall-clock values are
+      unchanged and epoch extraction matches DuckDB's naive-as-UTC rule.
+
+    All conversions are projections inside the scan stage, not post-passes
+    — column pruning and predicate pushdown still reach the parquet scan.
     """
     import pyarrow.parquet as pq
 
@@ -76,15 +86,24 @@ def _read_parquet_nanosafe(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = [
         f.name for f in arrow_schema if str(f.type).startswith("timestamp[ns")
     ]
-    if not ns_cols:
-        return spark.read.parquet(path)
-    # nanosAsLong is pinned in _ensure_session_confs (session-wide, not a
-    # mid-read mutation); set here only as a fallback for direct callers.
-    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ntz_cols = [
+        f.name
+        for f in arrow_schema
+        if str(f.type).startswith("timestamp[")
+        and f.name not in ns_cols
+        and getattr(f.type, "tz", None) is None
+    ]
+    if ns_cols:
+        # nanosAsLong is pinned in _ensure_session_confs (session-wide, not
+        # a mid-read mutation); set here only as a fallback for direct
+        # callers.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` DIV 1000)"))
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -81,32 +81,44 @@ def main() -> None:
     queries = entry_mod.queries()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    # Per-query isolation: one broken query must cost the round ITS timing,
+    # not the whole benchmark (round 4 lost every number to a single
+    # AnalysisException in the unguarded cold pass).
     for name in BENCH_QUERIES:
         fn = queries[name]
-        t0 = time.perf_counter()
-        run_query(fn(spark, sf_dir))  # cold pass: codegen + page cache
-        cold[name] = round(time.perf_counter() - t0, 3)
-        samples = []
-        for _ in range(n_runs):
+        try:
             t0 = time.perf_counter()
-            run_query(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+            run_query(fn(spark, sf_dir))  # cold pass: codegen + page cache
+            cold[name] = round(time.perf_counter() - t0, 3)
+            samples = []
+            for _ in range(n_runs):
+                t0 = time.perf_counter()
+                run_query(fn(spark, sf_dir))
+                samples.append(time.perf_counter() - t0)
+            timings[name] = round(statistics.median(samples), 3)
+        except Exception as exc:  # noqa: BLE001 — record and move on
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "runs": n_runs,
-                "cold_value": round(sum(cold.values()), 3),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs": n_runs,
+        "cold_value": round(sum(cold.values()), 3),
+    }
+    if errors:
+        out["errors"] = errors
+        out["ok_queries"] = len(timings)
+        out["failed_queries"] = len(errors)
+    # Always exit 0 with the JSON line: a nonzero rc makes the driver
+    # record the run as unparsed (round 4's BENCH had rc:1, parsed:null),
+    # which loses the timings that DID complete. Failures travel in-band
+    # via the "errors" block instead.
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -27,11 +27,31 @@ from pyspark.sql import DataFrame, Column
 from pyspark.sql import functions as F
 
 
-def _bucket(ts: Column, w: int) -> Column:
-    # cast timestamp → long = epoch seconds (truncated); integer DIV with
-    # floor semantics for negatives via floor(double) is unnecessary here
-    # because epoch seconds for any modern data are positive
-    return (ts.cast("long") / F.lit(int(w))).cast("long")
+def _epoch_seconds(df: DataFrame, name: str) -> Column:
+    """Epoch-seconds extraction that tolerates every timestamp flavor.
+
+    Spark 4 forbids TIMESTAMP_NTZ → BIGINT casts outright, so ``ts.cast
+    ('long')`` breaks the moment a parquet file stores tz-less
+    ``timestamp[us]`` (which Spark infers as NTZ). Route NTZ through an
+    allowed path — NTZ → session-zone TIMESTAMP → long — and leave
+    integer columns (already epoch seconds) untouched.
+    """
+    c = F.col(name)
+    dt = df.schema[name].dataType.typeName()
+    if dt in ("long", "integer", "short"):
+        return c.cast("long")
+    if dt == "timestamp_ntz":
+        c = c.cast("timestamp")
+    elif dt == "date":
+        c = c.cast("timestamp")
+    return c.cast("long")
+
+
+def _bucket(epoch: Column, w: int) -> Column:
+    # integer DIV with floor semantics for negatives via floor(double) is
+    # unnecessary here because epoch seconds for any modern data are
+    # positive
+    return (epoch / F.lit(int(w))).cast("long")
 
 
 def interval_join(
@@ -55,14 +75,17 @@ def interval_join(
     if w <= 0:
         raise ValueError("bucket_seconds must be positive")
 
-    p = points.withColumn("_ghs_bucket", _bucket(F.col(point_ts), w))
+    p = points.withColumn(
+        "_ghs_bucket", _bucket(_epoch_seconds(points, point_ts), w)
+    )
     iv = (
         intervals.filter(F.col(start_col) <= F.col(end_col))
         .withColumn(
             "_ghs_bucket",
             F.explode(
                 F.sequence(
-                    _bucket(F.col(start_col), w), _bucket(F.col(end_col), w)
+                    _bucket(_epoch_seconds(intervals, start_col), w),
+                    _bucket(_epoch_seconds(intervals, end_col), w),
                 )
             ),
         )

@@ -137,3 +137,70 @@ def test_interval_join_property(spark, data):
     )
     got = {(r["user_id"], r["click_id"], r["win_id"]) for r in out.collect()}
     assert got == _expected(points, intervals)
+
+
+# ---------------------------------------------------------------------------
+# Timestamp-flavor robustness: real parquet arrives as timestamp[ns],
+# timestamp[us, tz=UTC], or timestamp[us] with no tz (Spark 4 reads the
+# last as TIMESTAMP_NTZ, on which ts.cast('long') is illegal — the exact
+# drift that broke round 4's driver gate). All three flavors must produce
+# identical interval-join results, both through the raw operator and
+# through the entry's normalizing reader.
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def flavor_files(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = [dt.datetime(2024, 1, 1, 10, 30), dt.datetime(2024, 1, 1, 12, 0),
+            dt.datetime(2024, 1, 1, 10, 45)]
+    users = [1, 1, 2]
+    clicks = [100, 101, 102]
+    out = {}
+    for flavor, typ in [
+        ("ntz_us", pa.timestamp("us")),
+        ("tz_us", pa.timestamp("us", tz="UTC")),
+        ("ns", pa.timestamp("ns")),
+    ]:
+        tbl = pa.table({
+            "user_id": pa.array(users, pa.int64()),
+            "click_id": pa.array(clicks, pa.int64()),
+            "ts": pa.array(base, pa.timestamp("us")).cast(typ),
+        })
+        path = str(tmp_path / f"points_{flavor}.parquet")
+        pq.write_table(tbl, path)
+        out[flavor] = path
+    return out
+
+
+def test_interval_join_all_timestamp_flavors(spark, frames, flavor_files):
+    """NTZ / LTZ / nanos parquet all join identically (round-4 regression)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _read_parquet_nanosafe
+
+    _, intervals = frames
+    expect = {(1, 100, 200), (1, 100, 201), (1, 101, 201)}
+    for flavor, path in flavor_files.items():
+        points = _read_parquet_nanosafe(spark, path)
+        # the reader must normalize away NTZ and nanos entirely
+        assert points.schema["ts"].dataType.typeName() == "timestamp", flavor
+        out = ranges.interval_join(
+            points, intervals, on="user_id", point_ts="ts",
+            start_col="w_start", end_col="w_end", bucket_seconds=900,
+        )
+        got = {(r["user_id"], r["click_id"], r["win_id"]) for r in out.collect()}
+        assert got == expect, flavor
+
+
+def test_interval_join_raw_ntz_input(spark, frames):
+    """The operator itself tolerates an NTZ column (no reader in front)."""
+    points, intervals = frames
+    ntz = points.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = ranges.interval_join(
+        ntz, intervals, on="user_id", point_ts="ts",
+        start_col="w_start", end_col="w_end", bucket_seconds=900,
+    )
+    got = {(r["user_id"], r["click_id"], r["win_id"]) for r in out.collect()}
+    assert got == {(1, 100, 200), (1, 100, 201), (1, 101, 201)}
