@@ -85,6 +85,59 @@ def _bloom_contains_hashed(
     return True
 
 
+class _IntervalStab:
+    """Static stabbing index over file key-ranges: which [lo, hi] intervals
+    contain key k? Sorted-by-lo arrays plus a max-hi segment tree give
+    O(log n + matches) per key — the same job Hudi's interval tree does in
+    its bloom-index candidate step. At 10^5 files a linear scan per key is
+    10^11 comparisons per million-key batch; this makes candidacy
+    output-sensitive instead."""
+
+    def __init__(self, intervals: list[tuple[str, str, str]]):
+        """intervals: (lo, hi, tag), lo/hi inclusive string bounds."""
+        ivs = sorted(intervals, key=lambda t: t[0])
+        self.los = [t[0] for t in ivs]
+        self.his = [t[1] for t in ivs]
+        self.tags = [t[2] for t in ivs]
+        n = len(ivs)
+        self.n = n
+        size = 1
+        while size < max(n, 1):
+            size *= 2
+        self.size = size
+        self.maxhi: list[str | None] = [None] * (2 * size)
+        for i, h in enumerate(self.his):
+            self.maxhi[size + i] = h
+        for i in range(size - 1, 0, -1):
+            l, r = self.maxhi[2 * i], self.maxhi[2 * i + 1]
+            self.maxhi[i] = l if r is None else (r if l is None else max(l, r))
+
+    def stab(self, key: str) -> list[str]:
+        """Tags of every interval with lo <= key <= hi."""
+        import bisect
+
+        end = bisect.bisect_right(self.los, key)  # candidates: [0, end)
+        if end == 0:
+            return []
+        out: list[str] = []
+        # walk the tree over leaves [0, end), pruning subtrees whose max
+        # hi < key (no interval inside can contain it)
+        stack = [(1, 0, self.size)]
+        while stack:
+            node, lo_i, hi_i = stack.pop()
+            if lo_i >= end or self.maxhi[node] is None or self.maxhi[node] < key:
+                continue
+            if node >= self.size:  # leaf
+                i = node - self.size
+                if i < self.n and self.his[i] >= key:
+                    out.append(self.tags[i])
+                continue
+            mid = (lo_i + hi_i) // 2
+            stack.append((2 * node, lo_i, mid))
+            stack.append((2 * node + 1, mid, hi_i))
+        return out
+
+
 def _partition_str(col_name: str):
     """Partition value as the directory string Spark will actually write.
 
@@ -585,48 +638,108 @@ class NativeTable:
                 out[rel] = (k, m_bits, raw[9:])
         return out
 
+    def _existing_blooms(self, files: list[str]) -> set[str]:
+        """Rel paths (among ``files``) that have a sidecar on disk — ONE
+        directory walk, not a stat call per file."""
+        idx_root = self.root / BLOOM_DIR
+        if not idx_root.is_dir():
+            return set()
+        on_disk = {
+            str(p.relative_to(idx_root))[: -len(".bloom")].replace("\\", "/")
+            for p in idx_root.rglob("*.bloom")
+        }
+        return {f for f in files if f in on_disk}
+
     def _prune_by_bloom(
-        self, files: list[str], keyed: DataFrame
+        self,
+        files: list[str],
+        keyed: DataFrame,
+        key_stats: dict[str, list[str]] | None = None,
     ) -> tuple[list[str], list[str]]:
         """(affected, untouched) by bloom membership: a file is untouched
-        when NO batch key possibly hits its bloom. The probing runs
-        executor-side (mapInPandas over the batch's key column with the
-        sidecar set broadcast) — batch keys are data-sized and never
-        collect to the driver; the result is at most one file name per
-        file. Files without a sidecar stay affected (safe)."""
-        blooms = self._load_blooms(files)
-        if not blooms:
-            return list(files), []
-        bc = self.spark.sparkContext.broadcast(blooms)
+        when NO batch key possibly hits its bloom.
 
-        def probe(batches):
+        Scale shape (Hudi's bloom-index pipeline, not a broadcast of every
+        sidecar): only METADATA is broadcast — each file's [min, max] key
+        range. Stage 1 maps over the batch's key column and emits a
+        (file, key-hash) pair per range-candidate file, found by interval
+        stabbing (O(log files + matches) per key, not a scan). Stage 2
+        groups the pairs by file; each task reads ONE sidecar from the
+        table's storage and probes its own keys, early-exiting on the
+        first hit. So sidecar bytes are read once total (not once per
+        executor), probe work is bounded by per-key range candidacy, and
+        nothing data-sized ever reaches the driver — at most one file
+        name per candidate file comes back. Files without a sidecar stay
+        affected (safe); files without key stats are candidates for every
+        key (safe, and never produced by this writer, which stats every
+        commit)."""
+        with_bloom = self._existing_blooms(files)
+        if not with_bloom:
+            return list(files), []
+        stats = key_stats or {}
+        ranged = [
+            (stats[f][0], stats[f][1], f) for f in with_bloom if f in stats
+        ]
+        unranged = sorted(f for f in with_bloom if f not in stats)
+        bc = self.spark.sparkContext.broadcast((ranged, unranged))
+        root = str(self.root)
+        bloom_dir = BLOOM_DIR
+
+        def candidates(batches):
             import pandas as pd
 
-            hits: set[str] = set()
-            items = bc.value
+            rng, always = bc.value
+            stab = _IntervalStab(rng)
             for pdf in batches:
-                if len(hits) == len(items):
-                    break
+                fs: list[str] = []
+                h1s: list[int] = []
+                h2s: list[int] = []
                 for key in pdf[RECORD_KEY_COL]:
-                    h1, h2 = _bloom_hash_pair(str(key))  # one digest per key
-                    for rel, (k, m_bits, bits) in items.items():
-                        if rel not in hits and _bloom_contains_hashed(
-                            bits, m_bits, k, h1, h2
-                        ):
-                            hits.add(rel)
-                    if len(hits) == len(items):
-                        break
-            yield pd.DataFrame({"f": sorted(hits)})
+                    ks = str(key)
+                    cand = stab.stab(ks)
+                    if not cand and not always:
+                        continue
+                    h1, h2 = _bloom_hash_pair(ks)  # one digest per key
+                    # two's-complement reinterpretation: int64 transport
+                    s1 = h1 - (1 << 64) if h1 >= (1 << 63) else h1
+                    s2 = h2 - (1 << 64) if h2 >= (1 << 63) else h2
+                    for rel in cand:
+                        fs.append(rel), h1s.append(s1), h2s.append(s2)
+                    for rel in always:
+                        fs.append(rel), h1s.append(s1), h2s.append(s2)
+                yield pd.DataFrame({"f": fs, "h1": h1s, "h2": h2s})
 
+        def probe_one(pdf):
+            import pandas as pd
+            from pathlib import Path as _P
+
+            rel = pdf["f"].iloc[0]
+            try:
+                raw = _P(root, bloom_dir, rel + ".bloom").read_bytes()
+                k, m_bits = raw[0], int.from_bytes(raw[1:9], "little")
+                bits = raw[9:]
+                if len(bits) != m_bits // 8:
+                    raise ValueError("truncated sidecar")
+            except Exception:
+                # unreadable sidecar → keep the file affected (safe)
+                return pd.DataFrame({"f": [rel]})
+            for s1, s2 in zip(pdf["h1"], pdf["h2"]):
+                h1, h2 = int(s1) % (1 << 64), int(s2) % (1 << 64)
+                if _bloom_contains_hashed(bits, m_bits, k, h1, h2):
+                    return pd.DataFrame({"f": [rel]})
+            return pd.DataFrame({"f": pd.Series([], dtype=str)})
+
+        pairs = keyed.select(RECORD_KEY_COL).mapInPandas(
+            candidates, "f string, h1 long, h2 long"
+        )
         hit_files = {
             r["f"]
-            for r in keyed.select(RECORD_KEY_COL)
-            .mapInPandas(probe, "f string")
-            .distinct()
+            for r in pairs.groupBy("f")
+            .applyInPandas(probe_one, "f string")
             .collect()
         }
-        affected = [f for f in files if f not in blooms or f in hit_files]
-        untouched = [f for f in files if f in blooms and f not in hit_files]
+        affected = [f for f in files if f not in with_bloom or f in hit_files]
+        untouched = [f for f in files if f in with_bloom and f not in hit_files]
         return affected, untouched
 
     def _read_files(self, files: list[str], schema_json: str | None) -> DataFrame:
@@ -1030,7 +1143,9 @@ class NativeTable:
             # hit. Probing is an extra action over the batch, so persist
             # it for the merge's lifetime (released after the write).
             persisted = keyed = keyed.persist()
-            affected, bloom_skipped = self._prune_by_bloom(affected, keyed)
+            affected, bloom_skipped = self._prune_by_bloom(
+                affected, keyed, prev.key_stats
+            )
             untouched = untouched + bloom_skipped
         existing = self._read_files(affected, prev.schema_json)
 
@@ -1166,7 +1281,9 @@ class NativeTable:
         persisted = None
         if self.bloom_index and affected:
             persisted = keyed = keyed.persist()
-            affected, bloom_skipped = self._prune_by_bloom(affected, keyed)
+            affected, bloom_skipped = self._prune_by_bloom(
+                affected, keyed, prev.key_stats
+            )
             untouched = untouched + bloom_skipped
         existing = self._read_files(affected, prev.schema_json)
         if parallelism > 0:

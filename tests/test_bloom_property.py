@@ -65,3 +65,30 @@ def test_bloom_merge_equals_reference(spark, data):
         assert c.stats["files_rewritten"] + c.stats["files_carried"] >= 1
     finally:
         shutil.rmtree(work, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# _IntervalStab: the per-key range-candidacy index behind the scale-safe
+# bloom probe — must agree with a naive linear scan on any interval set.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+from glue_hudi_spark.storage.native import _IntervalStab
+
+_keys = st.text(alphabet="abcdef0123456789", min_size=0, max_size=6)
+
+
+@given(
+    ivs=st.lists(st.tuples(_keys, _keys), min_size=0, max_size=40),
+    probes=st.lists(_keys, min_size=1, max_size=20),
+)
+@settings(max_examples=300, deadline=None)
+def test_interval_stab_matches_naive(ivs, probes):
+    intervals = [
+        (min(a, b), max(a, b), f"f{i}") for i, (a, b) in enumerate(ivs)
+    ]
+    stab = _IntervalStab(intervals)
+    for k in probes:
+        expect = sorted(t for lo, hi, t in intervals if lo <= k <= hi)
+        assert sorted(stab.stab(k)) == expect, (k, intervals)
