@@ -14,10 +14,11 @@ Design:
   no shuffle, no RNG, stable under retries/speculative execution.
 * ``stratified_sample`` is a single map-side filter — at any scale its
   cost is one scan.
-* ``token_budget_sample`` needs a per-stratum running total, i.e. one
-  shuffle on the stratum key + a window sort within each stratum. That is
-  the minimal data movement for a prefix-sum semantics; strata are
-  processed independently so the plan parallelizes across them.
+* ``token_budget_sample`` needs per-stratum running totals — but NOT one
+  sort task per stratum. It range-partitions on (stratum, priority),
+  prefix-sums per-slab token masses driver-side (metadata), and windows
+  only the slab where each stratum's budget boundary lands; all other
+  rows are kept or dropped by a map-side flag.
 * ``mix_corpora`` computes per-source keep rates from the (metadata-sized)
   per-source counts, then delegates to the same map-side filter.
 
@@ -29,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # 2^32 — hash_fraction takes the top 8 hex chars (32 bits) of the md5
 _HASH_SPACE = float(1 << 32)
@@ -76,32 +78,105 @@ def token_budget_sample(
     budget: int,
     stratum_col: str | None = None,
     order_by: list[Column] | None = None,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Greedy prefix take: walk rows in priority order, keep while the
     running token total stays within ``budget`` (per stratum).
 
     ``order_by`` ranks desirability (e.g. quality desc, id asc for a
     deterministic tie-break) — the FIRST rows in that order are kept, so
-    the budget buys the best documents, not a random subset.
+    the budget buys the best documents, not a random subset. Token counts
+    must be non-negative (they are counts).
 
-    Scale: one shuffle on the stratum key, sort within each stratum —
-    the minimum for running-total semantics. With ``stratum_col=None``
-    the whole input is one sequential prefix scan (Spark executes the
-    unpartitioned window on a single task); only use that for
-    driver-bounded inputs — at corpus scale always budget per stratum.
+    Scale (distributed prefix-sum, NOT one sort task per stratum — a
+    100 TB corpus with five languages must not sort each language on a
+    single reducer):
+
+    1. Range-partition on (stratum, order) — each stratum spans a run of
+       consecutive balanced partitions; rows are sorted within each.
+    2. ONE metadata-sized aggregation collects each (partition, stratum)
+       slab's token mass; the driver prefix-sums slab masses per stratum,
+       giving every slab its running-total offset, and classifies it:
+       ``keep`` (offset + mass fits the budget — every row survives,
+       no sort needed), ``drop`` (offset already past the budget —
+       nothing survives), or ``walk`` (the budget boundary lands inside).
+    3. Only ``walk`` slabs — at most one per stratum — pay a window
+       cumsum; the exact greedy filter is ``offset + within-slab
+       running ≤ budget``. Everything else is a map-side flag filter.
+
+    The partitioned frame is localCheckpoint-ed so the mass pass and the
+    final pass see identical partition ids (and the range shuffle runs
+    once). Semantics are EXACTLY the single-window formulation: running
+    totals accumulate over all prior rows in order, kept or not (greedy
+    prefix, not bin packing).
     """
     order = order_by or [F.col(token_col).desc()]
-    part = [stratum_col] if stratum_col else []
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    strat = [F.col(stratum_col)] if stratum_col else []
+    ranged = (
+        df.repartitionByRange(int(partitions), *strat, *order)
+        .sortWithinPartitions(*strat, *order)
+        .withColumn("_ghs_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    grp = ["_ghs_pid"] + ([stratum_col] if stratum_col else [])
+    slabs = ranged.groupBy(*grp).agg(
+        F.coalesce(F.sum(token_col), F.lit(0)).alias("_ghs_mass")
+    ).collect()
+    slabs.sort(key=lambda r: r["_ghs_pid"])
+
+    budget = int(budget)
+    acc: dict = {}
+    meta_rows = []
+    for r in slabs:
+        s = r[stratum_col] if stratum_col else None
+        off = acc.get(s, 0)
+        mass = r["_ghs_mass"]
+        if off + mass <= budget:
+            flag = "keep"
+        elif off > budget:
+            flag = "drop"
+        else:  # boundary slab (off == budget still walks: 0-token rows fit)
+            flag = "walk"
+        meta_rows.append((r["_ghs_pid"], s, off, flag))
+        acc[s] = off + mass
+
+    meta_fields = [T.StructField("_ghs_mpid", T.IntegerType())]
+    if stratum_col:
+        meta_fields.append(
+            T.StructField("_ghs_stratum", df.schema[stratum_col].dataType)
+        )
+    else:
+        meta_rows = [(p, o, fl) for p, _, o, fl in meta_rows]
+    meta_fields += [
+        T.StructField("_ghs_offset", T.LongType()),
+        T.StructField("_ghs_flag", T.StringType()),
+    ]
+    meta = spark.createDataFrame(meta_rows, T.StructType(meta_fields))
+
+    cond = ranged["_ghs_pid"] == meta["_ghs_mpid"]
+    if stratum_col:
+        cond = cond & ranged[stratum_col].eqNullSafe(meta["_ghs_stratum"])
+    j = ranged.join(F.broadcast(meta), on=cond, how="inner")
+
+    kept = j.filter(F.col("_ghs_flag") == "keep")
     w = (
-        Window.partitionBy(*part)
+        Window.partitionBy("_ghs_pid", *([stratum_col] if stratum_col else []))
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        df.withColumn("_running_tokens", F.sum(F.col(token_col)).over(w))
-        .filter(F.col("_running_tokens") <= F.lit(int(budget)))
-        .drop("_running_tokens")
+    walked = (
+        j.filter(F.col("_ghs_flag") == "walk")
+        .withColumn(
+            "_ghs_run", F.col("_ghs_offset") + F.sum(F.col(token_col)).over(w)
+        )
+        .filter(F.col("_ghs_run") <= F.lit(budget))
+        .drop("_ghs_run")
     )
+    return kept.unionByName(walked).select(*df.columns)
 
 
 def mix_corpora(

@@ -94,3 +94,59 @@ def test_mix_corpora_missing_source_raises(spark):
         sampling.mix_corpora(
             _docs(spark, 30), "source", {"src0": 1.0, "nope": 1.0}, "doc_id"
         )
+
+
+# ---------------------------------------------------------------------------
+# token_budget_sample is a distributed prefix-sum (range partition +
+# slab offsets + boundary-only window); it must agree exactly with the
+# naive single-window formulation on any input, at any partition count.
+# ---------------------------------------------------------------------------
+
+def _naive_budget(rows, budget, stratified):
+    # rows: (doc_id, lang, n_tokens, quality); order: quality desc, id asc
+    from collections import defaultdict
+    run = defaultdict(int)
+    keep = set()
+    for did, lang, tok, q in sorted(rows, key=lambda r: (-r[3], r[0])):
+        s = lang if stratified else None
+        run[s] += tok
+        if run[s] <= budget:
+            keep.add(did)
+    return keep
+
+
+@pytest.mark.parametrize("partitions", [1, 3, 7])
+@pytest.mark.parametrize("stratified", [True, False])
+def test_token_budget_matches_naive(spark, partitions, stratified):
+    import random
+    rng = random.Random(42)
+    rows = [
+        (i, f"lang{rng.randrange(4)}", rng.randrange(0, 60),
+         round(rng.random(), 6))
+        for i in range(300)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id bigint, lang string, n_tokens bigint, quality double"
+    )
+    out = sampling.token_budget_sample(
+        d, "n_tokens", budget=500,
+        stratum_col="lang" if stratified else None,
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+        partitions=partitions,
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == _naive_budget(rows, 500, stratified)
+
+
+def test_token_budget_null_stratum_rows_survive(spark):
+    d = spark.createDataFrame(
+        [(1, None, 10), (2, None, 10), (3, "en", 10)],
+        "doc_id bigint, lang string, n_tokens bigint",
+    )
+    out = sampling.token_budget_sample(
+        d, "n_tokens", budget=15, stratum_col="lang",
+        order_by=[F.col("doc_id").asc()],
+    )
+    # null is a stratum like any other (eqNullSafe join): doc 1 fits its
+    # budget, doc 2 overflows it, doc 3 fits en's
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
