@@ -138,6 +138,78 @@ class _IntervalStab:
         return out
 
 
+def _stat_value(v):
+    """JSON-safe, order-preserving rendering of a footer statistic.
+
+    ints/floats stay native; strings stay strings; date/datetime go to
+    ISO strings (lexicographic == chronological). Types whose string
+    form does NOT order correctly (Decimal, bytes) return None — the
+    column simply isn't indexed for that file, which is always safe.
+    """
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return v.isoformat()
+    return None
+
+
+def _file_footer_stats(
+    root: str, rel: str, stats_cols: list[str]
+) -> tuple[str, list[str] | None, dict]:
+    """One file's footer stats: (rel, [key_lo, key_hi] | None,
+    {col: [lo, hi]}). Module-level and driver-free so it runs inside
+    executor tasks; a column missing stats in ANY row group is dropped
+    for the file (conservative)."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.read_metadata(str(Path(root) / rel))
+    except Exception:
+        return rel, None, {}
+    wanted = [RECORD_KEY_COL] + [c for c in stats_cols if c != RECORD_KEY_COL]
+    mins: dict[str, list] = {c: [] for c in wanted}
+    maxs: dict[str, list] = {c: [] for c in wanted}
+    ok = {c: True for c in wanted}
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        found = {}
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            if col.path_in_schema in ok:
+                found[col.path_in_schema] = col.statistics
+        for c in wanted:
+            if not ok[c]:
+                continue
+            st = found.get(c)
+            if st is None or not st.has_min_max:
+                ok[c] = False
+                continue
+            if c == RECORD_KEY_COL:
+                lo, hi = str(st.min), str(st.max)
+            else:
+                lo, hi = _stat_value(st.min), _stat_value(st.max)
+                if lo is None or hi is None:
+                    ok[c] = False
+                    continue
+            mins[c].append(lo)
+            maxs[c].append(hi)
+    key_range = None
+    if ok[RECORD_KEY_COL] and mins[RECORD_KEY_COL]:
+        key_range = [min(mins[RECORD_KEY_COL]), max(maxs[RECORD_KEY_COL])]
+    per_col = {
+        c: [min(mins[c]), max(maxs[c])]
+        for c in wanted
+        if c != RECORD_KEY_COL and ok[c] and mins[c]
+    }
+    return rel, key_range, per_col
+
+
 def _partition_str(col_name: str):
     """Partition value as the directory string Spark will actually write.
 
@@ -358,109 +430,46 @@ class NativeTable:
 
     # ------------------------------------------------- record-level key index
 
-    def _collect_key_stats(self, rel_files: list[str]) -> dict[str, list[str]]:
-        """Per-file [min, max] of the record-key column, read from parquet
-        footers — the record-level index Hudi's bloom index gives the
-        reference for free (processData.py:369-374). Footer reads are
-        metadata-only and touch just the files this commit wrote.
+    def _collect_file_stats(
+        self, rel_files: list[str]
+    ) -> tuple[dict[str, list[str]], dict[str, dict]]:
+        """(key_stats, col_stats) for the files a commit wrote, from
+        parquet footers: per-file [min, max] of the record-key column (the
+        record-level index Hudi's bloom index gives the reference for
+        free, processData.py:369-374) and per-file {col: [min, max]} for
+        ``stats_cols``. ONE footer read per file serves both.
 
         Parquet string stats are safe bounds even when the writer truncates
         them (truncated max is rounded UP per the format spec), and both
         parquet and Spark compare strings bytewise in UTF-8, which preserves
         code-point order — so python-str comparisons against these bounds
-        are conservative, never wrong.
+        are conservative, never wrong. Files/columns without usable stats
+        are simply not indexed (always safe — pruning is an optimization).
+
+        Executor-side above a small file count: footer reads are
+        metadata-only, but a commit writing thousands of files on an
+        object store must not serialize thousands of driver round-trips —
+        the file list fans out as tasks and only the finished [min, max]
+        pairs come back (same pattern as ``_build_blooms``). Below the
+        threshold the driver loop wins (no job-scheduling overhead).
         """
-        import pyarrow.parquet as pq
-
-        out: dict[str, list[str]] = {}
-        for rel in rel_files:
-            try:
-                md = pq.read_metadata(str(self.root / rel))
-                mins: list[str] = []
-                maxs: list[str] = []
-                ok = True
-                for rg in range(md.num_row_groups):
-                    row_group = md.row_group(rg)
-                    st = None
-                    for ci in range(row_group.num_columns):
-                        col = row_group.column(ci)
-                        if col.path_in_schema == RECORD_KEY_COL:
-                            st = col.statistics
-                            break
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        break
-                    mins.append(str(st.min))
-                    maxs.append(str(st.max))
-                if ok and mins:
-                    out[rel] = [min(mins), max(maxs)]
-            except Exception:
-                continue  # no stats → file treated as always-affected
-        return out
-
-    @staticmethod
-    def _stat_value(v):
-        """JSON-safe, order-preserving rendering of a footer statistic.
-
-        ints/floats stay native; strings stay strings; date/datetime go to
-        ISO strings (lexicographic == chronological). Types whose string
-        form does NOT order correctly (Decimal, bytes) return None — the
-        column simply isn't indexed for that file, which is always safe.
-        """
-        import datetime as _dt
-
-        if isinstance(v, bool) or v is None:
-            return None
-        if isinstance(v, (int, float)):
-            return v
-        if isinstance(v, str):
-            return v
-        if isinstance(v, (_dt.date, _dt.datetime)):
-            return v.isoformat()
-        return None
-
-    def _collect_col_stats(self, rel_files: list[str]) -> dict[str, dict]:
-        """Per-file {col: [min, max]} for ``stats_cols``, from parquet
-        footers — metadata-only, same trip the key index already makes.
-        Row groups without stats (or unsupported types) drop the column
-        for that file: pruning is only ever an optimization."""
-        import pyarrow.parquet as pq
-
-        if not self.stats_cols:
-            return {}
-        out: dict[str, dict] = {}
-        for rel in rel_files:
-            try:
-                md = pq.read_metadata(str(self.root / rel))
-            except Exception:
-                continue
-            per_col: dict[str, list] = {}
-            for col in self.stats_cols:
-                mins, maxs = [], []
-                ok = True
-                for rg in range(md.num_row_groups):
-                    row_group = md.row_group(rg)
-                    st = None
-                    for ci in range(row_group.num_columns):
-                        c = row_group.column(ci)
-                        if c.path_in_schema == col:
-                            st = c.statistics
-                            break
-                    if st is None or not st.has_min_max:
-                        ok = False
-                        break
-                    lo = self._stat_value(st.min)
-                    hi = self._stat_value(st.max)
-                    if lo is None or hi is None:
-                        ok = False
-                        break
-                    mins.append(lo)
-                    maxs.append(hi)
-                if ok and mins:
-                    per_col[col] = [min(mins), max(maxs)]
-            if per_col:
-                out[rel] = per_col
-        return out
+        if not rel_files:
+            return {}, {}
+        root = str(self.root)
+        cols = list(self.stats_cols or [])
+        if len(rel_files) <= 16:
+            results = [_file_footer_stats(root, rel, cols) for rel in rel_files]
+        else:
+            sc = self.spark.sparkContext
+            slices = min(len(rel_files), max(sc.defaultParallelism, 1) * 2)
+            results = (
+                sc.parallelize(sorted(rel_files), slices)
+                .map(lambda rel: _file_footer_stats(root, rel, cols))
+                .collect()
+            )
+        key_stats = {rel: kv for rel, kv, _ in results if kv}
+        col_stats = {rel: cs for rel, _, cs in results if cs}
+        return key_stats, col_stats
 
     def _prune_files_by_col_stats(
         self, files: list[str], col_stats: dict, prune: dict
@@ -476,7 +485,7 @@ class NativeTable:
                 s = st.get(col)
                 if s is None:
                     continue
-                plo, phi = self._stat_value(lo), self._stat_value(hi)
+                plo, phi = _stat_value(lo), _stat_value(hi)
                 if (phi is not None and s[0] > phi) or (
                     plo is not None and s[1] < plo
                 ):
@@ -1060,10 +1069,11 @@ class NativeTable:
         prev = self.timeline.latest()
         prev_files = prev.files if prev else []
         prev_deltas = prev.deltas if prev else []
+        new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = dict(prev.key_stats) if prev else {}
-        key_stats.update(self._collect_key_stats(files))
+        key_stats.update(new_key_stats)
         col_stats = dict(prev.col_stats) if prev else {}
-        col_stats.update(self._collect_col_stats(files))
+        col_stats.update(new_col_stats)
         return self._commit(
             cid, "bulk_insert", prev_files + files, prev_deltas,
             out.schema.json(), dict(extra_stats or {}), key_stats, col_stats,
@@ -1078,10 +1088,11 @@ class NativeTable:
         out = self._with_meta(df, f"{cid:020d}")
         files = self._write_files(out, cid)
         prev = self.timeline.latest()
+        new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = dict(prev.key_stats) if prev else {}
-        key_stats.update(self._collect_key_stats(files))
+        key_stats.update(new_key_stats)
         col_stats = dict(prev.col_stats) if prev else {}
-        col_stats.update(self._collect_col_stats(files))
+        col_stats.update(new_col_stats)
         return self._commit(
             cid,
             "insert",
@@ -1172,10 +1183,11 @@ class NativeTable:
         )
         if persisted is not None:
             persisted.unpersist()
+        new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
-        key_stats.update(self._collect_key_stats(files))
+        key_stats.update(new_key_stats)
         col_stats = {f: prev.col_stats[f] for f in untouched if f in prev.col_stats}
-        col_stats.update(self._collect_col_stats(files))
+        col_stats.update(new_col_stats)
         return self._commit(
             cid,
             "delete" if deletes else "upsert",
@@ -1222,10 +1234,11 @@ class NativeTable:
             kept, cid,
             n_files=max(1, len(affected)) if not self.partition_keys else None,
         )
+        new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
-        key_stats.update(self._collect_key_stats(files))
+        key_stats.update(new_key_stats)
         col_stats = {f: prev.col_stats[f] for f in untouched if f in prev.col_stats}
-        col_stats.update(self._collect_col_stats(files))
+        col_stats.update(new_col_stats)
         return self._commit(
             cid, "delete", untouched + files, [], prev.schema_json,
             {"files_rewritten": len(affected), "files_carried": len(untouched),
@@ -1304,10 +1317,11 @@ class NativeTable:
         )
         if persisted is not None:
             persisted.unpersist()
+        new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
-        key_stats.update(self._collect_key_stats(files))
+        key_stats.update(new_key_stats)
         col_stats = {f: prev.col_stats[f] for f in untouched if f in prev.col_stats}
-        col_stats.update(self._collect_col_stats(files))
+        col_stats.update(new_col_stats)
         return self._commit(
             cid, "merge", untouched + files, [], merged.schema.json(),
             {"files_rewritten": len(affected), "files_carried": len(untouched),
@@ -1410,8 +1424,7 @@ class NativeTable:
             files = self._write_files(merged, cid)
         return self._commit(
             cid, "cluster", files, [], merged.schema.json(), {},
-            self._collect_key_stats(files),
-            self._collect_col_stats(files),
+            *self._collect_file_stats(files),
         )
 
     def compact(self) -> Commit:
@@ -1428,6 +1441,5 @@ class NativeTable:
         files = self._write_files(merged, cid)
         return self._commit(
             cid, "compact", files, [], merged.schema.json(), {},
-            self._collect_key_stats(files),
-            self._collect_col_stats(files),
+            *self._collect_file_stats(files),
         )
