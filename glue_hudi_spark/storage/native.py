@@ -1341,7 +1341,18 @@ class NativeTable:
         if prev is None:
             base_files, deltas, schema = [], [], keyed.schema.json()
         else:
-            base_files, deltas, schema = prev.files, list(prev.deltas), keyed.schema.json()
+            # schema-evolution union (the CoW path gets this from
+            # unionByName): stored fields keep their order, genuinely new
+            # batch columns append. A delta batch MISSING an evolved
+            # column must not regress the table schema — base files would
+            # silently read without it.
+            stored = T.StructType.fromJson(json.loads(prev.schema_json))
+            have = {f.name for f in stored.fields}
+            evolved = T.StructType(
+                stored.fields
+                + [f for f in keyed.schema.fields if f.name not in have]
+            )
+            base_files, deltas, schema = prev.files, list(prev.deltas), evolved.json()
         deltas.append({"commit_id": cid, "action": action, "files": files})
         commit = self._commit(
             cid, action, base_files, deltas, schema, dict(extra_stats or {}),

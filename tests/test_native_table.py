@@ -608,3 +608,33 @@ def test_merge_rewrite_width_and_cluster(spark, tmp_table_dir):
     # clustering preserved per-record commit times → change feed intact
     inc = t.read_incremental(first_commit)
     assert {r["id"] for r in inc.collect()} == {"0000"}
+
+
+def test_schema_evolution_mor_delta(spark, tmp_table_dir):
+    """MoR evolution: a delta batch ADDS a column (schema widens, base
+    rows read NULL), and a later delta batch WITHOUT that column must not
+    regress the stored schema — base and delta files keep serving the
+    evolved column instead of silently dropping it."""
+    t = _mk(spark, tmp_table_dir, storage_type="mor", compact_every=100)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 10, 1, "a"), (2, 20, 1, "b")], "id int, v int, seq int, pt string"))
+    t.upsert(spark.createDataFrame(
+        [(2, 21, 2, "b", "extra")], "id int, v int, seq int, pt string, note string"))
+    snap = t.read_snapshot()
+    assert dict(snap.dtypes)["note"] == "string"
+    assert {(r["id"], r["v"], r["note"]) for r in snap.collect()} == {
+        (1, 10, None), (2, 21, "extra")}
+
+    # narrower follow-up delta: schema must stay evolved
+    t.upsert(spark.createDataFrame(
+        [(1, 11, 3, "a")], "id int, v int, seq int, pt string"))
+    snap = t.read_snapshot()
+    assert "note" in snap.columns, "narrower delta regressed the schema"
+    assert {(r["id"], r["v"], r["note"]) for r in snap.collect()} == {
+        (1, 11, None), (2, 21, "extra")}
+
+    # compaction folds deltas into base files without losing the column
+    t.compact()
+    snap = t.read_snapshot()
+    assert {(r["id"], r["v"], r["note"]) for r in snap.collect()} == {
+        (1, 11, None), (2, 21, "extra")}
