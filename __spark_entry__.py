@@ -1113,6 +1113,139 @@ FROM documents
 """
 
 
+def text_pii_redact(spark, sf_dir):
+    """PII scrub before corpus release. The synthetic docs carry no PII,
+    so the query plants a deterministic contact line per doc (email,
+    phone, SSN, IPv4 derived from doc_id) and redacts it — exercising
+    every pattern on every row. Pure regexp_replace chain (codegen)."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com ph 555-"),
+            F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789 ip 10."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".0.1"),
+        ).alias("text"),
+    )
+    red = planted.select("doc_id", TX.redact_pii("text").alias("clean_text"))
+    return red.select(
+        "doc_id",
+        "clean_text",
+        F.regexp_count("clean_text", F.lit("<EMAIL>")).alias("n_emails"),
+        F.regexp_count("clean_text", F.lit("<PHONE>")).alias("n_phones"),
+        F.regexp_count("clean_text", F.lit("<SSN>")).alias("n_ssns"),
+        F.regexp_count("clean_text", F.lit("<IP>")).alias("n_ips"),
+    )
+
+
+def _pii_oracle() -> str:
+    from glue_hudi_spark.functions.text import PII_PATTERNS
+
+    expr = "text"
+    for pat, tok in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{tok}', 'g')"
+    return rf"""
+WITH planted AS (
+  SELECT doc_id,
+    text || ' contact u' || doc_id || '@mail.example.com ph 555-'
+      || lpad((doc_id % 900 + 100)::VARCHAR, 3, '0') || '-'
+      || lpad((doc_id % 9000 + 1000)::VARCHAR, 4, '0')
+      || ' ssn 123-45-6789 ip 10.' || (doc_id % 256) || '.0.1' AS text
+  FROM documents
+), red AS (SELECT doc_id, {expr} AS clean_text FROM planted)
+SELECT doc_id, clean_text,
+  len(regexp_extract_all(clean_text, '<EMAIL>')) AS n_emails,
+  len(regexp_extract_all(clean_text, '<PHONE>')) AS n_phones,
+  len(regexp_extract_all(clean_text, '<SSN>')) AS n_ssns,
+  len(regexp_extract_all(clean_text, '<IP>')) AS n_ips
+FROM red
+"""
+
+
+def text_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition signals: duplicate-token and
+    duplicate-bigram fractions — boilerplate/keyword-stuffing filter."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.repetition_ratio("text").alias("dup_token_ratio"),
+        TX.bigram_repetition_ratio("text").alias("dup_bigram_ratio"),
+    )
+
+
+REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks, len(toks) AS n,
+    CASE WHEN len(toks) > 1
+      THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+      ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+  CASE WHEN n > 0
+    THEN round(1.0 - len(list_distinct(toks))::DOUBLE / n::DOUBLE, 6)
+    ELSE 0.0 END AS dup_token_ratio,
+  CASE WHEN n > 1
+    THEN round(1.0 - len(list_distinct(grams))::DOUBLE / (n-1)::DOUBLE, 6)
+    ELSE 0.0 END AS dup_bigram_ratio
+FROM g
+"""
+
+
+def corpus_line_dedup(spark, sf_dir):
+    """C4-style corpus line dedup. The synthetic docs are single-line, so
+    the query derives lines deterministically (literal replace of ' the '
+    with a newline — identical non-regex semantics in both engines) and
+    doubles the corpus with shifted ids so every original line also occurs
+    in a second document: the operator must keep each popular line only in
+    its min-id keeper doc and reassemble the rest in order."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    copies = d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = d.unionByName(copies)
+    return dedup.line_dedup(corpus, id_col="doc_id", text_col="text", min_count=2)
+
+
+LINE_DEDUP_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, replace(text, ' the ', chr(10)) FROM documents
+), lines AS (
+  SELECT doc_id,
+    generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+    unnest(string_split(text, chr(10))) AS line
+  FROM corpus
+), stats AS (
+  SELECT md5(trim(line)) AS h, COUNT(DISTINCT doc_id) AS ndocs,
+         MIN(doc_id) AS keeper
+  FROM lines GROUP BY 1
+), kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM lines l JOIN stats s ON md5(trim(l.line)) = s.h
+  WHERE s.ndocs < 2 OR l.doc_id = s.keeper
+), rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+         COUNT(*) AS n_lines
+  FROM kept GROUP BY doc_id
+)
+SELECT r.doc_id, r.text, r.n_lines,
+       len(string_split(c.text, chr(10))) - r.n_lines AS n_removed
+FROM rebuilt r JOIN corpus c ON r.doc_id = c.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling (operators/sampling.py): the training-data side of
 # the corpus pipeline — stratified rates, token budgets, corpus mixing. All
@@ -1830,6 +1963,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
         "text_fingerprint": text_fingerprint,
+        "text_pii_redact": text_pii_redact,
+        "text_repetition": text_repetition,
+        "corpus_line_dedup": corpus_line_dedup,
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_token_budget": corpus_token_budget,
         "corpus_mixed": corpus_mixed,
@@ -1898,6 +2034,9 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": QUALITY_ORACLE,
         "text_lang_id": _lang_oracle(),
         "text_fingerprint": FINGERPRINT_ORACLE,
+        "text_pii_redact": _pii_oracle(),
+        "text_repetition": REPETITION_ORACLE,
+        "corpus_line_dedup": LINE_DEDUP_ORACLE,
         "corpus_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
         "corpus_token_budget": TOKEN_BUDGET_ORACLE,
         "corpus_mixed": MIXED_ORACLE,

@@ -103,3 +103,63 @@ def fingerprint(col: str | Column) -> Column:
     toks = F.array_sort(F.array_distinct(tokens(F.lower(
         col if isinstance(col, Column) else F.col(col)))))
     return F.md5(F.array_join(toks, " "))
+
+
+# PII patterns, ordered: emails first (an address can contain digit runs a
+# later pattern would mangle), then SSN (3-2-4 — disjoint from phone's
+# 3-3-4), then phone, then IPv4. RE2-safe (no lookaround/backrefs) so the
+# DuckDB oracle applies the identical regexes.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: str | Column) -> Column:
+    """Redact emails / SSNs / phone numbers / IPv4 addresses with typed
+    placeholder tokens — the standard scrub before corpus release. A chain
+    of regexp_replace expressions (global, leftmost-non-overlapping in
+    both Java regex and RE2), entirely inside whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, tok in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, tok)
+    return c
+
+
+def repetition_ratio(col: str | Column) -> Column:
+    """Within-document duplicate-token fraction: 1 - distinct/total
+    (0 for empty docs) — the cheapest of the Gopher repetition signals;
+    boilerplate and keyword-stuffed pages score high."""
+    toks = tokens(F.lower(col if isinstance(col, Column) else F.col(col)))
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def bigram_repetition_ratio(col: str | Column) -> Column:
+    """Duplicate-bigram fraction: 1 - distinct_bigrams/total_bigrams
+    (0 when fewer than 2 tokens). Catches looped phrases single-token
+    repetition misses; still a pure array expression."""
+    toks = tokens(F.lower(col if isinstance(col, Column) else F.col(col)))
+    n = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return F.when(
+        n > 1,
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)).cast("double")
+            / (n - 1).cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))

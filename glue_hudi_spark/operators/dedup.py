@@ -543,3 +543,69 @@ def simhash(col="text", bits: int = 32):
         F.lit(0).cast("bigint"),
         lambda s, x: s + x,
     )
+
+
+# ------------------------------------------------------------ line dedup
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4/RefinedWeb cleanup step):
+    a line whose trimmed form appears in >= ``min_count`` DISTINCT
+    documents is kept only in its keeper document (min id) and removed
+    from every other; rarer lines pass through untouched. Documents are
+    reassembled in original line order; documents left with zero lines
+    drop out.
+
+    Returns (id, text, n_lines, n_removed).
+
+    Scale shape: posexplode (map-side) -> one aggregate keyed on the
+    md5 of the trimmed line (fixed-width shuffle key, never the line
+    bytes) -> equi-join back on that hash -> one groupBy(id) to
+    reassemble. Two shuffles total, both on hash keys; no window over
+    the corpus, no driver-side state — the same plan at 100 TB, where
+    line frequency skew ("Subscribe to our newsletter") is absorbed by
+    the aggregate's map-side partial counts.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ld_pos", "_ld_line"),
+    ).withColumn("_ld_h", F.md5(F.trim(F.col("_ld_line"))))
+    stats = lines.groupBy("_ld_h").agg(
+        F.countDistinct(id_col).alias("_ld_docs"),
+        F.min(id_col).alias("_ld_keeper"),
+    )
+    kept = lines.join(stats, "_ld_h").filter(
+        (F.col("_ld_docs") < F.lit(min_count))
+        | (F.col(id_col) == F.col("_ld_keeper"))
+    )
+    orig = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), "\n")).alias("_ld_orig"),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_ld_pos", "_ld_line"))
+                    ),
+                    lambda s: s["_ld_line"],
+                ),
+                "\n",
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .join(orig, id_col)
+        .select(
+            id_col,
+            text_col,
+            "n_lines",
+            (F.col("_ld_orig") - F.col("n_lines")).alias("n_removed"),
+        )
+    )

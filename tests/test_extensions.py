@@ -283,3 +283,37 @@ def test_kmeans_centroids_deterministic_and_balanced(spark):
         if any(abs(a - float(b)) > 1e-9 for a, b in zip(cv, seeds[cell]))
     )
     assert moved >= 3, "training should move centroids off their seeds"
+
+
+def test_line_dedup_semantics(spark):
+    """Popular lines (>=2 distinct docs) survive only in the min-id keeper;
+    rare lines pass through; order is preserved; emptied docs drop out."""
+    rows = [
+        Row(doc_id=1, text="alpha\nshared line\nomega"),
+        Row(doc_id=2, text="shared line\nunique two"),
+        Row(doc_id=3, text="shared line"),
+        # same line twice within ONE doc is not corpus-popular
+        Row(doc_id=4, text="solo dup\nsolo dup"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in dedup.line_dedup(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["text"] == "alpha\nshared line\nomega"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["text"] == "unique two"
+    assert out[2]["n_removed"] == 1
+    assert 3 not in out, "doc whose every line is removed must drop out"
+    assert out[4]["text"] == "solo dup\nsolo dup"
+    assert out[4]["n_removed"] == 0
+
+
+def test_line_dedup_min_count(spark):
+    rows = [
+        Row(doc_id=1, text="x\ny"),
+        Row(doc_id=2, text="x\nz"),
+    ]
+    out = {r["doc_id"]: r["text"]
+           for r in dedup.line_dedup(spark.createDataFrame(rows),
+                                     min_count=3).collect()}
+    assert out == {1: "x\ny", 2: "x\nz"}, "below min_count nothing is removed"

@@ -56,3 +56,62 @@ def test_text_functions_match_python_reference(spark, texts):
         assert got[i]["n"] == len(py_tokens(t)), repr(t)
         assert got[i]["bpe"] == py_bpe_ish(t), repr(t)
         assert got[i]["fp"] == py_fingerprint(t), repr(t)
+
+
+def py_repetition(s: str) -> float:
+    toks = py_tokens(s.lower())
+    if not toks:
+        return 0.0
+    return round(1.0 - len(set(toks)) / len(toks), 6)
+
+
+def py_bigram_repetition(s: str) -> float:
+    toks = py_tokens(s.lower())
+    if len(toks) < 2:
+        return 0.0
+    grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    return round(1.0 - len(set(grams)) / len(grams), 6)
+
+
+def py_redact(s: str) -> str:
+    for pat, tok in TX.PII_PATTERNS:
+        s = re.sub(pat, tok, s)
+    return s
+
+
+@settings(max_examples=12, deadline=None)
+@given(TEXTS)
+def test_repetition_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            TX.repetition_ratio("text").alias("rep"),
+            TX.bigram_repetition_ratio("text").alias("brep"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i]["rep"] - py_repetition(t)) < 1e-9, repr(t)
+        assert abs(got[i]["brep"] - py_bigram_repetition(t)) < 1e-9, repr(t)
+
+
+PII_SAMPLES = [
+    "mail me at jane.doe+x@corp.example.co or on 555-123-4567 today",
+    "ssn 123-45-6789 is not a phone; host 192.168.1.254 is an ip",
+    "dots 555.123.4567 and mixed 555-123.4567 both redact",
+    "no pii here at all",
+    "edge a@b.io end",
+    "almost-ip 1234.5.6.7 and almost-ssn 1123-45-6789x",
+]
+
+
+def test_pii_redaction_fixed_samples(spark):
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(PII_SAMPLES)])
+    got = {r["i"]: r["red"] for r in df.select(
+        "i", TX.redact_pii("text").alias("red")).collect()}
+    for i, t in enumerate(PII_SAMPLES):
+        assert got[i] == py_redact(t), (t, got[i], py_redact(t))
+    assert "<EMAIL>" in got[0] and "<PHONE>" in got[0]
+    assert "<SSN>" in got[1] and "<IP>" in got[1]
+    assert got[3] == PII_SAMPLES[3]
