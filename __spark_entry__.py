@@ -1381,18 +1381,28 @@ def corpus_curation(spark, sf_dir):
         TX.token_count("text").cast("bigint").alias("n_tokens"),
         TX.quality_score("text").alias("quality"),
     )
-    kept = scored.filter(F.col("quality") >= 0.6)
-    winners = dedup.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
-    ex = kept.join(winners, "doc_id", "left_semi")
-    pairs = dedup.minhash_lsh_pairs(
-        ex, n=3, num_hashes=16, bands=8, verify_threshold=0.5
-    )
-    clusters = dedup.resolve_clusters(pairs)
-    uniq = dedup.drop_near_duplicates(ex, clusters)
-    out = sampling.token_budget_sample(
-        uniq, "n_tokens", budget=3000, stratum_col="lang",
-        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
-    )
+    # Every heavy pass below materializes INSIDE this call (minhash
+    # checkpoints its survivor pairs, cluster rounds checkpoint, and the
+    # token budget's slab collect forces its range-partitioned
+    # checkpoint), so the scored+filtered frame can be persisted for the
+    # call and released before returning — the quality regex work runs
+    # once instead of once per consumer. MEMORY_AND_DISK default: at
+    # corpus scale the cache spills instead of evicting the win.
+    kept = scored.filter(F.col("quality") >= 0.6).persist()
+    try:
+        winners = dedup.exact_dedup(kept).select(F.col("keep_id").alias("doc_id"))
+        ex = kept.join(winners, "doc_id", "left_semi")
+        pairs = dedup.minhash_lsh_pairs(
+            ex, n=3, num_hashes=16, bands=8, verify_threshold=0.5
+        )
+        clusters = dedup.resolve_clusters(pairs)
+        uniq = dedup.drop_near_duplicates(ex, clusters)
+        out = sampling.token_budget_sample(
+            uniq, "n_tokens", budget=3000, stratum_col="lang",
+            order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+        )
+    finally:
+        kept.unpersist()
     return out.select("doc_id", "lang", "n_tokens", "quality")
 
 
