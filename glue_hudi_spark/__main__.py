@@ -54,6 +54,11 @@ def main(argv: list[str] | None = None) -> int:
     _common(ps, raw=False)
     pf = sub.add_parser("fsck", help="manifest-vs-disk consistency report")
     _common(pf, raw=False)
+    pr = sub.add_parser("rollback", help="restore a table to a prior commit "
+                                         "(default: undo the latest)")
+    _common(pr, raw=False)
+    pr.add_argument("--to-commit", type=int, default=None, metavar="ID",
+                    help="target commit id (default: the one before latest)")
     args = ap.parse_args(argv)
 
     try:
@@ -99,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "fsck":
             table = pipe._table(ctl)
             out.append({"table": ctl.table_name, **table.validate()})
+        elif args.cmd == "rollback":
+            table = pipe._table(ctl)
+            c = table.rollback(args.to_commit)
+            out.append({"table": ctl.table_name, "rollback": c.commit_id,
+                        "restored": c.stats["rolled_back_to"]})
         elif args.cmd == "show":
             table = pipe._table(ctl)
             hist = [(c.commit_id, c.action) for c in table.timeline.history()]

@@ -1454,3 +1454,38 @@ class NativeTable:
             cid, "compact", files, [], merged.schema.json(), {},
             *self._collect_file_stats(files),
         )
+
+    def rollback(self, to_commit_id: int | None = None) -> Commit:
+        """Restore the table to a prior commit's state (Hudi savepoint
+        rollback / Iceberg RESTORE). Non-destructive: publishes a NEW
+        manifest replaying the target's file set, so readers switch
+        atomically, history stays queryable, and the rolled-back commits'
+        now-orphaned files age out through the normal retention clean —
+        no data is deleted on the rollback path itself.
+
+        ``to_commit_id=None`` undoes the latest commit (restores the one
+        before it). Zero data movement: a manifest copy, O(metadata).
+        """
+        hist = self.timeline.history()
+        if not hist:
+            raise ValueError(f"table {self.root} has no commits")
+        if to_commit_id is None:
+            if len(hist) < 2:
+                raise ValueError(
+                    f"table {self.root} has no prior commit to roll back to"
+                )
+            target = hist[-2]
+        else:
+            target = self.timeline.at(to_commit_id)
+            if target is None:
+                raise ValueError(
+                    f"commit {to_commit_id} not found at {self.root} "
+                    f"(cleaned or never existed)"
+                )
+        cid = self.timeline.next_commit_id()
+        return self._commit(
+            cid, "rollback", list(target.files),
+            [dict(d) for d in target.deltas], target.schema_json,
+            {"rolled_back_to": target.commit_id},
+            dict(target.key_stats), dict(target.col_stats),
+        )

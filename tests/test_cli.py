@@ -44,6 +44,12 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     rc, out = run_cmd("show", *base)
     assert out[0]["rows"] == 190
 
+    # rollback undoes the CDC merge; show reads the restored snapshot
+    rc, out = run_cmd("rollback", *base)
+    assert rc == 0 and out[0]["restored"] >= 1
+    rc, out = run_cmd("show", *base)
+    assert out[0]["rows"] == 100
+
     rc, out = run_cmd("reset", *base, *raw_args)
     assert out[0]["reset"] is True
     rc, out = run_cmd("run", *base, *raw_args)

@@ -638,3 +638,49 @@ def test_schema_evolution_mor_delta(spark, tmp_table_dir):
     snap = t.read_snapshot()
     assert {(r["id"], r["v"], r["note"]) for r in snap.collect()} == {
         (1, 11, None), (2, 21, "extra")}
+
+
+def test_rollback_restores_prior_state(spark, tmp_table_dir):
+    """rollback() publishes a replay manifest: snapshot flips back, key
+    pruning still works (stats carried), history keeps both lineages, and
+    a targeted rollback reaches any retained commit."""
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 10, 1, "a"), (2, 20, 1, "b")], "id int, v int, seq int, pt string"))
+    t.upsert(spark.createDataFrame(
+        [(2, 21, 2, "b"), (3, 30, 2, "a")], "id int, v int, seq int, pt string"))
+    assert {(r["id"], r["v"]) for r in t.read_snapshot().collect()} == {
+        (1, 10), (2, 21), (3, 30)}
+
+    c = t.rollback()  # undo the upsert
+    assert c.action == "rollback" and c.stats["rolled_back_to"] == 1
+    assert {(r["id"], r["v"]) for r in t.read_snapshot().collect()} == {
+        (1, 10), (2, 20)}
+    # stats replayed: point lookup prunes as before the upsert
+    assert [r["v"] for r in t.read_keys(["1"]).collect()] == [10]
+
+    # roll FORWARD again by targeting the upsert commit explicitly
+    t.rollback(to_commit_id=2)
+    assert {(r["id"], r["v"]) for r in t.read_snapshot().collect()} == {
+        (1, 10), (2, 21), (3, 30)}
+
+    # writes continue normally on top of a rollback
+    t.upsert(spark.createDataFrame(
+        [(1, 11, 3, "a")], "id int, v int, seq int, pt string"))
+    assert {(r["id"], r["v"]) for r in t.read_snapshot().collect()} == {
+        (1, 11), (2, 21), (3, 30)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        t.rollback(to_commit_id=99)
+
+
+def test_rollback_mor_deltas(spark, tmp_table_dir):
+    """MoR rollback replays the delta list too — the _rt view reflects it."""
+    t = _mk(spark, tmp_table_dir, storage_type="mor", compact_every=100)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 10, 1, "a")], "id int, v int, seq int, pt string"))
+    t.upsert(spark.createDataFrame(
+        [(1, 11, 2, "a")], "id int, v int, seq int, pt string"))
+    assert [r["v"] for r in t.read_snapshot().collect()] == [11]
+    t.rollback()
+    assert [r["v"] for r in t.read_snapshot().collect()] == [10]
