@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "events_interval_join",
     "corpus_stratified_sample",
     "corpus_curation",
+    # round-5 additions (no baseline counterpart — compare within-run):
+    "corpus_line_dedup",
+    "text_pii_redact",
+    "text_repetition",
 ]
 
 

@@ -145,3 +145,15 @@ def test_ivf_assignment_is_shuffle_free(spark):
     plan = _plan(assigned)
     for op in ("Join", "Window", "Exchange", "CartesianProduct"):
         assert op not in plan, f"ivf_assign plan contains {op}"
+
+
+def test_line_dedup_no_window_no_cartesian(spark):
+    """line_dedup must be explode -> hash-keyed aggregate -> equi-join ->
+    reassembly aggregate: no corpus-wide window (single-reducer at scale),
+    no cartesian, and shuffle keys are the md5 of the line, not raw bytes."""
+    from glue_hudi_spark.operators import dedup as _dedup
+
+    plan = _plan(_dedup.line_dedup(entry_mod._t(spark, SF_DIR, "documents")))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan, "line dedup must not window the corpus"
