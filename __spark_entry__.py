@@ -1202,6 +1202,55 @@ FROM g
 """
 
 
+def corpus_quality_filter(spark, sf_dir):
+    """Gopher/C4-style composite document filter: every signal this repo
+    computes (token count, punct ratio, stopword ratio, repetition) as
+    one boolean rule bundle, returning each doc's pass/fail per rule plus
+    the verdict — the triage pass a curation pipeline runs first. One
+    scan, all expressions, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = TX.token_count("text")
+    rules = d.select(
+        "doc_id",
+        (n_tok >= 10).alias("ok_min_len"),
+        (n_tok <= 100000).alias("ok_max_len"),
+        (TX.punct_ratio("text") <= 0.2).alias("ok_punct"),
+        (TX.stopword_ratio("text") >= 0.01).alias("ok_stopwords"),
+        (TX.repetition_ratio("text") <= 0.9).alias("ok_repetition"),
+    )
+    return rules.withColumn(
+        "keep",
+        F.col("ok_min_len") & F.col("ok_max_len") & F.col("ok_punct")
+        & F.col("ok_stopwords") & F.col("ok_repetition"),
+    )
+
+
+QUALITY_FILTER_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks,
+    length(text) AS n,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+    len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        x -> list_contains(['the','a','and','of','to','in','is','it','that','for'], x))) AS sw
+  FROM documents
+), r AS (
+  SELECT doc_id,
+    len(toks) >= 10 AS ok_min_len,
+    len(toks) <= 100000 AS ok_max_len,
+    (CASE WHEN n > 0 THEN n_punct::DOUBLE / n::DOUBLE ELSE 0.0 END) <= 0.2 AS ok_punct,
+    (CASE WHEN len(toks) > 0 THEN sw::DOUBLE / len(toks)::DOUBLE ELSE 0.0 END) >= 0.01 AS ok_stopwords,
+    (CASE WHEN len(toks) > 0
+       THEN round(1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 6)
+       ELSE 0.0 END) <= 0.9 AS ok_repetition
+  FROM t
+)
+SELECT doc_id, ok_min_len, ok_max_len, ok_punct, ok_stopwords, ok_repetition,
+  ok_min_len AND ok_max_len AND ok_punct AND ok_stopwords AND ok_repetition AS keep
+FROM r
+"""
+
+
 def corpus_line_dedup(spark, sf_dir):
     """C4-style corpus line dedup. The synthetic docs are single-line, so
     the query derives lines deterministically (literal replace of ' the '
@@ -1975,6 +2024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_pii_redact": text_pii_redact,
         "text_repetition": text_repetition,
+        "corpus_quality_filter": corpus_quality_filter,
         "corpus_line_dedup": corpus_line_dedup,
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_token_budget": corpus_token_budget,
@@ -2046,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": FINGERPRINT_ORACLE,
         "text_pii_redact": _pii_oracle(),
         "text_repetition": REPETITION_ORACLE,
+        "corpus_quality_filter": QUALITY_FILTER_ORACLE,
         "corpus_line_dedup": LINE_DEDUP_ORACLE,
         "corpus_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
         "corpus_token_budget": TOKEN_BUDGET_ORACLE,
