@@ -147,6 +147,18 @@ def main() -> None:
     probe("minhash_lsh_50k_docs", time.perf_counter() - t0,
           docs=n_docs, pairs=n_pairs)
 
+    # ---- line dedup at 10× (50k docs, heavy cross-doc line overlap: the
+    # replicas share every line with their source doc, so the aggregate
+    # and join-back paths carry the worst-case popular-line skew) --------
+    lined = big_docs.select(
+        "doc_id", F.replace(F.col("text"), F.lit(" a "), F.lit("\n")).alias("text")
+    )
+    t0 = time.perf_counter()
+    out = dedup.line_dedup(lined)
+    n_out = out.count()
+    probe("line_dedup_50k_docs", time.perf_counter() - t0,
+          docs=n_docs, survivors=n_out)
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
