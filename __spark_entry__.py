@@ -1202,6 +1202,47 @@ FROM g
 """
 
 
+def dedup_incremental(spark, sf_dir):
+    """Arrival-time dedup: even-id docs are the already-ingested corpus;
+    the arriving batch is the odd-id docs plus re-keyed copies of 100
+    even docs (ids shifted by 100000 — exact re-crawls that must be
+    dropped) plus one in-batch duplicate pair. Output = the batch rows
+    that actually enter the corpus."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    existing = d.filter(F.col("doc_id") % 2 == 0)
+    recrawl = (
+        d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 200))
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "lang", "text")
+    )
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(recrawl)
+    return dedup.incremental_exact(batch, existing)
+
+
+INCREMENTAL_DEDUP_ORACLE = r"""
+WITH existing AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+), batch AS (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000, lang, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < 200
+), bh AS (
+  SELECT doc_id, lang, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM batch
+), seen AS (
+  SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+  FROM existing
+), fresh AS (
+  SELECT * FROM bh WHERE h NOT IN (SELECT h FROM seen)
+), keep AS (
+  SELECT h, MIN(doc_id) AS doc_id FROM fresh GROUP BY h
+)
+SELECT f.doc_id, f.lang, f.text
+FROM fresh f JOIN keep k ON f.h = k.h AND f.doc_id = k.doc_id
+"""
+
+
 def corpus_quality_filter(spark, sf_dir):
     """Gopher/C4-style composite document filter: every signal this repo
     computes (token count, punct ratio, stopword ratio, repetition) as
@@ -2011,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_multiband": dedup_embedding_multiband,
+        "dedup_incremental": dedup_incremental,
         "skew_salted_agg": skew_salted_agg,
         "skew_salted_join": skew_salted_join,
         "events_asof_tolerance": events_asof_tolerance,
@@ -2083,6 +2125,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_oracle(32),
         "dedup_embedding_cosine": _embedding_pairs_oracle(),
         "dedup_embedding_multiband": _embedding_multiband_oracle(),
+        "dedup_incremental": INCREMENTAL_DEDUP_ORACLE,
         "skew_salted_agg": SKEW_ORACLE,
         "skew_salted_join": SALTED_JOIN_ORACLE,
         "events_asof_tolerance": ASOF_TOLERANCE_ORACLE,

@@ -609,3 +609,37 @@ def line_dedup(
             (F.col("_ld_orig") - F.col("n_lines")).alias("n_removed"),
         )
     )
+
+
+# ----------------------------------------------------- incremental dedup
+
+
+def incremental_exact(
+    batch: DataFrame,
+    existing: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Arrival-time dedup for a continuously-ingested corpus: keep only
+    the batch rows whose normalized content hash is absent from the
+    already-ingested corpus, then collapse in-batch duplicates to the
+    min-id representative.
+
+    Scale shape: the corpus side reduces to a DISTINCT hash projection
+    (one narrow column through the shuffle — never the text bytes), the
+    batch anti-joins it on the hash (AQE broadcasts when the batch is the
+    small side, which at ingestion time it always is... but the join is
+    written side-agnostically so a backfill-sized batch still plans as a
+    shuffle join), and the in-batch keep-one is the same one-aggregate
+    pattern as ``exact_dedup``.
+    """
+    bh = batch.withColumn("_ghs_h", F.md5(normalized_text(text_col)))
+    seen = existing.select(
+        F.md5(normalized_text(text_col)).alias("_ghs_h")
+    ).distinct()
+    fresh = bh.join(seen, "_ghs_h", "left_anti")
+    keep = fresh.groupBy("_ghs_h").agg(F.min(id_col).alias(id_col))
+    return (
+        fresh.join(keep, ["_ghs_h", id_col], "left_semi")
+        .drop("_ghs_h")
+    )

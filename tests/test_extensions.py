@@ -317,3 +317,16 @@ def test_line_dedup_min_count(spark):
            for r in dedup.line_dedup(spark.createDataFrame(rows),
                                      min_count=3).collect()}
     assert out == {1: "x\ny", 2: "x\nz"}, "below min_count nothing is removed"
+
+
+def test_incremental_exact_semantics(spark):
+    existing = spark.createDataFrame(
+        [Row(doc_id=2, text="seen before"), Row(doc_id=4, text="also seen")])
+    batch = spark.createDataFrame([
+        Row(doc_id=11, text="brand new"),
+        Row(doc_id=13, text="SEEN   before"),   # normalized dup of existing
+        Row(doc_id=15, text="twice in batch"),
+        Row(doc_id=17, text="twice  IN batch"),  # in-batch dup -> min id kept
+    ])
+    got = {r["doc_id"] for r in dedup.incremental_exact(batch, existing).collect()}
+    assert got == {11, 15}
