@@ -2,6 +2,7 @@
 stateful profiles, streaming dedup + sessionization."""
 
 from glue_hudi_spark.streaming.cdc_stream import CdcStream
+from glue_hudi_spark.streaming.corpus import CorpusIngestStream
 from glue_hudi_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_sessionization,
@@ -11,6 +12,7 @@ from glue_hudi_spark.streaming.windowed import windowed_event_counts
 
 __all__ = [
     "CdcStream",
+    "CorpusIngestStream",
     "streaming_exact_dedup",
     "streaming_sessionization",
     "running_user_profiles",

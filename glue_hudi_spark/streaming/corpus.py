@@ -1,0 +1,103 @@
+"""Streaming corpus ingestion with arrival-time dedup.
+
+The training-data analog of ``CdcStream``: documents land continuously in
+a directory; each micro-batch is deduplicated against the already-ingested
+corpus (``operators.dedup.incremental_exact`` — normalized-content-hash
+anti-join) and only genuinely new documents append to the ``NativeTable``.
+Re-crawls and re-delivered files add zero rows, so the corpus stays
+exact-dedup-clean without ever rewriting history.
+
+Exactly-once composes the same way as the CDC stream: foreachBatch is
+at-least-once, so the streaming batch id is written inside the data
+commit's stats — atomic with the manifest publish — and a replayed batch
+is detected and skipped rather than re-appended.
+
+Scale: the dedup side carries one DISTINCT md5 projection of the corpus
+(narrow column, never the text bytes) per micro-batch; the append is a
+plain bulk write of the surviving rows. Nothing in the loop grows with
+corpus size except that hash projection, which is the theoretical floor
+for exact dedup.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from glue_hudi_spark.operators import dedup
+from glue_hudi_spark.storage.native import NativeTable
+
+
+class CorpusIngestStream:
+    """readStream(docs dir) → foreachBatch(incremental dedup + append)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs_dir: str | Path,
+        table_path: str | Path,
+        checkpoint_dir: str | Path,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        schema: T.StructType | None = None,
+        max_files_per_trigger: int | None = None,
+    ):
+        self.spark = spark
+        self.docs_dir = str(docs_dir)
+        self.checkpoint_dir = str(checkpoint_dir)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.schema = schema or self.spark.read.parquet(self.docs_dir).schema
+        self.max_files_per_trigger = max_files_per_trigger
+        self.table = NativeTable(
+            spark, table_path, record_keys=[id_col], precombine=None
+        )
+
+    def _ingest_batch(self, batch_df, batch_id: int) -> None:
+        last = self.table.last_stream_batch_id()
+        if last is not None and batch_id <= last:
+            return  # replayed batch (crash between commit and checkpoint)
+        if batch_df.isEmpty():
+            return
+        marker = {"stream_batch_id": int(batch_id)}
+        if self.table.exists():
+            fresh = dedup.incremental_exact(
+                batch_df,
+                self.table.read_snapshot().select(self.text_col),
+                id_col=self.id_col,
+                text_col=self.text_col,
+            )
+        else:
+            # first batch: in-batch dedup only (empty corpus)
+            keep = dedup.exact_dedup(
+                batch_df, id_col=self.id_col, text_col=self.text_col
+            ).select(F.col("keep_id").alias(self.id_col))
+            fresh = batch_df.join(keep, self.id_col, "left_semi")
+        # an all-duplicates batch commits nothing and carries no marker —
+        # safe: its replay re-dedupes to empty, a natural no-op
+        self.table.bulk_insert(fresh, extra_stats=marker)
+
+    def start(self, trigger_available_now: bool = True):
+        reader = (
+            self.spark.readStream.schema(self.schema)
+            .format("parquet")
+            .option("recursiveFileLookup", "true")
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.load(self.docs_dir)
+        writer = (
+            stream.writeStream.foreachBatch(self._ingest_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .outputMode("append")
+        )
+        if trigger_available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_available(self) -> None:
+        q = self.start(trigger_available_now=True)
+        q.awaitTermination()

@@ -1,0 +1,63 @@
+"""Streaming corpus ingestion: arrival-time dedup against the growing
+table, availableNow backlog processing, replay idempotence."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import Row
+
+from glue_hudi_spark.streaming import CorpusIngestStream
+
+
+def _land(spark, rows, docs_dir: Path, name: str):
+    df = spark.createDataFrame([Row(**r) for r in rows])
+    stage = str(docs_dir) + "__stage__" + name
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    docs_dir.mkdir(parents=True, exist_ok=True)
+    for i, p in enumerate(Path(stage).glob("*.parquet")):
+        p.rename(docs_dir / f"{name}_{i}.parquet")
+    return df
+
+
+def test_corpus_stream_dedups_across_batches(spark, tmp_path):
+    docs = tmp_path / "docs"
+    _land(spark, [
+        dict(doc_id=1, text="alpha beta"),
+        dict(doc_id=2, text="gamma delta"),
+        dict(doc_id=3, text="ALPHA   beta"),  # in-batch normalized dup of 1
+    ], docs, "B1")
+
+    stream = CorpusIngestStream(
+        spark, docs, tmp_path / "corpus", tmp_path / "ckpt")
+    stream.run_available()
+    assert {r["doc_id"] for r in stream.table.read_snapshot().collect()} == {1, 2}
+
+    # batch 2: one re-crawl (dup of doc 2), one genuinely new doc
+    _land(spark, [
+        dict(doc_id=10, text="gamma  DELTA"),   # cross-batch dup -> dropped
+        dict(doc_id=11, text="epsilon zeta"),
+    ], docs, "B2")
+    stream.run_available()
+    snap = {r["doc_id"]: r["text"] for r in stream.table.read_snapshot().collect()}
+    assert set(snap) == {1, 2, 11}, snap
+
+    # replay simulation: re-invoking an applied batch id is a no-op
+    n_commits = len(stream.table.timeline.history())
+    batch = spark.createDataFrame([Row(doc_id=99, text="replayed rows")])
+    stream._ingest_batch(batch, 0)  # batch id 0 <= last applied
+    assert len(stream.table.timeline.history()) == n_commits
+    assert 99 not in {r["doc_id"] for r in stream.table.read_snapshot().collect()}
+
+
+def test_corpus_stream_all_duplicate_batch_commits_nothing(spark, tmp_path):
+    docs = tmp_path / "docs"
+    _land(spark, [dict(doc_id=1, text="only doc")], docs, "B1")
+    stream = CorpusIngestStream(
+        spark, docs, tmp_path / "corpus", tmp_path / "ckpt")
+    stream.run_available()
+    n = len(stream.table.timeline.history())
+    _land(spark, [dict(doc_id=2, text="ONLY   doc")], docs, "B2")
+    stream.run_available()
+    assert len(stream.table.timeline.history()) == n, "all-dup batch must not commit"
+    assert stream.table.read_snapshot().count() == 1
