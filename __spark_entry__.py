@@ -810,6 +810,60 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): a user advances a step
+    only with an event strictly after their previous step's first
+    completion. Three shuffle equi-joins on user_id, each against an
+    already-aggregated (small) prior-step frame that AQE broadcasts —
+    no window over the event stream, no self-join of raw events."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    step = lambda name, df: df.agg(  # noqa: E731
+        F.lit(name).alias("step"), F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        step("1_view", v)
+        .unionByName(step("2_click", c))
+        .unionByName(step("3_purchase", p))
+    )
+
+
+FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+UNION ALL SELECT '2_click', COUNT(*) FROM c
+UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+"""
+
+
 def events_sessionization(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via lag + running sum —
     the streaming-analytics staple, identical SQL on both engines."""
@@ -2042,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cube": orders_cube,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_sessionization": events_sessionization,
+        "events_funnel": events_funnel,
         "events_asof_join": events_asof_join,
         # LLM-data-pipeline extensions
         "dedup_exact": dedup_exact,
@@ -2116,6 +2171,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cube": CUBE_ORACLE,
         "topk_orders_per_customer": TOPK_ORACLE,
         "events_sessionization": _SESSION_SQL,
+        "events_funnel": FUNNEL_ORACLE,
         "events_asof_join": ASOF_ORACLE,
         "dedup_exact": EXACT_ORACLE,
         "dedup_ngram_jaccard": _ngram_oracle(),
