@@ -1297,6 +1297,44 @@ FROM fresh f JOIN keep k ON f.h = k.h AND f.doc_id = k.doc_id
 """
 
 
+def corpus_chunk(spark, sf_dir):
+    """Training-chunk extraction: 50-token windows every 40 tokens
+    (10-token overlap). posexplode over a per-row array expression — the
+    whole op is map-side; chunk volume is bounded by corpus tokens /
+    stride regardless of document length skew."""
+    d = _t(spark, sf_dir, "documents")
+    chunks = d.select(
+        "doc_id",
+        F.posexplode(TX.chunk_tokens("text", size=50, stride=40)).alias(
+            "chunk_id", "chunk_text"
+        ),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        TX.token_count("chunk_text").cast("bigint").alias("n_tokens"),
+    )
+
+
+CHUNK_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+  FROM documents
+), t2 AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil(len(toks)::DOUBLE / 40.0) AS BIGINT), 1) AS nch
+  FROM t
+), c AS (
+  SELECT doc_id, unnest(range(0, nch)) AS chunk_id, toks FROM t2
+)
+SELECT doc_id, chunk_id,
+  array_to_string(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ') AS chunk_text,
+  len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS n_tokens
+FROM c
+"""
+
+
 def corpus_quality_filter(spark, sf_dir):
     """Gopher/C4-style composite document filter: every signal this repo
     computes (token count, punct ratio, stopword ratio, repetition) as
@@ -2122,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": text_pii_redact,
         "text_repetition": text_repetition,
         "corpus_quality_filter": corpus_quality_filter,
+        "corpus_chunk": corpus_chunk,
         "corpus_line_dedup": corpus_line_dedup,
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_token_budget": corpus_token_budget,
@@ -2196,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_redact": _pii_oracle(),
         "text_repetition": REPETITION_ORACLE,
         "corpus_quality_filter": QUALITY_FILTER_ORACLE,
+        "corpus_chunk": CHUNK_ORACLE,
         "corpus_line_dedup": LINE_DEDUP_ORACLE,
         "corpus_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
         "corpus_token_budget": TOKEN_BUDGET_ORACLE,

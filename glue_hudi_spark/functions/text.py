@@ -163,3 +163,21 @@ def bigram_repetition_ratio(col: str | Column) -> Column:
             6,
         ),
     ).otherwise(F.lit(0.0))
+
+
+def chunk_tokens(col: str | Column, size: int = 50, stride: int = 40) -> Column:
+    """Split a document into training chunks of ``size`` whitespace tokens
+    starting every ``stride`` tokens (overlap = size - stride), as an
+    array of chunk strings. The last chunk may be shorter; a doc shorter
+    than one stride yields exactly one chunk. Pure array expression
+    (sequence + transform + slice) — rows explode downstream, so the op
+    is map-side and linear at any corpus size."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    toks = tokens(col)
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil(n.cast("double") / F.lit(float(stride))), F.lit(1))
+    idx = F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i * stride + 1, size), " ")
+    )

@@ -115,3 +115,21 @@ def test_pii_redaction_fixed_samples(spark):
     assert "<EMAIL>" in got[0] and "<PHONE>" in got[0]
     assert "<SSN>" in got[1] and "<IP>" in got[1]
     assert got[3] == PII_SAMPLES[3]
+
+
+def py_chunks(s: str, size=50, stride=40) -> list[str]:
+    toks = py_tokens(s)
+    n = len(toks)
+    import math
+    nch = max(math.ceil(n / stride), 1)
+    return [" ".join(toks[i * stride:i * stride + size]) for i in range(nch)]
+
+
+@settings(max_examples=12, deadline=None)
+@given(TEXTS)
+def test_chunk_tokens_matches_python_reference(spark, texts):
+    df = spark.createDataFrame([Row(i=i, text=t) for i, t in enumerate(texts)])
+    got = {r["i"]: r["ch"] for r in df.select(
+        "i", TX.chunk_tokens("text", size=5, stride=3).alias("ch")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_chunks(t, size=5, stride=3), repr(t)
