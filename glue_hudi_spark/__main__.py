@@ -40,7 +40,11 @@ def _common(p: argparse.ArgumentParser, raw: bool = True) -> None:
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="glue_hudi_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    _common(sub.add_parser("run", help="ingest pending raw files for every managed table"))
+    prun = sub.add_parser("run", help="ingest pending raw files for every managed table")
+    _common(prun)
+    prun.add_argument("--parallel", type=int, default=1, metavar="N",
+                      help="process up to N tables concurrently (tables are "
+                           "independent; Spark interleaves their jobs)")
     _common(sub.add_parser("reset", help="drop curated data + bookmarks (replay path)"))
     pc = sub.add_parser("compact", help="force MoR compaction for one table")
     _common(pc, raw=False)
@@ -82,6 +86,17 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     out = []
+    if args.cmd == "run" and getattr(args, "parallel", 1) > 1 and len(records) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.parallel) as pool:
+            results = list(pool.map(pipe.process_table, records))
+        print(json.dumps([
+            {"table": ctl.table_name, "mode": res.mode,
+             "commits": [c.action for c in res.commits]}
+            for ctl, res in zip(records, results)
+        ]))
+        return 0
     for ctl in records:
         if args.cmd == "run":
             res = pipe.process_table(ctl)

@@ -110,3 +110,34 @@ def test_uppercase_landing_dir_is_ingested(spark, tmp_path):
 
     # nothing new -> noop (UPPER files are in the ledger, not re-read)
     assert [r.mode for r in pipe.run(store, "test_job")] == ["noop"]
+
+
+def test_run_parallel_matches_sequential(spark, tmp_path):
+    """parallel=3 over 3 independent tables converges to the same
+    snapshots as the sequential loop (thread-pool + Spark's concurrent
+    job scheduling; per-table roots/bookmarks/OCC keep them isolated)."""
+    ctls = [
+        JobControl(**{**CONTROL, "table_name": f"tbl_p{i}",
+                      **({"hudi_storage_type": "mor"} if i == 1 else {})})
+        for i in range(3)
+    ]
+    store = ControlStore(tmp_path / "control.json")
+    store.save(ctls)
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
+
+    for ctl in ctls:
+        _land(make_full_load_df(spark),
+              tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name,
+              "LOAD1")
+    results = pipe.run(store, "test_job", parallel=3)
+    assert [r.mode for r in results] == ["initial"] * 3
+
+    for ctl in ctls:
+        _land(make_cdc_df(spark),
+              tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name,
+              "CDC1")
+    results = pipe.run(store, "test_job", parallel=3)
+    assert [r.mode for r in results] == ["incremental"] * 3
+    for ctl in ctls:
+        snap = pipe._table(ctl).read_snapshot()
+        assert snap.count() == 190, ctl.table_name
