@@ -2046,6 +2046,90 @@ SELECT query_id, neighbor_id, rank, sim FROM (
     )
 
 
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: per-subspace L2 codebooks (deterministic
+    k-means), corpus encoded as m small codes, asymmetric-distance search
+    reading only the codes table. The oracle replays all m trainings,
+    the encode argmin, and the ADC ranking as unrolled CTEs."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.pq_topk(emb, queries, k=10, m=8, n_codes=8, iters=1)
+
+
+def _pq_oracle(m: int = 8, n_codes: int = 8, iters: int = 1, dim: int = 64,
+               k: int = 10) -> str:
+    """Unrolled-CTE replay of pq_train + pq_encode + pq_topk: per
+    subspace, init = lowest-id subvectors, each Lloyd's iteration is an
+    argmin-L2 assignment (ties to the lowest cell) + exact-DECIMAL means
+    + empty-cell carry-over; encoding is the same argmin against the
+    final codebook; ADC distance is the identical a·a - 2a·b + b·b
+    round-6 composition summed across subspaces in order."""
+    sd = dim // m
+
+    def l2(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {a}) - 2*list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}), 6)"
+        )
+
+    mean_list = "[" + ", ".join(
+        f"ROUND(CAST(SUM(CAST(sv[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 9)"
+        for i in range(sd)
+    ) + "]"
+    parts = ["base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"]
+    for s in range(m):
+        lo, hi = s * sd + 1, s * sd + sd
+        parts.append(
+            f"s{s}b AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM base)"
+        )
+        parts.append(
+            f"s{s}c0 AS (SELECT vec_id AS cell, sv AS cv FROM s{s}b "
+            f"WHERE vec_id < {n_codes})"
+        )
+        prev = f"s{s}c0"
+        for it in range(1, iters + 1):
+            parts.append(f"""s{s}a{it} AS (
+  SELECT vec_id AS id, sv, cell FROM (
+    SELECT b.vec_id, b.sv, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {l2('b.sv', 'c.cv')} ASC, c.cell ASC) AS rn
+    FROM s{s}b b CROSS JOIN {prev} c) t WHERE rn = 1)""")
+            parts.append(
+                f"s{s}m{it} AS (SELECT cell, {mean_list} AS cv "
+                f"FROM s{s}a{it} GROUP BY cell)"
+            )
+            parts.append(
+                f"s{s}c{it} AS (SELECT p.cell, COALESCE(mm.cv, p.cv) AS cv "
+                f"FROM {prev} p LEFT JOIN s{s}m{it} mm USING (cell))"
+            )
+            prev = f"s{s}c{it}"
+        parts.append(f"""s{s}e AS (
+  SELECT vec_id, cv FROM (
+    SELECT b.vec_id, c.cv,
+           row_number() OVER (PARTITION BY b.vec_id
+             ORDER BY {l2('b.sv', 'c.cv')} ASC, c.cell ASC) AS rn
+    FROM s{s}b b CROSS JOIN {prev} c) t WHERE rn = 1)""")
+    parts.append("q AS (SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id < 5)")
+    dist = " + ".join(
+        l2(f"q.qv[{s * sd + 1}:{s * sd + sd}]", f"s{s}e.cv") for s in range(m)
+    )
+    joins = "s0e" + "".join(
+        f" JOIN s{s}e ON s{s}e.vec_id = s0e.vec_id" for s in range(1, m)
+    )
+    parts.append(f"""scored AS (
+  SELECT q.query_id, s0e.vec_id AS neighbor_id, {dist} AS dist
+  FROM q CROSS JOIN {joins}
+  WHERE q.query_id <> s0e.vec_id)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, rank, dist FROM (
+  SELECT query_id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY dist ASC, neighbor_id ASC) AS rank
+  FROM scored) t WHERE rank <= {k}"""
+    )
+
+
 def multimodal_image_meta(spark, sf_dir):
     media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
     return multimodal.decode_image_metadata(media, fake=True)
@@ -2171,6 +2255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "ann_ivf_multiprobe": ann_ivf_multiprobe,
+        "ann_pq_topk": ann_pq_topk,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
     }
@@ -2246,6 +2331,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle(),
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "ann_ivf_multiprobe": _ivf_kmeans_oracle(nprobe=2),
+        "ann_pq_topk": _pq_oracle(),
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
     }

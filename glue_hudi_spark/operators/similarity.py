@@ -206,6 +206,34 @@ def _nearest_cell_expr(cents: list[tuple], vec):
     return F.array_min(_scored_cells_expr(cents, vec))["cell"]
 
 
+def _l2sq(a, b):
+    """Rounded squared-L2 distance via three dot folds:
+    ||a-b||² = a·a - 2 a·b + b·b — the identity keeps the arithmetic a
+    composition of the same ``_dot`` fold the cosine path uses, so a SQL
+    oracle (list_dot_product) reproduces the value bit-for-bit under the
+    shared round(…, 6)."""
+    return F.round(
+        _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b), 6
+    )
+
+
+def _nearest_cell_expr_l2(cents: list[tuple], vec):
+    """L2 counterpart of ``_nearest_cell_expr``: argmin of rounded squared
+    distance against an inlined centroid literal, ties to the lowest cell
+    id. The vec·vec term is constant across centroids but stays inside the
+    rounded expression so the oracle's formulation is identical."""
+    scored = F.array(
+        *[
+            F.struct(
+                _l2sq(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(cell).alias("cell"),
+            )
+            for cell, cv in cents
+        ]
+    )
+    return F.array_min(scored)["cell"]
+
+
 def _probe_cells_expr(cents: list[tuple], vec, nprobe: int):
     """Array of the ``nprobe`` nearest cell ids (sim desc, ties to lowest
     cell) — the multi-probe variant of ``_nearest_cell_expr``."""
@@ -297,6 +325,7 @@ def kmeans_centroids(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> list[tuple]:
     """Deterministic Lloyd's k-means over an embedding column, returning
     driver-side centroids [(cell, [components…]), …] — the training step in
@@ -331,7 +360,10 @@ def kmeans_centroids(
         for i in range(dim)
     ]
     for _ in range(iters):
-        assigned = df.withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
+        nearest = (
+            _nearest_cell_expr if metric == "cosine" else _nearest_cell_expr_l2
+        )
+        assigned = df.withColumn("cell", nearest(cents, F.col("v")))
         rows = assigned.groupBy("cell").agg(*mean_exprs).collect()
         got = {}
         for r in rows:
@@ -454,3 +486,115 @@ def lsh_bucketed_topk(
         )
     )
     return _topk_per_query(scored, k)
+
+
+# ------------------------------------------------- product quantization
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[tuple]]:
+    """Train per-subspace PQ codebooks: split d-dim vectors into ``m``
+    contiguous subvectors and run deterministic L2 k-means
+    (``kmeans_centroids(metric='l2')``) independently in each subspace.
+    Returns ``m`` codebooks of ``n_codes`` centroids each.
+
+    Each subspace training is the IVF training's plan shape on a
+    (d/m)-wide projection: zero-shuffle inlined argmin assignment + one
+    narrow groupBy update per iteration."""
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sd = dim // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col).cast("array<double>"), s * sd + 1, sd).alias(
+                "subv"
+            ),
+        )
+        books.append(
+            kmeans_centroids(sub, n_codes, iters, id_col, "subv", metric="l2")
+        )
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[tuple]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` small codes (nearest codebook centroid
+    per subspace, argmin rounded L2, ties to the lowest code). Pure
+    projection — zero shuffle; the encoded table carries m ints per row
+    instead of d doubles (the PQ memory win: 8 codes vs 64 components
+    here; 16-32× at production dims)."""
+    sd = len(books[0][0][1])
+    v = F.col(vec_col).cast("array<double>")
+    return corpus.select(
+        F.col(id_col),
+        *[
+            _nearest_cell_expr_l2(
+                books[s], F.slice(v, s * sd + 1, sd)
+            ).alias(f"code{s}")
+            for s in range(len(books))
+        ],
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 8,
+    n_codes: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ approximate nearest neighbors (asymmetric distance): rank corpus
+    vectors by Σ_s ||q_s - centroid(code_s)||² — the query stays exact,
+    the corpus is represented by its codes.
+
+    Scale shape: training is m× the IVF training cost on (d/m)-wide
+    projections; encoding is a zero-shuffle projection; search reads the
+    CODES table only (m ints per corpus row — the full embedding column
+    is never rescanned), broadcasts the tiny query side, and finishes
+    with the shared two-stage partial top-k (no per-query window).
+    Returns (query_id, neighbor_id, rank, dist) — dist ascending, ties to
+    the lowest neighbor id."""
+    books = pq_train(corpus, m, n_codes, iters, id_col, vec_col)
+    enc = pq_encode(corpus, books, id_col, vec_col)
+    sd = len(books[0][0][1])
+    qv = F.col("q_vec")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
+    )
+    # per-subspace distance: element_at over the inlined codebook literal,
+    # selected by the corpus row's code — m lookups + m small L2 folds per
+    # (query, row) pair, never a d-wide fold over corpus data
+    def sub_dist(s: int):
+        cent = F.element_at(
+            F.array(*[
+                F.array(*[F.lit(float(x)) for x in cv]) for _, cv in books[s]
+            ]),
+            F.col(f"code{s}").cast("int") + 1,
+        )
+        return _l2sq(F.slice(qv, s * sd + 1, sd), cent)
+
+    scored = (
+        F.broadcast(q).crossJoin(enc.withColumnRenamed(id_col, "neighbor_id"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dist", sum(sub_dist(s) for s in range(m)))
+    )
+    ranked = _topk_per_query(scored.withColumn("sim", -F.col("dist")), k)
+    return ranked.select(
+        "query_id", "neighbor_id", "rank", (-F.col("sim")).alias("dist")
+    )
