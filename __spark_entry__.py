@@ -1297,6 +1297,44 @@ FROM fresh f JOIN keep k ON f.h = k.h AND f.doc_id = k.doc_id
 """
 
 
+def text_commonness(spark, sf_dir):
+    """Corpus-frequency document score — the exact-arithmetic stand-in
+    for an LM rarity signal: mean corpus-wide occurrence count of a
+    doc's tokens (high = boilerplate-common vocabulary, low = rare/noisy
+    tokens). Two shuffles: one token-count aggregate (the vocabulary —
+    broadcast-sized relative to any corpus) and one per-doc reassembly
+    with map-side partial sums. Integer sums keep it engine-exact; the
+    single division is rounded at 6."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tok_freq"))
+    joined = toks.join(freq, "tok")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("tok_freq").alias("freq_sum"),
+        F.round(
+            F.sum("tok_freq").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_tok_freq"),
+    )
+
+
+COMMONNESS_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, COUNT(*) AS tok_freq FROM toks GROUP BY tok
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(f.tok_freq) AS BIGINT) AS freq_sum,
+       round(SUM(f.tok_freq)::DOUBLE / COUNT(*)::DOUBLE, 6) AS mean_tok_freq
+FROM toks t JOIN freq f ON t.tok = f.tok
+GROUP BY t.doc_id
+"""
+
+
 def corpus_chunk(spark, sf_dir):
     """Training-chunk extraction: 50-token windows every 40 tokens
     (10-token overlap). posexplode over a per-row array expression — the
@@ -2243,6 +2281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": text_fingerprint,
         "text_pii_redact": text_pii_redact,
         "text_repetition": text_repetition,
+        "text_commonness": text_commonness,
         "corpus_quality_filter": corpus_quality_filter,
         "corpus_chunk": corpus_chunk,
         "corpus_line_dedup": corpus_line_dedup,
@@ -2319,6 +2358,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": FINGERPRINT_ORACLE,
         "text_pii_redact": _pii_oracle(),
         "text_repetition": REPETITION_ORACLE,
+        "text_commonness": COMMONNESS_ORACLE,
         "corpus_quality_filter": QUALITY_FILTER_ORACLE,
         "corpus_chunk": CHUNK_ORACLE,
         "corpus_line_dedup": LINE_DEDUP_ORACLE,

@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "corpus_line_dedup",
     "text_pii_redact",
     "text_repetition",
+    "corpus_quality_filter",
+    "corpus_chunk",
+    "dedup_incremental",
+    "events_funnel",
+    "ann_pq_topk",
 ]
 
 
