@@ -147,12 +147,20 @@ def repetition_ratio(col: str | Column) -> Column:
 def bigram_repetition_ratio(col: str | Column) -> Column:
     """Duplicate-bigram fraction: 1 - distinct_bigrams/total_bigrams
     (0 when fewer than 2 tokens). Catches looped phrases single-token
-    repetition misses; still a pure array expression."""
+    repetition misses; still a pure array expression.
+
+    Bigrams come from ``zip_with`` over two slices of the token array —
+    the array enters the lambda as an OPERAND, evaluated once per row. The
+    first version indexed ``element_at(tokens(...), i)`` inside a
+    transform lambda: Catalyst does no CSE across lambda arguments, so the
+    whole regex split re-ran per element — O(n²·len) per document, 20×
+    slower at sf0.1."""
     toks = tokens(F.lower(col if isinstance(col, Column) else F.col(col)))
     n = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    grams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return F.when(
         n > 1,

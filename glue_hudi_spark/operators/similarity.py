@@ -217,19 +217,49 @@ def _l2sq(a, b):
     )
 
 
+def _py_sumsq(cv) -> float:
+    """Driver-side Σx² with the SAME left-fold order as ``_dot(b, b)`` so
+    the inlined literal is bit-identical to the JVM fold."""
+    acc = 0.0
+    for x in cv:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
 def _nearest_cell_expr_l2(cents: list[tuple], vec):
     """L2 counterpart of ``_nearest_cell_expr``: argmin of rounded squared
-    distance against an inlined centroid literal, ties to the lowest cell
-    id. The vec·vec term is constant across centroids but stays inside the
-    rounded expression so the oracle's formulation is identical."""
-    scored = F.array(
+    distance, ties to the lowest cell id.
+
+    Same compile-cost discipline as the cosine version: centroids enter as
+    ONE array literal (constant data, not code), vec·vec is folded once
+    per row via the ``zip_with`` operand trick, and centroid Σx² terms are
+    driver-side literals — generated code is O(d) per row regardless of
+    the centroid count (the unrolled per-centroid form made codegen
+    compilation, not execution, the dominant cost). Arithmetic is the
+    identical ((a·a - 2a·b) + b·b) round-6 composition the SQL oracle
+    spells."""
+    cent_arr = F.array(
         *[
             F.struct(
-                _l2sq(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
                 F.lit(cell).alias("cell"),
+                # one py4j call per centroid (F.lit of the whole list),
+                # not one per component — expression BUILD time on the
+                # driver was a visible slice of small-corpus latency
+                F.lit([float(x) for x in cv]).alias("cv"),
+                F.lit(_py_sumsq(cv)).alias("cn2"),
             )
             for cell, cv in cents
         ]
+    )
+    scored = F.zip_with(
+        cent_arr,
+        F.array_repeat(_dot(vec, vec), len(cents)),
+        lambda c, dvv: F.struct(
+            F.round(
+                dvv - F.lit(2.0) * _dot(vec, c["cv"]) + c["cn2"], 6
+            ).alias("d"),
+            c["cell"].alias("cell"),
+        ),
     )
     return F.array_min(scored)["cell"]
 
@@ -500,28 +530,82 @@ def pq_train(
     vec_col: str = "embedding",
 ) -> list[list[tuple]]:
     """Train per-subspace PQ codebooks: split d-dim vectors into ``m``
-    contiguous subvectors and run deterministic L2 k-means
-    (``kmeans_centroids(metric='l2')``) independently in each subspace.
-    Returns ``m`` codebooks of ``n_codes`` centroids each.
+    contiguous subvectors and run deterministic L2 k-means independently
+    in each subspace. Returns ``m`` codebooks of ``n_codes`` centroids.
 
-    Each subspace training is the IVF training's plan shape on a
-    (d/m)-wide projection: zero-shuffle inlined argmin assignment + one
-    narrow groupBy update per iteration."""
-    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    ALL subspaces train together, not as m sequential jobs: the seeds
+    are the n_codes lowest-id rows' subvectors (one collect serves every
+    subspace — they slice the same rows), and each Lloyd's iteration is
+    ONE job over a posexploded (subspace, subvector) frame — assignment
+    is a per-subspace inlined argmin selected by subspace id, the update
+    is a single groupBy(subspace, cell) with subdim-wide exact-DECIMAL
+    means. Job count is 1 + iters regardless of m (the sequential
+    per-subspace form paid ~2m tiny jobs of pure scheduling overhead).
+    Per-subspace semantics are identical to kmeans_centroids(metric='l2')
+    on the sliced projection — the SQL oracle replays subspaces
+    independently and hashes the same."""
+    seed_rows = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .orderBy("id")
+        .limit(n_codes)
+        .collect()
+    )
+    if not seed_rows:
+        raise ValueError("pq_train: empty input")
+    dim = len(seed_rows[0]["v"])
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
     sd = dim // m
-    books = []
-    for s in range(m):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col).cast("array<double>"), s * sd + 1, sd).alias(
-                "subv"
-            ),
+    books = [
+        [
+            (r["id"], [float(x) for x in r["v"][s * sd : (s + 1) * sd]])
+            for r in seed_rows
+        ]
+        for s in range(m)
+    ]
+    v = F.col(vec_col).cast("array<double>")
+    exploded = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(v, s * sd + 1, sd) for s in range(m)])
+        ).alias("s", "subv"),
+    )
+    mean_exprs = [
+        F.round(
+            F.sum(F.col("subv")[i].cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias(f"c{i}")
+        for i in range(sd)
+    ]
+    for _ in range(iters):
+        cell = F.lit(None).cast("long")
+        for s in reversed(range(m)):
+            cell = F.when(
+                F.col("s") == s, _nearest_cell_expr_l2(books[s], F.col("subv"))
+            ).otherwise(cell)
+        rows = (
+            exploded.withColumn("cell", cell)
+            .groupBy("s", "cell")
+            .agg(*mean_exprs)
+            .collect()
         )
-        books.append(
-            kmeans_centroids(sub, n_codes, iters, id_col, "subv", metric="l2")
-        )
+        got: dict = {}
+        for r in rows:
+            comps = [r[f"c{i}"] for i in range(sd)]
+            if any(c is None for c in comps):
+                raise ValueError(
+                    f"pq_train: NULL mean component for subspace {r['s']} "
+                    f"cell {r['cell']} (DECIMAL(28,12) sum overflow)"
+                )
+            got[(r["s"], r["cell"])] = [float(c) for c in comps]
+        books = [
+            [(cell_id, got.get((s, cell_id), prev)) for cell_id, prev in books[s]]
+            for s in range(m)
+        ]
     return books
 
 
@@ -582,9 +666,7 @@ def pq_topk(
     # (query, row) pair, never a d-wide fold over corpus data
     def sub_dist(s: int):
         cent = F.element_at(
-            F.array(*[
-                F.array(*[F.lit(float(x)) for x in cv]) for _, cv in books[s]
-            ]),
+            F.lit([[float(x) for x in cv] for _, cv in books[s]]),
             F.col(f"code{s}").cast("int") + 1,
         )
         return _l2sq(F.slice(qv, s * sd + 1, sd), cent)
