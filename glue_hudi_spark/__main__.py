@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> int:
     _common(pr, raw=False)
     pr.add_argument("--to-commit", type=int, default=None, metavar="ID",
                     help="target commit id (default: the one before latest)")
+    pv = sub.add_parser("vacuum", help="delete orphan files crashed/OCC-losing "
+                                       "writers left behind")
+    _common(pv, raw=False)
     args = ap.parse_args(argv)
 
     try:
@@ -124,6 +127,13 @@ def main(argv: list[str] | None = None) -> int:
             c = table.rollback(args.to_commit)
             out.append({"table": ctl.table_name, "rollback": c.commit_id,
                         "restored": c.stats["rolled_back_to"]})
+        elif args.cmd == "vacuum":
+            table = pipe._table(ctl)
+            v = table.vacuum()
+            out.append({"table": ctl.table_name,
+                        "deleted": len(v["deleted_files"]),
+                        "deleted_blooms": len(v["deleted_blooms"]),
+                        "skipped_inflight": len(v["skipped_inflight"])})
         elif args.cmd == "show":
             table = pipe._table(ctl)
             hist = [(c.commit_id, c.action) for c in table.timeline.history()]

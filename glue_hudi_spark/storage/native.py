@@ -822,6 +822,51 @@ class NativeTable:
             "ok": not (missing or orphans or orphan_blooms or unreadable),
         }
 
+    def vacuum(self) -> dict:
+        """Delete orphan data files and blooms ``validate()`` reports —
+        the leftovers of crashed or OCC-losing writers, which retention
+        cleaning never touches (it only frees files old manifests cover).
+
+        Concurrency safety without clocks: a file is deleted ONLY if its
+        ``data/<cid>/`` directory id is at most the newest COMMITTED id.
+        An in-flight writer always writes under ``next_commit_id()``
+        (strictly greater than every committed id), so its staged files
+        are structurally out of vacuum's reach; after it publishes they
+        are referenced and no longer orphans. Returns
+        {deleted_files, deleted_blooms, skipped_inflight}.
+        """
+        report = self.validate()
+        latest = self.timeline.latest()
+        latest_id = latest.commit_id if latest else 0
+        deleted, skipped = [], []
+        for rel in report["orphan_files"]:
+            parts = Path(rel).parts
+            try:
+                cid = int(parts[1]) if parts[0] == DATA_DIR else -1
+            except (ValueError, IndexError):
+                cid = -1
+            if cid == -1 or cid > latest_id:
+                skipped.append(rel)
+                continue
+            f = self.root / rel
+            if f.exists():
+                f.unlink()
+                deleted.append(rel)
+            bloom = self._bloom_path(rel)
+            if bloom.exists():
+                bloom.unlink()
+        deleted_blooms = []
+        for rel in report["orphan_blooms"]:
+            bloom = self._bloom_path(rel)
+            if bloom.exists():
+                bloom.unlink()
+                deleted_blooms.append(rel)
+        return {
+            "deleted_files": deleted,
+            "deleted_blooms": deleted_blooms,
+            "skipped_inflight": skipped,
+        }
+
     def read_keys(self, keys: list[str], with_meta: bool = False) -> DataFrame:
         """Point lookups: rows whose record key is in ``keys``, reading
         only the files that can contain them.

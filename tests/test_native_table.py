@@ -684,3 +684,36 @@ def test_rollback_mor_deltas(spark, tmp_table_dir):
     assert [r["v"] for r in t.read_snapshot().collect()] == [11]
     t.rollback()
     assert [r["v"] for r in t.read_snapshot().collect()] == [10]
+
+
+def test_vacuum_deletes_orphans_not_inflight(spark, tmp_table_dir):
+    """vacuum() removes a crashed writer's unreferenced files but never
+    touches files staged under a commit id newer than the latest
+    committed one (an in-flight writer's work area)."""
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 10, 1, "a")], "id int, v int, seq int, pt string"))
+    t.upsert(spark.createDataFrame(
+        [(1, 11, 2, "a")], "id int, v int, seq int, pt string"))
+    root = Path(t.root)
+
+    # simulate a crashed writer: orphan parquet under an OLD commit dir
+    crashed = root / "data" / f"{1:020d}" / "pt=a"
+    crashed.mkdir(parents=True, exist_ok=True)
+    (crashed / "orphan_crashed.parquet").write_bytes(b"PAR1 junk PAR1")
+    # simulate an IN-FLIGHT writer: staged file under commit id latest+1
+    inflight = root / "data" / f"{t.timeline.next_commit_id():020d}" / "pt=a"
+    inflight.mkdir(parents=True, exist_ok=True)
+    (inflight / "staged.parquet").write_bytes(b"PAR1 junk PAR1")
+
+    assert not t.validate()["ok"]
+    v = t.vacuum()
+    assert any("orphan_crashed" in f for f in v["deleted_files"])
+    assert any("staged" in f for f in v["skipped_inflight"])
+    assert (inflight / "staged.parquet").exists()
+    assert not (crashed / "orphan_crashed.parquet").exists()
+    # table still healthy and readable; the only fsck noise left is the
+    # in-flight file
+    assert t.read_snapshot().count() == 1
+    rep = t.validate()
+    assert rep["orphan_files"] and all("staged" in f for f in rep["orphan_files"])
