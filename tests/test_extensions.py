@@ -368,3 +368,36 @@ def test_pq_topk_recall_vs_exact_l2(spark):
                                           iters=1).collect()}
     first = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in rows}
     assert again == first, "PQ must be deterministic"
+
+
+def test_line_dedup_property_vs_python(spark):
+    """Randomized corpora vs a pure-Python replay of the keeper semantics."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd"]
+    for trial in range(3):
+        docs = {}
+        for doc_id in range(1, 9):
+            lines = [" ".join(rng.choices(vocab, k=rng.randint(1, 3)))
+                     for _ in range(rng.randint(1, 5))]
+            docs[doc_id] = "\n".join(lines)
+
+        # python reference
+        from collections import defaultdict
+        owners = defaultdict(set)
+        for did, text in docs.items():
+            for ln in text.split("\n"):
+                owners[ln.strip()].add(did)
+        expect = {}
+        for did, text in docs.items():
+            kept = [ln for ln in text.split("\n")
+                    if len(owners[ln.strip()]) < 2 or did == min(owners[ln.strip()])]
+            if kept:
+                expect[did] = "\n".join(kept)
+
+        got = {r["doc_id"]: r["text"] for r in dedup.line_dedup(
+            spark.createDataFrame(
+                [Row(doc_id=d, text=t) for d, t in docs.items()])).collect()}
+        assert got == expect, (trial, docs)
