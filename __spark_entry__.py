@@ -240,6 +240,116 @@ GROUP BY n_name
 """
 
 
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per (order, date, priority), top 10. Both date filters reach
+    the parquet scans (pushed predicates); the top-10 runs as
+    TakeOrderedAndProject (per-partition heap + driver merge — never a
+    global sort), with l_orderkey breaking revenue ties so the selected
+    set is deterministic in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1).cast("decimal(8,6)") - F.col("l_discount").cast("decimal(8,6)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global agg — the query whose entire
+    cost should be the parquet scan. All three predicates push down;
+    the aggregate is map-side partial + one single-row exchange."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(8,6)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q6_ORACLE = """
+SELECT
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(8,6))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity clears a threshold,
+    joined back to customer. The HAVING aggregate shrinks lineitem to a
+    key list BEFORE the joins (partial agg map-side), so the joins move
+    only qualifying orders — the plan a 100-TB run needs."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_qty"))
+        .filter(F.col("_qty") > 250)
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+Q18_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS _qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
 def count_rows(spark, sf_dir):
     return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n"))
 
@@ -2227,6 +2337,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference-parity operators (SURVEY §2)
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q18_large_volume": q18_large_volume,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -2305,6 +2418,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": Q1_ORACLE,
         "revenue_by_nation": REVENUE_ORACLE,
+        "q3_shipping_priority": Q3_ORACLE,
+        "q6_forecast_revenue": Q6_ORACLE,
+        "q18_large_volume": Q18_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
