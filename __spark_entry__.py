@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from glue_hudi_spark.functions import text as TX
 from glue_hudi_spark.operators import (
-    cdc, dedup, multimodal, ranges, sampling, similarity,
+    cdc, decontam, dedup, multimodal, ranges, sampling, similarity,
 )
 from glue_hudi_spark.storage.native import NativeTable
 
@@ -1576,6 +1576,45 @@ FROM rebuilt r JOIN corpus c ON r.doc_id = c.doc_id
 """
 
 
+def corpus_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/decontam.py): every document
+    scored by the fraction of its distinct 5-gram hashes that also occur
+    in the 'benchmark' slice (doc_id % 10 == 0 stands in for an eval
+    suite — those docs are verbatim members of both sides, so they must
+    come back with overlap_ratio 1.0). Equi-join on md5 gram hashes;
+    the benchmark gram set is DISTINCT-collapsed (broadcast-sized in
+    practice, left to AQE)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 10 == 0)
+    return decontam.ngram_overlap(
+        d, bench, id_col="doc_id", text_col="text", n=5, flag_threshold=0.5
+    )
+
+
+DECONTAM_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents
+), g AS (
+  SELECT doc_id, md5(array_to_string(list_slice(t, i, i + 4), ' ')) AS gram
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i FROM toks)
+), tg AS (
+  SELECT DISTINCT doc_id, gram FROM g
+), eg AS (
+  SELECT DISTINCT gram FROM tg WHERE doc_id % 10 = 0
+), tot AS (
+  SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id
+), hit AS (
+  SELECT doc_id, COUNT(*) AS n_hit FROM tg JOIN eg USING (gram) GROUP BY doc_id
+)
+SELECT t.doc_id, t.n_grams,
+  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(COALESCE(h.n_hit, 0)::DOUBLE / t.n_grams::DOUBLE, 6) AS overlap_ratio,
+  COALESCE(h.n_hit, 0)::DOUBLE / t.n_grams::DOUBLE >= 0.5 AS contaminated
+FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling (operators/sampling.py): the training-data side of
 # the corpus pipeline — stratified rates, token budgets, corpus mixing. All
@@ -2398,6 +2437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_filter": corpus_quality_filter,
         "corpus_chunk": corpus_chunk,
         "corpus_line_dedup": corpus_line_dedup,
+        "corpus_decontaminate": corpus_decontaminate,
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_token_budget": corpus_token_budget,
         "corpus_mixed": corpus_mixed,
@@ -2478,6 +2518,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quality_filter": QUALITY_FILTER_ORACLE,
         "corpus_chunk": CHUNK_ORACLE,
         "corpus_line_dedup": LINE_DEDUP_ORACLE,
+        "corpus_decontaminate": DECONTAM_ORACLE,
         "corpus_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
         "corpus_token_budget": TOKEN_BUDGET_ORACLE,
         "corpus_mixed": MIXED_ORACLE,
