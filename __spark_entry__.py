@@ -1695,6 +1695,66 @@ SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 2000
 """
 
 
+def corpus_pack(spark, sf_dir):
+    """LM sequence packing: concatenate each md5-shard's documents in
+    doc_id order and slice the token stream into 2048-token context
+    windows; every doc gets (shard_id, bin_id, bin_offset). One shuffle
+    (the per-shard window) — shard count scales with the cluster."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", TX.token_count("text").cast("bigint").alias("n_tokens")
+    )
+    out = sampling.pack_sequences(
+        scored, "n_tokens", bin_capacity=2048, key_col="doc_id",
+        num_shards=8, order_by=[F.col("doc_id").asc()],
+    )
+    return out.select("doc_id", "n_tokens", "shard_id", "bin_id", "bin_offset")
+
+
+PACK_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+    CAST(floor(({_HASH_FRAC_SQL}) * 8.0) AS INT) AS shard_id
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens, shard_id,
+    sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id ASC
+                        ROWS UNBOUNDED PRECEDING) - n_tokens AS before
+  FROM t
+)
+SELECT doc_id, n_tokens, shard_id,
+  CAST(floor(before / 2048.0) AS BIGINT) AS bin_id,
+  CAST(before % 2048 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+def corpus_temperature_mix(spark, sf_dir):
+    """Temperature-flattened language mix (α = 0.5): keep rate
+    sqrt(n_min)/sqrt(n_lang) per language — the smallest language is
+    kept whole, larger ones down-sampled toward equal shares. Rates are
+    sqrt+divide only (correctly-rounded IEEE), so the oracle reproduces
+    every threshold bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.temperature_mix(d, "lang", "doc_id", alpha=0.5)
+    return out.select("doc_id", "lang", "source")
+
+
+TEMPERATURE_MIX_ORACLE = f"""
+WITH cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT MIN(n) AS nmin FROM cnt),
+r AS (
+  SELECT lang,
+    sqrt(CAST((SELECT nmin FROM mn) AS DOUBLE)) / sqrt(CAST(n AS DOUBLE)) AS rate
+  FROM cnt
+)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+JOIN r ON d.lang = r.lang
+WHERE {_HASH_FRAC_SQL} < r.rate
+"""
+
+
 _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.25, "src2": 0.25}
 
 
@@ -2441,6 +2501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_token_budget": corpus_token_budget,
         "corpus_mixed": corpus_mixed,
+        "corpus_pack": corpus_pack,
+        "corpus_temperature_mix": corpus_temperature_mix,
         "corpus_curation": corpus_curation,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
@@ -2522,6 +2584,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
         "corpus_token_budget": TOKEN_BUDGET_ORACLE,
         "corpus_mixed": MIXED_ORACLE,
+        "corpus_pack": PACK_ORACLE,
+        "corpus_temperature_mix": TEMPERATURE_MIX_ORACLE,
         "corpus_curation": _curation_oracle(),
         "ann_cosine_topk": _ann_oracle(bucketed=False),
         "ann_lsh_bucketed": _ann_oracle(bucketed=True),

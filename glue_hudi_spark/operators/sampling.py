@@ -179,6 +179,98 @@ def token_budget_sample(
     return kept.unionByName(walked).select(*df.columns)
 
 
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    bin_capacity: int,
+    key_col: str,
+    num_shards: int = 32,
+    order_by: list[Column] | None = None,
+) -> DataFrame:
+    """Assign each document to a training context window: concatenate the
+    shard's documents in ``order_by`` order and slice the token stream
+    into ``bin_capacity``-token bins (LM sequence packing — documents may
+    straddle a boundary; each is tagged with the bin where it STARTS and
+    its token offset within that bin).
+
+    Adds (shard_id, bin_id, bin_offset) to ``df``'s columns:
+
+    * ``shard_id`` — md5-hash shard in [0, num_shards): deterministic,
+      uniform, engine-portable (a SQL oracle replays it bit-for-bit).
+    * ``bin_id`` — floor(tokens-before-this-doc / capacity) within the
+      shard.
+    * ``bin_offset`` — tokens-before MOD capacity: where in the context
+      window the doc starts.
+
+    Scale: ONE shuffle (the per-shard window). Each shard is a single
+    sorted task, so ``num_shards`` must scale with the cluster — at 32
+    shards this is a local[32] fit; a 1000-executor run packs with
+    num_shards in the tens of thousands (shard count is free: any value
+    gives a valid packing, and the hash spreads documents evenly).
+    """
+    order = order_by or [F.col(key_col).asc()]
+    shard = F.floor(hash_fraction(key_col) * F.lit(float(num_shards))).cast("int")
+    w = (
+        Window.partitionBy("_ghs_shard")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return (
+        df.withColumn("_ghs_shard", shard)
+        .withColumn("_ghs_before", cum_before)
+        .select(
+            *df.columns,
+            F.col("_ghs_shard").alias("shard_id"),
+            F.floor(F.col("_ghs_before") / F.lit(float(bin_capacity)))
+            .cast("bigint")
+            .alias("bin_id"),
+            (F.col("_ghs_before") % F.lit(int(bin_capacity)))
+            .cast("bigint")
+            .alias("bin_offset"),
+        )
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-flattened stratum resampling (the multilingual
+    'alpha sampling' of mBERT/XLM-R: target share ∝ n_s^alpha, so small
+    languages are up-weighted relative to their corpus share).
+
+    The keep rate has a closed form with no cross-stratum float sums:
+    target share f_s ∝ n_s^α ⇒ the largest output meeting every share
+    with rates ≤ 1 keeps ``(n_min / n_s)^(1-α)`` of stratum s — 1.0 for
+    the smallest stratum, monotonically flattening as α → 0 (α=1 keeps
+    everything, α=0 equalizes strata). For α=0.5 this is computed as
+    ``sqrt(n_min)/sqrt(n_s)`` — correctly-rounded IEEE ops, so a SQL
+    oracle reproduces the thresholds bit-for-bit (general α goes through
+    ``pow``, which is only ~1-ulp reproducible across engines).
+
+    One metadata-sized count aggregate; the resampling itself is the
+    map-side hash filter of ``stratified_sample``.
+    """
+    import math
+
+    counts = {
+        r[stratum_col]: r["n"]
+        for r in df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    n_min = min(counts.values())
+    if alpha == 0.5:
+        rates = {s: math.sqrt(n_min) / math.sqrt(n) for s, n in counts.items()}
+    else:
+        e = 1.0 - float(alpha)
+        rates = {s: (n_min**e) / (n**e) for s, n in counts.items()}
+    return stratified_sample(df, stratum_col, rates, key_col, default_rate=0.0)
+
+
 def mix_corpora(
     df: DataFrame,
     source_col: str,

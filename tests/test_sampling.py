@@ -150,3 +150,86 @@ def test_token_budget_null_stratum_rows_survive(spark):
     # null is a stratum like any other (eqNullSafe join): doc 1 fits its
     # budget, doc 2 overflows it, doc 3 fits en's
     assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+# ------------------------------------------------------------- packing
+
+
+def test_pack_sequences_invariants(spark):
+    d = _docs(spark, 500)
+    out = sampling.pack_sequences(
+        d, "n_tokens", bin_capacity=256, key_col="doc_id", num_shards=4,
+        order_by=[F.col("doc_id").asc()],
+    ).collect()
+    assert len(out) == 500                      # every doc assigned once
+    assert {r["shard_id"] for r in out} <= set(range(4))
+    for r in out:
+        assert 0 <= r["bin_offset"] < 256       # start lies inside its bin
+        assert r["bin_id"] >= 0
+    # reconstruct each shard's stream: in doc_id order, bin boundaries
+    # advance exactly with the running token total
+    by_shard: dict = {}
+    for r in sorted(out, key=lambda r: (r["shard_id"], r["doc_id"])):
+        run = by_shard.get(r["shard_id"], 0)
+        assert r["bin_id"] == run // 256
+        assert r["bin_offset"] == run % 256
+        by_shard[r["shard_id"]] = run + r["n_tokens"]
+
+
+def test_pack_sequences_deterministic_and_dense(spark):
+    d = _docs(spark, 300)
+    a = sampling.pack_sequences(d, "n_tokens", 512, "doc_id", num_shards=2)
+    b = sampling.pack_sequences(d, "n_tokens", 512, "doc_id", num_shards=2)
+    rows_a = sorted(map(tuple, a.collect()))
+    assert rows_a == sorted(map(tuple, b.collect()))
+    # bins are dense per shard: 0..max with no gaps (stream slicing)
+    import collections
+    bins = collections.defaultdict(set)
+    for r in a.collect():
+        bins[r["shard_id"]].add(r["bin_id"])
+    for s, ids in bins.items():
+        assert min(ids) == 0
+        # a bin with no doc START can exist only if one doc spans it
+        # entirely; with 256-max docs and 512 bins that can't happen here
+        assert ids == set(range(max(ids) + 1))
+
+
+# -------------------------------------------------------- temperature
+
+
+def test_temperature_mix_alpha_bounds(spark):
+    d = _docs(spark, 2000)
+    # alpha=1: keep everything (rates all 1.0)
+    full = sampling.temperature_mix(d, "lang", "doc_id", alpha=1.0)
+    assert full.count() == 2000
+    # alpha=0.5: smallest stratum kept whole, larger ones downsampled
+    # (_docs gives each lang exactly 500 rows -> all rates 1.0)
+    eq = sampling.temperature_mix(d, "lang", "doc_id", alpha=0.5)
+    assert eq.count() == 2000
+
+
+def test_temperature_mix_flattens_shares(spark):
+    rows = [(i, "big" if i < 9000 else "small") for i in range(10000)]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sampling.temperature_mix(d, "lang", "doc_id", alpha=0.5)
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by["small"] == 1000                  # n_min kept whole
+    # big keeps sqrt(1000/9000) = 1/3 -> ~3000
+    assert 2500 <= by["big"] <= 3500
+    # alpha=0 equalizes expected counts: big keeps ~1000
+    out0 = sampling.temperature_mix(d, "lang", "doc_id", alpha=0.0)
+    by0 = {r["lang"]: r["n"] for r in
+           out0.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by0["small"] == 1000
+    assert 800 <= by0["big"] <= 1200
+
+
+def test_temperature_mix_deterministic_subset(spark):
+    d = _docs(spark, 1000)
+    a = sampling.temperature_mix(d, "source", "doc_id", alpha=0.3)
+    ids = {r["doc_id"] for r in a.collect()}
+    assert ids == {r["doc_id"] for r in
+                   sampling.temperature_mix(d, "source", "doc_id", alpha=0.3).collect()}
+    # output is a subset of the input rows
+    assert ids <= {r["doc_id"] for r in d.collect()}
