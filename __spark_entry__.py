@@ -1445,6 +1445,50 @@ GROUP BY t.doc_id
 """
 
 
+def text_diversity(spark, sf_dir):
+    """Vocabulary-concentration signal per document: Simpson index
+    1 - Σc²/n² over the doc's token counts (plus distinct count and the
+    top token's share) — the log-free alternative to token entropy, so
+    every value is exact rational arithmetic (integer sums, one double
+    division) and hash-parity holds with no float-summation caveats.
+    Two map-side-partial aggregates; no joins."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return counts.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")).cast("double")
+            / (n * n).cast("double"),
+            6,
+        ).alias("simpson"),
+        F.round(F.max("c").cast("double") / n.cast("double"), 6).alias(
+            "top_share"
+        ),
+    )
+
+
+DIVERSITY_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+)
+SELECT doc_id,
+  CAST(SUM(c) AS BIGINT) AS n_tokens,
+  COUNT(*) AS n_distinct,
+  round(1.0 - CAST(SUM(c * c) AS DOUBLE) / CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS simpson,
+  round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_share
+FROM counts GROUP BY doc_id
+"""
+
+
 def corpus_chunk(spark, sf_dir):
     """Training-chunk extraction: 50-token windows every 40 tokens
     (10-token overlap). posexplode over a per-row array expression — the
@@ -1881,6 +1925,35 @@ losers AS (
   FROM uniq
 )
 SELECT doc_id, lang, n_tokens, quality FROM c WHERE cum <= 3000
+"""
+
+
+def embedding_outliers(spark, sf_dir):
+    """Top-25 vectors farthest from the corpus centroid
+    (similarity.centroid_outliers): integer-quantized exact centroid,
+    distance vs an inlined constant array, TakeOrdered top-k."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_outliers(emb, id_col="vec_id", k=25)
+
+
+OUTLIERS_ORACLE = """
+WITH comp AS (
+  SELECT vec_id,
+         generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), cent AS (
+  SELECT pos,
+    CAST(SUM(CAST(round(x * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+      / (COUNT(*) * 1000000.0) AS c
+  FROM comp GROUP BY pos
+), dist AS (
+  SELECT vec_id, round(sqrt(SUM((x - c) * (x - c))), 6) AS dist
+  FROM comp JOIN cent USING (pos) GROUP BY vec_id
+)
+SELECT vec_id, dist,
+       CAST(row_number() OVER (ORDER BY dist DESC, vec_id ASC) AS BIGINT) AS rank
+FROM dist ORDER BY dist DESC, vec_id ASC LIMIT 25
 """
 
 
@@ -2494,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redact": text_pii_redact,
         "text_repetition": text_repetition,
         "text_commonness": text_commonness,
+        "text_diversity": text_diversity,
         "corpus_quality_filter": corpus_quality_filter,
         "corpus_chunk": corpus_chunk,
         "corpus_line_dedup": corpus_line_dedup,
@@ -2510,6 +2584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "ann_ivf_multiprobe": ann_ivf_multiprobe,
         "ann_pq_topk": ann_pq_topk,
+        "embedding_outliers": embedding_outliers,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
     }
@@ -2577,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "text_pii_redact": _pii_oracle(),
         "text_repetition": REPETITION_ORACLE,
         "text_commonness": COMMONNESS_ORACLE,
+        "text_diversity": DIVERSITY_ORACLE,
         "corpus_quality_filter": QUALITY_FILTER_ORACLE,
         "corpus_chunk": CHUNK_ORACLE,
         "corpus_line_dedup": LINE_DEDUP_ORACLE,
@@ -2593,6 +2669,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "ann_ivf_multiprobe": _ivf_kmeans_oracle(nprobe=2),
         "ann_pq_topk": _pq_oracle(),
+        "embedding_outliers": OUTLIERS_ORACLE,
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
     }

@@ -680,3 +680,64 @@ def pq_topk(
     return ranked.select(
         "query_id", "neighbor_id", "rank", (-F.col("sim")).alias("dist")
     )
+
+
+def centroid_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k embedding outliers: the vectors farthest (L2) from the corpus
+    centroid — the standard cheap screen for mis-embedded / off-manifold
+    rows before clustering or ANN indexing.
+
+    Engine-exact centroid: float sums are order-dependent, so each
+    component is quantized to 1e-6 integers (round-half-away-from-zero —
+    identical in Spark and DuckDB) and summed as BIGINT — exact and
+    order-independent — then divided once. The distance pass compares
+    each row against the centroid INLINED as a constant double array
+    (zip_with over a literal: code is O(d) per row, no shuffle), and the
+    top-k runs as TakeOrderedAndProject (per-partition heaps + driver
+    merge of k rows — never a global sort). Distances round to 6 dp so
+    per-row summation order can't leak into the hash gate.
+
+    Two jobs: one 64-group centroid aggregate (map-side partials, a
+    metadata-sized collect), one scan + top-k. Returns
+    (id_col, dist, rank) with rank 1 = farthest, ties to the lowest id.
+    """
+    from pyspark.sql import Window
+
+    comp = df.select(
+        F.col(id_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    q = F.round(F.col("x").cast("double") * F.lit(1_000_000.0), 0).cast("bigint")
+    cent_rows = comp.groupBy("pos").agg(
+        F.sum(q).alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()
+    if not cent_rows:
+        return df.select(
+            F.col(id_col),
+            F.lit(0.0).alias("dist"),
+            F.lit(0).cast("bigint").alias("rank"),
+        ).limit(0)
+    cent = [0.0] * (max(r["pos"] for r in cent_rows) + 1)
+    for r in cent_rows:
+        cent[r["pos"]] = r["s"] / (r["n"] * 1_000_000.0)
+    carr = F.array(*[F.lit(c) for c in cent])
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            carr,
+            lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    top = (
+        df.select(F.col(id_col), F.round(F.sqrt(d2), 6).alias("dist"))
+        .orderBy(F.col("dist").desc(), F.col(id_col).asc())
+        .limit(int(k))
+    )
+    w = Window.orderBy(F.col("dist").desc(), F.col(id_col).asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
