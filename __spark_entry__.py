@@ -1340,6 +1340,42 @@ FROM reach GROUP BY id
 """
 
 
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup: k-means partition the embedding space (deterministic
+    Lloyd's, 8 cells × 2 iterations), exact cosine pairs WITHIN each
+    learned cell, then the shared connected-components + keep-min-id
+    resolution. The oracle replays training as unrolled CTEs (identical
+    text to the trained-IVF oracle), the within-cell pair join, and the
+    closure as a recursive CTE."""
+    pairs = dedup.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), n_centroids=8, iters=2, threshold=0.4
+    )
+    return dedup.resolve_clusters(pairs)
+
+
+def _semantic_dedup_oracle(n_centroids: int = 8, iters: int = 2,
+                           dim: int = 64, threshold: float = 0.4) -> str:
+    parts, _ = _kmeans_train_ctes(n_centroids, iters, dim)
+    parts.append(f"""verified AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.id AS id_a, b.id AS id_b, {_cos_sql('a.v', 'b.v')} AS sim
+    FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.id < b.id) t
+  WHERE sim >= {threshold})""")
+    parts.append("""edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified)""")
+    parts.append("""reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.peer)""")
+    return (
+        "WITH RECURSIVE " + ",\n".join(parts) + """
+SELECT id AS member_id, MIN(peer) AS cluster_id, MIN(peer) AS keep_id
+FROM reach GROUP BY id"""
+    )
+
+
 def dedup_simhash(spark, sf_dir):
     return _t(spark, sf_dir, "documents").select(
         "doc_id", dedup.simhash("text", bits=32).alias("simhash")
@@ -2480,19 +2516,21 @@ def ann_ivf_multiprobe(spark, sf_dir):
     )
 
 
-def _ivf_kmeans_oracle(n_centroids: int = 8, iters: int = 2, dim: int = 64,
-                       k: int = 10, nprobe: int = 1) -> str:
-    """Unrolled-CTE replay of kmeans_centroids + ivf_topk: each Lloyd's
-    iteration is an assignment CTE (argmax by rounded cosine, ties to the
-    lowest cell) + a means CTE (exact DECIMAL sums → double → round 9) +
-    empty-cell carry-over via LEFT JOIN/COALESCE."""
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
 
-    def cos(a: str, b: str) -> str:
-        return (
-            f"round(list_dot_product({a}, {b}) / "
-            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-        )
 
+def _kmeans_train_ctes(n_centroids: int, iters: int, dim: int) -> tuple[list[str], str]:
+    """CTE-text replay of ``similarity.kmeans_centroids`` + the final
+    assignment: each Lloyd's iteration is an assignment CTE (argmax by
+    rounded cosine, ties to the lowest cell) + a means CTE (exact DECIMAL
+    sums → double → round 9) + empty-cell carry-over via LEFT
+    JOIN/COALESCE. Returns (parts, name-of-assigned-CTE) — shared by the
+    trained-IVF and semantic-dedup oracles so training text is identical.
+    """
     mean_list = "[" + ", ".join(
         f"ROUND(CAST(SUM(CAST(v[{i + 1}] AS DECIMAL(28,12))) AS DOUBLE)/COUNT(*), 9)"
         for i in range(dim)
@@ -2507,7 +2545,7 @@ def _ivf_kmeans_oracle(n_centroids: int = 8, iters: int = 2, dim: int = 64,
   SELECT vec_id AS id, v, cell FROM (
     SELECT b.vec_id, b.v, c.cell,
            row_number() OVER (PARTITION BY b.vec_id
-             ORDER BY {cos('b.v', 'c.cv')} DESC, c.cell ASC) AS rn
+             ORDER BY {_cos_sql('b.v', 'c.cv')} DESC, c.cell ASC) AS rn
     FROM base b CROSS JOIN {prev} c) t WHERE rn = 1)""")
         parts.append(
             f"m{it} AS (SELECT cell, {mean_list} AS cv FROM a{it} GROUP BY cell)"
@@ -2521,8 +2559,17 @@ def _ivf_kmeans_oracle(n_centroids: int = 8, iters: int = 2, dim: int = 64,
   SELECT vec_id AS id, v, cell FROM (
     SELECT b.vec_id, b.v, c.cell,
            row_number() OVER (PARTITION BY b.vec_id
-             ORDER BY {cos('b.v', 'c.cv')} DESC, c.cell ASC) AS rn
+             ORDER BY {_cos_sql('b.v', 'c.cv')} DESC, c.cell ASC) AS rn
     FROM base b CROSS JOIN {prev} c) t WHERE rn = 1)""")
+    return parts, prev
+
+
+def _ivf_kmeans_oracle(n_centroids: int = 8, iters: int = 2, dim: int = 64,
+                       k: int = 10, nprobe: int = 1) -> str:
+    """Unrolled-CTE replay of kmeans_centroids + ivf_topk (training text
+    from ``_kmeans_train_ctes``)."""
+    cos = _cos_sql
+    parts, prev = _kmeans_train_ctes(n_centroids, iters, dim)
     if nprobe == 1:
         parts.append(
             "q AS (SELECT id AS query_id, v AS qv, cell FROM assigned WHERE id < 5)"
@@ -2733,6 +2780,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster_keep_one": dedup_cluster_keep_one,
         "dedup_embedding_cluster": dedup_embedding_cluster,
+        "dedup_semantic": dedup_semantic,
         "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_multiband": dedup_embedding_multiband,
@@ -2822,6 +2870,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle(),
         "dedup_cluster_keep_one": _cluster_oracle(),
         "dedup_embedding_cluster": _embedding_cluster_oracle(),
+        "dedup_semantic": _semantic_dedup_oracle(),
         "dedup_simhash": _simhash_oracle(32),
         "dedup_embedding_cosine": _embedding_pairs_oracle(),
         "dedup_embedding_multiband": _embedding_multiband_oracle(),

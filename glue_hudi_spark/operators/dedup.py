@@ -394,6 +394,78 @@ def embedding_cosine_pairs(
     )
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    iters: int = 2,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: k-means partition the
+    embedding space, then EXACT cosine verification within each learned
+    cluster only (Abbas et al. 2023's recipe — semantic duplicates land in
+    the same k-means cell, so the pair space shrinks from O(n²) to
+    Σ|cell|²).
+
+    Differences from ``embedding_cosine_pairs``: the blocking key is a
+    LEARNED partition (k-means cell), not a data-independent sign-bit
+    bucket — it adapts to the corpus's actual density, which is what makes
+    the method "semantic". Training cost is corpus-size-independent
+    (``kmeans_centroids``: zero-shuffle literal argmax assignment + one
+    narrow groupBy per iteration); assignment is a scan-stage projection;
+    the within-cell self-join is an equi-join on cell, shuffle-partitioned
+    and AQE-skew-split — never a cross join.
+
+    At 100 TB, ``n_centroids`` is the knob: within-cell comparison is
+    quadratic in cell size ≈ n/k, so k grows with the corpus exactly as
+    SemDeDup runs it (tens of thousands of clusters for web-scale); above
+    ``similarity.INLINE_CENTROID_MAX`` assignment switches to the
+    broadcast-join path automatically.
+
+    Output: (id_a, id_b, sim) with id_a < id_b, cosine rounded to 6 dp,
+    sim ≥ threshold. Deterministic end-to-end (seeded init, exact-decimal
+    means, ties to the lowest cell), so a SQL oracle can replay training.
+    """
+    from glue_hudi_spark.operators.similarity import (
+        INLINE_CENTROID_MAX,
+        _assign_by_join,
+        _dot,
+        _nearest_cell_expr,
+        _norm,
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(
+        df, n_centroids=n_centroids, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if len(cents) > INLINE_CENTROID_MAX:
+        assigned = _assign_by_join(keyed, cents)
+    else:
+        assigned = keyed.withColumn("cell", _nearest_cell_expr(cents, F.col("v")))
+    assigned = assigned.withColumn("nv", _norm(F.col("v")))
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+        F.col("nv").alias("n_a"), "cell",
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+        F.col("nv").alias("n_b"), "cell",
+    )
+    j = a.join(b, on="cell").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        j.withColumn(
+            "sim",
+            F.round(_dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")), 6),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 # ------------------------------------------------- cluster resolution
 
 
