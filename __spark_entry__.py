@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from glue_hudi_spark.functions import text as TX
 from glue_hudi_spark.operators import (
-    cdc, decontam, dedup, multimodal, ranges, sampling, similarity,
+    cdc, decontam, dedup, multimodal, ranges, sampling, sharding, similarity,
 )
 from glue_hudi_spark.storage.native import NativeTable
 
@@ -1990,6 +1990,40 @@ FROM c
 """
 
 
+def corpus_shard(spark, sf_dir):
+    """Deterministic output-shard manifest: every document lands in one of
+    8 shards by md5(doc_id) with an independent second hash slice as its
+    within-shard stream position (the layout ``sharding.write_shards``
+    materializes). The manifest is one scan + an 8-row aggregate: per
+    shard, doc count, token mass, the first document in stream order, and
+    the occupied hash range — the skew check a training reader sizes
+    itself with."""
+    return sharding.shard_manifest(
+        _t(spark, sf_dir, "documents"), key_col="doc_id", n_shards=8
+    )
+
+
+SHARD_ORACLE = r"""
+WITH a AS (
+  SELECT doc_id, text,
+    cast(concat('0x', substr(md5(cast(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+    cast(concat('0x', substr(md5(cast(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) AS pos
+  FROM documents),
+f AS (
+  SELECT shard, doc_id AS first_doc FROM (
+    SELECT shard, doc_id,
+           row_number() OVER (PARTITION BY shard ORDER BY pos ASC, doc_id ASC) AS rn
+    FROM a) t WHERE rn = 1)
+SELECT a.shard, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS n_tokens,
+  MIN(first_doc) AS first_doc,
+  MIN(pos) AS min_pos, MAX(pos) AS max_pos
+FROM a JOIN f ON a.shard = f.shard
+GROUP BY a.shard
+ORDER BY a.shard
+"""
+
+
 def corpus_temperature_mix(spark, sf_dir):
     """Temperature-flattened language mix (α = 0.5): keep rate
     sqrt(n_min)/sqrt(n_lang) per language — the smallest language is
@@ -2808,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_token_budget": corpus_token_budget,
         "corpus_mixed": corpus_mixed,
         "corpus_pack": corpus_pack,
+        "corpus_shard": corpus_shard,
         "corpus_temperature_mix": corpus_temperature_mix,
         "corpus_curation": corpus_curation,
         "ann_cosine_topk": ann_cosine_topk,
@@ -2898,6 +2933,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_token_budget": TOKEN_BUDGET_ORACLE,
         "corpus_mixed": MIXED_ORACLE,
         "corpus_pack": PACK_ORACLE,
+        "corpus_shard": SHARD_ORACLE,
         "corpus_temperature_mix": TEMPERATURE_MIX_ORACLE,
         "corpus_curation": _curation_oracle(),
         "ann_cosine_topk": _ann_oracle(bucketed=False),
