@@ -1908,6 +1908,30 @@ WHERE {_HASH_FRAC_SQL} <
 """
 
 
+def corpus_stratum_fixed(spark, sf_dir):
+    """Exactly-25-docs-per-language deterministic sample (the reservoir
+    replacement): smallest md5(doc_id) fractions win. Two metadata counts
+    + a map-side threshold filter leave ~100 candidates per language; the
+    ranking window touches only that sliver, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    out = sampling.stratum_fixed_sample(
+        d, stratum_col="lang", key_col="doc_id", n=25
+    )
+    return out.select(
+        "doc_id", "lang", F.col("sample_rank").cast("bigint").alias("sample_rank")
+    )
+
+
+STRATUM_FIXED_ORACLE = f"""
+SELECT doc_id, lang, CAST(sample_rank AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+           ORDER BY {_HASH_FRAC_SQL} ASC, doc_id ASC) AS sample_rank
+  FROM documents) t
+WHERE sample_rank <= 25
+"""
+
+
 def corpus_token_budget(spark, sf_dir):
     """Per-language token budget: rank docs by quality (desc, doc_id
     tie-break), keep the prefix whose running token total fits 2000
@@ -2839,6 +2863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_line_dedup": corpus_line_dedup,
         "corpus_decontaminate": corpus_decontaminate,
         "corpus_stratified_sample": corpus_stratified_sample,
+        "corpus_stratum_fixed": corpus_stratum_fixed,
         "corpus_token_budget": corpus_token_budget,
         "corpus_mixed": corpus_mixed,
         "corpus_pack": corpus_pack,
@@ -2930,6 +2955,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_line_dedup": LINE_DEDUP_ORACLE,
         "corpus_decontaminate": DECONTAM_ORACLE,
         "corpus_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
+        "corpus_stratum_fixed": STRATUM_FIXED_ORACLE,
         "corpus_token_budget": TOKEN_BUDGET_ORACLE,
         "corpus_mixed": MIXED_ORACLE,
         "corpus_pack": PACK_ORACLE,

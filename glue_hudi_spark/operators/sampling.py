@@ -72,6 +72,74 @@ def stratified_sample(
     return df.filter(hash_fraction(key_col) < rate)
 
 
+def stratum_fixed_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    n: int,
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Exactly ``n`` rows per stratum (fewer if the stratum is smaller),
+    chosen as the n SMALLEST ``hash_fraction(key)`` values — the
+    deterministic equivalent of per-stratum reservoir sampling: uniform
+    over the stratum, stable under re-runs/retries, oracle-replayable.
+
+    Scale shape (NOT a corpus-wide window): a corpus-sized
+    ``row_number() OVER (PARTITION BY stratum)`` funnels each stratum
+    through one reducer. Instead:
+
+    1. one metadata-sized count per stratum;
+    2. a map-side threshold filter ``frac < oversample·n/count`` leaves
+       ~oversample·n candidate rows per stratum;
+    3. a deficit check (second metadata count) — if some stratum's hash
+       draw was adversarial enough to leave < n survivors (probability
+       exponentially small in ``oversample``), its threshold is lifted
+       to 1.0, keeping the result EXACTLY the top-n-by-hash regardless;
+    4. the row_number window runs on the surviving sliver only.
+
+    Output keeps ``df``'s columns plus ``sample_rank`` (1..n in hash
+    order, ties by key).
+    """
+    if n <= 0:
+        raise ValueError("n must be positive")
+    frac = hash_fraction(key_col)
+    counts = {
+        r["s"]: r["c"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+    def _thr_expr(thresholds: dict) -> Column:
+        t = F.lit(0.0)
+        for s, v in sorted(thresholds.items()):
+            t = F.when(F.col(stratum_col) == F.lit(s), F.lit(v)).otherwise(t)
+        return t
+
+    thresholds = {
+        s: min(1.0, (oversample * n) / c) if c > 0 else 1.0
+        for s, c in counts.items()
+    }
+    surv = df.filter(frac < _thr_expr(thresholds))
+    deficit = {
+        r["s"]
+        for r in surv.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+        if r["c"] < n and thresholds.get(r["s"], 1.0) < 1.0
+    }
+    if deficit:
+        widened = {s: (1.0 if s in deficit else v) for s, v in thresholds.items()}
+        surv = df.filter(frac < _thr_expr(widened))
+    w = Window.partitionBy(stratum_col).orderBy(
+        frac.asc(), F.col(key_col).asc()
+    )
+    return (
+        surv.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n)
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     token_col: str,

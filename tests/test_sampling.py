@@ -233,3 +233,42 @@ def test_temperature_mix_deterministic_subset(spark):
                    sampling.temperature_mix(d, "source", "doc_id", alpha=0.3).collect()}
     # output is a subset of the input rows
     assert ids <= {r["doc_id"] for r in d.collect()}
+
+
+def _naive_topn_by_hash(spark, d, stratum, key, n):
+    from pyspark.sql import Window
+    w = Window.partitionBy(stratum).orderBy(
+        sampling.hash_fraction(key).asc(), F.col(key).asc())
+    return (d.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= n))
+
+
+def test_stratum_fixed_sample_exact_topn(spark):
+    d = _docs(spark)
+    out = sampling.stratum_fixed_sample(d, "lang", "doc_id", n=30)
+    got = {(r["lang"], r["doc_id"], r["sample_rank"]) for r in out.collect()}
+    want = {(r["lang"], r["doc_id"], r["sample_rank"])
+            for r in _naive_topn_by_hash(spark, d, "lang", "doc_id", 30).collect()}
+    assert got == want
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert all(v == 30 for v in by.values())
+
+
+def test_stratum_fixed_sample_deficit_path_is_exact(spark):
+    # oversample 0.05 under-selects every stratum; the deficit check must
+    # widen to 1.0 and still return exactly the top-n-by-hash
+    d = _docs(spark, 400)
+    out = sampling.stratum_fixed_sample(d, "lang", "doc_id", n=50, oversample=0.05)
+    want = {(r["lang"], r["doc_id"]) for r in
+            _naive_topn_by_hash(spark, d, "lang", "doc_id", 50).collect()}
+    assert {(r["lang"], r["doc_id"]) for r in out.collect()} == want
+
+
+def test_stratum_fixed_sample_small_stratum_kept_whole(spark):
+    rows = [(i, "big") for i in range(500)] + [(1000 + i, "tiny") for i in range(7)]
+    d = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = sampling.stratum_fixed_sample(d, "lang", "doc_id", n=20)
+    by = {r["lang"]: r["n"] for r in
+          out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by == {"big": 20, "tiny": 7}
