@@ -2231,6 +2231,53 @@ FROM dist ORDER BY dist DESC, vec_id ASC LIMIT 25
 """
 
 
+def embedding_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization + Matryoshka prefix energy
+    (functions/vectors.py): scale = max|x|/127, codes =
+    floor(x/scale + 0.5) — 4× embedding storage compression as pure
+    scan-stage expressions, zero shuffle, zero UDFs. Every output is an
+    integer aggregate of the codes (engine-exact) plus the round-9 scale
+    and the round-6 fraction of L2 energy in the first 16 dims (what a
+    16-dim Matryoshka truncation would preserve)."""
+    from glue_hudi_spark.functions import vectors as VX
+
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    scale = VX.int8_scale(v)
+    codes = VX.quantize_int8(v, scale)
+    p = F.slice(v, 1, 16)
+    return e.select(
+        "vec_id",
+        F.round(scale, 9).alias("scale"),
+        F.aggregate(
+            codes, F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+        F.size(F.filter(codes, lambda c: F.abs(c) == 127))
+        .cast("bigint")
+        .alias("n_sat"),
+        F.round(VX._dot(p, p) / VX._dot(v, v), 6).alias("prefix16_energy"),
+    )
+
+
+QUANTIZE_ORACLE = """
+WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x)))/127.0 AS scale FROM b),
+c AS (SELECT vec_id, v, scale,
+        CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+             ELSE list_transform(v, x -> CAST(floor(x/scale + 0.5) AS BIGINT)) END AS codes
+      FROM s)
+SELECT vec_id, round(scale, 9) AS scale,
+  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+  CAST(list_min(codes) AS BIGINT) AS code_min,
+  CAST(list_max(codes) AS BIGINT) AS code_max,
+  CAST(len(list_filter(codes, c -> abs(c) = 127)) AS BIGINT) AS n_sat,
+  round(list_dot_product(v[1:16], v[1:16]) / list_dot_product(v, v), 6) AS prefix16_energy
+FROM c
+"""
+
+
 def ann_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
@@ -2877,6 +2924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe": ann_ivf_multiprobe,
         "ann_pq_topk": ann_pq_topk,
         "embedding_outliers": embedding_outliers,
+        "embedding_quantize": embedding_quantize,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
     }
@@ -2969,6 +3017,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_multiprobe": _ivf_kmeans_oracle(nprobe=2),
         "ann_pq_topk": _pq_oracle(),
         "embedding_outliers": OUTLIERS_ORACLE,
+        "embedding_quantize": QUANTIZE_ORACLE,
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
     }
