@@ -1743,6 +1743,79 @@ FROM c
 """
 
 
+def corpus_profile(spark, sf_dir):
+    """Corpus profiling report: per (lang, source) document count, token
+    and char mass, mean document length, and the exact median token count
+    — the one-scan summary every curation run starts and ends with. All
+    aggregates are map-side partial (sums/counts) except the exact
+    percentile, which shuffles only (lang, source, n_tok) triples —
+    ~the corpus's narrowest possible projection."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "lang", "source",
+        TX.token_count("text").cast("bigint").alias("n_tok"),
+        F.length("text").cast("bigint").alias("n_chr"),
+    )
+    return (
+        base.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chr").alias("n_chars"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_tokens"),
+            F.percentile(F.col("n_tok"), F.lit(0.5)).alias("median_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+PROFILE_ORACLE = r"""
+WITH base AS (
+  SELECT lang, source,
+    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok,
+    CAST(length(text) AS BIGINT) AS n_chr
+  FROM documents)
+SELECT lang, source, COUNT(*) AS n_docs,
+  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+  CAST(SUM(n_chr) AS BIGINT) AS n_chars,
+  round(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+  quantile_cont(n_tok, 0.5) AS median_tokens
+FROM base GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def corpus_top_bigrams(spark, sf_dir):
+    """Global top-20 bigrams by occurrence — the n-gram frequency table
+    boilerplate detection and decontamination both start from. Explode is
+    the only row amplification; the count is map-side partial-aggregated
+    before its one shuffle, and the top-20 is TakeOrderedAndProject
+    (per-partition heaps), bigram text breaking count ties."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(TX.bigrams("text")).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+TOP_BIGRAMS_ORACLE = r"""
+WITH t AS (
+  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS toks FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+  FROM t WHERE len(toks) > 1)
+SELECT bigram, COUNT(*) AS n
+FROM bg GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 20
+"""
+
+
 def corpus_quality_filter(spark, sf_dir):
     """Gopher/C4-style composite document filter: every signal this repo
     computes (token count, punct ratio, stopword ratio, repetition) as
@@ -2905,6 +2978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": text_repetition,
         "text_commonness": text_commonness,
         "text_diversity": text_diversity,
+        "corpus_profile": corpus_profile,
+        "corpus_top_bigrams": corpus_top_bigrams,
         "corpus_quality_filter": corpus_quality_filter,
         "corpus_chunk": corpus_chunk,
         "corpus_line_dedup": corpus_line_dedup,
@@ -2998,6 +3073,8 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": REPETITION_ORACLE,
         "text_commonness": COMMONNESS_ORACLE,
         "text_diversity": DIVERSITY_ORACLE,
+        "corpus_profile": PROFILE_ORACLE,
+        "corpus_top_bigrams": TOP_BIGRAMS_ORACLE,
         "corpus_quality_filter": QUALITY_FILTER_ORACLE,
         "corpus_chunk": CHUNK_ORACLE,
         "corpus_line_dedup": LINE_DEDUP_ORACLE,

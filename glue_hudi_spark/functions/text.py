@@ -173,6 +173,20 @@ def bigram_repetition_ratio(col: str | Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def bigrams(col: str | Column) -> Column:
+    """Lowercased whitespace-token bigram array (empty when < 2 tokens).
+    Same zip_with-over-two-slices construction as
+    ``bigram_repetition_ratio`` (the token array binds once per row)."""
+    toks = tokens(F.lower(col if isinstance(col, Column) else F.col(col)))
+    n = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return F.when(n > 1, grams).otherwise(F.array().cast("array<string>"))
+
+
 def chunk_tokens(col: str | Column, size: int = 50, stride: int = 40) -> Column:
     """Split a document into training chunks of ``size`` whitespace tokens
     starting every ``stride`` tokens (overlap = size - stride), as an
