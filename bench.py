@@ -71,6 +71,15 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "events_funnel",
     "ann_pq_topk",
+    # round-5b additions (no baseline counterpart — compare within-run):
+    "q5_local_supplier",
+    "q10_returned_items",
+    "dedup_semantic",
+    "corpus_shard",
+    "corpus_profile",
+    "corpus_top_bigrams",
+    "corpus_stratum_fixed",
+    "embedding_quantize",
 ]
 
 
