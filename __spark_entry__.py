@@ -2480,6 +2480,86 @@ FROM (
 """
 
 
+def _asof_sides(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return purchases, clicks
+
+
+def events_asof_forward(spark, sf_dir):
+    """FORWARD as-of join: each purchase sees the user's EARLIEST
+    at-or-after click — the same single union+window plan as backward,
+    scanned in reverse time order. The oracle is a window formulation
+    (DuckDB ASOF is backward-only); ties at equal click_ts resolve to the
+    greatest click_event_id in both engines."""
+    from glue_hudi_spark.operators.asof import asof_join
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    return asof_join(
+        purchases, clicks, key_cols=["user_id"], left_time="ts",
+        right_time="click_ts", right_payload=["click_event_id"],
+        direction="forward",
+    )
+
+
+ASOF_FORWARD_ORACLE = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts AS click_ts, event_id AS click_event_id
+      FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT l.event_id, l.user_id, l.ts, l.value, r.click_event_id,
+         row_number() OVER (PARTITION BY l.event_id
+           ORDER BY r.click_ts ASC, r.click_event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id AND r.click_ts >= l.ts)
+SELECT event_id, user_id, ts, value, click_event_id FROM cand WHERE rn = 1
+UNION ALL
+SELECT event_id, user_id, ts, value, CAST(NULL AS BIGINT) AS click_event_id
+FROM l WHERE event_id NOT IN (SELECT event_id FROM cand)
+"""
+
+
+def events_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join: the closer of the backward/forward matches,
+    equal distances resolving to backward (deterministic — pandas leaves
+    this unspecified). Two window sorts over ONE exchange: both windows
+    partition on the same key, so the shuffle is reused."""
+    from glue_hudi_spark.operators.asof import asof_join
+
+    purchases, clicks = _asof_sides(spark, sf_dir)
+    return asof_join(
+        purchases, clicks, key_cols=["user_id"], left_time="ts",
+        right_time="click_ts", right_payload=["click_event_id"],
+        direction="nearest",
+    )
+
+
+ASOF_NEAREST_ORACLE = """
+WITH l AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+r AS (SELECT user_id, ts AS click_ts, event_id AS click_event_id
+      FROM events WHERE event_type = 'click'),
+cand AS (
+  SELECT l.event_id, l.user_id, l.ts, l.value, r.click_event_id,
+         row_number() OVER (PARTITION BY l.event_id
+           ORDER BY
+             CASE WHEN r.click_ts <= l.ts THEN epoch(l.ts - r.click_ts)
+                  ELSE epoch(r.click_ts - l.ts) END ASC,
+             CASE WHEN r.click_ts <= l.ts THEN 0 ELSE 1 END ASC,
+             r.click_event_id DESC) AS rn
+  FROM l JOIN r ON l.user_id = r.user_id)
+SELECT event_id, user_id, ts, value, click_event_id FROM cand WHERE rn = 1
+UNION ALL
+SELECT event_id, user_id, ts, value, CAST(NULL AS BIGINT) AS click_event_id
+FROM l WHERE event_id NOT IN (SELECT event_id FROM cand)
+"""
+
+
 def events_interval_join(spark, sf_dir):
     """Range join without a nested loop: every click in the hour BEFORE
     each purchase (attribution window), via the time-bucketed equi-join
@@ -2966,6 +3046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_agg": skew_salted_agg,
         "skew_salted_join": skew_salted_join,
         "events_asof_tolerance": events_asof_tolerance,
+        "events_asof_forward": events_asof_forward,
+        "events_asof_nearest": events_asof_nearest,
         "events_interval_join": events_interval_join,
         "events_hourly_rollup": events_hourly_rollup,
         "region_nation_stats": region_nation_stats,
@@ -3061,6 +3143,8 @@ def oracle_sql() -> dict[str, str]:
         "skew_salted_agg": SKEW_ORACLE,
         "skew_salted_join": SALTED_JOIN_ORACLE,
         "events_asof_tolerance": ASOF_TOLERANCE_ORACLE,
+        "events_asof_forward": ASOF_FORWARD_ORACLE,
+        "events_asof_nearest": ASOF_NEAREST_ORACLE,
         "events_interval_join": INTERVAL_JOIN_ORACLE,
         "events_hourly_rollup": ROLLUP_ORACLE,
         "region_nation_stats": REGION_ORACLE,
