@@ -21,7 +21,7 @@ import shutil
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from glue_hudi_spark.functions import text as TX
 from glue_hudi_spark.operators import (
@@ -978,6 +978,112 @@ CUBE_ORACLE = """
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def lineitem_unpivot(spark, sf_dir):
+    """Wide→long melt (the inverse of pivot): the four lineitem measures
+    become (measure, val) rows via Spark's native ``unpivot`` — a pure
+    projection-side row expansion, no shuffle, no UDF. Bounded to the
+    first 50 orders so the oracle compares a stable slice; the oracle
+    spells the engine-portable UNION-ALL formulation."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+UNPIVOT_ORACLE = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+FROM lineitem WHERE l_orderkey < 50
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem WHERE l_orderkey < 50
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey < 50
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_orderkey < 50
+"""
+
+
+def orders_setops(spark, sf_dir):
+    """Set-operation coverage (INTERSECT / EXCEPT — distinct semantics):
+    customers ordering in both 1997 and 1998, only-1997, only-1998, as
+    three tagged counts. Each set op compiles to an aggregate + semi/anti
+    join under AQE — no sort-based except, no cross product."""
+    o = _t(spark, sf_dir, "orders")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+    y98 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    ).select("o_custkey")
+
+    def tag(df, t):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(t).alias("tag"), "n"
+        )
+
+    return (
+        tag(y97.intersect(y98), "both")
+        .unionByName(tag(y97.subtract(y98), "only97"))
+        .unionByName(tag(y98.subtract(y97), "only98"))
+        .orderBy("tag")
+    )
+
+
+SETOPS_ORACLE = """
+WITH y97 AS (SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+               AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+y98 AS (SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00')
+SELECT 'both' AS tag, COUNT(*) AS n FROM (SELECT o_custkey FROM y97 INTERSECT SELECT o_custkey FROM y98) t
+UNION ALL
+SELECT 'only97', COUNT(*) FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y98) t
+UNION ALL
+SELECT 'only98', COUNT(*) FROM (SELECT o_custkey FROM y98 EXCEPT SELECT o_custkey FROM y97) t
+ORDER BY tag
+"""
+
+
+def orders_above_customer_avg(spark, sf_dir):
+    """Correlated-scalar-subquery shape ("orders above this customer's
+    average"), decorrelated the way 100 TB requires: the per-customer
+    average is a window aggregate over ONE shuffle of the orders table —
+    never a re-scan per row. The oracle spells the correlated subquery
+    and DuckDB decorrelates it itself; both engines agree on the exact
+    DECIMAL average."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_price = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        / F.count(F.lit(1)).over(w)
+    ).cast("double")
+    return (
+        o.withColumn("cust_avg", F.round(avg_price, 6))
+        .filter(F.col("o_totalprice") > F.lit(1.5) * F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice", "cust_avg")
+    )
+
+
+ABOVE_AVG_ORACLE = """
+SELECT * FROM (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         round(CAST((SELECT SUM(CAST(i.o_totalprice AS DECIMAL(18,2)))
+                     FROM orders i WHERE i.o_custkey = o.o_custkey) AS DOUBLE)
+               / (SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey),
+               6) AS cust_avg
+  FROM orders o) t
+WHERE o_totalprice > 1.5 * cust_avg
 """
 
 
@@ -3028,6 +3134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": events_json_extract,
         "orders_price_quantiles": orders_price_quantiles,
         "orders_cube": orders_cube,
+        "lineitem_unpivot": lineitem_unpivot,
+        "orders_setops": orders_setops,
+        "orders_above_customer_avg": orders_above_customer_avg,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_sessionization": events_sessionization,
         "events_funnel": events_funnel,
@@ -3126,6 +3235,9 @@ def oracle_sql() -> dict[str, str]:
         "events_json_extract": JSON_EXTRACT_ORACLE,
         "orders_price_quantiles": QUANTILES_ORACLE,
         "orders_cube": CUBE_ORACLE,
+        "lineitem_unpivot": UNPIVOT_ORACLE,
+        "orders_setops": SETOPS_ORACLE,
+        "orders_above_customer_avg": ABOVE_AVG_ORACLE,
         "topk_orders_per_customer": TOPK_ORACLE,
         "events_sessionization": _SESSION_SQL,
         "events_funnel": FUNNEL_ORACLE,
