@@ -2015,6 +2015,35 @@ FROM rebuilt r JOIN corpus c ON r.doc_id = c.doc_id
 """
 
 
+def corpus_boilerplate(spark, sf_dir):
+    """Per-document boilerplate fraction: share of lines appearing in ≥ 2
+    distinct documents (the threshold signal in front of line_dedup's
+    surgical removal). Lines derive from the same deterministic
+    ' the '→newline split as corpus_line_dedup; within one corpus copy,
+    cross-document duplicate lines occur naturally (common phrasing)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.replace(F.col("text"), F.lit(" the "), F.lit("\n")).alias("text")
+    )
+    return dedup.boilerplate_score(d, id_col="doc_id", text_col="text", min_docs=2)
+
+
+BOILERPLATE_ORACLE = r"""
+WITH corpus AS (
+  SELECT doc_id, replace(text, ' the ', chr(10)) AS text FROM documents
+), lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM corpus
+), stats AS (
+  SELECT md5(trim(line)) AS h, COUNT(DISTINCT doc_id) AS ndocs
+  FROM lines GROUP BY 1
+)
+SELECT l.doc_id, COUNT(*) AS n_lines,
+  CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+  round(CAST(SUM(CASE WHEN s.ndocs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS boiler_frac
+FROM lines l JOIN stats s ON md5(trim(l.line)) = s.h
+GROUP BY l.doc_id
+"""
+
+
 def corpus_decontaminate(spark, sf_dir):
     """Benchmark decontamination (operators/decontam.py): every document
     scored by the fraction of its distinct 5-gram hashes that also occur
@@ -3174,6 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_filter": corpus_quality_filter,
         "corpus_chunk": corpus_chunk,
         "corpus_line_dedup": corpus_line_dedup,
+        "corpus_boilerplate": corpus_boilerplate,
         "corpus_decontaminate": corpus_decontaminate,
         "corpus_stratified_sample": corpus_stratified_sample,
         "corpus_stratum_fixed": corpus_stratum_fixed,
@@ -3274,6 +3304,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_quality_filter": QUALITY_FILTER_ORACLE,
         "corpus_chunk": CHUNK_ORACLE,
         "corpus_line_dedup": LINE_DEDUP_ORACLE,
+        "corpus_boilerplate": BOILERPLATE_ORACLE,
         "corpus_decontaminate": DECONTAM_ORACLE,
         "corpus_stratified_sample": STRATIFIED_SAMPLE_ORACLE,
         "corpus_stratum_fixed": STRATUM_FIXED_ORACLE,

@@ -683,6 +683,52 @@ def line_dedup(
     )
 
 
+def boilerplate_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document boilerplate fraction: the share of a document's lines
+    whose trimmed form appears in ≥ ``min_docs`` DISTINCT documents
+    ("Subscribe to our newsletter", nav bars, cookie banners). The signal
+    quality filters threshold on before line_dedup surgically removes the
+    lines themselves.
+
+    Returns (id, n_lines, n_boiler, boiler_frac round-6).
+
+    Scale shape mirrors ``line_dedup``: posexplode → one aggregate keyed
+    on the line-hash md5 (fixed-width shuffle key) → equi-join back →
+    one groupBy(id). Line-frequency skew lands in the aggregate's
+    map-side partial counts, never on a single reducer.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("_bp_line"),
+    ).withColumn("_bp_h", F.md5(F.trim(F.col("_bp_line"))))
+    stats = lines.groupBy("_bp_h").agg(
+        F.countDistinct(id_col).alias("_bp_docs")
+    )
+    return (
+        lines.join(stats, "_bp_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.when(F.col("_bp_docs") >= F.lit(min_docs), 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_boiler",
+            F.round(
+                F.col("n_boiler").cast("double") / F.col("n_lines"), 6
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 # ----------------------------------------------------- incremental dedup
 
 
