@@ -656,6 +656,55 @@ def cdc_table_merge_mor(spark, sf_dir):
     return _table_merge_impl(spark, sf_dir, "mor")
 
 
+def cdc_partial_update(spark, sf_dir):
+    """Partial-update payload semantics through the real storage path
+    (Hudi OverwriteNonDefaultsWithLatestAvroPayload parity): the patch
+    batch NULLs ``value`` for even event_ids and omits the ``event_type``
+    column entirely — merged rows must keep the current value for both,
+    while ts/event_id/odd values land. New users insert with NULLs."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("partial_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(*cols))
+    patch = batch.select(
+        "user_id", "event_id", "ts",
+        F.when(F.col("event_id") % 2 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    table.upsert(patch, partial=True)
+    return table.read_snapshot().select(*cols)
+
+
+PARTIAL_UPDATE_ORACLE = f"""
+WITH snap AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+patch AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_id % 2 = 0 THEN NULL ELSE value END AS value
+  FROM batch
+)
+SELECT s.user_id, s.event_id, s.ts, s.event_type, s.value FROM snap s
+WHERE s.user_id NOT IN (SELECT user_id FROM patch)
+UNION ALL
+SELECT p.user_id, p.event_id, p.ts, s.event_type,
+       COALESCE(p.value, s.value) AS value
+FROM patch p LEFT JOIN snap s USING (user_id)
+"""
+
+
 def cdc_incremental_read(spark, sf_dir):
     """Hudi-style incremental query after the merge: exactly the rows the
     CDC batch upserted (deletes not surfaced — CoW incremental semantics)."""
@@ -3147,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_sql": cdc_merge_sql,
         "cdc_table_merge": cdc_table_merge,
         "cdc_table_merge_mor": cdc_table_merge_mor,
+        "cdc_partial_update": cdc_partial_update,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_pruned_read": cdc_pruned_read,
         "events_zorder_read": events_zorder_read,
@@ -3249,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_sql": _MERGE_ORACLE,
         "cdc_table_merge": _MERGE_ORACLE,
         "cdc_table_merge_mor": _MERGE_ORACLE,
+        "cdc_partial_update": PARTIAL_UPDATE_ORACLE,
         "cdc_incremental_read": _INCREMENTAL_ORACLE,
         "cdc_pruned_read": PRUNED_READ_ORACLE,
         "events_zorder_read": ZORDER_READ_ORACLE,

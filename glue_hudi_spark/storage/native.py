@@ -1150,16 +1150,32 @@ class NativeTable:
         )
 
     def upsert(self, batch: DataFrame, parallelism: int = 0,
-               extra_stats: dict | None = None) -> Commit | None:
+               extra_stats: dict | None = None, partial: bool = False) -> Commit | None:
         """Keyed merge (processData.py:193-199,369-374): incoming rows
         replace current rows with the same record key. CoW → partition-pruned
-        rewrite; MoR → delta append + threshold compaction."""
+        rewrite; MoR → delta append + threshold compaction.
+
+        ``partial=True`` switches to PARTIAL-UPDATE payload semantics
+        (Hudi's ``OverwriteNonDefaultsWithLatestAvroPayload``): for an
+        existing key, NULL fields — and columns absent from the batch
+        entirely — keep their current value instead of overwriting it;
+        only non-null incoming fields land. New keys insert as usual
+        (missing columns become NULL). A MoR table compacts first (the
+        coalesce must see merged rows to resolve against) — same
+        documented trade as ``delete_where``.
+        """
         if batch.isEmpty():
             return None
         if self.storage_type == "mor":
+            if partial:
+                if (self.timeline.latest() or Commit(0, "", [])).deltas:
+                    self.compact()
+                return self._cow_merge(batch, deletes=False,
+                                       parallelism=parallelism,
+                                       extra_stats=extra_stats, partial=True)
             return self._delta_commit(batch, "delta_upsert", "u", extra_stats)
         return self._cow_merge(batch, deletes=False, parallelism=parallelism,
-                               extra_stats=extra_stats)
+                               extra_stats=extra_stats, partial=partial)
 
     def delete(self, batch: DataFrame, parallelism: int = 0,
                extra_stats: dict | None = None) -> Commit | None:
@@ -1173,7 +1189,8 @@ class NativeTable:
                                extra_stats=extra_stats)
 
     def _cow_merge(self, batch: DataFrame, deletes: bool, parallelism: int,
-                   extra_stats: dict | None = None) -> Commit:
+                   extra_stats: dict | None = None,
+                   partial: bool = False) -> Commit:
         prev = self.timeline.latest()
         if prev is None:
             if deletes:  # delete against an empty table is a no-op
@@ -1211,6 +1228,41 @@ class NativeTable:
         kept = existing.join(keys_only, on=RECORD_KEY_COL, how="left_anti")
         if deletes:
             merged = kept
+        elif partial:
+            # field-level merge: per matched key, non-null incoming fields
+            # overwrite, everything else carries forward. One extra join
+            # over the SAME pruned affected set (the anti-join's sibling) —
+            # the rewrite scope is unchanged.
+            batch_cols = set(keyed.columns)
+            old, new = existing.alias("_pm_o"), keyed.alias("_pm_n")
+            updated = old.join(
+                new,
+                F.col(f"_pm_o.{RECORD_KEY_COL}") == F.col(f"_pm_n.{RECORD_KEY_COL}"),
+                "inner",
+            ).select(
+                *[
+                    (
+                        F.col(f"_pm_n.{c}")
+                        if c in (COMMIT_TIME_COL, DELTA_OP_COL)
+                        else F.coalesce(F.col(f"_pm_n.{c}"), F.col(f"_pm_o.{c}"))
+                        if c in batch_cols and c not in META_COLS
+                        else F.col(f"_pm_o.{c}")
+                    ).alias(c)
+                    for c in existing.columns
+                ],
+                # evolved columns new to this batch ride along unchanged
+                *[
+                    F.col(f"_pm_n.{c}").alias(c)
+                    for c in keyed.columns
+                    if c not in existing.columns
+                ],
+            )
+            inserts = keyed.join(
+                existing.select(RECORD_KEY_COL), on=RECORD_KEY_COL, how="left_anti"
+            )
+            merged = kept.unionByName(updated, allowMissingColumns=True).unionByName(
+                inserts, allowMissingColumns=True
+            )
         else:
             merged = kept.unionByName(keyed, allowMissingColumns=True)
         # the anti-join fronts the record-key column; restore the stored
