@@ -711,6 +711,61 @@ def cdc_incremental_read(spark, sf_dir):
     return _table_merge_impl(spark, sf_dir, "cow", output="incremental")
 
 
+def cdc_time_travel(spark, sf_dir):
+    """Time travel: after the CDC merge commits, ``read_snapshot(as_of=1)``
+    must reproduce the pre-merge table EXACTLY — the audit/debug read every
+    lakehouse needs. O(metadata): the manifest at commit 1 lists the
+    original files; no data is copied or reconstructed."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("timetravel_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(*cols))
+    table.merge(batch.select(*cols, "op"), op_col="op")
+    return table.read_snapshot(as_of=1).select(*cols)
+
+
+TIME_TRAVEL_ORACLE = f"""
+SELECT user_id, event_id, ts, event_type, value FROM (
+  SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events e WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+"""
+
+
+def cdc_incremental_window(spark, sf_dir):
+    """BOUNDED incremental query (Hudi BEGIN/END_INSTANTTIME): the window
+    (1, 2] must surface commit 2's rows in their AS-OF-2 versions even
+    though commit 3 has since overwritten them (+1000 on value) — a
+    consumer paging through history sees each window exactly as it was
+    published."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("increwin_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(*cols))
+    live = cdc.filter_non_deletes(batch).select(*cols)
+    table.upsert(live)                                           # commit 2
+    table.upsert(live.withColumn("value", F.col("value") + 1000))  # commit 3
+    return table.read_incremental(1, end_commit=2).select(*cols)
+
+
+INCREMENTAL_WINDOW_ORACLE = f"""
+WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
+batch AS (
+  SELECT user_id, event_id, ts, event_type, value, op FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+)
+SELECT user_id, event_id, ts, event_type, value FROM batch WHERE op <> 'D'
+"""
+
+
 def cdc_pruned_read(spark, sf_dir):
     """Column-stats data skipping through the storage engine (round 3):
     bulk_insert events keyed by a zero-padded event id (so range
@@ -3198,6 +3253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_merge_mor": cdc_table_merge_mor,
         "cdc_partial_update": cdc_partial_update,
         "cdc_incremental_read": cdc_incremental_read,
+        "cdc_time_travel": cdc_time_travel,
+        "cdc_incremental_window": cdc_incremental_window,
         "cdc_pruned_read": cdc_pruned_read,
         "events_zorder_read": events_zorder_read,
         "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
@@ -3301,6 +3358,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_table_merge_mor": _MERGE_ORACLE,
         "cdc_partial_update": PARTIAL_UPDATE_ORACLE,
         "cdc_incremental_read": _INCREMENTAL_ORACLE,
+        "cdc_time_travel": TIME_TRAVEL_ORACLE,
+        "cdc_incremental_window": INCREMENTAL_WINDOW_ORACLE,
         "cdc_pruned_read": PRUNED_READ_ORACLE,
         "events_zorder_read": ZORDER_READ_ORACLE,
         "cdc_bloom_scattered_upsert": BLOOM_UPSERT_ORACLE,

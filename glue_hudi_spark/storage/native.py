@@ -987,12 +987,22 @@ class NativeTable:
             out = out.drop(*META_COLS)
         return out
 
-    def read_incremental(self, since_commit: int, **kwargs) -> DataFrame:
+    def read_incremental(self, since_commit: int,
+                         end_commit: int | None = None, **kwargs) -> DataFrame:
         """Hudi-style incremental query: rows whose latest version was
         written by a commit > ``since_commit`` (the change feed a downstream
         consumer pulls instead of re-scanning the table). Deletes are not
         surfaced (CoW incremental semantics — matching Hudi's incremental
-        view on copy-on-write tables)."""
+        view on copy-on-write tables).
+
+        ``end_commit`` bounds the window (Hudi's END_INSTANTTIME): the
+        snapshot is read AS OF that commit, so rows later overwritten by
+        commits past the bound surface in their in-window version — a
+        consumer paging through history sees each window exactly as it
+        was published.
+        """
+        if end_commit is not None:
+            kwargs = {**kwargs, "as_of": end_commit}
         snap = self.read_snapshot(with_meta=True, **kwargs)
         token = f"{since_commit:020d}"
         out = snap.filter(F.col(COMMIT_TIME_COL) > token)

@@ -159,6 +159,51 @@ def main() -> None:
     probe("line_dedup_50k_docs", time.perf_counter() - t0,
           docs=n_docs, survivors=n_out)
 
+    # ---- semantic dedup at 20× vectors (40k) with corpus-scaled cell
+    # count (SemDeDup's own recipe: k grows with n, so within-cell pair
+    # volume stays ~n·target_cell not n²/k_fixed) ------------------------
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    rep20 = spark.range(20).select(F.col("id").alias("rep"))
+    big_emb = (
+        emb.crossJoin(rep20)
+        .select(
+            (F.col("vec_id") * 20 + F.col("rep")).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x: x + (F.col("rep") % 5).cast("float") / F.lit(100.0),
+            ).alias("embedding"),
+        )
+    )
+    n_vec = big_emb.count()
+    k_cells = max(8, n_vec // 500)
+    t0 = time.perf_counter()
+    pairs = dedup.semantic_dedup_pairs(
+        big_emb, n_centroids=k_cells, iters=2, threshold=0.99
+    )
+    n_pairs = pairs.count()
+    probe("semantic_dedup_40k_vecs", time.perf_counter() - t0,
+          vecs=n_vec, cells=k_cells, pairs=n_pairs)
+
+    # ---- shard writer at 10× docs: range-partitioned multi-task write,
+    # per-shard order preserved (layout checked by tests; this pins cost) -
+    from glue_hudi_spark.operators import sharding
+
+    t0 = time.perf_counter()
+    sharding.write_shards(big_docs, f"{work}/shards", key_col="doc_id",
+                          n_shards=16)
+    probe("write_shards_50k_docs", time.perf_counter() - t0, docs=n_docs,
+          shards=16)
+
+    # ---- fixed-count stratum sample at 10× docs: the window must only
+    # ever see the oversampled sliver, not the corpus ---------------------
+    strat = big_docs.withColumn("lang", (F.col("doc_id") % 4).cast("string"))
+    t0 = time.perf_counter()
+    out = __import__("glue_hudi_spark.operators.sampling", fromlist=["x"]) \
+        .stratum_fixed_sample(strat, "lang", "doc_id", n=100)
+    n_out = out.count()
+    probe("stratum_fixed_50k_docs", time.perf_counter() - t0,
+          docs=n_docs, sampled=n_out)
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
