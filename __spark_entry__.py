@@ -1364,6 +1364,170 @@ UNION ALL SELECT '3_purchase', COUNT(*) FROM p
 """
 
 
+def events_user_trend(spark, sf_dir):
+    """Per-user OLS trend (featurization at corpus scale): slope of value
+    over event time from the four classical sums — n, Σx, Σy, Σxy, Σx²
+    — ONE map-side-partial aggregate pass, no window, no UDF. Exact
+    arithmetic: x is epoch seconds (bigint), y goes through DECIMAL, the
+    final slope is a single double division rounded to 6 dp (engines
+    agree bit-for-bit). Users with a degenerate denominator (one event /
+    all-same-ts) surface NULL."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("x"),
+        F.col("value").cast("decimal(18,6)").alias("y"),
+    )
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(12,0)") * F.col("y")).alias("sxy"),
+        F.sum(
+            F.col("x").cast("decimal(25,0)") * F.col("x").cast("decimal(12,0)")
+        ).alias("sxx"),
+    )
+    num = agg["n"].cast("double") * F.col("sxy").cast("double") - (
+        F.col("sx").cast("double") * F.col("sy").cast("double")
+    )
+    den = agg["n"].cast("double") * F.col("sxx").cast("double") - (
+        F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return agg.select(
+        "user_id",
+        "n",
+        F.when(den != 0.0, F.round(num / den * 1e6, 6)).alias("slope_ppm"),
+    )
+
+
+USER_TREND_ORACLE = """
+WITH base AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS x, CAST(value AS DECIMAL(18,6)) AS y
+  FROM events),
+agg AS (
+  SELECT user_id, COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS DECIMAL(12,0)) * y) AS sxy,
+         SUM(CAST(x AS DECIMAL(25,0)) * CAST(x AS DECIMAL(12,0))) AS sxx
+  FROM base GROUP BY user_id)
+SELECT user_id, n,
+  CASE WHEN CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE) <> 0.0
+       THEN round((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                  / (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * 1e6, 6)
+  END AS slope_ppm
+FROM agg
+"""
+
+
+def events_range_window(spark, sf_dir):
+    """RANGE-framed window (vs the rows-framed suite): each event's
+    trailing-1-hour same-user value sum — the time-based frame ROWS
+    windows can't express. Ordering key is epoch seconds so the frame is
+    ``rangeBetween(-3600, 0)``; the sum is exact DECIMAL then double.
+    One shuffle on user_id, like any keyed window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_value"),
+    )
+
+
+RANGE_WINDOW_ORACLE = """
+SELECT event_id, user_id, ts,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+    PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_1h_value
+FROM events
+"""
+
+
+def events_debounce(spark, sf_dir):
+    """Burst-collapse dedup (debounce): a chain of same-(user, type)
+    events each within 5 s of its PREDECESSOR collapses to its first
+    event — the duplicate-click / sensor-chatter cleanup. Gap-based:
+    one lag + one running session sum over a single shuffle; each
+    burst's first event survives."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    sess = F.sum(
+        F.when(gap.isNull() | (gap > 5), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = ev.withColumn("_sess", sess).withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "event_type", "_sess").orderBy(
+                F.col("ts").asc(), F.col("event_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("_rn") == 1).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+
+
+DEBOUNCE_ORACLE = """
+WITH g AS (
+  SELECT event_id, user_id, event_type, ts, value,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts ASC, event_id ASC) AS gap
+  FROM events),
+s AS (
+  SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 5 THEN 1 ELSE 0 END) OVER (
+    PARTITION BY user_id, event_type ORDER BY ts ASC, event_id ASC
+    ROWS UNBOUNDED PRECEDING) AS sess
+  FROM g)
+SELECT event_id, user_id, event_type, ts, value FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type, sess ORDER BY ts ASC, event_id ASC) AS rn
+  FROM s) t WHERE rn = 1
+"""
+
+
+def orders_price_histogram(spark, sf_dir):
+    """Fixed-bin histogram of order totals (the profiling primitive):
+    20 equal-width bins over [0, 600000) plus an overflow bin — bin
+    assignment is one floor division in the scan projection, the count is
+    a 21-row aggregate. No width_bucket dependency (identical integer
+    math in both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(30000.0)).cast("bigint"), F.lit(20)
+    )
+    return (
+        o.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("bin") * 30000.0).alias("bin_lo"),
+            "n",
+        )
+        .orderBy("bin")
+    )
+
+
+HISTOGRAM_ORACLE = """
+SELECT bin, CAST(bin * 30000.0 AS DOUBLE) AS bin_lo, COUNT(*) AS n FROM (
+  SELECT LEAST(CAST(FLOOR(o_totalprice / 30000.0) AS BIGINT), 20) AS bin
+  FROM orders) t
+GROUP BY bin ORDER BY bin
+"""
+
+
 def events_sessionization(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) via lag + running sum —
     the streaming-analytics staple, identical SQL on both engines."""
@@ -3275,6 +3439,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_above_customer_avg": orders_above_customer_avg,
         "topk_orders_per_customer": topk_orders_per_customer,
         "events_sessionization": events_sessionization,
+        "events_user_trend": events_user_trend,
+        "events_range_window": events_range_window,
+        "events_debounce": events_debounce,
+        "orders_price_histogram": orders_price_histogram,
         "events_funnel": events_funnel,
         "events_asof_join": events_asof_join,
         # LLM-data-pipeline extensions
@@ -3380,6 +3548,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_above_customer_avg": ABOVE_AVG_ORACLE,
         "topk_orders_per_customer": TOPK_ORACLE,
         "events_sessionization": _SESSION_SQL,
+        "events_user_trend": USER_TREND_ORACLE,
+        "events_range_window": RANGE_WINDOW_ORACLE,
+        "events_debounce": DEBOUNCE_ORACLE,
+        "orders_price_histogram": HISTOGRAM_ORACLE,
         "events_funnel": FUNNEL_ORACLE,
         "events_asof_join": ASOF_ORACLE,
         "dedup_exact": EXACT_ORACLE,
