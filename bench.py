@@ -80,6 +80,11 @@ BENCH_QUERIES = [
     "corpus_top_bigrams",
     "corpus_stratum_fixed",
     "embedding_quantize",
+    # round-5c additions — TPC-H long tail (no baseline counterpart):
+    "q9_product_profit",
+    "q13_customer_distribution",
+    "q17_small_qty_revenue",
+    "q21_waiting_suppliers",
 ]
 
 
