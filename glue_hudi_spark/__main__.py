@@ -59,10 +59,17 @@ def main(argv: list[str] | None = None) -> int:
     pf = sub.add_parser("fsck", help="manifest-vs-disk consistency report")
     _common(pf, raw=False)
     pr = sub.add_parser("rollback", help="restore a table to a prior commit "
-                                         "(default: undo the latest)")
+                                         "(default: undo the latest) — "
+                                         "non-destructive, history retained")
     _common(pr, raw=False)
     pr.add_argument("--to-commit", type=int, default=None, metavar="ID",
                     help="target commit id (default: the one before latest)")
+    pre = sub.add_parser("restore", help="DESTRUCTIVELY rewind the timeline to "
+                                         "a commit, deleting later commits' "
+                                         "files (Hudi restore --instant)")
+    _common(pre, raw=False)
+    pre.add_argument("--to-commit", type=int, required=True, metavar="ID",
+                     help="target commit id (later commits are erased)")
     pv = sub.add_parser("vacuum", help="delete orphan files crashed/OCC-losing "
                                        "writers left behind")
     _common(pv, raw=False)
@@ -127,6 +134,13 @@ def main(argv: list[str] | None = None) -> int:
             c = table.rollback(args.to_commit)
             out.append({"table": ctl.table_name, "rollback": c.commit_id,
                         "restored": c.stats["rolled_back_to"]})
+        elif args.cmd == "restore":
+            table = pipe._table(ctl)
+            r = table.restore(args.to_commit)
+            out.append({"table": ctl.table_name,
+                        "restored_to": r["restored_to"],
+                        "rolled_back": r["rolled_back"],
+                        "deleted": len(r["deleted_files"])})
         elif args.cmd == "vacuum":
             table = pipe._table(ctl)
             v = table.vacuum()

@@ -165,6 +165,68 @@ class CommitTimeline:
             if os.path.exists(tmp):
                 os.unlink(tmp)
 
+    # -- restore / rollback (Hudi `restore --instant` / `commit rollback`;
+    # the reference inherits these from the Hudi CLI against the same
+    # timeline its writes build, processData.py:342) -------------------------
+
+    def restore_to(self, commit_id: int) -> dict:
+        """Roll the table back to the snapshot at ``commit_id``, discarding
+        every later commit — Hudi's restore-to-instant. With full-snapshot
+        manifests this is pure metadata plus orphan deletion: drop the newer
+        manifests, then delete data files (and their index sidecars) that
+        only those manifests referenced. A reader holding the old `latest`
+        manifest still sees a complete file set (its files are all retained
+        by definition), so the operation is safe against concurrent reads.
+        Rolling back just the newest commit (Hudi `commit rollback`) is
+        ``restore_to(latest - 1)``.
+
+        Returns {"restored_to", "rolled_back": [ids], "deleted_files"}.
+        """
+        target = self.commits_path / f"{commit_id:020d}.commit.json"
+        if not target.exists():
+            raise ValueError(
+                f"cannot restore {self.root} to commit {commit_id}: no such "
+                f"commit in the timeline (cleaned, rolled back, or never "
+                f"written)"
+            )
+        import shutil
+
+        paths = self._manifest_paths()
+        drop = [p for p in paths if int(p.name.split(".")[0]) > commit_id]
+        deleted: list[str] = []
+        rolled_back: list[int] = []
+        # Every data file lives under the ``data/<cid>/`` dir of the commit
+        # that WROTE it, and a manifest only references files of commits
+        # ≤ its own id — so nothing a retained manifest needs can live
+        # under a dropped commit's dir, and the whole dir (including
+        # non-manifest droppings like _SUCCESS markers, which would
+        # otherwise collide when a later write reuses the commit id) goes.
+        # Unpublish newest-first so a crash mid-restore leaves a timeline
+        # whose latest manifest is still fully backed by files on disk.
+        for p in reversed(drop):
+            c = self._load(p)
+            p.unlink()
+            rolled_back.append(c.commit_id)
+            cid_dir = self.root / DATA_DIR / f"{c.commit_id:020d}"
+            if cid_dir.is_dir():
+                for dirpath, _dirnames, filenames in os.walk(cid_dir):
+                    for fn in filenames:
+                        if fn.endswith(".parquet"):
+                            deleted.append(
+                                str((Path(dirpath) / fn).relative_to(self.root))
+                            )
+                shutil.rmtree(cid_dir)
+            bloom_dir = (
+                self.root / "_index" / "bloom" / DATA_DIR / f"{c.commit_id:020d}"
+            )
+            if bloom_dir.is_dir():
+                shutil.rmtree(bloom_dir)
+        return {
+            "restored_to": commit_id,
+            "rolled_back": sorted(rolled_back),
+            "deleted_files": deleted,
+        }
+
     # -- cleaning (processData.py:196-197: KEEP_LATEST_COMMITS, retain 10) --
 
     def clean(self, retain_commits: int = 10) -> list[str]:

@@ -867,6 +867,22 @@ class NativeTable:
             "skipped_inflight": skipped,
         }
 
+    def restore(self, commit_id: int) -> dict:
+        """DESTRUCTIVELY restore the table to the snapshot at
+        ``commit_id``, truncating the timeline and deleting the
+        now-orphaned data files — parity with Hudi's ``restore
+        --instant``, which the reference operates through the Hudi CLI
+        against the timeline its Glue writes build (processData.py:342).
+
+        Complement of :meth:`rollback` (Iceberg-style, non-destructive:
+        publishes a NEW commit replaying an old file set, history stays
+        queryable). ``restore`` is for the cases rollback can't serve:
+        purging a bad commit's data from disk (compliance), or rewinding
+        past a schema change so replays re-run cleanly. Pure metadata plus
+        orphan deletion (see ``CommitTimeline.restore_to``); subsequent
+        writes continue from ``commit_id + 1``."""
+        return self.timeline.restore_to(commit_id)
+
     def read_keys(self, keys: list[str], with_meta: bool = False) -> DataFrame:
         """Point lookups: rows whose record key is in ``keys``, reading
         only the files that can contain them.

@@ -50,6 +50,13 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     rc, out = run_cmd("show", *base)
     assert out[0]["rows"] == 100
 
+    # destructive restore rewinds the timeline itself to commit 1
+    rc, out = run_cmd("restore", *base, "--to-commit", "1")
+    assert rc == 0 and out[0]["restored_to"] == 1 and out[0]["rolled_back"]
+    rc, out = run_cmd("show", *base)
+    assert out[0]["rows"] == 100
+    assert [c[0] for c in out[0]["commits"]] == [1]
+
     rc, out = run_cmd("reset", *base, *raw_args)
     assert out[0]["reset"] is True
     rc, out = run_cmd("run", *base, *raw_args)

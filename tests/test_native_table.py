@@ -686,6 +686,68 @@ def test_rollback_mor_deltas(spark, tmp_table_dir):
     assert [r["v"] for r in t.read_snapshot().collect()] == [10]
 
 
+def test_restore_truncates_timeline_and_deletes_orphans(spark, tmp_table_dir):
+    """restore() is the destructive complement of rollback(): the timeline
+    ends at the target, later commits' exclusive files are gone from disk,
+    shared (carried) files survive, and writes resume at target+1."""
+    t = _mk(spark, tmp_table_dir)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 10, 1, "a"), (2, 20, 1, "b")], "id int, v int, seq int, pt string"))
+    t.upsert(spark.createDataFrame(
+        [(2, 21, 2, "b")], "id int, v int, seq int, pt string"))   # commit 2
+    t.upsert(spark.createDataFrame(
+        [(3, 30, 3, "a")], "id int, v int, seq int, pt string"))   # commit 3
+    c2_files = set(t.timeline.at(2).files)
+    c3_only = set(t.timeline.at(3).files) - c2_files
+    assert c3_only, "commit 3 should have written at least one new file"
+
+    r = t.restore(2)
+    assert r["restored_to"] == 2 and r["rolled_back"] == [3]
+    # timeline truncated; snapshot is the as-of-2 state
+    assert [c.commit_id for c in t.timeline.history()] == [1, 2]
+    assert {(x["id"], x["v"]) for x in t.read_snapshot().collect()} == {
+        (1, 10), (2, 21)}
+    root = Path(t.root)
+    for rel in r["deleted_files"]:
+        assert not (root / rel).exists()
+    for rel in c2_files:  # carried files untouched
+        assert (root / rel).exists()
+    # the erased commit's exclusive files are among the deleted
+    assert c3_only <= set(r["deleted_files"]) | c2_files
+
+    # writes resume from commit 3 and the table stays consistent
+    t.upsert(spark.createDataFrame(
+        [(4, 40, 4, "b")], "id int, v int, seq int, pt string"))
+    assert t.timeline.latest().commit_id == 3
+    assert {(x["id"], x["v"]) for x in t.read_snapshot().collect()} == {
+        (1, 10), (2, 21), (4, 40)}
+    assert t.validate()["orphan_files"] == []
+
+    with pytest.raises(ValueError):
+        t.restore(99)
+
+
+def test_restore_mor_keeps_retained_deltas(spark, tmp_table_dir):
+    """MoR restore: delta files referenced by retained commits survive;
+    the erased commit's delta files are deleted; the _rt view reflects
+    the rewound state."""
+    t = _mk(spark, tmp_table_dir, storage_type="mor", compact_every=100)
+    t.bulk_insert(spark.createDataFrame(
+        [(1, 10, 1, "a")], "id int, v int, seq int, pt string"))
+    t.upsert(spark.createDataFrame(
+        [(1, 11, 2, "a")], "id int, v int, seq int, pt string"))   # delta c2
+    t.upsert(spark.createDataFrame(
+        [(1, 12, 3, "a")], "id int, v int, seq int, pt string"))   # delta c3
+    r = t.restore(2)
+    assert r["rolled_back"] == [3]
+    assert [x["v"] for x in t.read_snapshot().collect()] == [11]
+    root = Path(t.root)
+    c2 = t.timeline.at(2)
+    for d in c2.deltas:
+        for rel in d["files"]:
+            assert (root / rel).exists()
+
+
 def test_vacuum_deletes_orphans_not_inflight(spark, tmp_table_dir):
     """vacuum() removes a crashed writer's unreferenced files but never
     touches files staged under a commit id newer than the latest
