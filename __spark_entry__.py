@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from glue_hudi_spark.functions import sketches as SK
 from glue_hudi_spark.functions import text as TX
 from glue_hudi_spark.operators import (
     cdc, decontam, dedup, multimodal, ranges, sampling, sharding, similarity,
@@ -4070,6 +4071,108 @@ ORDER BY cntrycode
 
 
 # ---------------------------------------------------------------------------
+# Probabilistic sketches (functions/sketches.py) — engine-portable HLL and
+# Count-Min, oracle-replayable in ANSI SQL because every step is md5 words,
+# integer bit-lengths, and dyadic-rational sums (no libm; see module doc).
+# ---------------------------------------------------------------------------
+
+
+def events_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-user estimate (p=9, 512 registers) next to the
+    exact count. The sketch path shuffles AT MOST 512 rows per input
+    partition (map-side partial max per register) — at 100 TB that's the
+    difference between a key-space shuffle and a few KB per task. Raw
+    estimator only (linear-counting correction needs ln(), whose last-ulp
+    varies by libm — everything kept here is exact dyadic + one IEEE
+    division, so DuckDB reproduces the estimate bit-for-bit)."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    est = SK.hll_estimate(SK.hll_sketch(ev, "user_id"))
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    # 1-row × 1-row cross: constant-sized on both sides
+    return est.crossJoin(exact)
+
+
+HLL_ORACLE = f"""
+WITH h AS (
+  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {SK.HLL_M} AS idx,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) AS w
+  FROM events
+), regs AS (
+  SELECT idx,
+         MAX(CASE WHEN w > 0 THEN 33 - length(bin(w)) ELSE 33 END) AS rho
+  FROM h GROUP BY idx
+), s AS (
+  SELECT SUM(1.0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)) AS _sum,
+         COUNT(*) AS _nz
+  FROM regs
+)
+, e AS (
+  SELECT (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+            + CAST(1.079 AS DOUBLE) / CAST({SK.HLL_M} AS DOUBLE)))
+         * CAST({SK.HLL_M} AS DOUBLE) * CAST({SK.HLL_M} AS DOUBLE)
+         / (_sum + CAST({SK.HLL_M} - _nz AS DOUBLE)) AS raw_est,
+         CAST({SK.HLL_M} - _nz AS DOUBLE) AS zeros
+  FROM s
+)
+SELECT ROUND(CASE WHEN raw_est <= CAST({2.5 * SK.HLL_M} AS DOUBLE) AND zeros > 0
+             THEN CAST({SK.HLL_M} AS DOUBLE) * ln(CAST({SK.HLL_M} AS DOUBLE) / zeros)
+             ELSE raw_est END, 6) AS hll_estimate,
+       (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_distinct
+FROM e
+"""
+
+
+def events_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min frequency estimates (d=4, w=256) for the 10 heaviest
+    users, next to their exact counts. The counter table is ≤ d·w rows
+    whatever the input size — it merges map-side and broadcasts to the
+    probe join; the estimate never undercounts (min over d salted rows).
+    At scale the exact side here is the expensive path — the sketch is
+    what a streaming/approx pipeline would keep."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    table = SK.cms_build(ev, "user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(F.col("exact_count").desc(),
+                        F.col("user_id").asc()).limit(10)
+    est = SK.cms_probe(table, top.select("user_id"), "user_id")
+    return (
+        top.join(est, "user_id")
+        .select("user_id", "est_count", "exact_count")
+        .orderBy(F.col("exact_count").desc(), F.col("user_id").asc())
+    )
+
+
+CMS_ORACLE = f"""
+WITH ev AS (SELECT user_id FROM events),
+hrows AS (SELECT unnest(range(0, {SK.CMS_D})) AS hrow),
+counters AS (
+  SELECT hrow,
+         CAST(('0x' || substr(md5(CAST(hrow AS VARCHAR) || ':' ||
+               CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {SK.CMS_W} AS bucket,
+         COUNT(*) AS cnt
+  FROM ev CROSS JOIN hrows
+  GROUP BY hrow, bucket
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_count FROM ev GROUP BY user_id
+  ORDER BY exact_count DESC, user_id ASC LIMIT 10
+), probes AS (
+  SELECT user_id, hrow,
+         CAST(('0x' || substr(md5(CAST(hrow AS VARCHAR) || ':' ||
+               CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % {SK.CMS_W} AS bucket
+  FROM exact CROSS JOIN hrows
+), est AS (
+  SELECT user_id, MIN(COALESCE(cnt, 0)) AS est_count
+  FROM probes LEFT JOIN counters USING (hrow, bucket)
+  GROUP BY user_id
+)
+SELECT exact.user_id AS user_id, est_count, exact_count
+FROM exact JOIN est ON exact.user_id = est.user_id
+ORDER BY exact_count DESC, exact.user_id ASC
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -4114,6 +4217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q20_supplier_parts": q20_supplier_parts,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "q22_idle_customers": q22_idle_customers,
+        "events_hll_distinct": events_hll_distinct,
+        "events_cms_heavy_hitters": events_cms_heavy_hitters,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -4237,6 +4342,8 @@ def oracle_sql() -> dict[str, str]:
         "q20_supplier_parts": Q20_ORACLE,
         "q21_waiting_suppliers": Q21_ORACLE,
         "q22_idle_customers": Q22_ORACLE,
+        "events_hll_distinct": HLL_ORACLE,
+        "events_cms_heavy_hitters": CMS_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
