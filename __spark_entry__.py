@@ -4172,6 +4172,67 @@ ORDER BY exact_count DESC, exact.user_id ASC
 """
 
 
+def orders_expectations(spark, sf_dir):
+    """Data-quality gate report (operators/expectations.py): six dbt-style
+    rules over orders in three scans total — ALL row-local rules fold into
+    one aggregate pass (a rule is a COUNT(CASE) column, so 4 rules cost
+    one scan), uniqueness is one keyed partial-agg, and the FK check is a
+    broadcast anti-join against customer's key projection. The (rule,
+    violations, total) report is what a pipeline gates on before
+    publishing a commit."""
+    from glue_hudi_spark.operators import expectations as EX
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rules = [
+        EX.not_null("custkey_not_null", "o_custkey"),
+        EX.accepted_values("status_domain", "o_orderstatus", ["F", "O", "P"]),
+        EX.in_range("totalprice_range", "o_totalprice", 0.0, 100000.0),
+        EX.predicate(
+            "date_sane",
+            F.col("o_orderdate") < F.lit("2002-01-01 00:00:00").cast("timestamp"),
+        ),
+        EX.unique("orderkey_unique", ["o_orderkey"]),
+        EX.foreign_key("custkey_fk", "o_custkey", c, "c_custkey"),
+    ]
+    return EX.check_expectations(o, rules)
+
+
+EXPECTATIONS_ORACLE = """
+SELECT 'custkey_fk' AS rule,
+  (SELECT COUNT(*) FROM orders o
+   LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+     ON o.o_custkey = c.c_custkey
+   WHERE c.c_custkey IS NULL) AS violations,
+  (SELECT COUNT(*) FROM orders) AS total
+UNION ALL
+SELECT 'custkey_not_null',
+  (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+  (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'date_sane',
+  (SELECT COUNT(*) FROM orders
+   WHERE NOT COALESCE(o_orderdate < TIMESTAMP '2002-01-01 00:00:00', FALSE)),
+  (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'orderkey_unique',
+  (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders
+                         GROUP BY o_orderkey HAVING COUNT(*) > 1) d),
+  (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+UNION ALL
+SELECT 'status_domain',
+  (SELECT COUNT(*) FROM orders
+   WHERE o_orderstatus IS NULL OR o_orderstatus NOT IN ('F','O','P')),
+  (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'totalprice_range',
+  (SELECT COUNT(*) FROM orders
+   WHERE o_totalprice IS NULL OR o_totalprice < 0.0 OR o_totalprice > 100000.0),
+  (SELECT COUNT(*) FROM orders)
+ORDER BY rule
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4219,6 +4280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": q22_idle_customers,
         "events_hll_distinct": events_hll_distinct,
         "events_cms_heavy_hitters": events_cms_heavy_hitters,
+        "orders_expectations": orders_expectations,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -4344,6 +4406,7 @@ def oracle_sql() -> dict[str, str]:
         "q22_idle_customers": Q22_ORACLE,
         "events_hll_distinct": HLL_ORACLE,
         "events_cms_heavy_hitters": CMS_ORACLE,
+        "orders_expectations": EXPECTATIONS_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
