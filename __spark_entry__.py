@@ -4233,6 +4233,81 @@ ORDER BY rule
 """
 
 
+def nation_trade_pagerank(spark, sf_dir):
+    """Weighted PageRank (operators/graph.py) over the nation-level trade
+    graph: supplier nation → customer nation, edge weight = lineitem
+    count. Three unrolled rounds, each one equi-join + one keyed
+    aggregate over (node, bigint) rows — the iterative-algorithm pattern
+    at its scale shape. Fixed-point 1e-12 integer arithmetic end-to-end,
+    so the DuckDB oracle replays all three rounds as CTEs bit-for-bit
+    (a float PageRank could never be hash-gated: distributed double sums
+    are summation-order dependent)."""
+    from glue_hudi_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, s.s_nationkey == F.col("sk"))
+        .join(nc, c.c_nationkey == F.col("ck"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = G.pagerank(edges, iters=3)
+    return pr.select(
+        F.col("id").alias("n_name"), "rank_fp",
+        F.col("rank").alias("rank_val"),
+    ).orderBy(F.col("rank_fp").desc(), F.col("n_name").asc())
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    S = 1_000_000_000_000
+    cte = [f"""
+WITH edges AS (
+  SELECT ns.n_name AS src, nc.n_name AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  GROUP BY ns.n_name, nc.n_name
+),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+base AS (SELECT id, n FROM nodes, nn),
+r0 AS (SELECT id, n, {S} // n AS r FROM base)"""]
+    for k in range(1, iters + 1):
+        cte.append(f""",
+c{k} AS (
+  SELECT dst AS id, CAST(SUM(r * w // ow) AS BIGINT) AS s
+  FROM edges JOIN r{k-1} ON edges.src = r{k-1}.id
+  JOIN outw ON edges.src = outw.src
+  GROUP BY dst
+),
+r{k} AS (
+  SELECT base.id, n,
+         15 * {S} // (100 * n) + 85 * COALESCE(s, CAST(0 AS BIGINT)) // 100 AS r
+  FROM base LEFT JOIN c{k} ON base.id = c{k}.id
+)""")
+    cte.append(f"""
+SELECT id AS n_name, r AS rank_fp,
+       CAST(r AS DOUBLE) / CAST({S} AS DOUBLE) AS rank_val
+FROM r{iters}
+ORDER BY rank_fp DESC, n_name ASC
+""")
+    return "".join(cte)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4281,6 +4356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_distinct": events_hll_distinct,
         "events_cms_heavy_hitters": events_cms_heavy_hitters,
         "orders_expectations": orders_expectations,
+        "nation_trade_pagerank": nation_trade_pagerank,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -4407,6 +4483,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hll_distinct": HLL_ORACLE,
         "events_cms_heavy_hitters": CMS_ORACLE,
         "orders_expectations": EXPECTATIONS_ORACLE,
+        "nation_trade_pagerank": _pagerank_oracle(),
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),

@@ -1,0 +1,92 @@
+"""Graph algorithms over edge-list DataFrames.
+
+Connected components (the dedup clustering step) lives in
+``operators.dedup.resolve_clusters``; this module holds the weighted
+message-passing family, represented the only way that scales: the graph
+IS the edge DataFrame, one round = one join + one keyed aggregate, and
+iteration unrolls into a single lazy plan (no driver-side adjacency).
+
+Determinism discipline: ranks are FIXED-POINT BIGINTs (scale 1e12), so
+every operation is integer multiply / integer divide / integer sum —
+exact, order-independent, overflow-checked by construction, and
+replayable in ANSI SQL with `//`. A float PageRank cannot be hash-gated
+across engines (distributed double sums are summation-order dependent);
+the fixed-point form loses nothing a ranking cares about (1e-12
+resolution) and makes the oracle a mechanical CTE unroll.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+PR_SCALE = 1_000_000_000_000  # 1e12 fixed-point
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 3,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Weighted PageRank, ``iters`` fixed rounds, damping as an integer
+    percentage (85 = 0.85).
+
+    r_{t+1}(j) = (100-d)%·S/n + d%·Σ_i r_t(i)·w_ij ÷ out_i   (all integer)
+
+    Scale shape per round: the rank table (|V| rows) joins the edge list
+    on src — an equi-join co-partitioned with the contributions groupBy
+    on dst; nothing wider than (node, bigint) ever shuffles. Dangling
+    nodes (no out-edges) keep only their teleport share — the standard
+    simple variant; redistributing dangling mass would add one scalar
+    aggregate per round.
+
+    Overflow: r ≤ S = 1e12 and integer weights w with Σw per source ≤
+    9e6 keep r·w < 9.2e18 (bigint max); asserted via the weight sum.
+
+    Returns (id, rank_fp bigint, rank double = rank_fp / S).
+    """
+    if not (0 < damping_pct < 100):
+        raise ValueError("damping_pct must be in (0, 100)")
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst"),
+        F.col(weight).cast("bigint").alias("w"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .union(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # 1-row broadcast scalar (constant-append; see q11's note)
+    base = nodes.crossJoin(F.broadcast(nn))
+    ranks = base.select(
+        "id", "n", F.expr(f"CAST({PR_SCALE} AS BIGINT) DIV n").alias("r")
+    )
+    teleport = f"CAST({100 - damping_pct} AS BIGINT) * {PR_SCALE} DIV (100 * n)"
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.select(F.col("id").alias("src"), "r"), on="src")
+            .join(outw, on="src")
+            .select("dst", F.expr("r * w DIV ow").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+            .withColumnRenamed("dst", "id")
+        )
+        ranks = (
+            base.join(contrib, on="id", how="left")
+            .select(
+                "id", "n",
+                F.expr(
+                    f"{teleport} + CAST({damping_pct} AS BIGINT) * "
+                    f"coalesce(s, CAST(0 AS BIGINT)) DIV 100"
+                ).alias("r"),
+            )
+        )
+    return ranks.select(
+        "id",
+        F.col("r").alias("rank_fp"),
+        (F.col("r").cast("double") / F.lit(float(PR_SCALE))).alias("rank"),
+    )

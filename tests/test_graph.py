@@ -1,0 +1,52 @@
+"""operators/graph.py fixed-point PageRank: structural properties the
+oracle gate can't see (partitioning invariance, known-graph values)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from glue_hudi_spark.operators import graph as G
+
+
+def _pr(spark, edges, **kw):
+    df = spark.createDataFrame([Row(src=s, dst=d, w=w) for s, d, w in edges])
+    return {r["id"]: r["rank_fp"] for r in G.pagerank(df, **kw).collect()}
+
+
+def test_symmetric_cycle_is_uniform(spark):
+    # a→b→c→a with equal weights: every node keeps exactly 1/3
+    r = _pr(spark, [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)])
+    assert len(set(r.values())) == 1
+    assert abs(r["a"] - G.PR_SCALE // 3) <= 1
+
+
+def test_sink_attracts_mass(spark):
+    # star into d: d must outrank the sources
+    r = _pr(spark, [("a", "d", 1), ("b", "d", 1), ("c", "d", 1)])
+    assert r["d"] > r["a"] == r["b"] == r["c"]
+
+
+def test_weights_matter(spark):
+    # a splits 9:1 between b and c → b outranks c
+    r = _pr(spark, [("a", "b", 9), ("a", "c", 1)])
+    assert r["b"] > r["c"]
+
+
+def test_partitioning_invariance(spark):
+    """Same graph, adversarial repartitioning: fixed-point integer sums
+    are order-independent, so ranks must be bit-identical."""
+    edges = [(f"n{i}", f"n{(i * 7 + 3) % 11}", (i % 5) + 1) for i in range(40)]
+    df1 = spark.createDataFrame([Row(src=s, dst=d, w=w) for s, d, w in edges])
+    df2 = df1.repartition(13, "dst")
+    r1 = {r["id"]: r["rank_fp"] for r in G.pagerank(df1).collect()}
+    r2 = {r["id"]: r["rank_fp"] for r in G.pagerank(df2).collect()}
+    assert r1 == r2
+
+
+def test_damping_bounds_validated(spark):
+    import pytest
+    df = spark.createDataFrame([Row(src="a", dst="b", w=1)])
+    with pytest.raises(ValueError):
+        G.pagerank(df, damping_pct=0)
+    with pytest.raises(ValueError):
+        G.pagerank(df, damping_pct=100)
