@@ -4308,6 +4308,78 @@ ORDER BY rank_fp DESC, n_name ASC
     return "".join(cte)
 
 
+_BM25_TERMS = ["spark", "merge", "vector"]
+
+
+def corpus_bm25_search(spark, sf_dir):
+    """BM25 top-10 retrieval (operators/search.py) for a 3-term query over
+    the documents corpus. Query terms filter the exploded tokens BEFORE
+    any aggregate (only matching postings shuffle); df/avgdl are
+    metadata-sized broadcasts; the score is a fixed-order sum of pivoted
+    per-term columns (a grouped float SUM would be summation-order
+    dependent); top-10 is TakeOrderedAndProject with doc_id tie-break."""
+    from glue_hudi_spark.operators import search as SRCH
+
+    d = _t(spark, sf_dir, "documents")
+    return SRCH.bm25_topk(d, _BM25_TERMS, k=10)
+
+
+def _bm25_oracle(terms: list[str] = _BM25_TERMS, k: int = 10) -> str:
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    pivot_cols = ",\n         ".join(
+        f"MAX(CASE WHEN term = '{t}' THEN c END) AS c{i}"
+        for i, t in enumerate(terms)
+    )
+    total = " + ".join(
+        f"COALESCE(c{i}, CAST(0.0 AS DOUBLE))" for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (SELECT doc_id, text FROM documents),
+lens AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS dl
+  FROM base
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM lens
+),
+post AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM base) u
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df_t FROM post GROUP BY term),
+idf AS (
+  SELECT term,
+         ROUND(ln((CAST(n_docs - df_t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  / (CAST(df_t AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                  + CAST(1.0 AS DOUBLE)), 6) AS idf
+  FROM dfreq, stats
+),
+contrib AS (
+  SELECT post.doc_id, post.term,
+         idf * (CAST(tf AS DOUBLE) * CAST(2.2 AS DOUBLE)
+                / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+                   * (CAST(0.25 AS DOUBLE)
+                      + CAST(0.75 AS DOUBLE) * CAST(dl AS DOUBLE) / avgdl))) AS c
+  FROM post JOIN idf USING (term) JOIN lens USING (doc_id), stats
+),
+piv AS (
+  SELECT doc_id,
+         {pivot_cols}
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, ROUND({total}, 6) AS score
+FROM piv
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -4357,6 +4429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_heavy_hitters": events_cms_heavy_hitters,
         "orders_expectations": orders_expectations,
         "nation_trade_pagerank": nation_trade_pagerank,
+        "corpus_bm25_search": corpus_bm25_search,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -4484,6 +4557,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cms_heavy_hitters": CMS_ORACLE,
         "orders_expectations": EXPECTATIONS_ORACLE,
         "nation_trade_pagerank": _pagerank_oracle(),
+        "corpus_bm25_search": _bm25_oracle(),
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
