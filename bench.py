@@ -85,6 +85,12 @@ BENCH_QUERIES = [
     "q13_customer_distribution",
     "q17_small_qty_revenue",
     "q21_waiting_suppliers",
+    # round-5c additions — sketches, quality gate, graph, retrieval:
+    "events_hll_distinct",
+    "events_cms_heavy_hitters",
+    "orders_expectations",
+    "nation_trade_pagerank",
+    "corpus_bm25_search",
 ]
 
 

@@ -7,12 +7,14 @@ from glue_hudi_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_sessionization,
 )
+from glue_hudi_spark.streaming.sketches import SketchStream
 from glue_hudi_spark.streaming.stateful import running_user_profiles
 from glue_hudi_spark.streaming.windowed import windowed_event_counts
 
 __all__ = [
     "CdcStream",
     "CorpusIngestStream",
+    "SketchStream",
     "streaming_exact_dedup",
     "streaming_sessionization",
     "running_user_profiles",
