@@ -885,6 +885,34 @@ WHERE event_id IN (3, 250, 777)
 """
 
 
+def cdc_secondary_lookup(spark, sf_dir):
+    """Equality lookup on a NON-KEY column through the secondary bloom
+    index (Hudi 1.0 secondary-index class): event_type is shuffled across
+    every file, so its per-file [min,max] range prunes nothing — only the
+    per-file VALUE-SET sidecar can skip files. The oracle checks the
+    rows; `tests/test_secondary_index.py` pins files read."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "event_type", "value",
+    )
+    tmp = _scratch_dir("secondary_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"], precombine="event_id",
+        partition_keys=[], files_per_partition=8,
+        secondary_bloom_cols=["event_type"],
+    )
+    table.bulk_insert(ev)
+    return table.read_by_value("event_type", ["signup"]).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+
+
+SECONDARY_LOOKUP_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE event_type = 'signup'
+"""
+
+
 def cdc_retention_delete(spark, sf_dir):
     """Predicate delete (retention, round 3): drop all events below an id
     cutoff via delete_where, with the predicate's bounds handed to the
@@ -4449,6 +4477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_zorder_read": events_zorder_read,
         "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
         "cdc_point_lookup": cdc_point_lookup,
+        "cdc_secondary_lookup": cdc_secondary_lookup,
         "cdc_retention_delete": cdc_retention_delete,
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
@@ -4577,6 +4606,7 @@ def oracle_sql() -> dict[str, str]:
         "events_zorder_read": ZORDER_READ_ORACLE,
         "cdc_bloom_scattered_upsert": BLOOM_UPSERT_ORACLE,
         "cdc_point_lookup": POINT_LOOKUP_ORACLE,
+        "cdc_secondary_lookup": SECONDARY_LOOKUP_ORACLE,
         "cdc_retention_delete": RETENTION_DELETE_ORACLE,
         "scalar_string_funcs": STRING_ORACLE,
         "scalar_datetime_funcs": DATETIME_ORACLE,

@@ -253,10 +253,13 @@ class CommitTimeline:
                 if f.exists():
                     f.unlink()
                     deleted.append(rel)
-                # a data file's index sidecars die with it
-                bloom = self.root / "_index" / "bloom" / (rel + ".bloom")
-                if bloom.exists():
-                    bloom.unlink()
+                # a data file's index sidecars die with it — glob catches
+                # the record-key bloom AND every secondary-column bloom
+                # (`<rel>.bloom`, `<rel>.col.<c>.bloom`)
+                base = self.root / "_index" / "bloom" / rel
+                if base.parent.is_dir():
+                    for sc in base.parent.glob(base.name + ".*"):
+                        sc.unlink()
             p.unlink()
         # prune empty partition/commit/index dirs left behind
         for sub in (DATA_DIR, "_index"):

@@ -253,6 +253,7 @@ class NativeTable:
         files_per_partition: int | None = None,
         stats_cols: list[str] | None = None,
         bloom_index: bool = False,
+        secondary_bloom_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = Path(path)
@@ -282,6 +283,13 @@ class NativeTable:
         # RANGE spans the table — the case interval stats can't see (range
         # pruning tests the batch's convex hull, blooms test each key).
         self.bloom_index = bloom_index
+        # SECONDARY bloom index (Hudi 1.0 secondary-index class): per-file
+        # membership sidecars for non-key columns, serving equality
+        # lookups that range stats can't prune (a low-cardinality or
+        # shuffled column's [min,max] spans every file; its per-file
+        # VALUE SET usually doesn't). Same sidecar format/lifecycle as
+        # the record-key blooms, named `<rel>.col.<column>.bloom`.
+        self.secondary_bloom_cols = list(secondary_bloom_cols or [])
         self.timeline = CommitTimeline(self.root)
 
     # ------------------------------------------------------------------ util
@@ -577,8 +585,19 @@ class NativeTable:
 
     # ------------------------------------------------------------ bloom index
 
-    def _bloom_path(self, rel: str) -> Path:
-        return self.root / BLOOM_DIR / (rel + ".bloom")
+    def _bloom_path(self, rel: str, col: str | None = None) -> Path:
+        suffix = ".bloom" if col is None else f".col.{col}.bloom"
+        return self.root / BLOOM_DIR / (rel + suffix)
+
+    def _sidecar_paths(self, rel: str) -> list[Path]:
+        """Every index sidecar for a data file (record-key bloom and all
+        secondary-column blooms) — one glob, no per-column stat calls.
+        ``<rel>`` ends in .parquet, so the prefix can't collide with
+        another file's sidecars."""
+        base = self.root / BLOOM_DIR / rel
+        if not base.parent.is_dir():
+            return []
+        return list(base.parent.glob(base.name + ".*"))
 
     def _build_blooms(self, rel_files: list[str]) -> None:
         """Write one immutable bloom sidecar per NEW data file (record-key
@@ -596,14 +615,24 @@ class NativeTable:
         parallelizes the hashing across cores/executors.
         Format: [k:1 byte][m_bits:8 bytes LE][bit array].
         """
-        if not self.bloom_index or not rel_files:
+        if not rel_files:
             return
+        if self.bloom_index:
+            self._build_bloom_sidecars(rel_files, None)
+        for col in self.secondary_bloom_cols:
+            self._build_bloom_sidecars(rel_files, col)
+
+    def _build_bloom_sidecars(self, rel_files: list[str], col: str | None) -> None:
+        """One sidecar per file for ``col`` (None = record key). Nulls are
+        not indexed (membership of NULL is undefined; equality lookups
+        never match NULL anyway)."""
         k = 7
         paths = [str(self.root / f) for f in rel_files]
+        source = RECORD_KEY_COL if col is None else col
         keys_by_file = self.spark.read.parquet(*paths).select(
             F.input_file_name().alias("src"),
-            F.col(RECORD_KEY_COL).alias("key"),
-        )
+            F.col(source).cast("string").alias("key"),
+        ).filter(F.col("key").isNotNull())
 
         def build(pdf):
             import pandas as pd
@@ -629,14 +658,16 @@ class NativeTable:
             )
             if rel is None:
                 continue
-            path = self._bloom_path(rel)
+            path = self._bloom_path(rel, col)
             path.parent.mkdir(parents=True, exist_ok=True)
             path.write_bytes(r["bloom"])
 
-    def _load_blooms(self, rel_files: list[str]) -> dict[str, tuple[int, int, bytes]]:
+    def _load_blooms(
+        self, rel_files: list[str], col: str | None = None
+    ) -> dict[str, tuple[int, int, bytes]]:
         out: dict[str, tuple[int, int, bytes]] = {}
         for rel in rel_files:
-            p = self._bloom_path(rel)
+            p = self._bloom_path(rel, col)
             if not p.is_file():
                 continue
             raw = p.read_bytes()
@@ -809,11 +840,17 @@ class NativeTable:
         } if data_root.is_dir() else set()
         orphans = sorted(on_disk - live)
         bloom_root = self.root / BLOOM_DIR
-        orphan_blooms = sorted(
-            str(p.relative_to(bloom_root))[: -len(".bloom")]
-            for p in bloom_root.rglob("*.bloom")
-            if not (self.root / str(p.relative_to(bloom_root))[: -len(".bloom")]).is_file()
-        ) if bloom_root.is_dir() else []
+        orphan_bloom_rels: set[str] = set()
+        if bloom_root.is_dir():
+            for p in bloom_root.rglob("*.bloom"):
+                rel = str(p.relative_to(bloom_root))
+                # sidecars are `<rel>.bloom` or `<rel>.col.<c>.bloom`;
+                # the data rel is everything up to ".parquet"
+                cut = rel.find(".parquet")
+                data_rel = rel[: cut + len(".parquet")] if cut >= 0 else rel
+                if not (self.root / data_rel).is_file():
+                    orphan_bloom_rels.add(data_rel)
+        orphan_blooms = sorted(orphan_bloom_rels)
         return {
             "missing_files": missing,
             "orphan_files": orphans,
@@ -852,14 +889,14 @@ class NativeTable:
             if f.exists():
                 f.unlink()
                 deleted.append(rel)
-            bloom = self._bloom_path(rel)
-            if bloom.exists():
+            for bloom in self._sidecar_paths(rel):
                 bloom.unlink()
         deleted_blooms = []
         for rel in report["orphan_blooms"]:
-            bloom = self._bloom_path(rel)
-            if bloom.exists():
+            sidecars = self._sidecar_paths(rel)
+            for bloom in sidecars:
                 bloom.unlink()
+            if sidecars:
                 deleted_blooms.append(rel)
         return {
             "deleted_files": deleted,
@@ -927,6 +964,57 @@ class NativeTable:
             candidates = kept
         out = self._read_files(candidates, commit.schema_json).filter(
             F.col(RECORD_KEY_COL).isin(key_list)
+        )
+        return out if with_meta else out.drop(*META_COLS)
+
+    def read_by_value(
+        self, col: str, values: list, with_meta: bool = False
+    ) -> DataFrame:
+        """Equality lookup on a SECONDARY column: rows where ``col`` is in
+        ``values``, reading only the files whose indexes admit them.
+
+        The pruning ladder mirrors ``read_keys``, per column instead of
+        per key: the column-stats range index (when ``col`` is in
+        ``stats_cols``) drops files whose [min, max] excludes every
+        value, the secondary bloom sidecars (when ``col`` is in
+        ``secondary_bloom_cols``) drop files whose value SET rejects all
+        of them — the case range stats can't see: a shuffled or
+        low-cardinality column whose range spans every file. ``values``
+        are literal, driver-sized; the exact ``isin`` filter runs on the
+        surviving files. MoR tables with live deltas fall back to the
+        (correct, unpruned) snapshot path — compact first for cheap
+        lookups, same caveat as ``read_keys``.
+        """
+        commit = self.timeline.latest()
+        if commit is None:
+            raise ValueError(f"table {self.root} has no commits")
+        val_strs = [str(v) for v in values]
+        if commit.deltas:
+            out = self.read_snapshot(with_meta=True)
+            out = out.filter(F.col(col).isin(values))
+            return out if with_meta else out.drop(*META_COLS)
+        candidates = []
+        for f in commit.files:
+            s = commit.col_stats.get(f, {}).get(col)
+            if s is not None and all(
+                _stat_value(v) < s[0] or _stat_value(v) > s[1] for v in values
+            ):
+                continue
+            candidates.append(f)
+        if col in self.secondary_bloom_cols:
+            blooms = self._load_blooms(candidates, col)
+            pairs = [_bloom_hash_pair(v) for v in val_strs]
+            kept = []
+            for f in candidates:
+                b = blooms.get(f)
+                if b is None or any(
+                    _bloom_contains_hashed(b[2], b[1], b[0], h1, h2)
+                    for h1, h2 in pairs
+                ):
+                    kept.append(f)
+            candidates = kept
+        out = self._read_files(candidates, commit.schema_json).filter(
+            F.col(col).isin(values)
         )
         return out if with_meta else out.drop(*META_COLS)
 
