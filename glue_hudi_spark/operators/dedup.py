@@ -493,7 +493,8 @@ def resolve_clusters(
     whose size is |nodes-in-any-pair| — tiny next to the corpus. Label
     tables are checkpointed per round to truncate lineage (the standard
     Spark iterative-algorithm pattern; all driver-side state is a single
-    per-round changed-row COUNT, never data). Deterministic: fixpoint is
+    per-round converged? boolean — an isEmpty take-1 probe, never data or
+    even a full count). Deterministic: fixpoint is
     independent of iteration order/count, so a SQL oracle can replay it
     with a recursive transitive closure.
 
@@ -538,9 +539,11 @@ def resolve_clusters(
             )
             .localCheckpoint(eager=True)
         )
-        changed = nxt.filter(F.col("label") < F.col("old")).count()
+        # isEmpty (take-1 short-circuit over the just-checkpointed table),
+        # not count(): the fixpoint test needs existence, not a tally
+        converged = nxt.filter(F.col("label") < F.col("old")).isEmpty()
         labels = nxt.select("id", "label")
-        if changed == 0:
+        if converged:
             break
     else:
         raise RuntimeError(
