@@ -913,6 +913,116 @@ WHERE event_type = 'signup'
 """
 
 
+def cdc_change_feed(spark, sf_dir):
+    """Row-level diff between two commits (Delta Change-Data-Feed class):
+    after the CDC merge, ``diff_snapshots(1)`` classifies every record
+    key as I (added), U (rewritten to a different value), or D (removed)
+    relative to the initial load — the feed a downstream replica applies
+    instead of re-copying the table. One full-outer join on the record
+    key with scan-side md5 value fingerprints; unchanged keys drop out."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("changefeed_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(*cols))
+    table.merge(batch.select(*cols, "op"), op_col="op")
+    return table.diff_snapshots(1).select("_change", *cols)
+
+
+CHANGE_FEED_ORACLE = f"""
+WITH ev AS (SELECT e.*, {{op_case}} AS op FROM events e),
+snap AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id, ts, event_type, value, op FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+final AS (
+  SELECT user_id, event_id, ts, event_type, value FROM snap
+  WHERE user_id NOT IN (SELECT user_id FROM batch)
+  UNION ALL
+  SELECT user_id, event_id, ts, event_type, value FROM batch WHERE op <> 'D'
+)
+SELECT * FROM (
+  SELECT
+    CASE WHEN s.user_id IS NULL THEN 'I'
+         WHEN f.user_id IS NULL THEN 'D'
+         WHEN s.event_id IS DISTINCT FROM f.event_id
+              OR s.ts IS DISTINCT FROM f.ts
+              OR s.event_type IS DISTINCT FROM f.event_type
+              OR s.value IS DISTINCT FROM f.value THEN 'U'
+    END AS _change,
+    COALESCE(f.user_id, s.user_id) AS user_id,
+    CASE WHEN f.user_id IS NULL THEN s.event_id ELSE f.event_id END AS event_id,
+    CASE WHEN f.user_id IS NULL THEN s.ts ELSE f.ts END AS ts,
+    CASE WHEN f.user_id IS NULL THEN s.event_type ELSE f.event_type END AS event_type,
+    CASE WHEN f.user_id IS NULL THEN s.value ELSE f.value END AS value
+  FROM snap s FULL OUTER JOIN final f ON s.user_id = f.user_id
+) d WHERE _change IS NOT NULL
+""".replace("{op_case}", OP_CASE)
+
+
+def events_ivm_rollup(spark, sf_dir):
+    """Incrementally-maintained rollup (operators/ivm.py): the per-type
+    (count, sum) state built at commit 1 absorbs the CDC merge's change
+    feed algebraically (+postimage/insert, −preimage/delete) instead of
+    recomputing — O(changes) maintenance. The oracle recomputes from the
+    final state, so the hash gate checks the IVM invariant itself:
+    maintained state == from-scratch state, bit-for-bit (exact DECIMAL
+    sums make that possible; float sums would drift)."""
+    from glue_hudi_spark.operators import ivm
+
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("ivm_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(*cols))
+    table.merge(batch.select(*cols, "op"), op_col="op")
+    state0 = ivm.aggregate_state(
+        table.read_snapshot(as_of=1), ["event_type"], "value")
+    feed = table.change_feed(1)
+    maintained = ivm.apply_change_feed(state0, feed, ["event_type"], "value")
+    return maintained.select(
+        "event_type", "cnt", F.col("total").cast("double").alias("total_value")
+    ).orderBy("event_type")
+
+
+IVM_ROLLUP_ORACLE = f"""
+WITH ev AS (SELECT e.*, {{op_case}} AS op FROM events e),
+snap AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id, ts, event_type, value, op FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+final AS (
+  SELECT user_id, event_id, ts, event_type, value FROM snap
+  WHERE user_id NOT IN (SELECT user_id FROM batch)
+  UNION ALL
+  SELECT user_id, event_id, ts, event_type, value FROM batch WHERE op <> 'D'
+)
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM final
+GROUP BY event_type
+ORDER BY event_type
+""".replace("{op_case}", OP_CASE)
+
+
 def cdc_retention_delete(spark, sf_dir):
     """Predicate delete (retention, round 3): drop all events below an id
     cutoff via delete_where, with the predicate's bounds handed to the
@@ -4478,6 +4588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_secondary_lookup": cdc_secondary_lookup,
+        "cdc_change_feed": cdc_change_feed,
+        "events_ivm_rollup": events_ivm_rollup,
         "cdc_retention_delete": cdc_retention_delete,
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
@@ -4607,6 +4719,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_bloom_scattered_upsert": BLOOM_UPSERT_ORACLE,
         "cdc_point_lookup": POINT_LOOKUP_ORACLE,
         "cdc_secondary_lookup": SECONDARY_LOOKUP_ORACLE,
+        "cdc_change_feed": CHANGE_FEED_ORACLE,
+        "events_ivm_rollup": IVM_ROLLUP_ORACLE,
         "cdc_retention_delete": RETENTION_DELETE_ORACLE,
         "scalar_string_funcs": STRING_ORACLE,
         "scalar_datetime_funcs": DATETIME_ORACLE,
