@@ -4446,6 +4446,48 @@ ORDER BY rank_fp DESC, n_name ASC
     return "".join(cte)
 
 
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in each later week they return — the product-analytics
+    staple. Two narrow aggregates and one equi-join: first-touch is a
+    per-user min (partial-aggregated), activity is a distinct projection
+    of (user, week), and the matrix groupBy moves only (cohort, offset)
+    pairs. No window over the raw event stream."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+    cohort = ev.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = ev.distinct()
+    return (
+        active.join(cohort, on="user_id")
+        .select(
+            "user_id", "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+COHORT_ORACLE = """
+WITH ev AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+  FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY user_id
+)
+SELECT cohort_week,
+       CAST(date_diff('day', cohort_week, week) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT ev.user_id) AS n_users
+FROM ev JOIN cohort ON ev.user_id = cohort.user_id
+GROUP BY cohort_week, CAST(date_diff('day', cohort_week, week) / 7 AS INT)
+ORDER BY cohort_week, week_offset
+"""
+
+
 _BM25_TERMS = ["spark", "merge", "vector"]
 
 
@@ -4568,6 +4610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_expectations": orders_expectations,
         "nation_trade_pagerank": nation_trade_pagerank,
         "corpus_bm25_search": corpus_bm25_search,
+        "events_cohort_retention": events_cohort_retention,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -4699,6 +4742,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_expectations": EXPECTATIONS_ORACLE,
         "nation_trade_pagerank": _pagerank_oracle(),
         "corpus_bm25_search": _bm25_oracle(),
+        "events_cohort_retention": COHORT_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
