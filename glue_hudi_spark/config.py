@@ -46,6 +46,11 @@ class JobControl:
     stats_cols: str = ""  # ';'-separated → column-stats index for reads
     files_per_partition: str = "0"  # 0 → unset (writer-default clustering)
     bloom_index: str = "no"  # 'yes' → per-file record-key blooms
+    # data-quality gate applied to every raw batch BEFORE dedup/merge
+    # (operators.expectations.parse_rules syntax, e.g.
+    # "not_null:id;values:op:I|U|D;range:value:0:1e9"); a violating batch
+    # raises QualityGateError and leaves the bookmark unadvanced
+    quality_gate: str = ""
 
     # --- enriched (derived) properties, processData.py:101-142 ---
 

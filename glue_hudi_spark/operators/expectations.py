@@ -29,6 +29,48 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+class QualityGateError(RuntimeError):
+    """A gated batch violated its expectations. Carries the (rule,
+    violations, total) report rows so the operator can quarantine or fix
+    the batch; the pipeline leaves the bookmark unadvanced, so the same
+    files retry after the data is corrected."""
+
+    def __init__(self, table_name: str, report: list[tuple]):
+        self.table_name = table_name
+        self.report = report
+        bad = ", ".join(f"{r}={v}/{t}" for r, v, t in report if v)
+        super().__init__(
+            f"quality gate failed for {table_name}: {bad}"
+        )
+
+
+def parse_rules(spec: str) -> list["Expect"]:
+    """Control-file rule syntax (';'-separated, each
+    ``kind:col[:args]``):
+
+    * ``not_null:col``
+    * ``values:col:a|b|c``
+    * ``range:col:lo:hi``  (numeric bounds)
+
+    The subset that makes sense on a RAW CDC batch — key uniqueness is
+    the dedup stage's job, and FK checks belong after the merge."""
+    rules: list[Expect] = []
+    for part in [p.strip() for p in spec.split(";") if p.strip()]:
+        bits = part.split(":")
+        kind = bits[0]
+        if kind == "not_null" and len(bits) == 2:
+            rules.append(not_null(f"not_null_{bits[1]}", bits[1]))
+        elif kind == "values" and len(bits) == 3:
+            rules.append(accepted_values(
+                f"values_{bits[1]}", bits[1], bits[2].split("|")))
+        elif kind == "range" and len(bits) == 4:
+            rules.append(in_range(
+                f"range_{bits[1]}", bits[1], float(bits[2]), float(bits[3])))
+        else:
+            raise ValueError(f"unparseable quality_gate rule: {part!r}")
+    return rules
+
+
 @dataclass
 class Expect:
     """One rule. ``kind`` ∈ {not_null, accepted_values, in_range,

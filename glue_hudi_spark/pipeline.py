@@ -88,6 +88,7 @@ class CdcPipeline:
         if batch is None:
             return RunResult(ctl.table_name, "noop", [])
         batch = cdc.lowercase_columns(batch)
+        self._quality_gate(ctl, batch)
 
         if not table.exists():
             # initial load: no dedup, envelope dropped, bulk_insert
@@ -111,6 +112,23 @@ class CdcPipeline:
         scan.commit()
         self._sync_catalog(ctl, table)
         return RunResult(ctl.table_name, "incremental", commits)
+
+    def _quality_gate(self, ctl: JobControl, batch) -> None:
+        """Config-driven expectations over the RAW batch (one aggregate
+        pass — see operators.expectations). Violations raise BEFORE any
+        write and BEFORE the bookmark advances, so the offending files
+        simply retry once fixed — a quarantine without extra state."""
+        if not ctl.quality_gate:
+            return
+        from glue_hudi_spark.operators import expectations as EX
+
+        rules = EX.parse_rules(ctl.quality_gate)
+        report = [
+            (r["rule"], r["violations"], r["total"])
+            for r in EX.check_expectations(batch, rules).collect()
+        ]
+        if any(v for _, v, _ in report):
+            raise EX.QualityGateError(ctl.table_name, report)
 
     def _sync_catalog(self, ctl: JobControl, table: NativeTable) -> None:
         """Hive-sync parity (processData.py:160-169): session temp views
