@@ -4446,6 +4446,54 @@ ORDER BY rank_fp DESC, n_name ASC
     return "".join(cte)
 
 
+def scalar_array_funcs(spark, sf_dir):
+    """Higher-order array functions (transform / filter / exists /
+    zip_with / aggregate-fold) as scan-stage expressions — the lambda
+    suite Spark executes inside whole-stage codegen, zero UDFs. The
+    DuckDB oracle spells the same lambdas with list_transform /
+    list_filter / 1-based indexing; every value is integer arithmetic,
+    so parity is exact."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey").filter(
+        F.col("o_orderkey") < 100)
+    k = (F.col("o_orderkey") % 5 + 3).cast("int")
+    arr = F.sequence(F.lit(1), k)
+    zero = F.lit(0).cast("long")
+    sum_sq = F.aggregate(arr, zero, lambda acc, x: acc + (x * x).cast("long"))
+    even_sum = F.aggregate(
+        F.filter(arr, lambda x: x % 2 == 0), zero,
+        lambda acc, x: acc + x.cast("long"))
+    has_gt4 = F.exists(arr, lambda x: x > 4)
+    zip_dot = F.aggregate(
+        F.zip_with(arr, F.reverse(arr), lambda a, b: (a * b).cast("long")),
+        zero, lambda acc, x: acc + x)
+    return o.select(
+        "o_orderkey",
+        F.size(arr).alias("n"),
+        sum_sq.alias("sum_sq"),
+        even_sum.alias("even_sum"),
+        has_gt4.alias("has_gt4"),
+        zip_dot.alias("zip_dot"),
+    ).orderBy("o_orderkey")
+
+
+ARRAY_FUNCS_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey,
+         range(1, CAST(o_orderkey % 5 + 3 AS INT) + 1) AS arr
+  FROM orders WHERE o_orderkey < 100
+)
+SELECT o_orderkey,
+  CAST(len(arr) AS INT) AS n,
+  CAST(list_sum(list_transform(arr, x -> x * x)) AS BIGINT) AS sum_sq,
+  CAST(COALESCE(list_sum(list_filter(arr, x -> x % 2 = 0)), 0) AS BIGINT) AS even_sum,
+  len(list_filter(arr, x -> x > 4)) > 0 AS has_gt4,
+  CAST(list_sum(list_transform(range(1, CAST(len(arr) AS INT) + 1),
+       i -> arr[CAST(i AS INT)] * arr[CAST(len(arr) - i + 1 AS INT)])) AS BIGINT) AS zip_dot
+FROM o
+ORDER BY o_orderkey
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -4611,6 +4659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_trade_pagerank": nation_trade_pagerank,
         "corpus_bm25_search": corpus_bm25_search,
         "events_cohort_retention": events_cohort_retention,
+        "scalar_array_funcs": scalar_array_funcs,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -4743,6 +4792,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_pagerank": _pagerank_oracle(),
         "corpus_bm25_search": _bm25_oracle(),
         "events_cohort_retention": COHORT_ORACLE,
+        "scalar_array_funcs": ARRAY_FUNCS_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
