@@ -4494,6 +4494,114 @@ ORDER BY o_orderkey
 """
 
 
+def part_fuzzy_match(spark, sf_dir):
+    """Fuzzy string-match join: distinct part names paired when their
+    Levenshtein distance ≤ 2 — the entity-resolution primitive. Scale
+    shape: a length-band equi-join (dist ≤ 2 ⟹ length diff ≤ 2, so each
+    name fans out to its 5 admissible lengths and the join key is the
+    band) bounds candidates WITHOUT an all-pairs cross; the exact
+    distance filter runs only on banded candidates. Both engines compute
+    classic Levenshtein — integer, exact."""
+    names = (
+        _t(spark, sf_dir, "part").select("p_name").distinct()
+        .select(F.col("p_name"), F.length("p_name").alias("len"))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"), F.col("len").alias("len_a"),
+        F.explode(
+            F.sequence(F.col("len") - 2, F.col("len") + 2)
+        ).alias("band"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), F.col("len").alias("band"))
+    return (
+        a.join(b, on="band")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 2)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+FUZZY_MATCH_ORACLE = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+FROM names a JOIN names b
+  ON length(b.p_name) BETWEEN length(a.p_name) - 2 AND length(a.p_name) + 2
+ AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+ORDER BY name_a, name_b
+"""
+
+
+def lineitem_moment_stats(spark, sf_dir):
+    """Mean / variance / skewness / kurtosis per return flag, computed
+    from EXACT integer power sums: l_quantity is integral (1-50), so
+    Σq, Σq², Σq³, Σq⁴ stay in BIGINT (max ~4e11 — no overflow, no float
+    summation-order dependence; a naive float skewness cannot be
+    hash-gated across engines). The moments assemble from the exact sums
+    in a fixed-order double expression — one aggregate pass, map-side
+    partials."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_quantity").cast("bigint").alias("q"))
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    # central moments from raw power sums (fixed association order,
+    # mirrored verbatim in the oracle)
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - F.lit(3.0) * m * (F.col("s2") / n) \
+        + F.lit(2.0) * m * m * m
+    m4 = F.col("s4") / n - F.lit(4.0) * m * (F.col("s3") / n) \
+        + F.lit(6.0) * m * m * (F.col("s2") / n) \
+        - F.lit(3.0) * m * m * m * m
+    return sums.select(
+        "l_returnflag",
+        F.col("n"),
+        F.round(m, 6).alias("mean_qty"),
+        F.round(m2, 6).alias("var_qty"),
+        F.round(m3 / F.pow(m2, F.lit(1.5)), 6).alias("skew_qty"),
+        F.round(m4 / (m2 * m2) - F.lit(3.0), 6).alias("kurt_qty"),
+    ).orderBy("l_returnflag")
+
+
+MOMENTS_ORACLE = """
+WITH sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(q) AS BIGINT) AS s1,
+         CAST(SUM(q * q) AS BIGINT) AS s2,
+         CAST(SUM(q * q * q) AS BIGINT) AS s3,
+         CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+  FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem) t
+  GROUP BY l_returnflag
+), m AS (
+  SELECT l_returnflag, n,
+         s1 / CAST(n AS DOUBLE) AS mu,
+         s2 / CAST(n AS DOUBLE) AS r2,
+         s3 / CAST(n AS DOUBLE) AS r3,
+         s4 / CAST(n AS DOUBLE) AS r4
+  FROM sums
+)
+SELECT l_returnflag, n,
+  ROUND(mu, 6) AS mean_qty,
+  ROUND(r2 - mu * mu, 6) AS var_qty,
+  ROUND((r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu)
+        / POWER(r2 - mu * mu, 1.5), 6) AS skew_qty,
+  ROUND((r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu)
+        / ((r2 - mu * mu) * (r2 - mu * mu)) - 3.0, 6) AS kurt_qty
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -4660,6 +4768,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bm25_search": corpus_bm25_search,
         "events_cohort_retention": events_cohort_retention,
         "scalar_array_funcs": scalar_array_funcs,
+        "part_fuzzy_match": part_fuzzy_match,
+        "lineitem_moment_stats": lineitem_moment_stats,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -4793,6 +4903,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_bm25_search": _bm25_oracle(),
         "events_cohort_retention": COHORT_ORACLE,
         "scalar_array_funcs": ARRAY_FUNCS_ORACLE,
+        "part_fuzzy_match": FUZZY_MATCH_ORACLE,
+        "lineitem_moment_stats": MOMENTS_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
