@@ -4602,6 +4602,43 @@ ORDER BY l_returnflag
 """
 
 
+def dim_scd2_history(spark, sf_dir):
+    """Type-2 slowly-changing-dimension rebuild (operators/scd2.py):
+    every user's event stream becomes half-open validity intervals with
+    consecutive-duplicate collapse — so `valid_from <= t < valid_to`
+    reconstructs the dimension at any instant without storage-level time
+    travel. One window per key; the collapse is a lag() comparison in
+    the same window, no extra shuffle."""
+    from glue_hudi_spark.operators import scd2
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "value")
+    return scd2.scd2_build(ev, ["user_id"], "ts", ["event_type", "value"])
+
+
+SCD2_ORACLE = """
+WITH e AS (
+  SELECT user_id, ts, event_type, value,
+         md5(concat_ws(chr(31),
+             coalesce(CAST(event_type AS VARCHAR), chr(0)),
+             coalesce(CAST(value AS VARCHAR), chr(0)))) AS fp
+  FROM events
+), s1 AS (
+  SELECT *, lag(fp) OVER (PARTITION BY user_id ORDER BY ts ASC, fp ASC) AS prev_fp
+  FROM e
+), s2 AS (
+  SELECT * FROM s1 WHERE prev_fp IS NULL OR fp <> prev_fp
+)
+SELECT user_id, event_type, value, ts AS valid_from,
+       COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, fp ASC),
+                TIMESTAMP '9999-12-31 23:59:59') AS valid_to,
+       COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, fp ASC),
+                TIMESTAMP '9999-12-31 23:59:59')
+         = TIMESTAMP '9999-12-31 23:59:59' AS is_current
+FROM s2
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -4770,6 +4807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_array_funcs": scalar_array_funcs,
         "part_fuzzy_match": part_fuzzy_match,
         "lineitem_moment_stats": lineitem_moment_stats,
+        "dim_scd2_history": dim_scd2_history,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -4905,6 +4943,7 @@ def oracle_sql() -> dict[str, str]:
         "scalar_array_funcs": ARRAY_FUNCS_ORACLE,
         "part_fuzzy_match": FUZZY_MATCH_ORACLE,
         "lineitem_moment_stats": MOMENTS_ORACLE,
+        "dim_scd2_history": SCD2_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
