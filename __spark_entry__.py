@@ -4639,6 +4639,117 @@ FROM s2
 """
 
 
+def events_sliding_distinct(spark, sf_dir):
+    """Trailing-7-day distinct users per day via HLL REGISTER MERGE: each
+    day reduces to its 512-register sketch once, and a day's trailing
+    estimate merges 7 register sets (max per register) — so the sliding
+    window reads 7×512 register rows per day instead of re-scanning 7
+    days of raw events per day (the windowed-distinct trap at scale).
+    Each day's registers fan out to the ≤7 days they serve (explode —
+    an equi-join on serve day, no range join). Exact trailing distinct
+    rides along for comparison via the same fan-out."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select(F.to_date(F.col("ts")).alias("d"), "user_id")
+        .distinct()
+    )
+    days = ev.select("d").distinct()
+    # per-day registers
+    h = F.md5(F.col("user_id").cast("string"))
+    h32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    w = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    rho = F.when(w > 0, F.lit(33) - F.length(F.bin(w))).otherwise(F.lit(33))
+    regs = (
+        ev.select("d", (h32 % SK.HLL_M).alias("idx"), rho.alias("rho"))
+        .groupBy("d", "idx").agg(F.max("rho").alias("rho"))
+    )
+    serve = F.explode(F.sequence(
+        F.col("d"), F.date_add(F.col("d"), 6))).alias("serve")
+    merged = (
+        regs.select(serve, "idx", "rho")
+        .join(days.select(F.col("d").alias("serve")), on="serve", how="left_semi")
+        .groupBy("serve", "idx").agg(F.max("rho").alias("rho"))
+    )
+    inv = F.expr("1.0 / cast(shiftleft(cast(1 as bigint), rho) as double)")
+    agg = merged.groupBy("serve").agg(
+        F.sum(inv).alias("_sum"), F.count(F.lit(1)).alias("_nz"))
+    alpha = 0.7213 / (1.0 + 1.079 / SK.HLL_M)
+    zeros = (F.lit(SK.HLL_M) - F.col("_nz")).cast("double")
+    raw = (F.lit(alpha) * F.lit(float(SK.HLL_M)) * F.lit(float(SK.HLL_M))
+           / (F.col("_sum") + zeros))
+    linear = F.lit(float(SK.HLL_M)) * F.log(F.lit(float(SK.HLL_M)) / zeros)
+    est = agg.select(
+        "serve",
+        F.round(F.when((raw <= F.lit(2.5 * SK.HLL_M)) & (zeros > 0), linear)
+                .otherwise(raw), 6).alias("est_distinct"),
+    )
+    exact = (
+        ev.select(serve, "user_id")
+        .join(days.select(F.col("d").alias("serve")), on="serve", how="left_semi")
+        .groupBy("serve")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+    )
+    return (
+        est.join(exact, on="serve")
+        .select(F.col("serve").alias("day"), "est_distinct", "exact_distinct")
+        .orderBy("day")
+    )
+
+
+SLIDING_DISTINCT_ORACLE = f"""
+WITH ev AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM ev),
+h AS (
+  SELECT d,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT)
+           % {SK.HLL_M} AS idx,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) AS w
+  FROM ev
+),
+regs AS (
+  SELECT d, idx,
+         MAX(CASE WHEN w > 0 THEN 33 - length(bin(w)) ELSE 33 END) AS rho
+  FROM h GROUP BY d, idx
+),
+merged AS (
+  SELECT days.d AS serve, idx, MAX(rho) AS rho
+  FROM regs JOIN days ON days.d >= regs.d AND days.d <= regs.d + 6
+  GROUP BY days.d, idx
+),
+s AS (
+  SELECT serve, SUM(1.0 / CAST((CAST(1 AS BIGINT) << rho) AS DOUBLE)) AS _sum,
+         COUNT(*) AS _nz
+  FROM merged GROUP BY serve
+),
+e AS (
+  SELECT serve,
+         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+            + CAST(1.079 AS DOUBLE) / CAST({SK.HLL_M} AS DOUBLE)))
+         * CAST({SK.HLL_M} AS DOUBLE) * CAST({SK.HLL_M} AS DOUBLE)
+         / (_sum + CAST({SK.HLL_M} - _nz AS DOUBLE)) AS raw_est,
+         CAST({SK.HLL_M} - _nz AS DOUBLE) AS zeros
+  FROM s
+),
+est AS (
+  SELECT serve,
+         ROUND(CASE WHEN raw_est <= CAST({2.5 * SK.HLL_M} AS DOUBLE) AND zeros > 0
+               THEN CAST({SK.HLL_M} AS DOUBLE) * ln(CAST({SK.HLL_M} AS DOUBLE) / zeros)
+               ELSE raw_est END, 6) AS est_distinct
+  FROM e
+),
+exact AS (
+  SELECT days.d AS serve, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM ev JOIN days ON ev.d >= days.d - 6 AND ev.d <= days.d
+  GROUP BY days.d
+)
+SELECT est.serve AS day, est_distinct, exact_distinct
+FROM est JOIN exact ON est.serve = exact.serve
+ORDER BY day
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -4808,6 +4919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_fuzzy_match": part_fuzzy_match,
         "lineitem_moment_stats": lineitem_moment_stats,
         "dim_scd2_history": dim_scd2_history,
+        "events_sliding_distinct": events_sliding_distinct,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -4944,6 +5056,7 @@ def oracle_sql() -> dict[str, str]:
         "part_fuzzy_match": FUZZY_MATCH_ORACLE,
         "lineitem_moment_stats": MOMENTS_ORACLE,
         "dim_scd2_history": SCD2_ORACLE,
+        "events_sliding_distinct": SLIDING_DISTINCT_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
