@@ -4750,6 +4750,91 @@ ORDER BY day
 """
 
 
+def events_activity_streaks(spark, sf_dir):
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days, via the row_number-difference trick — consecutive days share
+    a constant (day − rn) island id, so streaks resolve with two window
+    passes and one aggregate, never a self-join over the calendar."""
+    days = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w)))
+    streaks = (
+        islands.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"),
+             F.min("d").alias("start"))
+    )
+    best = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), F.col("start").asc())
+    return (
+        streaks.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("len").alias("longest_streak"),
+                F.col("start").alias("streak_start"))
+        .orderBy("user_id")
+    )
+
+
+STREAKS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INT)
+           AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS len, MIN(d) AS start
+  FROM islands GROUP BY user_id, island
+)
+SELECT user_id, len AS longest_streak, start AS streak_start
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY len DESC, start ASC) AS rn
+  FROM streaks) t
+WHERE rn = 1
+ORDER BY user_id
+"""
+
+
+def lineitem_copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order, top 20 by pair count. The self-join is keyed on l_orderkey —
+    pair fan-out is bounded by per-order line count squared (~7² here),
+    NEVER corpus-quadratic; the a-priori first pass every recommender
+    pipeline starts with."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey").distinct()
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), F.col("part_a").asc(),
+                 F.col("part_b").asc())
+        .limit(20)
+    )
+
+
+COPURCHASE_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+FROM li a JOIN li b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY n_orders DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -4920,6 +5005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_moment_stats": lineitem_moment_stats,
         "dim_scd2_history": dim_scd2_history,
         "events_sliding_distinct": events_sliding_distinct,
+        "events_activity_streaks": events_activity_streaks,
+        "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -5057,6 +5144,8 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_moment_stats": MOMENTS_ORACLE,
         "dim_scd2_history": SCD2_ORACLE,
         "events_sliding_distinct": SLIDING_DISTINCT_ORACLE,
+        "events_activity_streaks": STREAKS_ORACLE,
+        "lineitem_copurchase_pairs": COPURCHASE_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
