@@ -91,6 +91,9 @@ BENCH_QUERIES = [
     "orders_expectations",
     "nation_trade_pagerank",
     "corpus_bm25_search",
+    "dim_scd2_history",
+    "events_sliding_distinct",
+    "lineitem_copurchase_pairs",
 ]
 
 

@@ -51,6 +51,9 @@ class JobControl:
     # "not_null:id;values:op:I|U|D;range:value:0:1e9"); a violating batch
     # raises QualityGateError and leaves the bookmark unadvanced
     quality_gate: str = ""
+    # raw landing format: parquet (default, the reference's DMS output),
+    # csv (headered, schema-inferred), or json (JSON-lines)
+    raw_format: str = "parquet"
 
     # --- enriched (derived) properties, processData.py:101-142 ---
 

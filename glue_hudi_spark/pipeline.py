@@ -79,6 +79,7 @@ class CdcPipeline:
             self.spark,
             self._raw_dirs(ctl),
             ledger_path=table_dir / "_processed_files.json",
+            fmt=getattr(ctl, "raw_format", "parquet") or "parquet",
         )
 
     def process_table(self, ctl: JobControl) -> RunResult:

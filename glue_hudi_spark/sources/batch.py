@@ -30,17 +30,41 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 
 
+_FORMATS = {
+    # fmt -> (glob suffixes, reader)
+    "parquet": ((".parquet",), lambda spark, files: spark.read.parquet(*files)),
+    "csv": ((".csv", ".csv.gz"), lambda spark, files: spark.read.options(
+        header="true", inferSchema="true").csv(list(files))),
+    "json": ((".json", ".jsonl", ".json.gz"), lambda spark, files:
+        spark.read.json(list(files))),
+}
+
+
 class BookmarkedScan:
-    """Incremental parquet reader over a raw landing directory."""
+    """Incremental file reader over a raw landing directory.
+
+    ``fmt`` widens the source surface beyond the reference's
+    DMS-lands-parquet assumption: CSV (headered, schema-inferred) and
+    JSON-lines land files work through the SAME ledger contract — the
+    bookmark tracks files, not bytes, so the format only changes the
+    reader. Schema inference is per-batch; the downstream NativeTable's
+    schema-evolution path absorbs drift between batches exactly as it
+    does for parquet.
+    """
 
     def __init__(self, spark: SparkSession,
                  raw_dir: str | Path | list[str | Path],
-                 ledger_path: str | Path | None = None):
+                 ledger_path: str | Path | None = None,
+                 fmt: str = "parquet"):
         dirs = raw_dir if isinstance(raw_dir, (list, tuple)) else [raw_dir]
         self.spark = spark
         self.raw_dirs = [Path(d) for d in dirs]
         self.raw_dir = self.raw_dirs[0]  # primary (lowercase) spelling
         self.ledger_path = Path(ledger_path or (self.raw_dir / "_processed_files.json"))
+        if fmt not in _FORMATS:
+            raise ValueError(
+                f"unsupported raw format {fmt!r} (choose from {sorted(_FORMATS)})")
+        self.fmt = fmt
         self._pending: list[str] = []
 
     # the reference probes lowercase and UPPERCASE spellings of the table
@@ -64,12 +88,16 @@ class BookmarkedScan:
 
     def list_unprocessed(self) -> list[str]:
         seen = self._processed()
+        suffixes = _FORMATS[self.fmt][0]
         files = sorted(
             str(p)
             for d in self.raw_dirs
             if d.is_dir()
-            for p in d.rglob("*.parquet")
-            if not p.name.startswith("_") and str(p) not in seen
+            for p in d.rglob("*")
+            if p.is_file()
+            and p.name.lower().endswith(suffixes)
+            and not p.name.startswith("_")
+            and str(p) not in seen
         )
         return files
 
@@ -78,7 +106,7 @@ class BookmarkedScan:
         self._pending = self.list_unprocessed()
         if not self._pending:
             return None
-        return self.spark.read.parquet(*self._pending)
+        return _FORMATS[self.fmt][1](self.spark, self._pending)
 
     def commit(self) -> None:
         """Mark the last read batch processed (atomic ledger swap). Call
