@@ -4835,6 +4835,57 @@ LIMIT 20
 """
 
 
+def orders_recon_checksum(spark, sf_dir):
+    """Replica reconciliation (operators/recon.py): orders vs a 'replica'
+    with one corrupted row — per-priority row counts + order-independent
+    sum-of-md5-word checksums localize the damage to ONE group, so
+    row-level diffing (the expensive step) runs only there. Both tables
+    reduce to a metadata-sized comparison; at 100 TB this is the only
+    affordable way to ask 'do these two copies agree, and where not'."""
+    from glue_hudi_spark.operators import recon
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    o = _t(spark, sf_dir, "orders")
+    replica = o.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") == 7, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")),
+    )
+    return (
+        recon.reconcile(o, replica, ["o_orderpriority"], cols)
+        .orderBy("o_orderpriority")
+    )
+
+
+RECON_ORACLE = """
+WITH a AS (
+  SELECT o_orderpriority, COUNT(*) AS n_a,
+         CAST(SUM(CAST(('0x' || substr(md5(
+           concat_ws(chr(31),
+             coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+             coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+             coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+             coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)))), 1, 8))
+           AS BIGINT)) AS BIGINT) AS ck_a
+  FROM orders GROUP BY o_orderpriority
+), b AS (
+  SELECT o_orderpriority, COUNT(*) AS n_b,
+         CAST(SUM(CAST(('0x' || substr(md5(
+           concat_ws(chr(31),
+             coalesce(CAST(o_orderkey AS VARCHAR), chr(0)),
+             coalesce(CAST(o_custkey AS VARCHAR), chr(0)),
+             coalesce(CAST(CASE WHEN o_orderkey = 7 THEN 'X'
+                           ELSE o_orderstatus END AS VARCHAR), chr(0)),
+             coalesce(CAST(o_orderpriority AS VARCHAR), chr(0)))), 1, 8))
+           AS BIGINT)) AS BIGINT) AS ck_b
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT a.o_orderpriority, n_a, n_b, ck_a = ck_b AS ck_match
+FROM a JOIN b ON a.o_orderpriority = b.o_orderpriority
+ORDER BY a.o_orderpriority
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -5007,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_distinct": events_sliding_distinct,
         "events_activity_streaks": events_activity_streaks,
         "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
+        "orders_recon_checksum": orders_recon_checksum,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -5146,6 +5198,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sliding_distinct": SLIDING_DISTINCT_ORACLE,
         "events_activity_streaks": STREAKS_ORACLE,
         "lineitem_copurchase_pairs": COPURCHASE_ORACLE,
+        "orders_recon_checksum": RECON_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),

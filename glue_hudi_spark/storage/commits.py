@@ -182,13 +182,16 @@ class CommitTimeline:
 
         Returns {"restored_to", "rolled_back": [ids], "deleted_files"}.
         """
-        target = self.commits_path / f"{commit_id:020d}.commit.json"
-        if not target.exists():
-            raise ValueError(
-                f"cannot restore {self.root} to commit {commit_id}: no such "
-                f"commit in the timeline (cleaned, rolled back, or never "
-                f"written)"
-            )
+        # commit_id 0 = "before the first commit": empty the timeline
+        # entirely (the write-audit-publish abort path for a first write)
+        if commit_id != 0:
+            target = self.commits_path / f"{commit_id:020d}.commit.json"
+            if not target.exists():
+                raise ValueError(
+                    f"cannot restore {self.root} to commit {commit_id}: no "
+                    f"such commit in the timeline (cleaned, rolled back, or "
+                    f"never written)"
+                )
         import shutil
 
         paths = self._manifest_paths()

@@ -1228,6 +1228,46 @@ class NativeTable:
             .select("_r.*")
         )
 
+    def write_audit_publish(
+        self, batch: DataFrame, rules: list, op: str = "upsert", **write_kwargs
+    ):
+        """Write-audit-publish (the Iceberg WAP / staging-branch pattern,
+        native to this timeline): apply the write, audit the RESULTING
+        snapshot against data-quality rules (``operators.expectations``),
+        and on any violation RESTORE to the pre-write commit and raise —
+        so a bad batch can never remain visible. The audit sees the real
+        post-merge state (not just the batch), which catches violations
+        only the merge can create: a partial update nulling a required
+        field, a delete orphaning an FK, a key collapse breaking
+        uniqueness.
+
+        Readers are safe throughout: a reader planning from the staged
+        manifest holds a complete file set even while restore unpublishes
+        it (restore deletes only files no retained manifest references —
+        and its own readers' manifest is gone from the LISTING, not from
+        under their feet mid-scan on POSIX; on object stores, pair with
+        a vacuum grace period).
+
+        Returns (commit, report) on success.
+        """
+        from glue_hudi_spark.operators.expectations import (
+            QualityGateError, check_expectations,
+        )
+
+        prev = self.timeline.latest()
+        commit = getattr(self, op)(batch, **write_kwargs)
+        report_rows = [
+            (r["rule"], r["violations"], r["total"])
+            for r in check_expectations(self.read_snapshot(), rules).collect()
+        ]
+        if any(v for _, v, _ in report_rows):
+            if commit is not None:
+                # prev=None → restore_to(0): empty the table (first-ever
+                # write failed its audit)
+                self.timeline.restore_to(prev.commit_id if prev else 0)
+            raise QualityGateError(str(self.root), report_rows)
+        return commit, report_rows
+
     def register_view(self, name: str, **kwargs) -> None:
         """Session-catalog registration (the role of Hudi hive-sync,
         processData.py:160-169 — S8 in SURVEY §2.1)."""
