@@ -4886,6 +4886,97 @@ ORDER BY a.o_orderpriority
 """
 
 
+def orders_attribution(spark, sf_dir):
+    """Last-touch marketing attribution: each order's revenue credited to
+    the user's most recent event at-or-before the order date — the as-of
+    join (operators/asof.py) COMPOSED into a revenue rollup, which is how
+    that operator earns its keep in a real pipeline. Orders with no prior
+    touch fall into '(none)'. Union+window as-of — no per-order scan of
+    the event history."""
+    from glue_hudi_spark.operators import asof
+
+    # the fixture's orders (1995-2001) and events (2024) share no clock —
+    # derive a deterministic synthetic conversion time inside the events
+    # window so the as-of join has real matches to find
+    conv = F.date_add(
+        F.lit("2024-01-01").cast("date"),
+        (F.col("o_orderkey") % 20).cast("int"),
+    ).cast("timestamp")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("user_id"),
+        conv.alias("conv_ts"), "o_totalprice")
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    j = asof.asof_join(o, ev, ["user_id"], "conv_ts", "ts",
+                       right_payload=["event_type"])
+    return (
+        j.groupBy(F.coalesce("event_type", F.lit("(none)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+ATTRIBUTION_ORACLE = """
+WITH o2 AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(DATE '2024-01-01' + CAST(o_orderkey % 20 AS INT) AS TIMESTAMP)
+           AS conv_ts
+  FROM orders
+), j AS (
+  SELECT o_orderkey, o_totalprice, e.event_type,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY e.ts DESC) AS rn
+  FROM o2 o
+  LEFT JOIN events e
+    ON e.user_id = o.o_custkey AND e.ts <= o.conv_ts
+)
+SELECT COALESCE(event_type, '(none)') AS channel,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM j
+WHERE rn = 1
+GROUP BY COALESCE(event_type, '(none)')
+ORDER BY channel
+"""
+
+
+def lineitem_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis: the per-key-count distribution of
+    l_orderkey — the report that decides whether a join needs salting
+    BEFORE the cluster burns a night finding out. Exact percentiles over
+    the key-count table (tiny: one row per key), max/avg skew factor.
+    Two aggregate passes, both map-side combined."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("c"))
+    return counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.percentile("c", F.lit(0.5)).alias("p50"),
+        F.percentile("c", F.lit(0.99)).alias("p99"),
+        F.max("c").alias("max_cnt"),
+        F.round(F.max("c") / (F.sum("c") / F.count(F.lit(1))), 6)
+        .alias("skew_factor"),
+    )
+
+
+SKEW_REPORT_ORACLE = """
+WITH counts AS (
+  SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY l_orderkey
+)
+SELECT COUNT(*) AS n_keys,
+       CAST(SUM(c) AS BIGINT) AS n_rows,
+       quantile_cont(c, 0.5) AS p50,
+       quantile_cont(c, 0.99) AS p99,
+       MAX(c) AS max_cnt,
+       ROUND(MAX(c) / (CAST(SUM(c) AS BIGINT) / CAST(COUNT(*) AS DOUBLE)), 6)
+         AS skew_factor
+FROM counts
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -5059,6 +5150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_activity_streaks": events_activity_streaks,
         "lineitem_copurchase_pairs": lineitem_copurchase_pairs,
         "orders_recon_checksum": orders_recon_checksum,
+        "orders_attribution": orders_attribution,
+        "lineitem_skew_report": lineitem_skew_report,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -5199,6 +5292,8 @@ def oracle_sql() -> dict[str, str]:
         "events_activity_streaks": STREAKS_ORACLE,
         "lineitem_copurchase_pairs": COPURCHASE_ORACLE,
         "orders_recon_checksum": RECON_ORACLE,
+        "orders_attribution": ATTRIBUTION_ORACLE,
+        "lineitem_skew_report": SKEW_REPORT_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
