@@ -1458,6 +1458,30 @@ class NativeTable:
         return self._cow_merge(batch, deletes=True, parallelism=parallelism,
                                extra_stats=extra_stats)
 
+    def insert_overwrite(self, df: DataFrame, parallelism: int = 0,
+                         extra_stats: dict | None = None) -> Commit:
+        """Hudi INSERT_OVERWRITE_TABLE: atomically REPLACE the snapshot
+        with ``df`` in one commit — the new manifest references only the
+        new files (and no deltas), so readers flip wholesale and the old
+        files age out through retention cleaning like any other
+        superseded version. The replace primitive small derived tables
+        (materialized-view state, dimension snapshots) refresh with;
+        unlike delete-all + bulk_insert there is no two-commit window
+        where a reader can observe the empty intermediate. An EMPTY df
+        is honored (the table becomes empty — that's what overwrite
+        means), unlike bulk_insert's empty-batch no-op."""
+        cid = self.timeline.next_commit_id()
+        out = self._with_meta(df, f"{cid:020d}")
+        if parallelism > 0:
+            out = out.repartition(parallelism, *self.record_keys)
+        out = out.sortWithinPartitions(*self.record_keys)
+        files = self._write_files(out, cid)
+        key_stats, col_stats = self._collect_file_stats(files)
+        return self._commit(
+            cid, "insert_overwrite", files, [], out.schema.json(),
+            dict(extra_stats or {}), key_stats, col_stats,
+        )
+
     def _cow_merge(self, batch: DataFrame, deletes: bool, parallelism: int,
                    extra_stats: dict | None = None,
                    partial: bool = False) -> Commit:

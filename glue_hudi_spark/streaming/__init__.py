@@ -7,6 +7,7 @@ from glue_hudi_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_sessionization,
 )
+from glue_hudi_spark.streaming.materialized import MaterializedAgg
 from glue_hudi_spark.streaming.sketches import SketchStream
 from glue_hudi_spark.streaming.stateful import running_user_profiles
 from glue_hudi_spark.streaming.windowed import windowed_event_counts
@@ -14,6 +15,7 @@ from glue_hudi_spark.streaming.windowed import windowed_event_counts
 __all__ = [
     "CdcStream",
     "CorpusIngestStream",
+    "MaterializedAgg",
     "SketchStream",
     "streaming_exact_dedup",
     "streaming_sessionization",

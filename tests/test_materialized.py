@@ -1,0 +1,78 @@
+"""Streaming materialized view: incremental refresh equals recompute
+after every commit; idempotent refresh; atomic overwrite semantics."""
+
+from __future__ import annotations
+
+from glue_hudi_spark.operators import ivm
+from glue_hudi_spark.storage.native import NativeTable
+from glue_hudi_spark.streaming import MaterializedAgg
+
+
+def _mk(spark, path):
+    return NativeTable(spark, path, record_keys=["id"], precombine="seq",
+                       partition_keys=[])
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "id string, grp string, value double, seq int")
+
+
+def _state(df):
+    return {r["grp"]: (r["cnt"], float(r["total"])) for r in df.collect()}
+
+
+def _recompute(base):
+    return _state(ivm.aggregate_state(
+        base.read_snapshot(), ["grp"], "value"))
+
+
+def test_view_tracks_base_across_commits(spark, tmp_path):
+    base = _mk(spark, tmp_path / "base")
+    view = MaterializedAgg(spark, base, tmp_path / "view", ["grp"], "value")
+
+    base.bulk_insert(_rows(spark, [
+        ("a", "g1", 1.0, 1), ("b", "g1", 2.0, 1), ("c", "g2", 5.0, 1)]))
+    assert view.refresh() == 1
+    assert _state(view.read()) == _recompute(base)
+
+    # incremental: move b, birth g3, delete c (kills g2)
+    base.upsert(_rows(spark, [("b", "g3", 7.0, 2)]))
+    base.delete(_rows(spark, [("c", "g2", 5.0, 3)]))
+    assert view.refresh() == 3
+    got = _state(view.read())
+    assert got == _recompute(base)
+    assert "g2" not in got
+
+    # already fresh → no-op, no new state commit
+    n = len(view.state.timeline.history())
+    assert view.refresh() is None
+    assert len(view.state.timeline.history()) == n
+
+
+def test_refresh_is_single_atomic_commit(spark, tmp_path):
+    base = _mk(spark, tmp_path / "base")
+    view = MaterializedAgg(spark, base, tmp_path / "view", ["grp"], "value")
+    base.bulk_insert(_rows(spark, [("a", "g1", 1.0, 1)]))
+    view.refresh()
+    base.upsert(_rows(spark, [("z", "g9", 3.0, 2)]))
+    n_before = len(view.state.timeline.history())
+    view.refresh()
+    hist = view.state.timeline.history()
+    assert len(hist) == n_before + 1          # exactly ONE commit per refresh
+    assert hist[-1].action == "insert_overwrite"
+    assert hist[-1].stats["view_of_commit"] == 2
+
+
+def test_insert_overwrite_replaces_snapshot(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_rows(spark, [("a", "g1", 1.0, 1), ("b", "g2", 2.0, 1)]))
+    c = t.insert_overwrite(_rows(spark, [("z", "g9", 9.0, 2)]))
+    assert c.action == "insert_overwrite"
+    assert {(r["id"], r["grp"]) for r in t.read_snapshot().collect()} == {
+        ("z", "g9")}
+    # old snapshot still reachable via time travel until cleaned
+    assert t.read_snapshot(as_of=1).count() == 2
+    # overwrite with EMPTY honored (unlike bulk_insert's no-op)
+    t.insert_overwrite(_rows(spark, []).limit(0))
+    assert t.read_snapshot().count() == 0
