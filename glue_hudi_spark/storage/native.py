@@ -1469,17 +1469,48 @@ class NativeTable:
         unlike delete-all + bulk_insert there is no two-commit window
         where a reader can observe the empty intermediate. An EMPTY df
         is honored (the table becomes empty — that's what overwrite
-        means), unlike bulk_insert's empty-batch no-op."""
+        means), unlike bulk_insert's empty-batch no-op.
+
+        ``scope='partitions'`` is Hudi's INSERT_OVERWRITE (vs
+        _TABLE): only the hive partitions PRESENT IN THE BATCH are
+        replaced; every other partition's files carry over by manifest
+        reference — the daily-restatement pattern (re-land one day's
+        corrected data without touching the other 364)."""
+        return self._overwrite(df, parallelism, extra_stats, scope="table")
+
+    def insert_overwrite_partitions(
+        self, df: DataFrame, parallelism: int = 0,
+        extra_stats: dict | None = None,
+    ) -> Commit:
+        """Partition-scoped overwrite — see ``insert_overwrite``."""
+        return self._overwrite(df, parallelism, extra_stats, scope="partitions")
+
+    def _overwrite(self, df: DataFrame, parallelism: int,
+                   extra_stats: dict | None, scope: str) -> Commit:
         cid = self.timeline.next_commit_id()
         out = self._with_meta(df, f"{cid:020d}")
         if parallelism > 0:
             out = out.repartition(parallelism, *self.record_keys)
         out = out.sortWithinPartitions(*self.record_keys)
         files = self._write_files(out, cid)
+        carried: list[str] = []
+        prev = self.timeline.latest()
+        stats = dict(extra_stats or {})
         key_stats, col_stats = self._collect_file_stats(files)
+        if scope == "partitions" and prev is not None and self.partition_keys:
+            touched = self._batch_partitions(df) or set()
+            carried = [
+                f for f in prev.files if self._file_partition(f) not in touched
+            ]
+            key_stats = {**{f: prev.key_stats[f] for f in carried
+                            if f in prev.key_stats}, **key_stats}
+            col_stats = {**{f: prev.col_stats[f] for f in carried
+                            if f in prev.col_stats}, **col_stats}
+            stats["partitions_replaced"] = len(touched)
+            stats["files_carried"] = len(carried)
         return self._commit(
-            cid, "insert_overwrite", files, [], out.schema.json(),
-            dict(extra_stats or {}), key_stats, col_stats,
+            cid, "insert_overwrite", carried + files, [], out.schema.json(),
+            stats, key_stats, col_stats,
         )
 
     def _cow_merge(self, batch: DataFrame, deletes: bool, parallelism: int,

@@ -76,3 +76,31 @@ def test_insert_overwrite_replaces_snapshot(spark, tmp_path):
     # overwrite with EMPTY honored (unlike bulk_insert's no-op)
     t.insert_overwrite(_rows(spark, []).limit(0))
     assert t.read_snapshot().count() == 0
+
+
+def test_insert_overwrite_partitions_restates_one_day(spark, tmp_path):
+    """Hudi INSERT_OVERWRITE (partition scope): only the batch's
+    partitions are replaced; other partitions' files carry over by
+    manifest reference, unread and unrewritten."""
+    t = NativeTable(spark, tmp_path / "pt", record_keys=["id"],
+                    precombine="seq", partition_keys=["day"])
+    df = spark.createDataFrame(
+        [(f"r{i}", f"d{i % 3}", float(i), 1) for i in range(30)],
+        "id string, day string, value double, seq int")
+    t.bulk_insert(df)
+    before = {f for f in t.timeline.latest().files
+              if t._file_partition(f) != ("d1",)}
+
+    restated = spark.createDataFrame(
+        [("x1", "d1", 999.0, 2), ("x2", "d1", 998.0, 2)],
+        "id string, day string, value double, seq int")
+    c = t.insert_overwrite_partitions(restated)
+    assert c.stats["partitions_replaced"] == 1
+    assert c.stats["files_carried"] == len(before)
+    snap = t.read_snapshot()
+    assert snap.filter("day = 'd1'").count() == 2          # replaced
+    assert snap.filter("day <> 'd1'").count() == 20        # untouched
+    # carried files are the SAME physical files (no rewrite)
+    after = {f for f in t.timeline.latest().files
+             if t._file_partition(f) != ("d1",)}
+    assert after == before
