@@ -4977,6 +4977,69 @@ FROM counts
 """
 
 
+def corpus_tokenize_ids(spark, sf_dir):
+    """Corpus → token-ID sequences, UDF-free: learn a frequency-ranked
+    vocabulary (top 64, ties by token — the window runs over the
+    metadata-sized distinct-token table, not the corpus), then map every
+    document to its positional id array via posexplode → broadcast vocab
+    join → sort_array(struct(pos,id)) regroup. OOV → -1. This is the
+    tokenize step of a training-data pipeline expressed as pure
+    DataFrame ops — the id arrays come out exactly positional with no
+    Python in the hot path."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    vocab = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("id", F.row_number().over(w) - 1)
+        .filter(F.col("id") < 64)
+        .select("tok", "id")
+    )
+    mapped = toks.join(F.broadcast(vocab), on="tok", how="left").select(
+        "doc_id", "pos", F.coalesce("id", F.lit(-1)).alias("tid"))
+    return (
+        mapped.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                lambda s: s["tid"],
+            ).alias("ids"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+TOKENIZE_IDS_ORACLE = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS lst
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, lst, unnest(range(1, len(lst) + 1)) AS i FROM base
+),
+toks AS (
+  SELECT doc_id, lst[CAST(i AS INT)] AS tok, CAST(i - 1 AS INT) AS pos
+  FROM idx
+),
+vocab AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY COUNT(*) DESC, tok ASC) - 1
+               AS INT) AS id
+  FROM toks GROUP BY tok
+  QUALIFY id < 64
+),
+mapped AS (
+  SELECT doc_id, pos, COALESCE(id, -1) AS tid
+  FROM toks LEFT JOIN vocab USING (tok)
+)
+SELECT doc_id, COUNT(*) AS n_tokens, list(tid ORDER BY pos) AS ids
+FROM mapped
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -5152,6 +5215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_recon_checksum": orders_recon_checksum,
         "orders_attribution": orders_attribution,
         "lineitem_skew_report": lineitem_skew_report,
+        "corpus_tokenize_ids": corpus_tokenize_ids,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -5294,6 +5358,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_recon_checksum": RECON_ORACLE,
         "orders_attribution": ATTRIBUTION_ORACLE,
         "lineitem_skew_report": SKEW_REPORT_ORACLE,
+        "corpus_tokenize_ids": TOKENIZE_IDS_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
