@@ -49,6 +49,12 @@ def pagerank(
     """
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (0, 100)")
+    # Deliberately NOT checkpointed: the unrolled rounds all reference
+    # this subplan and Spark's ReusedExchange already evaluates it once
+    # per action (measured — an eager localCheckpoint here was slightly
+    # SLOWER, paying a materialization barrier for nothing). Contrast
+    # dedup.resolve_clusters, whose loop is driver-driven across many
+    # actions and genuinely needs the checkpoint.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight).cast("bigint").alias("w"),
