@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
     pv = sub.add_parser("vacuum", help="delete orphan files crashed/OCC-losing "
                                        "writers left behind")
     _common(pv, raw=False)
+    pa = sub.add_parser("analyze", help="one-pass per-column stats (NDV, "
+                                        "nulls, min/max) persisted beside "
+                                        "the timeline")
+    _common(pa, raw=False)
+    pa.add_argument("--columns", default=None, metavar="COL,COL",
+                    help="restrict to these columns (default: all)")
     args = ap.parse_args(argv)
 
     try:
@@ -141,6 +147,11 @@ def main(argv: list[str] | None = None) -> int:
                         "restored_to": r["restored_to"],
                         "rolled_back": r["rolled_back"],
                         "deleted": len(r["deleted_files"])})
+        elif args.cmd == "analyze":
+            table = pipe._table(ctl)
+            cols = [c for c in (args.columns or "").split(",") if c] or None
+            a = table.analyze(cols)
+            out.append({"table": ctl.table_name, **a})
         elif args.cmd == "vacuum":
             table = pipe._table(ctl)
             v = table.vacuum()

@@ -1268,6 +1268,46 @@ class NativeTable:
             raise QualityGateError(str(self.root), report_rows)
         return commit, report_rows
 
+    def analyze(self, cols: list[str] | None = None) -> dict:
+        """ANALYZE TABLE: per-column NDV estimate (HLL++ via
+        approx_count_distinct — engine-internal is fine here, nothing
+        gates on the estimate), null count, min/max, plus table row
+        count — ALL in one aggregate pass over one scan however many
+        columns are analyzed. Persisted to ``_stats/analyze.json``
+        beside the timeline (stamped with the commit id it describes),
+        where a planner — human or code — reads it to pick broadcast
+        candidates, bucketing keys, and skew suspects without touching
+        the data again."""
+        snap = self.read_snapshot()
+        cols = list(cols or snap.columns)
+        aggs: list = [F.count(F.lit(1)).alias("_n")]
+        for i, c in enumerate(cols):
+            aggs += [
+                F.approx_count_distinct(c).alias(f"_ndv{i}"),
+                F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"_nul{i}"),
+                F.min(c).cast("string").alias(f"_min{i}"),
+                F.max(c).cast("string").alias(f"_max{i}"),
+            ]
+        row = snap.agg(*aggs).collect()[0]
+        latest = self.timeline.latest()
+        out = {
+            "as_of_commit": latest.commit_id if latest else None,
+            "row_count": row["_n"],
+            "columns": {
+                c: {
+                    "ndv_est": row[f"_ndv{i}"],
+                    "null_count": row[f"_nul{i}"],
+                    "min": row[f"_min{i}"],
+                    "max": row[f"_max{i}"],
+                }
+                for i, c in enumerate(cols)
+            },
+        }
+        stats_path = self.root / "_stats" / "analyze.json"
+        stats_path.parent.mkdir(parents=True, exist_ok=True)
+        stats_path.write_text(json.dumps(out, indent=1))
+        return out
+
     def register_view(self, name: str, **kwargs) -> None:
         """Session-catalog registration (the role of Hudi hive-sync,
         processData.py:160-169 — S8 in SURVEY §2.1)."""

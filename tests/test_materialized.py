@@ -78,6 +78,22 @@ def test_insert_overwrite_replaces_snapshot(spark, tmp_path):
     assert t.read_snapshot().count() == 0
 
 
+def test_analyze_one_pass_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path / "an")
+    t.bulk_insert(_rows(spark, [
+        ("a", "g1", 1.0, 1), ("b", "g1", 2.0, 1), ("c", None, 3.0, 1)]))
+    a = t.analyze(["grp", "value"])
+    assert a["row_count"] == 3 and a["as_of_commit"] == 1
+    g = a["columns"]["grp"]
+    assert g["null_count"] == 1 and g["min"] == "g1" and g["ndv_est"] >= 1
+    v = a["columns"]["value"]
+    assert (v["min"], v["max"]) == ("1.0", "3.0")
+    # persisted for later planning sessions
+    import json as _json
+    on_disk = _json.loads((t.root / "_stats" / "analyze.json").read_text())
+    assert on_disk == a
+
+
 def test_insert_overwrite_partitions_restates_one_day(spark, tmp_path):
     """Hudi INSERT_OVERWRITE (partition scope): only the batch's
     partitions are replaced; other partitions' files carry over by
