@@ -46,6 +46,9 @@ class JobControl:
     stats_cols: str = ""  # ';'-separated → column-stats index for reads
     files_per_partition: str = "0"  # 0 → unset (writer-default clustering)
     bloom_index: str = "no"  # 'yes' → per-file record-key blooms
+    # ';'-separated non-key columns to secondary-bloom-index (equality
+    # lookups via NativeTable.read_by_value prune files by value set)
+    secondary_bloom_cols: str = ""
     # data-quality gate applied to every raw batch BEFORE dedup/merge
     # (operators.expectations.parse_rules syntax, e.g.
     # "not_null:id;values:op:I|U|D;range:value:0:1e9"); a violating batch

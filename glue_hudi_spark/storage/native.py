@@ -315,6 +315,11 @@ class NativeTable:
             files_per_partition=fpp or None,
             stats_cols=stats,
             bloom_index=getattr(ctl, "bloom_index", "no") == "yes",
+            secondary_bloom_cols=[
+                c.strip()
+                for c in getattr(ctl, "secondary_bloom_cols", "").split(";")
+                if c.strip()
+            ],
         )
 
     def exists(self) -> bool:

@@ -37,6 +37,7 @@ class CdcStream:
         schema: T.StructType | None = None,
         max_files_per_trigger: int | None = None,
         single_commit: bool = True,
+        on_batch_merged=None,
     ):
         self.spark = spark
         self.ctl = ctl
@@ -46,6 +47,12 @@ class CdcStream:
         self.schema = schema or self._infer_schema()
         self.max_files_per_trigger = max_files_per_trigger
         self.single_commit = single_commit
+        # called as on_batch_merged(table, batch_id) AFTER each batch's
+        # data commit publishes and BEFORE the streaming checkpoint —
+        # the hook downstream maintenance (e.g. MaterializedAgg.refresh)
+        # attaches to; it must be idempotent, since a crash between the
+        # commit and the checkpoint replays the trigger
+        self.on_batch_merged = on_batch_merged
         self.table = NativeTable.for_control(spark, curated_root, ctl)
 
     def _infer_schema(self) -> T.StructType:
@@ -76,6 +83,8 @@ class CdcStream:
                     cdc.drop_envelope(b), self.ctl.bulkinsert_parallelism,
                     extra_stats=marker,
                 )
+                if self.on_batch_merged:
+                    self.on_batch_merged(self.table, batch_id)
                 return
         if cdc.OP_COL in b.columns:
             deduped = cdc.dedup_latest_by_key(b, self.ctl.primary_keys)
@@ -93,6 +102,8 @@ class CdcStream:
                 cdc.drop_envelope(b), self.ctl.upsert_parallelism,
                 extra_stats=marker,
             )
+        if self.on_batch_merged:
+            self.on_batch_merged(self.table, batch_id)
 
     def start(self, trigger_available_now: bool = True):
         """Start the stream. ``trigger_available_now=True`` processes the

@@ -78,6 +78,47 @@ def test_insert_overwrite_replaces_snapshot(spark, tmp_path):
     assert t.read_snapshot().count() == 0
 
 
+def test_view_attached_to_cdc_stream(spark, tmp_path):
+    """End-to-end composition: files land → CdcStream merges → the
+    on_batch_merged hook refreshes the view inside the same trigger."""
+    from pathlib import Path
+
+    from glue_hudi_spark.config import JobControl
+    from glue_hudi_spark.streaming import CdcStream
+
+    ctl = JobControl(
+        db_name="db", schema_name="sc", table_name="t",
+        primary_key="id", precombine_field="seq", partition_key="")
+    raw = tmp_path / "raw"
+
+    def land(df, name):
+        stage = str(raw) + "_s_" + name
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        raw.mkdir(parents=True, exist_ok=True)
+        for i, p in enumerate(Path(stage).glob("*.parquet")):
+            p.rename(raw / f"{name}_{i}.parquet")
+
+    land(_rows(spark, [("a", "g1", 1.0, 1), ("b", "g2", 2.0, 1)]), "B1")
+    view_holder = {}
+
+    def hook(table, batch_id):
+        if "view" not in view_holder:
+            view_holder["view"] = MaterializedAgg(
+                spark, table, tmp_path / "view", ["grp"], "value")
+        view_holder["view"].refresh()
+
+    stream = CdcStream(spark, ctl, raw, tmp_path / "curated",
+                       tmp_path / "ckpt", on_batch_merged=hook)
+    stream.run_available()
+    assert _state(view_holder["view"].read()) == _recompute(stream.table)
+
+    land(_rows(spark, [("b", "g9", 9.0, 2)]), "B2")
+    stream.run_available()
+    got = _state(view_holder["view"].read())
+    assert got == _recompute(stream.table)
+    assert "g9" in got and "g2" not in got
+
+
 def test_analyze_one_pass_stats(spark, tmp_path):
     t = _mk(spark, tmp_path / "an")
     t.bulk_insert(_rows(spark, [
