@@ -36,6 +36,7 @@ Scale design (100 TB target):
 from __future__ import annotations
 
 import json
+import os
 import urllib.parse
 from pathlib import Path
 
@@ -798,7 +799,32 @@ class NativeTable:
         reader = self.spark.read
         if schema_json:
             reader = reader.schema(T.StructType.fromJson(json.loads(schema_json)))
-        return reader.parquet(*paths)
+        df = reader.parquet(*paths)
+        # Bootstrapped files (Hudi METADATA_ONLY class — see bootstrap())
+        # carry no meta columns; with the manifest schema supplied they
+        # surface as NULLs, normalized here scan-side: the record key
+        # recomputes from the key columns, the commit time parses from
+        # the file's data/<cid>/ path. Files written by this engine have
+        # non-null meta, so the coalesces are no-ops for them.
+        if RECORD_KEY_COL in df.columns:
+            df = df.withColumn(
+                RECORD_KEY_COL,
+                F.coalesce(F.col(RECORD_KEY_COL),
+                           record_key_expr(self.record_keys)),
+            )
+        if COMMIT_TIME_COL in df.columns:
+            df = df.withColumn(
+                COMMIT_TIME_COL,
+                F.coalesce(
+                    F.col(COMMIT_TIME_COL),
+                    F.regexp_extract(
+                        F.input_file_name(), r"/data/(\d{20})/", 1),
+                ),
+            )
+        if DELTA_OP_COL in df.columns:
+            df = df.withColumn(
+                DELTA_OP_COL, F.coalesce(F.col(DELTA_OP_COL), F.lit("u")))
+        return df
 
     def _precombine_dedup(self, batch: DataFrame) -> DataFrame:
         """Latest-per-key within the batch by max precombine value — Hudi's
@@ -1502,6 +1528,55 @@ class NativeTable:
             return self._delta_commit(batch, "delta_delete", "d", extra_stats)
         return self._cow_merge(batch, deletes=True, parallelism=parallelism,
                                extra_stats=extra_stats)
+
+    def bootstrap(self, src_dir: str | Path, pattern: str = "*.parquet") -> Commit:
+        """Metadata-only bootstrap (Hudi's METADATA_ONLY bootstrap mode):
+        adopt an EXISTING parquet directory as commit 1 without reading
+        or rewriting a byte of data — files hardlink into the table
+        layout (copy where links can't cross devices) and the manifest
+        references them in place. Meta columns don't exist in adopted
+        files; every read path normalizes them scan-side (see
+        ``_read_files``), so merges/point-lookups/time-travel work
+        immediately, and the first upsert rewrites only the files its
+        keys actually touch — onboarding a 100-TB corpus costs metadata,
+        not a rewrite. Unpartitioned tables only (adopting a foreign
+        hive layout means trusting its dir encoding — out of scope)."""
+        import shutil
+
+        if self.timeline.exists():
+            raise ValueError(f"table {self.root} already has commits")
+        if self.partition_keys:
+            raise ValueError("bootstrap supports unpartitioned tables only")
+        src = Path(src_dir)
+        src_files = sorted(p for p in src.rglob(pattern) if p.is_file())
+        if not src_files:
+            raise ValueError(f"no {pattern} files under {src}")
+        cid = self.timeline.next_commit_id()
+        dest_dir = self.root / DATA_DIR / f"{cid:020d}"
+        dest_dir.mkdir(parents=True, exist_ok=True)
+        rels = []
+        for i, p in enumerate(src_files):
+            dest = dest_dir / f"bootstrap-{i:05d}.parquet"
+            try:
+                os.link(p, dest)
+            except OSError:
+                shutil.copy2(p, dest)
+            rels.append(str(dest.relative_to(self.root)))
+        data_schema = self.spark.read.parquet(str(src)).schema
+        full = T.StructType(
+            list(data_schema.fields)
+            + [
+                T.StructField(COMMIT_TIME_COL, T.StringType()),
+                T.StructField(RECORD_KEY_COL, T.StringType()),
+                T.StructField(DELTA_OP_COL, T.StringType()),
+            ]
+        )
+        key_stats, col_stats = self._collect_file_stats(rels)
+        return self._commit(
+            cid, "bootstrap", rels, [], full.json(),
+            {"bootstrapped_from": str(src), "files_adopted": len(rels)},
+            key_stats, col_stats,
+        )
 
     def insert_overwrite(self, df: DataFrame, parallelism: int = 0,
                          extra_stats: dict | None = None) -> Commit:
