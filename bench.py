@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "dim_scd2_history",
     "events_sliding_distinct",
     "lineitem_copurchase_pairs",
+    "corpus_tokenize_ids",
+    "orders_attribution",
 ]
 
 

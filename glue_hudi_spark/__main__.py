@@ -20,6 +20,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
 
 from glue_hudi_spark.config import ControlStore
 from glue_hudi_spark.pipeline import CdcPipeline
@@ -79,6 +80,16 @@ def main(argv: list[str] | None = None) -> int:
     _common(pa, raw=False)
     pa.add_argument("--columns", default=None, metavar="COL,COL",
                     help="restrict to these columns (default: all)")
+    pp = sub.add_parser("pull", help="export the incremental change feed "
+                                     "since a commit as parquet (downstream "
+                                     "consumer hand-off)")
+    _common(pp, raw=False)
+    pp.add_argument("--since-commit", type=int, required=True, metavar="ID")
+    pp.add_argument("--end-commit", type=int, default=None, metavar="ID")
+    pp.add_argument("--out", required=True, help="output parquet dir")
+    pp.add_argument("--cdf", action="store_true",
+                    help="Delta-CDF rows (insert/update pre+post/delete) "
+                         "instead of the plain rows-changed feed")
     args = ap.parse_args(argv)
 
     try:
@@ -152,6 +163,18 @@ def main(argv: list[str] | None = None) -> int:
             cols = [c for c in (args.columns or "").split(",") if c] or None
             a = table.analyze(cols)
             out.append({"table": ctl.table_name, **a})
+        elif args.cmd == "pull":
+            table = pipe._table(ctl)
+            if args.cdf:
+                feed = table.change_feed(args.since_commit, args.end_commit)
+            else:
+                feed = table.read_incremental(
+                    args.since_commit, args.end_commit)
+            dest = str(Path(args.out) / ctl.table_name)
+            feed.write.mode("overwrite").parquet(dest)
+            out.append({"table": ctl.table_name, "out": dest,
+                        "rows": spark.read.parquet(dest).count(),
+                        "mode": "cdf" if args.cdf else "incremental"})
         elif args.cmd == "vacuum":
             table = pipe._table(ctl)
             v = table.vacuum()

@@ -50,6 +50,16 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     rc, out = run_cmd("show", *base)
     assert out[0]["rows"] == 100
 
+    # pull exports the change feed since commit 1 (the rollback replay is
+    # commit 3 referencing commit 1's files, so the incremental feed has
+    # those rows "re-landed" — exactly the consumer contract)
+    outdir = str(tmp_path / "feed")
+    rc, out = run_cmd("pull", *base, "--since-commit", "1", "--out", outdir)
+    assert rc == 0 and out[0]["rows"] >= 0 and out[0]["mode"] == "incremental"
+    rc, out = run_cmd("pull", *base, "--since-commit", "1", "--out",
+                      str(tmp_path / "feed_cdf"), "--cdf")
+    assert rc == 0 and out[0]["mode"] == "cdf"
+
     # destructive restore rewinds the timeline itself to commit 1
     rc, out = run_cmd("restore", *base, "--to-commit", "1")
     assert rc == 0 and out[0]["restored_to"] == 1 and out[0]["rolled_back"]
