@@ -204,6 +204,57 @@ def main() -> None:
     probe("stratum_fixed_50k_docs", time.perf_counter() - t0,
           docs=n_docs, sampled=n_out)
 
+    # ---- change feed at 6M rows: one full-outer fingerprint join of two
+    # snapshots. The DIFF pass is O(table) by design (no per-file change
+    # tracking assumed); what must stay O(changes) is everything
+    # downstream (IVM application) — both measured here. A dedicated
+    # table with a UNIQUE key (the lineitem fixture's (orderkey,
+    # linenumber) is NOT unique — diff semantics assume merge-maintained
+    # keys, which bulk-loaded dup keys violate). --------------------------
+    uniq = big.withColumn("uid", F.monotonically_increasing_id()) \
+        .select("uid", "k", "ln", "qty", "d")
+    cft = NativeTable(spark, f"{work}/cft", record_keys=["uid"],
+                      precombine="qty", files_per_partition=32)
+    cft.bulk_insert(uniq)
+    batch = (
+        cft.read_snapshot().filter(F.col("k") % 601 == 0)
+        .withColumn("qty", F.col("qty") + 1.0)
+    )
+    cft.upsert(batch)
+    t0 = time.perf_counter()
+    n_changes = cft.diff_snapshots(1).count()
+    probe("change_feed_diff_6m", time.perf_counter() - t0,
+          changed_rows=n_changes)
+    from glue_hudi_spark.operators import ivm
+
+    state = ivm.aggregate_state(
+        cft.read_snapshot(as_of=1).withColumn(
+            "g", (F.col("k") % 16).cast("string")), ["g"], "qty")
+    feed = cft.change_feed(1).withColumn("g", (F.col("k") % 16).cast("string"))
+    t0 = time.perf_counter()
+    n_groups = ivm.apply_change_feed(state, feed, ["g"], "qty").count()
+    probe("ivm_apply_6m_base", time.perf_counter() - t0,
+          changed_rows=n_changes, groups=n_groups)
+
+    # ---- secondary value-set index at 6M rows / 192 files: equality
+    # lookup on a non-key column whose range spans every file — only the
+    # per-file value SET can prune. cat correlates with the clustering
+    # key, the layout the index is for. -----------------------------------
+    sec = NativeTable(spark, f"{work}/secondary", record_keys=["k", "ln"],
+                      precombine="qty", files_per_partition=192,
+                      secondary_bloom_cols=["cat"])
+    t0 = time.perf_counter()
+    c = sec.bulk_insert(big.withColumn(
+        "cat", F.concat(F.lit("c"), (F.col("k") / 40000).cast("int"))))
+    probe("secondary_bulk_insert_6m", time.perf_counter() - t0,
+          rows=n_rows, files=len(c.files))
+    t0 = time.perf_counter()
+    hit = sec.read_by_value("cat", ["c7"])
+    n_hit = hit.count()
+    probe("secondary_lookup_6m", time.perf_counter() - t0,
+          rows=n_hit, files_scanned=len(hit.inputFiles()),
+          files_total=len(c.files))
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
