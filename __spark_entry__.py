@@ -5040,6 +5040,46 @@ ORDER BY doc_id
 """
 
 
+def orders_price_deciles(spark, sf_dir):
+    """ntile + cume_dist coverage: revenue deciles over a TOTAL order
+    (price, orderkey tie-break — ntile semantics depend on exact row
+    order, so the tie-break is correctness, not cosmetics), summarized
+    per decile. Both engines assign ntile remainders to the leading
+    buckets identically."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    ranked = o.select(
+        "o_totalprice",
+        F.ntile(10).over(w).alias("decile"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.round(F.max("cd"), 6).alias("cum_frac"),
+        )
+        .orderBy("decile")
+    )
+
+
+DECILES_ORACLE = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS decile,
+         cume_dist() OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS cd
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+       ROUND(MAX(cd), 6) AS cum_frac
+FROM ranked
+GROUP BY decile
+ORDER BY decile
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -5216,6 +5256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_attribution": orders_attribution,
         "lineitem_skew_report": lineitem_skew_report,
         "corpus_tokenize_ids": corpus_tokenize_ids,
+        "orders_price_deciles": orders_price_deciles,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -5359,6 +5400,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_attribution": ATTRIBUTION_ORACLE,
         "lineitem_skew_report": SKEW_REPORT_ORACLE,
         "corpus_tokenize_ids": TOKENIZE_IDS_ORACLE,
+        "orders_price_deciles": DECILES_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
