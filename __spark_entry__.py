@@ -5080,6 +5080,35 @@ ORDER BY decile
 """
 
 
+def nation_supplier_roster(spark, sf_dir):
+    """LISTAGG/string_agg portability: per-nation roster of supplier
+    names as one ordered string. Deterministic ONLY because the
+    aggregation is order-forced — sort_array(collect_list(...)) here,
+    string_agg(... ORDER BY) in the oracle; a bare collect_list would be
+    partition-order nondeterministic and unhashable."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.array_join(F.sort_array(F.collect_list("s_name")), ",")
+            .alias("roster"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ROSTER_ORACLE = """
+SELECT n_name, COUNT(*) AS n_suppliers,
+       string_agg(s_name, ',' ORDER BY s_name) AS roster
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -5257,6 +5286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_skew_report": lineitem_skew_report,
         "corpus_tokenize_ids": corpus_tokenize_ids,
         "orders_price_deciles": orders_price_deciles,
+        "nation_supplier_roster": nation_supplier_roster,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -5401,6 +5431,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_skew_report": SKEW_REPORT_ORACLE,
         "corpus_tokenize_ids": TOKENIZE_IDS_ORACLE,
         "orders_price_deciles": DECILES_ORACLE,
+        "nation_supplier_roster": ROSTER_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
