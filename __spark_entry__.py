@@ -5109,6 +5109,93 @@ ORDER BY n_name
 """
 
 
+def events_median_gap(spark, sf_dir):
+    """Median inter-event gap per user: lag() over the per-user time
+    order, exact percentile over the gaps. Gaps are exact integer
+    second differences (NTZ-safe epoch extraction), so the interpolated
+    median is bit-portable like the quantile suite."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gaps = (
+        ev.withColumn("_prev", F.lag("ts").over(w))
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "user_id",
+            (F.unix_timestamp("ts") - F.unix_timestamp("_prev"))
+            .alias("gap_s"),
+        )
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.percentile("gap_s", F.lit(0.5)).alias("median_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+MEDIAN_GAP_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         date_diff('second',
+                   lag(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC),
+                   ts) AS gap_s
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       quantile_cont(gap_s, 0.5) AS median_gap_s,
+       MAX(gap_s) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def customer_pareto_share(spark, sf_dir):
+    """Pareto analysis: customers ranked by revenue with EXACT-DECIMAL
+    running sums (a float running sum would drift with frame order),
+    cumulative share as one double division per row, and the 80%-club
+    flag. Top 50 by revenue; ties to custkey."""
+    o = _t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_r"))
+    total = rev.agg(F.sum("_r").alias("_t"))
+    w = Window.orderBy(F.col("_r").desc(), F.col("o_custkey").asc())
+    return (
+        rev.crossJoin(F.broadcast(total))
+        .withColumn("_run", F.sum("_r").over(w))
+        .select(
+            "o_custkey",
+            F.col("_r").cast("double").alias("revenue"),
+            F.round(F.col("_run").cast("double") / F.col("_t").cast("double"),
+                    6).alias("cum_share"),
+        )
+        .withColumn("in_top80", F.col("cum_share") <= 0.8)
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+        .limit(50)
+    )
+
+
+PARETO_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _r
+  FROM orders GROUP BY o_custkey
+), t AS (SELECT SUM(_r) AS _t FROM rev)
+SELECT o_custkey, CAST(_r AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(_r) OVER (ORDER BY _r DESC, o_custkey ASC) AS DOUBLE)
+             / CAST(_t AS DOUBLE), 6) AS cum_share,
+       ROUND(CAST(SUM(_r) OVER (ORDER BY _r DESC, o_custkey ASC) AS DOUBLE)
+             / CAST(_t AS DOUBLE), 6) <= 0.8 AS in_top80
+FROM rev, t
+ORDER BY revenue DESC, o_custkey ASC
+LIMIT 50
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -5287,6 +5374,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_tokenize_ids": corpus_tokenize_ids,
         "orders_price_deciles": orders_price_deciles,
         "nation_supplier_roster": nation_supplier_roster,
+        "events_median_gap": events_median_gap,
+        "customer_pareto_share": customer_pareto_share,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -5432,6 +5521,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_tokenize_ids": TOKENIZE_IDS_ORACLE,
         "orders_price_deciles": DECILES_ORACLE,
         "nation_supplier_roster": ROSTER_ORACLE,
+        "events_median_gap": MEDIAN_GAP_ORACLE,
+        "customer_pareto_share": PARETO_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
