@@ -5196,6 +5196,45 @@ LIMIT 50
 """
 
 
+def orders_yoy_growth(spark, sf_dir):
+    """Year-over-year revenue growth per order priority: the lag() runs
+    over the AGGREGATED (priority, year) table — a few dozen rows —
+    never the fact table; growth is one double division of exact-decimal
+    sums, rounded 6dp. First year per priority reports NULL growth."""
+    o = _t(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("yr"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev"))
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    prev = F.lag("_rev").over(w)
+    return yearly.select(
+        "o_orderpriority", "yr",
+        F.col("_rev").cast("double").alias("revenue"),
+        F.round(
+            (F.col("_rev").cast("double") - prev.cast("double"))
+            / prev.cast("double"), 6,
+        ).alias("yoy_growth"),
+    ).orderBy("o_orderpriority", "yr")
+
+
+YOY_ORACLE = """
+WITH yearly AS (
+  SELECT o_orderpriority, CAST(year(o_orderdate) AS INT) AS yr,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS _rev
+  FROM orders GROUP BY o_orderpriority, CAST(year(o_orderdate) AS INT)
+)
+SELECT o_orderpriority, yr, CAST(_rev AS DOUBLE) AS revenue,
+       ROUND((CAST(_rev AS DOUBLE)
+              - CAST(lag(_rev) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY yr) AS DOUBLE))
+             / CAST(lag(_rev) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY yr) AS DOUBLE), 6) AS yoy_growth
+FROM yearly
+ORDER BY o_orderpriority, yr
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -5376,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_supplier_roster": nation_supplier_roster,
         "events_median_gap": events_median_gap,
         "customer_pareto_share": customer_pareto_share,
+        "orders_yoy_growth": orders_yoy_growth,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -5523,6 +5563,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_supplier_roster": ROSTER_ORACLE,
         "events_median_gap": MEDIAN_GAP_ORACLE,
         "customer_pareto_share": PARETO_ORACLE,
+        "orders_yoy_growth": YOY_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
