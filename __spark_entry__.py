@@ -5235,6 +5235,58 @@ ORDER BY o_orderpriority, yr
 """
 
 
+def supplier_balance_outliers(spark, sf_dir):
+    """Z-score outlier screen over account balances: mean and variance
+    from EXACT-DECIMAL power sums (2-dp inputs → 4-dp squares, both sum
+    exactly), then z = (x − μ)/σ per row. Deterministic WITHOUT rounding
+    tricks because IEEE-754 sqrt is exactly rounded (unlike ln/pow) — σ
+    and every z come out bit-identical in both engines; output rounded
+    6dp anyway per house style. Flags |z| > 1.5 (the fixture's balances are
+    uniform-ish, capping |z| at √3 ≈ 1.73 — a 2σ gate would be
+    structurally empty)."""
+    s = _t(spark, sf_dir, "supplier")
+    x = F.col("s_acctbal").cast("decimal(12,2)")
+    stats = s.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_s1"),
+        F.sum(x * x).alias("_s2"),
+    )
+    j = s.crossJoin(F.broadcast(stats))
+    mu = F.col("_s1").cast("double") / F.col("_n")
+    var = F.col("_s2").cast("double") / F.col("_n") - mu * mu
+    z = (F.col("s_acctbal") - mu) / F.sqrt(var)
+    return (
+        j.select(
+            "s_suppkey", "s_name", "s_acctbal",
+            F.round(z, 6).alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 1.5)
+        .orderBy(F.col("zscore").asc(), F.col("s_suppkey").asc())
+    )
+
+
+ZSCORE_ORACLE = """
+WITH stats AS (
+  SELECT COUNT(*) AS _n,
+         SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS _s1,
+         SUM(CAST(s_acctbal AS DECIMAL(12,2))
+             * CAST(s_acctbal AS DECIMAL(12,2))) AS _s2
+  FROM supplier
+)
+SELECT s_suppkey, s_name, s_acctbal,
+       ROUND((s_acctbal - CAST(_s1 AS DOUBLE) / _n)
+             / sqrt(CAST(_s2 AS DOUBLE) / _n
+                    - (CAST(_s1 AS DOUBLE) / _n)
+                      * (CAST(_s1 AS DOUBLE) / _n)), 6) AS zscore
+FROM supplier, stats
+WHERE ABS(ROUND((s_acctbal - CAST(_s1 AS DOUBLE) / _n)
+                / sqrt(CAST(_s2 AS DOUBLE) / _n
+                       - (CAST(_s1 AS DOUBLE) / _n)
+                         * (CAST(_s1 AS DOUBLE) / _n)), 6)) > 1.5
+ORDER BY zscore ASC, s_suppkey ASC
+"""
+
+
 def events_cohort_retention(spark, sf_dir):
     """Cohort retention matrix: users grouped by first-activity week,
     counted in each later week they return — the product-analytics
@@ -5416,6 +5468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_median_gap": events_median_gap,
         "customer_pareto_share": customer_pareto_share,
         "orders_yoy_growth": orders_yoy_growth,
+        "supplier_balance_outliers": supplier_balance_outliers,
         "count_rows": count_rows,
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
@@ -5564,6 +5617,7 @@ def oracle_sql() -> dict[str, str]:
         "events_median_gap": MEDIAN_GAP_ORACLE,
         "customer_pareto_share": PARETO_ORACLE,
         "orders_yoy_growth": YOY_ORACLE,
+        "supplier_balance_outliers": ZSCORE_ORACLE,
         "count_rows": "SELECT COUNT(*) AS n FROM lineitem",
         "cdc_window_dedup": DEDUP_ORACLE,
         "cdc_filter_inserts": _filter_oracle("op = 'I'"),
