@@ -4631,10 +4631,10 @@ WITH e AS (
 )
 SELECT user_id, event_type, value, ts AS valid_from,
        COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, fp ASC),
-                TIMESTAMP '9999-12-31 23:59:59') AS valid_to,
+                TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
        COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, fp ASC),
-                TIMESTAMP '9999-12-31 23:59:59')
-         = TIMESTAMP '9999-12-31 23:59:59' AS is_current
+                TIMESTAMP '2200-01-01 00:00:00')
+         = TIMESTAMP '2200-01-01 00:00:00' AS is_current
 FROM s2
 """
 
@@ -4979,21 +4979,29 @@ FROM counts
 
 def corpus_tokenize_ids(spark, sf_dir):
     """Corpus → token-ID sequences, UDF-free: learn a frequency-ranked
-    vocabulary (top 64, ties by token — the window runs over the
-    metadata-sized distinct-token table, not the corpus), then map every
-    document to its positional id array via posexplode → broadcast vocab
-    join → sort_array(struct(pos,id)) regroup. OOV → -1. This is the
-    tokenize step of a training-data pipeline expressed as pure
-    DataFrame ops — the id arrays come out exactly positional with no
-    Python in the hot path."""
+    vocabulary (top 64 via TakeOrderedAndProject — per-partition partial
+    top-k, never a global sort of the distinct-token table), then map
+    every document to its positional id sequence via posexplode →
+    broadcast vocab join → sort_array(struct(pos,id)) regroup. OOV → -1.
+    The ids come back space-joined (driver-canon-safe; array cells crash
+    the pandas row sort) with n_tokens as the structural check."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(TX.tokens("text")).alias("pos", "tok"))
+    # top-64 via orderBy().limit() → TakeOrderedAndProject: each partition
+    # keeps its local top-64 and only 64×nPartitions rows reach the driver
+    # stage — NOT a global window over the full distinct-token table (at
+    # web-corpus scale the vocabulary is 10^7-10^8 tokens; a single-reducer
+    # total sort there is the scale bug this shape avoids). The ranking
+    # window then runs over exactly 64 survivor rows.
+    top = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(64)
+    )
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
     vocab = (
-        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("id", F.row_number().over(w) - 1)
-        .filter(F.col("id") < 64)
+        top.withColumn("id", F.row_number().over(w) - 1)
         .select("tok", "id")
     )
     mapped = toks.join(F.broadcast(vocab), on="tok", how="left").select(
@@ -5002,9 +5010,15 @@ def corpus_tokenize_ids(spark, sf_dir):
         mapped.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "tid"))),
-                lambda s: s["tid"],
+            # serialized (space-joined) rather than array<int>: the driver's
+            # correctness canonicalizer sorts rows via pandas, which cannot
+            # factorize ndarray cells — array columns crash it (r05 red).
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tid"))),
+                    lambda s: s["tid"],
+                ),
+                " ",
             ).alias("ids"),
         )
         .orderBy("doc_id")
@@ -5033,7 +5047,8 @@ mapped AS (
   SELECT doc_id, pos, COALESCE(id, -1) AS tid
   FROM toks LEFT JOIN vocab USING (tok)
 )
-SELECT doc_id, COUNT(*) AS n_tokens, list(tid ORDER BY pos) AS ids
+SELECT doc_id, COUNT(*) AS n_tokens,
+       array_to_string(list(tid ORDER BY pos), ' ') AS ids
 FROM mapped
 GROUP BY doc_id
 ORDER BY doc_id

@@ -29,7 +29,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-HIGH_TS = "9999-12-31 23:59:59"
+# Open-interval sentinel. Deliberately NOT 9999-12-31: pandas/pyarrow
+# ns-resolution timestamps overflow past 2262-04-11, so a 9999 sentinel
+# makes the table un-convertible via toPandas() (the driver's
+# canonicalization path). 2200-01-01 is ns-representable everywhere and
+# still sorts after any plausible event time.
+HIGH_TS = "2200-01-01 00:00:00"
 
 
 def scd2_build(
@@ -42,7 +47,8 @@ def scd2_build(
 
     Returns (key…, attrs…, valid_from, valid_to, is_current): half-open
     [valid_from, valid_to) intervals; the current row carries
-    ``valid_to = 9999-12-31`` and is_current = true. Ties on ts within a
+    ``valid_to = HIGH_TS`` (2200-01-01, ns-safe) and is_current = true.
+    Ties on ts within a
     key keep the LAST row by attr fingerprint order (deterministic);
     consecutive versions with identical attrs collapse into one."""
     fp = F.md5(F.concat_ws("\x1f", *[

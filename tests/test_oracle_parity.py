@@ -80,10 +80,35 @@ def _arrow_rows(table):
     return cols, [tuple(d[c] for c in cols) for d in pydicts]
 
 
+def _driver_canon_compat(table):
+    """Replicate the driver's canonicalization path and fail loudly if it
+    would crash there.
+
+    The driver's ``_canon`` goes ``toPandas()`` then a pandas lexsort over
+    all columns. Two crash classes escaped the Arrow-based check in r05:
+
+    * timestamps past pandas' ns range (max 2262-04-11) — pyarrow's
+      µs→ns cast overflows in ``to_pandas()`` (``dim_scd2_history``'s
+      9999-12-31 sentinel);
+    * array cells — pandas' multi-column lexsort factorizes object
+      columns by hashing, and ndarray cells are unhashable
+      (``corpus_tokenize_ids``'s id arrays).
+
+    ``toPandas()`` is Arrow-backed in Spark 4, so ``Table.to_pandas()``
+    on the already-fetched Arrow table reproduces both failure modes
+    without re-running the query.
+    """
+    pdf = table.to_pandas()
+    if len(pdf.columns):
+        pdf.sort_values(by=list(pdf.columns), kind="mergesort")
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
     df = QUERIES[name](spark, SF_DIR)
-    spark_cols, spark_rows = _arrow_rows(df.toArrow())
+    table = df.toArrow()
+    _driver_canon_compat(table)
+    spark_cols, spark_rows = _arrow_rows(table)
 
     if name not in ORACLES:  # rows-only contract
         assert len(spark_rows) >= 0

@@ -157,3 +157,37 @@ def test_line_dedup_no_window_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan, "line dedup must not window the corpus"
+
+
+def test_tokenize_vocab_is_take_ordered_not_global_window(spark):
+    """corpus_tokenize_ids' vocabulary ranking: the top-64 selection must be
+    TakeOrderedAndProject (per-partition partial top-k) — at web-corpus
+    scale the distinct-token table is 10^7-10^8 rows and a global
+    row_number window over it funnels everything through one reducer.
+    The only Window allowed in the plan is the one over the 64 survivors.
+    """
+    plan = _plan(entry_mod.corpus_tokenize_ids(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, (
+        "vocab top-64 must be orderBy().limit() -> TakeOrderedAndProject"
+    )
+    # exactly one Window may remain (ranking the 64 survivors); a second
+    # one would mean the global ranking crept back in beside the limit
+    n_windows = len(re.findall(r"\bWindow\b", plan))
+    assert n_windows <= 1, f"expected <=1 Window (survivor rank), got {n_windows}"
+
+
+def test_q9_product_profit_no_cartesian_broadcasts_dims(spark):
+    """q9 is the heaviest TPC-H shape (5-way join): part/supplier/nation
+    must broadcast; no cartesian/nested-loop anywhere."""
+    plan = _plan(entry_mod.q9_product_profit(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_waiting_suppliers_semi_anti_broadcast(spark):
+    """q21's existence/absence self-joins on l_orderkey must stay
+    hash-based (semi/anti), never nested-loop."""
+    plan = _plan(entry_mod.q21_waiting_suppliers(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
