@@ -172,7 +172,9 @@ def test_tokenize_vocab_is_take_ordered_not_global_window(spark):
     )
     # exactly one Window may remain (ranking the 64 survivors); a second
     # one would mean the global ranking crept back in beside the limit
-    n_windows = len(re.findall(r"\bWindow\b", plan))
+    # formatted explain lists each operator twice (tree + detail section),
+    # so count distinct "(n) Window" detail headers
+    n_windows = len(re.findall(r"^\(\d+\) Window", plan, re.M))
     assert n_windows <= 1, f"expected <=1 Window (survivor rank), got {n_windows}"
 
 
