@@ -22,9 +22,11 @@ implementations trade a few lines of expression code for a sketch that is
   < 53), so summation order cannot matter;
 * the HLL constant alpha_m and the final division are pure IEEE ops on
   literals — identical in any IEEE engine. The small-range linear-
-  counting correction (which needs ln()) is deliberately omitted:
-  libm last-ulp drift across engines would break hash parity, and the
-  gate compares determinism, not estimator bias.
+  counting branch (m·ln(m/zeros), implemented in ``hll_estimate``)
+  needs ln(); cross-engine libm last-ulp drift is fenced by rounding
+  the final estimate to 6 dp (the repo's float-gate convention) and by
+  branch conditions that compare IEEE-identical doubles, so both
+  engines take the same arm and produce the same rounded value.
 
 All expressions are JVM-side (no UDFs); both sketches are one narrow
 aggregation over the fact table.

@@ -136,6 +136,10 @@ def check_expectations(df: DataFrame, rules: list[Expect]) -> DataFrame:
     violation unit there is a duplicated group, so the denominator is
     groups — Deequ's convention).
     """
+    if not rules:
+        # fail loudly: an empty rule list reaching write_audit_publish
+        # would "pass" the audit without auditing anything
+        raise ValueError("check_expectations: empty rules list")
     names = [r.name for r in rules]
     if len(set(names)) != len(names):
         raise ValueError("duplicate rule names")

@@ -139,6 +139,58 @@ class _IntervalStab:
         return out
 
 
+def _spark_cast_str(v):
+    """Render a Python probe value the way Spark's CAST(col AS STRING)
+    renders the column the bloom sidecars were built from
+    (``_build_bloom_sidecars`` hashes ``F.col(c).cast("string")``).
+
+    Python's ``str()`` diverges exactly where it silently breaks the
+    probe: ``str(True) == 'True'`` vs Spark's ``'true'``;
+    ``datetime.isoformat()`` puts a 'T' where Spark puts a space; big
+    floats go scientific with a different shape. A mismatch makes the
+    bloom probe false-NEGATIVE — files containing real matches get
+    pruned. Returns None when the faithful rendering is not known
+    (caller must then skip bloom pruning for the whole lookup — keeping
+    files is always safe, dropping them is not).
+    """
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, float):
+        s = repr(v)
+        # Spark renders scientific notation as 1.0E20, Python as 1e+20 —
+        # don't guess, just decline to prune on such values
+        return None if ("e" in s or "E" in s or s in ("inf", "-inf", "nan")) else s
+    if isinstance(v, _dt.datetime):
+        s = v.strftime("%Y-%m-%d %H:%M:%S")
+        if v.microsecond:
+            s += f".{v.microsecond:06d}".rstrip("0")
+        return s
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    return None
+
+
+def _outside_range(vs, lo, hi) -> bool:
+    """True only when the stat PROVES v lies outside [lo, hi]; None or a
+    cross-type comparison (probing a string on an int-stats column) can
+    prove nothing, so they answer False and the file is kept."""
+    if vs is None:
+        return False
+    try:
+        return vs < lo or vs > hi
+    except TypeError:
+        return False
+
+
 def _stat_value(v):
     """JSON-safe, order-preserving rendering of a footer statistic.
 
@@ -1019,20 +1071,27 @@ class NativeTable:
         commit = self.timeline.latest()
         if commit is None:
             raise ValueError(f"table {self.root} has no commits")
-        val_strs = [str(v) for v in values]
+        # probe values rendered with Spark CAST semantics to match the
+        # sidecar build; any un-renderable value disables bloom pruning
+        # for the whole lookup (pruning on a mis-rendered string would
+        # false-negative and silently drop matching files)
+        val_strs = [_spark_cast_str(v) for v in values]
         if commit.deltas:
             out = self.read_snapshot(with_meta=True)
             out = out.filter(F.col(col).isin(values))
             return out if with_meta else out.drop(*META_COLS)
+        vstats = [_stat_value(v) for v in values]
         candidates = []
         for f in commit.files:
             s = commit.col_stats.get(f, {}).get(col)
             if s is not None and all(
-                _stat_value(v) < s[0] or _stat_value(v) > s[1] for v in values
+                _outside_range(vs, s[0], s[1]) for vs in vstats
             ):
                 continue
             candidates.append(f)
-        if col in self.secondary_bloom_cols:
+        if col in self.secondary_bloom_cols and all(
+            v is not None for v in val_strs
+        ):
             blooms = self._load_blooms(candidates, col)
             pairs = [_bloom_hash_pair(v) for v in val_strs]
             kept = []
@@ -1607,6 +1666,16 @@ class NativeTable:
 
     def _overwrite(self, df: DataFrame, parallelism: int,
                    extra_stats: dict | None, scope: str) -> Commit:
+        if scope == "partitions" and (self.timeline.latest() or
+                                      Commit(0, "", [])).deltas:
+            # MoR with un-compacted deltas: a delta file can hold records
+            # for partitions this batch does NOT touch, and the overwrite
+            # commit publishes with deltas=[] — carrying only prev.files
+            # would silently drop those records. Compact first so every
+            # surviving record lives in a base file the partition
+            # carry-over below can reference. (Full-table overwrite is
+            # exempt: discarding deltas IS the overwrite semantics.)
+            self.compact()
         cid = self.timeline.next_commit_id()
         out = self._with_meta(df, f"{cid:020d}")
         if parallelism > 0:

@@ -161,3 +161,30 @@ def test_insert_overwrite_partitions_restates_one_day(spark, tmp_path):
     after = {f for f in t.timeline.latest().files
              if t._file_partition(f) != ("d1",)}
     assert after == before
+
+
+def test_partition_overwrite_compacts_mor_deltas_first(spark, tmp_path):
+    """Partition-scoped overwrite on a MoR table with live deltas: the
+    overwrite commit publishes deltas=[], so un-compacted delta records
+    belonging to UNTOUCHED partitions must be folded into base files
+    first — silently dropping them is data loss (round-5 advice)."""
+    from glue_hudi_spark.storage.native import NativeTable
+
+    t = NativeTable(
+        spark, str(tmp_path / "mor_ow"), record_keys=["id"],
+        precombine="v", partition_keys=["d"], storage_type="mor",
+        compact_every=100,
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [("a", "2024-01-01", 1), ("b", "2024-01-02", 1)],
+        "id string, d string, v int"))
+    # delta upsert touching BOTH partitions, left un-compacted
+    t.upsert(spark.createDataFrame(
+        [("a", "2024-01-01", 2), ("b", "2024-01-02", 2)],
+        "id string, d string, v int"))
+    # restate only 2024-01-01
+    t.insert_overwrite_partitions(spark.createDataFrame(
+        [("a", "2024-01-01", 9)], "id string, d string, v int"))
+    got = {(r["id"], r["v"]) for r in t.read_snapshot().collect()}
+    # b's delta record (v=2) survived; a took the restated value
+    assert got == {("a", 9), ("b", 2)}

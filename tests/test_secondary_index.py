@@ -84,3 +84,49 @@ def test_mor_delta_falls_back_to_snapshot(spark, tmp_table_dir):
         [("0001", "c9", 999)], "id string, cat string, v int"))
     hit = t.read_by_value("cat", ["c9"])
     assert [r["id"] for r in hit.collect()] == ["0001"]
+
+
+def test_probe_value_rendering_matches_spark_cast(spark, tmp_table_dir):
+    """Bloom sidecars hash CAST(col AS STRING); the probe side must render
+    Python values identically (str(True)='True' vs Spark 'true' would
+    false-negative and silently prune files that DO contain matches)."""
+    import datetime as dt
+
+    t = NativeTable(
+        spark, tmp_table_dir, record_keys=["id"], precombine=None,
+        partition_keys=[], files_per_partition=2,
+        secondary_bloom_cols=["flag", "ts"],
+    )
+    rows = [
+        (f"{i:03d}", i % 2 == 0, dt.datetime(2024, 1, 1 + i % 5, 12, 30, i % 60))
+        for i in range(40)
+    ]
+    t.bulk_insert(spark.createDataFrame(
+        rows, "id string, flag boolean, ts timestamp"))
+    # boolean probe: must not be pruned away by the 'True' vs 'true' gap
+    assert t.read_by_value("flag", [True]).count() == 20
+    assert t.read_by_value("flag", [False]).count() == 20
+    # timestamp probe: isoformat 'T' separator vs Spark's space
+    want = dt.datetime(2024, 1, 3, 12, 30, 2)
+    got = t.read_by_value("ts", [want]).collect()
+    assert [r["id"] for r in got] == ["002"]
+
+
+def test_unrenderable_probe_values_keep_files_not_crash(spark, tmp_table_dir):
+    """A probe value the stats/bloom layers can't canonicalize (None, a
+    huge float) must disable pruning for the lookup — never TypeError,
+    never a silently-empty result."""
+    t = NativeTable(
+        spark, tmp_table_dir, record_keys=["id"], precombine=None,
+        partition_keys=[], files_per_partition=2,
+        secondary_bloom_cols=["x"], stats_cols=["x"],
+    )
+    t.bulk_insert(spark.createDataFrame(
+        [(f"{i:03d}", float(i)) for i in range(20)], "id string, x double"))
+    # None probe: matches nothing (NULL equality) but must not crash the
+    # stats prune (None is not orderable against [min, max])
+    assert t.read_by_value("x", [None]).count() == 0
+    # scientific-notation float: rendering declined -> bloom skipped,
+    # exact filter still answers correctly
+    assert t.read_by_value("x", [1e20]).count() == 0
+    assert t.read_by_value("x", [1e20, 7.0]).count() == 1
