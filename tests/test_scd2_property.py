@@ -44,7 +44,7 @@ def _scd2_oracle(events):
                 versions.append((m, a))
         for i, (m, a) in enumerate(versions):
             end = _ts(versions[i + 1][0]) if i + 1 < len(versions) else \
-                dt.datetime(9999, 12, 31, 23, 59, 59)
+                dt.datetime(2200, 1, 1, 0, 0, 0)
             expected.add((k, a, _ts(m), end, i + 1 == len(versions)))
     return expected
 
