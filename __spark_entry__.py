@@ -5416,6 +5416,260 @@ LIMIT {k}
 """
 
 
+def corpus_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy document scoring (operators/lm.py): learn the
+    corpus's own add-one-smoothed unigram distribution (one token-count
+    aggregate — vocabulary-sized output, map-side combined), score every
+    document by mean token log-prob (explode → equi-join on token →
+    per-doc aggregate; AQE broadcasts the model when it's small), then
+    report per-source score distribution. The cheap stand-in for the
+    KenLM screen CCNet/RefinedWeb run; a doc whose tokens are
+    collectively improbable is boilerplate/noise/wrong-language.
+    6-dp rounding fences libm ln() and summation-order drift."""
+    from glue_hudi_spark.operators import lm
+
+    d = _t(spark, sf_dir, "documents")
+    model = lm.unigram_train(d)
+    scored = lm.unigram_score(d, model)
+    j = scored.join(d.select("doc_id", "source"), on="doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("avg_logp"), 6).alias("avg_logp"),
+            F.round(F.min("avg_logp"), 6).alias("worst_logp"),
+        )
+        .orderBy("source")
+    )
+
+
+UNIGRAM_LOGPROB_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM counts
+), model AS (
+  SELECT tok, ln((cnt + 1.0) / CAST(n + v AS DOUBLE)) AS logp
+  FROM counts, tot
+), scored AS (
+  SELECT t.doc_id, t.source, AVG(m.logp) AS avg_logp
+  FROM toks t JOIN model m USING (tok)
+  GROUP BY t.doc_id, t.source
+)
+SELECT source, COUNT(*) AS n_docs,
+       ROUND(AVG(avg_logp), 6) AS avg_logp,
+       ROUND(MIN(avg_logp), 6) AS worst_logp
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+def corpus_quality_percentile(spark, sf_dir):
+    """Dynamic-threshold quality filter: keep documents at or above the
+    corpus's own 75th-percentile quality score (the calibration move a
+    classifier-based pipeline makes — thresholds are data-relative, not
+    absolute). The percentile runs over the doc-level SCORE table (one
+    row per doc, not the text); exact `percentile` is the cross-engine
+    gate choice — the 100-TB path swaps in approx_percentile(q, 0.75,
+    10000), same plan shape otherwise. Scores are pre-rounded to 6 dp
+    (quality_score's contract), so interpolation and the >= comparison
+    are bit-identical across engines."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select("doc_id", "lang", TX.quality_score("text").alias("q"))
+    thr = scored.agg(F.percentile("q", F.lit(0.75)).alias("_thr"))
+    kept = scored.crossJoin(F.broadcast(thr)).filter(
+        F.col("q") >= F.col("_thr"))
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_q"),
+            F.round(F.min("q"), 6).alias("min_q"),
+        )
+        .orderBy("lang")
+    )
+
+
+QUALITY_PERCENTILE_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, lang,
+    length(text) AS n,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, lang,
+    CASE WHEN n > 0 THEN n_punct::DOUBLE / n::DOUBLE ELSE 0.0 END AS pr,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({_SW}, x)))::DOUBLE
+              / len(toks)::DOUBLE
+         ELSE 0.0 END AS sr,
+    len(toks)::DOUBLE AS n_tok
+  FROM base
+), q AS (
+  SELECT doc_id, lang,
+    round((least(n_tok / 50.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))
+           + least(sr * 10.0, 1.0)) / 3.0, 6) AS q
+  FROM m
+), thr AS (
+  SELECT quantile_cont(q, 0.75) AS t FROM q
+)
+SELECT lang, COUNT(*) AS n_kept,
+       ROUND(AVG(q), 6) AS avg_q, ROUND(MIN(q), 6) AS min_q
+FROM q, thr WHERE q >= t
+GROUP BY lang ORDER BY lang
+"""
+
+
+def corpus_source_best(spark, sf_dir):
+    """Keep-best-per-group: the top-3 documents of every source by
+    quality score (doc_id tie-break) — the per-domain representative
+    selection a curation pipeline runs after dedup. row_number windows
+    partition by source, so each group sorts independently — no global
+    order anywhere; at 100 TB this is one shuffle on source (salt the
+    mega-domains if a single source dominates)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", TX.quality_score("text").alias("q"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("q").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "doc_id", "q")
+        .orderBy("source", "rank")
+    )
+
+
+SOURCE_BEST_ORACLE = rf"""
+WITH base AS (
+  SELECT doc_id, source,
+    length(text) AS n,
+    len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS n_punct,
+    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, source,
+    CASE WHEN n > 0 THEN n_punct::DOUBLE / n::DOUBLE ELSE 0.0 END AS pr,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains({_SW}, x)))::DOUBLE
+              / len(toks)::DOUBLE
+         ELSE 0.0 END AS sr,
+    len(toks)::DOUBLE AS n_tok
+  FROM base
+), q AS (
+  SELECT doc_id, source,
+    round((least(n_tok / 50.0, 1.0) + (1.0 - least(pr * 5.0, 1.0))
+           + least(sr * 10.0, 1.0)) / 3.0, 6) AS q
+  FROM m
+)
+SELECT source,
+       CAST(row_number() OVER
+            (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS INT) AS rank,
+       doc_id, q
+FROM q
+QUALIFY rank <= 3
+ORDER BY source, rank
+"""
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_price
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+def lineitem_grouping_sets(spark, sf_dir):
+    """GROUPING SETS with GROUPING() indicators — detail, per-flag
+    subtotal, and grand total in ONE aggregate pass (Spark expands the
+    sets map-side; one shuffle, not three). Sums run in decimal so the
+    three grains agree bit-for-bit with the oracle regardless of
+    addition order. Dialect-shared SQL: the same text runs on Spark and
+    DuckDB."""
+    return _sql(spark, sf_dir, GROUPING_SETS_SQL, ["lineitem"])
+
+
+def part_price_regression(spark, sf_dir):
+    """Per-brand OLS of retail price on size — computed from EXACT
+    decimal/bigint sufficient statistics (Sx, Sy, Sxy, Sxx, Syy), with
+    the only floating-point ops being the final divisions/sqrt on
+    identical exact inputs — so slope/intercept/corr are bit-identical
+    across engines with no one-pass-covariance drift. One aggregate
+    over part (map-side combined); the moment trick is how regression
+    stays a single shuffle at any scale."""
+    p = _t(spark, sf_dir, "part")
+    x = F.col("p_size").cast("bigint")
+    y = F.col("p_retailprice").cast("decimal(18,2)")
+    s = p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum((x.cast("decimal(18,2)") * y).cast("decimal(30,4)")).alias("sxy"),
+        F.sum((y * y).cast("decimal(30,4)")).alias("syy"),
+    )
+    dx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n").cast("decimal(20,0)") * F.col("syy")
+          - (F.col("sy") * F.col("sy")).cast("decimal(38,4)")).cast("double")
+    num = (F.col("n").cast("decimal(20,0)") * F.col("sxy")
+           - (F.col("sx").cast("decimal(18,2)") * F.col("sy"))
+           .cast("decimal(38,4)")).cast("double")
+    slope = num / dx
+    intercept = (F.col("sy").cast("double") - slope * F.col("sx").cast("double")) / F.col("n")
+    corr = num / F.sqrt(dx * dy)
+    return (
+        s.select(
+            "p_brand", "n",
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(corr, 6).alias("corr"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+PART_REGRESSION_ORACLE = """
+WITH s AS (
+  SELECT p_brand,
+         COUNT(*) AS n,
+         SUM(CAST(p_size AS BIGINT)) AS sx,
+         SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS sy,
+         SUM(CAST(p_size AS BIGINT) * CAST(p_size AS BIGINT)) AS sxx,
+         SUM(CAST(CAST(p_size AS DECIMAL(18,2))
+             * CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS sxy,
+         SUM(CAST(CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(p_retailprice AS DECIMAL(18,2)) AS DECIMAL(30,4))) AS syy
+  FROM part GROUP BY p_brand
+), d AS (
+  SELECT p_brand, n,
+    CAST(n * sxx - sx * sx AS DOUBLE) AS dx,
+    CAST(CAST(n AS DECIMAL(20,0)) * syy
+         - CAST(sy * sy AS DECIMAL(38,4)) AS DOUBLE) AS dy,
+    CAST(CAST(n AS DECIMAL(20,0)) * sxy
+         - CAST(CAST(sx AS DECIMAL(18,2)) * sy AS DECIMAL(38,4)) AS DOUBLE)
+      AS num,
+    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd
+  FROM s
+)
+SELECT p_brand, n,
+       ROUND(num / dx, 6) AS slope,
+       ROUND((syd - (num / dx) * sxd) / n, 6) AS intercept,
+       ROUND(num / sqrt(dx * dy), 6) AS corr
+FROM d ORDER BY p_brand
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5581,6 +5835,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": embedding_quantize,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
+        # round-6 additions
+        "corpus_unigram_logprob": corpus_unigram_logprob,
+        "corpus_quality_percentile": corpus_quality_percentile,
+        "corpus_source_best": corpus_source_best,
+        "lineitem_grouping_sets": lineitem_grouping_sets,
+        "part_price_regression": part_price_regression,
     }
 
 
@@ -5729,4 +5989,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_quantize": QUANTIZE_ORACLE,
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
+        "corpus_unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
+        "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
+        "corpus_source_best": SOURCE_BEST_ORACLE,
+        "lineitem_grouping_sets": GROUPING_SETS_SQL,
+        "part_price_regression": PART_REGRESSION_ORACLE,
     }

@@ -1,0 +1,95 @@
+"""Unigram language-model scoring — the perplexity-proxy quality signal.
+
+Production curation pipelines (CCNet, RefinedWeb, Dolma) score documents
+with a language model and drop the tail; the cheap, fully-distributed
+version is a UNIGRAM model learned from the corpus itself: a document
+whose tokens are collectively improbable under the corpus distribution
+is boilerplate, lorem-ipsum, encoding noise, or another language — the
+same screen KenLM provides, minus the external model artifact.
+
+Spark shape (scales to 100 TB):
+
+* ``unigram_train`` — one token-count aggregate over the exploded corpus
+  (map-side partial combine; the result is VOCABULARY-sized, not
+  corpus-sized). Add-one smoothing so unseen tokens score finitely.
+* ``unigram_score`` — posexplode → hash-join tokens to the model on the
+  token key → per-doc mean log-prob re-aggregate. The model join is a
+  plain equi-join: at web scale the vocabulary (10^7-10^8 rows) exceeds
+  broadcast limits, and Spark's AQE will broadcast it automatically
+  whenever it IS small — declare, don't hand-schedule. OOV tokens take
+  the smoothed floor log(1/(N+V)) via coalesce, no second pass.
+
+Determinism across engines: log() is libm and the per-doc sum order is
+engine-dependent, so consumers that hash-compare results must round
+(this repo's 6-dp convention) — drift is ~1e-13 on values O(-10).
+
+No reference counterpart (the reference stops at CDC merge); this is
+part of the training-data extension surface, reference-cited only at
+the suite level (SURVEY.md §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def unigram_train(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Learn the smoothed unigram distribution of a corpus.
+
+    Returns a vocabulary-sized model: (tok, cnt, logp) where
+    ``logp = ln((cnt + 1) / (N + V))`` with N = total tokens and
+    V = vocabulary size — add-one (Laplace) smoothing, so the same
+    ``1/(N+V)`` floor prices out-of-vocabulary tokens at score time.
+    """
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_v"))
+    return (
+        counts.crossJoin(F.broadcast(totals))  # 1-row scalar append
+        .select(
+            "tok", "cnt",
+            F.log((F.col("cnt") + 1).cast("double")
+                  / (F.col("_n") + F.col("_v")).cast("double")).alias("logp"),
+            F.log(F.lit(1.0) / (F.col("_n") + F.col("_v")).cast("double"))
+            .alias("oov_logp"),
+        )
+    )
+
+
+def unigram_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document: mean token log-prob under ``model``.
+
+    Returns (id_col, n_tokens, avg_logp). Lower = less corpus-like.
+    One explode + one equi-join on the token + one per-doc aggregate;
+    nothing wider than (doc_id, token) shuffles.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    # oov_logp is constant across the model; carry it through the join so
+    # a missed token coalesces to the smoothing floor without a second
+    # scalar lookup
+    floor = model.agg(F.min("oov_logp").alias("_floor"))
+    scored = (
+        toks.join(model.select("tok", "logp"), on="tok", how="left")
+        .crossJoin(F.broadcast(floor))
+        .select(
+            id_col,
+            F.coalesce(F.col("logp"), F.col("_floor")).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("lp").alias("avg_logp"),
+    )
