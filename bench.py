@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     "lineitem_copurchase_pairs",
     "corpus_tokenize_ids",
     "orders_attribution",
+    # round-6 additions (no baseline counterpart — compare within-run):
+    "corpus_unigram_logprob",
+    "corpus_quality_percentile",
+    "corpus_source_best",
+    "lineitem_grouping_sets",
+    "part_price_regression",
 ]
 
 
