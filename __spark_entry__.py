@@ -5591,13 +5591,53 @@ ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
 
 
 def lineitem_grouping_sets(spark, sf_dir):
-    """GROUPING SETS with GROUPING() indicators — detail, per-flag
-    subtotal, and grand total in ONE aggregate pass (Spark expands the
-    sets map-side; one shuffle, not three). Sums run in decimal so the
-    three grains agree bit-for-bit with the oracle regardless of
-    addition order. Dialect-shared SQL: the same text runs on Spark and
-    DuckDB."""
-    return _sql(spark, sf_dir, GROUPING_SETS_SQL, ["lineitem"])
+    """GROUPING SETS semantics (detail + per-flag subtotal + grand
+    total with GROUPING() indicators) WITHOUT the Expand: Spark's
+    native GROUP BY GROUPING SETS replicates every fact row once per
+    set (3× the scan volume through the aggregate — measured 1.9 s vs
+    q1's 1.05 s on the same table). Instead, aggregate ONCE at the
+    finest grain — the fact table's only full pass — and derive the
+    coarser grains by re-aggregating the GROUP-COUNT-sized detail
+    result (6 rows here; bounded by |rf|×|ls| at any corpus size).
+    Decimal sums make the grains bit-identical to the oracle's
+    single-pass GROUPING SETS regardless of addition order."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    detail = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(qty).alias("_sq"),
+        F.sum(price).alias("_sp"),
+    # the three grains all branch off this 6-row result; localCheckpoint
+    # pins ONE fact-table pass (exchange reuse across union branches is
+    # planner-discretionary — measured: 3 scans without it)
+    ).localCheckpoint()
+    null_s = F.lit(None).cast("string")
+    lvl0 = detail.select(
+        "l_returnflag", "l_linestatus",
+        F.lit(0).alias("g_rf"), F.lit(0).alias("g_ls"),
+        "n", "_sq", "_sp")
+    lvl1 = detail.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"), F.sum("_sq").alias("_sq"),
+        F.sum("_sp").alias("_sp"),
+    ).select(
+        "l_returnflag", null_s.alias("l_linestatus"),
+        F.lit(0).alias("g_rf"), F.lit(1).alias("g_ls"), "n", "_sq", "_sp")
+    lvl2 = detail.agg(
+        F.sum("n").alias("n"), F.sum("_sq").alias("_sq"),
+        F.sum("_sp").alias("_sp"),
+    ).select(
+        null_s.alias("l_returnflag"), null_s.alias("l_linestatus"),
+        F.lit(1).alias("g_rf"), F.lit(1).alias("g_ls"), "n", "_sq", "_sp")
+    return (
+        lvl0.unionByName(lvl1).unionByName(lvl2)
+        .select(
+            "l_returnflag", "l_linestatus", "g_rf", "g_ls", "n",
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_sp").cast("double").alias("sum_price"),
+        )
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
 
 
 def part_price_regression(spark, sf_dir):
