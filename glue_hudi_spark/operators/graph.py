@@ -64,18 +64,21 @@ def pagerank(
         .union(e.select(F.col("dst").alias("id")))
         .distinct()
     )
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
     # the overflow precondition the docstring promises: r ≤ PR_SCALE and
-    # w ≤ ow, so r*w stays under 2^63 iff PR_SCALE * max(ow) does. One
-    # scalar aggregate over the (|V|-row) out-weight table — metadata
-    # cost; silently overflowing would corrupt every rank.
-    max_ow = outw.agg(F.max("ow")).first()[0] or 0
-    if PR_SCALE * max_ow >= 2**63:
-        raise ValueError(
-            f"pagerank: per-source weight sum {max_ow} overflows the "
-            f"bigint fixed-point (needs PR_SCALE*sum(w) < 2^63, i.e. "
-            f"sum(w) per source <= {2**63 // PR_SCALE}); rescale weights"
-        )
+    # w ≤ ow, so r*w stays under 2^63 iff PR_SCALE * ow does for every
+    # source. assert_true embeds the check in the out-weight aggregate
+    # itself — zero extra jobs, fails the action with this message
+    # instead of silently corrupting every rank.
+    _ow_limit = 2**63 // PR_SCALE
+    outw = (
+        e.groupBy("src").agg(F.sum("w").alias("ow"))
+        .withColumn("_chk", F.assert_true(
+            F.col("ow") <= F.lit(_ow_limit),
+            F.lit(f"pagerank: per-source weight sum exceeds {_ow_limit}; "
+                  f"PR_SCALE*sum(w) would overflow bigint — rescale weights"),
+        ))
+        .drop("_chk")
+    )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     # 1-row broadcast scalar (constant-append; see q11's note)
     base = nodes.crossJoin(F.broadcast(nn))

@@ -50,3 +50,18 @@ def test_damping_bounds_validated(spark):
         G.pagerank(df, damping_pct=0)
     with pytest.raises(ValueError):
         G.pagerank(df, damping_pct=100)
+
+
+def test_pagerank_overflow_guard_fires(spark):
+    """Weights whose per-source sum would overflow the bigint fixed-point
+    must fail the action loudly (assert_true in the out-weight aggregate),
+    not silently corrupt ranks."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    e = spark.createDataFrame(
+        [("a", "b", 2**63 // G.PR_SCALE + 1)],
+        "src string, dst string, w long")
+    with _pytest.raises(Exception) as exc:
+        G.pagerank(e, iters=1).collect()
+    assert "rescale weights" in str(exc.value) or "ASSERT" in str(exc.value).upper()
