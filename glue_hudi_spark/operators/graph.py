@@ -70,14 +70,17 @@ def pagerank(
     # itself — zero extra jobs, fails the action with this message
     # instead of silently corrupting every rank.
     _ow_limit = 2**63 // PR_SCALE
+    # assert_true returns NULL on pass, so the filter keeps every row —
+    # but unlike a projected-then-dropped column (which Catalyst prunes
+    # away, silently disabling the check), a filter predicate always
+    # executes
     outw = (
         e.groupBy("src").agg(F.sum("w").alias("ow"))
-        .withColumn("_chk", F.assert_true(
+        .filter(F.assert_true(
             F.col("ow") <= F.lit(_ow_limit),
             F.lit(f"pagerank: per-source weight sum exceeds {_ow_limit}; "
                   f"PR_SCALE*sum(w) would overflow bigint — rescale weights"),
-        ))
-        .drop("_chk")
+        ).isNull())
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
     # 1-row broadcast scalar (constant-append; see q11's note)
