@@ -5467,6 +5467,90 @@ FROM scored GROUP BY source ORDER BY source
 """
 
 
+def corpus_bigram_logprob(spark, sf_dir):
+    """Bigram LM scoring with stupid backoff (operators/lm.py): seen
+    bigrams score ln(c12/c1); unseen back off to ln(0.4·p_unigram) —
+    Brants et al.'s web-scale recipe (no discount training). Adjacent
+    pairs come from arrays_zip of the token array (no positional
+    self-join); the bigram/unigram model joins are vocabulary-sized
+    equi-joins. Per-source distribution, 6-dp fenced like the unigram
+    query; docs under 2 tokens have no bigrams and drop out. Train/score
+    split (even/odd doc_id) so backoff and OOV actually fire — scoring
+    the training slice itself would never miss a bigram."""
+    from glue_hudi_spark.operators import lm
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    held_out = d.filter(F.col("doc_id") % 2 == 1)
+    uni = lm.unigram_train(train)
+    bi = lm.bigram_train(train)
+    scored = lm.bigram_score(held_out, bi, uni)
+    j = scored.join(d.select("doc_id", "source"), on="doc_id")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.round(F.avg("avg_logp"), 6).alias("avg_logp"),
+        )
+        .orderBy("source")
+    )
+
+
+BIGRAM_LOGPROB_ORACLE = r"""
+WITH train AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS lst
+  FROM documents WHERE doc_id % 2 = 0
+), held AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS lst
+  FROM documents WHERE doc_id % 2 = 1
+), tr_idx AS (
+  SELECT doc_id, lst, unnest(range(1, len(lst))) AS i FROM train
+), tr_pairs AS (
+  SELECT lst[CAST(i AS INT)] AS w1, lst[CAST(i + 1 AS INT)] AS w2
+  FROM tr_idx
+), c12 AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM tr_pairs GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1
+), toks AS (
+  SELECT unnest(lst) AS tok FROM train
+), counts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM counts
+), uni AS (
+  SELECT tok AS w2, ln((cnt + 1.0) / CAST(n + v AS DOUBLE)) AS uni_logp
+  FROM counts, tot
+), sc_idx AS (
+  SELECT doc_id, source, lst, unnest(range(1, len(lst))) AS i FROM held
+), pairs AS (
+  SELECT doc_id, source,
+         lst[CAST(i AS INT)] AS w1, lst[CAST(i + 1 AS INT)] AS w2
+  FROM sc_idx
+), lp AS (
+  SELECT p.doc_id, p.source,
+         CASE WHEN b.c12 IS NOT NULL
+              THEN ln(CAST(b.c12 AS DOUBLE) / CAST(g.c1 AS DOUBLE))
+              ELSE ln(0.4) + COALESCE(
+                u.uni_logp,
+                (SELECT ln(1.0 / CAST(n + v AS DOUBLE)) FROM tot))
+              END AS lp
+  FROM pairs p
+  LEFT JOIN c12 b ON p.w1 = b.w1 AND p.w2 = b.w2
+  LEFT JOIN c1 g ON p.w1 = g.w1
+  LEFT JOIN uni u ON p.w2 = u.w2
+), per_doc AS (
+  SELECT doc_id, source, COUNT(*) AS n_bigrams, AVG(lp) AS avg_logp
+  FROM lp GROUP BY doc_id, source
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_bigrams) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(avg_logp), 6) AS avg_logp
+FROM per_doc GROUP BY source ORDER BY source
+"""
+
+
 def corpus_quality_percentile(spark, sf_dir):
     """Dynamic-threshold quality filter: keep documents at or above the
     corpus's own 75th-percentile quality score (the calibration move a
@@ -5877,6 +5961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_sample": multimodal_frame_sample,
         # round-6 additions
         "corpus_unigram_logprob": corpus_unigram_logprob,
+        "corpus_bigram_logprob": corpus_bigram_logprob,
         "corpus_quality_percentile": corpus_quality_percentile,
         "corpus_source_best": corpus_source_best,
         "lineitem_grouping_sets": lineitem_grouping_sets,
@@ -6030,6 +6115,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
         "corpus_unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
+        "corpus_bigram_logprob": BIGRAM_LOGPROB_ORACLE,
         "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
         "corpus_source_best": SOURCE_BEST_ORACLE,
         "lineitem_grouping_sets": GROUPING_SETS_SQL,

@@ -61,6 +61,82 @@ def unigram_train(
     )
 
 
+def bigram_train(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Bigram counts + left-context totals: (w1, w2, c12, c1).
+
+    Adjacent pairs come straight from the token array
+    (``arrays_zip(t[:-1], t[1:])``) — no positional self-join, no
+    shuffle before the count aggregate. Output is bigram-vocabulary-
+    sized."""
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    return c12.join(c1, on="w1")
+
+
+def bigram_score(
+    docs: DataFrame,
+    bigrams: DataFrame,
+    unigram_model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    backoff_pct: int = 40,
+) -> DataFrame:
+    """Per-document mean bigram log-prob with STUPID BACKOFF: seen
+    bigrams score ln(c12/c1); unseen ones back off to
+    ln(0.4 · p_unigram(w2)) — Brants et al.'s large-scale-LM recipe
+    (no discounting state to train, exactly what a distributed scorer
+    wants). Documents with fewer than 2 tokens have no bigrams and are
+    absent from the output. Two equi-joins (bigram table, unigram
+    model) — both vocabulary-sized; AQE broadcasts them when small."""
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            )
+        ).alias("p"),
+    ).select(id_col, F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    uni = unigram_model.select(
+        F.col("tok").alias("w2"), F.col("logp").alias("uni_logp"))
+    # the OOV floor must be a broadcast SCALAR: taking oov_logp off the
+    # left-joined model row would be NULL exactly when the join misses —
+    # i.e. precisely for the OOV tokens it exists to price
+    floor = unigram_model.agg(F.min("oov_logp").alias("_floor"))
+    backoff = F.log(F.lit(backoff_pct / 100.0))
+    scored = (
+        pairs.join(bigrams.select("w1", "w2", "c12", "c1"),
+                   on=["w1", "w2"], how="left")
+        .join(uni, on="w2", how="left")
+        .crossJoin(F.broadcast(floor))
+        .select(
+            id_col,
+            F.when(
+                F.col("c12").isNotNull(),
+                F.log(F.col("c12").cast("double") / F.col("c1").cast("double")),
+            ).otherwise(
+                backoff + F.coalesce(F.col("uni_logp"), F.col("_floor"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("lp").alias("avg_logp"),
+    )
+
+
 def unigram_score(
     docs: DataFrame,
     model: DataFrame,

@@ -52,3 +52,30 @@ def test_low_probability_doc_scores_below_corpus_like_doc(spark):
 def test_model_is_vocabulary_sized(spark):
     d = _docs(spark, [(i, "alpha beta gamma") for i in range(50)])
     assert lm.unigram_train(d).count() == 3
+
+
+def test_bigram_counts_and_backoff(spark):
+    import math as m
+
+    train = _docs(spark, [(1, "a b a b c")])
+    bi = {(r["w1"], r["w2"]): (r["c12"], r["c1"])
+          for r in lm.bigram_train(train).collect()}
+    # pairs: (a,b)x2 (b,a) (b,c); c1: a->2, b->2
+    assert bi == {("a", "b"): (2, 2), ("b", "a"): (1, 2), ("b", "c"): (1, 2)}
+
+    uni = lm.unigram_train(train)
+    # "a b" seen -> ln(2/2)=0; "b z" unseen -> ln(.4)+oov ln(1/8)
+    # (N=5 tokens, V=3 -> denom 8)
+    scored = {r["doc_id"]: r for r in
+              lm.bigram_score(_docs(spark, [(9, "a b z")]), lm.bigram_train(train), uni).collect()}
+    want = (m.log(2 / 2) + (m.log(0.4) + m.log(1 / 8))) / 2
+    assert scored[9]["n_bigrams"] == 2
+    assert m.isclose(scored[9]["avg_logp"], want)
+
+
+def test_single_token_docs_have_no_bigrams(spark):
+    train = _docs(spark, [(1, "a b")])
+    out = lm.bigram_score(
+        _docs(spark, [(5, "solo"), (6, "a b")]),
+        lm.bigram_train(train), lm.unigram_train(train))
+    assert {r["doc_id"] for r in out.collect()} == {6}
