@@ -5794,6 +5794,185 @@ FROM d ORDER BY p_brand
 """
 
 
+def lineitem_winsorized_stats(spark, sf_dir):
+    """Winsorized (p01/p99-clipped) price statistics per return flag —
+    the robust-mean screen that keeps a handful of fat-finger rows from
+    dragging a metric. Deterministic across engines WITHOUT summing raw
+    doubles in engine order: the within-range mass sums in decimal
+    (exact), the clipped tails contribute count×boundary (double ops on
+    identical inputs), and only then does one division happen. Two
+    passes over the group: percentiles, then the conditional sums —
+    both map-side-combinable aggregates."""
+    li = _t(spark, sf_dir, "lineitem")
+    price_dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    pcts = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.01)).alias("p01"),
+        F.percentile("l_extendedprice", F.lit(0.99)).alias("p99"),
+    )
+    j = li.join(F.broadcast(pcts), on="l_returnflag")
+    stats = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_extendedprice") < F.col("p01"), 1)
+              .otherwise(0)).alias("n_lo"),
+        F.sum(F.when(F.col("l_extendedprice") > F.col("p99"), 1)
+              .otherwise(0)).alias("n_hi"),
+        F.sum(F.when(
+            (F.col("l_extendedprice") >= F.col("p01"))
+            & (F.col("l_extendedprice") <= F.col("p99")), price_dec,
+        ).otherwise(F.lit(0).cast("decimal(18,2)"))).alias("_mid"),
+        F.min("p01").alias("p01"), F.min("p99").alias("p99"),
+    )
+    wmean = (
+        (F.col("_mid").cast("double")
+         + F.col("n_lo").cast("double") * F.col("p01")
+         + F.col("n_hi").cast("double") * F.col("p99"))
+        / F.col("n").cast("double")
+    )
+    return stats.select(
+        "l_returnflag", "n", "n_lo", "n_hi",
+        F.round("p01", 6).alias("p01"),
+        F.round("p99", 6).alias("p99"),
+        F.round(wmean, 6).alias("winsorized_mean"),
+    ).orderBy("l_returnflag")
+
+
+WINSORIZED_ORACLE = """
+WITH pcts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem GROUP BY l_returnflag
+), s AS (
+  SELECT li.l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN l_extendedprice < p01 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_lo,
+         CAST(SUM(CASE WHEN l_extendedprice > p99 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_hi,
+         SUM(CASE WHEN l_extendedprice >= p01 AND l_extendedprice <= p99
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS mid,
+         MIN(p01) AS p01, MIN(p99) AS p99
+  FROM lineitem li JOIN pcts USING (l_returnflag)
+  GROUP BY li.l_returnflag
+)
+SELECT l_returnflag, n, n_lo, n_hi,
+       ROUND(p01, 6) AS p01, ROUND(p99, 6) AS p99,
+       ROUND((CAST(mid AS DOUBLE) + n_lo * p01 + n_hi * p99)
+             / CAST(n AS DOUBLE), 6) AS winsorized_mean
+FROM s ORDER BY l_returnflag
+"""
+
+
+def events_value_mad_outliers(spark, sf_dir):
+    """Robust (median/MAD) outlier screen per event type — the screen
+    z-scores can't do when the tail itself inflates sigma. Median and
+    MAD are exact interpolated percentiles (identical IEEE results both
+    engines); the 1.4826 consistency constant scales MAD to sigma-
+    equivalents. Three aggregate passes, each map-side combinable; the
+    per-type medians broadcast back (group-count-sized)."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = ev.join(F.broadcast(med), on="event_type").select(
+        "event_type", "value", "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"))
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad"))
+    thr = F.lit(3.0) * F.lit(1.4826) * F.col("mad")
+    flagged = dev.join(F.broadcast(mad), on="event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("adev") > thr, 1).otherwise(0))
+            .alias("n_outliers"),
+            F.round(F.min("med"), 6).alias("median"),
+            F.round(F.min("mad"), 6).alias("mad"),
+        )
+        .orderBy("event_type")
+    )
+
+
+MAD_OUTLIERS_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(adev, 0.5) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       ROUND(MIN(d.med), 6) AS median,
+       ROUND(MIN(m.mad), 6) AS mad
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+def customer_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per customer, recency (days since last order
+    at a fixed reference date), frequency (order count), monetary
+    (decimal revenue sum) — each quartiled with explicit tie-breaks
+    (ntile assignment depends on exact row order), concatenated to a
+    segment code, counted per segment. The quartile windows run over
+    the AGGREGATED per-customer table (the orders_price_deciles note
+    applies: total-order window on a reduced table, not the fact
+    table)."""
+    o = _t(spark, sf_dir, "orders")
+    ref = F.to_date(F.lit("1998-12-31"))
+    cust = o.groupBy("o_custkey").agg(
+        F.datediff(ref, F.max(F.to_date("o_orderdate"))).alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("recency").asc(), F.col("o_custkey").asc())
+    w_f = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    w_m = Window.orderBy(F.col("monetary").desc(), F.col("o_custkey").asc())
+    scored = cust.select(
+        "o_custkey",
+        F.ntile(4).over(w_r).alias("r"),
+        F.ntile(4).over(w_f).alias("f"),
+        F.ntile(4).over(w_m).alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .withColumn(
+            "segment",
+            F.concat_ws("", F.col("r"), F.col("f"), F.col("m")))
+        .select("segment", "r", "f", "m", "n_customers")
+        .orderBy("r", "f", "m")
+    )
+
+
+RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         datediff('day', MAX(CAST(o_orderdate AS DATE)),
+                  DATE '1998-12-31') AS recency,
+         COUNT(*) AS frequency,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY recency ASC, o_custkey ASC) AS r,
+         ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+         ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC) AS m
+  FROM cust
+)
+SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+         AS segment,
+       CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       COUNT(*) AS n_customers
+FROM scored GROUP BY r, f, m ORDER BY r, f, m
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -5962,6 +6141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-6 additions
         "corpus_unigram_logprob": corpus_unigram_logprob,
         "corpus_bigram_logprob": corpus_bigram_logprob,
+        "lineitem_winsorized_stats": lineitem_winsorized_stats,
+        "events_value_mad_outliers": events_value_mad_outliers,
+        "customer_rfm_segments": customer_rfm_segments,
         "corpus_quality_percentile": corpus_quality_percentile,
         "corpus_source_best": corpus_source_best,
         "lineitem_grouping_sets": lineitem_grouping_sets,
@@ -6116,6 +6298,9 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": FRAMES_ORACLE,
         "corpus_unigram_logprob": UNIGRAM_LOGPROB_ORACLE,
         "corpus_bigram_logprob": BIGRAM_LOGPROB_ORACLE,
+        "lineitem_winsorized_stats": WINSORIZED_ORACLE,
+        "events_value_mad_outliers": MAD_OUTLIERS_ORACLE,
+        "customer_rfm_segments": RFM_ORACLE,
         "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
         "corpus_source_best": SOURCE_BEST_ORACLE,
         "lineitem_grouping_sets": GROUPING_SETS_SQL,

@@ -102,6 +102,9 @@ BENCH_QUERIES = [
     "corpus_source_best",
     "lineitem_grouping_sets",
     "part_price_regression",
+    "corpus_bigram_logprob",
+    "events_value_mad_outliers",
+    "customer_rfm_segments",
 ]
 
 
