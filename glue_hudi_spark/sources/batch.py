@@ -37,6 +37,9 @@ _FORMATS = {
         header="true", inferSchema="true").csv(list(files))),
     "json": ((".json", ".jsonl", ".json.gz"), lambda spark, files:
         spark.read.json(list(files))),
+    # ORC ships in Spark core (no external package, unlike avro) —
+    # the columnar landing format DMS/Flink sinks commonly emit
+    "orc": ((".orc",), lambda spark, files: spark.read.orc(*files)),
 }
 
 

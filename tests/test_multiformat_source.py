@@ -66,3 +66,19 @@ def test_json_pipeline_end_to_end(spark, tmp_path):
 def test_unknown_format_rejected(spark, tmp_path):
     with pytest.raises(ValueError):
         BookmarkedScan(spark, tmp_path, fmt="avro")
+
+
+def test_orc_scan_bookmarks_like_parquet(spark, tmp_path):
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    rows = [(i, f"u{i}", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id int, name string, v double")
+    df.coalesce(1).write.orc(str(tmp_path / "_orc1"))
+    orc_part = next((tmp_path / "_orc1").glob("*.orc"))
+    (raw / "batch1.orc").write_bytes(orc_part.read_bytes())
+
+    scan = BookmarkedScan(spark, raw, fmt="orc")
+    first = scan.read_batch()
+    assert first.count() == 10
+    scan.commit()
+    assert scan.read_batch() is None  # ledger advanced
