@@ -1,0 +1,71 @@
+"""plans.lint: every assertion fires on a plan that violates it and
+passes on one that honors it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_hudi_spark.plans import lint
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [(i, f"g{i % 3}", float(i)) for i in range(100)],
+        "id long, g string, v double")
+
+
+def test_no_cartesian_passes_equi_and_scalar_append(spark):
+    d = _docs(spark)
+    j = d.join(d.withColumnRenamed("v", "v2").select("id", "v2"), on="id")
+    lint.assert_no_cartesian(j)
+    scalar = d.crossJoin(F.broadcast(d.agg(F.max("v").alias("mx"))))
+    lint.assert_no_cartesian(scalar)  # sanctioned 1-row append
+
+
+def test_no_cartesian_rejects_true_cross(spark):
+    d = _docs(spark)
+    cross = d.crossJoin(d.select(F.col("id").alias("id2")))
+    with pytest.raises(lint.PlanLintError):
+        lint.assert_no_cartesian(cross)
+
+
+def test_python_eval_detected(spark):
+    from pyspark.sql.functions import udf
+
+    d = _docs(spark)
+    lint.assert_no_python_eval(d.select((F.col("v") * 2).alias("w")))
+    slow = udf(lambda x: x * 2, "double")
+    with pytest.raises(lint.PlanLintError):
+        lint.assert_no_python_eval(d.select(slow("v").alias("w")))
+
+
+def test_pushdown_and_pruning(spark, tmp_path):
+    p = str(tmp_path / "t.parquet")
+    _docs(spark).write.parquet(p)
+    df = spark.read.parquet(p).filter(F.col("id") > 10).select("id", "g")
+    lint.assert_pushed_filter(df, "GreaterThan(id")
+    lint.assert_max_read_columns(df, 2)
+    with pytest.raises(lint.PlanLintError):
+        lint.assert_max_read_columns(spark.read.parquet(p), 2)
+    with pytest.raises(lint.PlanLintError):
+        lint.assert_pushed_filter(df, "LessThan(v")
+
+
+def test_shuffle_budget(spark):
+    d = _docs(spark)
+    one = d.groupBy("g").agg(F.sum("v").alias("s"))
+    assert lint.count_shuffles(one) == 1
+    lint.assert_max_shuffles(one, 1)
+    with pytest.raises(lint.PlanLintError):
+        lint.assert_max_shuffles(one.orderBy("s"), 1)
+
+
+def test_broadcast_only(spark):
+    d = _docs(spark)
+    dim = spark.createDataFrame([("g0", "x"), ("g1", "y")], "g string, tag string")
+    lint.assert_broadcast_joins_only(d.join(F.broadcast(dim), on="g"))
+    big = d.withColumnRenamed("v", "v2")
+    with pytest.raises(lint.PlanLintError):
+        lint.assert_broadcast_joins_only(
+            d.join(big.hint("merge"), on="id"))

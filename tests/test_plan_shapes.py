@@ -20,10 +20,10 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _plan(df) -> str:
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+    # single source of truth with the user-facing lint module
+    from glue_hudi_spark.plans import lint
+
+    return lint.plan_text(df)
 
 
 def test_q1_pushes_filter_and_prunes_columns(spark):
