@@ -5973,6 +5973,174 @@ FROM scored GROUP BY r, f, m ORDER BY r, f, m
 """
 
 
+def events_entropy_profile(spark, sf_dir):
+    """Per-user Shannon entropy of the event-type mix — the behavioral-
+    diversity feature a personalization pipeline computes per entity.
+    Two aggregates (user×type counts, then the entropy fold); p·ln(p)
+    runs on exact integer ratios, summed per user over ≤|event types|
+    terms, 6-dp rounded. Entropy distribution then summarizes per type
+    count bucket so the output is group-sized, not user-sized."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c"))
+    tot = ut.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("k"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    ent = (
+        ut.join(tot, on="user_id")
+        .groupBy("user_id")
+        .agg(
+            F.min("k").alias("k"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+    return (
+        ent.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("entropy"), 6).alias("avg_entropy"),
+            F.round(F.max("entropy"), 6).alias("max_entropy"),
+        )
+        .orderBy("k")
+    )
+
+
+ENTROPY_ORACLE = """
+WITH ut AS (
+  SELECT user_id, event_type, COUNT(*) AS c
+  FROM events GROUP BY user_id, event_type
+), tot AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k
+  FROM ut GROUP BY user_id
+), ent AS (
+  SELECT u.user_id, MIN(t.k) AS k,
+         ROUND(-SUM((CAST(u.c AS DOUBLE) / t.n)
+                    * ln(CAST(u.c AS DOUBLE) / t.n)), 6) AS entropy
+  FROM ut u JOIN tot t USING (user_id)
+  GROUP BY u.user_id
+)
+SELECT k, COUNT(*) AS n_users,
+       ROUND(AVG(entropy), 6) AS avg_entropy,
+       ROUND(MAX(entropy), 6) AS max_entropy
+FROM ent GROUP BY k ORDER BY k
+"""
+
+
+def supplier_concentration_hhi(spark, sf_dir):
+    """Herfindahl–Hirschman supplier-concentration index per nation:
+    supply-value shares from EXACT decimal sums, squared and summed in
+    double only at the final group-sized step — the antitrust-style
+    concentration screen, and the skew EARLY-WARNING for a pipeline
+    (a nation at HHI→1 is one hot supplier key). Two aggregates, both
+    map-side combinable; nothing joins wider than nation."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    val = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1).cast("decimal(18,2)")
+              - F.col("l_discount").cast("decimal(18,2)"))).cast(
+        "decimal(24,4)")
+    per_supp = (
+        li.join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(F.sum(val).alias("v"))
+    )
+    per_nation = per_supp.groupBy("s_nationkey").agg(
+        F.sum("v").alias("tot"), F.count(F.lit(1)).alias("n_suppliers"))
+    share = F.col("v").cast("double") / F.col("tot").cast("double")
+    return (
+        per_supp.join(per_nation, on="s_nationkey")
+        .groupBy("s_nationkey")
+        .agg(
+            F.min("n_suppliers").alias("n_suppliers"),
+            F.round(F.sum(share * share), 6).alias("hhi"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+HHI_ORACLE = """
+WITH per_supp AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+             AS DECIMAL(24,4))) AS v
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+), per_nation AS (
+  SELECT s_nationkey, SUM(v) AS tot, COUNT(*) AS n_suppliers
+  FROM per_supp GROUP BY s_nationkey
+)
+SELECT p.s_nationkey, MIN(n.n_suppliers) AS n_suppliers,
+       ROUND(SUM((CAST(p.v AS DOUBLE) / CAST(n.tot AS DOUBLE))
+                 * (CAST(p.v AS DOUBLE) / CAST(n.tot AS DOUBLE))), 6) AS hhi
+FROM per_supp p JOIN per_nation n USING (s_nationkey)
+GROUP BY p.s_nationkey ORDER BY p.s_nationkey
+"""
+
+
+def corpus_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the top-200 tokens: OLS slope of ln(freq) on
+    ln(rank) — the corpus-health fingerprint (natural language sits near
+    −1; templated/boilerplate corpora flatten). The top-200 selection is
+    TakeOrderedAndProject (per-partition partial top-k, like the
+    tokenizer vocab); the ranking window and the regression fold then
+    touch exactly 200 rows. Sums of ln-products run over 200 terms —
+    engine addition order can differ, fenced by the 6-dp round."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens("text")).alias("tok"))
+    top = (
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(200)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    slope = ((nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (nn * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / nn, 6)
+        .alias("intercept"),
+    )
+
+
+ZIPF_ORACLE = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), top AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+  ORDER BY cnt DESC, tok ASC LIMIT 200
+), ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tok ASC) AS DOUBLE))
+           AS x,
+         ln(CAST(cnt AS DOUBLE)) AS y
+  FROM top
+), s AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM ranked
+)
+SELECT n,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6144,6 +6312,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_winsorized_stats": lineitem_winsorized_stats,
         "events_value_mad_outliers": events_value_mad_outliers,
         "customer_rfm_segments": customer_rfm_segments,
+        "events_entropy_profile": events_entropy_profile,
+        "supplier_concentration_hhi": supplier_concentration_hhi,
+        "corpus_zipf_fit": corpus_zipf_fit,
         "corpus_quality_percentile": corpus_quality_percentile,
         "corpus_source_best": corpus_source_best,
         "lineitem_grouping_sets": lineitem_grouping_sets,
@@ -6301,6 +6472,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_winsorized_stats": WINSORIZED_ORACLE,
         "events_value_mad_outliers": MAD_OUTLIERS_ORACLE,
         "customer_rfm_segments": RFM_ORACLE,
+        "events_entropy_profile": ENTROPY_ORACLE,
+        "supplier_concentration_hhi": HHI_ORACLE,
+        "corpus_zipf_fit": ZIPF_ORACLE,
         "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
         "corpus_source_best": SOURCE_BEST_ORACLE,
         "lineitem_grouping_sets": GROUPING_SETS_SQL,

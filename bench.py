@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "corpus_bigram_logprob",
     "events_value_mad_outliers",
     "customer_rfm_segments",
+    "supplier_concentration_hhi",
+    "corpus_zipf_fit",
 ]
 
 
