@@ -6141,6 +6141,102 @@ FROM s
 """
 
 
+def events_markov_transitions(spark, sf_dir):
+    """First-order Markov chain of event types: per-user sessions ordered
+    by (ts, event_id — the tie-break is correctness, lag() depends on
+    exact row order), lag-paired, transition counts and row-stochastic
+    probabilities. The sequence-model feature extractor (session
+    next-step prediction priors). One window per user + one aggregate;
+    probabilities are exact integer ratios, 6-dp rounded."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNotNull())
+    )
+    cnt = pairs.groupBy("prev", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("prev").agg(F.sum("n").alias("row_total"))
+    return (
+        cnt.join(tot, on="prev")
+        .select(
+            F.col("prev").alias("from_type"),
+            F.col("event_type").alias("to_type"),
+            "n",
+            F.round(F.col("n").cast("double")
+                    / F.col("row_total").cast("double"), 6).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+), pairs AS (
+  SELECT prev, event_type FROM seq WHERE prev IS NOT NULL
+), cnt AS (
+  SELECT prev, event_type, COUNT(*) AS n FROM pairs GROUP BY prev, event_type
+), tot AS (
+  SELECT prev, CAST(SUM(n) AS BIGINT) AS row_total FROM cnt GROUP BY prev
+)
+SELECT c.prev AS from_type, c.event_type AS to_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.row_total, 6) AS p
+FROM cnt c JOIN tot t USING (prev)
+ORDER BY from_type, to_type
+"""
+
+
+def orders_seasonality(spark, sf_dir):
+    """Monthly seasonality index: each calendar month's average daily
+    revenue over the whole history vs the global average (index 1.0 =
+    typical month). Decimal sums keep both engines exact until the one
+    final division. Two aggregates; the month table is 12 rows."""
+    o = _t(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    monthly = o.groupBy(F.month(F.to_date("o_orderdate")).alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(price).alias("rev"),
+    )
+    tot = monthly.agg(
+        F.sum("n_orders").alias("_n"), F.sum("rev").alias("_r"))
+    idx = (
+        (F.col("rev").cast("double") / F.col("n_orders").cast("double"))
+        / (F.col("_r").cast("double") / F.col("_n").cast("double"))
+    )
+    return (
+        monthly.crossJoin(F.broadcast(tot))
+        .select(
+            "month", "n_orders",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(idx, 6).alias("seasonality_idx"),
+        )
+        .orderBy("month")
+    )
+
+
+SEASONALITY_ORACLE = """
+WITH monthly AS (
+  SELECT month(CAST(o_orderdate AS DATE)) AS month,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+  FROM orders GROUP BY month
+), tot AS (
+  SELECT CAST(SUM(n_orders) AS BIGINT) AS n, SUM(rev) AS r FROM monthly
+)
+SELECT month, n_orders, CAST(rev AS DOUBLE) AS revenue,
+       ROUND((CAST(rev AS DOUBLE) / n_orders)
+             / (CAST(r AS DOUBLE) / n), 6) AS seasonality_idx
+FROM monthly, tot
+ORDER BY month
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6315,6 +6411,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_entropy_profile": events_entropy_profile,
         "supplier_concentration_hhi": supplier_concentration_hhi,
         "corpus_zipf_fit": corpus_zipf_fit,
+        "events_markov_transitions": events_markov_transitions,
+        "orders_seasonality": orders_seasonality,
         "corpus_quality_percentile": corpus_quality_percentile,
         "corpus_source_best": corpus_source_best,
         "lineitem_grouping_sets": lineitem_grouping_sets,
@@ -6475,6 +6573,8 @@ def oracle_sql() -> dict[str, str]:
         "events_entropy_profile": ENTROPY_ORACLE,
         "supplier_concentration_hhi": HHI_ORACLE,
         "corpus_zipf_fit": ZIPF_ORACLE,
+        "events_markov_transitions": MARKOV_ORACLE,
+        "orders_seasonality": SEASONALITY_ORACLE,
         "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
         "corpus_source_best": SOURCE_BEST_ORACLE,
         "lineitem_grouping_sets": GROUPING_SETS_SQL,
