@@ -1,0 +1,107 @@
+"""Config-driven CurationPipeline: config validation, stage chaining
+equivalence with the hand-composed operators, audit-trail landing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_hudi_spark.curation import (
+    CurationConfigError,
+    CurationPipeline,
+)
+
+
+def _docs(spark):
+    rows = []
+    for i in range(40):
+        # quality varies with length; two exact duplicate pairs
+        body = ("the quick brown fox jumps over the lazy dog and then "
+                "runs away to the forest ") * (1 + i % 3)
+        rows.append((i, "en" if i % 2 == 0 else "fr", body))
+    rows.append((100, "en", rows[0][2]))   # exact dup of doc 0
+    rows.append((101, "fr", "zz"))          # low quality
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_rejects_bad_configs():
+    with pytest.raises(CurationConfigError):
+        CurationPipeline({"stages": []})
+    with pytest.raises(CurationConfigError):
+        CurationPipeline({"stages": [{"no_op": 1}]})
+    with pytest.raises(CurationConfigError):
+        CurationPipeline({"stages": [{"op": "frobnicate"}]})
+    with pytest.raises(CurationConfigError):
+        CurationPipeline({"stages": [{"op": "token_budget"}]})
+
+
+def test_loads_from_json_file(tmp_path):
+    p = tmp_path / "pipe.json"
+    p.write_text(json.dumps(
+        {"stages": [{"op": "exact_dedup"}]}))
+    assert CurationPipeline(p).stages[0]["op"] == "exact_dedup"
+
+
+def test_stage_chain_matches_hand_composition(spark):
+    from glue_hudi_spark.functions import text as TX
+    from glue_hudi_spark.operators import dedup
+
+    d = _docs(spark)
+    pipe = CurationPipeline({"stages": [
+        {"op": "quality_filter", "min_quality": 0.5},
+        {"op": "exact_dedup"},
+    ]})
+    got = {r["doc_id"] for r in pipe.run(d).collect()}
+
+    kept = d.withColumn("quality", TX.quality_score("text")).filter(
+        F.col("quality") >= 0.5)
+    winners = dedup.exact_dedup(kept).select(
+        F.col("keep_id").alias("doc_id"))
+    want = {r["doc_id"] for r in
+            kept.join(winners, "doc_id", "left_semi").collect()}
+    assert got == want
+    assert 100 not in got  # dup of doc 0 dropped (min doc_id keeps)
+    assert 101 not in got  # low quality dropped
+
+
+def test_lm_filter_drops_improbable_docs(spark):
+    d = _docs(spark).unionByName(spark.createDataFrame(
+        [(200, "en", "qz xv jq zk wq")], "doc_id long, lang string, text string"))
+    pipe = CurationPipeline({"stages": [
+        {"op": "lm_filter", "min_avg_logp": -5.0}]})
+    got = {r["doc_id"] for r in pipe.run(d).collect()}
+    assert 200 not in got      # gibberish far below the floor
+    assert 0 in got
+
+
+def test_token_budget_and_counts(spark):
+    d = _docs(spark)
+    pipe = CurationPipeline({"stages": [
+        {"op": "quality_filter", "min_quality": 0.5},
+        {"op": "token_budget", "budget": 60, "stratum_col": "lang"},
+    ]})
+    counts: list = []
+    out = pipe.run(d, counts=counts)
+    per_lang = {r["lang"]: r["s"] for r in out.groupBy("lang").agg(
+        F.sum("n_tokens").alias("s")).collect()}
+    assert all(v <= 60 for v in per_lang.values())
+    labels = [c[0] for c in counts]
+    assert labels == ["input", "0:quality_filter", "1:token_budget"]
+    ns = [c[1] for c in counts]
+    assert ns[0] >= ns[1] >= ns[2]
+
+
+def test_run_to_table_records_stage_stats(spark, tmp_path):
+    from glue_hudi_spark.storage.native import NativeTable
+
+    d = _docs(spark)
+    t = NativeTable(spark, str(tmp_path / "corpus"), record_keys=["doc_id"],
+                    precombine=None, partition_keys=[])
+    pipe = CurationPipeline({"stages": [{"op": "exact_dedup"}]})
+    commit = pipe.run_to_table(d, t)
+    stats = commit.stats["curation_stages"]
+    # only 4 distinct texts exist (3 repeated bodies + "zz" + a dup)
+    assert stats["input"] == 42 and stats["0:exact_dedup"] == 4
+    assert t.read_snapshot().count() == 4
