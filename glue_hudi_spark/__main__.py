@@ -90,7 +90,37 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--cdf", action="store_true",
                     help="Delta-CDF rows (insert/update pre+post/delete) "
                          "instead of the plain rows-changed feed")
+    pcu = sub.add_parser("curate", help="run a config-declared corpus "
+                                        "curation pipeline (quality/LM "
+                                        "filters, dedup, token budget) "
+                                        "into a curated table")
+    pcu.add_argument("--pipeline", required=True,
+                     help="pipeline JSON (see glue_hudi_spark.curation)")
+    pcu.add_argument("--input", required=True,
+                     help="input documents parquet path/dir")
+    pcu.add_argument("--output", required=True,
+                     help="curated NativeTable root dir")
+    pcu.add_argument("--id-col", default="doc_id")
     args = ap.parse_args(argv)
+
+    if args.cmd == "curate":
+        from glue_hudi_spark.curation import (
+            CurationConfigError, CurationPipeline)
+        from glue_hudi_spark.storage.native import NativeTable
+
+        try:
+            pipe = CurationPipeline(args.pipeline)
+        except (CurationConfigError, FileNotFoundError, ValueError) as exc:
+            print(json.dumps({"error": str(exc)}))
+            return 2
+        spark = get_spark(app_name="glue_hudi_spark-curate")
+        docs = spark.read.parquet(args.input)
+        table = NativeTable(spark, args.output, record_keys=[args.id_col],
+                            precombine=None, partition_keys=[])
+        commit = pipe.run_to_table(docs, table)
+        print(json.dumps({"commit": commit.commit_id,
+                          "stages": commit.stats["curation_stages"]}))
+        return 0
 
     try:
         store = ControlStore(args.control)

@@ -105,3 +105,38 @@ def test_run_to_table_records_stage_stats(spark, tmp_path):
     # only 4 distinct texts exist (3 repeated bodies + "zz" + a dup)
     assert stats["input"] == 42 and stats["0:exact_dedup"] == 4
     assert t.read_snapshot().count() == 4
+
+
+def test_cli_curate_end_to_end(spark, tmp_path):
+    import json as _json
+
+    from glue_hudi_spark.__main__ import main as cli_main
+    from glue_hudi_spark.storage.native import NativeTable
+
+    docs = _docs(spark)
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    cfg = tmp_path / "pipe.json"
+    cfg.write_text(_json.dumps({"stages": [
+        {"op": "quality_filter", "min_quality": 0.5},
+        {"op": "exact_dedup"},
+    ]}))
+    out_dir = str(tmp_path / "curated")
+    rc = cli_main(["curate", "--pipeline", str(cfg),
+                   "--input", inp, "--output", out_dir])
+    assert rc == 0
+    t = NativeTable(spark, out_dir, record_keys=["doc_id"],
+                    precombine=None, partition_keys=[])
+    assert t.read_snapshot().count() == 3  # 3 distinct bodies pass quality
+
+
+def test_cli_curate_rejects_bad_pipeline(tmp_path):
+    import json as _json
+
+    from glue_hudi_spark.__main__ import main as cli_main
+
+    cfg = tmp_path / "bad.json"
+    cfg.write_text(_json.dumps({"stages": [{"op": "nope"}]}))
+    rc = cli_main(["curate", "--pipeline", str(cfg),
+                   "--input", "x", "--output", "y"])
+    assert rc == 2
