@@ -44,12 +44,17 @@ class CorpusIngestStream:
         text_col: str = "text",
         schema: T.StructType | None = None,
         max_files_per_trigger: int | None = None,
+        min_quality: float | None = None,
     ):
         self.spark = spark
         self.docs_dir = str(docs_dir)
         self.checkpoint_dir = str(checkpoint_dir)
         self.id_col = id_col
         self.text_col = text_col
+        # optional curation-at-the-edge: drop low-quality docs inside the
+        # micro-batch (map-side expressions) BEFORE the dedup join, so
+        # rejected docs never cost a corpus-hash comparison or a write
+        self.min_quality = min_quality
         self.schema = schema or self.spark.read.parquet(self.docs_dir).schema
         self.max_files_per_trigger = max_files_per_trigger
         self.table = NativeTable(
@@ -62,6 +67,13 @@ class CorpusIngestStream:
             return  # replayed batch (crash between commit and checkpoint)
         if batch_df.isEmpty():
             return
+        if self.min_quality is not None:
+            from glue_hudi_spark.functions import text as TX
+
+            batch_df = batch_df.filter(
+                TX.quality_score(self.text_col) >= F.lit(self.min_quality))
+            if batch_df.isEmpty():
+                return
         marker = {"stream_batch_id": int(batch_id)}
         if self.table.exists():
             fresh = dedup.incremental_exact(

@@ -61,3 +61,26 @@ def test_corpus_stream_all_duplicate_batch_commits_nothing(spark, tmp_path):
     stream.run_available()
     assert len(stream.table.timeline.history()) == n, "all-dup batch must not commit"
     assert stream.table.read_snapshot().count() == 1
+
+
+def test_corpus_stream_quality_gate_filters_at_the_edge(spark, tmp_path):
+    """min_quality drops junk docs inside the micro-batch BEFORE the
+    dedup join — curation at the ingestion edge."""
+    docs = tmp_path / "docs"
+    good = ("the quick brown fox jumps over the lazy dog and it keeps "
+            "running through the field for a while longer today")
+    _land(spark, [
+        dict(doc_id=1, text=good),
+        dict(doc_id=2, text="zz"),          # low quality -> gated
+    ], docs, "B1")
+    stream = CorpusIngestStream(
+        spark, docs, tmp_path / "corpus", tmp_path / "ckpt",
+        min_quality=0.5)
+    stream.run_available()
+    assert {r["doc_id"] for r in stream.table.read_snapshot().collect()} == {1}
+
+    # an all-gated batch commits nothing (same invariant as all-dup)
+    n = len(stream.table.timeline.history())
+    _land(spark, [dict(doc_id=3, text="qq")], docs, "B2")
+    stream.run_available()
+    assert len(stream.table.timeline.history()) == n
