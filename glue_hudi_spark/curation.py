@@ -173,3 +173,31 @@ class CurationPipeline:
         out = self.run(docs, counts=counts)
         return table.bulk_insert(
             out, extra_stats={"curation_stages": dict(counts)})
+
+    def run_incremental(self, new_docs: DataFrame, table) -> "object | None":
+        """Curate only the NEW documents and append the survivors —
+        the batch sibling of ``CorpusIngestStream``: first an
+        arrival-time exact-dedup anti-join against the existing corpus
+        (one DISTINCT hash projection of the table, never the text
+        bytes — the theoretical floor for exact dedup), then the
+        config's stages over the fresh slice only, then append. Cost
+        per run is O(new docs) + one corpus hash projection; history is
+        never rewritten. Returns the commit, or None when nothing
+        survived."""
+        from glue_hudi_spark.operators import dedup as _dedup
+
+        counts: list = []
+        if table.exists():
+            fresh = _dedup.incremental_exact(
+                new_docs, table.read_snapshot().select(self.text_col),
+                id_col=self.id_col, text_col=self.text_col)
+        else:
+            keep = _dedup.exact_dedup(
+                new_docs, id_col=self.id_col, text_col=self.text_col
+            ).select(F.col("keep_id").alias(self.id_col))
+            fresh = new_docs.join(keep, self.id_col, "left_semi")
+        out = self.run(fresh, counts=counts)
+        if out.isEmpty():
+            return None
+        return table.bulk_insert(
+            out, extra_stats={"curation_stages": dict(counts)})

@@ -140,3 +140,33 @@ def test_cli_curate_rejects_bad_pipeline(tmp_path):
     rc = cli_main(["curate", "--pipeline", str(cfg),
                    "--input", "x", "--output", "y"])
     assert rc == 2
+
+
+def test_run_incremental_dedups_against_corpus_then_curates(spark, tmp_path):
+    from glue_hudi_spark.storage.native import NativeTable
+
+    t = NativeTable(spark, str(tmp_path / "inc"), record_keys=["doc_id"],
+                    precombine=None, partition_keys=[])
+    pipe = CurationPipeline({"stages": [
+        {"op": "quality_filter", "min_quality": 0.5}]})
+    good = ("the quick brown fox jumps over the lazy dog and then runs "
+            "away to the forest beyond the river for quite a long time")
+    c1 = pipe.run_incremental(spark.createDataFrame(
+        [(1, "en", good), (2, "en", "zz")],
+        "doc_id long, lang string, text string"), t)
+    assert c1 is not None
+    assert {r["doc_id"] for r in t.read_snapshot().collect()} == {1}
+
+    # second batch: a re-crawl of doc 1 (normalized dup) + junk -> nothing
+    c2 = pipe.run_incremental(spark.createDataFrame(
+        [(10, "en", good.upper()), (11, "en", "qq")],
+        "doc_id long, lang string, text string"), t)
+    assert c2 is None
+    assert t.read_snapshot().count() == 1
+
+    # third batch: genuinely new good doc appends without rewriting
+    other = good.replace("fox", "cat")
+    c3 = pipe.run_incremental(spark.createDataFrame(
+        [(20, "en", other)], "doc_id long, lang string, text string"), t)
+    assert c3 is not None and c3.stats["curation_stages"]["input"] == 1
+    assert {r["doc_id"] for r in t.read_snapshot().collect()} == {1, 20}
