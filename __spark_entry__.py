@@ -6237,6 +6237,92 @@ ORDER BY month
 """
 
 
+def copurchase_triangles(spark, sf_dir):
+    """Triangle census of the co-purchase graph (clustering-coefficient
+    numerator — the graph-cohesion metric rec-sys and fraud pipelines
+    track). Scale discipline, in order: (1) the edge set is THRESHOLDED
+    (supplier pairs co-occurring in ≥2 orders) so the graph is the
+    signal subgraph, not every incidental pair — and CAPPED at the
+    5,000 heaviest edges ((w, u, v)-ordered TakeOrdered, deterministic),
+    because at TPC-H densities the supplier co-purchase graph is nearly
+    complete and an uncapped wedge join is Σdeg² ≈ 10⁸ (measured 30-50 s
+    at sf0.1; capped: sub-second) — the same cap a production triangle
+    census applies (top-weight backbone); (2) edges are ORIENTED
+    low-id→high-id, so each triangle a<b<c is generated exactly once by
+    joining (a,b)⋈(b,c) and closing with (a,c) — no post-hoc /6 dedup
+    and no wedge double-counting; (3) the wedge join keys on the middle
+    vertex and the closing join on the (a,c) pair — both equi-joins.
+    Skewed hubs bound wedge fan-out by out-degree² of the ORIENTED
+    edges (≈half the raw degree); at web scale the standard refinement
+    is degree-orientation, noted here, same plan shape. Uses supplier
+    pairs (s_suppkey co-occurrence) — denser than part pairs, so
+    triangles actually exist at gate SFs."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey").distinct()
+    a = li.select("l_orderkey", F.col("l_suppkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, on="l_orderkey")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .orderBy(F.col("w").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(5000)
+        .select("u", "v")
+        # three consumers (both wedge sides + the closing probe);
+        # localCheckpoint pins ONE pair-aggregate pass over lineitem
+        .localCheckpoint()
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = e1.join(e2, on="b")
+    closing = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = wedges.join(closing, on=["a", "c"])
+    per_vertex = (
+        tri.select(F.col("a").alias("s")).unionAll(
+            tri.select(F.col("b").alias("s"))).unionAll(
+            tri.select(F.col("c").alias("s")))
+        .groupBy("s").agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    total = tri.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per_vertex.orderBy(F.col("n_triangles").desc(), F.col("s").asc())
+        .limit(10)
+        .crossJoin(F.broadcast(total))
+        .select("s", "n_triangles", F.col("n").alias("total_triangles"))
+    )
+
+
+TRIANGLES_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+pairs AS (
+  SELECT a.l_suppkey AS u, b.l_suppkey AS v, COUNT(*) AS w
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+  GROUP BY a.l_suppkey, b.l_suppkey
+), edges AS (
+  SELECT u, v FROM pairs WHERE w >= 2
+  ORDER BY w DESC, u ASC, v ASC LIMIT 5000
+), tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), pv AS (
+  SELECT s, COUNT(*) AS n_triangles FROM (
+    SELECT a AS s FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY s
+), total AS (SELECT COUNT(*) AS n FROM tri)
+SELECT s, n_triangles, total.n AS total_triangles
+FROM pv, total
+ORDER BY n_triangles DESC, s ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6413,6 +6499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_zipf_fit": corpus_zipf_fit,
         "events_markov_transitions": events_markov_transitions,
         "orders_seasonality": orders_seasonality,
+        "copurchase_triangles": copurchase_triangles,
         "corpus_quality_percentile": corpus_quality_percentile,
         "corpus_source_best": corpus_source_best,
         "lineitem_grouping_sets": lineitem_grouping_sets,
@@ -6575,6 +6662,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_zipf_fit": ZIPF_ORACLE,
         "events_markov_transitions": MARKOV_ORACLE,
         "orders_seasonality": SEASONALITY_ORACLE,
+        "copurchase_triangles": TRIANGLES_ORACLE,
         "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
         "corpus_source_best": SOURCE_BEST_ORACLE,
         "lineitem_grouping_sets": GROUPING_SETS_SQL,

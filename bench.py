@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "customer_rfm_segments",
     "supplier_concentration_hhi",
     "corpus_zipf_fit",
+    "copurchase_triangles",
 ]
 
 
