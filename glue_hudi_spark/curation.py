@@ -1,8 +1,9 @@
 """Config-driven corpus-curation pipeline.
 
 The reference's whole control plane is "behavior lives in a control
-table, the job is generic" (loadControlData.py + processData.py's
-per-table loop). This module extends that idea to the LLM-data
+table, the job is generic" (loadControlData.py:1-14 seeds the DynamoDB
+control table; processData.py:42-51 reads it and processData.py:395-402
+drives the per-table loop off pure config). This module extends that idea to the LLM-data
 extensions: a curation pipeline is DATA — an ordered list of stage
 configs — not code, so the same generic runner serves every corpus and
 a stage swap is a config edit, not a deploy.
