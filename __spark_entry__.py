@@ -6323,6 +6323,87 @@ LIMIT 10
 """
 
 
+def events_cusum_drift(spark, sf_dir):
+    """CUSUM changepoint screen per event type: the largest absolute
+    cumulative deviation of daily revenue from the type's mean — the
+    monitoring statistic that flags WHEN a metric's level shifted, not
+    just that it did. Exactness trick: the textbook statistic
+    max|S_k - k·mean| needs a mean DIVISION whose decimal rounding
+    differs across engines; multiplying through by n gives
+    max|n·S_k - k·T| (all decimal/integer, exact) and the single
+    double division happens once at the end. The running sum is an
+    ordered window per type over the DAILY aggregate (365 rows/type/yr
+    — never the fact table)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("rev"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("rev").alias("t"), F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    cum = (
+        daily.withColumn("sk", F.sum("rev").over(w))
+        .withColumn("k", F.row_number().over(w))
+        .join(F.broadcast(tot), on="event_type")
+        .withColumn(
+            "dev",
+            (F.col("n").cast("decimal(20,0)") * F.col("sk")
+             - F.col("k").cast("decimal(20,0)") * F.col("t"))
+            .cast("decimal(38,4)"),
+        )
+    )
+    best = cum.groupBy("event_type").agg(
+        F.min("n").alias("n_days"),
+        F.max(
+            F.struct(
+                F.abs(F.col("dev")).alias("a"),
+                (-F.col("k")).alias("negk"),
+                F.col("d").alias("d"),
+            )
+        ).alias("_b"),
+    )
+    return best.select(
+        "event_type", "n_days",
+        F.round(F.col("_b.a").cast("double")
+                / F.col("n_days").cast("double"), 6).alias("max_cusum"),
+        F.col("_b.d").alias("drift_day"),
+    ).orderBy("event_type")
+
+
+CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         SUM(CAST(value AS DECIMAL(18,2))) AS rev
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+), tot AS (
+  SELECT event_type, SUM(rev) AS t, COUNT(*) AS n
+  FROM daily GROUP BY event_type
+), cum AS (
+  SELECT d.event_type, d.d,
+         CAST(SUM(d.rev) OVER (PARTITION BY d.event_type ORDER BY d.d
+                               ROWS UNBOUNDED PRECEDING) AS DECIMAL(38,4))
+           AS sk,
+         CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.d)
+              AS BIGINT) AS k,
+         t.t, t.n
+  FROM daily d JOIN tot t USING (event_type)
+), dev AS (
+  SELECT event_type, d, n,
+         abs(CAST(CAST(n AS DECIMAL(20,0)) * sk
+                  - CAST(k AS DECIMAL(20,0)) * t AS DECIMAL(38,4))) AS a,
+         k
+  FROM cum
+)
+SELECT event_type, n AS n_days,
+       ROUND(CAST(a AS DOUBLE) / n, 6) AS max_cusum,
+       d AS drift_day
+FROM dev
+QUALIFY row_number() OVER (PARTITION BY event_type
+                           ORDER BY a DESC, k ASC) = 1
+ORDER BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6500,6 +6581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": events_markov_transitions,
         "orders_seasonality": orders_seasonality,
         "copurchase_triangles": copurchase_triangles,
+        "events_cusum_drift": events_cusum_drift,
         "corpus_quality_percentile": corpus_quality_percentile,
         "corpus_source_best": corpus_source_best,
         "lineitem_grouping_sets": lineitem_grouping_sets,
@@ -6663,6 +6745,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": MARKOV_ORACLE,
         "orders_seasonality": SEASONALITY_ORACLE,
         "copurchase_triangles": TRIANGLES_ORACLE,
+        "events_cusum_drift": CUSUM_ORACLE,
         "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
         "corpus_source_best": SOURCE_BEST_ORACLE,
         "lineitem_grouping_sets": GROUPING_SETS_SQL,
