@@ -2049,6 +2049,61 @@ class NativeTable:
             *self._collect_file_stats(files),
         )
 
+    def bin_pack(self, target_bytes: int = 128 * 1024 * 1024) -> Commit | None:
+        """Delta-OPTIMIZE-style small-file coalescing: rewrite ONLY the
+        undersized base files (< ``target_bytes``), packed per hive
+        partition; full-size files carry over by manifest reference.
+
+        ``cluster()`` restores layout by rewriting the whole table —
+        right after heavy churn, wasteful when 2% of files are slivers.
+        ``bin_pack`` is the cheap steady-state maintenance pass: cost is
+        O(small-file bytes), not O(table). Per-record
+        ``_ghs_commit_time`` is preserved (like cluster/compact), so the
+        incremental feed is unaffected. MoR live deltas carry forward
+        unchanged — delta records override by KEY at read, so base
+        re-packing cannot change merge results.
+
+        Returns the commit, or None when fewer than two files in every
+        partition are undersized (nothing to pack)."""
+        commit = self.timeline.latest()
+        if commit is None:
+            raise ValueError(f"table {self.root} has no commits")
+        sizes = {
+            f: (self.root / f).stat().st_size for f in commit.files
+        }
+        small_by_part: dict[tuple[str, ...], list[str]] = {}
+        for f, sz in sizes.items():
+            if sz < target_bytes:
+                small_by_part.setdefault(self._file_partition(f), []).append(f)
+        to_pack = [
+            f for group in small_by_part.values() if len(group) >= 2
+            for f in sorted(group)
+        ]
+        if not to_pack:
+            return None
+        carried = [f for f in commit.files if f not in set(to_pack)]
+        df = self._read_files(to_pack, commit.schema_json)
+        cid = self.timeline.next_commit_id()
+        if self.partition_keys:
+            # width 1: all of a partition's slivers coalesce into ~1 file
+            files = self._write_files(df, cid, n_files=1)
+        else:
+            pack_bytes = sum(sizes[f] for f in to_pack)
+            width = max(1, -(-pack_bytes // target_bytes))  # ceil
+            files = self._write_files(df, cid, n_files=width)
+        key_stats, col_stats = self._collect_file_stats(files)
+        key_stats = {**{f: commit.key_stats[f] for f in carried
+                        if f in commit.key_stats}, **key_stats}
+        col_stats = {**{f: commit.col_stats[f] for f in carried
+                        if f in commit.col_stats}, **col_stats}
+        return self._commit(
+            cid, "bin_pack", carried + files,
+            [dict(d) for d in commit.deltas], commit.schema_json,
+            {"packed_files": len(to_pack), "new_files": len(files),
+             "carried_files": len(carried)},
+            key_stats, col_stats,
+        )
+
     def compact(self) -> Commit:
         """Materialize base+deltas into new base files (Hudi inline/async
         compaction, processData.py:152-153).

@@ -779,3 +779,53 @@ def test_vacuum_deletes_orphans_not_inflight(spark, tmp_table_dir):
     assert t.read_snapshot().count() == 1
     rep = t.validate()
     assert rep["orphan_files"] and all("staged" in f for f in rep["orphan_files"])
+
+
+def test_bin_pack_coalesces_small_files_only(spark, tmp_table_dir):
+    """OPTIMIZE-style packing: slivers merge, full files carry over,
+    rows + per-record commit times + point-lookup stats survive."""
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"],
+                    precombine="seq", partition_keys=[],
+                    files_per_partition=2)
+    t.bulk_insert(spark.createDataFrame(
+        [(f"{i:04d}", i, 1) for i in range(2000)], "id string, v int, seq int"))
+    # three sliver-producing narrow upserts
+    for j in range(3):
+        t.upsert(spark.createDataFrame(
+            [(f"{j:04d}", 900 + j, 2)], "id string, v int, seq int"))
+    before = t.timeline.latest()
+    n_before = len(before.files)
+
+    c = t.bin_pack(target_bytes=64 * 1024)
+    assert c is not None and c.action == "bin_pack"
+    assert len(c.files) < n_before
+    assert c.stats["packed_files"] >= 2
+    # row + value parity
+    snap = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert len(snap) == 2000 and snap["0001"] == 901
+    # incremental feed unaffected: rows changed since commit 1 are the 3
+    # upserts only (commit times preserved through the rewrite)
+    inc = t.read_incremental(1)
+    assert {r["id"] for r in inc.collect()} == {"0000", "0001", "0002"}
+    # a second pack finds nothing new to do at the same threshold
+    again = t.bin_pack(target_bytes=64 * 1024)
+    assert again is None or again.stats["packed_files"] < c.stats["packed_files"]
+    assert t.validate()["ok"]
+
+
+def test_bin_pack_partitioned_packs_per_partition(spark, tmp_table_dir):
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"],
+                    precombine=None, partition_keys=["d"])
+    for j in range(3):  # 3 commits × 2 partitions -> 6 sliver files
+        t.bulk_insert(spark.createDataFrame(
+            [(f"a{j}", "2024-01-01", j), (f"b{j}", "2024-01-02", j)],
+            "id string, d string, v int"))
+    c = t.bin_pack(target_bytes=1024 * 1024)
+    assert c is not None
+    # one packed file per partition
+    assert c.stats["new_files"] == 2 and c.stats["packed_files"] == 6
+    got = {(r["id"], r["d"]) for r in t.read_snapshot().collect()}
+    assert len(got) == 6
+    # partition pruning still works over packed files
+    one = t.read_snapshot(prune={"d": ("2024-01-02", "2024-01-02")})
+    assert {r["id"] for r in one.collect()} == {"b0", "b1", "b2"}
