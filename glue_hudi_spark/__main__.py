@@ -49,6 +49,12 @@ def main(argv: list[str] | None = None) -> int:
     _common(sub.add_parser("reset", help="drop curated data + bookmarks (replay path)"))
     pc = sub.add_parser("compact", help="force MoR compaction for one table")
     _common(pc, raw=False)
+    po = sub.add_parser("optimize", help="bin-pack undersized files "
+                                         "(rewrites only slivers; "
+                                         "full files carry over)")
+    _common(po, raw=False)
+    po.add_argument("--target-mb", type=int, default=128, metavar="MB",
+                    help="pack files smaller than this (default 128)")
     pk = sub.add_parser("cluster", help="rewrite CoW files at the configured clustering width")
     _common(pk, raw=False)
     pk.add_argument("--zorder", default=None, metavar="COL,COL",
@@ -166,6 +172,15 @@ def main(argv: list[str] | None = None) -> int:
             table = pipe._table(ctl)
             c = table.compact()
             out.append({"table": ctl.table_name, "compacted": c.commit_id})
+        elif args.cmd == "optimize":
+            table = pipe._table(ctl)
+            c = table.bin_pack(target_bytes=args.target_mb * 1024 * 1024)
+            out.append({"table": ctl.table_name,
+                        **({"optimized": c.commit_id,
+                            "packed": c.stats["packed_files"],
+                            "new_files": c.stats["new_files"]}
+                           if c else {"optimized": None,
+                                      "packed": 0})})
         elif args.cmd == "cluster":
             table = pipe._table(ctl)
             zcols = [c for c in (args.zorder or "").split(",") if c] or None

@@ -44,8 +44,15 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     rc, out = run_cmd("show", *base)
     assert out[0]["rows"] == 190
 
-    # rollback undoes the CDC merge; show reads the restored snapshot
-    rc, out = run_cmd("rollback", *base)
+    # optimize bin-packs the merge's sliver files; rows unchanged
+    rc, out = run_cmd("optimize", *base, "--target-mb", "1")
+    assert rc == 0 and "optimized" in out[0]
+    rc, out = run_cmd("show", *base)
+    assert out[0]["rows"] == 190
+
+    # rollback to the initial load (explicit target: the optimize commit
+    # sits between, so "one before latest" would restore the merge)
+    rc, out = run_cmd("rollback", *base, "--to-commit", "1")
     assert rc == 0 and out[0]["restored"] >= 1
     rc, out = run_cmd("show", *base)
     assert out[0]["rows"] == 100
