@@ -255,6 +255,21 @@ def main() -> None:
           rows=n_hit, files_scanned=len(hit.inputFiles()),
           files_total=len(c.files))
 
+    # ---- bin_pack at 6M rows: 192 full files + 20 sliver commits —
+    # the pack must cost O(sliver bytes), never O(table). ------------------
+    bp = NativeTable(spark, f"{work}/binpack", record_keys=["k", "ln"],
+                     precombine="qty", files_per_partition=192)
+    c0 = bp.bulk_insert(big)
+    for j in range(20):
+        bp.upsert(spark.createDataFrame(
+            [(j, 0, 999.0, None)], "k long, ln long, qty double, d timestamp"))
+    before = len(bp.timeline.latest().files)
+    t0 = time.perf_counter()
+    cp = bp.bin_pack(target_bytes=256 * 1024)
+    probe("bin_pack_6m_20slivers", time.perf_counter() - t0,
+          files_before=before, files_after=len(cp.files) if cp else before,
+          packed=cp.stats["packed_files"] if cp else 0)
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
