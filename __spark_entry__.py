@@ -6404,6 +6404,76 @@ ORDER BY event_type
 """
 
 
+def corpus_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion: BM25's lexical top-10
+    fused with the embedding-cosine top-10 for vector 0 as
+    Σ 1/(60 + rank) — the modern search stack's first fusion baseline
+    (RRF is rank-only, so lexical and vector scores never need
+    calibration against each other). Both rank lists are k-sized, so the
+    fusion join and the final TakeOrdered touch ≤2k rows regardless of
+    corpus size; RRF terms are exact 1/(60+r) divisions — deterministic
+    cross-engine with the doc_id tie-break handling equal-rank
+    collisions across lists."""
+    from glue_hudi_spark.operators import search as SRCH
+    from glue_hudi_spark.operators import similarity
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = SRCH.bm25_topk(d, _BM25_TERMS, k=10)
+    wl = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_r = lex.select(
+        "doc_id", F.row_number().over(wl).alias("r_lex"))
+    vec = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10)
+    vec_r = vec.select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r_vec"))
+    fused = lex_r.join(vec_r, on="doc_id", how="full_outer")
+    rrf = (
+        F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_lex").cast("double")),
+                   F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("r_vec").cast("double")),
+                     F.lit(0.0))
+    )
+    return (
+        fused.select("doc_id", "r_lex", "r_vec",
+                     F.round(rrf, 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
+
+
+def _hybrid_oracle() -> str:
+    bm = _bm25_oracle(_BM25_TERMS, k=10)
+    return f"""
+WITH lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex
+  FROM ({bm}) bm
+), base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), qv AS (SELECT v FROM base WHERE vec_id = 0),
+scored AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+  FROM base c, qv q WHERE c.vec_id <> 0
+), vec AS (
+  SELECT doc_id, r_vec FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY sim DESC, doc_id ASC) AS r_vec
+    FROM scored) t WHERE r_vec <= 10
+), f AS (
+  SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec
+  FROM lex l FULL JOIN vec v ON l.doc_id = v.doc_id
+)
+SELECT doc_id, r_lex, r_vec,
+       ROUND(COALESCE(1.0 / (60.0 + r_lex), 0.0)
+             + COALESCE(1.0 / (60.0 + r_vec), 0.0), 6) AS rrf
+FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6582,6 +6652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_seasonality": orders_seasonality,
         "copurchase_triangles": copurchase_triangles,
         "events_cusum_drift": events_cusum_drift,
+        "corpus_hybrid_search": corpus_hybrid_search,
         "corpus_quality_percentile": corpus_quality_percentile,
         "corpus_source_best": corpus_source_best,
         "lineitem_grouping_sets": lineitem_grouping_sets,
@@ -6746,6 +6817,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_seasonality": SEASONALITY_ORACLE,
         "copurchase_triangles": TRIANGLES_ORACLE,
         "events_cusum_drift": CUSUM_ORACLE,
+        "corpus_hybrid_search": _hybrid_oracle(),
         "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
         "corpus_source_best": SOURCE_BEST_ORACLE,
         "lineitem_grouping_sets": GROUPING_SETS_SQL,

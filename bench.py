@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     "supplier_concentration_hhi",
     "corpus_zipf_fit",
     "copurchase_triangles",
+    "corpus_hybrid_search",
+    "events_cusum_drift",
 ]
 
 
