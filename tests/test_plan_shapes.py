@@ -193,3 +193,38 @@ def test_q21_waiting_suppliers_semi_anti_broadcast(spark):
     plan = _plan(entry_mod.q21_waiting_suppliers(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zipf_top200_is_take_ordered(spark):
+    """corpus_zipf_fit's token selection must be TakeOrderedAndProject —
+    never a global sort/window of the full distinct-token table."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.corpus_zipf_fit(spark, SF_DIR)
+    plan = lint.plan_text(df)
+    assert "TakeOrderedAndProject" in plan
+    lint.assert_no_cartesian(df)
+
+
+def test_triangles_edges_capped_and_equi_joined(spark):
+    """copurchase_triangles: the wedge/closing joins must be hash equi-
+    joins over the capped edge backbone — no cartesian, no nested loop
+    (the uncapped wedge join measured 30-50 s at sf0.1)."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.copurchase_triangles(spark, SF_DIR)
+    lint.assert_no_cartesian(df)
+    lint.assert_no_python_eval(df)
+
+
+def test_hybrid_fusion_stays_rank_list_sized(spark):
+    """corpus_hybrid_search: fusion operates on two k-sized rank lists;
+    the only corpus-wide work is each retriever's own (already-guarded)
+    pipeline — no cartesian, no python."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.corpus_hybrid_search(spark, SF_DIR)
+    lint.assert_no_python_eval(df)
+    # the one sanctioned BNLJ is the broadcast 1-row query-vector cross
+    # inside cosine_topk; an unhinted CartesianProduct is still a bug
+    assert "CartesianProduct" not in lint.plan_text(df)
