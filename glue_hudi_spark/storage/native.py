@@ -44,7 +44,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from glue_hudi_spark.storage.commits import DATA_DIR, Commit, CommitTimeline
+from glue_hudi_spark.storage.commits import (
+    COMMITS_DIR,
+    DATA_DIR,
+    Commit,
+    CommitTimeline,
+)
 
 # Meta columns (the role of Hudi's _hoodie_* columns, SURVEY §1.1.3).
 COMMIT_TIME_COL = "_ghs_commit_time"
@@ -1455,6 +1460,76 @@ class NativeTable:
         build.rename(final)
         shutil.rmtree(old, ignore_errors=True)
         return final
+
+    def clone_to(self, dest_root: str | Path) -> "NativeTable":
+        """Zero-copy table clone (Delta SHALLOW CLONE / Iceberg snapshot
+        branch analog): hardlink every live data file + bloom sidecar
+        into ``dest_root``'s layout and write ONE fresh manifest there
+        referencing them. O(metadata + link syscalls), zero data bytes;
+        afterwards the two tables diverge independently — new writes on
+        either side land in that side's own commit dirs, and hardlinked
+        blocks stay shared on disk until one side's retention clean or
+        vacuum unlinks its name (the inode survives for the other). The
+        dev/test sandboxing move: branch a 100-TB table in milliseconds,
+        experiment, throw the clone away.
+
+        Falls back symlink→copy per file like ``export_snapshot`` (same
+        cross-device reality). MoR live deltas clone the same way (delta
+        files are files). Requires an empty/nonexistent destination.
+        """
+        import shutil
+
+        commit = self.timeline.latest()
+        if commit is None:
+            raise ValueError(f"table {self.root} has no commits")
+        dest_root = Path(dest_root)
+        if (dest_root / COMMITS_DIR).exists():
+            raise ValueError(f"clone destination {dest_root} already a table")
+
+        def _link(rel: str) -> None:
+            src = (self.root / rel).resolve()
+            dst = dest_root / rel
+            dst.parent.mkdir(parents=True, exist_ok=True)
+            try:
+                os.link(src, dst)
+            except OSError:
+                try:
+                    os.symlink(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+
+        delta_files = [f for d in commit.deltas for f in d["files"]]
+        for rel in [*commit.files, *delta_files]:
+            _link(rel)
+            bloom = Path(BLOOM_DIR) / (rel + ".bloom")
+            if (self.root / bloom).exists():
+                _link(str(bloom))
+            for col in self.secondary_bloom_cols:
+                side = Path(BLOOM_DIR) / (rel + f".col.{col}.bloom")
+                if (self.root / side).exists():
+                    _link(str(side))
+
+        clone = NativeTable(
+            self.spark, dest_root, record_keys=list(self.record_keys),
+            precombine=self.precombine,
+            partition_keys=list(self.partition_keys),
+            storage_type=self.storage_type,
+            files_per_partition=self.files_per_partition,
+            stats_cols=list(self.stats_cols),
+            secondary_bloom_cols=list(self.secondary_bloom_cols),
+            bloom_index=self.bloom_index,
+        )
+        # seed the clone's timeline AT the source's commit id: linked
+        # files live under data/<id> dirs up to that id, so the clone's
+        # next write (id+1) lands in a fresh dir instead of colliding
+        clone._commit(
+            commit.commit_id, "clone", list(commit.files),
+            [dict(d) for d in commit.deltas], commit.schema_json,
+            {"cloned_from": str(self.root),
+             "source_commit": commit.commit_id},
+            dict(commit.key_stats), dict(commit.col_stats),
+        )
+        return clone
 
     def last_stream_batch_id(self) -> int | None:
         """Newest ``stream_batch_id`` marker in the retained timeline — the

@@ -829,3 +829,40 @@ def test_bin_pack_partitioned_packs_per_partition(spark, tmp_table_dir):
     # partition pruning still works over packed files
     one = t.read_snapshot(prune={"d": ("2024-01-02", "2024-01-02")})
     assert {r["id"] for r in one.collect()} == {"b0", "b1", "b2"}
+
+
+def test_clone_is_zero_copy_and_diverges(spark, tmp_path):
+    """Shallow clone: hardlinked data, independent future writes, bloom
+    sidecars and MoR deltas carried, destination collision rejected."""
+    import os
+
+    src = NativeTable(spark, tmp_path / "src", record_keys=["id"],
+                      precombine="seq", storage_type="mor",
+                      compact_every=100, secondary_bloom_cols=["cat"])
+    src.bulk_insert(spark.createDataFrame(
+        [(f"{i:03d}", f"c{i % 3}", i, 1) for i in range(60)],
+        "id string, cat string, v int, seq int"))
+    src.upsert(spark.createDataFrame(        # leaves a live delta
+        [("001", "c9", 999, 2)], "id string, cat string, v int, seq int"))
+
+    clone = src.clone_to(tmp_path / "dst")
+    # same content through the full MoR merge path
+    s = {r["id"]: r["v"] for r in src.read_snapshot().collect()}
+    c = {r["id"]: r["v"] for r in clone.read_snapshot().collect()}
+    assert s == c and c["001"] == 999
+    # zero-copy: shared inode (or symlink fallback)
+    rel = src.timeline.latest().files[0]
+    st_s, st_c = os.stat(tmp_path / "src" / rel), os.stat(tmp_path / "dst" / rel)
+    assert st_s.st_ino == st_c.st_ino
+    # divergence: write to the clone, source unchanged
+    clone.upsert(spark.createDataFrame(
+        [("002", "c9", -1, 3)], "id string, cat string, v int, seq int"))
+    assert {r["v"] for r in clone.read_keys(["002"]).collect()} == {-1}
+    assert {r["v"] for r in src.read_keys(["002"]).collect()} == {2}
+    # secondary bloom sidecars work on the clone after compaction
+    clone.compact()
+    assert clone.read_by_value("cat", ["c9"]).count() == 2
+    # a second clone into the same destination is rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        src.clone_to(tmp_path / "dst")
