@@ -55,6 +55,11 @@ def main(argv: list[str] | None = None) -> int:
     _common(po, raw=False)
     po.add_argument("--target-mb", type=int, default=128, metavar="MB",
                     help="pack files smaller than this (default 128)")
+    pcl = sub.add_parser("clone", help="zero-copy shallow clone of a table "
+                                       "(hardlinked data, independent "
+                                       "timeline)")
+    _common(pcl, raw=False)
+    pcl.add_argument("--dest", required=True, help="destination table root")
     pk = sub.add_parser("cluster", help="rewrite CoW files at the configured clustering width")
     _common(pk, raw=False)
     pk.add_argument("--zorder", default=None, metavar="COL,COL",
@@ -172,6 +177,13 @@ def main(argv: list[str] | None = None) -> int:
             table = pipe._table(ctl)
             c = table.compact()
             out.append({"table": ctl.table_name, "compacted": c.commit_id})
+        elif args.cmd == "clone":
+            table = pipe._table(ctl)
+            c = table.clone_to(Path(args.dest) / ctl.table_name)
+            out.append({"table": ctl.table_name,
+                        "cloned_to": str(c.root),
+                        "source_commit":
+                            c.timeline.latest().stats["source_commit"]})
         elif args.cmd == "optimize":
             table = pipe._table(ctl)
             c = table.bin_pack(target_bytes=args.target_mb * 1024 * 1024)

@@ -50,6 +50,12 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     rc, out = run_cmd("show", *base)
     assert out[0]["rows"] == 190
 
+    # clone branches the table zero-copy; original untouched
+    rc, out = run_cmd("clone", *base, "--dest", str(tmp_path / "branch"))
+    assert rc == 0 and out[0]["cloned_to"].endswith(ctl.table_name)
+    rc, out = run_cmd("show", *base)
+    assert out[0]["rows"] == 190
+
     # rollback to the initial load (explicit target: the optimize commit
     # sits between, so "one before latest" would restore the merge)
     rc, out = run_cmd("rollback", *base, "--to-commit", "1")
