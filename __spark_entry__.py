@@ -6474,6 +6474,130 @@ FROM f ORDER BY rrf DESC, doc_id ASC LIMIT 10
 """
 
 
+def customer_reorder_gaps(spark, sf_dir):
+    """Inter-order gap distribution per market segment: lag() per
+    customer over order dates (the per-entity sequence feature), then
+    exact percentiles of the integer day gaps per segment. The window
+    partitions by customer — thousands of small independent sorts, no
+    global order; the percentile runs over the gap table (one row per
+    reorder), integer inputs so interpolation is exact cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    gaps = (
+        o.select("o_custkey", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag(F.to_date("o_orderdate")).over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff(F.to_date("o_orderdate"), F.col("prev")).alias("gap"))
+    )
+    j = gaps.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        gaps["o_custkey"] == c["c_custkey"])
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.percentile("gap", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("gap", F.lit(0.9)), 6).alias("p90"),
+            F.max("gap").alias("max_gap"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+REORDER_GAPS_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+         lag(CAST(o_orderdate AS DATE)) OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC) AS prev
+  FROM orders
+), gaps AS (
+  SELECT o_custkey, datediff('day', prev, d) AS gap
+  FROM seq WHERE prev IS NOT NULL
+)
+SELECT c.c_mktsegment, COUNT(*) AS n_gaps,
+       ROUND(quantile_cont(g.gap, 0.5), 6) AS p50,
+       ROUND(quantile_cont(g.gap, 0.9), 6) AS p90,
+       MAX(g.gap) AS max_gap
+FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+"""
+
+
+def brand_nation_lift(spark, sf_dir):
+    """Association lift between part brand and supplier nation:
+    lift = P(brand, nation) / (P(brand)·P(nation)) computed as
+    (n_bn·N) / (n_b·n_n) — every term an exact integer count, ONE
+    double division at the end, so the statistic is bit-identical
+    cross-engine with no probability-estimate drift. The market-basket
+    independence screen; top 15 pairs by lift (support ≥ 50). Marginals
+    are group-sized broadcasts; the only fact-table pass is the
+    (brand, nation) count."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    base = (
+        li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(
+            s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+            .select("s_suppkey", "n_name")),
+            li["l_suppkey"] == F.col("s_suppkey"))
+        .select("p_brand", "n_name")
+    )
+    bn = base.groupBy("p_brand", "n_name").agg(
+        F.count(F.lit(1)).alias("n_bn"))
+    b = bn.groupBy("p_brand").agg(F.sum("n_bn").alias("n_b"))
+    nn = bn.groupBy("n_name").agg(F.sum("n_bn").alias("n_n"))
+    tot = bn.agg(F.sum("n_bn").alias("n_tot"))
+    lift = (
+        (F.col("n_bn") * F.col("n_tot")).cast("double")
+        / (F.col("n_b") * F.col("n_n")).cast("double")
+    )
+    return (
+        bn.join(F.broadcast(b), on="p_brand")
+        .join(F.broadcast(nn), on="n_name")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("n_bn") >= 50)
+        .select("p_brand", "n_name", "n_bn",
+                F.round(lift, 6).alias("lift"))
+        .orderBy(F.col("lift").desc(), F.col("p_brand").asc(),
+                 F.col("n_name").asc())
+        .limit(15)
+    )
+
+
+BRAND_LIFT_ORACLE = """
+WITH base AS (
+  SELECT p.p_brand, n.n_name
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+), bn AS (
+  SELECT p_brand, n_name, COUNT(*) AS n_bn FROM base GROUP BY p_brand, n_name
+), b AS (
+  SELECT p_brand, CAST(SUM(n_bn) AS BIGINT) AS n_b FROM bn GROUP BY p_brand
+), nn AS (
+  SELECT n_name, CAST(SUM(n_bn) AS BIGINT) AS n_n FROM bn GROUP BY n_name
+), tot AS (
+  SELECT CAST(SUM(n_bn) AS BIGINT) AS n_tot FROM bn
+)
+SELECT bn.p_brand, bn.n_name, bn.n_bn,
+       ROUND(CAST(bn.n_bn * n_tot AS DOUBLE)
+             / CAST(b.n_b * nn.n_n AS DOUBLE), 6) AS lift
+FROM bn JOIN b USING (p_brand) JOIN nn USING (n_name), tot
+WHERE bn.n_bn >= 50
+ORDER BY lift DESC, p_brand ASC, n_name ASC
+LIMIT 15
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6653,6 +6777,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": copurchase_triangles,
         "events_cusum_drift": events_cusum_drift,
         "corpus_hybrid_search": corpus_hybrid_search,
+        "customer_reorder_gaps": customer_reorder_gaps,
+        "brand_nation_lift": brand_nation_lift,
         "corpus_quality_percentile": corpus_quality_percentile,
         "corpus_source_best": corpus_source_best,
         "lineitem_grouping_sets": lineitem_grouping_sets,
@@ -6818,6 +6944,8 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_triangles": TRIANGLES_ORACLE,
         "events_cusum_drift": CUSUM_ORACLE,
         "corpus_hybrid_search": _hybrid_oracle(),
+        "customer_reorder_gaps": REORDER_GAPS_ORACLE,
+        "brand_nation_lift": BRAND_LIFT_ORACLE,
         "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
         "corpus_source_best": SOURCE_BEST_ORACLE,
         "lineitem_grouping_sets": GROUPING_SETS_SQL,
