@@ -1,0 +1,66 @@
+"""Streaming SCD2 enrichment: each event carries the dimension version
+in force AT ITS EVENT TIME, new versions flow in between micro-batches,
+pre-history events keep NULL attributes."""
+
+from __future__ import annotations
+
+import datetime as dt
+from pathlib import Path
+
+from glue_hudi_spark.operators import scd2
+from glue_hudi_spark.streaming.enrich import EnrichStream, enrich_asof
+
+
+def _dim(spark, upto: int):
+    changes = [
+        (1, dt.datetime(2024, 1, 10), "bronze"),
+        (1, dt.datetime(2024, 3, 1), "silver"),
+        (1, dt.datetime(2024, 6, 1), "gold"),
+        (2, dt.datetime(2024, 2, 1), "bronze"),
+    ][:upto]
+    ev = spark.createDataFrame(changes, "user_id int, ts timestamp, tier string")
+    return scd2.scd2_build(ev, ["user_id"], "ts", ["tier"])
+
+
+def test_enrich_asof_picks_version_at_event_time(spark):
+    events = spark.createDataFrame(
+        [(100, 1, dt.datetime(2024, 1, 5)),    # before first version
+         (101, 1, dt.datetime(2024, 2, 15)),   # bronze era
+         (102, 1, dt.datetime(2024, 3, 1)),    # exactly at silver start
+         (103, 1, dt.datetime(2024, 7, 1)),    # gold (open interval)
+         (104, 2, dt.datetime(2024, 5, 5))],
+        "event_id int, user_id int, ts timestamp")
+    out = {r["event_id"]: r["tier"] for r in enrich_asof(
+        events, _dim(spark, 4), ["user_id"], "ts", ["tier"]).collect()}
+    assert out == {100: None, 101: "bronze", 102: "silver",
+                   103: "gold", 104: "bronze"}
+
+
+def _land(spark, rows, d: Path, name: str):
+    df = spark.createDataFrame(rows, "event_id int, user_id int, ts timestamp")
+    stage = str(d) + "__stage__" + name
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    d.mkdir(parents=True, exist_ok=True)
+    for i, p in enumerate(Path(stage).glob("*.parquet")):
+        p.rename(d / f"{name}_{i}.parquet")
+
+
+def test_enrich_stream_sees_dimension_updates_between_batches(spark, tmp_path):
+    ev_dir = tmp_path / "events"
+    _land(spark, [(1, 1, dt.datetime(2024, 2, 15))], ev_dir, "B1")
+    state = {"upto": 2}   # dim initially knows bronze->silver only
+
+    stream = EnrichStream(
+        spark, ev_dir, tmp_path / "out", tmp_path / "ckpt",
+        dim_loader=lambda: _dim(spark, state["upto"]),
+        key_cols=["user_id"], event_ts="ts", attrs=["tier"])
+    stream.run_available()
+
+    # dimension gains the gold version; a later event lands
+    state["upto"] = 3
+    _land(spark, [(2, 1, dt.datetime(2024, 7, 1))], ev_dir, "B2")
+    stream.run_available()
+
+    got = {r["event_id"]: r["tier"] for r in
+           spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {1: "bronze", 2: "gold"}
