@@ -1073,44 +1073,66 @@ class NativeTable:
         (correct, unpruned) snapshot path — compact first for cheap
         lookups, same caveat as ``read_keys``.
         """
+        return self.read_by_values({col: values}, with_meta=with_meta)
+
+    def read_by_values(
+        self, probes: dict[str, list], with_meta: bool = False
+    ) -> DataFrame:
+        """Conjunctive (AND) equality lookup across MULTIPLE secondary
+        columns: rows matching EVERY column's value list, reading only
+        files that survive the INTERSECTION of the per-column pruning
+        ladders — each column's range/bloom index prunes independently
+        and a file must pass all of them, so two mediocre indexes (each
+        admitting 30% of files) compose into a ~9% scan. The composite
+        answer a dedicated multi-column index would give, without
+        maintaining one."""
+        if not probes:
+            raise ValueError("read_by_values: empty probe dict")
         commit = self.timeline.latest()
         if commit is None:
             raise ValueError(f"table {self.root} has no commits")
-        # probe values rendered with Spark CAST semantics to match the
-        # sidecar build; any un-renderable value disables bloom pruning
-        # for the whole lookup (pruning on a mis-rendered string would
-        # false-negative and silently drop matching files)
-        val_strs = [_spark_cast_str(v) for v in values]
+
+        def _exact(df: DataFrame) -> DataFrame:
+            for c, vals in probes.items():
+                df = df.filter(F.col(c).isin(vals))
+            return df
+
         if commit.deltas:
-            out = self.read_snapshot(with_meta=True)
-            out = out.filter(F.col(col).isin(values))
+            out = _exact(self.read_snapshot(with_meta=True))
             return out if with_meta else out.drop(*META_COLS)
-        vstats = [_stat_value(v) for v in values]
-        candidates = []
-        for f in commit.files:
-            s = commit.col_stats.get(f, {}).get(col)
-            if s is not None and all(
-                _outside_range(vs, s[0], s[1]) for vs in vstats
-            ):
-                continue
-            candidates.append(f)
-        if col in self.secondary_bloom_cols and all(
-            v is not None for v in val_strs
-        ):
-            blooms = self._load_blooms(candidates, col)
-            pairs = [_bloom_hash_pair(v) for v in val_strs]
+
+        candidates = list(commit.files)
+        for col, values in probes.items():
+            # probe values rendered with Spark CAST semantics to match
+            # the sidecar build; any un-renderable value disables bloom
+            # pruning for THIS column (a mis-rendered string would
+            # false-negative and silently drop matching files)
+            val_strs = [_spark_cast_str(v) for v in values]
+            vstats = [_stat_value(v) for v in values]
             kept = []
             for f in candidates:
-                b = blooms.get(f)
-                if b is None or any(
-                    _bloom_contains_hashed(b[2], b[1], b[0], h1, h2)
-                    for h1, h2 in pairs
+                s = commit.col_stats.get(f, {}).get(col)
+                if s is not None and all(
+                    _outside_range(vs, s[0], s[1]) for vs in vstats
                 ):
-                    kept.append(f)
+                    continue
+                kept.append(f)
             candidates = kept
-        out = self._read_files(candidates, commit.schema_json).filter(
-            F.col(col).isin(values)
-        )
+            if col in self.secondary_bloom_cols and all(
+                v is not None for v in val_strs
+            ):
+                blooms = self._load_blooms(candidates, col)
+                pairs = [_bloom_hash_pair(v) for v in val_strs]
+                kept = []
+                for f in candidates:
+                    b = blooms.get(f)
+                    if b is None or any(
+                        _bloom_contains_hashed(b[2], b[1], b[0], h1, h2)
+                        for h1, h2 in pairs
+                    ):
+                        kept.append(f)
+                candidates = kept
+        out = _exact(self._read_files(candidates, commit.schema_json))
         return out if with_meta else out.drop(*META_COLS)
 
     # ----------------------------------------------------------------- reads

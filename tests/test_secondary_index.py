@@ -130,3 +130,30 @@ def test_unrenderable_probe_values_keep_files_not_crash(spark, tmp_table_dir):
     # exact filter still answers correctly
     assert t.read_by_value("x", [1e20]).count() == 0
     assert t.read_by_value("x", [1e20, 7.0]).count() == 1
+
+
+def test_multi_column_lookup_intersects_indexes(spark, tmp_table_dir):
+    """read_by_values: each column's index prunes independently; a file
+    must survive ALL of them, so the composite scan set is the
+    intersection — tighter than either column alone."""
+    t = NativeTable(
+        spark, tmp_table_dir, record_keys=["id"], precombine=None,
+        partition_keys=[], files_per_partition=4,
+        secondary_bloom_cols=["cat", "region"],
+    )
+    # cat correlates with file 0-3; region splits each cat differently
+    rows = [(f"{i:04d}", f"c{i // 100}", f"r{(i // 50) % 2}", i)
+            for i in range(400)]
+    t.bulk_insert(spark.createDataFrame(
+        rows, "id string, cat string, region string, v int"))
+
+    both = t.read_by_values({"cat": ["c2"], "region": ["r0"]})
+    got = {r["id"] for r in both.collect()}
+    assert got == {f"{i:04d}" for i in range(200, 250)}
+    assert len(both.inputFiles()) <= 2  # at most cat's file + 1 bloom FP
+    # single-column path still routes through the same ladder
+    assert t.read_by_value("cat", ["c2"]).count() == 100
+    # empty probe dict rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        t.read_by_values({})
