@@ -913,6 +913,35 @@ WHERE event_type = 'signup'
 """
 
 
+def cdc_multi_column_lookup(spark, sf_dir):
+    """Conjunctive lookup across TWO secondary indexes
+    (``read_by_values``): event_type's value-set sidecar and user_id's
+    range stats each prune independently; a file must survive the
+    INTERSECTION — the composite-index answer without a composite
+    index. Oracle checks the rows; ``tests/test_secondary_index.py``
+    pins the intersected scan set."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "event_type", "value",
+    )
+    tmp = _scratch_dir("multilookup_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"],
+        precombine="event_id", partition_keys=[], files_per_partition=8,
+        secondary_bloom_cols=["event_type", "user_id"],
+    )
+    table.bulk_insert(ev)
+    return table.read_by_values(
+        {"event_type": ["purchase"], "user_id": [7, 11]}
+    ).select("event_id", "ts", "user_id", "event_type", "value")
+
+
+MULTI_LOOKUP_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+WHERE event_type = 'purchase' AND user_id IN (7, 11)
+"""
+
+
 def cdc_change_feed(spark, sf_dir):
     """Row-level diff between two commits (Delta Change-Data-Feed class):
     after the CDC merge, ``diff_snapshots(1)`` classifies every record
@@ -6686,6 +6715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
         "cdc_point_lookup": cdc_point_lookup,
         "cdc_secondary_lookup": cdc_secondary_lookup,
+        "cdc_multi_column_lookup": cdc_multi_column_lookup,
         "cdc_change_feed": cdc_change_feed,
         "events_ivm_rollup": events_ivm_rollup,
         "cdc_retention_delete": cdc_retention_delete,
@@ -6855,6 +6885,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_bloom_scattered_upsert": BLOOM_UPSERT_ORACLE,
         "cdc_point_lookup": POINT_LOOKUP_ORACLE,
         "cdc_secondary_lookup": SECONDARY_LOOKUP_ORACLE,
+        "cdc_multi_column_lookup": MULTI_LOOKUP_ORACLE,
         "cdc_change_feed": CHANGE_FEED_ORACLE,
         "events_ivm_rollup": IVM_ROLLUP_ORACLE,
         "cdc_retention_delete": RETENTION_DELETE_ORACLE,
