@@ -170,3 +170,28 @@ def test_run_incremental_dedups_against_corpus_then_curates(spark, tmp_path):
         [(20, "en", other)], "doc_id long, lang string, text string"), t)
     assert c3 is not None and c3.stats["curation_stages"]["input"] == 1
     assert {r["doc_id"] for r in t.read_snapshot().collect()} == {1, 20}
+
+
+def test_random_filter_chains_never_grow_rows(spark):
+    """Property: any chain of filter-type stages is row-monotone
+    (output ⊆ input at every step) and never crashes on a valid config —
+    the runner adds no semantics of its own."""
+    import random
+
+    rng = random.Random(7)
+    d = _docs(spark)
+    stage_pool = [
+        lambda: {"op": "quality_filter",
+                 "min_quality": rng.choice([0.0, 0.4, 0.6])},
+        lambda: {"op": "exact_dedup"},
+        lambda: {"op": "lm_filter",
+                 "min_avg_logp": rng.choice([-20.0, -6.0])},
+        lambda: {"op": "sample", "stratum_col": "lang",
+                 "rates": {"en": 0.5, "fr": 1.0}},
+    ]
+    for trial in range(3):
+        stages = [rng.choice(stage_pool)() for _ in range(rng.randint(1, 3))]
+        counts: list = []
+        CurationPipeline({"stages": stages}).run(d, counts=counts)
+        ns = [c[1] for c in counts]
+        assert all(a >= b for a, b in zip(ns, ns[1:])), (stages, ns)
