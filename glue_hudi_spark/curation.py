@@ -53,13 +53,18 @@ def _stage_quality_filter(df: DataFrame, cfg: dict, ctx: dict) -> DataFrame:
 
 def _stage_lm_filter(df: DataFrame, cfg: dict, ctx: dict) -> DataFrame:
     """Perplexity-proxy screen: drop docs whose mean unigram log-prob
-    under the CORPUS'S OWN distribution falls below the floor. The model
-    trains on the stage's input (post earlier filters) — vocabulary-
-    sized, never collected."""
+    falls below the floor. With ``model_path`` the stage scores against
+    a PRE-TRAINED model (train once with ``lm.save_model``, reuse across
+    runs — stable score scale, no per-run corpus pass); otherwise the
+    model trains on the stage's input (post earlier filters) —
+    vocabulary-sized, never collected."""
     floor = cfg.get("min_avg_logp")
     if floor is None:
         raise CurationConfigError("lm_filter requires min_avg_logp")
-    model = lm.unigram_train(df, ctx["text_col"])
+    if cfg.get("model_path"):
+        model = lm.load_model(df.sparkSession, cfg["model_path"])
+    else:
+        model = lm.unigram_train(df, ctx["text_col"])
     scored = lm.unigram_score(df, model, ctx["id_col"], ctx["text_col"])
     ok = scored.filter(F.col("avg_logp") >= F.lit(float(floor))).select(
         ctx["id_col"])

@@ -61,6 +61,19 @@ def unigram_train(
     )
 
 
+def save_model(model: DataFrame, path: str) -> None:
+    """Persist a unigram model (train once, score many curation runs —
+    the model is vocabulary-sized parquet, and re-training per run both
+    wastes a corpus pass and silently shifts the score scale between
+    runs)."""
+    model.write.mode("overwrite").parquet(path)
+
+
+def load_model(spark, path: str) -> DataFrame:
+    """Load a model written by ``save_model``."""
+    return spark.read.parquet(path)
+
+
 def bigram_train(
     docs: DataFrame, text_col: str = "text"
 ) -> DataFrame:

@@ -195,3 +195,18 @@ def test_random_filter_chains_never_grow_rows(spark):
         CurationPipeline({"stages": stages}).run(d, counts=counts)
         ns = [c[1] for c in counts]
         assert all(a >= b for a, b in zip(ns, ns[1:])), (stages, ns)
+
+
+def test_lm_filter_with_pretrained_model(spark, tmp_path):
+    from glue_hudi_spark.operators import lm
+
+    d = _docs(spark)
+    model_path = str(tmp_path / "model")
+    lm.save_model(lm.unigram_train(d), model_path)
+    pipe = CurationPipeline({"stages": [
+        {"op": "lm_filter", "min_avg_logp": -5.0,
+         "model_path": model_path}]})
+    batch = d.unionByName(spark.createDataFrame(
+        [(300, "en", "qz xv jq zk")], "doc_id long, lang string, text string"))
+    got = {r["doc_id"] for r in pipe.run(batch).collect()}
+    assert 300 not in got and 0 in got

@@ -79,3 +79,15 @@ def test_single_token_docs_have_no_bigrams(spark):
         _docs(spark, [(5, "solo"), (6, "a b")]),
         lm.bigram_train(train), lm.unigram_train(train))
     assert {r["doc_id"] for r in out.collect()} == {6}
+
+
+def test_model_save_load_roundtrip_scores_identically(spark, tmp_path):
+    train = _docs(spark, [(1, "a a b"), (2, "b c")])
+    model = lm.unigram_train(train)
+    p = str(tmp_path / "uni_model")
+    lm.save_model(model, p)
+    loaded = lm.load_model(spark, p)
+    score = _docs(spark, [(9, "a z")])
+    a = lm.unigram_score(score, model).collect()[0]["avg_logp"]
+    b = lm.unigram_score(score, loaded).collect()[0]["avg_logp"]
+    assert a == b
