@@ -45,6 +45,7 @@ class CorpusIngestStream:
         schema: T.StructType | None = None,
         max_files_per_trigger: int | None = None,
         min_quality: float | None = None,
+        pipeline=None,
     ):
         self.spark = spark
         self.docs_dir = str(docs_dir)
@@ -55,6 +56,13 @@ class CorpusIngestStream:
         # micro-batch (map-side expressions) BEFORE the dedup join, so
         # rejected docs never cost a corpus-hash comparison or a write
         self.min_quality = min_quality
+        # full curation at the edge: a CurationPipeline whose stages run
+        # over each micro-batch's FRESH slice (after the corpus dedup
+        # anti-join) — the config-driven batch pipeline, applied
+        # continuously. Per-batch stages must be batch-local by nature
+        # (filters/dedup); a corpus-relative stage like token_budget
+        # belongs in a periodic batch re-curation, not here.
+        self.pipeline = pipeline
         self.schema = schema or self.spark.read.parquet(self.docs_dir).schema
         self.max_files_per_trigger = max_files_per_trigger
         self.table = NativeTable(
@@ -88,8 +96,15 @@ class CorpusIngestStream:
                 batch_df, id_col=self.id_col, text_col=self.text_col
             ).select(F.col("keep_id").alias(self.id_col))
             fresh = batch_df.join(keep, self.id_col, "left_semi")
-        # an all-duplicates batch commits nothing and carries no marker —
-        # safe: its replay re-dedupes to empty, a natural no-op
+        if self.pipeline is not None:
+            counts: list = []
+            fresh = self.pipeline.run(fresh, counts=counts)
+            marker["curation_stages"] = dict(counts)
+        # an all-duplicates (or all-curated-away) batch commits nothing
+        # and carries no marker — safe: its replay re-runs to empty, a
+        # natural no-op
+        if fresh.isEmpty():
+            return
         self.table.bulk_insert(fresh, extra_stats=marker)
 
     def start(self, trigger_available_now: bool = True):

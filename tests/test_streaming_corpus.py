@@ -84,3 +84,28 @@ def test_corpus_stream_quality_gate_filters_at_the_edge(spark, tmp_path):
     _land(spark, [dict(doc_id=3, text="qq")], docs, "B2")
     stream.run_available()
     assert len(stream.table.timeline.history()) == n
+
+
+def test_corpus_stream_runs_full_curation_pipeline_per_batch(spark, tmp_path):
+    """A CurationPipeline's stages run over each micro-batch's fresh
+    slice; the per-stage audit counts land in the commit stats."""
+    from glue_hudi_spark.curation import CurationPipeline
+
+    docs = tmp_path / "docs"
+    good = ("the quick brown fox jumps over the lazy dog and it keeps "
+            "running through the field for a while longer today")
+    _land(spark, [
+        dict(doc_id=1, text=good),
+        dict(doc_id=2, text=good.upper()),   # normalized dup of 1
+        dict(doc_id=3, text="zz"),            # fails quality stage
+    ], docs, "B1")
+    stream = CorpusIngestStream(
+        spark, docs, tmp_path / "corpus", tmp_path / "ckpt",
+        pipeline=CurationPipeline({"stages": [
+            {"op": "quality_filter", "min_quality": 0.5}]}))
+    stream.run_available()
+    assert {r["doc_id"] for r in stream.table.read_snapshot().collect()} == {1}
+    stats = stream.table.timeline.latest().stats
+    stages = stats["curation_stages"]
+    assert stages["input"] == 2          # post-dedup fresh slice
+    assert stages["0:quality_filter"] == 1
