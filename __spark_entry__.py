@@ -6627,6 +6627,81 @@ LIMIT 15
 """
 
 
+def orders_backlog_aging(spark, sf_dir):
+    """Open-order backlog aged into 30/90/365-day buckets at a fixed
+    cutoff — the operational aging report every fulfillment dashboard
+    carries. One scan-stage CASE + one aggregate; decimal value sums."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.to_date(F.lit("1998-08-01"))
+    age = F.datediff(cutoff, F.to_date("o_orderdate"))
+    bucket = (
+        F.when(age <= 30, "0-30d")
+        .when(age <= 90, "31-90d")
+        .when(age <= 365, "91-365d")
+        .otherwise(">365d")
+    )
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .filter(age >= 0)
+        .groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("backlog_value"),
+        )
+        .orderBy("age_bucket")
+    )
+
+
+BACKLOG_ORACLE = """
+WITH aged AS (
+  SELECT o_totalprice,
+         datediff('day', CAST(o_orderdate AS DATE), DATE '1998-08-01') AS age
+  FROM orders WHERE o_orderstatus = 'O'
+)
+SELECT CASE WHEN age <= 30 THEN '0-30d'
+            WHEN age <= 90 THEN '31-90d'
+            WHEN age <= 365 THEN '91-365d'
+            ELSE '>365d' END AS age_bucket,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS backlog_value
+FROM aged WHERE age >= 0
+GROUP BY age_bucket ORDER BY age_bucket
+"""
+
+
+def events_weekday_hour_heatmap(spark, sf_dir):
+    """Activity heatmap: event counts + decimal value mass per
+    (weekday, hour) cell — the 168-cell usage fingerprint. Weekday
+    convention pinned explicitly (1=Sunday..7=Saturday): Spark's
+    dayofweek() is 1-based Sunday, DuckDB's is 0-based Sunday — the
+    classic silent cross-engine off-by-one."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.dayofweek("ts").alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double").alias("value_sum"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
+HEATMAP_ORACLE = """
+SELECT CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       CAST(hour(ts) AS INT) AS hour,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY dow, hour ORDER BY dow, hour
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -6809,6 +6884,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hybrid_search": corpus_hybrid_search,
         "customer_reorder_gaps": customer_reorder_gaps,
         "brand_nation_lift": brand_nation_lift,
+        "orders_backlog_aging": orders_backlog_aging,
+        "events_weekday_hour_heatmap": events_weekday_hour_heatmap,
         "corpus_quality_percentile": corpus_quality_percentile,
         "corpus_source_best": corpus_source_best,
         "lineitem_grouping_sets": lineitem_grouping_sets,
@@ -6977,6 +7054,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_hybrid_search": _hybrid_oracle(),
         "customer_reorder_gaps": REORDER_GAPS_ORACLE,
         "brand_nation_lift": BRAND_LIFT_ORACLE,
+        "orders_backlog_aging": BACKLOG_ORACLE,
+        "events_weekday_hour_heatmap": HEATMAP_ORACLE,
         "corpus_quality_percentile": QUALITY_PERCENTILE_ORACLE,
         "corpus_source_best": SOURCE_BEST_ORACLE,
         "lineitem_grouping_sets": GROUPING_SETS_SQL,
