@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "copurchase_triangles",
     "corpus_hybrid_search",
     "events_cusum_drift",
+    "orders_backlog_aging",
+    "events_weekday_hour_heatmap",
 ]
 
 
