@@ -94,8 +94,20 @@ def scd2_apply(
     one batch chain correctly); current rows of untouched keys pass
     through. Batch events older than a key's current valid_from are
     rejected (out-of-order arrival needs a rebuild — fail loudly rather
-    than corrupt history)."""
+    than corrupt history).
+
+    Sentinel migration: tables written before HIGH_TS moved from
+    9999-12-31 to 2200-01-01 carry the old open-row sentinel; without
+    normalization a merge would leave MIXED sentinels (untouched current
+    rows keep 9999, re-derived keys get 2200), breaking any consumer
+    that compares ``valid_to == HIGH_TS`` or orders open rows. Every
+    pass-through row with ``valid_to`` past HIGH_TS is rewritten to
+    HIGH_TS here, so one ``scd2_apply`` fully migrates a table."""
     scd_cols = [*key_cols, *attr_cols, "valid_from", "valid_to", "is_current"]
+    high = F.lit(HIGH_TS).cast("timestamp")
+    current_scd = current_scd.withColumn(
+        "valid_to",
+        F.when(F.col("valid_to") > high, high).otherwise(F.col("valid_to")))
     closed = current_scd.filter(~F.col("is_current"))
     current = current_scd.filter(F.col("is_current"))
     bkeys = batch.select(*key_cols).distinct()

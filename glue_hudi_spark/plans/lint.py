@@ -61,28 +61,115 @@ def count_shuffles(df: DataFrame) -> int:
     return count_ops(df, "Exchange")
 
 
+def _tree_nodes(plan: str) -> list[tuple[int, str, str, int]]:
+    """Parse the formatted plan's tree section into
+    ``(depth, name, extras, node_id)`` tuples, in tree order.
+
+    Tree lines look like ``   +- * HashAggregate (9)`` — depth is encoded
+    in 3-character prefix columns (``   `` / ``:  `` / ``+- `` / ``:- ``),
+    the trailing ``(n)`` is the node id that keys the detail section.
+    """
+    nodes = []
+    for line in plan.splitlines():
+        m = re.match(
+            r"^([ :|]*)([+:]- )?(?:\* )?([A-Za-z]\w*)(.*)\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        indent, marker, name, extras, node_id = m.groups()
+        depth = 0 if marker is None else len(indent) // 3 + 1
+        nodes.append((depth, name, extras, int(node_id)))
+    return nodes
+
+
+def _detail_blocks(plan: str) -> dict[int, str]:
+    """Map node id -> its detail-section text (``(n) Name`` blocks)."""
+    blocks: dict[int, str] = {}
+    current = None
+    for line in plan.splitlines():
+        m = re.match(r"^\((\d+)\) [A-Za-z]\w*", line)
+        if m:
+            current = int(m.group(1))
+            blocks[current] = ""
+        elif current is not None:
+            blocks[current] += line + "\n"
+    return blocks
+
+
+def _subtree(nodes, i):
+    """Nodes of the subtree rooted at index ``i`` (inclusive)."""
+    depth = nodes[i][0]
+    out = [nodes[i]]
+    for n in nodes[i + 1:]:
+        if n[0] <= depth:
+            break
+        out.append(n)
+    return out
+
+
+def _children(nodes, i):
+    """Indices of the direct children of the node at index ``i``."""
+    depth = nodes[i][0]
+    kids = []
+    for j in range(i + 1, len(nodes)):
+        if nodes[j][0] <= depth:
+            break
+        if nodes[j][0] == depth + 1:
+            kids.append(j)
+    return kids
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     """No CartesianProduct / BroadcastNestedLoopJoin — except the 1-row
     scalar-append BNLJ (a broadcast side that is a single aggregate row
     is the sanctioned constant-append pattern, not an O(n·m) join).
 
-    The exemption is deliberately narrow: a BNLJ is allowed only when
-    the plan also shows a single-row aggregate feeding a broadcast
-    exchange. When in doubt it raises.
+    The exemption is checked ON THE BUILD SIDE of each BNLJ, not
+    anywhere in the plan: the tree section is parsed, the BNLJ's
+    BuildLeft/BuildRight subtree located, and a group-less
+    (``Keys: []``) HashAggregate — or a LocalTableScan/Range of
+    provably one row — required inside it. A global aggregate elsewhere
+    in the plan (very common) does NOT whitelist an O(n·m) join.
+    When in doubt it raises.
     """
     plan = plan_text(df)
     if "CartesianProduct" in plan:
         raise PlanLintError("plan contains CartesianProduct", plan)
-    n_bnlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
-    if n_bnlj:
-        # every BNLJ must be a scalar append: its broadcast build side is
-        # a global (group-less) HashAggregate — grep for the aggregate's
-        # detail header with an empty Keys list
-        n_scalar_aggs = len(re.findall(r"^Keys: \[\]$", plan, re.M))
-        if n_scalar_aggs == 0:
+    if "BroadcastNestedLoopJoin" not in plan:
+        return
+    nodes = _tree_nodes(plan)
+    details = _detail_blocks(plan)
+
+    def _is_scalar_subtree(sub) -> bool:
+        for _, name, _, node_id in sub:
+            if name == "HashAggregate" and re.search(
+                    r"^Keys: \[\]$", details.get(node_id, ""), re.M):
+                return True
+            if name == "ReusedExchange":
+                # reuses a prior exchange; its referenced subtree is not
+                # under this node — accept only if the referenced plan has
+                # a scalar aggregate at all (conservative fallback)
+                return bool(re.search(r"^Keys: \[\]$", plan, re.M))
+        return False
+
+    for i, (_, name, extras, node_id) in enumerate(nodes):
+        if name != "BroadcastNestedLoopJoin":
+            continue
+        kids = _children(nodes, i)
+        if len(kids) != 2:
             raise PlanLintError(
-                f"plan contains {n_bnlj} BroadcastNestedLoopJoin node(s) "
-                "with no scalar-aggregate build side", plan)
+                f"BroadcastNestedLoopJoin ({node_id}): could not resolve "
+                "both join children from the plan tree", plan)
+        if "BuildLeft" in extras:
+            build_sides = [kids[0]]
+        elif "BuildRight" in extras:
+            build_sides = [kids[1]]
+        else:  # build side not printed — require SOME side to be scalar
+            build_sides = kids
+        if not any(_is_scalar_subtree(_subtree(nodes, k))
+                   for k in build_sides):
+            raise PlanLintError(
+                f"BroadcastNestedLoopJoin ({node_id}) build side is not a "
+                "single-row aggregate — O(n·m) join", plan)
 
 
 def assert_no_python_eval(df: DataFrame) -> None:

@@ -1495,9 +1495,17 @@ class NativeTable:
         dev/test sandboxing move: branch a 100-TB table in milliseconds,
         experiment, throw the clone away.
 
-        Falls back symlink→copy per file like ``export_snapshot`` (same
-        cross-device reality). MoR live deltas clone the same way (delta
-        files are files). Requires an empty/nonexistent destination.
+        Falls back hardlink→copy per file — deliberately NOT the
+        symlink middle step ``export_snapshot`` uses: a clone is an
+        INDEPENDENT table, and a symlink's target stays owned by the
+        source, so a later ``clean()``/``vacuum()``/``restore()`` on the
+        source would silently turn the clone's manifest-listed file into
+        a dangling link (export_snapshot may symlink because the export
+        is a view OF the source, refreshed with it, not a peer). Where
+        hardlinks can't cross (other device/FS), the clone pays the copy
+        — correctness over zero-copy. MoR live deltas clone the same way
+        (delta files are files). Requires an empty/nonexistent
+        destination.
         """
         import shutil
 
@@ -1515,10 +1523,7 @@ class NativeTable:
             try:
                 os.link(src, dst)
             except OSError:
-                try:
-                    os.symlink(src, dst)
-                except OSError:
-                    shutil.copy2(src, dst)
+                shutil.copy2(src, dst)
 
         delta_files = [f for d in commit.deltas for f in d["files"]]
         for rel in [*commit.files, *delta_files]:

@@ -86,7 +86,16 @@ class EnrichStream:
         out = enrich_asof(
             batch_df, self.dim_loader(), self.key_cols,
             self.event_ts, self.attrs)
-        out.write.mode("append").parquet(self.out_dir)
+        # Idempotent sink: foreachBatch is at-least-once, so a crash between
+        # the write and the checkpoint commit replays the batch. A plain
+        # mode("append") into out_dir would re-append the whole batch; landing
+        # each batch in its own hive-style stream_batch_id=<id> directory with
+        # overwrite makes the replay rewrite the same files instead — the
+        # exactly-once convention CorpusIngestStream implements with its
+        # in-commit stream_batch_id marker. Readers of out_dir see
+        # stream_batch_id as a partition column (batch lineage for free).
+        out.write.mode("overwrite").parquet(
+            f"{self.out_dir}/stream_batch_id={int(batch_id)}")
 
     def run_available(self) -> None:
         q = (

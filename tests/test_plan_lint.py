@@ -30,6 +30,22 @@ def test_no_cartesian_rejects_true_cross(spark):
         lint.assert_no_cartesian(cross)
 
 
+def test_no_cartesian_checks_the_build_side_not_the_whole_plan(spark):
+    """A global aggregate ELSEWHERE in the plan must not whitelist a
+    genuine O(n·m) BNLJ — the scalar-row exemption is positional (the
+    BNLJ's broadcast build side), not a plan-wide grep."""
+    d = _docs(spark)
+    # multi-row broadcast BNLJ ... whose PROBE side contains a scalar agg
+    probe = d.crossJoin(F.broadcast(d.agg(F.max("v").alias("mx"))))
+    bad = probe.crossJoin(
+        F.broadcast(d.select(F.col("id").alias("id2")).limit(50)))
+    with pytest.raises(lint.PlanLintError, match="build side"):
+        lint.assert_no_cartesian(bad)
+    # and a scalar append nested under other operators still passes
+    ok = probe.groupBy("g").agg(F.sum("v").alias("s"))
+    lint.assert_no_cartesian(ok)
+
+
 def test_python_eval_detected(spark):
     from pyspark.sql.functions import udf
 

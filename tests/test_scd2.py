@@ -69,6 +69,29 @@ def test_as_of_reconstruction(spark):
     assert snap2 == {"u1": "b", "u2": "x"}
 
 
+def test_apply_migrates_old_9999_sentinel(spark):
+    """A table written before HIGH_TS moved 9999-12-31 → 2200-01-01 must
+    come out of scd2_apply with ONE sentinel: untouched current rows are
+    normalized, not left mixed with re-derived keys' new sentinel."""
+    old_high = dt.datetime(9999, 12, 31)
+    legacy = spark.createDataFrame(
+        [Row(k="u1", attr="a", valid_from=_ts(1), valid_to=old_high,
+             is_current=True),
+         Row(k="u2", attr="x", valid_from=_ts(2), valid_to=old_high,
+             is_current=True),
+         Row(k="u2", attr="w", valid_from=_ts(1), valid_to=_ts(2),
+             is_current=False)])
+    batch = _ev(spark, [("u2", 5, "y")])   # touches u2 only; u1 passes through
+    out = scd2.scd2_apply(legacy, batch, ["k"], "ts", ["attr"])
+    high = dt.datetime.fromisoformat(scd2.HIGH_TS)
+    rows = {(r["k"], r["attr"]): (r["valid_to"], r["is_current"])
+            for r in out.collect()}
+    assert rows[("u1", "a")] == (high, True)    # pass-through, normalized
+    assert rows[("u2", "y")] == (high, True)    # re-derived
+    assert rows[("u2", "x")] == (_ts(5), False)
+    assert all(vt <= high for vt, _ in rows.values())
+
+
 def test_out_of_order_batch_rejected(spark):
     scd = scd2.scd2_build(
         _ev(spark, [("u1", 5, "a")]), ["k"], "ts", ["attr"])

@@ -64,3 +64,22 @@ def test_enrich_stream_sees_dimension_updates_between_batches(spark, tmp_path):
     got = {r["event_id"]: r["tier"] for r in
            spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {1: "bronze", 2: "gold"}
+
+
+def test_enrich_batch_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the parquet write and
+    the checkpoint commit re-delivers the batch. The batch_id-keyed overwrite
+    sink must make the replay a rewrite, not a duplicate append."""
+    stream = EnrichStream(
+        spark, "/dev/null", tmp_path / "out", tmp_path / "ckpt",
+        dim_loader=lambda: _dim(spark, 4),
+        key_cols=["user_id"], event_ts="ts", attrs=["tier"],
+        schema="event_id int, user_id int, ts timestamp")
+    batch = spark.createDataFrame(
+        [(1, 1, dt.datetime(2024, 2, 15)), (2, 1, dt.datetime(2024, 7, 1))],
+        "event_id int, user_id int, ts timestamp")
+    stream._enrich_batch(batch, 0)
+    stream._enrich_batch(batch, 0)   # replay of the SAME batch
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 2            # not 4: replay overwrote, not appended
+    assert {r["stream_batch_id"] for r in rows} == {0}
