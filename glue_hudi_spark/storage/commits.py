@@ -64,6 +64,12 @@ class Commit:
     # data-skipping equivalent): reads prune files whose value range can't
     # match a predicate, before Spark ever lists them. {file: {col: [lo,hi]}}
     col_stats: dict = field(default_factory=dict)
+    # per-file on-disk size in bytes, {rel: int} — carried forward across
+    # commits so maintenance passes (bin_pack sliver detection, delta-bytes
+    # compaction trigger) read the manifest instead of stat()-ing every
+    # file on the driver: O(files) metadata round-trips on an object store.
+    # Optional — absent entries fall back to a live stat().
+    file_sizes: dict = field(default_factory=dict)
 
     @property
     def commit_time(self) -> str:
@@ -115,6 +121,7 @@ class CommitTimeline:
             stats=d.get("stats", {}),
             key_stats=d.get("key_stats", {}),
             col_stats=d.get("col_stats", {}),
+            file_sizes=d.get("file_sizes", {}),
         )
 
     # -- write side ----------------------------------------------------------
@@ -146,6 +153,7 @@ class CommitTimeline:
                 "stats": commit.stats,
                 "key_stats": commit.key_stats,
                 "col_stats": commit.col_stats,
+                "file_sizes": commit.file_sizes,
             },
             indent=1,
         )

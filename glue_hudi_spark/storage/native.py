@@ -1595,10 +1595,38 @@ class NativeTable:
             stats=stats,
             key_stats=key_stats or {},
             col_stats=col_stats or {},
+            file_sizes=self._manifest_file_sizes(files, deltas),
         )
         self.timeline.publish(commit)
         self.timeline.clean(self.retain_commits)
         return commit
+
+    def _manifest_file_sizes(
+        self, files: list[str], deltas: list[dict]
+    ) -> dict[str, int]:
+        """Per-file sizes for the manifest: carried forward from the
+        previous commit for files already recorded there, stat()-ed only
+        for files this commit wrote (a handful, just touched by the
+        footer-stats pass) — so maintenance passes over a 100k-file table
+        never issue 100k driver-side metadata calls. Entries are pruned
+        to the live set, bounding manifest growth."""
+        prev = self.timeline.latest()
+        prev_sizes = prev.file_sizes if prev else {}
+        out: dict[str, int] = {}
+        for f in [*files, *(f for d in deltas for f in d["files"])]:
+            sz = prev_sizes.get(f)
+            if sz is None:
+                sz = self._stat_size(f)
+            if sz is not None:
+                out[f] = sz
+        return out
+
+    def _stat_size(self, rel: str) -> int | None:
+        """Live on-disk size of one table file; None if vanished."""
+        try:
+            return (self.root / rel).stat().st_size
+        except OSError:
+            return None
 
     def bulk_insert(self, df: DataFrame, parallelism: int = 0,
                     extra_stats: dict | None = None) -> Commit | None:
@@ -2080,16 +2108,18 @@ class NativeTable:
         return commit
 
     def _delta_bytes(self, deltas: list[dict]) -> int:
-        """On-disk bytes across all pending delta files — driver-side
-        stat() calls on the (bounded-by-compact_every) delta set, no data
-        read. Vanished files count 0: the trigger is advisory."""
+        """Bytes across all pending delta files, from the manifest's
+        carried ``file_sizes`` (stat() fallback for pre-field manifests).
+        Vanished files count 0: the trigger is advisory."""
+        latest = self.timeline.latest()
+        sizes = latest.file_sizes if latest else {}
         total = 0
         for d in deltas:
             for f in d["files"]:
-                try:
-                    total += (self.root / f).stat().st_size
-                except OSError:
-                    pass
+                sz = sizes.get(f)
+                if sz is None:
+                    sz = self._stat_size(f)
+                total += sz or 0
         return total
 
     def maybe_cluster(self, max_files: int,
@@ -2170,9 +2200,15 @@ class NativeTable:
         commit = self.timeline.latest()
         if commit is None:
             raise ValueError(f"table {self.root} has no commits")
-        sizes = {
-            f: (self.root / f).stat().st_size for f in commit.files
-        }
+        # manifest-carried sizes: zero per-file metadata calls on a table
+        # whose manifests record them; stat() only fills pre-field gaps
+        sizes: dict[str, int] = {}
+        for f in commit.files:
+            sz = commit.file_sizes.get(f)
+            if sz is None:
+                sz = self._stat_size(f)
+            if sz is not None:
+                sizes[f] = sz
         small_by_part: dict[tuple[str, ...], list[str]] = {}
         for f, sz in sizes.items():
             if sz < target_bytes:

@@ -813,6 +813,56 @@ def test_bin_pack_coalesces_small_files_only(spark, tmp_table_dir):
     assert t.validate()["ok"]
 
 
+def test_bin_pack_uses_manifest_sizes_not_stat(spark, tmp_table_dir, monkeypatch):
+    """The sliver scan must read the manifest's carried file_sizes, not
+    issue a per-file stat() — on an object store that's O(files) metadata
+    round-trips. _stat_size is the only sanctioned fallback (pre-field
+    manifests); with sizes present it must never fire."""
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"],
+                    precombine="seq", files_per_partition=2)
+    t.bulk_insert(spark.createDataFrame(
+        [(f"{i:04d}", i, 1) for i in range(2000)], "id string, v int, seq int"))
+    for j in range(3):
+        t.upsert(spark.createDataFrame(
+            [(f"{j:04d}", 900 + j, 2)], "id string, v int, seq int"))
+    latest = t.timeline.latest()
+    assert set(latest.file_sizes) >= set(latest.files)   # sizes recorded
+    for f in latest.files:                               # and correct
+        assert latest.file_sizes[f] == (t.root / f).stat().st_size
+
+    calls = []
+    monkeypatch.setattr(
+        NativeTable, "_stat_size",
+        lambda self, rel: calls.append(rel) or None)
+    c = t.bin_pack(target_bytes=64 * 1024)
+    assert c is not None and c.stats["packed_files"] >= 2
+    # the only _stat_size calls allowed are for THIS commit's new files
+    # (recorded into the new manifest), never the carried inventory scan
+    assert not [r for r in calls if r in set(latest.files)], calls[:5]
+
+
+def test_old_manifest_without_sizes_still_bin_packs(spark, tmp_table_dir):
+    """Manifests written before the file_sizes field fall back to stat()."""
+    import json as _json
+
+    t = NativeTable(spark, tmp_table_dir, record_keys=["id"],
+                    precombine=None, files_per_partition=2)
+    t.bulk_insert(spark.createDataFrame(
+        [(f"{i}", i) for i in range(20)], "id string, v int"))
+    t.bulk_insert(spark.createDataFrame(
+        [(f"x{i}", i) for i in range(20)], "id string, v int"))
+    # strip the field from every manifest, simulating an old table
+    for p in t.timeline._manifest_paths():
+        d = _json.loads(p.read_text())
+        d.pop("file_sizes", None)
+        p.write_text(_json.dumps(d))
+    c = t.bin_pack(target_bytes=1024 * 1024)
+    assert c is not None and c.stats["packed_files"] >= 2
+    assert t.read_snapshot().count() == 40
+    # and the repacking commit re-records sizes going forward
+    assert set(t.timeline.latest().file_sizes) >= set(t.timeline.latest().files)
+
+
 def test_bin_pack_partitioned_packs_per_partition(spark, tmp_table_dir):
     t = NativeTable(spark, tmp_table_dir, record_keys=["id"],
                     precombine=None, partition_keys=["d"])
