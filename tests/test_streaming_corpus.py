@@ -109,3 +109,43 @@ def test_corpus_stream_runs_full_curation_pipeline_per_batch(spark, tmp_path):
     stages = stats["curation_stages"]
     assert stages["input"] == 2          # post-dedup fresh slice
     assert stages["0:quality_filter"] == 1
+
+
+def test_pretrained_lm_model_flows_through_streaming_path(spark, tmp_path):
+    """An OFFLINE-trained unigram model (model_path) must score every
+    micro-batch on the SAME scale: in-vocabulary docs pass the floor in
+    both batches, OOV-garbage docs are gated in both batches — which a
+    per-batch re-train could not guarantee (batch 2's tiny vocabulary
+    would reprice every token)."""
+    from glue_hudi_spark.curation import CurationPipeline
+    from glue_hudi_spark.operators import lm
+
+    # train once, offline, on a reference corpus; persist as parquet
+    ref = spark.createDataFrame(
+        [Row(doc_id=i, text="the quick brown fox jumps over the lazy dog")
+         for i in range(20)])
+    model_path = str(tmp_path / "lm_model")
+    lm.save_model(lm.unigram_train(ref, "text"), model_path)
+
+    pipe = CurationPipeline({"stages": [
+        {"op": "lm_filter", "model_path": model_path,
+         "min_avg_logp": -4.0}]})   # in-vocab ~= -2, all-OOV ~= ln(1/188) ~= -5.2
+    docs = tmp_path / "docs"
+    _land(spark, [
+        dict(doc_id=1, text="the quick brown fox"),          # in-vocab
+        dict(doc_id=2, text="zzzq xxqj vvqk wwqm ppqn"),     # all OOV
+    ], docs, "B1")
+    stream = CorpusIngestStream(
+        spark, docs, tmp_path / "corpus", tmp_path / "ckpt", pipeline=pipe)
+    stream.run_available()
+    assert {r["doc_id"] for r in stream.table.read_snapshot().collect()} == {1}
+
+    # batch 2: same scale — the model did NOT re-train on batch 1's corpus
+    _land(spark, [
+        dict(doc_id=3, text="the lazy dog jumps"),           # in-vocab
+        dict(doc_id=4, text="qqzz jjxx kkvv mmww nnpp"),     # all OOV
+    ], docs, "B2")
+    stream.run_available()
+    assert {r["doc_id"] for r in stream.table.read_snapshot().collect()} == {1, 3}
+    stages = stream.table.timeline.latest().stats["curation_stages"]
+    assert stages["input"] == 2 and stages["0:lm_filter"] == 1
