@@ -49,7 +49,12 @@ from glue_hudi_spark.storage.commits import (
     DATA_DIR,
     Commit,
     CommitTimeline,
+    ConcurrentWriteError,
 )
+
+# Bounded OCC retry: how many times a losing writer re-bases its commit
+# onto the new timeline head before surfacing ConcurrentWriteError.
+OCC_MAX_REBASES = 5
 
 # Meta columns (the role of Hudi's _hoodie_* columns, SURVEY §1.1.3).
 COMMIT_TIME_COL = "_ghs_commit_time"
@@ -417,6 +422,16 @@ class NativeTable:
         the column is dropped before the files are written.
         """
         commit_dir = self.root / DATA_DIR / f"{commit_id:020d}"
+        if commit_dir.exists():
+            # another writer claimed this commit id's dir first (concurrent
+            # writers race next_commit_id): take a unique sibling. Manifests
+            # reference files by path, so the dir name is cosmetic; OCC at
+            # publish decides who wins the id, and the loser's rebase
+            # restamps its files under the next id anyway.
+            commit_dir = (
+                self.root / DATA_DIR
+                / f"{commit_id:020d}.w{os.urandom(4).hex()}"
+            )
         width = n_files if n_files is not None else self.files_per_partition
         out = df
         for c in self.partition_keys:
@@ -967,7 +982,11 @@ class NativeTable:
         for rel in report["orphan_files"]:
             parts = Path(rel).parts
             try:
-                cid = int(parts[1]) if parts[0] == DATA_DIR else -1
+                # `.w<token>` suffixed dirs (concurrent-writer siblings)
+                # carry the claiming writer's id before the dot — same
+                # in-flight protection applies to them
+                cid = (int(parts[1].split(".")[0])
+                       if parts[0] == DATA_DIR else -1)
             except (ValueError, IndexError):
                 cid = -1
             if cid == -1 or cid > latest_id:
@@ -1586,20 +1605,166 @@ class NativeTable:
                 deltas: list[dict], schema_json: str, stats: dict,
                 key_stats: dict | None = None,
                 col_stats: dict | None = None) -> Commit:
-        commit = Commit(
-            commit_id=commit_id,
-            action=action,
-            files=files,
-            deltas=deltas,
-            schema_json=schema_json,
-            stats=stats,
-            key_stats=key_stats or {},
-            col_stats=col_stats or {},
-            file_sizes=self._manifest_file_sizes(files, deltas),
+        """Publish with bounded retry-with-rebase on OCC conflict.
+
+        When another writer wins the commit id, the loser does NOT re-run
+        its merge: it re-reads the new head, verifies the two commits
+        touched disjoint files (and disjoint inserted key ranges), carries
+        the winner's files by manifest reference, restamps only its OWN
+        new rows to the next id, and re-publishes — the Delta/Hudi
+        conflict-resolution behavior a multi-writer lake needs. Genuinely
+        overlapping writes still raise ``ConcurrentWriteError``.
+        """
+        key_stats = dict(key_stats or {})
+        col_stats = dict(col_stats or {})
+        base = self.timeline.at(commit_id - 1)  # the head this writer saw
+        for _ in range(OCC_MAX_REBASES + 1):
+            commit = Commit(
+                commit_id=commit_id,
+                action=action,
+                files=files,
+                deltas=deltas,
+                schema_json=schema_json,
+                stats=stats,
+                key_stats=key_stats,
+                col_stats=col_stats,
+                file_sizes=self._manifest_file_sizes(files, deltas),
+            )
+            try:
+                self.timeline.publish(commit)
+            except ConcurrentWriteError:
+                (commit_id, files, deltas, key_stats, col_stats, stats,
+                 base) = self._rebase_commit(
+                    base, commit_id, files, deltas, schema_json,
+                    key_stats, col_stats, stats)
+                continue
+            self.timeline.clean(self.retain_commits)
+            return commit
+        raise ConcurrentWriteError(
+            f"commit on {self.root} lost {OCC_MAX_REBASES} consecutive "
+            "OCC races — giving up")
+
+    def _rebase_commit(self, base: Commit | None, commit_id: int,
+                       files: list[str], deltas: list[dict],
+                       schema_json: str, key_stats: dict, col_stats: dict,
+                       stats: dict):
+        """Rebase a conflicted commit onto the current timeline head.
+
+        The commit's intent relative to ``base`` is reconstructed as
+        (added files, removed files, added deltas, dropped deltas); the
+        rebase is legal iff the winner left every file/delta this commit
+        consumed untouched, kept the schema, and inserted no base files
+        whose key range overlaps ours within a partition. New rows are
+        restamped to the new commit id (incremental readers must see them
+        as changes of THIS commit, not the winner's); rows this commit
+        merely carried keep their stamps (compact/cluster semantics).
+        """
+        actual = self.timeline.latest()
+        base_files = set(base.files) if base else set()
+        base_deltas = base.deltas if base else []
+        removed = base_files - set(files)
+        added = [f for f in files if f not in base_files]
+        new_deltas = [d for d in deltas if d not in base_deltas]
+        dropped_deltas = [d for d in base_deltas if d not in deltas]
+
+        def _conflict(why: str):
+            raise ConcurrentWriteError(
+                f"OCC rebase on {self.root} impossible: {why} "
+                f"(lost commit id {commit_id} to '{actual.action}')")
+
+        if actual.schema_json != (base.schema_json if base else None):
+            _conflict("winner changed the table schema")
+        if not removed <= set(actual.files):
+            _conflict("winner rewrote files this commit also rewrote")
+        actual_delta_set = [d for d in actual.deltas]
+        if any(d not in actual_delta_set for d in dropped_deltas):
+            _conflict("winner compacted deltas this commit also consumed")
+        winner_added = [f for f in actual.files if f not in base_files]
+        if self._key_ranges_overlap(
+                added, key_stats, winner_added, actual.key_stats):
+            _conflict("winner inserted overlapping key ranges")
+
+        new_cid = actual.commit_id + 1
+        old_token, new_token = f"{commit_id:020d}", f"{new_cid:020d}"
+        restamped = self._restamp_files(
+            added, schema_json, old_token, new_token, new_cid,
+            build_blooms=True)
+        re_deltas = []
+        for d in new_deltas:
+            re_deltas.append({
+                **d, "commit_id": new_cid,
+                "files": self._restamp_files(
+                    d["files"], schema_json, old_token, new_token, new_cid,
+                    build_blooms=False),
+            })
+
+        rebased_files = (
+            [f for f in actual.files if f not in removed] + restamped)
+        rebased_deltas = (
+            [d for d in actual.deltas if d not in dropped_deltas]
+            + re_deltas)
+        new_key, new_col = self._collect_file_stats(restamped)
+        rb_key = {f: actual.key_stats[f] for f in rebased_files
+                  if f in actual.key_stats}
+        rb_key.update(new_key)
+        rb_col = {f: actual.col_stats[f] for f in rebased_files
+                  if f in actual.col_stats}
+        rb_col.update(new_col)
+        rb_stats = {**stats, "occ_rebased_from": commit_id,
+                    "occ_rebased_onto": actual.commit_id}
+        return (new_cid, rebased_files, rebased_deltas, rb_key, rb_col,
+                rb_stats, actual)
+
+    def _key_ranges_overlap(self, ours: list[str], our_key_stats: dict,
+                            theirs: list[str], their_key_stats: dict) -> bool:
+        """Conservative same-partition record-key interval overlap between
+        two commits' added files — the check that catches two writers
+        concurrently inserting the same keys (neither touches a common
+        existing file, so file-level disjointness alone would miss it).
+        A file missing key stats counts as overlapping (safe)."""
+        by_part: dict[tuple[str, ...], list] = {}
+        for f in theirs:
+            rng = their_key_stats.get(f)
+            if rng is None:
+                return True
+            by_part.setdefault(self._file_partition(f), []).append(rng)
+        for f in ours:
+            rng = our_key_stats.get(f)
+            if rng is None:
+                return True
+            for lo, hi in by_part.get(self._file_partition(f), []):
+                if not (rng[1] < lo or rng[0] > hi):
+                    return True
+        return False
+
+    def _restamp_files(self, rel_files: list[str], schema_json: str,
+                       old_token: str, new_token: str, new_cid: int,
+                       build_blooms: bool) -> list[str]:
+        """Rewrite a losing writer's OWN files under the rebased commit
+        id, re-stamping only rows this commit stamped (carried rows keep
+        their original commit times). Cost is O(this commit's bytes) —
+        the carried table is untouched; the stale originals are unlinked
+        (they were never referenced by any published manifest)."""
+        if not rel_files:
+            return []
+        df = self._read_files(rel_files, schema_json).withColumn(
+            COMMIT_TIME_COL,
+            F.when(F.col(COMMIT_TIME_COL) == old_token, F.lit(new_token))
+            .otherwise(F.col(COMMIT_TIME_COL)),
         )
-        self.timeline.publish(commit)
-        self.timeline.clean(self.retain_commits)
-        return commit
+        out = self._write_files(
+            df, new_cid,
+            n_files=len(rel_files) if not self.partition_keys else None,
+            build_blooms=build_blooms,
+        )
+        for rel in rel_files:
+            try:
+                (self.root / rel).unlink()
+            except OSError:
+                pass
+            for bloom in self._sidecar_paths(rel):
+                bloom.unlink()
+        return out
 
     def _manifest_file_sizes(
         self, files: list[str], deltas: list[dict]
