@@ -228,3 +228,38 @@ def test_hybrid_fusion_stays_rank_list_sized(spark):
     # the one sanctioned BNLJ is the broadcast 1-row query-vector cross
     # inside cosine_topk; an unhinted CartesianProduct is still a bug
     assert "CartesianProduct" not in lint.plan_text(df)
+
+
+def test_q9_pushes_like_broadcasts_dims_prunes_columns(spark):
+    """q9_product_profit: the %red% part filter must reach the scan as
+    StringContains, every dimension joins as broadcast hash (the fact
+    table shuffles only for the aggregate), and no scan reads wider than
+    its projection."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.q9_product_profit(spark, SF_DIR)
+    lint.assert_no_cartesian(df)
+    lint.assert_no_python_eval(df)
+    lint.assert_pushed_filter(df, "StringContains(p_name,red)")
+    lint.assert_max_read_columns(df, 6)
+    assert lint.count_ops(df, "BroadcastHashJoin") >= 2  # nation+supplier min
+    # at this SF all four joins broadcast: only partial-agg exchange + sort
+    lint.assert_max_shuffles(df, 2)
+
+
+def test_q21_correlations_compile_to_equi_semi_anti_joins(spark):
+    """q21_waiting_suppliers: the EXISTS / NOT-EXISTS double correlation
+    must compile to semi/anti joins EQUI-keyed on l_orderkey (the <>
+    supplier condition rides along as a join residual) — never a nested
+    loop — and the LIMIT 20 must be TakeOrderedAndProject, not a global
+    sort."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.q21_waiting_suppliers(spark, SF_DIR)
+    lint.assert_no_cartesian(df)
+    lint.assert_no_python_eval(df)
+    plan = lint.plan_text(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    lint.assert_pushed_filter(df, "EqualTo(o_orderstatus,F)")
+    lint.assert_pushed_filter(df, "EqualTo(n_name,NATION_4)")
