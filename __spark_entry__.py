@@ -1079,6 +1079,69 @@ WHERE event_id >= 300
 """
 
 
+def cdc_concurrent_writers(spark, sf_dir):
+    """Multi-writer OCC with rebase (round 7): two optimistic writers
+    update DISJOINT partitions of one table, and the second writer's
+    manifest publish is forced to lose the commit-id race — writer A's
+    entire upsert runs inside B's write→publish window, exactly the
+    exposure interval of optimistic concurrency. B must rebase (carry A's
+    files by reference, restamp only its own rows) and re-publish without
+    manual retry; the snapshot carries BOTH updates. The reference serves
+    one writer per table (Glue max concurrent runs = 1, glue-stack.ts:48);
+    this is the Delta/Hudi conflict-resolution behavior a multi-writer
+    lake adds on top."""
+    snap, _ = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("occ_")
+    seed = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=["event_type"],
+    )
+    seed.bulk_insert(snap.select(*cols))
+
+    def _writer():
+        return NativeTable(
+            spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+            precombine="event_id", partition_keys=["event_type"],
+        )
+
+    wa, wb = _writer(), _writer()
+    batch_a = snap.select(*cols).filter(
+        F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2)
+    batch_b = snap.select(*cols).filter(
+        F.col("event_type") == "view").withColumn(
+        "value", F.col("value") * 2)
+
+    publish = wb.timeline.publish
+    fired = []
+
+    def racing_publish(commit):
+        if not fired:          # A lands between B's data write and publish
+            fired.append(True)
+            wa.upsert(batch_a)
+        return publish(commit)
+
+    wb.timeline.publish = racing_publish
+    wb.upsert(batch_b)
+    latest = _writer().timeline.latest()
+    assert latest.stats.get("occ_rebased_from"), "OCC race did not fire"
+    return _writer().read_snapshot().select(*cols)
+
+
+CONCURRENT_WRITERS_ORACLE = f"""
+WITH snap AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+)
+SELECT user_id, event_id, ts, event_type,
+       CASE WHEN event_type IN ('click', 'view') THEN value * 2
+            ELSE value END AS value
+FROM snap
+"""
+
+
 _INCREMENTAL_ORACLE = f"""
 WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
 batch AS (
@@ -6703,6 +6766,361 @@ GROUP BY dow, hour ORDER BY dow, hour
 
 
 # ---------------------------------------------------------------------------
+# round-7 additions: data-selection, substring-grain dedup, survival,
+# mergeable sketch set-ops
+# ---------------------------------------------------------------------------
+
+def corpus_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — public): every doc
+    scores under a TARGET unigram LM (trained on the sources one wants
+    more of) and a PROPOSAL LM (trained on the whole corpus); the
+    log-likelihood ratio is its importance weight, and docs with
+    weight > 0 are the resampling-selected set. Built entirely on
+    ``operators.lm``: two vocabulary-sized model trains + two equi-join
+    scores — nothing wider than (doc_id, token) shuffles, so the 100-TB
+    cost is two corpus token passes. Per-source rollup keeps the output
+    deterministic (the round-6 LM precedent)."""
+    from glue_hudi_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("source").isin("src0", "src1", "src2"))
+    t_model = lm.unigram_train(target, "text")
+    p_model = lm.unigram_train(docs, "text")
+    t_scored = lm.unigram_score(docs, t_model, "doc_id", "text").select(
+        "doc_id", F.col("avg_logp").alias("t_logp"))
+    p_scored = lm.unigram_score(docs, p_model, "doc_id", "text").select(
+        "doc_id", F.col("avg_logp").alias("p_logp"))
+    w = (
+        t_scored.join(p_scored, "doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("weight", F.col("t_logp") - F.col("p_logp"))
+    )
+    return (
+        w.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("weight") > 0, 1).otherwise(0))
+            .cast("bigint").alias("selected"),
+            F.round(F.avg("weight"), 6).alias("avg_weight"),
+            F.round(F.max("weight"), 6).alias("max_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+DSIR_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents
+), tcounts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks
+  WHERE source IN ('src0', 'src1', 'src2') GROUP BY tok
+), ttot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM tcounts
+), tmodel AS (
+  SELECT tok, ln((cnt + 1.0) / CAST(n + v AS DOUBLE)) AS logp
+  FROM tcounts, ttot
+), pcounts AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), ptot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n, COUNT(*) AS v FROM pcounts
+), pmodel AS (
+  SELECT tok, ln((cnt + 1.0) / CAST(n + v AS DOUBLE)) AS logp
+  FROM pcounts, ptot
+), tfloor AS (SELECT ln(1.0 / CAST(n + v AS DOUBLE)) AS f FROM ttot),
+pfloor AS (SELECT ln(1.0 / CAST(n + v AS DOUBLE)) AS f FROM ptot),
+scored AS (
+  SELECT t.doc_id, any_value(t.source) AS source,
+         AVG(COALESCE(tm.logp, tf.f)) - AVG(COALESCE(pm.logp, pf.f)) AS weight
+  FROM toks t
+  LEFT JOIN tmodel tm USING (tok)
+  LEFT JOIN pmodel pm USING (tok), tfloor tf, pfloor pf
+  GROUP BY t.doc_id
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN weight > 0 THEN 1 ELSE 0 END) AS BIGINT) AS selected,
+       ROUND(AVG(weight), 6) AS avg_weight,
+       ROUND(MAX(weight), 6) AS max_weight
+FROM scored GROUP BY source ORDER BY source
+"""
+
+
+def corpus_span_dedup(spark, sf_dir):
+    """Substring-grain duplication (the Lee et al. 2022 "Deduplicating
+    Training Data Makes Language Models Better" problem, public): doc-
+    level dedup misses a boilerplate paragraph pasted into thousands of
+    otherwise-distinct pages. Every 8-token shingle (sliding window over
+    the normalized token array — one transform+explode, no self-join)
+    hashes to md5; a shingle appearing in ≥2 distinct docs marks a
+    duplicated span occurrence. Per-doc output: how much of the doc is
+    duplicated text. Scale shape: the only shuffle is the shingle-hash
+    groupBy (count distinct docs) + the join back — both on the 16-byte
+    hash, never the text; a cleaner would cut rows where dup_shingles /
+    n_shingles exceeds a threshold."""
+    K = 8
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    d = docs.select("doc_id", toks.alias("t")).filter(F.size("t") >= K)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - (K - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("t"), i, K))),
+            )
+        ).alias("sh"),
+    )
+    per_shingle = sh.groupBy("sh").agg(
+        F.count_distinct("doc_id").alias("nd"))
+    return (
+        sh.join(per_shingle, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0))
+            .cast("bigint").alias("dup_shingles"),
+        )
+        .filter(F.col("dup_shingles") > 0)
+        .orderBy("doc_id")
+    )
+
+
+SPAN_DEDUP_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, t, len(t) AS n FROM d WHERE len(t) >= 8
+), sh AS (
+  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS s
+  FROM base, unnest(range(1, n - 6)) AS u(i)
+), per_sh AS (
+  SELECT s, COUNT(DISTINCT doc_id) AS nd FROM sh GROUP BY s
+)
+SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_shingles
+FROM sh JOIN per_sh USING (s)
+GROUP BY sh.doc_id
+HAVING dup_shingles > 0
+ORDER BY doc_id
+"""
+
+
+def orders_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival of customer reorder time, with censoring —
+    the estimator retention analytics needs when the last observation
+    hasn't converted yet (naively averaging observed gaps biases toward
+    fast re-orderers). Observations: per customer, each gap between
+    consecutive DISTINCT order dates is an event; the time from the last
+    order to the corpus horizon is censored. Weekly grain, first 20
+    weeks. All counts aggregate map-side; the survival product is one
+    ordered window over ≤20 bucket rows (EXP∘SUM∘LN — the associativity-
+    free form both engines evaluate identically)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate").distinct()
+    horizon = o.agg(F.max("o_orderdate").alias("_h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    obs = (
+        o.withColumn("nxt", F.lead("o_orderdate").over(w))
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(F.col("nxt").isNotNull(),
+                   F.datediff("nxt", "o_orderdate"))
+            .otherwise(F.datediff("_h", "o_orderdate")).alias("days"),
+            F.col("nxt").isNotNull().alias("is_event"),
+        )
+        .filter(F.col("days") > 0)
+        .select(
+            F.ceil(F.col("days") / 7).cast("int").alias("week"), "is_event")
+    )
+    per_week = obs.groupBy("week").agg(
+        F.sum(F.when(F.col("is_event"), 1).otherwise(0))
+        .cast("bigint").alias("d"),
+        F.sum(F.when(F.col("is_event"), 0).otherwise(1))
+        .cast("bigint").alias("c"),
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("_n"))
+    ww = Window.orderBy("week")
+    prior = Window.orderBy("week").rowsBetween(
+        Window.unboundedPreceding, -1)
+    return (
+        per_week.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_at_risk",
+            (F.col("_n") - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(prior), F.lit(0)))
+            .cast("bigint"))
+        .withColumn(
+            "survival",
+            F.round(F.exp(F.sum(
+                F.log(F.lit(1.0) - F.col("d") / F.col("n_at_risk"))
+            ).over(ww)), 6))
+        .filter(F.col("week") <= 20)
+        .select("week",
+                "n_at_risk",
+                F.col("d").alias("n_events"),
+                F.col("c").alias("n_censored"),
+                "survival")
+        .orderBy("week")
+    )
+
+
+KAPLAN_MEIER_ORACLE = """
+WITH o AS (SELECT DISTINCT o_custkey, o_orderdate FROM orders),
+h AS (SELECT MAX(o_orderdate) AS hz FROM o),
+obs AS (
+  SELECT CAST(CEIL(days / 7.0) AS INT) AS week, is_event FROM (
+    SELECT CASE WHEN nxt IS NOT NULL THEN date_diff('day', o_orderdate, nxt)
+                ELSE date_diff('day', o_orderdate, hz) END AS days,
+           nxt IS NOT NULL AS is_event
+    FROM (SELECT o_custkey, o_orderdate,
+                 LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate) AS nxt
+          FROM o), h) t
+  WHERE days > 0
+), per_week AS (
+  SELECT week,
+         CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT) AS c
+  FROM obs GROUP BY week
+), tot AS (SELECT COUNT(*) AS n FROM obs),
+risk AS (
+  SELECT week, d, c,
+         CAST(n - COALESCE(SUM(d + c) OVER (
+             ORDER BY week ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS n_at_risk
+  FROM per_week, tot
+)
+SELECT week, n_at_risk, d AS n_events, c AS n_censored,
+       ROUND(EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / n_at_risk))
+                 OVER (ORDER BY week)), 6) AS survival
+FROM risk
+WHERE week <= 20
+ORDER BY week
+"""
+
+
+def events_kmv_intersection(spark, sf_dir):
+    """KMV (k-minimum-values) sketch set operations: estimate the
+    distinct-user overlap between two event types from two 64-hash
+    sketches — the set operation HLL cannot do directly (Beyer et al.
+    2007, public). Each type's sketch is its k smallest md5(user_id)
+    values; the union sketch's members are probed against both types'
+    exact membership to get the Jaccard numerator, and the intersection
+    estimate is jaccard_k × union_estimate. At 100 TB each sketch is a
+    k-row TakeOrdered over the distinct-hash projection — constant
+    memory, mergeable across partitions; the exact figure is computed
+    alongside as the error reference."""
+    k = 64
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view"))
+    hashes = ev.select(
+        "event_type",
+        F.md5(F.col("user_id").cast("string")).alias("h"),
+    ).distinct()
+
+    def sketch(df):
+        # k smallest distinct hashes — orderBy+limit compiles to
+        # TakeOrderedAndProject (per-partition top-k, k-row merge on the
+        # driver), NOT a single-partition global sort/window: the sketch
+        # build stays O(k) memory at any distinct-count
+        return df.select("h").distinct().orderBy("h").limit(k)
+
+    def est(df, n_col):
+        # (k-1)/v_k when the sketch saturates, exact count below k; the
+        # kth value is the max of the k-row sketch (aggregate → 1 row
+        # even when the set is smaller than k, where it is unused)
+        kth = sketch(df).agg(
+            F.max(
+                F.conv(F.substring("h", 1, 8), 16, 10).cast("double")
+                / F.lit(4294967296.0)
+            ).alias("v"))
+        n = df.select("h").distinct().agg(F.count(F.lit(1)).alias("cnt"))
+        return n.crossJoin(F.broadcast(kth)).select(
+            F.when(F.col("cnt") < k, F.col("cnt").cast("double"))
+            .otherwise((k - 1) / F.col("v")).alias(n_col))
+
+    a = hashes.filter(F.col("event_type") == "click")
+    b = hashes.filter(F.col("event_type") == "view")
+    est_a = est(a, "est_click_users")
+    est_b = est(b, "est_view_users")
+    est_u = est(hashes.select("h"), "est_union")
+
+    union_sketch = sketch(hashes)
+    rho = (
+        union_sketch
+        .join(a.select("h"), "h", "left_semi")
+        .join(b.select("h"), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("rho"))
+    )
+    exact = (
+        a.select("h").join(b.select("h"), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(rho))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("int").alias("k"),
+            F.round("est_click_users", 6).alias("est_click_users"),
+            F.round("est_view_users", 6).alias("est_view_users"),
+            F.round("est_union", 6).alias("est_union"),
+            F.round(
+                F.col("rho") / k * F.col("est_union"), 6
+            ).alias("est_intersection"),
+            F.col("exact_intersection"),
+        )
+    )
+
+
+_KMV_HEX = (
+    "list_reduce(list_transform(string_split(substr({h}, 1, 8), ''), "
+    "x -> CAST(strpos('0123456789abcdef', x) - 1 AS BIGINT)), "
+    "(a, b) -> a * 16 + b) / 4294967296.0"
+)
+
+KMV_ORACLE = f"""
+WITH hs AS (
+  SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+  FROM events WHERE event_type IN ('click', 'view')
+),
+a AS (SELECT h FROM hs WHERE event_type = 'click'),
+b AS (SELECT h FROM hs WHERE event_type = 'view'),
+u AS (SELECT DISTINCT h FROM hs),
+est_a AS (
+  SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE 63.0 / (SELECT {_KMV_HEX.format(h='h')} FROM
+                      (SELECT h FROM a ORDER BY h LIMIT 64) t
+                      ORDER BY h DESC LIMIT 1) END AS v FROM a),
+est_b AS (
+  SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE 63.0 / (SELECT {_KMV_HEX.format(h='h')} FROM
+                      (SELECT h FROM b ORDER BY h LIMIT 64) t
+                      ORDER BY h DESC LIMIT 1) END AS v FROM b),
+est_u AS (
+  SELECT CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+         ELSE 63.0 / (SELECT {_KMV_HEX.format(h='h')} FROM
+                      (SELECT h FROM u ORDER BY h LIMIT 64) t
+                      ORDER BY h DESC LIMIT 1) END AS v FROM u),
+usk AS (SELECT h FROM u ORDER BY h LIMIT 64),
+rho AS (
+  SELECT COUNT(*) AS r FROM usk
+  WHERE h IN (SELECT h FROM a) AND h IN (SELECT h FROM b)),
+ex AS (SELECT COUNT(*) AS e FROM a WHERE h IN (SELECT h FROM b))
+SELECT CAST(64 AS INT) AS k,
+       ROUND(est_a.v, 6) AS est_click_users,
+       ROUND(est_b.v, 6) AS est_view_users,
+       ROUND(est_u.v, 6) AS est_union,
+       ROUND(rho.r / 64.0 * est_u.v, 6) AS est_intersection,
+       ex.e AS exact_intersection
+FROM est_a, est_b, est_u, rho, ex
+"""
+
+
+# ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
 
@@ -6778,6 +7196,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_seasonality": orders_seasonality,
         "copurchase_triangles": copurchase_triangles,
         # never driver-checked, next rotation (round 8) promotes these
+        "cdc_concurrent_writers": cdc_concurrent_writers,
+        "corpus_dsir_weights": corpus_dsir_weights,
+        "corpus_span_dedup": corpus_span_dedup,
+        "orders_kaplan_meier": orders_kaplan_meier,
+        "events_kmv_intersection": events_kmv_intersection,
         "lineitem_unpivot": lineitem_unpivot,
         "orders_setops": orders_setops,
         "orders_above_customer_avg": orders_above_customer_avg,
@@ -6950,6 +7373,11 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": MARKOV_ORACLE,
         "orders_seasonality": SEASONALITY_ORACLE,
         "copurchase_triangles": TRIANGLES_ORACLE,
+        "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
+        "corpus_dsir_weights": DSIR_ORACLE,
+        "corpus_span_dedup": SPAN_DEDUP_ORACLE,
+        "orders_kaplan_meier": KAPLAN_MEIER_ORACLE,
+        "events_kmv_intersection": KMV_ORACLE,
         "lineitem_unpivot": UNPIVOT_ORACLE,
         "orders_setops": SETOPS_ORACLE,
         "orders_above_customer_avg": ABOVE_AVG_ORACLE,

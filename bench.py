@@ -112,6 +112,12 @@ BENCH_QUERIES = [
     "events_cusum_drift",
     "orders_backlog_aging",
     "events_weekday_hour_heatmap",
+    # round-7 additions (no baseline counterpart — compare within-run):
+    "cdc_concurrent_writers",
+    "corpus_dsir_weights",
+    "corpus_span_dedup",
+    "orders_kaplan_meier",
+    "events_kmv_intersection",
 ]
 
 

@@ -263,3 +263,43 @@ def test_q21_correlations_compile_to_equi_semi_anti_joins(spark):
     assert "TakeOrderedAndProject" in plan
     lint.assert_pushed_filter(df, "EqualTo(o_orderstatus,F)")
     lint.assert_pushed_filter(df, "EqualTo(n_name,NATION_4)")
+
+
+def test_span_dedup_shuffles_hashes_not_text(spark):
+    """corpus_span_dedup: the shingle groupBy/join must move 16-byte md5
+    hashes, never text; the shingle expansion is transform+explode (no
+    positional self-join); no cartesian, no python."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.corpus_span_dedup(spark, SF_DIR)
+    lint.assert_no_cartesian(df)
+    lint.assert_no_python_eval(df)
+    plan = lint.plan_text(df)
+    assert "Generate" in plan            # explode of the shingle transform
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_kmv_sketch_is_take_ordered_not_global_window(spark):
+    """events_kmv_intersection: every k-smallest sketch must compile to
+    TakeOrderedAndProject (per-partition top-k, k-row driver merge) —
+    a global row_number window would single-partition-sort the distinct
+    hash set at scale."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.events_kmv_intersection(spark, SF_DIR)
+    plan = lint.plan_text(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    lint.assert_no_cartesian(df)
+    lint.assert_no_python_eval(df)
+
+
+def test_dsir_scores_join_on_token_never_collect(spark):
+    """corpus_dsir_weights: both LM scores are token equi-joins; no
+    cartesian beyond the sanctioned scalar appends, no python, and the
+    model side never materializes driver-side."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.corpus_dsir_weights(spark, SF_DIR)
+    lint.assert_no_cartesian(df)
+    lint.assert_no_python_eval(df)
