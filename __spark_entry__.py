@@ -7120,6 +7120,197 @@ FROM est_a, est_b, est_u, rho, ex
 """
 
 
+def events_psi_drift(spark, sf_dir):
+    """Population Stability Index between the pre- and post-cutoff event
+    value distributions — the drift monitor a training-data pipeline runs
+    before trusting a new ingestion window (PSI > 0.2 = significant
+    shift, the standard credit-scoring rule of thumb). Ten equal-width
+    bins over the REFERENCE window's [min, max] (fixed-edge bins keep
+    both engines bit-identical; quantile bins would hinge on interpolation
+    details); out-of-range current values clamp to the edge bins. Two
+    map-side binned counts + a 10-row join — nothing here grows past the
+    bin count, so at 100 TB the cost is two scans."""
+    ev = _t(spark, sf_dir, "events").select("ts", "value")
+    cut = F.lit(CUTOFF).cast("timestamp")
+    ref = ev.filter(F.col("ts") < cut)
+    cur = ev.filter(F.col("ts") >= cut)
+    bounds = ref.agg(
+        F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+
+    def binned(df, n_col):
+        return (
+            df.crossJoin(F.broadcast(bounds))
+            .select(
+                F.least(
+                    F.lit(9),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col("value") - F.col("_lo"))
+                            / ((F.col("_hi") - F.col("_lo")) / 10)
+                        ).cast("int"),
+                    ),
+                ).alias("bin"))
+            .groupBy("bin").agg(F.count(F.lit(1)).alias(n_col))
+        )
+
+    rb, cb = binned(ref, "n_ref"), binned(cur, "n_cur")
+    tot = rb.agg(F.sum("n_ref").alias("_tr")).crossJoin(
+        cb.agg(F.sum("n_cur").alias("_tc")))
+    j = (
+        rb.join(cb, "bin", "full_outer")
+        .na.fill({"n_ref": 0, "n_cur": 0})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin", "n_ref", "n_cur",
+            F.greatest(F.col("n_ref") / F.col("_tr"), F.lit(1e-6)).alias("p_ref"),
+            F.greatest(F.col("n_cur") / F.col("_tc"), F.lit(1e-6)).alias("p_cur"),
+        )
+    )
+    return (
+        j.select(
+            "bin", "n_ref", "n_cur",
+            F.round("p_ref", 6).alias("ref_pct"),
+            F.round("p_cur", 6).alias("cur_pct"),
+            F.round(
+                (F.col("p_cur") - F.col("p_ref"))
+                * F.log(F.col("p_cur") / F.col("p_ref")), 6).alias("psi_term"),
+        )
+        .orderBy("bin")
+    )
+
+
+PSI_ORACLE = f"""
+WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '{CUTOFF}'),
+cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '{CUTOFF}'),
+bounds AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM ref),
+rb AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - lo) / ((hi - lo) / 10))
+                                   AS INT))) AS bin,
+         COUNT(*) AS n_ref
+  FROM ref, bounds GROUP BY 1),
+cb AS (
+  SELECT LEAST(9, GREATEST(0, CAST(FLOOR((value - lo) / ((hi - lo) / 10))
+                                   AS INT))) AS bin,
+         COUNT(*) AS n_cur
+  FROM cur, bounds GROUP BY 1),
+tot AS (SELECT (SELECT SUM(n_ref) FROM rb) AS tr,
+               (SELECT SUM(n_cur) FROM cb) AS tc),
+j AS (
+  SELECT COALESCE(rb.bin, cb.bin) AS bin,
+         COALESCE(n_ref, 0) AS n_ref, COALESCE(n_cur, 0) AS n_cur,
+         GREATEST(COALESCE(n_ref, 0) / CAST(tr AS DOUBLE), 1e-6) AS p_ref,
+         GREATEST(COALESCE(n_cur, 0) / CAST(tc AS DOUBLE), 1e-6) AS p_cur
+  FROM rb FULL OUTER JOIN cb USING (bin), tot)
+SELECT bin, n_ref, n_cur,
+       ROUND(p_ref, 6) AS ref_pct, ROUND(p_cur, 6) AS cur_pct,
+       ROUND((p_cur - p_ref) * LN(p_cur / p_ref), 6) AS psi_term
+FROM j ORDER BY bin
+"""
+
+
+def orders_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime value: customers grouped by first-order month,
+    cumulative average revenue per customer tracked by cohort age in
+    months — the companion to cohort retention (round 5) that weights
+    each surviving customer by spend. Everything aggregates to
+    (cohort, age) grain before the one small running-sum window."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"))
+    w = Window.partitionBy("o_custkey")
+    aged = (
+        o.withColumn("first_d", F.min("o_orderdate").over(w))
+        .select(
+            F.date_format("first_d", "yyyy-MM").alias("cohort"),
+            (
+                (F.year("o_orderdate") - F.year("first_d")) * 12
+                + (F.month("o_orderdate") - F.month("first_d"))
+            ).cast("int").alias("age"),
+            "price", "o_custkey",
+        )
+    )
+    sizes = aged.groupBy("cohort").agg(
+        F.count_distinct("o_custkey").alias("cohort_users"))
+    per_age = aged.groupBy("cohort", "age").agg(
+        F.sum("price").alias("rev"))
+    cum = Window.partitionBy("cohort").orderBy("age")
+    return (
+        per_age.join(sizes, "cohort")
+        .withColumn("cum_rev", F.sum("rev").over(cum))
+        .filter(F.col("age") <= 12)
+        .select(
+            "cohort", "age", "cohort_users",
+            F.col("rev").cast("double").alias("revenue"),
+            F.round(
+                F.col("cum_rev").cast("double") / F.col("cohort_users"), 6
+            ).alias("cum_ltv"),
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+COHORT_LTV_ORACLE = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         MIN(o_orderdate) OVER (PARTITION BY o_custkey) AS first_d
+  FROM orders),
+aged AS (
+  SELECT strftime(first_d, '%Y-%m') AS cohort,
+         CAST((year(o_orderdate) - year(first_d)) * 12
+              + (month(o_orderdate) - month(first_d)) AS INT) AS age,
+         price, o_custkey
+  FROM o),
+sizes AS (
+  SELECT cohort, COUNT(DISTINCT o_custkey) AS cohort_users
+  FROM aged GROUP BY cohort),
+per_age AS (
+  SELECT cohort, age, SUM(price) AS rev FROM aged GROUP BY cohort, age)
+SELECT p.cohort, p.age, s.cohort_users,
+       CAST(rev AS DOUBLE) AS revenue,
+       ROUND(CAST(SUM(rev) OVER (PARTITION BY p.cohort ORDER BY p.age)
+                  AS DOUBLE) / s.cohort_users, 6) AS cum_ltv
+FROM per_age p JOIN sizes s USING (cohort)
+WHERE age <= 12
+ORDER BY cohort, age
+"""
+
+
+def orders_distribution_funcs(spark, sf_dir):
+    """The distribution-window scalar surface in one output: cume_dist,
+    percent_rank, and ntile(4) of order price within each priority —
+    rounding out SURVEY §2.4's function coverage with the ranking family.
+    Per-priority windows partition evenly; the heavy-grain guard is that
+    this runs at ORDER grain only after a 1000-row TakeOrdered cut."""
+    o = _t(spark, sf_dir, "orders")
+    top = o.orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).limit(1000)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return top.select(
+        "o_orderkey", "o_orderpriority",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.ntile(4).over(w).alias("quartile"),
+    ).orderBy("o_orderkey")
+
+
+DISTRIBUTION_FUNCS_ORACLE = """
+WITH top AS (
+  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 1000)
+SELECT o_orderkey, o_orderpriority,
+       ROUND(cume_dist() OVER w, 6) AS cd,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM top
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice ASC, o_orderkey ASC)
+ORDER BY o_orderkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7201,6 +7392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_span_dedup": corpus_span_dedup,
         "orders_kaplan_meier": orders_kaplan_meier,
         "events_kmv_intersection": events_kmv_intersection,
+        "events_psi_drift": events_psi_drift,
+        "orders_cohort_ltv": orders_cohort_ltv,
+        "orders_distribution_funcs": orders_distribution_funcs,
         "lineitem_unpivot": lineitem_unpivot,
         "orders_setops": orders_setops,
         "orders_above_customer_avg": orders_above_customer_avg,
@@ -7378,6 +7572,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_span_dedup": SPAN_DEDUP_ORACLE,
         "orders_kaplan_meier": KAPLAN_MEIER_ORACLE,
         "events_kmv_intersection": KMV_ORACLE,
+        "events_psi_drift": PSI_ORACLE,
+        "orders_cohort_ltv": COHORT_LTV_ORACLE,
+        "orders_distribution_funcs": DISTRIBUTION_FUNCS_ORACLE,
         "lineitem_unpivot": UNPIVOT_ORACLE,
         "orders_setops": SETOPS_ORACLE,
         "orders_above_customer_avg": ABOVE_AVG_ORACLE,

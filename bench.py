@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "corpus_span_dedup",
     "orders_kaplan_meier",
     "events_kmv_intersection",
+    "events_psi_drift",
+    "orders_cohort_ltv",
 ]
 
 
