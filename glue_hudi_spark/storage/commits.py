@@ -106,6 +106,26 @@ class CommitTimeline:
         p = self.commits_path / f"{commit_id:020d}.commit.json"
         return self._load(p) if p.exists() else None
 
+    def at_timestamp(self, ts: float | str) -> "Commit | None":
+        """Newest retained commit published at or before ``ts`` — the
+        Delta ``TIMESTAMP AS OF`` / Hudi as-of-instant read. ``ts`` is
+        epoch seconds or an ISO-8601 string (naive strings read as UTC,
+        matching the epoch wall_time the manifests record). None when
+        every retained commit is newer (or wall times are missing —
+        pre-field manifests)."""
+        if isinstance(ts, str):
+            import datetime as _dt
+
+            parsed = _dt.datetime.fromisoformat(ts)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+            ts = parsed.timestamp()
+        best = None
+        for c in self.history():
+            if c.wall_time and c.wall_time <= ts:
+                best = c
+        return best
+
     def history(self) -> list[Commit]:
         return [self._load(p) for p in self._manifest_paths()]
 

@@ -317,6 +317,7 @@ class NativeTable:
         stats_cols: list[str] | None = None,
         bloom_index: bool = False,
         secondary_bloom_cols: list[str] | None = None,
+        constraints: list[str] | None = None,
     ):
         self.spark = spark
         self.root = Path(path)
@@ -353,6 +354,16 @@ class NativeTable:
         # VALUE SET usually doesn't). Same sidecar format/lifecycle as
         # the record-key blooms, named `<rel>.col.<column>.bloom`.
         self.secondary_bloom_cols = list(secondary_bloom_cols or [])
+        # CHECK constraints (Delta `ALTER TABLE ADD CONSTRAINT` parity):
+        # SQL boolean expressions every written row must satisfy; NULL
+        # evaluates as satisfied (SQL CHECK semantics — write an explicit
+        # `col IS NOT NULL` to reject nulls). Enforced executor-side at
+        # the single file-write chokepoint via a filter-embedded
+        # assert_true — zero extra jobs, the write action itself fails
+        # with the violated expression. MoR delete markers are exempt
+        # (their payload is intentionally partial); `bootstrap` adopts
+        # foreign files unchecked (documented there).
+        self.constraints = list(constraints or [])
         self.timeline = CommitTimeline(self.root)
 
     # ------------------------------------------------------------------ util
@@ -434,6 +445,38 @@ class NativeTable:
             )
         width = n_files if n_files is not None else self.files_per_partition
         out = df
+        if self.constraints:
+            from pyspark.sql.utils import AnalysisException
+
+            for c in self.constraints:
+                # coalesce(expr, true): NULL satisfies CHECK (SQL/Delta
+                # semantics); delete markers carry partial payloads and
+                # are exempt. The filter predicate ALWAYS executes —
+                # assert_true returns NULL on pass so isNull keeps every
+                # row — unlike a projected-then-dropped check column,
+                # which Catalyst would prune away (see operators/graph.py).
+                # The never-true monotonically_increasing_id() term marks
+                # the predicate NONDETERMINISTIC so Catalyst cannot push
+                # it below the merge joins — pushed down, it would fire on
+                # PRE-merge batch rows (a partial-update patch's
+                # intentional NULLs) instead of the rows actually being
+                # written. (Not rand(): Spark 4 folds out-of-range rand
+                # comparisons to a constant, restoring pushability.)
+                ok = (
+                    F.coalesce(F.expr(c).cast("boolean"), F.lit(True))
+                    | (F.monotonically_increasing_id() < F.lit(0))
+                )
+                if DELTA_OP_COL in out.columns:
+                    ok = ok | (F.col(DELTA_OP_COL) == "d")
+                try:
+                    checked = out.filter(F.assert_true(
+                        ok, F.lit(f"CHECK constraint violated: {c}")).isNull())
+                except AnalysisException:
+                    # this write doesn't carry the constrained column at
+                    # all (e.g. a key-only delete batch) — nothing it
+                    # writes can violate it
+                    continue
+                out = checked
         for c in self.partition_keys:
             out = out.withColumn(_PP_PREFIX + c, _partition_str(c))
         if width and cluster_col and not self.partition_keys:
@@ -1160,6 +1203,7 @@ class NativeTable:
         self,
         with_meta: bool = False,
         as_of: int | None = None,
+        as_of_timestamp: float | str | None = None,
         view: str = "snapshot",
         prune: dict | None = None,
     ) -> DataFrame:
@@ -1178,7 +1222,18 @@ class NativeTable:
         because they lack stats (and for MoR delta rows, which are always
         read — deltas are small by construction).
         """
-        commit = self.timeline.at(as_of) if as_of is not None else self.timeline.latest()
+        if as_of_timestamp is not None:
+            # Delta TIMESTAMP AS OF: newest commit published at-or-before
+            # the instant (wall-clock; commit-id as_of remains the exact,
+            # clock-free form)
+            commit = self.timeline.at_timestamp(as_of_timestamp)
+            if commit is None:
+                raise ValueError(
+                    f"table {self.root}: no retained commit at or before "
+                    f"{as_of_timestamp!r}")
+        else:
+            commit = (self.timeline.at(as_of) if as_of is not None
+                      else self.timeline.latest())
         if commit is None:
             raise ValueError(f"table {self.root} has no commits")
         base_files = commit.files

@@ -1,0 +1,86 @@
+"""CHECK constraints at the write chokepoint (Delta ADD CONSTRAINT
+parity) and wall-clock time travel (Delta TIMESTAMP AS OF parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from glue_hudi_spark.storage.native import NativeTable
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def _mk(spark, path, **kw):
+    kw.setdefault("record_keys", ["id"])
+    kw.setdefault("precombine", "seq")
+    return NativeTable(spark, path, **kw)
+
+
+def test_check_constraint_fails_the_write_action(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t",
+            constraints=["v >= 0", "id IS NOT NULL"])
+    t.bulk_insert(_rows(spark, [dict(id="a", v=1.0, seq=1)]))   # passes
+    with pytest.raises(Exception, match="CHECK constraint violated: v >= 0"):
+        t.upsert(_rows(spark, [dict(id="b", v=-5.0, seq=1)]))
+    # the failed write published nothing: table state unchanged
+    assert t.timeline.latest().commit_id == 1
+    assert {r["id"] for r in t.read_snapshot().collect()} == {"a"}
+
+
+def test_check_null_satisfies_sql_semantics(spark, tmp_path):
+    """SQL CHECK: NULL is satisfied; rejecting nulls needs IS NOT NULL."""
+    t = _mk(spark, tmp_path / "t", constraints=["v >= 0"])
+    t.bulk_insert(spark.createDataFrame(
+        [("a", None, 1)], "id string, v double, seq int"))
+    assert t.read_snapshot().first()["v"] is None
+
+    strict = _mk(spark, tmp_path / "t2", constraints=["v IS NOT NULL"])
+    with pytest.raises(Exception, match="CHECK constraint violated"):
+        strict.bulk_insert(spark.createDataFrame(
+            [("a", None, 1)], "id string, v double, seq int"))
+
+
+def test_mor_delete_markers_exempt(spark, tmp_path):
+    """A MoR delete delta carries a partial payload by design — the
+    constraint must not fire on the marker rows."""
+    t = _mk(spark, tmp_path / "t", storage_type="mor", compact_every=100,
+            constraints=["v IS NOT NULL"])
+    t.bulk_insert(_rows(spark, [dict(id="a", v=1.0, seq=1),
+                                dict(id="b", v=2.0, seq=1)]))
+    t.delete(spark.createDataFrame([("a",)], "id string"))
+    assert {r["id"] for r in t.read_snapshot().collect()} == {"b"}
+
+
+def test_constraint_checked_on_merged_output(spark, tmp_path):
+    """Enforcement sits at the file-write chokepoint, so a partial-update
+    patch whose NULL means 'keep current' passes when the MERGED row
+    satisfies the constraint."""
+    t = _mk(spark, tmp_path / "t", constraints=["v IS NOT NULL"])
+    t.bulk_insert(_rows(spark, [dict(id="a", v=1.0, seq=1)]))
+    patch = spark.createDataFrame([("a", None, 2)],
+                                  "id string, v double, seq int")
+    t.upsert(patch, partial=True)      # merged row keeps v=1.0
+    assert t.read_snapshot().first()["v"] == 1.0
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_rows(spark, [dict(id="a", v=1.0, seq=1)]))
+    t.upsert(_rows(spark, [dict(id="a", v=2.0, seq=2)]))
+    h = t.timeline.history()
+    t1, t2 = h[0].wall_time, h[1].wall_time
+    assert 0 < t1 <= t2
+    # an instant between the two commits reads the first snapshot
+    # (skipped in the sub-microsecond corner where both share a clock tick)
+    if t2 > t1:
+        assert t.read_snapshot(
+            as_of_timestamp=(t1 + t2) / 2).first()["v"] == 1.0
+    assert t.read_snapshot(as_of_timestamp=t2 + 60).first()["v"] == 2.0
+    with pytest.raises(ValueError, match="no retained commit"):
+        t.read_snapshot(as_of_timestamp=t1 - 60)
+    # ISO-8601 form resolves too (far future -> latest)
+    assert t.read_snapshot(
+        as_of_timestamp="2200-01-01T00:00:00+00:00").first()["v"] == 2.0
