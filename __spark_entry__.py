@@ -7311,6 +7311,78 @@ ORDER BY o_orderkey
 """
 
 
+def nation_trade_communities(spark, sf_dir):
+    """Label-propagation community detection (operators/graph.py) over
+    the same nation-trade graph pagerank uses — which nations form a
+    trading bloc. Three unrolled rounds, each one equi-join + keyed
+    aggregate + per-node window; deterministic by construction (min-label
+    tie-break, symmetrized summed weights) so the DuckDB oracle replays
+    every round as CTEs bit-for-bit."""
+    from glue_hudi_spark.operators import graph as G
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src"))
+    nc = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst"))
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, s.s_nationkey == F.col("sk"))
+        .join(nc, c.c_nationkey == F.col("ck"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return (
+        G.label_propagation(edges, iters=3)
+        .select(F.col("id").alias("n_name"), "community")
+        .orderBy("n_name")
+    )
+
+
+def _label_prop_oracle(iters: int = 3) -> str:
+    cte = ["""
+WITH edges0 AS (
+  SELECT ns.n_name AS src, nc.n_name AS dst, COUNT(*) AS w
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  GROUP BY ns.n_name, nc.n_name
+),
+und AS (
+  SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+    SELECT src, dst, w FROM edges0
+    UNION ALL SELECT dst AS src, src AS dst, w FROM edges0
+  ) GROUP BY src, dst
+),
+l0 AS (SELECT DISTINCT src AS id, src AS lbl FROM und)"""]
+    for k in range(1, iters + 1):
+        cte.append(f""",
+s{k} AS (
+  SELECT und.src AS nid, l.lbl, SUM(und.w) AS tw
+  FROM und JOIN l{k-1} l ON und.dst = l.id
+  GROUP BY und.src, l.lbl
+),
+l{k} AS (
+  SELECT nid AS id, lbl FROM (
+    SELECT nid, lbl,
+           row_number() OVER (PARTITION BY nid
+                              ORDER BY tw DESC, lbl ASC) AS rn
+    FROM s{k}) t WHERE rn = 1
+)""")
+    cte.append(f"""
+SELECT id AS n_name, lbl AS community FROM l{iters} ORDER BY n_name
+""")
+    return "".join(cte)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7395,6 +7467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_psi_drift": events_psi_drift,
         "orders_cohort_ltv": orders_cohort_ltv,
         "orders_distribution_funcs": orders_distribution_funcs,
+        "nation_trade_communities": nation_trade_communities,
         "lineitem_unpivot": lineitem_unpivot,
         "orders_setops": orders_setops,
         "orders_above_customer_avg": orders_above_customer_avg,
@@ -7575,6 +7648,7 @@ def oracle_sql() -> dict[str, str]:
         "events_psi_drift": PSI_ORACLE,
         "orders_cohort_ltv": COHORT_LTV_ORACLE,
         "orders_distribution_funcs": DISTRIBUTION_FUNCS_ORACLE,
+        "nation_trade_communities": _label_prop_oracle(),
         "lineitem_unpivot": UNPIVOT_ORACLE,
         "orders_setops": SETOPS_ORACLE,
         "orders_above_customer_avg": ABOVE_AVG_ORACLE,

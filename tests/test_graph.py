@@ -65,3 +65,31 @@ def test_pagerank_overflow_guard_fires(spark):
     with _pytest.raises(Exception) as exc:
         G.pagerank(e, iters=1).collect()
     assert "rescale weights" in str(exc.value) or "ASSERT" in str(exc.value).upper()
+
+
+def test_label_propagation_two_blocs(spark):
+    """Two dense triangles joined by one weak edge resolve into two
+    communities; the min-label tie-break keeps the result deterministic."""
+    from glue_hudi_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 10), ("a", "c", 10),
+         ("x", "y", 10), ("y", "z", 10), ("x", "z", 10),
+         ("c", "x", 1)],                      # weak bridge
+        "src string, dst string, w int")
+    out = {r["id"]: r["community"]
+           for r in label_propagation(edges, iters=3).collect()}
+    assert len(set(out[n] for n in "abc")) == 1
+    assert len(set(out[n] for n in "xyz")) == 1
+    assert out["a"] != out["x"]
+
+
+def test_label_propagation_deterministic_ties(spark):
+    """Equal-weight neighbors: the smallest label wins every round."""
+    from glue_hudi_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [("m", "a", 5), ("m", "z", 5)], "src string, dst string, w int")
+    out = {r["id"]: r["community"]
+           for r in label_propagation(edges, iters=1).collect()}
+    assert out["m"] == "a"          # tie -> lexicographically smallest
