@@ -138,3 +138,39 @@ def test_mor_delta_append_rebases(spark, tmp_path):
     assert snap == {"a0": 100, "b0": 200}
     inc = {r["id"] for r in wb.read_incremental(2).collect()}
     assert inc == {"b0"}
+
+
+def test_double_race_rebases_twice(spark, tmp_path):
+    """TWO winners land inside the loser's publish window — the bounded
+    rebase loop must re-rebase onto each new head and still publish."""
+    path = tmp_path / "t"
+    _seed_partitioned(spark, path)
+    mk = lambda: NativeTable(spark, path, record_keys=["id"],
+                             precombine="seq", partition_keys=["pt"])
+    wa, wb, wc = mk(), mk(), mk()
+
+    orig = wc.timeline.publish
+    step = []
+
+    def racing_publish(commit):
+        if len(step) == 0:
+            step.append(1)
+            wa.upsert(_rows(spark, [dict(id="a0", pt="p1", v=100, seq=2)]))
+        elif len(step) == 1:
+            # fires on wc's FIRST rebase retry: a second winner lands
+            step.append(2)
+            wb.upsert(_rows(spark, [dict(id="a1", pt="p1", v=150, seq=2)]))
+        return orig(commit)
+
+    wc.timeline.publish = racing_publish
+    wc.upsert(_rows(spark, [dict(id="b0", pt="p2", v=200, seq=2)]))
+    assert len(step) == 2, "second race did not fire"
+
+    latest = wc.timeline.latest()
+    assert latest.commit_id == 4          # seed, A=2, B=3, C rebased -> 4
+    snap = {r["id"]: r["v"] for r in wc.read_snapshot().collect()}
+    assert snap["a0"] == 100 and snap["a1"] == 150 and snap["b0"] == 200
+    assert len(snap) == 10
+    # each writer's rows attribute to its own commit
+    assert {r["id"] for r in wc.read_incremental(3).collect()} == {"b0"}
+    assert {r["id"] for r in wc.read_incremental(2).collect()} == {"a1", "b0"}
