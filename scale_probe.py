@@ -270,6 +270,42 @@ def main() -> None:
           files_before=before, files_after=len(cp.files) if cp else before,
           packed=cp.stats["packed_files"] if cp else 0)
 
+    # ---- OCC rebase at 6M rows: the losing writer's retry must cost
+    # O(its own batch) — a restamp rewrite of just its new files — never
+    # a second merge join or anything O(table). ---------------------------
+    occ = NativeTable(spark, f"{work}/occ", record_keys=["k", "ln"],
+                      precombine="qty", files_per_partition=32)
+    occ.bulk_insert(big)
+    lo_batch = big.filter((F.col("k") >= 100000) & (F.col("k") < 101000))
+    hi_batch = big.filter((F.col("k") >= 1400000) & (F.col("k") < 1401000))
+    # reference: the same narrow upsert with no contention
+    t0 = time.perf_counter()
+    occ.upsert(lo_batch)
+    solo = time.perf_counter() - t0
+    probe("occ_solo_upsert", solo, batch_rows=lo_batch.count())
+    # contended: writer A's whole upsert runs inside B's publish window
+    wa = NativeTable(spark, f"{work}/occ", record_keys=["k", "ln"],
+                     precombine="qty", files_per_partition=32)
+    wb = NativeTable(spark, f"{work}/occ", record_keys=["k", "ln"],
+                     precombine="qty", files_per_partition=32)
+    publish, fired = wb.timeline.publish, []
+
+    def racing(commit):
+        if not fired:
+            fired.append(time.perf_counter())
+            wa.upsert(lo_batch.withColumn("qty", F.col("qty") + 1))
+            fired.append(time.perf_counter())
+        return publish(commit)
+
+    wb.timeline.publish = racing
+    t0 = time.perf_counter()
+    c = wb.upsert(hi_batch)
+    total = time.perf_counter() - t0
+    winner_inside = fired[1] - fired[0]
+    probe("occ_contended_upsert", total - winner_inside,
+          rebase_overhead_vs_solo=round((total - winner_inside) / solo, 2),
+          rebased_from=c.stats.get("occ_rebased_from"))
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 
