@@ -63,6 +63,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python Data Source filter pushdown (sources/datasource.py's
+        # manifest-stats file pruning) — off by default in Spark 4.1
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if hive_metastore_dir:
         builder = (

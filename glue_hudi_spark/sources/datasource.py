@@ -1,0 +1,236 @@
+"""Spark 4 Python Data Source for NativeTable: ``format("ghs_table")``.
+
+The reference exposes its Hudi tables to other engines through hive-sync
+(processData.py:160-169); this is the Spark-4-native equivalent for the
+NativeTable layout — any Spark session can ``spark.read.format("ghs_table")
+.option("path", ...)`` a table, and ``spark.readStream`` the same format
+tails its commit timeline as a change-feed source, WITHOUT constructing a
+``NativeTable`` (the manifest is the whole protocol).
+
+Scale shape:
+
+* Batch read is manifest-planned exactly like ``read_snapshot``: one
+  ``InputPartition`` per live base file, each executor task reads its own
+  parquet file via pyarrow and returns ARROW BATCHES (zero row-at-a-time
+  Python); predicate pushdown (``pushFilters``, Spark 4.1) prunes whole
+  files through the manifest's column-stats index before any task
+  launches, and column pruning cuts the parquet read to the projected
+  columns. All filters are also RETURNED to Spark (partial pushdown):
+  file-level stats pruning is conservative, so Spark re-evaluates —
+  correctness never depends on the stats.
+* The stream reader is a ``SimpleDataSourceStreamReader`` — offsets are
+  commit ids, each micro-batch is the rows newer than the last offset
+  (CoW incremental-query semantics, same contract as
+  ``NativeTable.read_incremental``). Simple-reader reads run on the
+  driver; this is the documented low-throughput tail (a CDC feed), not a
+  bulk path — replay (``readBetweenOffsets``) re-reads deterministically
+  from the immutable manifests.
+
+MoR tables with UNCOMPACTED deltas are rejected (merging delta rows
+requires the engine's precombine logic; compact first, or read through
+``NativeTable``). Writes also stay with ``NativeTable`` — a data-source
+writer would bypass the merge/OCC machinery this engine exists for.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+from pyspark.sql.types import StructType
+
+_META_COLS = ("_ghs_commit_time", "_ghs_record_key", "_ghs_delta_op")
+
+
+def _timeline(path: str):
+    from glue_hudi_spark.storage.commits import CommitTimeline
+
+    return CommitTimeline(path)
+
+
+def _resolve_commit(options):
+    path = options.get("path")
+    if not path:
+        raise ValueError("ghs_table: option('path', <table root>) is required")
+    tl = _timeline(path)
+    as_of = options.get("asof")
+    commit = tl.at(int(as_of)) if as_of else tl.latest()
+    if commit is None:
+        raise ValueError(f"ghs_table: no commits at {path} (asOf={as_of})")
+    if commit.deltas:
+        raise ValueError(
+            "ghs_table: table has uncompacted MoR deltas; compact() first "
+            "or read through NativeTable.read_snapshot")
+    return path, commit
+
+
+def _data_schema(commit, with_meta: bool) -> StructType:
+    full = StructType.fromJson(json.loads(commit.schema_json))
+    if with_meta:
+        return full
+    return StructType([f for f in full.fields if f.name not in _META_COLS])
+
+
+class _FileSlice(InputPartition):
+    def __init__(self, root: str, rel: str):
+        self.root = root
+        self.rel = rel
+
+
+class GhsTableReader(DataSourceReader):
+    def __init__(self, options, schema: StructType):
+        self.path, self.commit = _resolve_commit(options)
+        self.columns = [f.name for f in schema.fields]
+        self.files = list(self.commit.files)
+
+    def pushFilters(self, filters):
+        # translate range/equality filters on single columns into the
+        # manifest's column-stats prune — whole files drop before any
+        # task launches. Everything is handed back to Spark (partial
+        # pushdown): stats pruning is conservative, never exact.
+        prune: dict = {}
+        for f in filters:
+            att = getattr(f, "attribute", None)
+            if not att or len(att) != 1:
+                continue
+            col, v = att[0], getattr(f, "value", None)
+            lo, hi = prune.get(col, (None, None))
+            if isinstance(f, EqualTo):
+                lo, hi = v, v
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                lo = v if lo is None else max(lo, v)
+            elif isinstance(f, (LessThan, LessThanOrEqual)):
+                hi = v if hi is None else min(hi, v)
+            else:
+                continue
+            prune[col] = (lo, hi)
+        if prune:
+            self.files = _prune_by_stats(
+                self.files, self.commit.col_stats, prune)
+        return filters
+
+    def partitions(self):
+        return [_FileSlice(self.path, f) for f in self.files]
+
+    def read(self, part: _FileSlice):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            str(Path(part.root) / part.rel), columns=self.columns)
+        yield from table.to_batches()
+
+
+def _prune_by_stats(files, col_stats, prune):
+    """Same conservative interval test as NativeTable's column-stats
+    prune: keep a file unless its recorded [min, max] provably misses."""
+    from glue_hudi_spark.storage.native import _stat_value
+
+    kept = []
+    for f in files:
+        st = col_stats.get(f, {})
+        skip = False
+        for col, (lo, hi) in prune.items():
+            s = st.get(col)
+            if s is None:
+                continue
+            plo, phi = _stat_value(lo), _stat_value(hi)
+            if (phi is not None and s[0] > phi) or (
+                    plo is not None and s[1] < plo):
+                skip = True
+                break
+        if not skip:
+            kept.append(f)
+    return kept
+
+
+class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
+    """Offsets are commit ids; each batch = rows stamped by commits in
+    (start, latest] — the CoW incremental query as a streaming source."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ghs_table: option('path') is required")
+        self.start = int(options.get("startingcommit", 0))
+        self.columns = [f.name for f in schema.fields]
+
+    def initialOffset(self):
+        return {"commit_id": self.start}
+
+    def _rows_between(self, start_id: int, end_commit):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        token = f"{start_id:020d}"
+        out = []
+        cols = list(dict.fromkeys([*self.columns, "_ghs_commit_time"]))
+        for rel in end_commit.files:
+            t = pq.read_table(str(Path(self.path) / rel), columns=cols)
+            t = t.filter(pc.greater(t.column("_ghs_commit_time"), token))
+            if t.num_rows:
+                out.extend(
+                    tuple(d[c] for c in self.columns) for d in t.to_pylist())
+        return iter(out)
+
+    def read(self, start):
+        tl = _timeline(self.path)
+        latest = tl.latest()
+        if latest is None or latest.commit_id <= start["commit_id"]:
+            return iter([]), start
+        if latest.deltas:
+            raise ValueError(
+                "ghs_table stream: uncompacted MoR deltas; compact() first")
+        return (self._rows_between(start["commit_id"], latest),
+                {"commit_id": latest.commit_id})
+
+    def readBetweenOffsets(self, start, end):
+        commit = _timeline(self.path).at(end["commit_id"])
+        if commit is None:
+            raise ValueError(
+                f"ghs_table stream replay: commit {end['commit_id']} no "
+                "longer retained — increase retain_commits for streaming")
+        return self._rows_between(start["commit_id"], commit)
+
+    def commit(self, end):
+        pass
+
+
+class GhsTableDataSource(DataSource):
+    """``spark.dataSource.register(GhsTableDataSource)`` then
+    ``spark.read.format("ghs_table").option("path", root).load()``.
+
+    Options: ``path`` (required), ``asOf`` (commit id, batch only),
+    ``withMeta`` (include ``_ghs_*`` columns), ``startingCommit``
+    (stream only; default 0 = full history then tail).
+    """
+
+    @classmethod
+    def name(cls):
+        return "ghs_table"
+
+    def schema(self):
+        _, commit = _resolve_commit(self.options)
+        return _data_schema(
+            commit, str(self.options.get("withmeta", "")).lower() == "true")
+
+    def reader(self, schema):
+        return GhsTableReader(self.options, schema)
+
+    def simpleStreamReader(self, schema):
+        return GhsChangeFeedStreamReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the ghs_table format on a session."""
+    spark.dataSource.register(GhsTableDataSource)

@@ -1,0 +1,116 @@
+"""Spark 4 Python Data Source (`format("ghs_table")`): batch reads match
+read_snapshot, asOf time travel, stats-pruned pushdown stays correct, and
+the change-feed stream tails the commit timeline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from glue_hudi_spark.sources import datasource as DS
+from glue_hudi_spark.storage.native import NativeTable
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    DS.register(spark)
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq", stats_cols=["v"],
+                    files_per_partition=4)
+    t.bulk_insert(_rows(spark, [
+        dict(id=f"k{i:03d}", v=float(i), seq=1) for i in range(100)]))
+    t.upsert(_rows(spark, [dict(id="k000", v=999.0, seq=2)]))
+    return t
+
+
+def _fmt(spark, t, **opts):
+    r = spark.read.format("ghs_table").option("path", str(t.root))
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_batch_read_matches_snapshot(spark, table):
+    got = {r["id"]: r["v"] for r in _fmt(spark, table).collect()}
+    want = {r["id"]: r["v"] for r in table.read_snapshot().collect()}
+    assert got == want and len(got) == 100 and got["k000"] == 999.0
+    # meta columns excluded by default, included on request
+    assert set(_fmt(spark, table).columns) == {"id", "v", "seq"}
+    assert "_ghs_commit_time" in _fmt(spark, table, withMeta="true").columns
+
+
+def test_as_of_reads_old_snapshot(spark, table):
+    old = _fmt(spark, table, asOf="1")
+    assert {r["v"] for r in old.filter("id = 'k000'").collect()} == {0.0}
+
+
+def test_pushdown_prunes_files_and_stays_correct(spark, table):
+    df = _fmt(spark, table).filter("v >= 90.0 and v < 95.0")
+    got = sorted(r["id"] for r in df.collect())
+    assert got == [f"k{i:03d}" for i in range(90, 95)]
+
+
+def test_stream_tails_commits(spark, table, tmp_path):
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def run_available():
+        q = (
+            spark.readStream.format("ghs_table")
+            .option("path", str(table.root))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_available()   # full history (commits 1-2): latest row versions
+    first = spark.read.parquet(str(out)).count()
+    assert first == 100   # CoW incremental semantics: one version per key
+
+    table.upsert(_rows(spark, [dict(id="k500", v=5.0, seq=1)]))
+    run_available()   # tail: only the new commit's rows
+    rows = spark.read.parquet(str(out)).collect()
+    assert len(rows) == first + 1
+    assert {r["id"] for r in rows} >= {"k000", "k500"}
+
+
+def test_stream_starting_commit_skips_history(spark, table, tmp_path):
+    q = (
+        spark.readStream.format("ghs_table")
+        .option("path", str(table.root))
+        .option("startingCommit", "2")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out2"))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    import os
+    files = [f for f in os.listdir(tmp_path / "out2")
+             if f.endswith(".parquet")]
+    n = spark.read.parquet(str(tmp_path / "out2")).count() if files else 0
+    assert n == 0   # nothing after commit 2 yet
+
+
+def test_mor_with_deltas_rejected(spark, tmp_path):
+    DS.register(spark)
+    t = NativeTable(spark, tmp_path / "m", record_keys=["id"],
+                    precombine="seq", storage_type="mor", compact_every=100)
+    t.bulk_insert(_rows(spark, [dict(id="a", v=1.0, seq=1)]))
+    t.upsert(_rows(spark, [dict(id="a", v=2.0, seq=2)]))   # pending delta
+    with pytest.raises(Exception, match="uncompacted MoR deltas"):
+        spark.read.format("ghs_table").option(
+            "path", str(t.root)).load().collect()
+    t.compact()
+    got = spark.read.format("ghs_table").option(
+        "path", str(t.root)).load().collect()
+    assert got[0]["v"] == 2.0
