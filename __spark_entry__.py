@@ -7383,6 +7383,67 @@ SELECT id AS n_name, lbl AS community FROM l{iters} ORDER BY n_name
     return "".join(cte)
 
 
+def corpus_tfidf_keywords(spark, sf_dir):
+    """Per-source characteristic terms by TF-IDF, the classic keyword
+    extractor BM25 generalizes: tf aggregated at (source, token) grain,
+    idf = ln(N/df) over source-level document frequency, top 3 per source
+    by (score DESC, term ASC) — the deterministic tie-break that lets the
+    oracle hash-gate a float ranking. The only window runs over the
+    vocabulary-sized (source, token) aggregate, never raw tokens."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.select("source").distinct().agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf") * F.log(F.col("_n").cast("double") / F.col("df")))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", F.col("tok").alias("term"), "tf", "df",
+                F.round("score", 6).alias("score"),
+                F.col("rank").cast("int").alias("rank"))
+        .orderBy("source", "rank")
+    )
+
+
+TFIDF_ORACLE = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents
+), tf AS (
+  SELECT source, tok, COUNT(*) AS tf FROM toks GROUP BY source, tok
+), df AS (
+  SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT COUNT(DISTINCT source) AS n FROM tf
+), scored AS (
+  SELECT tf.source, tf.tok, tf.tf, df.df,
+         tf.tf * LN(CAST(n AS DOUBLE) / df.df) AS score
+  FROM tf JOIN df USING (tok), n
+)
+SELECT source, tok AS term, tf, df,
+       ROUND(score, 6) AS score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY score DESC, tok ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+ORDER BY source, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -7468,6 +7529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_cohort_ltv": orders_cohort_ltv,
         "orders_distribution_funcs": orders_distribution_funcs,
         "nation_trade_communities": nation_trade_communities,
+        "corpus_tfidf_keywords": corpus_tfidf_keywords,
         "lineitem_unpivot": lineitem_unpivot,
         "orders_setops": orders_setops,
         "orders_above_customer_avg": orders_above_customer_avg,
@@ -7649,6 +7711,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_cohort_ltv": COHORT_LTV_ORACLE,
         "orders_distribution_funcs": DISTRIBUTION_FUNCS_ORACLE,
         "nation_trade_communities": _label_prop_oracle(),
+        "corpus_tfidf_keywords": TFIDF_ORACLE,
         "lineitem_unpivot": UNPIVOT_ORACLE,
         "orders_setops": SETOPS_ORACLE,
         "orders_above_customer_avg": ABOVE_AVG_ORACLE,
