@@ -70,6 +70,10 @@ class Commit:
     # file on the driver: O(files) metadata round-trips on an object store.
     # Optional — absent entries fall back to a live stat().
     file_sizes: dict = field(default_factory=dict)
+    # per-file row counts, {rel: int} — same carry-forward discipline;
+    # serves metadata-only COUNT(*) (Delta stats-count parity) without
+    # touching a data byte. Optional like file_sizes.
+    row_counts: dict = field(default_factory=dict)
 
     @property
     def commit_time(self) -> str:
@@ -142,6 +146,7 @@ class CommitTimeline:
             key_stats=d.get("key_stats", {}),
             col_stats=d.get("col_stats", {}),
             file_sizes=d.get("file_sizes", {}),
+            row_counts=d.get("row_counts", {}),
         )
 
     # -- write side ----------------------------------------------------------
@@ -174,6 +179,7 @@ class CommitTimeline:
                 "key_stats": commit.key_stats,
                 "col_stats": commit.col_stats,
                 "file_sizes": commit.file_sizes,
+                "row_counts": commit.row_counts,
             },
             indent=1,
         )

@@ -1683,8 +1683,9 @@ class NativeTable:
                 stats=stats,
                 key_stats=key_stats,
                 col_stats=col_stats,
-                file_sizes=self._manifest_file_sizes(files, deltas),
             )
+            commit.file_sizes, commit.row_counts = (
+                self._manifest_inventory(files, deltas))
             try:
                 self.timeline.publish(commit)
             except ConcurrentWriteError:
@@ -1821,25 +1822,33 @@ class NativeTable:
                 bloom.unlink()
         return out
 
-    def _manifest_file_sizes(
+    def _manifest_inventory(
         self, files: list[str], deltas: list[dict]
-    ) -> dict[str, int]:
-        """Per-file sizes for the manifest: carried forward from the
-        previous commit for files already recorded there, stat()-ed only
-        for files this commit wrote (a handful, just touched by the
-        footer-stats pass) — so maintenance passes over a 100k-file table
-        never issue 100k driver-side metadata calls. Entries are pruned
-        to the live set, bounding manifest growth."""
+    ) -> tuple[dict[str, int], dict[str, int]]:
+        """Per-file (sizes, row counts) for the manifest: carried forward
+        from the previous commit for files already recorded there,
+        measured only for files this commit wrote (a handful, just
+        touched by the footer-stats pass) — so maintenance passes and
+        metadata-only COUNT(*) over a 100k-file table never issue 100k
+        driver-side metadata calls. Entries are pruned to the live set,
+        bounding manifest growth."""
         prev = self.timeline.latest()
         prev_sizes = prev.file_sizes if prev else {}
-        out: dict[str, int] = {}
+        prev_rows = prev.row_counts if prev else {}
+        sizes: dict[str, int] = {}
+        rows: dict[str, int] = {}
         for f in [*files, *(f for d in deltas for f in d["files"])]:
             sz = prev_sizes.get(f)
             if sz is None:
                 sz = self._stat_size(f)
             if sz is not None:
-                out[f] = sz
-        return out
+                sizes[f] = sz
+            nr = prev_rows.get(f)
+            if nr is None:
+                nr = self._footer_rows(f)
+            if nr is not None:
+                rows[f] = nr
+        return sizes, rows
 
     def _stat_size(self, rel: str) -> int | None:
         """Live on-disk size of one table file; None if vanished."""
@@ -1847,6 +1856,57 @@ class NativeTable:
             return (self.root / rel).stat().st_size
         except OSError:
             return None
+
+    def _footer_rows(self, rel: str) -> int | None:
+        """Row count from one parquet footer; None if unreadable."""
+        import pyarrow.parquet as pq
+
+        try:
+            return int(pq.read_metadata(str(self.root / rel)).num_rows)
+        except Exception:
+            return None
+
+    def count_rows(self) -> int:
+        """Metadata-only COUNT(*) (Delta stats-count parity): sum the
+        manifest's carried per-file row counts — zero data bytes read.
+        Falls back to a real count when the manifest predates the
+        ``row_counts`` field or the table has uncompacted MoR deltas
+        (delta rows override base rows BY KEY, so their net effect needs
+        the merge — compact() first to restore the metadata path)."""
+        commit = self.timeline.latest()
+        if commit is None:
+            return 0
+        if commit.deltas:
+            return self.read_snapshot().count()
+        rc = commit.row_counts
+        if all(f in rc for f in commit.files):
+            return sum(rc[f] for f in commit.files)
+        return self.read_snapshot().count()
+
+    def describe_history(self) -> DataFrame:
+        """The retained timeline as a DataFrame (Delta DESCRIBE HISTORY
+        parity): one row per commit — id, action, wall-clock instant,
+        live file/delta counts, carried bytes, and the commit's stats as
+        a JSON string. Metadata-only (manifest reads)."""
+        rows = [
+            (
+                c.commit_id,
+                c.action,
+                float(c.wall_time),
+                len(c.files),
+                sum(len(d["files"]) for d in c.deltas),
+                sum(c.file_sizes.get(f, 0) for f in c.files),
+                sum(c.row_counts.get(f, 0) for f in c.files),
+                json.dumps(c.stats, default=str),
+            )
+            for c in self.timeline.history()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "commit_id bigint, action string, wall_time double, "
+            "n_files int, n_delta_files int, total_bytes bigint, "
+            "total_rows bigint, stats string",
+        )
 
     def bulk_insert(self, df: DataFrame, parallelism: int = 0,
                     extra_stats: dict | None = None) -> Commit | None:

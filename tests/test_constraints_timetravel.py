@@ -84,3 +84,42 @@ def test_timestamp_time_travel(spark, tmp_path):
     # ISO-8601 form resolves too (far future -> latest)
     assert t.read_snapshot(
         as_of_timestamp="2200-01-01T00:00:00+00:00").first()["v"] == 2.0
+
+
+def test_count_rows_metadata_only(spark, tmp_path, monkeypatch):
+    """COUNT(*) from manifest row counts — no scan, exact through
+    upsert/delete; MoR with pending deltas falls back to a real count."""
+    t = _mk(spark, tmp_path / "t", files_per_partition=4)
+    t.bulk_insert(spark.createDataFrame(
+        [(f"k{i}", float(i), 1) for i in range(50)],
+        "id string, v double, seq int"))
+    assert t.count_rows() == 50
+    t.upsert(spark.createDataFrame([("k0", 9.0, 2), ("new", 1.0, 1)],
+                                   "id string, v double, seq int"))
+    t.delete(spark.createDataFrame([("k1",)], "id string"))
+    assert t.count_rows() == 50                      # +1 insert, -1 delete
+    m = _mk(spark, tmp_path / "m", storage_type="mor", compact_every=100)
+    m.bulk_insert(spark.createDataFrame(
+        [("a", 1.0, 1), ("b", 1.0, 1)], "id string, v double, seq int"))
+    m.upsert(spark.createDataFrame([("a", 2.0, 2), ("c", 1.0, 1)],
+                                   "id string, v double, seq int"))
+    assert m.count_rows() == 3    # fallback merges deltas (a updated, c new)
+
+    # metadata-only on the CoW table: a scan during count_rows would be a
+    # regression (patched last — the MoR fallback above legitimately scans)
+    monkeypatch.setattr(
+        NativeTable, "read_snapshot",
+        lambda self, **kw: (_ for _ in ()).throw(AssertionError("scanned")))
+    assert t.count_rows() == 50
+
+
+def test_describe_history(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(spark.createDataFrame(
+        [("a", 1.0, 1)], "id string, v double, seq int"))
+    t.upsert(spark.createDataFrame(
+        [("a", 2.0, 2)], "id string, v double, seq int"))
+    h = t.describe_history().orderBy("commit_id").collect()
+    assert [r["action"] for r in h] == ["bulk_insert", "upsert"]
+    assert h[-1]["total_rows"] == 1 and h[-1]["total_bytes"] > 0
+    assert h[0]["wall_time"] > 0
