@@ -241,9 +241,16 @@ def main(argv: list[str] | None = None) -> int:
                         "skipped_inflight": len(v["skipped_inflight"])})
         elif args.cmd == "show":
             table = pipe._table(ctl)
-            hist = [(c.commit_id, c.action) for c in table.timeline.history()]
+            # count_rows is metadata-only on a compacted table; history
+            # carries per-commit bytes/rows from the manifest inventory
+            hist = [
+                {"id": r["commit_id"], "action": r["action"],
+                 "files": r["n_files"], "bytes": r["total_bytes"],
+                 "rows": r["total_rows"]}
+                for r in table.describe_history().collect()
+            ]
             out.append({"table": ctl.table_name,
-                        "rows": table.read_snapshot().count(),
+                        "rows": table.count_rows(),
                         "commits": hist})
     print(json.dumps(out))
     return 0

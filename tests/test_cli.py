@@ -78,7 +78,9 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
     assert rc == 0 and out[0]["restored_to"] == 1 and out[0]["rolled_back"]
     rc, out = run_cmd("show", *base)
     assert out[0]["rows"] == 100
-    assert [c[0] for c in out[0]["commits"]] == [1]
+    assert [c["id"] for c in out[0]["commits"]] == [1]
+    assert out[0]["commits"][0]["rows"] == 100
+    assert out[0]["commits"][0]["bytes"] > 0
 
     rc, out = run_cmd("reset", *base, *raw_args)
     assert out[0]["reset"] is True
