@@ -6787,14 +6787,13 @@ def corpus_dsir_weights(spark, sf_dir):
     target = docs.filter(F.col("source").isin("src0", "src1", "src2"))
     t_model = lm.unigram_train(target, "text")
     p_model = lm.unigram_train(docs, "text")
-    t_scored = lm.unigram_score(docs, t_model, "doc_id", "text").select(
-        "doc_id", F.col("avg_logp").alias("t_logp"))
-    p_scored = lm.unigram_score(docs, p_model, "doc_id", "text").select(
-        "doc_id", F.col("avg_logp").alias("p_logp"))
+    # one token pass scores BOTH models (unigram_score_pair): scoring
+    # twice would explode+shuffle the corpus tokens twice
     w = (
-        t_scored.join(p_scored, "doc_id")
+        lm.unigram_score_pair(docs, t_model, p_model, "doc_id", "text")
         .join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn("weight", F.col("t_logp") - F.col("p_logp"))
+        .withColumn(
+            "weight", F.col("avg_logp_a") - F.col("avg_logp_b"))
     )
     return (
         w.groupBy("source")

@@ -182,3 +182,45 @@ def unigram_score(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("lp").alias("avg_logp"),
     )
+
+
+def unigram_score_pair(
+    docs: DataFrame,
+    model_a: DataFrame,
+    model_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score every document under TWO unigram models in one token pass —
+    the log-likelihood-ratio shape (DSIR importance weights, domain
+    classifiers) needs both scores per doc, and scoring twice would
+    explode and shuffle the corpus tokens twice. One explode, two
+    vocabulary-sized left equi-joins, one per-doc aggregate.
+
+    Returns (id_col, n_tokens, avg_logp_a, avg_logp_b).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    floor_a = model_a.agg(F.min("oov_logp").alias("_fa"))
+    floor_b = model_b.agg(F.min("oov_logp").alias("_fb"))
+    scored = (
+        toks
+        .join(model_a.select("tok", F.col("logp").alias("_la")),
+              on="tok", how="left")
+        .join(model_b.select("tok", F.col("logp").alias("_lb")),
+              on="tok", how="left")
+        .crossJoin(F.broadcast(floor_a))
+        .crossJoin(F.broadcast(floor_b))
+        .select(
+            id_col,
+            F.coalesce(F.col("_la"), F.col("_fa")).alias("_lpa"),
+            F.coalesce(F.col("_lb"), F.col("_fb")).alias("_lpb"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_lpa").alias("avg_logp_a"),
+        F.avg("_lpb").alias("avg_logp_b"),
+    )

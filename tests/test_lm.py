@@ -91,3 +91,23 @@ def test_model_save_load_roundtrip_scores_identically(spark, tmp_path):
     a = lm.unigram_score(score, model).collect()[0]["avg_logp"]
     b = lm.unigram_score(score, loaded).collect()[0]["avg_logp"]
     assert a == b
+
+
+def test_score_pair_matches_two_single_scores(spark):
+    """unigram_score_pair == two unigram_score passes, in one token pass."""
+    from glue_hudi_spark.operators import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a a d"), (3, "zz qq")], "doc_id long, text string")
+    ma = lm.unigram_train(docs.filter("doc_id = 1"))
+    mb = lm.unigram_train(docs)
+    pair = {r["doc_id"]: (r["avg_logp_a"], r["avg_logp_b"], r["n_tokens"])
+            for r in lm.unigram_score_pair(docs, ma, mb).collect()}
+    sa = {r["doc_id"]: r["avg_logp"]
+          for r in lm.unigram_score(docs, ma).collect()}
+    sb = {r["doc_id"]: r["avg_logp"]
+          for r in lm.unigram_score(docs, mb).collect()}
+    for d in (1, 2, 3):
+        assert abs(pair[d][0] - sa[d]) < 1e-12
+        assert abs(pair[d][1] - sb[d]) < 1e-12
+    assert pair[1][2] == 3
