@@ -1689,6 +1689,13 @@ class NativeTable:
             try:
                 self.timeline.publish(commit)
             except ConcurrentWriteError:
+                if action == "insert_overwrite":
+                    # REPLACE semantics: the writer's intent is "the table
+                    # is exactly df" — carrying a concurrent winner's rows
+                    # through a rebase would silently violate it (Delta
+                    # likewise conflicts unpredicated overwrites with any
+                    # concurrent write)
+                    raise
                 (commit_id, files, deltas, key_stats, col_stats, stats,
                  base) = self._rebase_commit(
                     base, commit_id, files, deltas, schema_json,

@@ -174,3 +174,20 @@ def test_double_race_rebases_twice(spark, tmp_path):
     # each writer's rows attribute to its own commit
     assert {r["id"] for r in wc.read_incremental(3).collect()} == {"b0"}
     assert {r["id"] for r in wc.read_incremental(2).collect()} == {"a1", "b0"}
+
+
+def test_insert_overwrite_never_rebases(spark, tmp_path):
+    """REPLACE semantics: 'the table is exactly df'. Carrying a concurrent
+    winner's rows through a rebase would silently violate that intent, so
+    an overwrite that loses the race must surface the conflict."""
+    path = tmp_path / "t"
+    t = NativeTable(spark, path, record_keys=["id"], precombine="seq")
+    t.bulk_insert(_rows(spark, [dict(id="a", v=1, seq=1)]))
+    wa = NativeTable(spark, path, record_keys=["id"], precombine="seq")
+    wb = NativeTable(spark, path, record_keys=["id"], precombine="seq")
+    _race(wb, lambda: wa.bulk_insert(_rows(spark, [dict(id="zz", v=9, seq=1)])))
+    with pytest.raises(ConcurrentWriteError):
+        wb.insert_overwrite(_rows(spark, [dict(id="only", v=5, seq=1)]))
+    # winner's append survives; the overwrite landed nothing
+    snap = {r["id"] for r in wa.read_snapshot().collect()}
+    assert snap == {"a", "zz"}
