@@ -1,0 +1,84 @@
+"""Table→table replication stream: incremental sync, transform
+projection, replay idempotence, delete reconciliation."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from glue_hudi_spark.storage.native import NativeTable
+from glue_hudi_spark.streaming.replicate import TableReplicationStream
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame([Row(**r) for r in rows])
+
+
+def _mk(spark, path):
+    return NativeTable(spark, path, record_keys=["id"], precombine="seq")
+
+
+def test_replication_tails_source_commits(spark, tmp_path):
+    src = _mk(spark, tmp_path / "src")
+    src.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=float(i), seq=1)
+                                  for i in range(20)]))
+    dest = _mk(spark, tmp_path / "dest")
+    rep = TableReplicationStream(
+        spark, src.root, dest, tmp_path / "ckpt")
+    rep.run_available()
+    assert dest.read_snapshot().count() == 20
+
+    # upstream change + new key flow through on the next drain
+    src.upsert(_rows(spark, [dict(id="k0", v=99.0, seq=2),
+                             dict(id="new", v=1.0, seq=1)]))
+    rep.run_available()
+    snap = {r["id"]: r["v"] for r in dest.read_snapshot().collect()}
+    assert len(snap) == 21 and snap["k0"] == 99.0 and snap["new"] == 1.0
+
+    # nothing pending -> no new destination commit
+    n = len(dest.timeline.history())
+    rep.run_available()
+    assert len(dest.timeline.history()) == n
+
+
+def test_replication_replay_is_idempotent(spark, tmp_path):
+    src = _mk(spark, tmp_path / "src")
+    src.bulk_insert(_rows(spark, [dict(id="a", v=1.0, seq=1)]))
+    dest = _mk(spark, tmp_path / "dest")
+    rep = TableReplicationStream(spark, src.root, dest, tmp_path / "ckpt")
+    rep.run_available()
+    n = len(dest.timeline.history())
+    # simulate an at-least-once re-delivery of an applied batch id
+    batch = _rows(spark, [dict(id="ghost", v=9.0, seq=1)])
+    rep._apply_batch(batch, 0)
+    assert len(dest.timeline.history()) == n
+    assert "ghost" not in {r["id"] for r in dest.read_snapshot().collect()}
+
+
+def test_replication_transform_projects(spark, tmp_path):
+    """The replica can be a masked/narrowed view of the source."""
+    src = _mk(spark, tmp_path / "src")
+    src.bulk_insert(_rows(spark, [dict(id="a", v=7.0, seq=1)]))
+    dest = _mk(spark, tmp_path / "dest")
+    rep = TableReplicationStream(
+        spark, src.root, dest, tmp_path / "ckpt",
+        transform=lambda df: df.withColumn("v", F.lit(0.0)))
+    rep.run_available()
+    assert dest.read_snapshot().first()["v"] == 0.0
+
+
+def test_replication_delete_reconciliation(spark, tmp_path):
+    src = _mk(spark, tmp_path / "src")
+    src.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=1.0, seq=1)
+                                  for i in range(10)]))
+    dest = _mk(spark, tmp_path / "dest")
+    rep = TableReplicationStream(spark, src.root, dest, tmp_path / "ckpt")
+    rep.run_available()
+    assert dest.read_snapshot().count() == 10
+    # upstream delete: the incremental feed has no tombstones, so the
+    # replica still holds the row until reconciliation runs
+    src.delete(_rows(spark, [dict(id="k3", v=1.0, seq=1)]).select("id"))
+    rep.run_available()
+    assert dest.read_snapshot().count() == 10
+    assert rep.sync_deletes() == 1
+    assert {r["id"] for r in dest.read_snapshot().collect()} == {
+        f"k{i}" for i in range(10) if i != 3}
