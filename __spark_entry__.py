@@ -1142,6 +1142,35 @@ FROM snap
 """
 
 
+def cdc_replicated_table(spark, sf_dir):
+    """Continuous table→table sync through the ghs_table change-feed
+    source (round 7): seed a source table from the events snapshot,
+    replicate it, land the CDC batch upstream, drain the stream again,
+    reconcile deletes — the REPLICA must equal the merged oracle state.
+    This drives the Spark-4 Python Data Source (commit-id offsets,
+    deterministic replay) + the exactly-once merge sink end to end."""
+    from glue_hudi_spark.streaming.replicate import TableReplicationStream
+
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("repl_")
+    src = NativeTable(spark, f"{tmp}/src", record_keys=["user_id"],
+                      precombine="event_id", partition_keys=[])
+    src.bulk_insert(snap.select(*cols))
+    dest = NativeTable(spark, f"{tmp}/dest", record_keys=["user_id"],
+                       precombine="event_id", partition_keys=[])
+    rep = TableReplicationStream(spark, src.root, dest, f"{tmp}/ckpt")
+    rep.run_available()                      # full history
+    src.upsert(batch.filter(F.col("op") != "D").select(*cols))
+    src.delete(batch.filter(F.col("op") == "D").select("user_id"))
+    rep.run_available()                      # tail the CDC commits
+    rep.sync_deletes()                       # propagate the deletes
+    return dest.read_snapshot().select(*cols)
+
+
+REPLICATED_TABLE_ORACLE = _MERGE_ORACLE
+
+
 _INCREMENTAL_ORACLE = f"""
 WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
 batch AS (
@@ -7520,6 +7549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": copurchase_triangles,
         # never driver-checked, next rotation (round 8) promotes these
         "cdc_concurrent_writers": cdc_concurrent_writers,
+        "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
         "corpus_span_dedup": corpus_span_dedup,
         "orders_kaplan_meier": orders_kaplan_meier,
@@ -7702,6 +7732,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_seasonality": SEASONALITY_ORACLE,
         "copurchase_triangles": TRIANGLES_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
+        "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,
         "corpus_span_dedup": SPAN_DEDUP_ORACLE,
         "orders_kaplan_meier": KAPLAN_MEIER_ORACLE,
