@@ -101,6 +101,17 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--cdf", action="store_true",
                     help="Delta-CDF rows (insert/update pre+post/delete) "
                          "instead of the plain rows-changed feed")
+    prp = sub.add_parser("replicate", help="drain a source table's change "
+                                           "feed into a replica table "
+                                           "(exactly-once, resumable via "
+                                           "checkpoint)")
+    _common(prp, raw=False)
+    prp.add_argument("--dest", required=True, help="replica tables root dir")
+    prp.add_argument("--checkpoint", required=True,
+                     help="stream checkpoint root dir")
+    prp.add_argument("--sync-deletes", action="store_true",
+                     help="also run the delete reconciliation pass "
+                          "(upstream deletes propagate to the replica)")
     pcu = sub.add_parser("curate", help="run a config-declared corpus "
                                         "curation pipeline (quality/LM "
                                         "filters, dedup, token budget) "
@@ -239,6 +250,26 @@ def main(argv: list[str] | None = None) -> int:
                         "deleted": len(v["deleted_files"]),
                         "deleted_blooms": len(v["deleted_blooms"]),
                         "skipped_inflight": len(v["skipped_inflight"])})
+        elif args.cmd == "replicate":
+            from glue_hudi_spark.storage.native import NativeTable
+            from glue_hudi_spark.streaming.replicate import (
+                TableReplicationStream)
+
+            src = pipe._table(ctl)
+            dest = NativeTable(
+                spark, Path(args.dest) / ctl.table_name,
+                record_keys=list(src.record_keys),
+                precombine=src.precombine,
+                partition_keys=list(src.partition_keys),
+            )
+            rep = TableReplicationStream(
+                spark, src.root, dest,
+                Path(args.checkpoint) / ctl.table_name)
+            rep.run_available()
+            deleted = rep.sync_deletes() if args.sync_deletes else 0
+            out.append({"table": ctl.table_name,
+                        "replica_rows": dest.count_rows(),
+                        "deletes_propagated": deleted})
         elif args.cmd == "show":
             table = pipe._table(ctl)
             # count_rows is metadata-only on a compacted table; history

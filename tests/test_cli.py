@@ -89,3 +89,46 @@ def test_cli_full_lifecycle(spark, tmp_path, capsys):
 
     rc, out = run_cmd("show", *base, "--table", "missing")
     assert rc == 2 and "error" in out
+
+
+def test_cli_replicate(spark, tmp_path, capsys):
+    ctl = JobControl(**CONTROL)
+    control = tmp_path / "control.json"
+    ControlStore(control).save([ctl])
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    base = ["--control", str(control), "--curated", str(tmp_path / "curated")]
+    _land(make_full_load_df(spark), raw, "full")
+    main(["run", *base, "--raw", str(tmp_path / "raw")])
+    capsys.readouterr()
+
+    rc = main(["replicate", *base, "--dest", str(tmp_path / "replica"),
+               "--checkpoint", str(tmp_path / "ck"), "--sync-deletes"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and out[0]["replica_rows"] == 100
+    assert out[0]["deletes_propagated"] == 0
+
+    # CDC lands upstream; a second drain syncs the replica
+    _land(make_cdc_df(spark), raw, "cdc")
+    main(["run", *base, "--raw", str(tmp_path / "raw"), "--single-commit"])
+    capsys.readouterr()
+    main(["replicate", *base, "--dest", str(tmp_path / "replica"),
+          "--checkpoint", str(tmp_path / "ck"), "--sync-deletes"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out[0]["replica_rows"] == 190        # the golden CDC expectation
+    # the golden batch's deletes are same-batch I->D, resolved inside the
+    # upstream merge — nothing ever reached the replica to reconcile
+    assert out[0]["deletes_propagated"] == 0
+
+    # an upstream hard delete DOES need reconciliation
+    from glue_hudi_spark.pipeline import CdcPipeline
+    from glue_hudi_spark.session import get_spark
+    src = CdcPipeline(get_spark(), "unused",
+                      str(tmp_path / "curated"))._table(ctl)
+    gone = src.read_snapshot().limit(5).select(
+        "measurement_id", "measurement_date_time", "measurement_date")
+    src.delete(gone)
+    main(["replicate", *base, "--dest", str(tmp_path / "replica"),
+          "--checkpoint", str(tmp_path / "ck"), "--sync-deletes"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out[0]["replica_rows"] == 185
+    assert out[0]["deletes_propagated"] == 5
