@@ -82,3 +82,35 @@ def test_replication_delete_reconciliation(spark, tmp_path):
     assert rep.sync_deletes() == 1
     assert {r["id"] for r in dest.read_snapshot().collect()} == {
         f"k{i}" for i in range(10) if i != 3}
+
+
+def test_replication_converges_under_random_cdc(spark, tmp_path):
+    """Property: for ANY sequence of random upsert/delete batches on the
+    source, drain + reconcile leaves the replica equal to the source
+    snapshot (the convergence contract a downstream sync must hold)."""
+    import random
+
+    rnd = random.Random(7)
+    src = _mk(spark, tmp_path / "src")
+    src.bulk_insert(_rows(spark, [
+        dict(id=f"k{i:02d}", v=float(i), seq=0) for i in range(30)]))
+    dest = _mk(spark, tmp_path / "dest")
+    rep = TableReplicationStream(spark, src.root, dest, tmp_path / "ckpt")
+
+    for step in range(1, 4):
+        ups = [dict(id=f"k{rnd.randrange(40):02d}", v=rnd.random() * 100,
+                    seq=step) for _ in range(rnd.randrange(1, 8))]
+        # in-batch dedup mirror of precombine (max seq ties -> max v wins
+        # is irrelevant here: one seq per step, keep last per key)
+        ups = list({u["id"]: u for u in ups}.values())
+        src.upsert(_rows(spark, ups))
+        live = {r["id"] for r in src.read_snapshot().collect()}
+        dels = [k for k in sorted(live) if rnd.random() < 0.15]
+        if dels:
+            src.delete(spark.createDataFrame([(k,) for k in dels],
+                                             "id string"))
+        rep.run_available()
+        rep.sync_deletes()
+        got = {(r["id"], round(r["v"], 9)) for r in dest.read_snapshot().collect()}
+        want = {(r["id"], round(r["v"], 9)) for r in src.read_snapshot().collect()}
+        assert got == want, f"diverged at step {step}"
