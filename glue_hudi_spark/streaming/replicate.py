@@ -21,6 +21,14 @@ Scale shape: per micro-batch cost is the changed-row read (file-pruned by
 the source's own manifest) + one keyed merge into the destination
 (partition/key-range/bloom pruned like any upsert). The reconciliation
 pass is the only table-sized step, and it ships key projections only.
+
+100-TB seeding: the simple stream reader serves rows through the driver
+(the documented low-throughput CDC tail), so do NOT replay a huge
+table's FULL history through it — seed the replica out-of-band
+(``NativeTable.clone_to`` on shared storage, or a bulk
+``format("ghs_table")`` batch read → ``bulk_insert``, both
+executor-parallel) and start the stream at the seed commit with
+``starting_commit``; only the ongoing delta then flows through the tail.
 """
 
 from __future__ import annotations
