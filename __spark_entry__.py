@@ -706,6 +706,64 @@ FROM patch p LEFT JOIN snap s USING (user_id)
 """
 
 
+def cdc_merge_into(spark, sf_dir):
+    """Conditional SQL MERGE INTO through the real storage path (Delta
+    whenMatched/whenNotMatched parity; the general form of the
+    reference's unconditional I/U/D routing, processData.py:357-381).
+    Matched rows whose incoming event is an 'error' delete; matched rows
+    with a HIGHER incoming value accumulate (value = src + tgt) and take
+    the incoming ts/event_id/event_type; other matches pass through
+    untouched; unmatched non-'error' source rows insert. One atomic
+    commit, key-range-pruned match probe."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("mergeinto_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(*cols))
+    table.merge_into(
+        batch.select(*cols),
+        when_matched_delete="src.event_type = 'error'",
+        when_matched_update={
+            "event_id": "src.event_id", "ts": "src.ts",
+            "event_type": "src.event_type",
+            "value": "src.value + tgt.value",
+        },
+        update_condition="src.value > tgt.value",
+        when_not_matched_insert=True,
+        insert_condition="src.event_type <> 'error'",
+    )
+    return table.read_snapshot().select(*cols)
+
+
+MERGE_INTO_ORACLE = f"""
+WITH snap AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+)
+SELECT s.user_id, s.event_id, s.ts, s.event_type, s.value
+FROM snap s LEFT JOIN batch b USING (user_id)
+WHERE b.user_id IS NULL
+   OR (b.event_type <> 'error' AND NOT (b.value > s.value))
+UNION ALL
+SELECT s.user_id, b.event_id, b.ts, b.event_type, b.value + s.value AS value
+FROM snap s JOIN batch b USING (user_id)
+WHERE b.event_type <> 'error' AND b.value > s.value
+UNION ALL
+SELECT b.user_id, b.event_id, b.ts, b.event_type, b.value
+FROM batch b LEFT JOIN snap s USING (user_id)
+WHERE s.user_id IS NULL AND b.event_type <> 'error'
+"""
+
+
 def cdc_incremental_read(spark, sf_dir):
     """Hudi-style incremental query after the merge: exactly the rows the
     CDC batch upserted (deletes not surfaced — CoW incremental semantics)."""
@@ -7548,6 +7606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_seasonality": orders_seasonality,
         "copurchase_triangles": copurchase_triangles,
         # never driver-checked, next rotation (round 8) promotes these
+        "cdc_merge_into": cdc_merge_into,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -7731,6 +7790,7 @@ def oracle_sql() -> dict[str, str]:
         "events_markov_transitions": MARKOV_ORACLE,
         "orders_seasonality": SEASONALITY_ORACLE,
         "copurchase_triangles": TRIANGLES_ORACLE,
+        "cdc_merge_into": MERGE_INTO_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,
