@@ -7552,9 +7552,63 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # DRIVER WINDOW (first 50 keys): the driver's CORRECTNESS gate samples the
-        # registry's first 50 keys in order — rotated each round so never-checked
-        # queries earn a driver row. Round 7: 49 never-checked + events_interval_join
-        # (supersedes its stale r04 FAIL; code fixed in r5, local green since).
+        # registry's first 50 keys in order — rotated each round. Round 8: the 26
+        # never-driver-checked queries (round-7 flagships merge_into / concurrent
+        # writers / replication, DSIR, span dedup, survival/drift analytics, plus
+        # 14 round-5/6 stragglers) followed by 24 oldest-evidence re-confirmations
+        # (7 last checked r02, 17 storage/cdc paths last checked r04).
+        "cdc_merge_into": cdc_merge_into,
+        "cdc_concurrent_writers": cdc_concurrent_writers,
+        "cdc_replicated_table": cdc_replicated_table,
+        "corpus_dsir_weights": corpus_dsir_weights,
+        "corpus_span_dedup": corpus_span_dedup,
+        "orders_kaplan_meier": orders_kaplan_meier,
+        "events_kmv_intersection": events_kmv_intersection,
+        "events_psi_drift": events_psi_drift,
+        "orders_cohort_ltv": orders_cohort_ltv,
+        "orders_distribution_funcs": orders_distribution_funcs,
+        "nation_trade_communities": nation_trade_communities,
+        "corpus_tfidf_keywords": corpus_tfidf_keywords,
+        "lineitem_unpivot": lineitem_unpivot,
+        "orders_setops": orders_setops,
+        "orders_above_customer_avg": orders_above_customer_avg,
+        "events_user_trend": events_user_trend,
+        "events_range_window": events_range_window,
+        "events_debounce": events_debounce,
+        "orders_price_histogram": orders_price_histogram,
+        "events_cusum_drift": events_cusum_drift,
+        "customer_reorder_gaps": customer_reorder_gaps,
+        "brand_nation_lift": brand_nation_lift,
+        "orders_backlog_aging": orders_backlog_aging,
+        "events_weekday_hour_heatmap": events_weekday_hour_heatmap,
+        "lineitem_grouping_sets": lineitem_grouping_sets,
+        "part_price_regression": part_price_regression,
+        # re-confirmation slots (oldest driver evidence)
+        "ann_cosine_topk": ann_cosine_topk,
+        "ann_lsh_bucketed": ann_lsh_bucketed,
+        "ann_ivf_topk": ann_ivf_topk,
+        "ann_ivf_kmeans": ann_ivf_kmeans,
+        "multimodal_image_meta": multimodal_image_meta,
+        "multimodal_frame_sample": multimodal_frame_sample,
+        "text_fingerprint": text_fingerprint,
+        "cdc_table_merge": cdc_table_merge,
+        "cdc_table_merge_mor": cdc_table_merge_mor,
+        "cdc_incremental_read": cdc_incremental_read,
+        "cdc_pruned_read": cdc_pruned_read,
+        "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
+        "cdc_point_lookup": cdc_point_lookup,
+        "cdc_merge_sql": cdc_merge_sql,
+        "cdc_retention_delete": cdc_retention_delete,
+        "events_zorder_read": events_zorder_read,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "events_asof_join": events_asof_join,
+        "events_sessionization": events_sessionization,
+        "orders_cube": orders_cube,
+        "events_window_suite": events_window_suite,
+        "events_pivot": events_pivot,
+        # driver-checked green in r01-r07 (freshest evidence last)
         "cdc_partial_update": cdc_partial_update,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
@@ -7605,34 +7659,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": events_markov_transitions,
         "orders_seasonality": orders_seasonality,
         "copurchase_triangles": copurchase_triangles,
-        # never driver-checked, next rotation (round 8) promotes these
-        "cdc_merge_into": cdc_merge_into,
-        "cdc_concurrent_writers": cdc_concurrent_writers,
-        "cdc_replicated_table": cdc_replicated_table,
-        "corpus_dsir_weights": corpus_dsir_weights,
-        "corpus_span_dedup": corpus_span_dedup,
-        "orders_kaplan_meier": orders_kaplan_meier,
-        "events_kmv_intersection": events_kmv_intersection,
-        "events_psi_drift": events_psi_drift,
-        "orders_cohort_ltv": orders_cohort_ltv,
-        "orders_distribution_funcs": orders_distribution_funcs,
-        "nation_trade_communities": nation_trade_communities,
-        "corpus_tfidf_keywords": corpus_tfidf_keywords,
-        "lineitem_unpivot": lineitem_unpivot,
-        "orders_setops": orders_setops,
-        "orders_above_customer_avg": orders_above_customer_avg,
-        "events_user_trend": events_user_trend,
-        "events_range_window": events_range_window,
-        "events_debounce": events_debounce,
-        "orders_price_histogram": orders_price_histogram,
-        "events_cusum_drift": events_cusum_drift,
-        "customer_reorder_gaps": customer_reorder_gaps,
-        "brand_nation_lift": brand_nation_lift,
-        "orders_backlog_aging": orders_backlog_aging,
-        "events_weekday_hour_heatmap": events_weekday_hour_heatmap,
-        "lineitem_grouping_sets": lineitem_grouping_sets,
-        "part_price_regression": part_price_regression,
-        # driver-checked green in r01-r06
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
         "q3_shipping_priority": q3_shipping_priority,
@@ -7687,34 +7713,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_filter_non_deletes": cdc_filter_non_deletes,
         "cdc_project_drop": cdc_project_drop,
         "cdc_rename_lowercase": cdc_rename_lowercase,
-        "cdc_merge_sql": cdc_merge_sql,
-        "cdc_table_merge": cdc_table_merge,
-        "cdc_table_merge_mor": cdc_table_merge_mor,
-        "cdc_incremental_read": cdc_incremental_read,
-        "cdc_pruned_read": cdc_pruned_read,
-        "events_zorder_read": events_zorder_read,
-        "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
-        "cdc_point_lookup": cdc_point_lookup,
-        "cdc_retention_delete": cdc_retention_delete,
         "scalar_string_funcs": scalar_string_funcs,
         "scalar_datetime_funcs": scalar_datetime_funcs,
         "scalar_split_explode": scalar_split_explode,
         "scalar_timestamp_parse": scalar_timestamp_parse,
         "orders_priority_rollup": orders_priority_rollup,
-        "events_pivot": events_pivot,
-        "events_window_suite": events_window_suite,
         "events_json_extract": events_json_extract,
         "orders_price_quantiles": orders_price_quantiles,
-        "orders_cube": orders_cube,
         "topk_orders_per_customer": topk_orders_per_customer,
-        "events_sessionization": events_sessionization,
-        "events_asof_join": events_asof_join,
-        "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_cluster_keep_one": dedup_cluster_keep_one,
         "dedup_embedding_cluster": dedup_embedding_cluster,
-        "dedup_simhash": dedup_simhash,
         "dedup_embedding_cosine": dedup_embedding_cosine,
         "dedup_embedding_multiband": dedup_embedding_multiband,
         "skew_salted_agg": skew_salted_agg,
@@ -7726,20 +7735,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_stats": text_token_stats,
         "text_quality": text_quality,
         "text_lang_id": text_lang_id,
-        "text_fingerprint": text_fingerprint,
-        "ann_cosine_topk": ann_cosine_topk,
-        "ann_lsh_bucketed": ann_lsh_bucketed,
-        "ann_ivf_topk": ann_ivf_topk,
-        "ann_ivf_kmeans": ann_ivf_kmeans,
-        "multimodal_image_meta": multimodal_image_meta,
-        "multimodal_frame_sample": multimodal_frame_sample,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     ev_proj = "SELECT event_id, ts, user_id, value FROM events"
     return {
-        # same order as queries() — see the driver-window note there
+        # keys match queries() (order here is irrelevant — the driver looks
+        # entries up by key); see the driver-window note in queries()
         "cdc_partial_update": PARTIAL_UPDATE_ORACLE,
         "cdc_time_travel": TIME_TRAVEL_ORACLE,
         "cdc_change_feed": CHANGE_FEED_ORACLE,
