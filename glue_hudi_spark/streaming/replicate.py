@@ -68,15 +68,21 @@ class TableReplicationStream:
 
     def _apply_batch(self, batch_df, batch_id: int) -> None:
         last = self.dest.last_stream_batch_id()
-        if last is not None and batch_id <= last:
-            return  # replayed batch (crash between commit and checkpoint)
-        if self.transform is not None:
-            batch_df = self.transform(batch_df)
-        marker = {"stream_batch_id": int(batch_id),
-                  "replicated_from": self.src_path}
-        if batch_df.isEmpty():
-            return
-        self.dest.upsert(batch_df, extra_stats=marker)
+        replayed = last is not None and batch_id <= last
+        if not replayed:  # replay = crash between commit and checkpoint
+            if self.transform is not None:
+                batch_df = self.transform(batch_df)
+            marker = {"stream_batch_id": int(batch_id),
+                      "replicated_from": self.src_path}
+            if not batch_df.isEmpty():
+                self.dest.upsert(batch_df, extra_stats=marker)
+        # The delete-reconciliation cadence runs regardless of batch
+        # contents: on the CoW feed a delete-only upstream commit arrives as
+        # exactly an EMPTY micro-batch (row versions, no tombstones), so
+        # gating this behind the data write would silently disable periodic
+        # delete propagation for delete-heavy workloads. It also runs on
+        # replayed batches — the crashed attempt may have died before its
+        # reconciliation fired, and sync_deletes is idempotent (anti-join).
         if self.sync_deletes_every and (batch_id + 1) % self.sync_deletes_every == 0:
             self.sync_deletes()
 

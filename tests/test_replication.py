@@ -84,6 +84,27 @@ def test_replication_delete_reconciliation(spark, tmp_path):
         f"k{i}" for i in range(10) if i != 3}
 
 
+def test_replication_sync_deletes_every_fires_on_empty_batch(spark, tmp_path):
+    """A delete-only upstream commit arrives as an EMPTY micro-batch on the
+    CoW feed (row versions, no tombstones). The sync_deletes_every cadence
+    must still fire — gating it behind the data write would silently
+    disable periodic delete propagation for delete-heavy workloads."""
+    src = _mk(spark, tmp_path / "src")
+    src.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=1.0, seq=1)
+                                  for i in range(6)]))
+    dest = _mk(spark, tmp_path / "dest")
+    rep = TableReplicationStream(
+        spark, src.root, dest, tmp_path / "ckpt", sync_deletes_every=1)
+    rep.run_available()
+    assert dest.read_snapshot().count() == 6
+    # delete-only commit: no upserted rows, so the next drained micro-batch
+    # carries zero rows — the cadence alone must propagate the delete
+    src.delete(_rows(spark, [dict(id="k2", v=1.0, seq=1)]).select("id"))
+    rep.run_available()
+    assert {r["id"] for r in dest.read_snapshot().collect()} == {
+        f"k{i}" for i in range(6) if i != 2}
+
+
 def test_replication_converges_under_random_cdc(spark, tmp_path):
     """Property: for ANY sequence of random upsert/delete batches on the
     source, drain + reconcile leaves the replica equal to the source
