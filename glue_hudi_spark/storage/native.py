@@ -746,7 +746,15 @@ class NativeTable:
     def _build_bloom_sidecars(self, rel_files: list[str], col: str | None) -> None:
         """One sidecar per file for ``col`` (None = record key). Nulls are
         not indexed (membership of NULL is undefined; equality lookups
-        never match NULL anyway)."""
+        never match NULL anyway).
+
+        Sidecar bytes NEVER transit the driver: each per-file build task
+        writes its finished sidecar straight to the table's storage
+        (atomic tmp-write + rename, same shared-filesystem assumption as
+        every data-file write) and returns only the rel path. The driver
+        collects file names — driver memory stays flat in commit size,
+        where the previous collect() staged every payload (~10 bits/key;
+        a few hundred 5M-key files ≈ GBs) at once."""
         k = 7
         paths = [str(self.root / f) for f in rel_files]
         source = RECORD_KEY_COL if col is None else col
@@ -754,10 +762,21 @@ class NativeTable:
             F.input_file_name().alias("src"),
             F.col(source).cast("string").alias("key"),
         ).filter(F.col("key").isNotNull())
+        root = str(self.root).replace("\\", "/").rstrip("/")
+        bloom_dir = BLOOM_DIR
+        suffix = ".bloom" if col is None else f".col.{col}.bloom"
+        known = set(rel_files)
 
         def build(pdf):
             import pandas as pd
+            from pathlib import Path as _P
 
+            # input_file_name is a file: URI containing <root>/<rel>
+            src = pdf["src"].iloc[0].replace("\\", "/")
+            pos = src.find(root + "/")
+            rel = src[pos + len(root) + 1:] if pos >= 0 else None
+            if rel not in known:  # foreign path → leave it unindexed (safe)
+                return pd.DataFrame({"rel": pd.Series([], dtype=str)})
             n = len(pdf)
             m_bits = (max(1024, 10 * n) + 7) // 8 * 8
             bits = bytearray(m_bits // 8)
@@ -765,23 +784,22 @@ class NativeTable:
                 for idx in _bloom_indices(str(key), m_bits, k):
                     bits[idx >> 3] |= 1 << (idx & 7)
             payload = bytes([k]) + m_bits.to_bytes(8, "little") + bytes(bits)
-            return pd.DataFrame({"src": [pdf["src"].iloc[0]], "bloom": [payload]})
+            out = _P(root, bloom_dir, rel + suffix)
+            out.parent.mkdir(parents=True, exist_ok=True)
+            tmp = out.with_name(out.name + ".inprogress")
+            tmp.write_bytes(payload)
+            tmp.replace(out)  # atomic publish: readers never see a partial
+            return pd.DataFrame({"rel": [rel]})
 
-        rows = keys_by_file.groupBy("src").applyInPandas(
-            build, "src string, bloom binary"
-        ).collect()
-        # input_file_name is a file: URI; match it back to the rel path
-        by_suffix = {rel.replace("\\", "/"): rel for rel in rel_files}
-        for r in rows:
-            src = r["src"]
-            rel = next(
-                (v for s, v in by_suffix.items() if src.endswith(s)), None
-            )
-            if rel is None:
-                continue
-            path = self._bloom_path(rel, col)
-            path.parent.mkdir(parents=True, exist_ok=True)
-            path.write_bytes(r["bloom"])
+        built = {
+            r["rel"]
+            for r in keys_by_file.groupBy("src")
+            .applyInPandas(build, "rel string")
+            .collect()
+        }
+        # all-null-key or foreign files simply have no sidecar — reads
+        # treat missing sidecars as affected (safe), nothing to do here
+        _ = built
 
     def _load_blooms(
         self, rel_files: list[str], col: str | None = None

@@ -124,3 +124,33 @@ def test_clean_removes_orphan_sidecars(spark, tmp_table_dir):
         for p in bloom_root.rglob("*.bloom")
     }
     assert sidecars == live  # no orphans for cleaned commits' files
+
+
+def test_sidecar_bytes_never_transit_the_driver(spark, tmp_table_dir,
+                                                monkeypatch):
+    """The build writes sidecars from EXECUTOR tasks (Python workers are
+    separate processes in local mode); the driver collects only rel
+    paths. Pin it: poison driver-side Path.write_bytes for anything under
+    _index/bloom — the build must still produce valid sidecars without
+    tripping it, so no payload was staged driver-side."""
+    import pathlib
+
+    real = pathlib.Path.write_bytes
+
+    def poisoned(self, data):
+        if BLOOM_DIR in str(self):
+            raise AssertionError(
+                f"driver-side sidecar write: {self} ({len(data)} bytes)")
+        return real(self, data)
+
+    monkeypatch.setattr(pathlib.Path, "write_bytes", poisoned)
+    t = _mk(spark, tmp_table_dir, bloom=True)
+    t.bulk_insert(_rows(spark, [(f"{i:04d}", 1, "x") for i in range(500)]))
+    idx = tmp_table_dir / BLOOM_DIR
+    sidecars = list(idx.rglob("*.bloom"))
+    assert sidecars, "no sidecars built"
+    for p in sidecars:  # valid format, no leftover tmp files
+        raw = p.read_bytes()
+        k, m_bits = raw[0], int.from_bytes(raw[1:9], "little")
+        assert k == 7 and len(raw) - 9 == m_bits // 8
+    assert not list(idx.rglob("*.inprogress"))
