@@ -125,11 +125,14 @@ def assert_no_cartesian(df: DataFrame) -> None:
 
     The exemption is checked ON THE BUILD SIDE of each BNLJ, not
     anywhere in the plan: the tree section is parsed, the BNLJ's
-    BuildLeft/BuildRight subtree located, and a group-less
-    (``Keys: []``) HashAggregate — or a LocalTableScan/Range of
-    provably one row — required inside it. A global aggregate elsewhere
-    in the plan (very common) does NOT whitelist an O(n·m) join.
-    When in doubt it raises.
+    BuildLeft/BuildRight subtree located, and a provably-one-row node
+    required inside it — a group-less (``Keys: []``) HashAggregate, a
+    ``Scan OneRowRelation`` (SQL literal relation), or a single-element
+    ``Range``. A ``ReusedExchange`` resolves to its referenced operator
+    id and that subtree is checked; unresolvable reuse counts as
+    not-scalar (so a build side made only of it raises). A global
+    aggregate elsewhere in the plan (very common) does NOT whitelist an
+    O(n·m) join. When in doubt it raises.
     """
     plan = plan_text(df)
     if "CartesianProduct" in plan:
@@ -138,17 +141,43 @@ def assert_no_cartesian(df: DataFrame) -> None:
         return
     nodes = _tree_nodes(plan)
     details = _detail_blocks(plan)
+    id_idx = {node_id: i for i, (_, _, _, node_id) in enumerate(nodes)}
+    # detail headers: "(12) ReusedExchange [Reuses operator id: 9]"
+    reuse_of = {
+        int(a): int(b)
+        for a, b in re.findall(
+            r"^\((\d+)\) ReusedExchange \[Reuses operator id: (\d+)\]",
+            plan, re.M)
+    }
 
-    def _is_scalar_subtree(sub) -> bool:
-        for _, name, _, node_id in sub:
+    def _range_rows(detail: str) -> int | None:
+        m = re.search(r"Range \((-?\d+), (-?\d+), step=(-?\d+)", detail)
+        if not m:
+            return None
+        s, e, st = map(int, m.groups())
+        if st > 0:
+            return max(0, -((s - e) // st))
+        if st < 0:
+            return max(0, -((e - s) // -st))
+        return None
+
+    def _is_scalar_subtree(sub, hops: int = 0) -> bool:
+        for _, name, extras, node_id in sub:
+            detail = details.get(node_id, "")
             if name == "HashAggregate" and re.search(
-                    r"^Keys: \[\]$", details.get(node_id, ""), re.M):
+                    r"^Keys: \[\]$", detail, re.M):
+                return True
+            if name == "Scan" and "OneRowRelation" in extras:
+                return True
+            if name == "Range" and _range_rows(detail) == 1:
                 return True
             if name == "ReusedExchange":
-                # reuses a prior exchange; its referenced subtree is not
-                # under this node — accept only if the referenced plan has
-                # a scalar aggregate at all (conservative fallback)
-                return bool(re.search(r"^Keys: \[\]$", plan, re.M))
+                ref = reuse_of.get(node_id)
+                if ref is None or ref not in id_idx or hops >= 8:
+                    continue  # unresolvable reuse proves nothing
+                if _is_scalar_subtree(_subtree(nodes, id_idx[ref]),
+                                      hops + 1):
+                    return True
         return False
 
     for i, (_, name, extras, node_id) in enumerate(nodes):

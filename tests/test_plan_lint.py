@@ -85,3 +85,25 @@ def test_broadcast_only(spark):
     with pytest.raises(lint.PlanLintError):
         lint.assert_broadcast_joins_only(
             d.join(big.hint("merge"), on="id"))
+
+
+def test_no_cartesian_accepts_one_row_literal_builds(spark):
+    """A broadcast side that is provably ONE row — a SQL literal relation
+    (Scan OneRowRelation) or a single-element Range — is the sanctioned
+    constant-append pattern, same as the group-less aggregate."""
+    d = spark.range(100).withColumn("v", F.col("id") * 2.0)
+    lit = spark.sql("SELECT 7.5 AS thr")
+    lint.assert_no_cartesian(d.crossJoin(F.broadcast(lit)))
+    one = spark.range(1).select(F.col("id").alias("k"))
+    lint.assert_no_cartesian(d.crossJoin(F.broadcast(one)))
+
+
+def test_no_cartesian_still_rejects_multi_row_range_build(spark):
+    """A multi-element Range build side stays an O(n·m) violation — the
+    one-row acceptance must not leak past provable single rows."""
+    import pytest as _pytest
+
+    d = spark.range(100)
+    many = spark.range(50).select(F.col("id").alias("k"))
+    with _pytest.raises(lint.PlanLintError):
+        lint.assert_no_cartesian(d.crossJoin(F.broadcast(many)))
