@@ -764,6 +764,52 @@ WHERE s.user_id IS NULL AND b.event_type <> 'error'
 """
 
 
+def cdc_merge_full_sync(spark, sf_dir):
+    """Full-snapshot reconciliation in ONE merge (Delta's three-clause
+    MERGE surface, whenNotMatchedBySource included): the post-cutoff
+    snapshot upserts wholesale; table rows that left it are deleted
+    unless they are 'login' rows, which are kept but flagged 'stale'
+    (by-source update). The nightly-sync pattern: one atomic commit
+    replaces upsert + delete_where. Probe is necessarily table-wide
+    (any row may be absent from the source — Delta scans the full
+    target too); the rewrite still prunes to touched files."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("fullsync_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(*cols))
+    table.merge_into(
+        batch.select(*cols),
+        when_matched_update="*",
+        when_not_matched_insert=True,
+        when_not_matched_by_source_delete="tgt.event_type <> 'login'",
+        when_not_matched_by_source_update={"event_type": "'stale'"},
+    )
+    return table.read_snapshot().select(*cols)
+
+
+MERGE_FULL_SYNC_ORACLE = f"""
+WITH snap AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+)
+SELECT user_id, event_id, ts, event_type, value FROM batch
+UNION ALL
+SELECT s.user_id, s.event_id, s.ts, 'stale' AS event_type, s.value
+FROM snap s LEFT JOIN batch b USING (user_id)
+WHERE b.user_id IS NULL AND s.event_type = 'login'
+"""
+
+
 def cdc_incremental_read(spark, sf_dir):
     """Hudi-style incremental query after the merge: exactly the rows the
     CDC batch upserted (deletes not surfaced — CoW incremental semantics)."""
@@ -7558,6 +7604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 14 round-5/6 stragglers) followed by 24 oldest-evidence re-confirmations
         # (7 last checked r02, 17 storage/cdc paths last checked r04).
         "cdc_merge_into": cdc_merge_into,
+        "cdc_merge_full_sync": cdc_merge_full_sync,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -7794,6 +7841,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_seasonality": SEASONALITY_ORACLE,
         "copurchase_triangles": TRIANGLES_ORACLE,
         "cdc_merge_into": MERGE_INTO_ORACLE,
+        "cdc_merge_full_sync": MERGE_FULL_SYNC_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

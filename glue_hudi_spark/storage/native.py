@@ -2385,29 +2385,44 @@ class NativeTable:
         when_matched_delete: str | None = None,
         when_not_matched_insert: bool = True,
         insert_condition: str | None = None,
+        when_not_matched_by_source_delete: bool | str | None = None,
+        when_not_matched_by_source_update: dict[str, str] | None = None,
+        by_source_update_condition: str | None = None,
+        duplicate_matches: str = "error",
         parallelism: int = 0,
         extra_stats: dict | None = None,
     ) -> "Commit | None":
-        """SQL ``MERGE INTO`` with conditional clauses (Delta
-        ``whenMatchedUpdate/Delete`` + ``whenNotMatchedInsert`` parity;
-        Hudi's spark-sql MERGE surface). The reference's pipeline only
-        ever runs the unconditional CDC routing (processData.py:357-381,
-        covered by :meth:`merge`); this is the general form a lakehouse
-        user writes by hand.
+        """SQL ``MERGE INTO`` with conditional clauses (Delta's full
+        three-clause surface: ``whenMatchedUpdate/Delete``,
+        ``whenNotMatchedInsert``, ``whenNotMatchedBySourceUpdate/
+        Delete``; Hudi's spark-sql MERGE surface). The reference's
+        pipeline only ever runs the unconditional CDC routing
+        (processData.py:357-381, covered by :meth:`merge`); this is the
+        general form a lakehouse user writes by hand.
 
         Matching is on the table's record keys — ``source`` must carry
         them. Clause conditions and update expressions are SQL strings
         over two row aliases, ``src`` (the incoming row) and ``tgt``
         (the current table row); e.g. ``"src.value > tgt.value"``.
+        By-source clauses see only ``tgt`` (there is no source row).
 
         Clause precedence (documented, Delta-style first-match-wins with
         delete listed first): matched rows try ``when_matched_delete``,
         then ``when_matched_update`` (gated by ``update_condition``);
         rows matching neither pass through untouched. Unmatched source
         rows insert when ``when_not_matched_insert`` (gated by
-        ``insert_condition``); unmatched TABLE rows are always kept
-        (there is no when-not-matched-by-source clause — model that as
-        :meth:`delete_where`).
+        ``insert_condition``). Table rows with no source match try
+        ``when_not_matched_by_source_delete`` (``True`` or a SQL
+        condition over ``tgt``), then ``when_not_matched_by_source_update``
+        (a column->expr dict gated by ``by_source_update_condition``) —
+        the natural form of nightly full-snapshot reconciliation: one
+        merge upserts the snapshot AND retires rows that left it.
+
+        ``duplicate_matches``: several source rows matching ONE target
+        row is ambiguous under update/delete clauses — ``"error"``
+        (default) raises like Delta's multiple-match error;
+        ``"precombine"`` resolves them by the table's precombine column
+        (max wins), this engine's keyed-table semantic.
 
         ``when_matched_update``: ``"*"`` replaces the whole row with the
         source row; a dict sets only the named columns (others keep
@@ -2421,16 +2436,27 @@ class NativeTable:
         row to its clause; the single resulting op-batch then flows
         through :meth:`merge` — one atomic commit, all of merge's
         key-range + bloom file pruning, MoR delta routing included.
+        By-source clauses necessarily widen the probe to the full table
+        (any row could be absent from the source — Delta scans the full
+        target too), but the REWRITE still prunes to the files the op
+        batch actually touches.
         """
+        if duplicate_matches not in ("error", "precombine"):
+            raise ValueError(
+                f"duplicate_matches must be 'error' or 'precombine', "
+                f"got {duplicate_matches!r}")
+        by_source = (when_not_matched_by_source_delete is not None
+                     or when_not_matched_by_source_update is not None)
         if when_matched_update is None and when_matched_delete is None \
-                and not when_not_matched_insert:
+                and not when_not_matched_insert and not by_source:
             raise ValueError("merge_into: no clauses given")
-        if source.isEmpty():
-            return None
+        if not by_source and source.isEmpty():
+            return None  # with by-source clauses an empty source is
+            # meaningful: every table row is "not matched by source"
         op_col = "_ghs_merge_op"
         prev = self.timeline.latest()
         if prev is None:
-            if not when_not_matched_insert:
+            if not when_not_matched_insert or source.isEmpty():
                 return None
             ins = (source.alias("src").filter(F.expr(insert_condition))
                    if insert_condition else source)
@@ -2448,34 +2474,76 @@ class NativeTable:
         # consult the real-time view instead (deltas are bounded by
         # compact_every — still not a full-table read of base files the
         # prune would have skipped, because _rt's anti-join streams them).
+        # By-source clauses must see EVERY table row, so they disable the
+        # key-range prune (not the rewrite prune — merge() re-prunes).
         if prev.deltas:
             tgt = self.read_snapshot()
+        elif by_source:
+            tgt = self._read_files(prev.files, prev.schema_json).drop(*META_COLS)
         else:
             files, _ = self._prune_by_key_range(
                 prev.files, prev.key_stats, self._batch_key_range(source))
             tgt = self._read_files(files, prev.schema_json).drop(*META_COLS)
         tgt = tgt.withColumn("_ghs_tgt_exists", F.lit(True))
+        source = source.withColumn("_ghs_src_exists", F.lit(True))
 
         s, t = source.alias("src"), tgt.alias("tgt")
+        how = "full_outer" if by_source else "left_outer"
         j = s.join(
-            t, [s[k].eqNullSafe(t[k]) for k in self.record_keys], "left_outer")
+            t, [s[k].eqNullSafe(t[k]) for k in self.record_keys], how)
 
-        matched = F.col("_ghs_tgt_exists").isNotNull()
+        tgt_exists = F.col("_ghs_tgt_exists").isNotNull()
+        src_exists = F.col("_ghs_src_exists").isNotNull()
+        matched = src_exists & tgt_exists
+
+        if duplicate_matches == "error" and (
+                when_matched_update is not None
+                or when_matched_delete is not None):
+            # Delta's multiple-match error: >1 source row for one target
+            # row is ambiguous under update/delete. One key-projection
+            # aggregate over the (already pruned) join — metadata comes
+            # back, never rows.
+            dup = (j.filter(matched)
+                   .groupBy(*[s[k] for k in self.record_keys])
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .filter(F.col("_n") > 1).limit(1).count())
+            if dup:
+                raise ValueError(
+                    "merge_into: multiple source rows match the same "
+                    "target row — ambiguous under update/delete clauses "
+                    "(pass duplicate_matches='precombine' to resolve by "
+                    f"max {self.precombine or 'record order'})")
+
         false = F.lit(False)
         del_c = (matched & F.expr(when_matched_delete)
                  if when_matched_delete is not None else false)
         upd_c = (matched & (F.expr(update_condition) if update_condition
                             else F.lit(True))
                  if when_matched_update is not None else false)
-        ins_c = ((~matched) & (F.expr(insert_condition) if insert_condition
-                               else F.lit(True))
+        ins_c = (src_exists & ~tgt_exists
+                 & (F.expr(insert_condition) if insert_condition
+                    else F.lit(True))
                  if when_not_matched_insert else false)
+        only_tgt = tgt_exists & ~src_exists
+        if when_not_matched_by_source_delete is None:
+            bs_del_c = false
+        elif when_not_matched_by_source_delete is True:
+            bs_del_c = only_tgt
+        else:
+            bs_del_c = only_tgt & F.expr(when_not_matched_by_source_delete)
+        bs_upd_c = (only_tgt & (F.expr(by_source_update_condition)
+                                if by_source_update_condition else F.lit(True))
+                    if when_not_matched_by_source_update is not None else false)
+        # "B" = by-source update, an internal routing code folded to "U"
+        # before the op batch reaches merge()
         op = (F.when(del_c, "D").when(upd_c, "U").when(ins_c, "I")
+              .when(bs_del_c, "D").when(bs_upd_c, "B")
               .otherwise(F.lit(None)))
 
         src_names = set(source.columns)
         upd_map = when_matched_update if isinstance(when_matched_update, dict) \
             else None
+        bs_map = when_not_matched_by_source_update
         replace_all = when_matched_update == "*"
         out_cols = []
         for f in table_cols:
@@ -2489,11 +2557,14 @@ class NativeTable:
                 upd_v = src_v
             else:
                 upd_v = tgt_v
+            bs_v = (F.expr(bs_map[name]).cast(dt)
+                    if bs_map and name in bs_map else tgt_v)
             if name in self.record_keys:
                 v = F.coalesce(src_v, tgt_v)
             else:
                 v = (F.when(F.col(op_col) == "U", upd_v)
                      .when(F.col(op_col) == "I", src_v)
+                     .when(F.col(op_col) == "B", bs_v)
                      .otherwise(tgt_v))
             out_cols.append(v.alias(name))
         for f in new_fields:  # schema evolution: NULL on U/D, src value on I
@@ -2503,10 +2574,15 @@ class NativeTable:
                 .when(F.col(op_col) == "U",
                       F.expr(upd_map[f.name]) if upd_map and f.name in upd_map
                       else src_v if replace_all else F.lit(None).cast(f.dataType))
+                .when(F.col(op_col) == "B",
+                      F.expr(bs_map[f.name]) if bs_map and f.name in bs_map
+                      else F.lit(None).cast(f.dataType))
                 .alias(f.name))
 
         opb = (j.withColumn(op_col, op).filter(F.col(op_col).isNotNull())
-               .select(*out_cols, op_col))
+               .select(*out_cols, op_col)
+               .withColumn(op_col, F.when(F.col(op_col) == "B", "U")
+                           .otherwise(F.col(op_col))))
         return self.merge(opb, op_col=op_col, parallelism=parallelism,
                           extra_stats=extra_stats)
 

@@ -118,3 +118,76 @@ def test_delete_precedes_update(spark, tmp_path):
         when_not_matched_insert=False,
     )
     assert t.read_snapshot().filter("id = 1").count() == 0
+
+
+@pytest.mark.parametrize("storage_type", ["cow", "mor"])
+def test_by_source_delete_full_sync(spark, tmp_path, storage_type):
+    """Nightly full-snapshot reconciliation in ONE merge: upsert the
+    snapshot, retire rows that left it."""
+    t = _seed(spark, tmp_path / "t", storage_type)
+    snap = spark.createDataFrame(
+        [(1, 2, "a2", 11.0), (2, 2, "b2", 22.0), (9, 1, "new", 5.0)],
+        "id int, ver int, tag string, value double",
+    )
+    t.merge_into(snap, when_matched_update="*",
+                 when_not_matched_by_source_delete=True)
+    rows = {r["id"]: r for r in t.read_snapshot().collect()}
+    assert set(rows) == {1, 2, 9}            # 3 and 4 left the snapshot
+    assert rows[1]["value"] == 11.0 and rows[2]["tag"] == "b2"
+
+
+def test_by_source_delete_condition_and_update(spark, tmp_path):
+    """Conditional by-source clauses: delete only stale rows, flag the
+    rest — precedence is delete first, then update (Delta order)."""
+    t = _seed(spark, tmp_path / "t")
+    src = spark.createDataFrame([(1, 2, "a2", 99.0)],
+                                "id int, ver int, tag string, value double")
+    t.merge_into(
+        src, when_matched_update="*",
+        when_not_matched_by_source_delete="tgt.value >= 40.0",
+        when_not_matched_by_source_update={"tag": "'orphan'"},
+    )
+    rows = {r["id"]: r for r in t.read_snapshot().collect()}
+    assert set(rows) == {1, 2, 3}            # 4 (value 40) deleted
+    assert rows[1]["value"] == 99.0          # matched update
+    assert rows[2]["tag"] == "orphan" and rows[3]["tag"] == "orphan"
+    assert rows[2]["value"] == 20.0          # by-source update keeps others
+
+
+def test_by_source_with_empty_source_is_meaningful(spark, tmp_path):
+    """With a by-source clause an empty source means EVERY row is
+    unmatched — the merge must not silently no-op."""
+    t = _seed(spark, tmp_path / "t")
+    empty = spark.createDataFrame(
+        [], "id int, ver int, tag string, value double")
+    t.merge_into(empty, when_not_matched_insert=False,
+                 when_not_matched_by_source_delete="tgt.value > 25.0")
+    assert {r["id"] for r in t.read_snapshot().collect()} == {1, 2}
+
+
+def test_duplicate_source_matches_raise_by_default(spark, tmp_path):
+    """Delta parity: several source rows matching one target row is an
+    error under update/delete clauses; duplicate_matches='precombine'
+    opts into the keyed-table resolution (max precombine wins)."""
+    t = _seed(spark, tmp_path / "t")
+    dup = spark.createDataFrame(
+        [(1, 2, "x", 50.0), (1, 3, "y", 60.0)],
+        "id int, ver int, tag string, value double")
+    with pytest.raises(ValueError, match="multiple source rows"):
+        t.merge_into(dup, when_matched_update="*")
+    t.merge_into(dup, when_matched_update="*",
+                 duplicate_matches="precombine")
+    rows = {r["id"]: r for r in t.read_snapshot().collect()}
+    assert rows[1]["tag"] == "y" and rows[1]["value"] == 60.0  # ver 3 wins
+
+
+def test_duplicate_unmatched_inserts_do_not_raise(spark, tmp_path):
+    """The multiple-match error is about MATCHED ambiguity; duplicate
+    brand-new keys collapse via precombine like any keyed insert."""
+    t = _seed(spark, tmp_path / "t")
+    dup_new = spark.createDataFrame(
+        [(9, 1, "n1", 1.0), (9, 2, "n2", 2.0)],
+        "id int, ver int, tag string, value double")
+    t.merge_into(dup_new, when_matched_update="*")
+    rows = {r["id"]: r for r in t.read_snapshot().collect()}
+    assert rows[9]["tag"] == "n2"
