@@ -56,6 +56,15 @@ class EnrichStream:
     ``dim_loader`` is a zero-arg callable returning the CURRENT SCD2
     DataFrame — called once per micro-batch so dimension updates flow
     through without restarting the stream.
+
+    Sink layout: each micro-batch lands in its own hive-style
+    ``stream_batch_id=<id>/`` subdirectory of ``out_dir`` (so replays
+    overwrite instead of double-appending), which means readers of
+    ``out_dir`` see an extra ``stream_batch_id`` partition column. A
+    pre-existing FLAT parquet layout in ``out_dir`` (written by the
+    old append sink) cannot be mixed with partition dirs — Spark's
+    partition discovery refuses such a directory — so construction
+    fails loudly instead of producing an unreadable sink.
     """
 
     def __init__(
@@ -79,6 +88,20 @@ class EnrichStream:
         self.event_ts = event_ts
         self.attrs = attrs
         self.schema = schema or spark.read.parquet(self.events_dir).schema
+        # Legacy-layout guard: flat parquet files (pre-partition-dir sink)
+        # mixed with stream_batch_id= dirs make out_dir unreadable. Fail
+        # at construction with a migration hint, not at first read.
+        out = Path(self.out_dir)
+        if out.is_dir():
+            flat = [p.name for p in out.iterdir()
+                    if p.is_file() and p.suffix == ".parquet"]
+            if flat:
+                raise ValueError(
+                    f"EnrichStream out_dir {self.out_dir} holds "
+                    f"{len(flat)} flat parquet file(s) from the legacy "
+                    "append sink; move them into a stream_batch_id=-1/ "
+                    "subdirectory (or point out_dir elsewhere) before "
+                    "resuming")
 
     def _enrich_batch(self, batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():

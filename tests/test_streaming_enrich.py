@@ -83,3 +83,22 @@ def test_enrich_batch_replay_is_idempotent(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert len(rows) == 2            # not 4: replay overwrote, not appended
     assert {r["stream_batch_id"] for r in rows} == {0}
+
+
+def test_legacy_flat_out_dir_fails_loudly(spark, tmp_path):
+    """A pre-partition-dir sink left flat parquet in out_dir; mixing it
+    with stream_batch_id= dirs makes the directory unreadable — refuse
+    at construction with a migration hint."""
+    import pytest as _pytest
+
+    events = tmp_path / "events"
+    spark.createDataFrame([(1, 1.0)], "k int, ts double").write.parquet(
+        str(events))
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "part-legacy.parquet").write_bytes(b"PAR1")
+    with _pytest.raises(ValueError, match="legacy append sink"):
+        EnrichStream(
+            spark, events, out, tmp_path / "ckpt",
+            dim_loader=lambda: None, key_cols=["k"], event_ts="ts",
+            attrs=[])
