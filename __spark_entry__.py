@@ -1248,11 +1248,14 @@ FROM snap
 
 def cdc_replicated_table(spark, sf_dir):
     """Continuous table→table sync through the ghs_table change-feed
-    source (round 7): seed a source table from the events snapshot,
-    replicate it, land the CDC batch upstream, drain the stream again,
-    reconcile deletes — the REPLICA must equal the merged oracle state.
-    This drives the Spark-4 Python Data Source (commit-id offsets,
-    deterministic replay) + the exactly-once merge sink end to end."""
+    source (round 7; round 8 adds in-stream deletes): seed a source
+    table from the events snapshot, replicate it, land the CDC batch
+    upstream, drain the stream again — the REPLICA must equal the
+    merged oracle state, with deletes arriving as change-feed tombstone
+    rows (the trailing sync_deletes is a consistency check asserting it
+    found nothing left to fix). This drives the Spark-4 Python Data
+    Source (commit-id offsets, deterministic replay) + the exactly-once
+    merge sink end to end."""
     from glue_hudi_spark.streaming.replicate import TableReplicationStream
 
     snap, batch = _events_merge_parts(spark, sf_dir)
@@ -1267,8 +1270,8 @@ def cdc_replicated_table(spark, sf_dir):
     rep.run_available()                      # full history
     src.upsert(batch.filter(F.col("op") != "D").select(*cols))
     src.delete(batch.filter(F.col("op") == "D").select("user_id"))
-    rep.run_available()                      # tail the CDC commits
-    rep.sync_deletes()                       # propagate the deletes
+    rep.run_available()                      # tail: upserts + tombstones
+    assert rep.sync_deletes() == 0, "in-stream deletes left residue"
     return dest.read_snapshot().select(*cols)
 
 

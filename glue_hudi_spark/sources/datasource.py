@@ -156,7 +156,19 @@ def _prune_by_stats(files, col_stats, prune):
 
 class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
     """Offsets are commit ids; each batch = rows stamped by commits in
-    (start, latest] — the CoW incremental query as a streaming source."""
+    (start, latest] — the CoW incremental query as a streaming source.
+
+    With ``option("emitDeletes", "true")`` (requires ``withMeta``) the
+    batch ALSO carries one row per key deleted by commits in the range,
+    read from the manifests' tombstone files (``_changes/``): key
+    columns populated, ``_ghs_delta_op = 'd'``, ``_ghs_commit_time`` =
+    the deleting commit's token, everything else NULL — a downstream
+    replica resolves per key by max commit time and applies deletes
+    in-stream, no reconciliation scan. Deletes are retention-bounded
+    like any CDC log: a range commit whose manifest was cleaned raises
+    (its tombstones are unrecoverable) — seed long-lived replicas from
+    a snapshot and ``startingCommit`` at the seed, per the replication
+    module's 100-TB pattern."""
 
     def __init__(self, options, schema: StructType):
         self.path = options.get("path")
@@ -164,6 +176,13 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("ghs_table: option('path') is required")
         self.start = int(options.get("startingcommit", 0))
         self.columns = [f.name for f in schema.fields]
+        self.emit_deletes = (
+            str(options.get("emitdeletes", "")).lower() == "true")
+        if self.emit_deletes and "_ghs_delta_op" not in self.columns:
+            raise ValueError(
+                "ghs_table stream: emitDeletes requires "
+                "option('withMeta', 'true') — delete rows are "
+                "distinguished by _ghs_delta_op = 'd'")
 
     def initialOffset(self):
         return {"commit_id": self.start}
@@ -183,6 +202,33 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
                     tuple(d[c] for c in self.columns) for d in t.to_pylist())
         return iter(out)
 
+    def _tombstone_rows(self, start_id: int, end_id: int):
+        """Delete rows for commits in (start, end]: key columns from the
+        tombstone parquet, _ghs_delta_op='d', _ghs_commit_time=the
+        deleting commit's token, other columns NULL."""
+        import pyarrow.parquet as pq
+
+        tl = _timeline(self.path)
+        out = []
+        for cid in range(start_id + 1, end_id + 1):
+            c = tl.at(cid)
+            if c is None:
+                raise ValueError(
+                    f"ghs_table stream: commit {cid} no longer retained — "
+                    "its delete tombstones are unrecoverable. Increase "
+                    "retain_commits, or seed the consumer from a snapshot "
+                    "and startingCommit at the seed (see streaming."
+                    "replicate's 100-TB pattern)")
+            for rel in c.tombstones:
+                t = pq.read_table(str(Path(self.path) / rel))
+                for d in t.to_pylist():
+                    out.append(tuple(
+                        c.commit_time if col == "_ghs_commit_time"
+                        else "d" if col == "_ghs_delta_op"
+                        else d.get(col)
+                        for col in self.columns))
+        return out
+
     def read(self, start):
         tl = _timeline(self.path)
         latest = tl.latest()
@@ -191,8 +237,11 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
         if latest.deltas:
             raise ValueError(
                 "ghs_table stream: uncompacted MoR deltas; compact() first")
-        return (self._rows_between(start["commit_id"], latest),
-                {"commit_id": latest.commit_id})
+        rows = list(self._rows_between(start["commit_id"], latest))
+        if self.emit_deletes:
+            rows.extend(
+                self._tombstone_rows(start["commit_id"], latest.commit_id))
+        return iter(rows), {"commit_id": latest.commit_id}
 
     def readBetweenOffsets(self, start, end):
         commit = _timeline(self.path).at(end["commit_id"])
@@ -200,7 +249,11 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
             raise ValueError(
                 f"ghs_table stream replay: commit {end['commit_id']} no "
                 "longer retained — increase retain_commits for streaming")
-        return self._rows_between(start["commit_id"], commit)
+        rows = list(self._rows_between(start["commit_id"], commit))
+        if self.emit_deletes:
+            rows.extend(
+                self._tombstone_rows(start["commit_id"], end["commit_id"]))
+        return iter(rows)
 
     def commit(self, end):
         pass
@@ -212,7 +265,9 @@ class GhsTableDataSource(DataSource):
 
     Options: ``path`` (required), ``asOf`` (commit id, batch only),
     ``withMeta`` (include ``_ghs_*`` columns), ``startingCommit``
-    (stream only; default 0 = full history then tail).
+    (stream only; default 0 = full history then tail), ``emitDeletes``
+    (stream only, requires withMeta; emit tombstone rows with
+    ``_ghs_delta_op='d'`` for keys deleted by range commits).
     """
 
     @classmethod

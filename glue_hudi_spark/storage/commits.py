@@ -74,6 +74,12 @@ class Commit:
     # serves metadata-only COUNT(*) (Delta stats-count parity) without
     # touching a data byte. Optional like file_sizes.
     row_counts: dict = field(default_factory=dict)
+    # THIS commit's delete tombstones (Delta _change_data analogue): rel
+    # paths of parquet files holding the key columns of rows this commit
+    # deleted. NOT carried forward — per-commit change metadata, read by
+    # the change-feed stream via at(cid). Commit-id-independent paths
+    # (_changes/<uuid>/), so an OCC rebase carries them untouched.
+    tombstones: list[str] = field(default_factory=list)
 
     @property
     def commit_time(self) -> str:
@@ -147,6 +153,7 @@ class CommitTimeline:
             col_stats=d.get("col_stats", {}),
             file_sizes=d.get("file_sizes", {}),
             row_counts=d.get("row_counts", {}),
+            tombstones=d.get("tombstones", []),
         )
 
     # -- write side ----------------------------------------------------------
@@ -180,6 +187,7 @@ class CommitTimeline:
                 "col_stats": commit.col_stats,
                 "file_sizes": commit.file_sizes,
                 "row_counts": commit.row_counts,
+                "tombstones": commit.tombstones,
             },
             indent=1,
         )
@@ -258,6 +266,11 @@ class CommitTimeline:
             )
             if bloom_dir.is_dir():
                 shutil.rmtree(bloom_dir)
+            for rel in c.tombstones:
+                ts = self.root / rel
+                if ts.exists():
+                    ts.unlink()
+                    deleted.append(rel)
         return {
             "restored_to": commit_id,
             "rolled_back": sorted(rolled_back),
@@ -285,6 +298,9 @@ class CommitTimeline:
             doomed = set(c.files)
             for d in c.deltas:
                 doomed.update(d["files"])
+            # tombstones are per-commit (never referenced by later
+            # manifests) — they die with their manifest unconditionally
+            doomed.update(c.tombstones)
             for rel in doomed - live:
                 f = self.root / rel
                 if f.exists():
@@ -299,7 +315,7 @@ class CommitTimeline:
                         sc.unlink()
             p.unlink()
         # prune empty partition/commit/index dirs left behind
-        for sub in (DATA_DIR, "_index"):
+        for sub in (DATA_DIR, "_index", "_changes"):
             sub_root = self.root / sub
             if sub_root.is_dir():
                 for dirpath, dirnames, filenames in os.walk(sub_root, topdown=False):

@@ -67,6 +67,7 @@ NULL_KEY = "__null__"
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 BLOOM_DIR = "_index/bloom"  # per-data-file bloom sidecars (immutable)
+CHANGES_DIR = "_changes"  # per-commit delete tombstones (change-feed CDC)
 
 
 def _bloom_hash_pair(key: str) -> tuple[int, int]:
@@ -318,6 +319,7 @@ class NativeTable:
         bloom_index: bool = False,
         secondary_bloom_cols: list[str] | None = None,
         constraints: list[str] | None = None,
+        change_feed_deletes: bool = True,
     ):
         self.spark = spark
         self.root = Path(path)
@@ -364,6 +366,14 @@ class NativeTable:
         # (their payload is intentionally partial); `bootstrap` adopts
         # foreign files unchecked (documented there).
         self.constraints = list(constraints or [])
+        # Delete tombstones for the change feed (Delta CDF's _change_data
+        # analogue): every delete commit also lands its deleted KEYS as
+        # parquet under _changes/, referenced by the manifest, so the
+        # ghs_table stream can emit delete rows (option emitDeletes) and
+        # a replica applies them in-stream — no reconciliation scan. Cost
+        # per delete commit: one key-projection write of the delete
+        # batch, executor-side.
+        self.change_feed_deletes = change_feed_deletes
         self.timeline = CommitTimeline(self.root)
 
     # ------------------------------------------------------------------ util
@@ -982,9 +992,12 @@ class NativeTable:
           (a crashed writer's leftovers; next clean() removes them ONLY
           if an old manifest covers them, so these need manual attention);
         * ``orphan_blooms`` — bloom sidecars whose data file is gone;
+        * ``orphan_tombstones`` — _changes files no retained manifest
+          references (a crashed delete's leftovers);
         * ``unreadable_manifests`` — commit JSONs that fail to parse.
         """
         live: set[str] = set()
+        live_ts: set[str] = set()
         unreadable: list[str] = []
         for p in self.timeline._manifest_paths():
             try:
@@ -993,6 +1006,7 @@ class NativeTable:
                 unreadable.append(p.name)
                 continue
             live.update(c.files)
+            live_ts.update(c.tombstones)
             for d in c.deltas:
                 live.update(d["files"])
         missing = [f for f in sorted(live) if not (self.root / f).is_file()]
@@ -1015,12 +1029,22 @@ class NativeTable:
                 if not (self.root / data_rel).is_file():
                     orphan_bloom_rels.add(data_rel)
         orphan_blooms = sorted(orphan_bloom_rels)
+        missing += [f for f in sorted(live_ts)
+                    if not (self.root / f).is_file()]
+        changes_root = self.root / CHANGES_DIR
+        ts_on_disk = {
+            str(p.relative_to(self.root))
+            for p in changes_root.rglob("*.parquet")
+        } if changes_root.is_dir() else set()
+        orphan_tombstones = sorted(ts_on_disk - live_ts)
         return {
             "missing_files": missing,
             "orphan_files": orphans,
             "orphan_blooms": orphan_blooms,
+            "orphan_tombstones": orphan_tombstones,
             "unreadable_manifests": unreadable,
-            "ok": not (missing or orphans or orphan_blooms or unreadable),
+            "ok": not (missing or orphans or orphan_blooms
+                       or orphan_tombstones or unreadable),
         }
 
     def vacuum(self) -> dict:
@@ -1677,7 +1701,8 @@ class NativeTable:
     def _commit(self, commit_id: int, action: str, files: list[str],
                 deltas: list[dict], schema_json: str, stats: dict,
                 key_stats: dict | None = None,
-                col_stats: dict | None = None) -> Commit:
+                col_stats: dict | None = None,
+                tombstones: list[str] | None = None) -> Commit:
         """Publish with bounded retry-with-rebase on OCC conflict.
 
         When another writer wins the commit id, the loser does NOT re-run
@@ -1701,6 +1726,7 @@ class NativeTable:
                 stats=stats,
                 key_stats=key_stats,
                 col_stats=col_stats,
+                tombstones=list(tombstones or []),
             )
             commit.file_sizes, commit.row_counts = (
                 self._manifest_inventory(files, deltas))
@@ -2012,6 +2038,27 @@ class NativeTable:
         return self._cow_merge(batch, deletes=False, parallelism=parallelism,
                                extra_stats=extra_stats, partial=partial)
 
+    def _write_tombstones(self, keyed: DataFrame) -> list[str]:
+        """Land the delete batch's KEY PROJECTION as parquet under
+        ``_changes/<uid>/`` and return the rel paths, for the publishing
+        commit's ``tombstones`` manifest field. Executor-side Spark
+        write — key bytes never stage on the driver. Paths carry no
+        commit id, so an OCC rebase reuses them untouched (the loser's
+        delete intent is unchanged by the winner's files)."""
+        if not self.change_feed_deletes:
+            return []
+        import uuid as _uuid
+
+        uid = _uuid.uuid4().hex[:16]
+        out_dir = self.root / CHANGES_DIR / uid
+        cols = [RECORD_KEY_COL] + [
+            k for k in self.record_keys if k != RECORD_KEY_COL]
+        keyed.select(*cols).dropDuplicates([RECORD_KEY_COL]) \
+            .write.mode("overwrite").parquet(str(out_dir))
+        return sorted(
+            str(p.relative_to(self.root))
+            for p in out_dir.glob("*.parquet"))
+
     def delete(self, batch: DataFrame, parallelism: int = 0,
                extra_stats: dict | None = None) -> Commit | None:
         """Hard delete by key (processData.py:215-218,377-382 — the
@@ -2175,8 +2222,10 @@ class NativeTable:
         if parallelism > 0:
             existing = existing.repartition(parallelism, RECORD_KEY_COL)
         kept = existing.join(keys_only, on=RECORD_KEY_COL, how="left_anti")
+        tombstones: list[str] = []
         if deletes:
             merged = kept
+            tombstones = self._write_tombstones(keyed)
         elif partial:
             # field-level merge: per matched key, non-null incoming fields
             # overwrite, everything else carries forward. One extra join
@@ -2244,6 +2293,7 @@ class NativeTable:
              **(extra_stats or {})},
             key_stats,
             col_stats,
+            tombstones=tombstones,
         )
 
     def delete_where(self, cond, prune: dict | None = None,
@@ -2276,6 +2326,10 @@ class NativeTable:
             untouched = [f for f in prev.files if f not in set(affected)]
         existing = self._read_files(affected, prev.schema_json)
         kept = existing.filter(~F.coalesce(cond, F.lit(False)))
+        # change feed: the dropped rows' keys — one extra filter pass over
+        # the SAME pruned affected set, nothing table-wide
+        tombstones = self._write_tombstones(
+            existing.filter(F.coalesce(cond, F.lit(False))))
         files = self._write_files(
             kept, cid,
             n_files=max(1, len(affected)) if not self.partition_keys else None,
@@ -2291,6 +2345,7 @@ class NativeTable:
              **(extra_stats or {})},
             key_stats,
             col_stats,
+            tombstones=tombstones,
         )
 
     def merge(self, batch: DataFrame, op_col: str = "op",
@@ -2351,6 +2406,9 @@ class NativeTable:
         kept = existing.join(
             keyed.select(RECORD_KEY_COL), on=RECORD_KEY_COL, how="left_anti"
         )
+        dels = keyed.filter(F.col(op_col) == "D")
+        tombstones = ([] if dels.isEmpty()
+                      else self._write_tombstones(dels))
         incoming = keyed.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
         merged = kept.unionByName(incoming, allowMissingColumns=True)
         prev_cols = [c for c in existing.columns]
@@ -2374,6 +2432,7 @@ class NativeTable:
              **(extra_stats or {})},
             key_stats,
             col_stats,
+            tombstones=tombstones,
         )
 
     def merge_into(
@@ -2593,6 +2652,7 @@ class NativeTable:
         prev = self.timeline.latest()
         cid = self.timeline.next_commit_id()
         keyed = self._precombine_dedup(self._with_meta(batch, f"{cid:020d}", op))
+        tombstones = self._write_tombstones(keyed) if op == "d" else []
         files = self._write_files(keyed, cid, build_blooms=False)
         if prev is None:
             base_files, deltas, schema = [], [], keyed.schema.json()
@@ -2614,6 +2674,7 @@ class NativeTable:
             cid, action, base_files, deltas, schema, dict(extra_stats or {}),
             dict(prev.key_stats) if prev else {},
             dict(prev.col_stats) if prev else {},
+            tombstones=tombstones,
         )
         if len(deltas) >= self.compact_every or (
             self.compact_delta_bytes is not None

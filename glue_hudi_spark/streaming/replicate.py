@@ -10,12 +10,15 @@ every other streaming sink here: the micro-batch id travels inside the
 destination's commit stats, atomic with the data publish, so an
 at-least-once foreachBatch replay is detected and skipped.
 
-Deletes: the CoW incremental feed carries ROW VERSIONS, not tombstones —
-a key deleted upstream simply stops appearing. Full delete propagation
-needs the diff feed (``diff_snapshots``) on a schedule, or MoR delete
-markers; ``sync_deletes_every`` runs that reconciliation every N batches
-(an anti-join of destination keys vs source keys — two key-projection
-scans, no data columns).
+Deletes travel IN-STREAM: the feed runs with ``emitDeletes`` — every
+delete commit's tombstone keys (``_changes/``, Delta-CDF-style) arrive
+as ``_ghs_delta_op='d'`` rows, resolved per key against version rows by
+commit time and applied in the SAME atomic merge as the batch's
+upserts. ``sync_deletes_every`` is thereby demoted to a consistency
+check (an anti-join of destination keys vs source keys — two
+key-projection scans, no data columns); it exists for replicas of
+tables written with ``change_feed_deletes=False`` and as an fsck-grade
+invariant probe.
 
 Scale shape: per micro-batch cost is the changed-row read (file-pruned by
 the source's own manifest) + one keyed merge into the destination
@@ -35,14 +38,20 @@ from __future__ import annotations
 
 from pathlib import Path
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession, Window, functions as F
 
 from glue_hudi_spark.sources import datasource as DS
-from glue_hudi_spark.storage.native import RECORD_KEY_COL, NativeTable
+from glue_hudi_spark.storage.native import (
+    COMMIT_TIME_COL,
+    DELTA_OP_COL,
+    RECORD_KEY_COL,
+    NativeTable,
+)
 
 
 class TableReplicationStream:
-    """readStream(ghs_table src) → foreachBatch(upsert into dest)."""
+    """readStream(ghs_table src, emitDeletes) → foreachBatch(one atomic
+    merge of the range's upserts and deletes into dest)."""
 
     def __init__(
         self,
@@ -70,26 +79,47 @@ class TableReplicationStream:
         last = self.dest.last_stream_batch_id()
         replayed = last is not None and batch_id <= last
         if not replayed:  # replay = crash between commit and checkpoint
-            if self.transform is not None:
-                batch_df = self.transform(batch_df)
             marker = {"stream_batch_id": int(batch_id),
                       "replicated_from": self.src_path}
             if not batch_df.isEmpty():
-                self.dest.upsert(batch_df, extra_stats=marker)
-        # The delete-reconciliation cadence runs regardless of batch
-        # contents: on the CoW feed a delete-only upstream commit arrives as
-        # exactly an EMPTY micro-batch (row versions, no tombstones), so
-        # gating this behind the data write would silently disable periodic
-        # delete propagation for delete-heavy workloads. It also runs on
-        # replayed batches — the crashed attempt may have died before its
-        # reconciliation fired, and sync_deletes is idempotent (anti-join).
+                meta = [COMMIT_TIME_COL, RECORD_KEY_COL, DELTA_OP_COL]
+                # a key can appear as several changes in one drained
+                # range (update then delete, delete then reinsert):
+                # the newest commit's row wins, THEN routes to its op
+                w = Window.partitionBy(RECORD_KEY_COL).orderBy(
+                    F.col(COMMIT_TIME_COL).desc())
+                latest = (batch_df.withColumn(
+                    "_ghs_rn", F.row_number().over(w))
+                    .filter(F.col("_ghs_rn") == 1).drop("_ghs_rn"))
+                ups = latest.filter(F.col(DELTA_OP_COL) != "d").drop(*meta)
+                if self.transform is not None:
+                    ups = self.transform(ups)
+                dels = latest.filter(F.col(DELTA_OP_COL) == "d").drop(*meta)
+                opb = ups.withColumn("_ghs_rep_op", F.lit("U")).unionByName(
+                    dels.withColumn("_ghs_rep_op", F.lit("D")),
+                    allowMissingColumns=True)
+                # one atomic commit applies the range's upserts AND
+                # deletes (CoW; MoR dest splits into its documented
+                # delta pair) — the batch-id marker rides inside it
+                self.dest.merge(opb, op_col="_ghs_rep_op",
+                                extra_stats=marker)
+        # The consistency-check cadence runs regardless of batch contents:
+        # a delete-only commit on a change_feed_deletes=False source (no
+        # tombstones) arrives as exactly an EMPTY micro-batch, so gating
+        # this behind the data write would silently disable the fallback
+        # propagation path. It also runs on replayed batches — the crashed
+        # attempt may have died before its check fired, and sync_deletes
+        # is idempotent (anti-join).
         if self.sync_deletes_every and (batch_id + 1) % self.sync_deletes_every == 0:
             self.sync_deletes()
 
     def sync_deletes(self) -> int:
-        """Propagate upstream deletes: destination keys absent from the
-        source are deleted here. Key projections only — no data columns
-        cross the join."""
+        """Consistency check / fallback: destination keys absent from the
+        source are deleted here. With ``emitDeletes`` tombstones flowing
+        in-stream this finds nothing (assert that, if auditing); it
+        remains the propagation path for sources written with
+        ``change_feed_deletes=False``. Key projections only — no data
+        columns cross the join."""
         src_keys = (
             self.spark.read.format("ghs_table")
             .option("path", self.src_path)
@@ -112,6 +142,8 @@ class TableReplicationStream:
             self.spark.readStream.format("ghs_table")
             .option("path", self.src_path)
             .option("startingCommit", str(self.starting_commit))
+            .option("withMeta", "true")
+            .option("emitDeletes", "true")
             .load()
             .writeStream.foreachBatch(self._apply_batch)
             .option("checkpointLocation", self.checkpoint_dir)

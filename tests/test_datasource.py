@@ -114,3 +114,36 @@ def test_mor_with_deltas_rejected(spark, tmp_path):
     got = spark.read.format("ghs_table").option(
         "path", str(t.root)).load().collect()
     assert got[0]["v"] == 2.0
+
+
+def test_stream_emit_deletes_requires_with_meta(spark, tmp_path):
+    from glue_hudi_spark.sources.datasource import GhsChangeFeedStreamReader
+    from pyspark.sql.types import StructType, StructField, StringType
+
+    import pytest as _pytest
+
+    schema = StructType([StructField("id", StringType())])  # no meta cols
+    with _pytest.raises(ValueError, match="withMeta"):
+        GhsChangeFeedStreamReader(
+            {"path": str(tmp_path), "emitdeletes": "true"}, schema)
+
+
+def test_stream_tombstones_unrecoverable_after_clean(spark, tmp_path):
+    """emitDeletes is retention-bounded like any CDC log: a range commit
+    whose manifest was cleaned must raise, not silently lose deletes."""
+    from glue_hudi_spark.sources.datasource import GhsChangeFeedStreamReader
+    from glue_hudi_spark.storage.native import NativeTable
+
+    import pytest as _pytest
+
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="s", retain_commits=2)
+    t.bulk_insert(spark.createDataFrame([("a", 1)], "id string, s int"))
+    for i in range(4):  # roll the retention window past commit 1
+        t.upsert(spark.createDataFrame([(f"k{i}", 1)], "id string, s int"))
+    reader = GhsChangeFeedStreamReader(
+        {"path": str(t.root), "emitdeletes": "true"},
+        spark.read.format("ghs_table").option("path", str(t.root))
+        .option("withMeta", "true").load().schema)
+    with _pytest.raises(ValueError, match="no longer retained"):
+        reader._tombstone_rows(0, t.timeline.latest().commit_id)

@@ -916,3 +916,62 @@ def test_clone_is_zero_copy_and_diverges(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         src.clone_to(tmp_path / "dst")
+
+
+def test_delete_writes_tombstones_and_lifecycle(spark, tmp_path):
+    """Delete commits land their key projection under _changes/ and
+    reference it in the manifest; clean() and fsck track the files."""
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="s", retain_commits=3)
+    t.bulk_insert(spark.createDataFrame(
+        [(f"k{i}", 1, "x") for i in range(20)], "id string, s int, v string"))
+    t.delete(spark.createDataFrame([("k3",), ("k7",)], "id string"))
+    c = t.timeline.latest()
+    assert c.action == "delete" and c.tombstones
+    import pyarrow.parquet as pq
+    keys = set()
+    for rel in c.tombstones:
+        keys |= set(pq.read_table(str(t.root / rel))
+                    .column("id").to_pylist())
+    assert keys == {"k3", "k7"}
+    assert t.validate()["ok"]  # referenced tombstones are not orphans
+    # an unreferenced _changes file is flagged by fsck
+    stray = t.root / "_changes" / "deadbeef" / "part-0.parquet"
+    stray.parent.mkdir(parents=True)
+    stray.write_bytes(b"PAR1")
+    rep = t.validate()
+    assert not rep["ok"] and rep["orphan_tombstones"] == [
+        "_changes/deadbeef/part-0.parquet"]
+    stray.unlink(); stray.parent.rmdir()
+    # retention cleaning drops the tombstones with their manifest
+    for i in range(5):
+        t.upsert(spark.createDataFrame([(f"n{i}", 1, "y")],
+                                       "id string, s int, v string"))
+    assert not any((t.root / rel).exists() for rel in c.tombstones)
+    assert t.validate()["ok"]
+
+
+def test_delete_where_and_merge_write_tombstones(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="s")
+    t.bulk_insert(spark.createDataFrame(
+        [(f"k{i}", 1, float(i)) for i in range(10)],
+        "id string, s int, v double"))
+    t.delete_where(F.col("v") >= 8.0)
+    assert t.timeline.latest().tombstones
+    opb = spark.createDataFrame(
+        [("k0", 2, 0.0, "D"), ("k1", 2, 99.0, "U")],
+        "id string, s int, v double, op string")
+    t.merge(opb, op_col="op")
+    c = t.timeline.latest()
+    import pyarrow.parquet as pq
+    keys = set()
+    for rel in c.tombstones:
+        keys |= set(pq.read_table(str(t.root / rel))
+                    .column("id").to_pylist())
+    assert keys == {"k0"}
+    # an upsert-only merge writes NO tombstone files
+    t.merge(spark.createDataFrame([("k2", 3, 5.0, "U")],
+                                  "id string, s int, v double, op string"),
+            op_col="op")
+    assert t.timeline.latest().tombstones == []

@@ -13,8 +13,9 @@ def _rows(spark, rows):
     return spark.createDataFrame([Row(**r) for r in rows])
 
 
-def _mk(spark, path):
-    return NativeTable(spark, path, record_keys=["id"], precombine="seq")
+def _mk(spark, path, **kw):
+    return NativeTable(spark, path, record_keys=["id"], precombine="seq",
+                       **kw)
 
 
 def test_replication_tails_source_commits(spark, tmp_path):
@@ -66,7 +67,10 @@ def test_replication_transform_projects(spark, tmp_path):
     assert dest.read_snapshot().first()["v"] == 0.0
 
 
-def test_replication_delete_reconciliation(spark, tmp_path):
+def test_replication_deletes_arrive_in_stream(spark, tmp_path):
+    """Upstream deletes reach the replica through the change feed's
+    tombstone rows — no reconciliation scan; sync_deletes then finds
+    nothing (consistency check passes)."""
     src = _mk(spark, tmp_path / "src")
     src.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=1.0, seq=1)
                                   for i in range(10)]))
@@ -74,22 +78,41 @@ def test_replication_delete_reconciliation(spark, tmp_path):
     rep = TableReplicationStream(spark, src.root, dest, tmp_path / "ckpt")
     rep.run_available()
     assert dest.read_snapshot().count() == 10
-    # upstream delete: the incremental feed has no tombstones, so the
-    # replica still holds the row until reconciliation runs
     src.delete(_rows(spark, [dict(id="k3", v=1.0, seq=1)]).select("id"))
     rep.run_available()
-    assert dest.read_snapshot().count() == 10
-    assert rep.sync_deletes() == 1
     assert {r["id"] for r in dest.read_snapshot().collect()} == {
         f"k{i}" for i in range(10) if i != 3}
+    assert rep.sync_deletes() == 0
+
+
+def test_replication_delete_then_reinsert_resolves_by_commit(spark, tmp_path):
+    """A key deleted then reinserted inside one drained range must land
+    as its newest version, not as a delete (per-key commit-time
+    resolution)."""
+    src = _mk(spark, tmp_path / "src")
+    src.bulk_insert(_rows(spark, [dict(id="a", v=1.0, seq=1)]))
+    dest = _mk(spark, tmp_path / "dest")
+    rep = TableReplicationStream(spark, src.root, dest, tmp_path / "ckpt")
+    rep.run_available()
+    src.delete(_rows(spark, [dict(id="a", v=1.0, seq=1)]).select("id"))
+    src.upsert(_rows(spark, [dict(id="a", v=42.0, seq=2)]))
+    rep.run_available()
+    rows = {r["id"]: r["v"] for r in dest.read_snapshot().collect()}
+    assert rows == {"a": 42.0}
+    # and the mirror order: update then delete -> gone
+    src.upsert(_rows(spark, [dict(id="a", v=43.0, seq=3)]))
+    src.delete(_rows(spark, [dict(id="a", v=0.0, seq=3)]).select("id"))
+    rep.run_available()
+    assert dest.read_snapshot().count() == 0
 
 
 def test_replication_sync_deletes_every_fires_on_empty_batch(spark, tmp_path):
-    """A delete-only upstream commit arrives as an EMPTY micro-batch on the
-    CoW feed (row versions, no tombstones). The sync_deletes_every cadence
-    must still fire — gating it behind the data write would silently
-    disable periodic delete propagation for delete-heavy workloads."""
-    src = _mk(spark, tmp_path / "src")
+    """Fallback path: a source written with change_feed_deletes=False has
+    no tombstones, so a delete-only commit arrives as an EMPTY
+    micro-batch — the sync_deletes_every cadence must still fire (gating
+    it behind the data write would silently disable the fallback for
+    delete-heavy workloads)."""
+    src = _mk(spark, tmp_path / "src", change_feed_deletes=False)
     src.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=1.0, seq=1)
                                   for i in range(6)]))
     dest = _mk(spark, tmp_path / "dest")
@@ -131,7 +154,9 @@ def test_replication_converges_under_random_cdc(spark, tmp_path):
             src.delete(spark.createDataFrame([(k,) for k in dels],
                                              "id string"))
         rep.run_available()
-        rep.sync_deletes()
+        # in-stream tombstones make the drain complete on its own: the
+        # reconciliation consistency check must find NOTHING to fix
+        assert rep.sync_deletes() == 0
         got = {(r["id"], round(r["v"], 9)) for r in dest.read_snapshot().collect()}
         want = {(r["id"], round(r["v"], 9)) for r in src.read_snapshot().collect()}
         assert got == want, f"diverged at step {step}"
