@@ -810,6 +810,52 @@ WHERE b.user_id IS NULL AND s.event_type = 'login'
 """
 
 
+def cdc_column_mapping(spark, sf_dir):
+    """Column rename + drop as METADATA-ONLY commits (Delta
+    column-mapping class), end to end: seed the snapshot, rename
+    ``value``→``amount`` and drop ``event_type`` (zero data rewrite —
+    old files serve the new names through the manifest's
+    logical→physical mapping), then merge the CDC batch WRITING THROUGH
+    the mapping and read the renamed snapshot back. compact()/cluster()
+    would materialize the mapping; this query proves the un-compacted
+    read/write path hashes identically to the oracle."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    cols = ["user_id", "event_id", "ts", "event_type", "value"]
+    tmp = _scratch_dir("colmap_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(*cols))
+    table.rename_column("value", "amount")
+    table.drop_column("event_type")
+    ups = (batch.filter(F.col("op") != "D")
+           .select("user_id", "event_id", "ts",
+                   F.col("value").alias("amount")))
+    table.upsert(ups)
+    table.delete(batch.filter(F.col("op") == "D").select("user_id"))
+    return table.read_snapshot().select("user_id", "event_id", "ts", "amount")
+
+
+COLUMN_MAPPING_ORACLE = f"""
+WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
+snap AS (
+  SELECT user_id, event_id, ts, value FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id, ts, value, op FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+)
+SELECT user_id, event_id, ts, value AS amount FROM snap
+WHERE user_id NOT IN (SELECT user_id FROM batch)
+UNION ALL
+SELECT user_id, event_id, ts, value AS amount FROM batch WHERE op <> 'D'
+"""
+
+
 def cdc_incremental_read(spark, sf_dir):
     """Hudi-style incremental query after the merge: exactly the rows the
     CDC batch upserted (deletes not surfaced — CoW incremental semantics)."""
@@ -7608,6 +7654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (7 last checked r02, 17 storage/cdc paths last checked r04).
         "cdc_merge_into": cdc_merge_into,
         "cdc_merge_full_sync": cdc_merge_full_sync,
+        "cdc_column_mapping": cdc_column_mapping,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -7845,6 +7892,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_triangles": TRIANGLES_ORACLE,
         "cdc_merge_into": MERGE_INTO_ORACLE,
         "cdc_merge_full_sync": MERGE_FULL_SYNC_ORACLE,
+        "cdc_column_mapping": COLUMN_MAPPING_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

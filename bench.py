@@ -120,6 +120,12 @@ BENCH_QUERIES = [
     "events_kmv_intersection",
     "events_psi_drift",
     "orders_cohort_ltv",
+    # round-8 additions (no baseline counterpart — compare within-run):
+    "cdc_merge_full_sync",
+    "cdc_column_mapping",
+    "cdc_replicated_table",
+    "nation_trade_communities",
+    "corpus_tfidf_keywords",
 ]
 
 

@@ -76,10 +76,26 @@ def _resolve_commit(options):
 
 
 def _data_schema(commit, with_meta: bool) -> StructType:
+    """The commit's LOGICAL schema: column-mapping renames applied,
+    retired (dropped) physical columns hidden."""
     full = StructType.fromJson(json.loads(commit.schema_json))
-    if with_meta:
-        return full
-    return StructType([f for f in full.fields if f.name not in _META_COLS])
+    inv = {p: l for l, p in commit.column_mapping.items()}
+    retired = set(commit.retired_cols)
+    fields = []
+    for f in full.fields:
+        if f.name in retired:
+            continue
+        if not with_meta and f.name in _META_COLS:
+            continue
+        fields.append(type(f)(inv.get(f.name, f.name), f.dataType,
+                              f.nullable))
+    return StructType(fields)
+
+
+def _to_physical_names(commit, logical_cols):
+    """logical -> physical column names for reading the commit's files."""
+    m = commit.column_mapping
+    return [m.get(c, c) for c in logical_cols]
 
 
 class _FileSlice(InputPartition):
@@ -91,7 +107,8 @@ class _FileSlice(InputPartition):
 class GhsTableReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
         self.path, self.commit = _resolve_commit(options)
-        self.columns = [f.name for f in schema.fields]
+        self.columns = [f.name for f in schema.fields]  # logical
+        self.physical = _to_physical_names(self.commit, self.columns)
         self.files = list(self.commit.files)
 
     def pushFilters(self, filters):
@@ -105,6 +122,7 @@ class GhsTableReader(DataSourceReader):
             if not att or len(att) != 1:
                 continue
             col, v = att[0], getattr(f, "value", None)
+            col = self.commit.column_mapping.get(col, col)  # stats are physical
             lo, hi = prune.get(col, (None, None))
             if isinstance(f, EqualTo):
                 lo, hi = v, v
@@ -127,7 +145,9 @@ class GhsTableReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         table = pq.read_table(
-            str(Path(part.root) / part.rel), columns=self.columns)
+            str(Path(part.root) / part.rel), columns=self.physical)
+        if self.physical != self.columns:  # column-mapping rename
+            table = table.rename_columns(self.columns)
         yield from table.to_batches()
 
 
@@ -193,9 +213,13 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
 
         token = f"{start_id:020d}"
         out = []
+        m = end_commit.column_mapping
         cols = list(dict.fromkeys([*self.columns, "_ghs_commit_time"]))
+        phys = [m.get(c, c) for c in cols]
         for rel in end_commit.files:
-            t = pq.read_table(str(Path(self.path) / rel), columns=cols)
+            t = pq.read_table(str(Path(self.path) / rel), columns=phys)
+            if phys != cols:  # column-mapping rename
+                t = t.rename_columns(cols)
             t = t.filter(pc.greater(t.column("_ghs_commit_time"), token))
             if t.num_rows:
                 out.extend(

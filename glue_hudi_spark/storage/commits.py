@@ -74,6 +74,14 @@ class Commit:
     # serves metadata-only COUNT(*) (Delta stats-count parity) without
     # touching a data byte. Optional like file_sizes.
     row_counts: dict = field(default_factory=dict)
+    # Column mapping (Delta column-mapping class): {logical: physical}
+    # rename indirection so old files serve renamed columns WITHOUT
+    # rewrite — reads rename physical->logical, writes translate back.
+    # Empty dict = identity. retired_cols lists physical names of DROPPED
+    # columns that may still exist in live files (reads hide them);
+    # compaction/clustering materialize both back to identity.
+    column_mapping: dict = field(default_factory=dict)
+    retired_cols: list = field(default_factory=list)
     # THIS commit's delete tombstones (Delta _change_data analogue): rel
     # paths of parquet files holding the key columns of rows this commit
     # deleted. NOT carried forward — per-commit change metadata, read by
@@ -154,6 +162,8 @@ class CommitTimeline:
             file_sizes=d.get("file_sizes", {}),
             row_counts=d.get("row_counts", {}),
             tombstones=d.get("tombstones", []),
+            column_mapping=d.get("column_mapping", {}),
+            retired_cols=d.get("retired_cols", []),
         )
 
     # -- write side ----------------------------------------------------------
@@ -188,6 +198,8 @@ class CommitTimeline:
                 "file_sizes": commit.file_sizes,
                 "row_counts": commit.row_counts,
                 "tombstones": commit.tombstones,
+                "column_mapping": commit.column_mapping,
+                "retired_cols": commit.retired_cols,
             },
             indent=1,
         )

@@ -414,7 +414,43 @@ class NativeTable:
     def _pp_cols(self) -> list[str]:
         return [_PP_PREFIX + c for c in self.partition_keys]
 
+    def _to_physical(self, df: DataFrame, commit: "Commit | None") -> DataFrame:
+        """Translate a LOGICAL batch to the files' physical column names
+        (column-mapping write side). Re-adding a dropped column's name is
+        unsupported (this engine keeps human-readable physical names, not
+        Delta's GUIDs — a resurrected name would collide with the retired
+        physical column still present in live files): raise clearly."""
+        if commit is None:
+            return df
+        retired = set(commit.retired_cols)
+        clash = [c for c in df.columns if c in retired]
+        if clash:
+            raise ValueError(
+                f"column(s) {clash} were dropped from {self.root}; "
+                "re-adding a dropped column's name is unsupported — "
+                "choose a different name, or compact() first to "
+                "materialize the drop")
+        for logical, physical in commit.column_mapping.items():
+            if logical != physical and logical in df.columns \
+                    and physical not in df.columns:
+                df = df.withColumnRenamed(logical, physical)
+        return df
+
+    def _to_logical(self, df: DataFrame, commit: "Commit | None") -> DataFrame:
+        """Render a physical frame in the commit's LOGICAL schema: hide
+        retired (dropped) physical columns, rename mapped ones."""
+        if commit is None:
+            return df
+        drop = [c for c in commit.retired_cols if c in df.columns]
+        if drop:
+            df = df.drop(*drop)
+        for logical, physical in commit.column_mapping.items():
+            if logical != physical and physical in df.columns:
+                df = df.withColumnRenamed(physical, logical)
+        return df
+
     def _with_meta(self, df: DataFrame, commit_time: str, delta_op: str = "u") -> DataFrame:
+        df = self._to_physical(df, self.timeline.latest())
         return (
             df.withColumn(COMMIT_TIME_COL, F.lit(commit_time))
             .withColumn(RECORD_KEY_COL, record_key_expr(self.record_keys))
@@ -1154,9 +1190,9 @@ class NativeTable:
                 ):
                     kept.append(f)
             candidates = kept
-        out = self._read_files(candidates, commit.schema_json).filter(
-            F.col(RECORD_KEY_COL).isin(key_list)
-        )
+        out = self._to_logical(
+            self._read_files(candidates, commit.schema_json), commit
+        ).filter(F.col(RECORD_KEY_COL).isin(key_list))
         return out if with_meta else out.drop(*META_COLS)
 
     def read_by_value(
@@ -1236,7 +1272,8 @@ class NativeTable:
                     ):
                         kept.append(f)
                 candidates = kept
-        out = _exact(self._read_files(candidates, commit.schema_json))
+        out = _exact(self._to_logical(
+            self._read_files(candidates, commit.schema_json), commit))
         return out if with_meta else out.drop(*META_COLS)
 
     # ----------------------------------------------------------------- reads
@@ -1314,6 +1351,7 @@ class NativeTable:
                 latest.filter(F.col(DELTA_OP_COL) != "d"),
                 allowMissingColumns=True,
             )
+        out = self._to_logical(out, commit)
         if prune:
             for col, (lo, hi) in prune.items():
                 if lo is not None:
@@ -1702,7 +1740,9 @@ class NativeTable:
                 deltas: list[dict], schema_json: str, stats: dict,
                 key_stats: dict | None = None,
                 col_stats: dict | None = None,
-                tombstones: list[str] | None = None) -> Commit:
+                tombstones: list[str] | None = None,
+                column_mapping: dict | None = None,
+                retired_cols: list[str] | None = None) -> Commit:
         """Publish with bounded retry-with-rebase on OCC conflict.
 
         When another writer wins the commit id, the loser does NOT re-run
@@ -1715,6 +1755,13 @@ class NativeTable:
         """
         key_stats = dict(key_stats or {})
         col_stats = dict(col_stats or {})
+        # column mapping carries forward unless the caller materializes
+        # (compact/cluster pass {}) or rewrites it (rename/drop/rollback)
+        head = self.timeline.latest()
+        if column_mapping is None:
+            column_mapping = dict(head.column_mapping) if head else {}
+        if retired_cols is None:
+            retired_cols = list(head.retired_cols) if head else []
         base = self.timeline.at(commit_id - 1)  # the head this writer saw
         for _ in range(OCC_MAX_REBASES + 1):
             commit = Commit(
@@ -1727,6 +1774,8 @@ class NativeTable:
                 key_stats=key_stats,
                 col_stats=col_stats,
                 tombstones=list(tombstones or []),
+                column_mapping=dict(column_mapping),
+                retired_cols=list(retired_cols),
             )
             commit.file_sizes, commit.row_counts = (
                 self._manifest_inventory(files, deltas))
@@ -1781,6 +1830,10 @@ class NativeTable:
 
         if actual.schema_json != (base.schema_json if base else None):
             _conflict("winner changed the table schema")
+        if (actual.column_mapping, actual.retired_cols) != (
+                (base.column_mapping, base.retired_cols) if base
+                else ({}, [])):
+            _conflict("winner changed the column mapping")
         if not removed <= set(actual.files):
             _conflict("winner rewrote files this commit also rewrote")
         actual_delta_set = [d for d in actual.deltas]
@@ -2522,7 +2575,16 @@ class NativeTable:
             return self.bulk_insert(ins, parallelism, extra_stats)
 
         stored = T.StructType.fromJson(json.loads(prev.schema_json))
-        table_cols = [f for f in stored.fields if f.name not in META_COLS]
+        # LOGICAL view of the stored schema: mapped physical fields take
+        # their logical names, retired (dropped) fields disappear — the
+        # rest of the routine thinks purely in logical columns; merge()'s
+        # _with_meta translates the op batch back to physical at write.
+        inv = {phys: log for log, phys in prev.column_mapping.items()}
+        table_cols = [
+            T.StructField(inv.get(f.name, f.name), f.dataType, f.nullable)
+            for f in stored.fields
+            if f.name not in META_COLS and f.name not in prev.retired_cols
+        ]
         table_names = [f.name for f in table_cols]
         # evolved columns: source-only columns append to the schema
         new_fields = [f for f in source.schema.fields
@@ -2538,11 +2600,15 @@ class NativeTable:
         if prev.deltas:
             tgt = self.read_snapshot()
         elif by_source:
-            tgt = self._read_files(prev.files, prev.schema_json).drop(*META_COLS)
+            tgt = self._to_logical(
+                self._read_files(prev.files, prev.schema_json), prev
+            ).drop(*META_COLS)
         else:
             files, _ = self._prune_by_key_range(
                 prev.files, prev.key_stats, self._batch_key_range(source))
-            tgt = self._read_files(files, prev.schema_json).drop(*META_COLS)
+            tgt = self._to_logical(
+                self._read_files(files, prev.schema_json), prev
+            ).drop(*META_COLS)
         tgt = tgt.withColumn("_ghs_tgt_exists", F.lit(True))
         source = source.withColumn("_ghs_src_exists", F.lit(True))
 
@@ -2752,9 +2818,12 @@ class NativeTable:
             )
         else:
             files = self._write_files(merged, cid)
+        # like compact: the logical snapshot was rewritten wholesale, so
+        # renames/drops are now materialized in the files
         return self._commit(
             cid, "cluster", files, [], merged.schema.json(), {},
             *self._collect_file_stats(files),
+            column_mapping={}, retired_cols=[],
         )
 
     def bin_pack(self, target_bytes: int = 128 * 1024 * 1024) -> Commit | None:
@@ -2818,6 +2887,94 @@ class NativeTable:
             key_stats, col_stats,
         )
 
+    # --------------------------------------------- schema evolution (DDL)
+
+    def _logical_names(self, commit: "Commit") -> list[str]:
+        """Current logical column names (mapping applied, retired hidden,
+        meta excluded)."""
+        stored = T.StructType.fromJson(json.loads(commit.schema_json))
+        inv = {p: l for l, p in commit.column_mapping.items()}
+        out = []
+        for f in stored.fields:
+            if f.name in META_COLS or f.name in commit.retired_cols:
+                continue
+            out.append(inv.get(f.name, f.name))
+        return out
+
+    def _check_renameable(self, col: str, verb: str) -> None:
+        protected = {
+            "record key": self.record_keys,
+            "partition key": self.partition_keys,
+            "precombine": [self.precombine] if self.precombine else [],
+            "stats_cols index": self.stats_cols,
+            "secondary bloom index": self.secondary_bloom_cols,
+        }
+        for role, cols in protected.items():
+            if col in cols:
+                raise ValueError(
+                    f"cannot {verb} column {col!r}: it is a {role} column "
+                    f"of {self.root}")
+
+    def rename_column(self, old: str, new: str) -> Commit:
+        """Metadata-only column rename (Delta column-mapping class): a
+        new manifest maps the logical name ``new`` onto the files'
+        existing physical column — zero data rewrite; old files serve
+        the renamed column immediately, time-travel reads before this
+        commit still see ``old``. Key/partition/precombine/index columns
+        are structural and cannot be renamed (rebuild the table).
+        ``compact()``/``cluster()`` materialize the mapping back into
+        file schemas."""
+        prev = self.timeline.latest()
+        if prev is None:
+            raise ValueError(f"table {self.root} has no commits")
+        logical = self._logical_names(prev)
+        if old not in logical:
+            raise ValueError(f"no such column {old!r} (have {logical})")
+        if new in logical or new in META_COLS:
+            raise ValueError(f"column {new!r} already exists")
+        self._check_renameable(old, "rename")
+        if new in prev.retired_cols:
+            raise ValueError(
+                f"{new!r} is a dropped column's physical name; compact() "
+                "first to materialize the drop")
+        mapping = dict(prev.column_mapping)
+        physical = mapping.pop(old, old)
+        mapping[new] = physical
+        cid = self.timeline.next_commit_id()
+        return self._commit(
+            cid, "rename_column", list(prev.files),
+            [dict(d) for d in prev.deltas], prev.schema_json,
+            {"renamed": {"from": old, "to": new}},
+            dict(prev.key_stats), dict(prev.col_stats),
+            column_mapping=mapping, retired_cols=list(prev.retired_cols),
+        )
+
+    def drop_column(self, col: str) -> Commit:
+        """Metadata-only column drop: the physical column stays in live
+        files (time travel still serves it) but is hidden from every
+        read at-or-after this commit, and writes may omit it. Re-adding
+        the same name is unsupported until ``compact()`` materializes
+        the drop (documented trade for human-readable physical names vs
+        Delta's GUID mapping). Structural columns cannot be dropped."""
+        prev = self.timeline.latest()
+        if prev is None:
+            raise ValueError(f"table {self.root} has no commits")
+        logical = self._logical_names(prev)
+        if col not in logical:
+            raise ValueError(f"no such column {col!r} (have {logical})")
+        self._check_renameable(col, "drop")
+        mapping = dict(prev.column_mapping)
+        physical = mapping.pop(col, col)
+        cid = self.timeline.next_commit_id()
+        return self._commit(
+            cid, "drop_column", list(prev.files),
+            [dict(d) for d in prev.deltas], prev.schema_json,
+            {"dropped": col},
+            dict(prev.key_stats), dict(prev.col_stats),
+            column_mapping=mapping,
+            retired_cols=list(prev.retired_cols) + [physical],
+        )
+
     def compact(self) -> Commit:
         """Materialize base+deltas into new base files (Hudi inline/async
         compaction, processData.py:152-153).
@@ -2830,9 +2987,12 @@ class NativeTable:
         merged = self.read_snapshot(with_meta=True)
         cid = self.timeline.next_commit_id()
         files = self._write_files(merged, cid)
+        # the snapshot read rendered LOGICAL names; the rewrite therefore
+        # materializes renames/drops into the files — mapping resets
         return self._commit(
             cid, "compact", files, [], merged.schema.json(), {},
             *self._collect_file_stats(files),
+            column_mapping={}, retired_cols=[],
         )
 
     def rollback(self, to_commit_id: int | None = None) -> Commit:
@@ -2868,4 +3028,6 @@ class NativeTable:
             [dict(d) for d in target.deltas], target.schema_json,
             {"rolled_back_to": target.commit_id},
             dict(target.key_stats), dict(target.col_stats),
+            column_mapping=dict(target.column_mapping),
+            retired_cols=list(target.retired_cols),
         )

@@ -15,12 +15,18 @@ paths the round-2 verdict called out, printing one JSON line per probe:
   is the intrinsic cost; this pins its growth factor.
 
 Run: python scale_probe.py   (~3-5 min on local[32])
+
+``python scale_probe.py --decade`` runs the 100× points instead (60M-row
+CoW merge, 500k-doc MinHash) — one decade past the 10× rig on exactly
+the two paths users size clusters by, catching any super-linear term
+hiding between decades. (~10 min on local[32].)
 """
 
 from __future__ import annotations
 
 import json
 import shutil
+import sys
 import tempfile
 import time
 
@@ -35,6 +41,75 @@ SF_DIR = "/root/testdata/sf0.1"
 
 def probe(name: str, seconds: float, **extra) -> None:
     print(json.dumps({"probe": name, "sec": round(seconds, 2), **extra}), flush=True)
+
+
+def main_decade() -> None:
+    """100× probes: same shapes as the 10× rig, one decade up."""
+    spark = get_spark(app_name="glue_hudi_spark-scale-probe-100x")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
+    work = tempfile.mkdtemp(prefix="ghs_scale100_")
+
+    # ---- 100× keyed table: 60M rows (sf0.1 lineitem × 100 replicas) ----
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"
+    )
+    rep = spark.range(100).select(F.col("id").alias("rep"))
+    big = (
+        li.crossJoin(rep)
+        .select(
+            (F.col("l_orderkey") * 100 + F.col("rep")).alias("k"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_quantity").cast("double").alias("qty"),
+            F.col("l_shipdate").alias("d"),
+        )
+    )
+    n_rows = big.count()
+
+    # 10× the file count of the 6M rig (32 → 320) so per-file row volume
+    # stays constant — the honest decade: more files, same file size
+    cow = NativeTable(spark, f"{work}/cow", record_keys=["k", "ln"],
+                      precombine="qty", files_per_partition=320)
+    t0 = time.perf_counter()
+    c = cow.bulk_insert(big)
+    probe("cow_bulk_insert_60m", time.perf_counter() - t0,
+          rows=n_rows, files=len(c.files))
+
+    # narrow upsert: same contiguous-key shape as the 6M rig
+    narrow = big.filter((F.col("k") >= 1000000) & (F.col("k") < 1010000))
+    t0 = time.perf_counter()
+    c = cow.upsert(narrow)
+    probe("cow_upsert_narrow_60m", time.perf_counter() - t0,
+          batch_rows=narrow.count(), **c.stats)
+
+    # scattered upsert: keys across the whole space (hull spans the table)
+    wide = big.filter(F.col("k") % 6010 == 0)
+    t0 = time.perf_counter()
+    c = cow.upsert(wide)
+    probe("cow_upsert_scattered_60m", time.perf_counter() - t0,
+          batch_rows=wide.count(), **c.stats)
+
+    # ---- MinHash LSH at 500k docs (100× sf0.1) --------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    rep100 = spark.range(100).select(F.col("id").alias("rep"))
+    big_docs = (
+        docs.crossJoin(rep100)
+        .select(
+            (F.col("doc_id") * 100 + F.col("rep")).alias("doc_id"),
+            F.concat_ws(
+                " ", F.col("text"),
+                F.concat(F.lit("replica"), F.col("rep").cast("string")),
+            ).alias("text"),
+        )
+    )
+    n_docs = big_docs.count()
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(big_docs, verify_threshold=0.5)
+    n_pairs = pairs.count()
+    probe("minhash_lsh_500k_docs", time.perf_counter() - t0,
+          docs=n_docs, pairs=n_pairs)
+
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
 
 
 def main() -> None:
@@ -102,7 +177,7 @@ def main() -> None:
     t0 = time.perf_counter()
     c = bloom.bulk_insert(big)
     probe("bloom_bulk_insert_6m", time.perf_counter() - t0,
-          rows=n_rows, files=len(c.files))  # includes sidecar build (driver-side here; write-task-side at cluster scale)
+          rows=n_rows, files=len(c.files))  # includes the sidecar build (executor tasks write sidecars directly; only rel paths reach the driver)
     bounds = big.agg(F.min("k").alias("lo"), F.max("k").alias("hi")).first()
     edge = big.filter(F.col("k").isin(bounds["lo"], bounds["hi"]))
     t0 = time.perf_counter()
@@ -311,4 +386,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--decade" in sys.argv[1:]:
+        main_decade()
+    else:
+        main()
