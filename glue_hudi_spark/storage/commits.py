@@ -147,9 +147,27 @@ class CommitTimeline:
     def history(self) -> list[Commit]:
         return [self._load(p) for p in self._manifest_paths()]
 
+    # (path, size, mtime_ns) -> Commit. Manifests are immutable once
+    # published (atomic link; never rewritten in place), so identity by
+    # stat is exact; the cache saves a multi-MB JSON parse per
+    # latest()/at() call on hot write paths (e.g. _with_meta's mapping
+    # lookup). Class-level and bounded: many short-lived CommitTimeline
+    # objects point at the same table.
+    _manifest_cache: dict = {}
+    _MANIFEST_CACHE_MAX = 256
+
     def _load(self, path: Path) -> Commit:
+        try:
+            st = path.stat()
+            key = (str(path), st.st_size, st.st_mtime_ns)
+        except OSError:
+            key = None
+        if key is not None:
+            hit = CommitTimeline._manifest_cache.get(key)
+            if hit is not None:
+                return hit
         d = json.loads(path.read_text())
-        return Commit(
+        commit = Commit(
             commit_id=d["commit_id"],
             action=d["action"],
             files=d["files"],
@@ -165,6 +183,13 @@ class CommitTimeline:
             column_mapping=d.get("column_mapping", {}),
             retired_cols=d.get("retired_cols", []),
         )
+        if key is not None:
+            cache = CommitTimeline._manifest_cache
+            if len(cache) >= CommitTimeline._MANIFEST_CACHE_MAX:
+                cache.clear()  # bounded; a refill beats LRU bookkeeping
+            cache[key] = commit  # shared object: loaded commits are
+            # read-only by convention (all call sites copy before edit)
+        return commit
 
     # -- write side ----------------------------------------------------------
 

@@ -2460,7 +2460,7 @@ class NativeTable:
             keyed.select(RECORD_KEY_COL), on=RECORD_KEY_COL, how="left_anti"
         )
         dels = keyed.filter(F.col(op_col) == "D")
-        tombstones = ([] if dels.isEmpty()
+        tombstones = ([] if not self.change_feed_deletes or dels.isEmpty()
                       else self._write_tombstones(dels))
         incoming = keyed.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
         merged = kept.unionByName(incoming, allowMissingColumns=True)
