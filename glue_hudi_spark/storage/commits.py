@@ -159,7 +159,10 @@ class CommitTimeline:
     def _load(self, path: Path) -> Commit:
         try:
             st = path.stat()
-            key = (str(path), st.st_size, st.st_mtime_ns)
+            # inode guards the restore_to + republish flow: the same
+            # manifest PATH can hold new content after a rollback reuses
+            # a commit id, but it is always a fresh file (tmp + link)
+            key = (str(path), st.st_ino, st.st_size, st.st_mtime_ns)
         except OSError:
             key = None
         if key is not None:
