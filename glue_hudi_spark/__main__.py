@@ -112,6 +112,19 @@ def main(argv: list[str] | None = None) -> int:
     prp.add_argument("--sync-deletes", action="store_true",
                      help="also run the delete reconciliation pass "
                           "(upstream deletes propagate to the replica)")
+    prn = sub.add_parser("rename-column", help="metadata-only column "
+                                               "rename (column mapping; "
+                                               "zero data rewrite)")
+    _common(prn, raw=False)
+    prn.add_argument("--from", dest="col_from", required=True,
+                     metavar="OLD", help="current column name")
+    prn.add_argument("--to", dest="col_to", required=True,
+                     metavar="NEW", help="new column name")
+    pdc = sub.add_parser("drop-column", help="metadata-only column drop "
+                                             "(hidden from reads; compact "
+                                             "materializes)")
+    _common(pdc, raw=False)
+    pdc.add_argument("--column", required=True, help="column to drop")
     pcu = sub.add_parser("curate", help="run a config-declared corpus "
                                         "curation pipeline (quality/LM "
                                         "filters, dedup, token budget) "
@@ -270,6 +283,16 @@ def main(argv: list[str] | None = None) -> int:
             out.append({"table": ctl.table_name,
                         "replica_rows": dest.count_rows(),
                         "deletes_propagated": deleted})
+        elif args.cmd == "rename-column":
+            table = pipe._table(ctl)
+            c = table.rename_column(args.col_from, args.col_to)
+            out.append({"table": ctl.table_name, "commit": c.commit_id,
+                        **c.stats["renamed"]})
+        elif args.cmd == "drop-column":
+            table = pipe._table(ctl)
+            c = table.drop_column(args.column)
+            out.append({"table": ctl.table_name, "commit": c.commit_id,
+                        "dropped": c.stats["dropped"]})
         elif args.cmd == "show":
             table = pipe._table(ctl)
             # count_rows is metadata-only on a compacted table; history

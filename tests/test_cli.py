@@ -132,3 +132,38 @@ def test_cli_replicate(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out[0]["replica_rows"] == 185
     assert out[0]["deletes_propagated"] == 5
+
+
+def test_cli_rename_and_drop_column(spark, tmp_path, capsys):
+    # the golden control marks value/date as precombine/partition
+    # (structural — protected from DDL); use a free-column variant
+    ctl = JobControl(**{**CONTROL,
+                        "primary_key": "measurement_id",
+                        "precombine_field": "measurement_date_time",
+                        "partition_key": ""})
+    control = tmp_path / "control.json"
+    ControlStore(control).save([ctl])
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    base = ["--control", str(control), "--curated", str(tmp_path / "curated")]
+
+    def run_cmd(*argv):
+        rc = main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    _land(make_full_load_df(spark), raw, "LOAD1")
+    rc, _ = run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    assert rc == 0
+    rc, out = run_cmd("rename-column", *base,
+                      "--from", "measurement_value", "--to", "reading")
+    assert rc == 0 and out[0] == {
+        "table": ctl.table_name, "commit": out[0]["commit"],
+        "from": "measurement_value", "to": "reading"}
+    rc, out = run_cmd("drop-column", *base, "--column", "measurement_date")
+    assert rc == 0 and out[0]["dropped"] == "measurement_date"
+    from glue_hudi_spark.pipeline import CdcPipeline
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
+    snap = pipe._table(ctl).read_snapshot()
+    assert "reading" in snap.columns
+    assert "measurement_value" not in snap.columns
+    assert "measurement_date" not in snap.columns
