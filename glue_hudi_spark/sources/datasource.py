@@ -21,15 +21,19 @@ Scale shape:
 * The stream reader is a ``SimpleDataSourceStreamReader`` — offsets are
   commit ids, each micro-batch is the rows newer than the last offset
   (CoW incremental-query semantics, same contract as
-  ``NativeTable.read_incremental``). Simple-reader reads run on the
-  driver; this is the documented low-throughput tail (a CDC feed), not a
-  bulk path — replay (``readBetweenOffsets``) re-reads deterministically
-  from the immutable manifests.
+  ``NativeTable.read_incremental``). MoR tables stream WITHOUT
+  compacting: a pending delta file holds exactly one commit's
+  precombine-deduped, stamped changes — it IS that commit's change set
+  (delete markers flow only with ``emitDeletes``). Simple-reader reads
+  run on the driver; this is the documented low-throughput tail (a CDC
+  feed), not a bulk path — replay (``readBetweenOffsets``) re-reads
+  deterministically from the immutable manifests.
 
-MoR tables with UNCOMPACTED deltas are rejected (merging delta rows
-requires the engine's precombine logic; compact first, or read through
-``NativeTable``). Writes also stay with ``NativeTable`` — a data-source
-writer would bypass the merge/OCC machinery this engine exists for.
+BATCH reads of MoR tables with UNCOMPACTED deltas are rejected (a
+snapshot needs the engine's precombine merge; compact first, or read
+through ``NativeTable``). Writes also stay with ``NativeTable`` — a
+data-source writer would bypass the merge/OCC machinery this engine
+exists for.
 """
 
 from __future__ import annotations
@@ -59,7 +63,7 @@ def _timeline(path: str):
     return CommitTimeline(path)
 
 
-def _resolve_commit(options):
+def _resolve_commit(options, reject_deltas: bool = False):
     path = options.get("path")
     if not path:
         raise ValueError("ghs_table: option('path', <table root>) is required")
@@ -68,7 +72,9 @@ def _resolve_commit(options):
     commit = tl.at(int(as_of)) if as_of else tl.latest()
     if commit is None:
         raise ValueError(f"ghs_table: no commits at {path} (asOf={as_of})")
-    if commit.deltas:
+    if reject_deltas and commit.deltas:
+        # batch snapshots need the engine's precombine merge; the STREAM
+        # serves pending deltas directly (one commit's changes each)
         raise ValueError(
             "ghs_table: table has uncompacted MoR deltas; compact() first "
             "or read through NativeTable.read_snapshot")
@@ -106,7 +112,7 @@ class _FileSlice(InputPartition):
 
 class GhsTableReader(DataSourceReader):
     def __init__(self, options, schema: StructType):
-        self.path, self.commit = _resolve_commit(options)
+        self.path, self.commit = _resolve_commit(options, reject_deltas=True)
         self.columns = [f.name for f in schema.fields]  # logical
         self.physical = _to_physical_names(self.commit, self.columns)
         self.files = list(self.commit.files)
@@ -208,22 +214,39 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
         return {"commit_id": self.start}
 
     def _rows_between(self, start_id: int, end_commit):
+        """Version rows of commits in (start, end]: base-file rows with a
+        newer stamp, PLUS pending MoR delta rows (a delta file holds
+        exactly one commit's changes, already precombine-deduped and
+        stamped — it IS the change feed for that commit; compaction folds
+        deltas into base files with stamps preserved, so a row is never
+        served twice). MoR delete markers ('d' rows) emit only with
+        emitDeletes; without it they are skipped — CoW incremental
+        semantics, deletes not surfaced."""
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         token = f"{start_id:020d}"
         out = []
         m = end_commit.column_mapping
-        cols = list(dict.fromkeys([*self.columns, "_ghs_commit_time"]))
+        cols = list(dict.fromkeys(
+            [*self.columns, "_ghs_commit_time", "_ghs_delta_op"]))
         phys = [m.get(c, c) for c in cols]
-        for rel in end_commit.files:
-            t = pq.read_table(str(Path(self.path) / rel), columns=phys)
-            if phys != cols:  # column-mapping rename
-                t = t.rename_columns(cols)
+        delta_files = [f for d in end_commit.deltas for f in d["files"]]
+        for rel in [*end_commit.files, *delta_files]:
+            fpath = str(Path(self.path) / rel)
+            # a delete-marker delta file carries only the delete batch's
+            # columns — read what the file has, null-fill the rest
+            avail = set(pq.read_schema(fpath).names)
+            have = [(c, p) for c, p in zip(cols, phys) if p in avail]
+            t = pq.read_table(fpath, columns=[p for _, p in have])
+            t = t.rename_columns([c for c, _ in have])
             t = t.filter(pc.greater(t.column("_ghs_commit_time"), token))
+            if not self.emit_deletes:
+                t = t.filter(pc.not_equal(t.column("_ghs_delta_op"), "d"))
             if t.num_rows:
                 out.extend(
-                    tuple(d[c] for c in self.columns) for d in t.to_pylist())
+                    tuple(d.get(c) for c in self.columns)
+                    for d in t.to_pylist())
         return iter(out)
 
     def _tombstone_rows(self, start_id: int, end_id: int):
@@ -258,9 +281,6 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
         latest = tl.latest()
         if latest is None or latest.commit_id <= start["commit_id"]:
             return iter([]), start
-        if latest.deltas:
-            raise ValueError(
-                "ghs_table stream: uncompacted MoR deltas; compact() first")
         rows = list(self._rows_between(start["commit_id"], latest))
         if self.emit_deletes:
             rows.extend(

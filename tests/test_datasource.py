@@ -147,3 +147,65 @@ def test_stream_tombstones_unrecoverable_after_clean(spark, tmp_path):
         .option("withMeta", "true").load().schema)
     with _pytest.raises(ValueError, match="no longer retained"):
         reader._tombstone_rows(0, t.timeline.latest().commit_id)
+
+
+def test_stream_serves_uncompacted_mor_deltas(spark, tmp_path):
+    """A pending MoR delta file IS its commit's change set: the stream
+    drains upserts (and, with emitDeletes, delete markers) without
+    compaction; compaction later must not re-serve the same rows."""
+    DS.register(spark)
+    t = NativeTable(spark, tmp_path / "m", record_keys=["id"],
+                    precombine="seq", storage_type="mor", compact_every=100)
+    t.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=1.0, seq=1)
+                                for i in range(4)]))
+    t.upsert(_rows(spark, [dict(id="k0", v=9.0, seq=2)]))   # pending delta
+    t.delete(_rows(spark, [dict(id="k1", v=0.0, seq=2)]).select("id"))
+    out = tmp_path / "out"
+
+    def drain():
+        q = (spark.readStream.format("ghs_table")
+             .option("path", str(t.root))
+             .option("withMeta", "true").option("emitDeletes", "true")
+             .load()
+             .writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(tmp_path / "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    drain()
+    rows = spark.read.parquet(str(out)).collect()
+    by_op = {}
+    for r in rows:
+        by_op.setdefault(r["_ghs_delta_op"], []).append(r)
+    assert len(by_op.get("u", [])) == 5          # 4 base + 1 delta upsert
+    assert {r["id"] for r in by_op["d"]} >= {"k1"}   # delta marker and/or
+    # tombstone row both say delete-k1; dedup is the consumer's contract
+    assert all(r["id"] == "k1" for r in by_op["d"])
+    # compaction preserves stamps: nothing new to drain
+    t.compact()
+    n_before = spark.read.parquet(str(out)).count()
+    drain()
+    assert spark.read.parquet(str(out)).count() == n_before
+
+
+def test_replication_from_uncompacted_mor_source(spark, tmp_path):
+    """End to end: an MoR source with pending deltas replicates —
+    upserts and deletes arrive in-stream, replica equals source."""
+    from glue_hudi_spark.streaming.replicate import TableReplicationStream
+
+    src = NativeTable(spark, tmp_path / "src", record_keys=["id"],
+                      precombine="seq", storage_type="mor",
+                      compact_every=100)
+    src.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=float(i), seq=1)
+                                  for i in range(6)]))
+    dest = NativeTable(spark, tmp_path / "dest", record_keys=["id"],
+                       precombine="seq")
+    rep = TableReplicationStream(spark, src.root, dest, tmp_path / "ck")
+    rep.run_available()
+    src.upsert(_rows(spark, [dict(id="k2", v=77.0, seq=2)]))
+    src.delete(_rows(spark, [dict(id="k4", v=0.0, seq=2)]).select("id"))
+    rep.run_available()                    # deltas still pending upstream
+    got = {(r["id"], r["v"]) for r in dest.read_snapshot().collect()}
+    want = {(r["id"], r["v"]) for r in src.read_snapshot().collect()}
+    assert got == want and ("k4", 4.0) not in got and ("k2", 77.0) in got
