@@ -320,6 +320,7 @@ class NativeTable:
         secondary_bloom_cols: list[str] | None = None,
         constraints: list[str] | None = None,
         change_feed_deletes: bool = True,
+        strict_schema: bool = False,
     ):
         self.spark = spark
         self.root = Path(path)
@@ -366,6 +367,14 @@ class NativeTable:
         # (their payload is intentionally partial); `bootstrap` adopts
         # foreign files unchecked (documented there).
         self.constraints = list(constraints or [])
+        # Schema ENFORCEMENT (Delta's default write contract): with
+        # strict_schema=True a batch carrying columns outside the table's
+        # current logical schema is REJECTED at the write chokepoint
+        # instead of silently evolving the schema — production tables
+        # want typo'd or upstream-drifted columns to fail loudly.
+        # Default False preserves this engine's schema-on-write evolution
+        # (the reference infers schema per batch, processData.py:293-300).
+        self.strict_schema = strict_schema
         # Delete tombstones for the change feed (Delta CDF's _change_data
         # analogue): every delete commit also lands its deleted KEYS as
         # parquet under _changes/, referenced by the manifest, so the
@@ -450,7 +459,21 @@ class NativeTable:
         return df
 
     def _with_meta(self, df: DataFrame, commit_time: str, delta_op: str = "u") -> DataFrame:
-        df = self._to_physical(df, self.timeline.latest())
+        head = self.timeline.latest()
+        if self.strict_schema and head is not None:
+            stored = T.StructType.fromJson(json.loads(head.schema_json))
+            inv = {p: l for l, p in head.column_mapping.items()}
+            allowed = {
+                inv.get(f.name, f.name) for f in stored.fields
+                if f.name not in head.retired_cols
+            } | set(META_COLS)
+            unknown = [c for c in df.columns if c not in allowed]
+            if unknown:
+                raise ValueError(
+                    f"strict_schema: batch carries column(s) {unknown} "
+                    f"not in the table schema of {self.root} — evolve "
+                    "explicitly (strict_schema=False) or fix the batch")
+        df = self._to_physical(df, head)
         return (
             df.withColumn(COMMIT_TIME_COL, F.lit(commit_time))
             .withColumn(RECORD_KEY_COL, record_key_expr(self.record_keys))

@@ -127,3 +127,28 @@ def test_ghs_table_reads_renamed_table(spark, tmp_path):
     got = {r["label"] for r in df.filter(F.col("label") == "tag1").collect()}
     assert got == {"tag1"}
     assert df.count() == 10
+
+
+def test_strict_schema_rejects_unknown_columns(spark, tmp_path):
+    """Delta-style schema enforcement: strict_schema=True fails a write
+    that would silently evolve the schema; renamed names stay allowed,
+    dropped names stay rejected."""
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq", strict_schema=True)
+    t.bulk_insert(spark.createDataFrame(
+        [("a", 1, 1.0)], "id string, seq int, v double"))
+    with pytest.raises(ValueError, match="strict_schema"):
+        t.upsert(spark.createDataFrame(
+            [("a", 2, 2.0, "oops")], "id string, seq int, v double, extra string"))
+    # subset batches are fine (missing columns read NULL per usual)
+    t.upsert(spark.createDataFrame([("b", 1, 5.0)],
+                                   "id string, seq int, v double"))
+    assert t.read_snapshot().count() == 2
+    # after a rename the LOGICAL name is the allowed one
+    t.rename_column("v", "val")
+    t.upsert(spark.createDataFrame([("c", 1, 9.0)],
+                                   "id string, seq int, val double"))
+    with pytest.raises(ValueError, match="strict_schema"):
+        t.upsert(spark.createDataFrame([("d", 1, 9.0)],
+                                       "id string, seq int, v double"))
+    assert t.read_snapshot().count() == 3
