@@ -1308,7 +1308,8 @@ def cdc_replicated_table(spark, sf_dir):
     cols = ["user_id", "event_id", "ts", "event_type", "value"]
     tmp = _scratch_dir("repl_")
     src = NativeTable(spark, f"{tmp}/src", record_keys=["user_id"],
-                      precombine="event_id", partition_keys=[])
+                      precombine="event_id", partition_keys=[],
+                      change_feed_deletes=True)  # CDF opt-in, Delta-style
     src.bulk_insert(snap.select(*cols))
     dest = NativeTable(spark, f"{tmp}/dest", record_keys=["user_id"],
                        precombine="event_id", partition_keys=[])

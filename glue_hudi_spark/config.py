@@ -46,6 +46,7 @@ class JobControl:
     stats_cols: str = ""  # ';'-separated → column-stats index for reads
     files_per_partition: str = "0"  # 0 → unset (writer-default clustering)
     bloom_index: str = "no"  # 'yes' → per-file record-key blooms
+    change_feed: str = "no"  # 'yes' → delete tombstones for the change feed (Delta CDF-style opt-in)
     # ';'-separated non-key columns to secondary-bloom-index (equality
     # lookups via NativeTable.read_by_value prune files by value set)
     secondary_bloom_cols: str = ""

@@ -319,7 +319,7 @@ class NativeTable:
         bloom_index: bool = False,
         secondary_bloom_cols: list[str] | None = None,
         constraints: list[str] | None = None,
-        change_feed_deletes: bool = True,
+        change_feed_deletes: bool = False,
         strict_schema: bool = False,
     ):
         self.spark = spark
@@ -379,9 +379,10 @@ class NativeTable:
         # analogue): every delete commit also lands its deleted KEYS as
         # parquet under _changes/, referenced by the manifest, so the
         # ghs_table stream can emit delete rows (option emitDeletes) and
-        # a replica applies them in-stream — no reconciliation scan. Cost
-        # per delete commit: one key-projection write of the delete
-        # batch, executor-side.
+        # a replica applies them in-stream — no reconciliation scan.
+        # OPT-IN like Delta's enableChangeDataFeed (default off): the
+        # tombstone write adds one key-projection action per delete
+        # commit, a cost only change-feed consumers should pay.
         self.change_feed_deletes = change_feed_deletes
         self.timeline = CommitTimeline(self.root)
 
@@ -408,6 +409,7 @@ class NativeTable:
             files_per_partition=fpp or None,
             stats_cols=stats,
             bloom_index=getattr(ctl, "bloom_index", "no") == "yes",
+            change_feed_deletes=getattr(ctl, "change_feed", "no") == "yes",
             secondary_bloom_cols=[
                 c.strip()
                 for c in getattr(ctl, "secondary_bloom_cols", "").split(";")
@@ -2282,12 +2284,17 @@ class NativeTable:
         )
         untouched = untouched + skipped
         persisted = None
+        if deletes and self.change_feed_deletes:
+            # the tombstone write is an extra action over the batch:
+            # persist so its lineage computes once for write + anti-join
+            persisted = keyed = keyed.persist()
         if self.bloom_index and affected:
             # membership pass behind the interval pass: catches scattered
             # batches whose [lo, hi] hull spans files none of their keys
             # hit. Probing is an extra action over the batch, so persist
             # it for the merge's lifetime (released after the write).
-            persisted = keyed = keyed.persist()
+            if persisted is None:
+                persisted = keyed = keyed.persist()
             affected, bloom_skipped = self._prune_by_bloom(
                 affected, keyed, prev.key_stats
             )
@@ -2469,8 +2476,16 @@ class NativeTable:
         )
         untouched = untouched + skipped
         persisted = None
-        if self.bloom_index and affected:
+        # the tombstone pass adds two extra actions over the batch
+        # (emptiness probe + key write); persist so the batch lineage —
+        # often a window over the raw feed — computes ONCE for all of
+        # probe, tombstone write, anti-join, and union (the r8 bench
+        # caught the unpersisted version re-deriving it per action)
+        if self.change_feed_deletes:
             persisted = keyed = keyed.persist()
+        if self.bloom_index and affected:
+            if persisted is None:
+                persisted = keyed = keyed.persist()
             affected, bloom_skipped = self._prune_by_bloom(
                 affected, keyed, prev.key_stats
             )

@@ -10,8 +10,11 @@ every other streaming sink here: the micro-batch id travels inside the
 destination's commit stats, atomic with the data publish, so an
 at-least-once foreachBatch replay is detected and skipped.
 
-Deletes travel IN-STREAM: the feed runs with ``emitDeletes`` — every
-delete commit's tombstone keys (``_changes/``, Delta-CDF-style) arrive
+Deletes travel IN-STREAM when the SOURCE table opted into the change
+feed (``NativeTable(change_feed_deletes=True)``, the Delta
+``enableChangeDataFeed`` analogue — off by default): the feed runs with
+``emitDeletes`` — every delete commit's tombstone keys (``_changes/``,
+Delta-CDF-style) arrive
 as ``_ghs_delta_op='d'`` rows, resolved per key against version rows by
 commit time and applied in the SAME atomic merge as the batch's
 upserts. ``sync_deletes_every`` is thereby demoted to a consistency

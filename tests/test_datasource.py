@@ -137,7 +137,8 @@ def test_stream_tombstones_unrecoverable_after_clean(spark, tmp_path):
     import pytest as _pytest
 
     t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
-                    precombine="s", retain_commits=2)
+                    precombine="s", retain_commits=2,
+                    change_feed_deletes=True)
     t.bulk_insert(spark.createDataFrame([("a", 1)], "id string, s int"))
     for i in range(4):  # roll the retention window past commit 1
         t.upsert(spark.createDataFrame([(f"k{i}", 1)], "id string, s int"))
@@ -155,7 +156,8 @@ def test_stream_serves_uncompacted_mor_deltas(spark, tmp_path):
     compaction; compaction later must not re-serve the same rows."""
     DS.register(spark)
     t = NativeTable(spark, tmp_path / "m", record_keys=["id"],
-                    precombine="seq", storage_type="mor", compact_every=100)
+                    precombine="seq", storage_type="mor", compact_every=100,
+                    change_feed_deletes=True)
     t.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=1.0, seq=1)
                                 for i in range(4)]))
     t.upsert(_rows(spark, [dict(id="k0", v=9.0, seq=2)]))   # pending delta
@@ -196,7 +198,7 @@ def test_replication_from_uncompacted_mor_source(spark, tmp_path):
 
     src = NativeTable(spark, tmp_path / "src", record_keys=["id"],
                       precombine="seq", storage_type="mor",
-                      compact_every=100)
+                      compact_every=100, change_feed_deletes=True)
     src.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=float(i), seq=1)
                                   for i in range(6)]))
     dest = NativeTable(spark, tmp_path / "dest", record_keys=["id"],

@@ -922,7 +922,8 @@ def test_delete_writes_tombstones_and_lifecycle(spark, tmp_path):
     """Delete commits land their key projection under _changes/ and
     reference it in the manifest; clean() and fsck track the files."""
     t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
-                    precombine="s", retain_commits=3)
+                    precombine="s", retain_commits=3,
+                    change_feed_deletes=True)
     t.bulk_insert(spark.createDataFrame(
         [(f"k{i}", 1, "x") for i in range(20)], "id string, s int, v string"))
     t.delete(spark.createDataFrame([("k3",), ("k7",)], "id string"))
@@ -953,7 +954,7 @@ def test_delete_writes_tombstones_and_lifecycle(spark, tmp_path):
 
 def test_delete_where_and_merge_write_tombstones(spark, tmp_path):
     t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
-                    precombine="s")
+                    precombine="s", change_feed_deletes=True)
     t.bulk_insert(spark.createDataFrame(
         [(f"k{i}", 1, float(i)) for i in range(10)],
         "id string, s int, v double"))

@@ -14,6 +14,7 @@ def _rows(spark, rows):
 
 
 def _mk(spark, path, **kw):
+    kw.setdefault("change_feed_deletes", True)  # CDF opt-in, Delta-style
     return NativeTable(spark, path, record_keys=["id"], precombine="seq",
                        **kw)
 
