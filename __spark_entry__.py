@@ -1229,6 +1229,57 @@ WHERE event_id >= 300
 """
 
 
+def cdc_deletion_vectors(spark, sf_dir):
+    """Deletion vectors (round 8; Delta DV / Iceberg positional-delete
+    class): a scattered key delete AND a retention predicate delete land
+    as position sidecars — the manifest's data-file list is asserted
+    UNCHANGED across both (zero rewrites; at 100 TB a narrow delete
+    costs a pruned scan plus a kilobyte sidecar, not the touched files'
+    gigabytes). Reads anti-filter marked positions; the follow-up upsert
+    rewrites the files it touches and materializes their marks for free
+    (re-inserting previously deleted keys). The reference's delete path
+    (processData.py:215-218, EmptyHoodieRecordPayload) always rewrites;
+    this is the modern lakehouse delete those semantics scale to."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "value",
+    )
+    tmp = _scratch_dir("dv_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"],
+        precombine="event_id", partition_keys=[], files_per_partition=8,
+        stats_cols=["event_id"], deletion_vectors=True,
+    )
+    table.bulk_insert(ev)
+    base_files = list(table.timeline.latest().files)
+    table.delete(ev.filter(F.col("event_id") % 97 == 0).select("ek"))
+    table.delete_where(
+        F.col("event_id") < 300, prune={"event_id": (None, 299)})
+    after = table.timeline.latest()
+    # the DV contract, asserted in-query: both deletes rewrote nothing
+    assert after.files == base_files, "DV delete rewrote data files"
+    assert after.stats["files_rewritten"] == 0
+    # metadata-only COUNT(*) stays exact under marks
+    assert table.count_rows() == table.read_snapshot().count()
+    up = ev.filter(F.col("event_id") % 101 == 0).withColumn(
+        "value", F.col("value") + F.lit(1000.0))
+    table.upsert(up)
+    return table.read_snapshot().select("event_id", "user_id", "value")
+
+
+DELETION_VECTORS_ORACLE = """
+WITH ups AS (
+  SELECT event_id, user_id, value + 1000.0 AS value
+  FROM events WHERE event_id % 101 = 0
+)
+SELECT e.event_id, e.user_id, e.value FROM events e
+WHERE e.event_id % 97 <> 0 AND e.event_id >= 300
+  AND e.event_id NOT IN (SELECT event_id FROM ups)
+UNION ALL
+SELECT * FROM ups
+"""
+
+
 def cdc_concurrent_writers(spark, sf_dir):
     """Multi-writer OCC with rebase (round 7): two optimistic writers
     update DISJOINT partitions of one table, and the second writer's
@@ -7656,6 +7707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_into": cdc_merge_into,
         "cdc_merge_full_sync": cdc_merge_full_sync,
         "cdc_column_mapping": cdc_column_mapping,
+        "cdc_deletion_vectors": cdc_deletion_vectors,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -7894,6 +7946,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_into": MERGE_INTO_ORACLE,
         "cdc_merge_full_sync": MERGE_FULL_SYNC_ORACLE,
         "cdc_column_mapping": COLUMN_MAPPING_ORACLE,
+        "cdc_deletion_vectors": DELETION_VECTORS_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

@@ -47,6 +47,7 @@ class JobControl:
     files_per_partition: str = "0"  # 0 → unset (writer-default clustering)
     bloom_index: str = "no"  # 'yes' → per-file record-key blooms
     change_feed: str = "no"  # 'yes' → delete tombstones for the change feed (Delta CDF-style opt-in)
+    deletion_vectors: str = "no"  # 'yes' → deletes mark positions (Delta DV class), no file rewrite
     # ';'-separated non-key columns to secondary-bloom-index (equality
     # lookups via NativeTable.read_by_value prune files by value set)
     secondary_bloom_cols: str = ""

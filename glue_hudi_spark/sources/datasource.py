@@ -105,9 +105,12 @@ def _to_physical_names(commit, logical_cols):
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, root: str, rel: str):
+    def __init__(self, root: str, rel: str, dv_rels=()):
         self.root = root
         self.rel = rel
+        # deletion-vector sidecars marking this file's deleted rows —
+        # the executor task drops those positions before yielding
+        self.dv_rels = tuple(dv_rels)
 
 
 class GhsTableReader(DataSourceReader):
@@ -145,16 +148,39 @@ class GhsTableReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        return [_FileSlice(self.path, f) for f in self.files]
+        dvs = self.commit.dvs
+        return [_FileSlice(self.path, f,
+                           dvs.get(f, {}).get("files", ()))
+                for f in self.files]
 
     def read(self, part: _FileSlice):
         import pyarrow.parquet as pq
 
         table = pq.read_table(
             str(Path(part.root) / part.rel), columns=self.physical)
+        if part.dv_rels:
+            table = _drop_dv_positions(table, part.root, part.rel,
+                                       part.dv_rels)
         if self.physical != self.columns:  # column-mapping rename
             table = table.rename_columns(self.columns)
         yield from table.to_batches()
+
+
+def _drop_dv_positions(table, root: str, rel: str, dv_rels):
+    """Filter out this file's deletion-vector-marked row positions
+    (executor-side, one boolean mask — no row-at-a-time Python)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    mask = np.ones(table.num_rows, dtype=bool)
+    for dv_rel in dv_rels:
+        t = pq.read_table(str(Path(root) / dv_rel), columns=["file", "pos"])
+        t = t.filter(pc.equal(t.column("file"), rel))
+        pos = t.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        mask[pos[pos < table.num_rows]] = False
+    return table.filter(pa.array(mask))
 
 
 def _prune_by_stats(files, col_stats, prune):
@@ -239,6 +265,12 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
             avail = set(pq.read_schema(fpath).names)
             have = [(c, p) for c, p in zip(cols, phys) if p in avail]
             t = pq.read_table(fpath, columns=[p for _, p in have])
+            dv_rels = end_commit.dvs.get(rel, {}).get("files", ())
+            if dv_rels:
+                # rows DV-deleted within the window must not re-surface
+                # as inserts (a rewrite-delete would have removed them
+                # from the file; position marks do it here)
+                t = _drop_dv_positions(t, self.path, rel, dv_rels)
             t = t.rename_columns([c for c, _ in have])
             t = t.filter(pc.greater(t.column("_ghs_commit_time"), token))
             if not self.emit_deletes:

@@ -88,6 +88,14 @@ class Commit:
     # the change-feed stream via at(cid). Commit-id-independent paths
     # (_changes/<uuid>/), so an OCC rebase carries them untouched.
     tombstones: list[str] = field(default_factory=list)
+    # Deletion vectors (Delta DV / Iceberg positional-delete class):
+    # {data_rel: {"files": [dv_rels], "rows": n}} — position sidecars
+    # under _dv/ marking rows of a live base file as deleted WITHOUT
+    # rewriting it. CARRIED FORWARD like key_stats (an entry dies when
+    # its data file leaves ``files``); readers anti-filter by
+    # (file, row position). ``rows`` is the exact marked count, so
+    # metadata-only COUNT(*) stays exact.
+    dvs: dict = field(default_factory=dict)
 
     @property
     def commit_time(self) -> str:
@@ -185,6 +193,7 @@ class CommitTimeline:
             tombstones=d.get("tombstones", []),
             column_mapping=d.get("column_mapping", {}),
             retired_cols=d.get("retired_cols", []),
+            dvs=d.get("dvs", {}),
         )
         if key is not None:
             cache = CommitTimeline._manifest_cache
@@ -228,6 +237,7 @@ class CommitTimeline:
                 "tombstones": commit.tombstones,
                 "column_mapping": commit.column_mapping,
                 "retired_cols": commit.retired_cols,
+                "dvs": commit.dvs,
             },
             indent=1,
         )
@@ -280,6 +290,7 @@ class CommitTimeline:
         drop = [p for p in paths if int(p.name.split(".")[0]) > commit_id]
         deleted: list[str] = []
         rolled_back: list[int] = []
+        dropped_dvs: set[str] = set()
         # Every data file lives under the ``data/<cid>/`` dir of the commit
         # that WROTE it, and a manifest only references files of commits
         # ≤ its own id — so nothing a retained manifest needs can live
@@ -311,6 +322,21 @@ class CommitTimeline:
                 if ts.exists():
                     ts.unlink()
                     deleted.append(rel)
+            for e in c.dvs.values():
+                dropped_dvs.update(e.get("files", []))
+        if dropped_dvs:
+            # DV sidecars are carried forward (commit-id-independent
+            # paths), so delete only those no REMAINING manifest still
+            # references
+            live_dvs: set[str] = set()
+            for p in self._manifest_paths():
+                for e in self._load(p).dvs.values():
+                    live_dvs.update(e.get("files", []))
+            for rel in sorted(dropped_dvs - live_dvs):
+                dv = self.root / rel
+                if dv.exists():
+                    dv.unlink()
+                    deleted.append(rel)
         return {
             "restored_to": commit_id,
             "rolled_back": sorted(rolled_back),
@@ -332,12 +358,18 @@ class CommitTimeline:
             live.update(c.files)
             for d in c.deltas:
                 live.update(d["files"])
+            # deletion-vector sidecars are carried forward like data
+            # files — live while any retained manifest references them
+            for e in c.dvs.values():
+                live.update(e.get("files", []))
         deleted: list[str] = []
         for p in drop:
             c = self._load(p)
             doomed = set(c.files)
             for d in c.deltas:
                 doomed.update(d["files"])
+            for e in c.dvs.values():
+                doomed.update(e.get("files", []))
             # tombstones are per-commit (never referenced by later
             # manifests) — they die with their manifest unconditionally
             doomed.update(c.tombstones)
@@ -355,7 +387,7 @@ class CommitTimeline:
                         sc.unlink()
             p.unlink()
         # prune empty partition/commit/index dirs left behind
-        for sub in (DATA_DIR, "_index", "_changes"):
+        for sub in (DATA_DIR, "_index", "_changes", "_dv"):
             sub_root = self.root / sub
             if sub_root.is_dir():
                 for dirpath, dirnames, filenames in os.walk(sub_root, topdown=False):

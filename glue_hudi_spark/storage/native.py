@@ -68,6 +68,7 @@ HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 BLOOM_DIR = "_index/bloom"  # per-data-file bloom sidecars (immutable)
 CHANGES_DIR = "_changes"  # per-commit delete tombstones (change-feed CDC)
+DV_DIR = "_dv"  # deletion-vector position sidecars (carried in manifests)
 
 
 def _bloom_hash_pair(key: str) -> tuple[int, int]:
@@ -321,6 +322,7 @@ class NativeTable:
         constraints: list[str] | None = None,
         change_feed_deletes: bool = False,
         strict_schema: bool = False,
+        deletion_vectors: bool = False,
     ):
         self.spark = spark
         self.root = Path(path)
@@ -384,6 +386,20 @@ class NativeTable:
         # tombstone write adds one key-projection action per delete
         # commit, a cost only change-feed consumers should pay.
         self.change_feed_deletes = change_feed_deletes
+        # Deletion vectors (Delta DV / Iceberg positional-delete class):
+        # pure-delete commits mark row POSITIONS in sidecar files under
+        # _dv/ instead of rewriting data files — a narrow delete on a
+        # 100-TB table costs O(delete batch), not O(touched file bytes).
+        # Readers anti-filter by (file, _metadata.row_index); upserts
+        # that rewrite a file materialize its DV for free (the rewrite
+        # reads DV-filtered rows); purge_deleted()/cluster() materialize
+        # on demand. CoW only: MoR deletes are already O(batch) delta
+        # markers, layering positions under them buys nothing.
+        self.deletion_vectors = deletion_vectors
+        if deletion_vectors and self.storage_type == "mor":
+            raise ValueError(
+                "deletion_vectors is the CoW delete path; MoR tables "
+                "already take O(batch) deletes via delta markers")
         self.timeline = CommitTimeline(self.root)
 
     # ------------------------------------------------------------------ util
@@ -410,6 +426,7 @@ class NativeTable:
             stats_cols=stats,
             bloom_index=getattr(ctl, "bloom_index", "no") == "yes",
             change_feed_deletes=getattr(ctl, "change_feed", "no") == "yes",
+            deletion_vectors=getattr(ctl, "deletion_vectors", "no") == "yes",
             secondary_bloom_cols=[
                 c.strip()
                 for c in getattr(ctl, "secondary_bloom_cols", "").split(";")
@@ -992,7 +1009,45 @@ class NativeTable:
         untouched = [f for f in files if f in with_bloom and f not in hit_files]
         return affected, untouched
 
-    def _read_files(self, files: list[str], schema_json: str | None) -> DataFrame:
+    def _file_rel_expr(self):
+        """The manifest-relative path of each scanned row's source file,
+        from the parquet reader's ``_metadata.file_path`` (strips the
+        ``file:``-URI prefix and the table root)."""
+        return F.regexp_replace(
+            F.col("_metadata.file_path"),
+            "^file:/{0,2}\\Q" + str(self.root) + "\\E/", "")
+
+    def _apply_dvs(self, df: DataFrame, files: list[str],
+                   dvs: dict) -> DataFrame:
+        """Anti-filter rows marked deleted by the commit's deletion
+        vectors. Cost shape at scale: clean files pay only the two
+        virtual ``_metadata`` columns (no shuffle on the stream side —
+        the DV position set is the build side of a broadcast-able
+        anti-join sized by MARKED rows, not table rows). A DV sidecar
+        may carry positions for files since rewritten; those rels match
+        no scanned row and fall out of the join harmlessly."""
+        relevant = {f: dvs[f] for f in files if f in dvs}
+        if not relevant:
+            return df
+        dv_rels = sorted({r for e in relevant.values()
+                          for r in e.get("files", [])})
+        pos = self.spark.read.parquet(
+            *[str(self.root / r) for r in dv_rels]
+        ).select(F.col("file").alias("_ghs_dv_file"),
+                 F.col("pos").alias("_ghs_dv_pos"))
+        marked = sum(int(e.get("rows", 0)) for e in relevant.values())
+        if marked <= 5_000_000:
+            pos = F.broadcast(pos)
+        out_cols = df.columns
+        return (
+            df.withColumn("_ghs_dv_file", self._file_rel_expr())
+            .withColumn("_ghs_dv_pos", F.col("_metadata.row_index"))
+            .join(pos, ["_ghs_dv_file", "_ghs_dv_pos"], "left_anti")
+            .select(*out_cols)
+        )
+
+    def _read_files(self, files: list[str], schema_json: str | None,
+                    dvs: dict | None = None) -> DataFrame:
         if not files:
             if schema_json:
                 return self.spark.createDataFrame(
@@ -1028,6 +1083,11 @@ class NativeTable:
         if DELTA_OP_COL in df.columns:
             df = df.withColumn(
                 DELTA_OP_COL, F.coalesce(F.col(DELTA_OP_COL), F.lit("u")))
+        # AFTER the meta normalization: the input_file_name() commit-time
+        # fallback must sit below the DV anti-join in the plan (Spark's
+        # PreReadCheck rejects input_file_name over multi-source plans)
+        if dvs:
+            df = self._apply_dvs(df, files, dvs)
         return df
 
     def _precombine_dedup(self, batch: DataFrame) -> DataFrame:
@@ -1059,6 +1119,7 @@ class NativeTable:
         """
         live: set[str] = set()
         live_ts: set[str] = set()
+        live_dv: set[str] = set()
         unreadable: list[str] = []
         for p in self.timeline._manifest_paths():
             try:
@@ -1068,6 +1129,8 @@ class NativeTable:
                 continue
             live.update(c.files)
             live_ts.update(c.tombstones)
+            for e in c.dvs.values():
+                live_dv.update(e.get("files", []))
             for d in c.deltas:
                 live.update(d["files"])
         missing = [f for f in sorted(live) if not (self.root / f).is_file()]
@@ -1092,20 +1155,29 @@ class NativeTable:
         orphan_blooms = sorted(orphan_bloom_rels)
         missing += [f for f in sorted(live_ts)
                     if not (self.root / f).is_file()]
+        missing += [f for f in sorted(live_dv)
+                    if not (self.root / f).is_file()]
         changes_root = self.root / CHANGES_DIR
         ts_on_disk = {
             str(p.relative_to(self.root))
             for p in changes_root.rglob("*.parquet")
         } if changes_root.is_dir() else set()
         orphan_tombstones = sorted(ts_on_disk - live_ts)
+        dv_root = self.root / DV_DIR
+        dv_on_disk = {
+            str(p.relative_to(self.root))
+            for p in dv_root.rglob("*.parquet")
+        } if dv_root.is_dir() else set()
+        orphan_dvs = sorted(dv_on_disk - live_dv)
         return {
             "missing_files": missing,
             "orphan_files": orphans,
             "orphan_blooms": orphan_blooms,
             "orphan_tombstones": orphan_tombstones,
+            "orphan_dvs": orphan_dvs,
             "unreadable_manifests": unreadable,
             "ok": not (missing or orphans or orphan_blooms
-                       or orphan_tombstones or unreadable),
+                       or orphan_tombstones or orphan_dvs or unreadable),
         }
 
     def vacuum(self) -> dict:
@@ -1151,9 +1223,28 @@ class NativeTable:
                 bloom.unlink()
             if sidecars:
                 deleted_blooms.append(rel)
+        deleted_dvs = []
+        for rel in report["orphan_dvs"]:
+            # `_dv/<cid>-<uuid>/…` — same in-flight protection as data
+            # files: a sidecar claiming an uncommitted id belongs to a
+            # writer mid-publish, not a crash
+            parts = Path(rel).parts
+            try:
+                cid = (int(parts[1].split("-")[0])
+                       if parts[0] == DV_DIR else -1)
+            except (ValueError, IndexError):
+                cid = -1
+            if cid == -1 or cid > latest_id:
+                skipped.append(rel)
+                continue
+            f = self.root / rel
+            if f.exists():
+                f.unlink()
+                deleted_dvs.append(rel)
         return {
             "deleted_files": deleted,
             "deleted_blooms": deleted_blooms,
+            "deleted_dvs": deleted_dvs,
             "skipped_inflight": skipped,
         }
 
@@ -1216,7 +1307,8 @@ class NativeTable:
                     kept.append(f)
             candidates = kept
         out = self._to_logical(
-            self._read_files(candidates, commit.schema_json), commit
+            self._read_files(candidates, commit.schema_json,
+                             dvs=commit.dvs), commit
         ).filter(F.col(RECORD_KEY_COL).isin(key_list))
         return out if with_meta else out.drop(*META_COLS)
 
@@ -1298,7 +1390,8 @@ class NativeTable:
                         kept.append(f)
                 candidates = kept
         out = _exact(self._to_logical(
-            self._read_files(candidates, commit.schema_json), commit))
+            self._read_files(candidates, commit.schema_json,
+                             dvs=commit.dvs), commit))
         return out if with_meta else out.drop(*META_COLS)
 
     # ----------------------------------------------------------------- reads
@@ -1345,7 +1438,8 @@ class NativeTable:
             base_files = self._prune_files_by_col_stats(
                 base_files, commit.col_stats, prune
             )
-        base = self._read_files(base_files, commit.schema_json)
+        base = self._read_files(base_files, commit.schema_json,
+                                dvs=commit.dvs)
         if view == "read_optimized" or not commit.deltas:
             out = base
         else:
@@ -1639,6 +1733,14 @@ class NativeTable:
         commit = self.timeline.latest()
         if commit is None:
             raise ValueError(f"table {self.root} has no commits")
+        if any(int(e.get("rows", 0)) for e in commit.dvs.values()):
+            # a flat-parquet rendering can't express position marks — a
+            # naive reader would see deleted rows (the same reason Delta
+            # DV tables break plain-parquet readers). Materialize first.
+            raise ValueError(
+                f"table {self.root} carries live deletion vectors; run "
+                "purge_deleted() (or cluster()) before export_snapshot —"
+                " a flat parquet export would resurrect deleted rows")
         snap_root = self.root / "_snapshot"
         build = snap_root / f".build-{commit.commit_id}"
         final = snap_root / "base"
@@ -1714,6 +1816,11 @@ class NativeTable:
                 side = Path(BLOOM_DIR) / (rel + f".col.{col}.bloom")
                 if (self.root / side).exists():
                     _link(str(side))
+        # DV sidecars travel with the files they mark (positions are
+        # valid against the exact bytes just linked)
+        for rel in sorted({r for e in commit.dvs.values()
+                           for r in e.get("files", [])}):
+            _link(rel)
 
         clone = NativeTable(
             self.spark, dest_root, record_keys=list(self.record_keys),
@@ -1734,6 +1841,7 @@ class NativeTable:
             {"cloned_from": str(self.root),
              "source_commit": commit.commit_id},
             dict(commit.key_stats), dict(commit.col_stats),
+            dvs=dict(commit.dvs),
         )
         return clone
 
@@ -1767,7 +1875,8 @@ class NativeTable:
                 col_stats: dict | None = None,
                 tombstones: list[str] | None = None,
                 column_mapping: dict | None = None,
-                retired_cols: list[str] | None = None) -> Commit:
+                retired_cols: list[str] | None = None,
+                dvs: dict | None = None) -> Commit:
         """Publish with bounded retry-with-rebase on OCC conflict.
 
         When another writer wins the commit id, the loser does NOT re-run
@@ -1787,6 +1896,14 @@ class NativeTable:
             column_mapping = dict(head.column_mapping) if head else {}
         if retired_cols is None:
             retired_cols = list(head.retired_cols) if head else []
+        # deletion vectors carry forward per surviving data file: a
+        # rewritten/removed file's entry dies with it (the rewrite read
+        # DV-filtered rows, so the marks are materialized). Callers that
+        # replay an OLD file set (rollback) or add marks (_dv_delete)
+        # pass dvs explicitly.
+        if dvs is None:
+            dvs = ({f: head.dvs[f] for f in files if f in head.dvs}
+                   if head else {})
         base = self.timeline.at(commit_id - 1)  # the head this writer saw
         for _ in range(OCC_MAX_REBASES + 1):
             commit = Commit(
@@ -1801,6 +1918,7 @@ class NativeTable:
                 tombstones=list(tombstones or []),
                 column_mapping=dict(column_mapping),
                 retired_cols=list(retired_cols),
+                dvs=dict(dvs),
             )
             commit.file_sizes, commit.row_counts = (
                 self._manifest_inventory(files, deltas))
@@ -1815,9 +1933,9 @@ class NativeTable:
                     # concurrent write)
                     raise
                 (commit_id, files, deltas, key_stats, col_stats, stats,
-                 base) = self._rebase_commit(
+                 dvs, base) = self._rebase_commit(
                     base, commit_id, files, deltas, schema_json,
-                    key_stats, col_stats, stats)
+                    key_stats, col_stats, stats, dvs)
                 continue
             self.timeline.clean(self.retain_commits)
             return commit
@@ -1828,7 +1946,7 @@ class NativeTable:
     def _rebase_commit(self, base: Commit | None, commit_id: int,
                        files: list[str], deltas: list[dict],
                        schema_json: str, key_stats: dict, col_stats: dict,
-                       stats: dict):
+                       stats: dict, dvs: dict | None = None):
         """Rebase a conflicted commit onto the current timeline head.
 
         The commit's intent relative to ``base`` is reconstructed as
@@ -1868,6 +1986,28 @@ class NativeTable:
         if self._key_ranges_overlap(
                 added, key_stats, winner_added, actual.key_stats):
             _conflict("winner inserted overlapping key ranges")
+        # deletion-vector intent: entries this commit changed vs base.
+        # Legal iff the winner left both the file AND its DV state alone
+        # (a position mark is only valid against the exact file bytes it
+        # was computed from); conversely, files this commit rewrote must
+        # not have gained winner-side marks (our rewrite read the OLD
+        # DV state — carrying the winner's marks would lose its deletes,
+        # dropping them would resurrect rows).
+        base_dvs = base.dvs if base else {}
+        our_dvs = dvs or {}
+        dv_delta = {f: e for f, e in our_dvs.items()
+                    if e != base_dvs.get(f)}
+        for f in dv_delta:
+            if f not in set(actual.files):
+                _conflict("winner rewrote a file this commit attached "
+                          "deletion vectors to")
+            if actual.dvs.get(f) != base_dvs.get(f):
+                _conflict("winner changed deletion vectors on a file "
+                          "this commit also marked")
+        for f in removed:
+            if actual.dvs.get(f) != base_dvs.get(f):
+                _conflict("winner attached deletion vectors to a file "
+                          "this commit rewrote")
 
         new_cid = actual.commit_id + 1
         old_token, new_token = f"{commit_id:020d}", f"{new_cid:020d}"
@@ -1897,8 +2037,14 @@ class NativeTable:
         rb_col.update(new_col)
         rb_stats = {**stats, "occ_rebased_from": commit_id,
                     "occ_rebased_onto": actual.commit_id}
+        # winner's DV state for surviving files, plus our own changes
+        # (both verified disjoint above); entries for files we removed
+        # die with them
+        rb_dvs = {f: e for f, e in actual.dvs.items()
+                  if f in set(rebased_files)}
+        rb_dvs.update(dv_delta)
         return (new_cid, rebased_files, rebased_deltas, rb_key, rb_col,
-                rb_stats, actual)
+                rb_stats, rb_dvs, actual)
 
     def _key_ranges_overlap(self, ours: list[str], our_key_stats: dict,
                             theirs: list[str], their_key_stats: dict) -> bool:
@@ -2009,7 +2155,12 @@ class NativeTable:
             return self.read_snapshot().count()
         rc = commit.row_counts
         if all(f in rc for f in commit.files):
-            return sum(rc[f] for f in commit.files)
+            # DV ``rows`` counts are exact (marks are deduplicated
+            # against prior sidecars at write time), so the metadata
+            # path stays exact for DV tables
+            marked = sum(int(commit.dvs.get(f, {}).get("rows", 0))
+                         for f in commit.files)
+            return sum(rc[f] for f in commit.files) - marked
         return self.read_snapshot().count()
 
     def describe_history(self) -> DataFrame:
@@ -2025,7 +2176,9 @@ class NativeTable:
                 len(c.files),
                 sum(len(d["files"]) for d in c.deltas),
                 sum(c.file_sizes.get(f, 0) for f in c.files),
-                sum(c.row_counts.get(f, 0) for f in c.files),
+                sum(c.row_counts.get(f, 0) for f in c.files)
+                - sum(int(c.dvs.get(f, {}).get("rows", 0))
+                      for f in c.files),
                 json.dumps(c.stats, default=str),
             )
             for c in self.timeline.history()
@@ -2145,8 +2298,217 @@ class NativeTable:
             return None
         if self.storage_type == "mor":
             return self._delta_commit(batch, "delta_delete", "d", extra_stats)
+        if self.deletion_vectors:
+            return self._dv_delete(batch, extra_stats)
         return self._cow_merge(batch, deletes=True, parallelism=parallelism,
                                extra_stats=extra_stats)
+
+    def _write_dv_sidecar(self, hits: DataFrame, cid: int) -> list[str]:
+        """Land (file, pos) marks as ONE parquet sidecar under
+        ``_dv/<cid>-<uuid>/`` (executor-side coalesced write — positions
+        never stage on the driver) and return the rel paths. The commit
+        id in the dir name gives vacuum the same in-flight protection
+        data files get; the uuid keeps OCC losers' sidecars from
+        colliding (a rebase reuses the path untouched — position marks
+        are valid as long as the marked file survives, which the rebase
+        verifies)."""
+        import uuid as _uuid
+
+        out_dir = self.root / DV_DIR / f"{cid:020d}-{_uuid.uuid4().hex[:12]}"
+        hits.select("file", "pos").coalesce(1) \
+            .write.mode("overwrite").parquet(str(out_dir))
+        return sorted(str(p.relative_to(self.root))
+                      for p in out_dir.glob("*.parquet"))
+
+    def _merge_dv_entries(self, prev: "Commit", files: list[str],
+                          new_rels: list[str],
+                          per_file_rows: dict[str, int]) -> dict:
+        """prev's entries for surviving files + this commit's new marks
+        (per-file: sidecar list appended, exact row count summed)."""
+        dvs = {f: dict(prev.dvs[f]) for f in files if f in prev.dvs}
+        for f, n in per_file_rows.items():
+            e = dvs.setdefault(f, {"files": [], "rows": 0})
+            e["files"] = list(e["files"]) + list(new_rels)
+            e["rows"] = int(e["rows"]) + int(n)
+        return dvs
+
+    def _dv_commit(self, prev: "Commit", cid: int, hits: DataFrame,
+                   tombstones: list[str],
+                   extra_stats: dict | None) -> Commit:
+        """Publish a deletion-vector delete commit: the file set is
+        UNCHANGED (zero rewrites); only the manifest's ``dvs`` grow.
+        ``hits`` holds the (file, pos) marks, already deduplicated and
+        filtered against prior marks (so ``rows`` counts stay exact)."""
+        new_rels = self._write_dv_sidecar(hits, cid)
+        # exact per-file counts, read back from the sidecar just
+        # written: metadata-sized (≤ marked rows, grouped to ≤ affected
+        # files) and avoids a second pass over the batch lineage
+        per_file: dict[str, int] = {}
+        if new_rels:
+            rows = (self.spark.read.parquet(
+                *[str(self.root / r) for r in new_rels])
+                .groupBy("file").count().collect())
+            per_file = {r["file"]: int(r["count"]) for r in rows}
+        if not per_file:
+            # every key/predicate missed (or was already marked): the
+            # sidecar is empty — drop it and publish a no-op delete
+            for rel in new_rels:
+                (self.root / rel).unlink(missing_ok=True)
+            new_rels = []
+        dvs = self._merge_dv_entries(prev, prev.files, new_rels, per_file)
+        return self._commit(
+            cid, "delete", list(prev.files),
+            [dict(d) for d in prev.deltas], prev.schema_json,
+            {"files_rewritten": 0, "files_carried": len(prev.files),
+             "dv_files_marked": len(per_file),
+             "dv_rows_marked": sum(per_file.values()),
+             **(extra_stats or {})},
+            dict(prev.key_stats), dict(prev.col_stats),
+            tombstones=tombstones, dvs=dvs,
+        )
+
+    def _dv_delete(self, batch: DataFrame,
+                   extra_stats: dict | None = None) -> Commit | None:
+        """Key delete as position marks (Delta DV write path): the same
+        partition + key-range + bloom pruning as the CoW rewrite picks
+        the candidate files, but instead of rewriting them the matching
+        rows' (file, _metadata.row_index) land in a sidecar. Cost is
+        O(candidate-file scan + delete batch) with ZERO bytes rewritten
+        — on a 100-TB table a 1k-key delete that straddles 200 wide
+        files costs a pruned scan and a kilobyte sidecar, not 100 GB of
+        rewrite. Key stats stay as-is (marks only ever shrink a file's
+        live key set — pruning stays conservative-correct)."""
+        prev = self.timeline.latest()
+        if prev is None:
+            return None
+        cid = self.timeline.next_commit_id()
+        keyed = batch.withColumn(
+            RECORD_KEY_COL, record_key_expr(self.record_keys))
+        touched = self._batch_partitions(batch)
+        affected, _ = self._split_files(prev.files, touched)
+        affected, _ = self._prune_by_key_range(
+            affected, prev.key_stats, self._batch_key_range(batch)
+        )
+        persisted = keyed = keyed.persist()  # probe + semi-join + tombstones
+        try:
+            if self.bloom_index and affected:
+                affected, _ = self._prune_by_bloom(
+                    affected, keyed, prev.key_stats)
+            tombstones = self._write_tombstones(keyed)
+            if not affected:
+                # nothing can match: publish the (possibly tombstoned)
+                # no-op delete without touching a data byte
+                return self._commit(
+                    cid, "delete", list(prev.files),
+                    [dict(d) for d in prev.deltas], prev.schema_json,
+                    {"files_rewritten": 0, "dv_rows_marked": 0,
+                     **(extra_stats or {})},
+                    dict(prev.key_stats), dict(prev.col_stats),
+                    tombstones=tombstones,
+                )
+            src = self.spark.read.schema(
+                T.StructType.fromJson(json.loads(prev.schema_json))
+            ).parquet(*[str(self.root / f) for f in affected])
+            src = src.select(
+                F.coalesce(F.col(RECORD_KEY_COL),
+                           record_key_expr(self.record_keys)
+                           ).alias(RECORD_KEY_COL),
+                self._file_rel_expr().alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            hits = src.join(keyed.select(RECORD_KEY_COL).distinct(),
+                            on=RECORD_KEY_COL, how="left_semi")
+            hits = self._subtract_prior_marks(hits, affected, prev.dvs)
+            return self._dv_commit(prev, cid, hits, tombstones, extra_stats)
+        finally:
+            persisted.unpersist()
+
+    def _subtract_prior_marks(self, hits: DataFrame, affected: list[str],
+                              dvs: dict) -> DataFrame:
+        """Drop (file, pos) marks already present in the files' existing
+        DVs — re-deleting a marked row must not inflate the manifest's
+        exact ``rows`` counts (metadata-only COUNT(*) depends on them)."""
+        prior_rels = sorted({r for f in affected
+                             for r in dvs.get(f, {}).get("files", [])})
+        if not prior_rels:
+            return hits
+        prior = self.spark.read.parquet(
+            *[str(self.root / r) for r in prior_rels]).select("file", "pos")
+        return hits.join(prior, ["file", "pos"], "left_anti")
+
+    def _dv_delete_where(self, cond, prune: dict | None = None,
+                         extra_stats: dict | None = None) -> Commit:
+        """Predicate delete as position marks: column-stats pruning
+        picks candidate files, matching rows' positions land in a
+        sidecar — retention sweeps / right-to-be-forgotten on a 100-TB
+        table without rewriting a file. SQL-DELETE null semantics (NULL
+        predicate rows are kept), like ``delete_where``."""
+        prev = self.timeline.latest()
+        if prev is None:
+            raise ValueError(f"table {self.root} has no commits")
+        cid = self.timeline.next_commit_id()
+        affected = prev.files
+        if prune:
+            affected = self._prune_files_by_col_stats(
+                prev.files, prev.col_stats, prune)
+        src = self.spark.read.schema(
+            T.StructType.fromJson(json.loads(prev.schema_json))
+        ).parquet(*[str(self.root / f) for f in affected]) if affected \
+            else None
+        if src is None:
+            return self._dv_commit(
+                prev, cid, self.spark.createDataFrame(
+                    [], "file string, pos long"), [], extra_stats)
+        matched = src.filter(F.coalesce(cond, F.lit(False)))
+        tombstones = self._write_tombstones(
+            matched.withColumn(
+                RECORD_KEY_COL,
+                F.coalesce(F.col(RECORD_KEY_COL),
+                           record_key_expr(self.record_keys))))
+        hits = matched.select(
+            self._file_rel_expr().alias("file"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        hits = self._subtract_prior_marks(hits, affected, prev.dvs)
+        return self._dv_commit(prev, cid, hits, tombstones, extra_stats)
+
+    def purge_deleted(self, min_dv_rows: int = 1) -> Commit | None:
+        """Materialize deletion vectors (Delta ``REORG TABLE … APPLY
+        (PURGE)`` parity): rewrite ONLY the files carrying ≥
+        ``min_dv_rows`` marks — DV-filtered rows out, marks dropped —
+        and carry everything else by manifest reference. The steady-state
+        maintenance pass that keeps read-side anti-join state bounded;
+        cost is O(marked files' bytes), never O(table). Returns None
+        when no file qualifies. Per-record ``_ghs_commit_time`` is
+        preserved, so the incremental feed is unaffected."""
+        commit = self.timeline.latest()
+        if commit is None:
+            raise ValueError(f"table {self.root} has no commits")
+        to_purge = [f for f in commit.files
+                    if int(commit.dvs.get(f, {}).get("rows", 0))
+                    >= max(1, min_dv_rows)]
+        if not to_purge:
+            return None
+        carried = [f for f in commit.files if f not in set(to_purge)]
+        df = self._read_files(to_purge, commit.schema_json,
+                              dvs=commit.dvs)
+        cid = self.timeline.next_commit_id()
+        files = self._write_files(
+            df, cid,
+            n_files=len(to_purge) if not self.partition_keys else None)
+        key_stats, col_stats = self._collect_file_stats(files)
+        key_stats = {**{f: commit.key_stats[f] for f in carried
+                        if f in commit.key_stats}, **key_stats}
+        col_stats = {**{f: commit.col_stats[f] for f in carried
+                        if f in commit.col_stats}, **col_stats}
+        return self._commit(
+            cid, "purge", carried + files,
+            [dict(d) for d in commit.deltas], commit.schema_json,
+            {"purged_files": len(to_purge),
+             "purged_rows": sum(int(commit.dvs[f]["rows"])
+                                for f in to_purge)},
+            key_stats, col_stats,
+        )
 
     def bootstrap(self, src_dir: str | Path, pattern: str = "*.parquet") -> Commit:
         """Metadata-only bootstrap (Hudi's METADATA_ONLY bootstrap mode):
@@ -2299,7 +2661,7 @@ class NativeTable:
                 affected, keyed, prev.key_stats
             )
             untouched = untouched + bloom_skipped
-        existing = self._read_files(affected, prev.schema_json)
+        existing = self._read_files(affected, prev.schema_json, dvs=prev.dvs)
 
         keys_only = keyed.select(RECORD_KEY_COL)
         if parallelism > 0:
@@ -2396,6 +2758,8 @@ class NativeTable:
         """
         if self.storage_type == "mor" and (self.timeline.latest() or Commit(0, "", [])).deltas:
             self.compact()
+        if self.deletion_vectors:
+            return self._dv_delete_where(cond, prune, extra_stats)
         prev = self.timeline.latest()
         if prev is None:
             raise ValueError(f"table {self.root} has no commits")
@@ -2407,7 +2771,7 @@ class NativeTable:
                 prev.files, prev.col_stats, prune
             )
             untouched = [f for f in prev.files if f not in set(affected)]
-        existing = self._read_files(affected, prev.schema_json)
+        existing = self._read_files(affected, prev.schema_json, dvs=prev.dvs)
         kept = existing.filter(~F.coalesce(cond, F.lit(False)))
         # change feed: the dropped rows' keys — one extra filter pass over
         # the SAME pruned affected set, nothing table-wide
@@ -2490,7 +2854,7 @@ class NativeTable:
                 affected, keyed, prev.key_stats
             )
             untouched = untouched + bloom_skipped
-        existing = self._read_files(affected, prev.schema_json)
+        existing = self._read_files(affected, prev.schema_json, dvs=prev.dvs)
         if parallelism > 0:
             existing = existing.repartition(parallelism, RECORD_KEY_COL)
 
@@ -2639,13 +3003,15 @@ class NativeTable:
             tgt = self.read_snapshot()
         elif by_source:
             tgt = self._to_logical(
-                self._read_files(prev.files, prev.schema_json), prev
+                self._read_files(prev.files, prev.schema_json,
+                                 dvs=prev.dvs), prev
             ).drop(*META_COLS)
         else:
             files, _ = self._prune_by_key_range(
                 prev.files, prev.key_stats, self._batch_key_range(source))
             tgt = self._to_logical(
-                self._read_files(files, prev.schema_json), prev
+                self._read_files(files, prev.schema_json,
+                                 dvs=prev.dvs), prev
             ).drop(*META_COLS)
         tgt = tgt.withColumn("_ghs_tgt_exists", F.lit(True))
         source = source.withColumn("_ghs_src_exists", F.lit(True))
@@ -2903,7 +3269,7 @@ class NativeTable:
         if not to_pack:
             return None
         carried = [f for f in commit.files if f not in set(to_pack)]
-        df = self._read_files(to_pack, commit.schema_json)
+        df = self._read_files(to_pack, commit.schema_json, dvs=commit.dvs)
         cid = self.timeline.next_commit_id()
         if self.partition_keys:
             # width 1: all of a partition's slivers coalesce into ~1 file
@@ -3068,4 +3434,7 @@ class NativeTable:
             dict(target.key_stats), dict(target.col_stats),
             column_mapping=dict(target.column_mapping),
             retired_cols=list(target.retired_cols),
+            # the TARGET's DV state, not the head's: rolling back past a
+            # DV delete must un-mark its rows
+            dvs=dict(target.dvs),
         )
