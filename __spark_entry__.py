@@ -1280,6 +1280,47 @@ SELECT * FROM ups
 """
 
 
+def cdc_table_changes(spark, sf_dir):
+    """Delta ``table_changes`` parity (round 8): CDF rows with
+    PER-COMMIT attribution. Three commits — bulk load, an update wave,
+    a delete wave — then ``table_changes(1)`` replays the history:
+    updates emit BOTH images stamped with version 2, deletes emit the
+    version-2 state of each removed row stamped with version 3. (The
+    endpoint-diff ``change_feed`` would collapse an update-then-delete
+    key into one delete; per-version attribution keeps each commit's
+    changes distinct — what a downstream incremental maintainer needs.)
+    """
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "user_id", "value",
+    )
+    tmp = _scratch_dir("tc_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"],
+        precombine="event_id", partition_keys=[], files_per_partition=8,
+    )
+    table.bulk_insert(ev)
+    table.upsert(ev.filter(F.col("event_id") % 40 == 0).withColumn(
+        "value", F.col("value") + F.lit(500.0)))
+    table.delete(ev.filter(F.col("event_id") % 70 == 0).select("ek"))
+    return table.table_changes(1).select(
+        "_change_type", "_commit_version", "event_id", "user_id", "value")
+
+
+TABLE_CHANGES_ORACLE = """
+SELECT 'update_preimage' AS _change_type, CAST(2 AS BIGINT) AS _commit_version,
+       event_id, user_id, value
+FROM events WHERE event_id % 40 = 0
+UNION ALL
+SELECT 'update_postimage', 2, event_id, user_id, value + 500.0
+FROM events WHERE event_id % 40 = 0
+UNION ALL
+SELECT 'delete', 3, event_id, user_id,
+       CASE WHEN event_id % 40 = 0 THEN value + 500.0 ELSE value END
+FROM events WHERE event_id % 70 = 0
+"""
+
+
 def cdc_concurrent_writers(spark, sf_dir):
     """Multi-writer OCC with rebase (round 7): two optimistic writers
     update DISJOINT partitions of one table, and the second writer's
@@ -7708,6 +7749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_full_sync": cdc_merge_full_sync,
         "cdc_column_mapping": cdc_column_mapping,
         "cdc_deletion_vectors": cdc_deletion_vectors,
+        "cdc_table_changes": cdc_table_changes,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -7947,6 +7989,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_full_sync": MERGE_FULL_SYNC_ORACLE,
         "cdc_column_mapping": COLUMN_MAPPING_ORACLE,
         "cdc_deletion_vectors": DELETION_VECTORS_ORACLE,
+        "cdc_table_changes": TABLE_CHANGES_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

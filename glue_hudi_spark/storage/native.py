@@ -1618,6 +1618,45 @@ class NativeTable:
             .select("_r.*")
         )
 
+    def table_changes(self, start_commit: int,
+                      end_commit: int | None = None) -> DataFrame:
+        """Delta ``table_changes(start, end)`` parity: CDF rows with
+        PER-COMMIT attribution — every change carries ``_change_type``
+        (insert / update_preimage / update_postimage / delete),
+        ``_commit_version`` and ``_commit_timestamp``, so a consumer can
+        replay history version by version (``change_feed`` collapses the
+        range to its endpoints; this keeps each commit distinct).
+
+        Built as one adjacent-pair ``change_feed`` per version, unioned
+        — cost is O(versions in range) pruned snapshot diffs, the batch
+        BACKFILL path for short ranges. A long-lived consumer should
+        tail the ``ghs_table`` stream instead (per-commit by
+        construction, no diffing). Retention applies: every version in
+        [start, end] must still be retained."""
+        end_commit = (end_commit if end_commit is not None
+                      else self.timeline.latest().commit_id)
+        if start_commit >= end_commit:
+            raise ValueError(
+                f"table_changes: start_commit {start_commit} must be < "
+                f"end_commit {end_commit}")
+        out = None
+        for cid in range(start_commit + 1, end_commit + 1):
+            c = self.timeline.at(cid)
+            if c is None:
+                raise ValueError(
+                    f"table_changes: commit {cid} no longer retained — "
+                    "increase retain_commits or backfill from a seed "
+                    "snapshot")
+            cf = (
+                self.change_feed(cid - 1, cid)
+                .withColumn("_commit_version", F.lit(cid).cast("bigint"))
+                .withColumn(
+                    "_commit_timestamp",
+                    F.lit(float(c.wall_time)).cast("timestamp"))
+            )
+            out = cf if out is None else out.unionByName(cf)
+        return out
+
     def write_audit_publish(
         self, batch: DataFrame, rules: list, op: str = "upsert", **write_kwargs
     ):

@@ -976,3 +976,29 @@ def test_delete_where_and_merge_write_tombstones(spark, tmp_path):
                                   "id string, s int, v double, op string"),
             op_col="op")
     assert t.timeline.latest().tombstones == []
+
+
+def test_table_changes_per_version_attribution(spark, tmp_path):
+    """Delta table_changes parity: an update-then-delete key surfaces
+    in BOTH versions (endpoint change_feed would collapse it), with
+    _commit_version / _commit_timestamp attribution."""
+    import pytest as _pytest
+
+    t = NativeTable(spark, tmp_path / "tc", record_keys=["id"],
+                    precombine="s")
+    t.bulk_insert(spark.createDataFrame(
+        [("a", 1, 1.0), ("b", 1, 2.0)], "id string, s int, v double"))
+    t.upsert(spark.createDataFrame([("a", 2, 9.0)],
+                                   "id string, s int, v double"))
+    t.delete(spark.createDataFrame([("a",)], "id string"))
+    rows = {(r["_change_type"], r["_commit_version"], r["id"], r["v"])
+            for r in t.table_changes(1).collect()}
+    assert rows == {
+        ("update_preimage", 2, "a", 1.0),
+        ("update_postimage", 2, "a", 9.0),
+        ("delete", 3, "a", 9.0),  # deleted row as of version 2
+    }
+    ts = [r["_commit_timestamp"] for r in t.table_changes(1).collect()]
+    assert all(x is not None for x in ts)
+    with _pytest.raises(ValueError, match="must be <"):
+        t.table_changes(3)
