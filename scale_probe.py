@@ -188,6 +188,30 @@ def main() -> None:
     c = cow.upsert(edge.withColumn("qty", F.col("qty") + 2))
     probe("nobloom_edge_upsert", time.perf_counter() - t0, **c.stats)
 
+    # ---- deletion vectors at 10×: scattered delete as position marks
+    # vs the rewrite path (same batch, same table shape) ------------------
+    dv = NativeTable(spark, f"{work}/dv", record_keys=["k", "ln"],
+                     precombine="qty", files_per_partition=32,
+                     deletion_vectors=True)
+    dv.bulk_insert(big)
+    scat_del = big.filter(F.col("k") % 6007 == 0).select("k", "ln")
+    t0 = time.perf_counter()
+    c = dv.delete(scat_del)
+    probe("dv_scattered_delete", time.perf_counter() - t0,
+          batch_rows=scat_del.count(),
+          dv_rows_marked=c.stats.get("dv_rows_marked"),
+          files_rewritten=c.stats.get("files_rewritten"))
+    t0 = time.perf_counter()
+    n = dv.read_snapshot().count()
+    probe("dv_read_after_delete", time.perf_counter() - t0, rows=n)
+    t0 = time.perf_counter()
+    c = dv.purge_deleted()
+    probe("dv_purge", time.perf_counter() - t0, **(c.stats if c else {}))
+    t0 = time.perf_counter()
+    c = cow.delete(scat_del)  # rewrite-path contrast on the plain table
+    probe("rewrite_scattered_delete", time.perf_counter() - t0,
+          files_rewritten=c.stats.get("files_rewritten"))
+
     # ---- Z-order at 10×: layout rewrite cost + 2-dim pruned read ----
     zt = NativeTable(spark, f"{work}/zorder", record_keys=["k", "ln"],
                      precombine="qty", files_per_partition=32,
