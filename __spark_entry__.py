@@ -1321,6 +1321,55 @@ FROM events WHERE event_id % 70 = 0
 """
 
 
+def cdc_hidden_partitioning(spark, sf_dir):
+    """Hidden partitioning (round 8; Iceberg partition-transform class):
+    the table is laid out by ``days(ts)`` — a TRANSFORM of the timestamp,
+    rendered only in directory names — while queries keep filtering on
+    the raw ``ts`` column. The engine maps the predicate range to a dir
+    string range and drops out-of-range day dirs before Spark lists a
+    file, then applies the exact row filter (intra-day bounds stay
+    exact). Asserted in-query: a one-day upsert rewrites exactly that
+    day's file, and the pruned read lists only in-range day dirs. The
+    reference partitions on a raw column the user must derive and keep
+    consistent by hand (processData.py:310-312, partition_key config);
+    transforms make that derivation engine-owned — at 100 TB the
+    difference between scanning 11/30 day dirs and scanning the table."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "value",
+    )
+    tmp = _scratch_dir("hp_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"],
+        precombine="event_id", partition_keys=["days(ts)"],
+        files_per_partition=1,
+    )
+    table.bulk_insert(ev)
+    d25, d26 = "2024-01-25 00:00:00", "2024-01-26 00:00:00"
+    patch = ev.filter(
+        (F.col("ts") >= F.lit(d25)) & (F.col("ts") < F.lit(d26))
+    ).withColumn("value", F.col("value") + F.lit(500.0))
+    c = table.upsert(patch)
+    assert c.stats["files_rewritten"] == 1, "one-day upsert must touch 1 file"
+    cutoff = "2024-01-20 12:00:00"
+    out = table.read_snapshot(prune={"ts": (cutoff, None)})
+    files = out.inputFiles()
+    assert files and all(
+        f.split("_pp_ts_day=")[1][:10] >= "2024-01-20" for f in files
+    ), "hidden-partition pruning listed an out-of-range day dir"
+    return out.select("event_id", "user_id", "value")
+
+
+HIDDEN_PARTITIONING_ORACLE = """
+SELECT event_id, user_id,
+       CASE WHEN ts >= TIMESTAMP '2024-01-25 00:00:00'
+             AND ts <  TIMESTAMP '2024-01-26 00:00:00'
+            THEN value + 500.0 ELSE value END AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-20 12:00:00'
+"""
+
+
 def cdc_concurrent_writers(spark, sf_dir):
     """Multi-writer OCC with rebase (round 7): two optimistic writers
     update DISJOINT partitions of one table, and the second writer's
@@ -7750,6 +7799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_column_mapping": cdc_column_mapping,
         "cdc_deletion_vectors": cdc_deletion_vectors,
         "cdc_table_changes": cdc_table_changes,
+        "cdc_hidden_partitioning": cdc_hidden_partitioning,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -7990,6 +8040,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_column_mapping": COLUMN_MAPPING_ORACLE,
         "cdc_deletion_vectors": DELETION_VECTORS_ORACLE,
         "cdc_table_changes": TABLE_CHANGES_ORACLE,
+        "cdc_hidden_partitioning": HIDDEN_PARTITIONING_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

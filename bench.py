@@ -126,6 +126,9 @@ BENCH_QUERIES = [
     "cdc_replicated_table",
     "nation_trade_communities",
     "corpus_tfidf_keywords",
+    "cdc_deletion_vectors",
+    "cdc_table_changes",
+    "cdc_hidden_partitioning",
 ]
 
 

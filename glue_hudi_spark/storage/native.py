@@ -37,7 +37,9 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import urllib.parse
+from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -287,6 +289,111 @@ def _partition_str(col_name: str):
     return F.when(c.isNull() | (c == ""), F.lit(HIVE_DEFAULT_PARTITION)).otherwise(c)
 
 
+_TRANSFORM_RE = re.compile(r"^\s*(\w+)\s*\(\s*(?:(\d+)\s*,\s*)?([\w.]+)\s*\)\s*$")
+
+_TIME_FMTS = {"years": "yyyy", "months": "yyyy-MM",
+              "days": "yyyy-MM-dd", "hours": "yyyy-MM-dd-HH"}
+_TIME_PYFMTS = {"years": "%Y", "months": "%Y-%m",
+                "days": "%Y-%m-%d", "hours": "%Y-%m-%d-%H"}
+
+
+@dataclass(frozen=True)
+class PartitionField:
+    """One partition-spec entry (Iceberg hidden-partitioning class).
+
+    A spec is either a plain column name (identity — the classic hive
+    layout) or a TRANSFORM of a column: ``years(ts)`` / ``months(ts)`` /
+    ``days(ts)`` / ``hours(ts)`` (calendar buckets of a timestamp),
+    ``bucket(N, col)`` (hash bucket), ``truncate(W, col)`` (string
+    prefix). The transform value lives ONLY in the directory name — the
+    typed source column stays intact in the data files, so queries
+    filter on the SOURCE column and the engine prunes the transformed
+    dirs ("hidden": users never see or maintain a derived column, the
+    mistake-prone part of hive-style date partitioning Iceberg's spec
+    calls out). Time/truncate transforms render ORDER-PRESERVING dir
+    strings (lexicographic = chronological), which is what makes
+    predicate→partition pruning a plain string-range test."""
+
+    spec: str
+    transform: str  # identity|years|months|days|hours|bucket|truncate
+    source: str
+    param: int | None
+    name: str
+
+    def expr(self):
+        """Directory-string Column for this field (null-safe: NULL or
+        uncastable sources land in the hive default partition)."""
+        if self.transform == "identity":
+            return _partition_str(self.source)
+        c = F.col(self.source)
+        if self.transform in _TIME_FMTS:
+            s = F.date_format(c.cast("timestamp"), _TIME_FMTS[self.transform])
+        elif self.transform == "bucket":
+            s = F.pmod(F.xxhash64(c.cast("string")),
+                       F.lit(self.param)).cast("string")
+        else:  # truncate: string prefix (numeric sources render via cast)
+            s = F.substring(c.cast("string"), 1, self.param)
+        return F.when(c.isNull() | s.isNull(),
+                      F.lit(HIVE_DEFAULT_PARTITION)).otherwise(s)
+
+    def transform_bounds(self, lo, hi):
+        """Map a [lo, hi] predicate range on the SOURCE column to a dir
+        string range, for order-preserving transforms — None when the
+        transform can't serve range pruning (bucket, identity — identity
+        is already served exactly by the column-stats index)."""
+        if self.transform in _TIME_PYFMTS:
+            fmt = _TIME_PYFMTS[self.transform]
+
+            def render(v):
+                if v is None:
+                    return None
+                if isinstance(v, str):
+                    import datetime as _dt
+                    try:
+                        v = _dt.datetime.fromisoformat(v)
+                    except ValueError:
+                        return _SKIP
+                if hasattr(v, "strftime"):
+                    return v.strftime(fmt)
+                return _SKIP
+
+            b = (render(lo), render(hi))
+            return None if _SKIP in b else b
+        if self.transform == "truncate":
+            f = (lambda v: None if v is None
+                 else v[: self.param] if isinstance(v, str) else _SKIP)
+            b = (f(lo), f(hi))
+            return None if _SKIP in b else b
+        return None
+
+
+_SKIP = object()  # sentinel: unrenderable bound → no pruning (safe)
+
+
+def _parse_partition_field(spec: str) -> PartitionField:
+    m = _TRANSFORM_RE.match(spec)
+    if not m:
+        return PartitionField(spec, "identity", spec, None, spec)
+    transform, param, source = m.group(1), m.group(2), m.group(3)
+    if transform not in (*_TIME_FMTS, "bucket", "truncate"):
+        raise ValueError(
+            f"unknown partition transform {transform!r} in {spec!r} "
+            f"(supported: years/months/days/hours, bucket(N, col), "
+            f"truncate(W, col))")
+    if transform in ("bucket", "truncate"):
+        if not param:
+            raise ValueError(f"{transform} needs a width: {spec!r}")
+        param_i = int(param)
+    else:
+        if param:
+            raise ValueError(f"{transform} takes no width: {spec!r}")
+        param_i = None
+    suffix = {"years": "year", "months": "month", "days": "day",
+              "hours": "hour", "bucket": "bucket", "truncate": "trunc"}
+    return PartitionField(spec, transform, source, param_i,
+                          f"{source}_{suffix[transform]}")
+
+
 def record_key_expr(keys: list[str]):
     """Build the record-key string column.
 
@@ -400,6 +507,17 @@ class NativeTable:
             raise ValueError(
                 "deletion_vectors is the CoW delete path; MoR tables "
                 "already take O(batch) deletes via delta markers")
+        # Partition spec (Iceberg hidden-partitioning class): each entry
+        # is a column name (identity) or a transform — days(ts),
+        # months(ts), years(ts), hours(ts), bucket(N, col),
+        # truncate(W, col). See PartitionField.
+        self._pfields = [_parse_partition_field(s)
+                         for s in self.partition_keys]
+        names = [f.name for f in self._pfields]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"partition spec {self.partition_keys} produces duplicate "
+                f"partition-field names {names}")
         self.timeline = CommitTimeline(self.root)
 
     # ------------------------------------------------------------------ util
@@ -440,7 +558,7 @@ class NativeTable:
         return self.timeline.exists()
 
     def _pp_cols(self) -> list[str]:
-        return [_PP_PREFIX + c for c in self.partition_keys]
+        return [_PP_PREFIX + f.name for f in self._pfields]
 
     def _to_physical(self, df: DataFrame, commit: "Commit | None") -> DataFrame:
         """Translate a LOGICAL batch to the files' physical column names
@@ -565,8 +683,8 @@ class NativeTable:
                     # writes can violate it
                     continue
                 out = checked
-        for c in self.partition_keys:
-            out = out.withColumn(_PP_PREFIX + c, _partition_str(c))
+        for fld in self._pfields:
+            out = out.withColumn(_PP_PREFIX + fld.name, fld.expr())
         if width and cluster_col and not self.partition_keys:
             out = (
                 out.repartitionByRange(width, cluster_col)
@@ -613,7 +731,7 @@ class NativeTable:
                 k, v = seg.split("=", 1)
                 if k.startswith(_PP_PREFIX):
                     vals[k[len(_PP_PREFIX):]] = urllib.parse.unquote(v)
-        return tuple(vals.get(c, "") for c in self.partition_keys)
+        return tuple(vals.get(f.name, "") for f in self._pfields)
 
     def _batch_partitions(self, df: DataFrame) -> set[tuple[str, ...]] | None:
         """Distinct partition tuples present in a batch (None → cannot prune).
@@ -623,16 +741,53 @@ class NativeTable:
         """
         if not self.partition_keys:
             return None
-        if not all(c in df.columns for c in self.partition_keys):
+        if not all(f.source in df.columns for f in self._pfields):
             return None
         rows = (
             df.select(
-                *[_partition_str(c).alias(c) for c in self.partition_keys]
+                *[f.expr().alias(f.name) for f in self._pfields]
             )
             .distinct()
             .collect()
         )
-        return {tuple(r[c] for c in self.partition_keys) for r in rows}
+        return {tuple(r[f.name] for f in self._pfields) for r in rows}
+
+    def _prune_files_by_partition(self, files: list[str],
+                                  prune: dict | None) -> list[str]:
+        """Hidden-partition pruning (the Iceberg promise): a range
+        predicate on a transform's SOURCE column drops whole partition
+        dirs before Spark lists a file — no derived column in the query,
+        no column-stats needed. Order-preserving transforms only
+        (days/months/years/hours, string truncate: their dir strings
+        sort like their sources); files in the hive default partition
+        (null/uncastable sources) are conservatively kept."""
+        if not prune or not files:
+            return files
+        bounds = []
+        for i, fld in enumerate(self._pfields):
+            rng = prune.get(fld.source)
+            if rng is None:
+                continue
+            b = fld.transform_bounds(rng[0], rng[1])
+            if b is not None:
+                bounds.append((i, b))
+        if not bounds:
+            return files
+        kept = []
+        for f in files:
+            pv = self._file_partition(f)
+            keep = True
+            for i, (lo, hi) in bounds:
+                v = pv[i]
+                if v in ("", HIVE_DEFAULT_PARTITION):
+                    continue
+                if (lo is not None and v < lo) or (
+                        hi is not None and v > hi):
+                    keep = False
+                    break
+            if keep:
+                kept.append(f)
+        return kept
 
     def _split_files(
         self, files: list[str], touched: set[tuple[str, ...]] | None
@@ -1435,6 +1590,7 @@ class NativeTable:
             raise ValueError(f"table {self.root} has no commits")
         base_files = commit.files
         if prune:
+            base_files = self._prune_files_by_partition(base_files, prune)
             base_files = self._prune_files_by_col_stats(
                 base_files, commit.col_stats, prune
             )
@@ -2488,8 +2644,9 @@ class NativeTable:
         cid = self.timeline.next_commit_id()
         affected = prev.files
         if prune:
+            affected = self._prune_files_by_partition(affected, prune)
             affected = self._prune_files_by_col_stats(
-                prev.files, prev.col_stats, prune)
+                affected, prev.col_stats, prune)
         src = self.spark.read.schema(
             T.StructType.fromJson(json.loads(prev.schema_json))
         ).parquet(*[str(self.root / f) for f in affected]) if affected \
@@ -2806,8 +2963,9 @@ class NativeTable:
         affected = prev.files
         untouched: list[str] = []
         if prune:
+            affected = self._prune_files_by_partition(prev.files, prune)
             affected = self._prune_files_by_col_stats(
-                prev.files, prev.col_stats, prune
+                affected, prev.col_stats, prune
             )
             untouched = [f for f in prev.files if f not in set(affected)]
         existing = self._read_files(affected, prev.schema_json, dvs=prev.dvs)
