@@ -1370,6 +1370,56 @@ WHERE ts >= TIMESTAMP '2024-01-20 12:00:00'
 """
 
 
+def cdc_partition_evolution(spark, sf_dir):
+    """Partition-spec evolution (round 8; Iceberg partition-evolution
+    class): a days(ts)-partitioned table evolves to months(ts) in a
+    METADATA-ONLY commit — asserted in-query: the evolve commit's file
+    list is byte-identical to its parent's (zero of 100 TB rewritten).
+    Old files stay in day dirs, the post-evolution upsert lands in month
+    dirs (both layouts asserted present), merges still find keys living
+    in old-spec files, and a ts-range read stays exact across the mixed
+    layout. The reference would require a full rewrite to a new table
+    (partition_key is fixed config, processData.py:310-312)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "value",
+    )
+    tmp = _scratch_dir("pe_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"],
+        precombine="event_id", partition_keys=["days(ts)"],
+        files_per_partition=1,
+    )
+    table.bulk_insert(ev.filter(F.col("ts") < F.lit("2024-01-20 00:00:00")))
+    c = table.evolve_partition_spec(["months(ts)"])
+    assert c.files == table.timeline.at(c.commit_id - 1).files, \
+        "evolution must move zero data files"
+    table.upsert(ev.filter(F.col("ts") >= F.lit("2024-01-20 00:00:00")))
+    head = table.timeline.latest()
+    assert any("_pp_ts_day=" in f for f in head.files) and any(
+        "_pp_ts_month=" in f for f in head.files), "expected mixed layout"
+    # update keys that live in OLD-spec day files
+    patch = ev.filter(
+        (F.col("ts") >= F.lit("2024-01-05 00:00:00"))
+        & (F.col("ts") < F.lit("2024-01-06 00:00:00"))
+    ).withColumn("value", F.col("value") + F.lit(500.0))
+    table.upsert(patch)
+    out = table.read_snapshot(
+        prune={"ts": ("2024-01-04 00:00:00", "2024-01-24 23:59:59")})
+    return out.select("event_id", "user_id", "value")
+
+
+PARTITION_EVOLUTION_ORACLE = """
+SELECT event_id, user_id,
+       CASE WHEN ts >= TIMESTAMP '2024-01-05 00:00:00'
+             AND ts <  TIMESTAMP '2024-01-06 00:00:00'
+            THEN value + 500.0 ELSE value END AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-24 23:59:59'
+"""
+
+
 def cdc_concurrent_writers(spark, sf_dir):
     """Multi-writer OCC with rebase (round 7): two optimistic writers
     update DISJOINT partitions of one table, and the second writer's
@@ -7800,6 +7850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_deletion_vectors": cdc_deletion_vectors,
         "cdc_table_changes": cdc_table_changes,
         "cdc_hidden_partitioning": cdc_hidden_partitioning,
+        "cdc_partition_evolution": cdc_partition_evolution,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -8041,6 +8092,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_deletion_vectors": DELETION_VECTORS_ORACLE,
         "cdc_table_changes": TABLE_CHANGES_ORACLE,
         "cdc_hidden_partitioning": HIDDEN_PARTITIONING_ORACLE,
+        "cdc_partition_evolution": PARTITION_EVOLUTION_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "cdc_deletion_vectors",
     "cdc_table_changes",
     "cdc_hidden_partitioning",
+    "cdc_partition_evolution",
 ]
 
 

@@ -125,6 +125,14 @@ def main(argv: list[str] | None = None) -> int:
                                              "materializes)")
     _common(pdc, raw=False)
     pdc.add_argument("--column", required=True, help="column to drop")
+    pep = sub.add_parser("evolve-partition",
+                         help="metadata-only partition-spec change "
+                              "(Iceberg partition evolution; old files "
+                              "stay put, compact migrates)")
+    _common(pep, raw=False)
+    pep.add_argument("--spec", nargs="*", default=[], metavar="FIELD",
+                     help="new spec entries, e.g. 'months(ts)' "
+                          "'bucket(8, user_id)'; empty = unpartitioned")
     pcu = sub.add_parser("curate", help="run a config-declared corpus "
                                         "curation pipeline (quality/LM "
                                         "filters, dedup, token budget) "
@@ -293,6 +301,11 @@ def main(argv: list[str] | None = None) -> int:
             c = table.drop_column(args.column)
             out.append({"table": ctl.table_name, "commit": c.commit_id,
                         "dropped": c.stats["dropped"]})
+        elif args.cmd == "evolve-partition":
+            table = pipe._table(ctl)
+            c = table.evolve_partition_spec(list(args.spec))
+            out.append({"table": ctl.table_name, "commit": c.commit_id,
+                        **c.stats["partition_spec"]})
         elif args.cmd == "show":
             table = pipe._table(ctl)
             # count_rows is metadata-only on a compacted table; history

@@ -96,6 +96,16 @@ class Commit:
     # (file, row position). ``rows`` is the exact marked count, so
     # metadata-only COUNT(*) stays exact.
     dvs: dict = field(default_factory=dict)
+    # Partition spec in force AT this commit (Iceberg partition-evolution
+    # class): the list of spec strings (identity / days(ts) / bucket(N,c)
+    # / truncate(W,c)) new files of this and later commits are laid out
+    # under. Carried forward; evolve_partition_spec() rewrites it in a
+    # metadata-only commit — files written under OLDER specs stay in
+    # their old dirs and are handled conservatively (never partition-
+    # pruned, always merge-affected) until compact()/cluster() migrates
+    # them. None (legacy manifests) = spec never recorded; the
+    # constructor's partition_keys is then authoritative.
+    partition_spec: list | None = None
 
     @property
     def commit_time(self) -> str:
@@ -194,6 +204,7 @@ class CommitTimeline:
             column_mapping=d.get("column_mapping", {}),
             retired_cols=d.get("retired_cols", []),
             dvs=d.get("dvs", {}),
+            partition_spec=d.get("partition_spec"),
         )
         if key is not None:
             cache = CommitTimeline._manifest_cache
@@ -238,6 +249,7 @@ class CommitTimeline:
                 "column_mapping": commit.column_mapping,
                 "retired_cols": commit.retired_cols,
                 "dvs": commit.dvs,
+                "partition_spec": commit.partition_spec,
             },
             indent=1,
         )

@@ -390,8 +390,13 @@ def _parse_partition_field(spec: str) -> PartitionField:
         param_i = None
     suffix = {"years": "year", "months": "month", "days": "day",
               "hours": "hour", "bucket": "bucket", "truncate": "trunc"}
+    # bucket/truncate field names carry the width (id_bucket8): after a
+    # partition-spec evolution, equal field NAMES must imply equal dir
+    # VALUES — bucket(4,id) and bucket(8,id) dirs would otherwise be
+    # indistinguishable and mis-prune each other's files
+    tag = suffix[transform] + (str(param_i) if param_i is not None else "")
     return PartitionField(spec, transform, source, param_i,
-                          f"{source}_{suffix[transform]}")
+                          f"{source}_{tag}")
 
 
 def record_key_expr(keys: list[str]):
@@ -511,6 +516,20 @@ class NativeTable:
         # is a column name (identity) or a transform — days(ts),
         # months(ts), years(ts), hours(ts), bucket(N, col),
         # truncate(W, col). See PartitionField.
+        self._set_pfields()
+        self.timeline = CommitTimeline(self.root)
+        # Partition-spec EVOLUTION (Iceberg class): the spec persisted in
+        # the head manifest is authoritative over the constructor's — a
+        # table evolved by another writer/process opens with the evolved
+        # layout, not whatever the caller passed. None (legacy manifests)
+        # keeps the constructor spec.
+        head = self.timeline.latest()
+        if head is not None and head.partition_spec is not None and \
+                list(head.partition_spec) != self.partition_keys:
+            self.partition_keys = list(head.partition_spec)
+            self._set_pfields()
+
+    def _set_pfields(self) -> None:
         self._pfields = [_parse_partition_field(s)
                          for s in self.partition_keys]
         names = [f.name for f in self._pfields]
@@ -518,7 +537,6 @@ class NativeTable:
             raise ValueError(
                 f"partition spec {self.partition_keys} produces duplicate "
                 f"partition-field names {names}")
-        self.timeline = CommitTimeline(self.root)
 
     # ------------------------------------------------------------------ util
 
@@ -723,15 +741,33 @@ class NativeTable:
             self._build_blooms(rel_files)
         return rel_files
 
-    def _file_partition(self, rel: str) -> tuple[str, ...]:
-        """Parse a file's partition values from its hive-style dir path."""
+    def _file_partition(self, rel: str,
+                        pfields: "list[PartitionField] | None" = None
+                        ) -> tuple[str, ...]:
+        """Parse a file's partition values from its hive-style dir path.
+
+        ``""`` marks a field the path does not carry — the file predates
+        the current spec (partition evolution); writers never render ""
+        (null sources render as the hive default partition), so the mark
+        is unambiguous."""
         vals: dict[str, str] = {}
         for seg in Path(rel).parts[2:-1]:  # skip 'data/<cid>', skip filename
             if "=" in seg:
                 k, v = seg.split("=", 1)
                 if k.startswith(_PP_PREFIX):
                     vals[k[len(_PP_PREFIX):]] = urllib.parse.unquote(v)
-        return tuple(vals.get(f.name, "") for f in self._pfields)
+        return tuple(vals.get(f.name, "")
+                     for f in (pfields if pfields is not None
+                               else self._pfields))
+
+    def _pfields_of(self, commit: "Commit") -> "list[PartitionField]":
+        """The partition fields in force AT a commit — time-travel reads
+        prune an old snapshot under the spec its files were written with,
+        not today's."""
+        if commit.partition_spec is None or \
+                list(commit.partition_spec) == self.partition_keys:
+            return self._pfields
+        return [_parse_partition_field(s) for s in commit.partition_spec]
 
     def _batch_partitions(self, df: DataFrame) -> set[tuple[str, ...]] | None:
         """Distinct partition tuples present in a batch (None → cannot prune).
@@ -753,18 +789,22 @@ class NativeTable:
         return {tuple(r[f.name] for f in self._pfields) for r in rows}
 
     def _prune_files_by_partition(self, files: list[str],
-                                  prune: dict | None) -> list[str]:
+                                  prune: dict | None,
+                                  pfields: "list[PartitionField] | None"
+                                  = None) -> list[str]:
         """Hidden-partition pruning (the Iceberg promise): a range
         predicate on a transform's SOURCE column drops whole partition
         dirs before Spark lists a file — no derived column in the query,
         no column-stats needed. Order-preserving transforms only
         (days/months/years/hours, string truncate: their dir strings
         sort like their sources); files in the hive default partition
-        (null/uncastable sources) are conservatively kept."""
+        (null/uncastable sources) or written under an older spec
+        (evolution — path lacks the field) are conservatively kept."""
         if not prune or not files:
             return files
+        pfields = pfields if pfields is not None else self._pfields
         bounds = []
-        for i, fld in enumerate(self._pfields):
+        for i, fld in enumerate(pfields):
             rng = prune.get(fld.source)
             if rng is None:
                 continue
@@ -775,7 +815,7 @@ class NativeTable:
             return files
         kept = []
         for f in files:
-            pv = self._file_partition(f)
+            pv = self._file_partition(f, pfields)
             keep = True
             for i, (lo, hi) in bounds:
                 v = pv[i]
@@ -792,12 +832,20 @@ class NativeTable:
     def _split_files(
         self, files: list[str], touched: set[tuple[str, ...]] | None
     ) -> tuple[list[str], list[str]]:
-        """(affected, untouched) file lists under partition pruning."""
+        """(affected, untouched) file lists under partition pruning.
+
+        A file written under an OLDER partition spec (evolution) lacks the
+        current field names in its path — its tuple carries ``""`` marks
+        and it is ALWAYS affected: its rows may belong to any current
+        partition, so it must flow through the merge (key-range/bloom
+        pruning still applies downstream). compact()/cluster() migrate
+        such files to the current layout."""
         if touched is None or not self.partition_keys:
             return list(files), []
         affected, untouched = [], []
         for f in files:
-            (affected if self._file_partition(f) in touched else untouched).append(f)
+            pv = self._file_partition(f)
+            (affected if "" in pv or pv in touched else untouched).append(f)
         return affected, untouched
 
     # ------------------------------------------------- record-level key index
@@ -1590,7 +1638,8 @@ class NativeTable:
             raise ValueError(f"table {self.root} has no commits")
         base_files = commit.files
         if prune:
-            base_files = self._prune_files_by_partition(base_files, prune)
+            base_files = self._prune_files_by_partition(
+                base_files, prune, self._pfields_of(commit))
             base_files = self._prune_files_by_col_stats(
                 base_files, commit.col_stats, prune
             )
@@ -2071,7 +2120,8 @@ class NativeTable:
                 tombstones: list[str] | None = None,
                 column_mapping: dict | None = None,
                 retired_cols: list[str] | None = None,
-                dvs: dict | None = None) -> Commit:
+                dvs: dict | None = None,
+                partition_spec: list[str] | None = None) -> Commit:
         """Publish with bounded retry-with-rebase on OCC conflict.
 
         When another writer wins the commit id, the loser does NOT re-run
@@ -2099,6 +2149,14 @@ class NativeTable:
         if dvs is None:
             dvs = ({f: head.dvs[f] for f in files if f in head.dvs}
                    if head else {})
+        # partition spec carries forward; the FIRST commit records the
+        # constructor's spec so every table created from here on has a
+        # manifest-authoritative layout (evolve_partition_spec rewrites it)
+        if partition_spec is None:
+            partition_spec = (list(head.partition_spec)
+                              if head is not None
+                              and head.partition_spec is not None
+                              else list(self.partition_keys))
         base = self.timeline.at(commit_id - 1)  # the head this writer saw
         for _ in range(OCC_MAX_REBASES + 1):
             commit = Commit(
@@ -2114,6 +2172,7 @@ class NativeTable:
                 column_mapping=dict(column_mapping),
                 retired_cols=list(retired_cols),
                 dvs=dict(dvs),
+                partition_spec=list(partition_spec),
             )
             commit.file_sizes, commit.row_counts = (
                 self._manifest_inventory(files, deltas))
@@ -2172,6 +2231,10 @@ class NativeTable:
                 (base.column_mapping, base.retired_cols) if base
                 else ({}, [])):
             _conflict("winner changed the column mapping")
+        if actual.partition_spec != (base.partition_spec if base else None):
+            # a mid-flight spec evolution invalidates this writer's
+            # partition pruning decisions — never rebase across it
+            _conflict("winner changed the partition spec")
         if not removed <= set(actual.files):
             _conflict("winner rewrote files this commit also rewrote")
         actual_delta_set = [d for d in actual.deltas]
@@ -3576,6 +3639,60 @@ class NativeTable:
             retired_cols=list(prev.retired_cols) + [physical],
         )
 
+    def evolve_partition_spec(self, new_specs: list[str] | None) -> Commit:
+        """Metadata-only partition-spec change (Iceberg partition
+        evolution): a new manifest records the new spec; ZERO data files
+        move. Files already written stay in their old-spec dirs and are
+        handled conservatively from then on — never partition-pruned,
+        always merge-affected (record-key/bloom pruning still applies) —
+        while new writes lay out under the new spec. ``compact()`` /
+        ``cluster()`` migrate the whole table to the current layout.
+        The classic use: a table partitioned ``days(ts)`` grows until
+        daily dirs are too fine → evolve to ``months(ts)`` without
+        rewriting 100 TB; queries on ``ts`` keep pruning both layouts
+        (new files by month dirs, old files by column stats).
+
+        A new field may not reuse a PREVIOUS field's name under a
+        different definition (dir values would be indistinguishable);
+        bucket/truncate names carry their width (``id_bucket8``) so
+        re-bucketing is always legal.
+        """
+        prev = self.timeline.latest()
+        if prev is None:
+            raise ValueError(f"table {self.root} has no commits")
+        new_specs = list(new_specs or [])
+        fields = [_parse_partition_field(s) for s in new_specs]
+        names = [f.name for f in fields]
+        if len(set(names)) != len(names):
+            raise ValueError(
+                f"partition spec {new_specs} produces duplicate "
+                f"partition-field names {names}")
+        logical = self._logical_names(prev)
+        for f in fields:
+            if f.source not in logical:
+                raise ValueError(
+                    f"partition source column {f.source!r} not in table "
+                    f"schema {sorted(logical)}")
+        old = {f.name: f.spec for f in self._pfields}
+        for f in fields:
+            if f.name in old and old[f.name] != f.spec:
+                raise ValueError(
+                    f"partition field {f.name!r} ({f.spec!r}) collides "
+                    f"with the previous spec's {old[f.name]!r}; pick a "
+                    "transform with a distinct field name")
+        cid = self.timeline.next_commit_id()
+        commit = self._commit(
+            cid, "evolve_partition", list(prev.files),
+            [dict(d) for d in prev.deltas], prev.schema_json,
+            {"partition_spec": {"from": list(self.partition_keys),
+                                "to": new_specs}},
+            dict(prev.key_stats), dict(prev.col_stats),
+            partition_spec=new_specs,
+        )
+        self.partition_keys = new_specs
+        self._set_pfields()
+        return commit
+
     def compact(self) -> Commit:
         """Materialize base+deltas into new base files (Hudi inline/async
         compaction, processData.py:152-153).
@@ -3624,7 +3741,7 @@ class NativeTable:
                     f"(cleaned or never existed)"
                 )
         cid = self.timeline.next_commit_id()
-        return self._commit(
+        commit = self._commit(
             cid, "rollback", list(target.files),
             [dict(d) for d in target.deltas], target.schema_json,
             {"rolled_back_to": target.commit_id},
@@ -3634,4 +3751,13 @@ class NativeTable:
             # the TARGET's DV state, not the head's: rolling back past a
             # DV delete must un-mark its rows
             dvs=dict(target.dvs),
+            # likewise the TARGET's partition spec: rolling back past an
+            # evolve_partition restores the old layout
+            partition_spec=(list(target.partition_spec)
+                            if target.partition_spec is not None else None),
         )
+        if target.partition_spec is not None and \
+                list(target.partition_spec) != self.partition_keys:
+            self.partition_keys = list(target.partition_spec)
+            self._set_pfields()
+        return commit

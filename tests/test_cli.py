@@ -167,3 +167,31 @@ def test_cli_rename_and_drop_column(spark, tmp_path, capsys):
     assert "reading" in snap.columns
     assert "measurement_value" not in snap.columns
     assert "measurement_date" not in snap.columns
+
+
+def test_cli_evolve_partition(spark, tmp_path, capsys):
+    ctl = JobControl(**{**CONTROL,
+                        "primary_key": "measurement_id",
+                        "precombine_field": "measurement_date_time",
+                        "partition_key": ""})
+    control = tmp_path / "control.json"
+    ControlStore(control).save([ctl])
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    base = ["--control", str(control), "--curated", str(tmp_path / "curated")]
+
+    def run_cmd(*argv):
+        rc = main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    _land(make_full_load_df(spark), raw, "LOAD1")
+    rc, _ = run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    assert rc == 0
+    rc, out = run_cmd("evolve-partition", *base,
+                      "--spec", "days(measurement_date_time)")
+    assert rc == 0 and out[0]["to"] == ["days(measurement_date_time)"]
+    from glue_hudi_spark.pipeline import CdcPipeline
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
+    table = pipe._table(ctl)
+    assert table.partition_keys == ["days(measurement_date_time)"]
+    assert table.read_snapshot().count() == 100

@@ -37,7 +37,7 @@ def test_parse_specs():
     f = _parse_partition_field("days(ts)")
     assert (f.transform, f.source, f.name) == ("days", "ts", "ts_day")
     f = _parse_partition_field("bucket(8, user_id)")
-    assert (f.transform, f.param, f.name) == ("bucket", 8, "user_id_bucket")
+    assert (f.transform, f.param, f.name) == ("bucket", 8, "user_id_bucket8")
     f = _parse_partition_field("truncate(3, code)")
     assert (f.transform, f.param) == ("truncate", 3)
     assert _parse_partition_field("plain").transform == "identity"
