@@ -1404,6 +1404,14 @@ def cdc_partition_evolution(spark, sf_dir):
         & (F.col("ts") < F.lit("2024-01-06 00:00:00"))
     ).withColumn("value", F.col("value") + F.lit(500.0))
     table.upsert(patch)
+    # bounded incremental migration (Iceberg rewrite_data_files class):
+    # one pass moves ≤3 old-spec files into the new layout — the
+    # night-after-night convergence pattern a 100-TB migration runs
+    legacy = [f for f in table.timeline.latest().files
+              if "" in table._file_partition(f)]
+    mig = table.rewrite_data_files(only_legacy_spec=True, max_files=3)
+    assert mig is not None and mig.stats["rewritten_files"] == min(
+        3, len(legacy)), "bounded migration pass miscounted"
     out = table.read_snapshot(
         prune={"ts": ("2024-01-04 00:00:00", "2024-01-24 23:59:59")})
     return out.select("event_id", "user_id", "value")

@@ -55,6 +55,16 @@ def main(argv: list[str] | None = None) -> int:
     _common(po, raw=False)
     po.add_argument("--target-mb", type=int, default=128, metavar="MB",
                     help="pack files smaller than this (default 128)")
+    prw = sub.add_parser("rewrite-files",
+                         help="bounded incremental file rewrite (migrate "
+                              "legacy-spec files / bounded passes; "
+                              "everything else carries by reference)")
+    _common(prw, raw=False)
+    prw.add_argument("--legacy-spec-only", action="store_true",
+                     help="rewrite only files not under the current "
+                          "partition spec (evolution migration)")
+    prw.add_argument("--max-files", type=int, default=None, metavar="N",
+                     help="hard per-pass bound (deterministic order)")
     pcl = sub.add_parser("clone", help="zero-copy shallow clone of a table "
                                        "(hardlinked data, independent "
                                        "timeline)")
@@ -225,6 +235,17 @@ def main(argv: list[str] | None = None) -> int:
                             "new_files": c.stats["new_files"]}
                            if c else {"optimized": None,
                                       "packed": 0})})
+        elif args.cmd == "rewrite-files":
+            table = pipe._table(ctl)
+            c = table.rewrite_data_files(
+                only_legacy_spec=args.legacy_spec_only,
+                max_files=args.max_files)
+            out.append({"table": ctl.table_name,
+                        **({"rewrite_commit": c.commit_id,
+                            "rewritten": c.stats["rewritten_files"],
+                            "carried": c.stats["carried_files"]}
+                           if c else {"rewrite_commit": None,
+                                      "rewritten": 0})})
         elif args.cmd == "cluster":
             table = pipe._table(ctl)
             zcols = [c for c in (args.zorder or "").split(",") if c] or None

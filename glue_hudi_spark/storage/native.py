@@ -3551,6 +3551,74 @@ class NativeTable:
             key_stats, col_stats,
         )
 
+    def rewrite_data_files(self, prune: dict | None = None,
+                           only_legacy_spec: bool = False,
+                           max_files: int | None = None) -> Commit | None:
+        """Bounded, scoped file rewrite (Iceberg ``rewrite_data_files``
+        class): rewrite ONLY the selected live base files at the
+        configured layout width; everything else carries by manifest
+        reference. ``compact()``/``cluster()`` rewrite the whole table —
+        a non-starter at 100 TB; this is the incremental maintenance
+        primitive those jobs decompose into: run it per partition range
+        (``prune``), or per pass (``max_files``), night after night,
+        until the table converges.
+
+        Selection:
+        * ``prune`` — {col: (lo, hi)}: only files that may hold in-range
+          rows (hidden-partition dirs + column-stats index; selection is
+          FILE-granular — selected files rewrite in full, so the pass is
+          lossless).
+        * ``only_legacy_spec`` — only files NOT laid out under the
+          current partition spec (the partition-evolution migration:
+          each pass moves a bounded slice of old-spec files into the
+          new layout).
+        * ``max_files`` — hard per-pass bound, deterministic
+          (lexicographic) order.
+
+        Rewritten files land under the CURRENT partition spec. Per-record
+        ``_ghs_commit_time`` is preserved (files are read raw, physical
+        schema — the change feed is unaffected) and the column mapping
+        carries forward untouched, so a partial rewrite is legal mid-
+        rename. Deletion vectors of rewritten files materialize (the
+        rewrite reads DV-filtered rows); carried files keep theirs. MoR
+        deltas carry forward — delta records override by key at read, so
+        base rewrites cannot change merge results.
+
+        Returns the commit, or None when nothing matches."""
+        commit = self.timeline.latest()
+        if commit is None:
+            raise ValueError(f"table {self.root} has no commits")
+        selected = list(commit.files)
+        if prune:
+            selected = self._prune_files_by_partition(selected, prune)
+            selected = self._prune_files_by_col_stats(
+                selected, commit.col_stats, prune)
+        if only_legacy_spec:
+            selected = [f for f in selected
+                        if "" in self._file_partition(f)]
+        selected = sorted(selected)
+        if max_files is not None:
+            selected = selected[:max_files]
+        if not selected:
+            return None
+        carried = [f for f in commit.files if f not in set(selected)]
+        df = self._read_files(selected, commit.schema_json,
+                              dvs=commit.dvs)
+        cid = self.timeline.next_commit_id()
+        files = self._write_files(df, cid)
+        key_stats, col_stats = self._collect_file_stats(files)
+        key_stats = {**{f: commit.key_stats[f] for f in carried
+                        if f in commit.key_stats}, **key_stats}
+        col_stats = {**{f: commit.col_stats[f] for f in carried
+                        if f in commit.col_stats}, **col_stats}
+        return self._commit(
+            cid, "rewrite_files", carried + files,
+            [dict(d) for d in commit.deltas], commit.schema_json,
+            {"rewritten_files": len(selected), "new_files": len(files),
+             "carried_files": len(carried)},
+            key_stats, col_stats,
+        )
+
     # --------------------------------------------- schema evolution (DDL)
 
     def _logical_names(self, commit: "Commit") -> list[str]:
@@ -3568,7 +3636,9 @@ class NativeTable:
     def _check_renameable(self, col: str, verb: str) -> None:
         protected = {
             "record key": self.record_keys,
-            "partition key": self.partition_keys,
+            # partition entries may be transforms — protect the SOURCE
+            # column (renaming `ts` under days(ts) would orphan the spec)
+            "partition key": [f.source for f in self._pfields],
             "precombine": [self.precombine] if self.precombine else [],
             "stats_cols index": self.stats_cols,
             "secondary bloom index": self.secondary_bloom_cols,
