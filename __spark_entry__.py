@@ -1428,6 +1428,136 @@ WHERE ts >= TIMESTAMP '2024-01-04 00:00:00'
 """
 
 
+def cdc_branch_wap(spark, sf_dir):
+    """Named refs — branch / tag / fast-forward (round 8; the Iceberg
+    ref class + write-audit-publish staging pattern). A tag pins the
+    loaded snapshot (the reproducible-training-set primitive); an
+    ``audit`` branch takes a reprice upsert and a cancellation delete
+    in FULL ISOLATION (main still serves the tagged state); fast-forward
+    publishes the branch head onto main as a METADATA-ONLY commit —
+    files carried by reference, asserted in-query. At 100 TB: fork,
+    audit, and publish all move zero data bytes; the only data written
+    is the branch's own merge, and a failed audit is one drop_branch.
+    The reference's Hudi timeline has savepoints but no named branches
+    (restore via CLI, processData.py:342); this is the WAP surface
+    production lakehouses layer on top. Result: every order the branch
+    changed, v1 (tagged) price vs now (NULL price_now = cancelled) —
+    read from the TAG and the post-publish MAIN in one plan."""
+    sub = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 7 == 0).select(
+        F.format_string("%012d", F.col("o_orderkey")).alias("ok"),
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice",
+    )
+    tmp = _scratch_dir("wap_")
+    table = NativeTable(
+        spark, f"{tmp}/orders_tbl", record_keys=["ok"],
+        precombine="o_totalprice", partition_keys=[],
+        files_per_partition=8, stats_cols=["o_orderkey"],
+    )
+    table.bulk_insert(sub)
+    table.create_tag("v1")
+    b = table.create_branch("audit")
+    b.upsert(
+        sub.filter(F.col("o_orderpriority") == "1-URGENT")
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)))
+    b.delete(
+        sub.filter((F.col("o_orderstatus") == "F")
+                   & (F.col("o_orderkey") % 3 == 0)).select("ok"))
+    # main is still the tagged state while the branch holds both edits
+    assert table.read_snapshot().count() == table.read_snapshot(
+        tag="v1").count()
+    ff = table.fast_forward("audit", drop=True)
+    # the WAP contract, asserted in-query: publish moved zero data bytes
+    assert ff.action == "fast_forward"
+    assert all(f.startswith("data/") for f in ff.files)
+    v1 = table.read_snapshot(tag="v1").select(
+        "o_orderkey", F.col("o_totalprice").alias("price_v1"),
+        "o_orderstatus", "o_orderpriority")
+    now = table.read_snapshot().select(
+        "o_orderkey", F.col("o_totalprice").alias("price_now"))
+    return (
+        v1.join(now, "o_orderkey", "left")
+        .filter(F.col("price_now").isNull()
+                | (F.col("price_now") != F.col("price_v1")))
+        .select(
+            "o_orderkey", "price_v1", "price_now",
+            F.when(F.col("price_now").isNull(), F.lit("cancelled"))
+            .otherwise(F.lit("repriced")).alias("change"))
+    )
+
+
+BRANCH_WAP_ORACLE = """
+WITH sub AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+del AS (
+  SELECT o_orderkey FROM sub
+  WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+)
+SELECT o_orderkey, o_totalprice AS price_v1,
+       CAST(NULL AS DOUBLE) AS price_now, 'cancelled' AS change
+FROM sub WHERE o_orderkey IN (SELECT o_orderkey FROM del)
+UNION ALL
+SELECT o_orderkey, o_totalprice AS price_v1,
+       ROUND(o_totalprice * 1.1, 2) AS price_now, 'repriced' AS change
+FROM sub
+WHERE o_orderpriority = '1-URGENT'
+  AND o_orderkey NOT IN (SELECT o_orderkey FROM del)
+  AND ROUND(o_totalprice * 1.1, 2) <> o_totalprice
+"""
+
+
+def cdc_global_index(spark, sf_dir):
+    """Global-index upsert semantics (round 8; Hudi GLOBAL_BLOOM /
+    record-level-index class with ``update.partition.path=true``): on a
+    table PARTITIONED by event_type, an upsert that changes a record's
+    event_type RELOCATES the record — the old-partition copy is found
+    and removed even though the batch never names the old partition —
+    and a key-only delete hits the record wherever it lives. Total row
+    count is asserted in-query (relocation, not duplication). The
+    engine's non-global default (Hudi's default, identity =
+    (partition, key)) would duplicate the key across both dirs; global
+    uniqueness is what CDC pipelines keyed on business ids need. Scale
+    path: partition pruning is off for the merge, but the per-file
+    key-range index still bounds the rewrite (pinned in
+    tests/test_global_index.py)."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "event_type", "user_id", "value",
+    )
+    tmp = _scratch_dir("gix_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"],
+        precombine="event_id", partition_keys=["event_type"],
+        files_per_partition=4, global_index=True,
+    )
+    table.bulk_insert(ev)
+    n0 = table.count_rows()
+    # partition-moving upsert: these events change event_type entirely
+    table.upsert(
+        ev.filter(F.col("event_id") % 61 == 0)
+        .withColumn("event_type", F.lit("migrated"))
+        .withColumn("value", F.col("value") + 9000.0))
+    # key-only delete: no partition column in the batch at all
+    table.delete(
+        ev.filter(F.col("event_id") % 83 == 0).select("ek"))
+    n_del = ev.filter(F.col("event_id") % 83 == 0).count()
+    snap = table.read_snapshot()
+    # the global-uniqueness contract, asserted in-query
+    assert table.count_rows() == n0 - n_del, "relocation duplicated keys"
+    return snap.filter(F.col("event_id") % 61 == 0).select(
+        "event_id", "event_type", "user_id", "value")
+
+
+GLOBAL_INDEX_ORACLE = """
+SELECT event_id, 'migrated' AS event_type, user_id,
+       value + 9000.0 AS value
+FROM events
+WHERE event_id % 61 = 0 AND event_id % 83 <> 0
+"""
+
+
 def cdc_concurrent_writers(spark, sf_dir):
     """Multi-writer OCC with rebase (round 7): two optimistic writers
     update DISJOINT partitions of one table, and the second writer's
@@ -7859,6 +7989,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_table_changes": cdc_table_changes,
         "cdc_hidden_partitioning": cdc_hidden_partitioning,
         "cdc_partition_evolution": cdc_partition_evolution,
+        "cdc_branch_wap": cdc_branch_wap,
+        "cdc_global_index": cdc_global_index,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -8101,6 +8233,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_table_changes": TABLE_CHANGES_ORACLE,
         "cdc_hidden_partitioning": HIDDEN_PARTITIONING_ORACLE,
         "cdc_partition_evolution": PARTITION_EVOLUTION_ORACLE,
+        "cdc_branch_wap": BRANCH_WAP_ORACLE,
+        "cdc_global_index": GLOBAL_INDEX_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

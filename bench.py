@@ -130,6 +130,8 @@ BENCH_QUERIES = [
     "cdc_table_changes",
     "cdc_hidden_partitioning",
     "cdc_partition_evolution",
+    "cdc_branch_wap",
+    "cdc_global_index",
 ]
 
 

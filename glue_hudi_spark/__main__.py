@@ -143,6 +143,35 @@ def main(argv: list[str] | None = None) -> int:
     pep.add_argument("--spec", nargs="*", default=[], metavar="FIELD",
                      help="new spec entries, e.g. 'months(ts)' "
                           "'bucket(8, user_id)'; empty = unpartitioned")
+    pbr = sub.add_parser("branch", help="fork a zero-copy named branch "
+                                        "from the table head (Iceberg "
+                                        "ref class; WAP staging)")
+    _common(pbr, raw=False)
+    pbr.add_argument("--name", required=True, help="branch name")
+    pbr.add_argument("--at", type=int, default=None,
+                     help="fork at this commit id (default: head)")
+    pdb = sub.add_parser("drop-branch", help="delete a branch's timeline "
+                                             "(vacuum reclaims unmerged "
+                                             "files)")
+    _common(pdb, raw=False)
+    pdb.add_argument("--name", required=True)
+    ptg = sub.add_parser("tag", help="pin an immutable named tag at a "
+                                     "commit — retention-protected, "
+                                     "read with tag=...")
+    _common(ptg, raw=False)
+    ptg.add_argument("--name", required=True)
+    ptg.add_argument("--at", type=int, default=None,
+                     help="tag this commit id (default: head)")
+    pdt = sub.add_parser("drop-tag", help="remove a named tag")
+    _common(pdt, raw=False)
+    pdt.add_argument("--name", required=True)
+    pff = sub.add_parser("fast-forward", help="publish a branch head onto "
+                                              "main (metadata-only; "
+                                              "refuses if main advanced)")
+    _common(pff, raw=False)
+    pff.add_argument("--name", required=True)
+    pff.add_argument("--drop", action="store_true",
+                     help="drop the branch after publishing")
     pcu = sub.add_parser("curate", help="run a config-declared corpus "
                                         "curation pipeline (quality/LM "
                                         "filters, dedup, token budget) "
@@ -327,6 +356,30 @@ def main(argv: list[str] | None = None) -> int:
             c = table.evolve_partition_spec(list(args.spec))
             out.append({"table": ctl.table_name, "commit": c.commit_id,
                         **c.stats["partition_spec"]})
+        elif args.cmd == "branch":
+            table = pipe._table(ctl)
+            b = table.create_branch(args.name, at_commit=args.at)
+            out.append({"table": ctl.table_name, "branch": args.name,
+                        "forked_from": b.timeline.latest().stats[
+                            "forked_from"]})
+        elif args.cmd == "drop-branch":
+            table = pipe._table(ctl)
+            table.drop_branch(args.name)
+            out.append({"table": ctl.table_name, "dropped_branch": args.name})
+        elif args.cmd == "tag":
+            table = pipe._table(ctl)
+            table.create_tag(args.name, at_commit=args.at)
+            out.append({"table": ctl.table_name, "tag": args.name})
+        elif args.cmd == "drop-tag":
+            table = pipe._table(ctl)
+            table.drop_tag(args.name)
+            out.append({"table": ctl.table_name, "dropped_tag": args.name})
+        elif args.cmd == "fast-forward":
+            table = pipe._table(ctl)
+            c = table.fast_forward(args.name, drop=args.drop)
+            out.append({"table": ctl.table_name, "commit": c.commit_id,
+                        **{k: c.stats[k] for k in
+                           ("fast_forward_of", "branch_head", "fork_base")}})
         elif args.cmd == "show":
             table = pipe._table(ctl)
             # count_rows is metadata-only on a compacted table; history

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import tempfile
 import time
 from dataclasses import dataclass, field
@@ -34,6 +35,23 @@ from pathlib import Path
 COMMITS_DIR = "_commits"
 DATA_DIR = "data"
 MANIFEST_VERSION = 1
+# Named refs (Iceberg branch/tag class). Branch timelines live under
+# _commits/refs/<name>/ as ordinary full-snapshot manifests; tags are
+# FROZEN manifest copies under _commits/tags/<name>.tag.json. Ref names
+# exclude "." because a branch's data dirs are suffixed
+# ``data/<cid>.b-<name>`` and maintenance parses the commit id off the
+# first dot (see NativeTable.vacuum).
+REFS_DIR = "refs"
+TAGS_DIR = "tags"
+_REF_NAME = re.compile(r"^[A-Za-z0-9][A-Za-z0-9_-]*$")
+
+
+def _check_ref_name(name: str) -> str:
+    if not _REF_NAME.match(name or ""):
+        raise ValueError(
+            f"invalid ref name {name!r}: use [A-Za-z0-9_-], no dots/slashes"
+        )
+    return name
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -115,11 +133,32 @@ class Commit:
 
 
 class CommitTimeline:
-    """Manages the ``_commits/`` directory of one table."""
+    """Manages the ``_commits/`` directory of one table.
 
-    def __init__(self, root: str | Path):
+    ``ref`` selects a named branch (Iceberg ref class): ``None`` is the
+    main timeline at ``_commits/``; a branch's manifests live under
+    ``_commits/refs/<name>/`` with the SAME full-snapshot format — a fork
+    is one manifest copy carrying the fork point's files by reference, so
+    branching a 100-TB table is O(metadata). Branch writers stage data
+    under ``data/<cid>.b-<name>/`` (see :meth:`dir_token`) so main-side
+    restore/clean can never delete a branch's files by commit-id
+    coincidence, and commit ids are allocated off the GLOBAL max across
+    all refs so row commit-time stamps stay unique table-wide (the
+    property fast-forward relies on)."""
+
+    def __init__(self, root: str | Path, ref: str | None = None):
         self.root = Path(root)
-        self.commits_path = self.root / COMMITS_DIR
+        self.ref = _check_ref_name(ref) if ref is not None else None
+        base = self.root / COMMITS_DIR
+        self.commits_path = base / REFS_DIR / ref if ref else base
+
+    def dir_token(self, commit_id: int) -> str:
+        """Directory name for this commit's data files: ``<cid20>`` on
+        main, ``<cid20>.b-<branch>`` on a branch — maintenance parses the
+        id off the first dot, the suffix keeps cross-ref restore/vacuum
+        structurally unable to touch another ref's files."""
+        tok = f"{commit_id:020d}"
+        return f"{tok}.b-{self.ref}" if self.ref else tok
 
     # -- read side ---------------------------------------------------------
 
@@ -141,6 +180,18 @@ class CommitTimeline:
         """Time-travel read: the snapshot as of ``commit_id``."""
         p = self.commits_path / f"{commit_id:020d}.commit.json"
         return self._load(p) if p.exists() else None
+
+    def before(self, commit_id: int) -> Commit | None:
+        """Newest commit with id strictly below ``commit_id`` — the head
+        a writer allocating ``commit_id`` saw. NOT simply ``commit_id-1``:
+        ids are allocated off the global max across refs, so one
+        timeline's ids may have gaps."""
+        best = None
+        for p in self._manifest_paths():
+            cid = int(p.name.split(".")[0])
+            if cid < commit_id:
+                best = p
+        return self._load(best) if best else None
 
     def at_timestamp(self, ts: float | str) -> "Commit | None":
         """Newest retained commit published at or before ``ts`` — the
@@ -217,10 +268,151 @@ class CommitTimeline:
     # -- write side ----------------------------------------------------------
 
     def next_commit_id(self) -> int:
-        paths = self._manifest_paths()
-        if not paths:
-            return 1
-        return int(paths[-1].name.split(".")[0]) + 1
+        """One past the GLOBAL max committed id across main and every
+        branch. Within one timeline this is the familiar head+1 (OCC
+        conflicts collide on the manifest filename); across refs it keeps
+        commit-time stamps unique table-wide, so files carried from a
+        branch into main by fast-forward can never stamp-collide with a
+        main commit."""
+        mx = 0
+        base = self.root / COMMITS_DIR
+        for pat in ("*.commit.json", f"{REFS_DIR}/*/*.commit.json"):
+            for p in base.glob(pat):
+                try:
+                    mx = max(mx, int(p.name.split(".")[0]))
+                except ValueError:
+                    continue
+        return mx + 1
+
+    # -- named refs: branches + tags (Iceberg ref class) ---------------------
+
+    def branch_timeline(self, name: str) -> "CommitTimeline":
+        return CommitTimeline(self.root, ref=_check_ref_name(name))
+
+    def branches(self) -> list[str]:
+        refs_root = self.root / COMMITS_DIR / REFS_DIR
+        if not refs_root.is_dir():
+            return []
+        return sorted(
+            p.name for p in refs_root.iterdir()
+            if p.is_dir() and any(p.glob("*.commit.json"))
+        )
+
+    def _tag_path(self, name: str) -> Path:
+        return self.root / COMMITS_DIR / TAGS_DIR / f"{name}.tag.json"
+
+    def tags(self) -> list[str]:
+        tags_root = self.root / COMMITS_DIR / TAGS_DIR
+        if not tags_root.is_dir():
+            return []
+        return sorted(
+            p.name[: -len(".tag.json")] for p in tags_root.glob("*.tag.json")
+        )
+
+    def create_tag(self, name: str, commit: Commit) -> None:
+        """Freeze ``commit`` under an immutable named tag — a full
+        manifest COPY (files by reference), so the tag read needs no
+        timeline entry and retention cleaning protects exactly the files
+        it lists. Atomic link = two concurrent creates, one winner."""
+        _check_ref_name(name)
+        path = self._tag_path(name)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = dict(self._payload(commit))
+        payload["tag"] = name
+        payload["tagged_from_ref"] = self.ref or "main"
+        # per-commit change metadata, not snapshot state — a tag read
+        # never needs tombstones, and stripping them frees restore/clean
+        # of cross-ref tombstone accounting
+        payload["tombstones"] = []
+        fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(json.dumps(payload, indent=1))
+            try:
+                os.link(tmp, path)
+            except FileExistsError:
+                raise ValueError(
+                    f"tag {name!r} already exists at {self.root}") from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+
+    def tag_commit(self, name: str) -> Commit:
+        path = self._tag_path(name)
+        if not path.exists():
+            raise ValueError(f"no tag {name!r} at {self.root}")
+        return self._load(path)
+
+    def drop_tag(self, name: str) -> None:
+        path = self._tag_path(name)
+        if not path.exists():
+            raise ValueError(f"no tag {name!r} at {self.root}")
+        path.unlink()
+
+    def drop_branch(self, name: str) -> None:
+        """Remove a branch's manifests. Its data files (under
+        ``data/*.b-<name>/``) become orphans unless a fast-forward
+        manifest on main still references them; ``vacuum()`` reclaims."""
+        import shutil
+
+        bdir = self.root / COMMITS_DIR / REFS_DIR / _check_ref_name(name)
+        if not bdir.is_dir():
+            raise ValueError(f"no branch {name!r} at {self.root}")
+        shutil.rmtree(bdir)
+
+    def _other_ref_manifest_paths(self) -> list[Path]:
+        """Manifests of every ref EXCEPT this timeline: all tags, plus
+        main (when this is a branch) and every other branch. These
+        protect their referenced files from this timeline's clean() and
+        restore_to()."""
+        base = self.root / COMMITS_DIR
+        out: list[Path] = list((base / TAGS_DIR).glob("*.tag.json")) \
+            if (base / TAGS_DIR).is_dir() else []
+        if self.ref is not None:
+            out += list(base.glob("*.commit.json"))
+        refs_root = base / REFS_DIR
+        if refs_root.is_dir():
+            for d in refs_root.iterdir():
+                if d.is_dir() and d.name != (self.ref or ""):
+                    out += list(d.glob("*.commit.json"))
+        return out
+
+    def _protected_rels(self) -> set[str]:
+        """File rels (data, delta, DV) any OTHER ref still references —
+        computed only on paths that are about to delete something."""
+        protected: set[str] = set()
+        for p in self._other_ref_manifest_paths():
+            try:
+                c = self._load(p)
+            except Exception:
+                continue  # unreadable ref manifest: fsck's problem
+            protected.update(c.files)
+            for d in c.deltas:
+                protected.update(d["files"])
+            for e in c.dvs.values():
+                protected.update(e.get("files", []))
+        return protected
+
+    def _payload(self, commit: Commit) -> dict:
+        return {
+            "manifest_version": MANIFEST_VERSION,
+            "commit_id": commit.commit_id,
+            "action": commit.action,
+            "files": commit.files,
+            "deltas": commit.deltas,
+            "schema_json": commit.schema_json,
+            "wall_time": commit.wall_time or time.time(),
+            "stats": commit.stats,
+            "key_stats": commit.key_stats,
+            "col_stats": commit.col_stats,
+            "file_sizes": commit.file_sizes,
+            "row_counts": commit.row_counts,
+            "tombstones": commit.tombstones,
+            "column_mapping": commit.column_mapping,
+            "retired_cols": commit.retired_cols,
+            "dvs": commit.dvs,
+            "partition_spec": commit.partition_spec,
+        }
 
     def publish(self, commit: Commit) -> None:
         """Atomically publish a manifest (write-temp + link).
@@ -231,28 +423,7 @@ class CommitTimeline:
         lose its files. On object stores the same role is played by a
         conditional put (if-none-match)."""
         self.commits_path.mkdir(parents=True, exist_ok=True)
-        payload = json.dumps(
-            {
-                "manifest_version": MANIFEST_VERSION,
-                "commit_id": commit.commit_id,
-                "action": commit.action,
-                "files": commit.files,
-                "deltas": commit.deltas,
-                "schema_json": commit.schema_json,
-                "wall_time": commit.wall_time or time.time(),
-                "stats": commit.stats,
-                "key_stats": commit.key_stats,
-                "col_stats": commit.col_stats,
-                "file_sizes": commit.file_sizes,
-                "row_counts": commit.row_counts,
-                "tombstones": commit.tombstones,
-                "column_mapping": commit.column_mapping,
-                "retired_cols": commit.retired_cols,
-                "dvs": commit.dvs,
-                "partition_spec": commit.partition_spec,
-            },
-            indent=1,
-        )
+        payload = json.dumps(self._payload(commit), indent=1)
         final = self.commits_path / f"{commit.commit_id:020d}.commit.json"
         fd, tmp = tempfile.mkstemp(dir=self.commits_path, suffix=".tmp")
         try:
@@ -303,6 +474,26 @@ class CommitTimeline:
         deleted: list[str] = []
         rolled_back: list[int] = []
         dropped_dvs: set[str] = set()
+        # Ref safety (Iceberg "snapshot is referenced" semantics): refuse
+        # to delete data dirs a tag or another branch still references —
+        # the frozen/forked manifest carries those files by reference and
+        # would silently lose them. Drop the ref first, then restore.
+        protected = self._protected_rels() if drop else set()
+        if protected:
+            doomed_pre = [
+                f"{DATA_DIR}/{self.dir_token(int(p.name.split('.')[0]))}/"
+                for p in drop
+            ]
+            hits = sorted(
+                rel for rel in protected
+                if any(rel.startswith(pre) for pre in doomed_pre)
+            )
+            if hits:
+                raise ValueError(
+                    f"cannot restore {self.root} to commit {commit_id}: a "
+                    f"tag or branch still references rolled-back files "
+                    f"(e.g. {hits[0]}); drop the ref first"
+                )
         # Every data file lives under the ``data/<cid>/`` dir of the commit
         # that WROTE it, and a manifest only references files of commits
         # ≤ its own id — so nothing a retained manifest needs can live
@@ -315,7 +506,7 @@ class CommitTimeline:
             c = self._load(p)
             p.unlink()
             rolled_back.append(c.commit_id)
-            cid_dir = self.root / DATA_DIR / f"{c.commit_id:020d}"
+            cid_dir = self.root / DATA_DIR / self.dir_token(c.commit_id)
             if cid_dir.is_dir():
                 for dirpath, _dirnames, filenames in os.walk(cid_dir):
                     for fn in filenames:
@@ -325,7 +516,8 @@ class CommitTimeline:
                             )
                 shutil.rmtree(cid_dir)
             bloom_dir = (
-                self.root / "_index" / "bloom" / DATA_DIR / f"{c.commit_id:020d}"
+                self.root / "_index" / "bloom" / DATA_DIR
+                / self.dir_token(c.commit_id)
             )
             if bloom_dir.is_dir():
                 shutil.rmtree(bloom_dir)
@@ -344,7 +536,7 @@ class CommitTimeline:
             for p in self._manifest_paths():
                 for e in self._load(p).dvs.values():
                     live_dvs.update(e.get("files", []))
-            for rel in sorted(dropped_dvs - live_dvs):
+            for rel in sorted(dropped_dvs - live_dvs - protected):
                 dv = self.root / rel
                 if dv.exists():
                     dv.unlink()
@@ -359,12 +551,15 @@ class CommitTimeline:
 
     def clean(self, retain_commits: int = 10) -> list[str]:
         """Drop manifests beyond the newest ``retain_commits`` and delete
-        data files no retained manifest references. Returns deleted files."""
+        data files no retained manifest references. Files a TAG or another
+        branch still references survive (Iceberg ref-retention semantics:
+        a tagged snapshot's files outlive the timeline window that
+        produced them). Returns deleted files."""
         paths = self._manifest_paths()
         if len(paths) <= retain_commits:
             return []
         keep, drop = paths[-retain_commits:], paths[:-retain_commits]
-        live: set[str] = set()
+        live: set[str] = self._protected_rels()
         for p in keep:
             c = self._load(p)
             live.update(c.files)

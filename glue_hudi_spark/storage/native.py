@@ -38,6 +38,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 import urllib.parse
 from dataclasses import dataclass
 from pathlib import Path
@@ -399,6 +400,11 @@ def _parse_partition_field(spec: str) -> PartitionField:
                           f"{source}_{tag}")
 
 
+def _all_manifest_files(c: "Commit") -> list[str]:
+    """Every data-file rel a manifest references (base + deltas)."""
+    return [*c.files, *(f for d in c.deltas for f in d["files"])]
+
+
 def record_key_expr(keys: list[str]):
     """Build the record-key string column.
 
@@ -435,9 +441,14 @@ class NativeTable:
         change_feed_deletes: bool = False,
         strict_schema: bool = False,
         deletion_vectors: bool = False,
+        ref: str | None = None,
+        global_index: bool = False,
     ):
         self.spark = spark
         self.root = Path(path)
+        # Named branch this handle reads/writes (Iceberg ref class);
+        # None = main. See CommitTimeline and branch()/create_branch().
+        self.ref = ref
         self.record_keys = list(record_keys)
         self.precombine = precombine
         self.partition_keys = list(partition_keys or [])
@@ -512,12 +523,23 @@ class NativeTable:
             raise ValueError(
                 "deletion_vectors is the CoW delete path; MoR tables "
                 "already take O(batch) deletes via delta markers")
+        # GLOBAL index semantics (Hudi GLOBAL_BLOOM / record-level-index
+        # class, with ``update.partition.path=true``): a record key is
+        # unique across the WHOLE table, not per partition — an upsert
+        # whose row carries a NEW partition value RELOCATES the record
+        # (old-partition copy removed, row rewritten under the new dir)
+        # instead of duplicating it. Implementation: merges skip the
+        # partition-pruning level and rely on the per-file key-range +
+        # bloom indexes to bound the affected set — exactly how Hudi's
+        # global bloom scales the same contract. Default False = Hudi's
+        # default non-global semantics (identity is (partition, key)).
+        self.global_index = global_index
         # Partition spec (Iceberg hidden-partitioning class): each entry
         # is a column name (identity) or a transform — days(ts),
         # months(ts), years(ts), hours(ts), bucket(N, col),
         # truncate(W, col). See PartitionField.
         self._set_pfields()
-        self.timeline = CommitTimeline(self.root)
+        self.timeline = CommitTimeline(self.root, ref=ref)
         # Partition-spec EVOLUTION (Iceberg class): the spec persisted in
         # the head manifest is authoritative over the constructor's — a
         # table evolved by another writer/process opens with the evolved
@@ -563,6 +585,7 @@ class NativeTable:
             bloom_index=getattr(ctl, "bloom_index", "no") == "yes",
             change_feed_deletes=getattr(ctl, "change_feed", "no") == "yes",
             deletion_vectors=getattr(ctl, "deletion_vectors", "no") == "yes",
+            global_index=getattr(ctl, "global_index", "no") == "yes",
             secondary_bloom_cols=[
                 c.strip()
                 for c in getattr(ctl, "secondary_bloom_cols", "").split(";")
@@ -656,7 +679,7 @@ class NativeTable:
         (used by Z-order clustering, which passes a precomputed z-value);
         the column is dropped before the files are written.
         """
-        commit_dir = self.root / DATA_DIR / f"{commit_id:020d}"
+        commit_dir = self.root / DATA_DIR / self.timeline.dir_token(commit_id)
         if commit_dir.exists():
             # another writer claimed this commit id's dir first (concurrent
             # writers race next_commit_id): take a unique sibling. Manifests
@@ -665,7 +688,7 @@ class NativeTable:
             # restamps its files under the next id anyway.
             commit_dir = (
                 self.root / DATA_DIR
-                / f"{commit_id:020d}.w{os.urandom(4).hex()}"
+                / f"{commit_dir.name}.w{os.urandom(4).hex()}"
             )
         width = n_files if n_files is not None else self.files_per_partition
         out = df
@@ -1324,7 +1347,10 @@ class NativeTable:
         live_ts: set[str] = set()
         live_dv: set[str] = set()
         unreadable: list[str] = []
-        for p in self.timeline._manifest_paths():
+        # liveness is TABLE-global: a file referenced by any branch or
+        # tag manifest is live, whichever ref this handle is bound to
+        for p in (self.timeline._manifest_paths()
+                  + self.timeline._other_ref_manifest_paths()):
             try:
                 c = self.timeline._load(p)
             except Exception:
@@ -1399,18 +1425,43 @@ class NativeTable:
         report = self.validate()
         latest = self.timeline.latest()
         latest_id = latest.commit_id if latest else 0
+        # per-ref in-flight thresholds: a data dir's `.b-<name>` suffix
+        # names the branch that staged it; its in-flight bound is THAT
+        # branch's committed head, not main's. A dropped branch has no
+        # head — its leftovers are unconditionally reclaimable.
+        ref_latest: dict[str, float] = {}
+
+        def _threshold(ref: str | None) -> float:
+            if ref is None:
+                return latest_id if self.timeline.ref is None else \
+                    ref_latest.setdefault(
+                        "", (lambda c: c.commit_id if c else 0)(
+                            CommitTimeline(self.root).latest()))
+            if ref not in ref_latest:
+                bt = CommitTimeline(self.root, ref=ref)
+                if not bt.commits_path.is_dir():
+                    ref_latest[ref] = float("inf")  # dropped branch
+                else:
+                    head = bt.latest()
+                    ref_latest[ref] = head.commit_id if head else float("inf")
+            return ref_latest[ref]
+
         deleted, skipped = [], []
         for rel in report["orphan_files"]:
             parts = Path(rel).parts
+            ref = None
             try:
-                # `.w<token>` suffixed dirs (concurrent-writer siblings)
-                # carry the claiming writer's id before the dot — same
-                # in-flight protection applies to them
-                cid = (int(parts[1].split(".")[0])
-                       if parts[0] == DATA_DIR else -1)
+                # dir token: `<cid>[.b-<branch>][.w<token>]` — the
+                # `.w` sibling (concurrent writers) and `.b-` (branch)
+                # suffixes both carry the claiming writer's id first
+                segs = parts[1].split(".")
+                cid = int(segs[0]) if parts[0] == DATA_DIR else -1
+                for s in segs[1:]:
+                    if s.startswith("b-"):
+                        ref = s[2:]
             except (ValueError, IndexError):
                 cid = -1
-            if cid == -1 or cid > latest_id:
+            if cid == -1 or cid > _threshold(ref):
                 skipped.append(rel)
                 continue
             f = self.root / rel
@@ -1466,6 +1517,168 @@ class NativeTable:
         orphan deletion (see ``CommitTimeline.restore_to``); subsequent
         writes continue from ``commit_id + 1``."""
         return self.timeline.restore_to(commit_id)
+
+    # -- named refs: branches, tags, fast-forward (Iceberg ref class) --------
+    # The reference delegates versioning to the Hudi timeline, which has
+    # savepoints but no named branches; this is the Iceberg branch/tag/WAP
+    # surface a lakehouse needs for audit-then-publish and reproducible
+    # training-set pins, built on the same full-snapshot manifests.
+
+    def branch(self, name: str) -> "NativeTable":
+        """A handle onto branch ``name``: same table root and config, all
+        reads/writes against ``_commits/refs/<name>/``. O(1) — no data or
+        metadata is touched until the branch handle writes."""
+        import copy
+
+        t = copy.copy(self)
+        t.ref = name
+        t.timeline = CommitTimeline(self.root, ref=name)
+        # un-alias mutable config (rollback/evolve mutate partition_keys)
+        t.record_keys = list(self.record_keys)
+        t.stats_cols = list(self.stats_cols)
+        t.secondary_bloom_cols = list(self.secondary_bloom_cols)
+        t.constraints = list(self.constraints)
+        # the BRANCH head's partition spec is authoritative for the handle
+        t.partition_keys = list(self.partition_keys)
+        t._set_pfields()
+        head = t.timeline.latest()
+        if head is not None and head.partition_spec is not None and \
+                list(head.partition_spec) != t.partition_keys:
+            t.partition_keys = list(head.partition_spec)
+            t._set_pfields()
+        return t
+
+    def create_branch(self, name: str,
+                      at_commit: int | None = None) -> "NativeTable":
+        """Fork a branch from main at ``at_commit`` (default: head). One
+        manifest copy carrying the fork point's files BY REFERENCE —
+        branching a 100-TB table moves zero data bytes. Returns a handle
+        onto the new branch. Concurrent same-name creates: the manifest
+        link is the OCC, exactly one wins."""
+        if self.ref is not None:
+            raise ValueError(
+                f"create_branch from branch {self.ref!r}: fork from the "
+                "main handle (nested forks are not supported)")
+        src = (self.timeline.at(at_commit) if at_commit is not None
+               else self.timeline.latest())
+        if src is None:
+            raise ValueError(
+                f"cannot branch {self.root}: commit "
+                f"{at_commit if at_commit is not None else '(head)'} "
+                "not found")
+        bt = self.timeline.branch_timeline(name)
+        if bt.exists():
+            raise ValueError(f"branch {name!r} already exists at {self.root}")
+        fork = Commit(
+            commit_id=src.commit_id,
+            action="create_branch",
+            files=list(src.files),
+            deltas=[dict(d) for d in src.deltas],
+            schema_json=src.schema_json,
+            wall_time=time.time(),
+            stats={"forked_from": src.commit_id, "branch": name},
+            key_stats=dict(src.key_stats),
+            col_stats=dict(src.col_stats),
+            column_mapping=dict(src.column_mapping),
+            retired_cols=list(src.retired_cols),
+            dvs=dict(src.dvs),
+            partition_spec=(list(src.partition_spec)
+                            if src.partition_spec is not None else None),
+            # tombstones are per-commit change metadata, not snapshot
+            # state — the fork carries none (see CommitTimeline.create_tag)
+        )
+        fork.file_sizes = {f: src.file_sizes[f]
+                           for f in src.files if f in src.file_sizes}
+        fork.row_counts = {f: src.row_counts[f]
+                           for f in src.files if f in src.row_counts}
+        bt.publish(fork)
+        return self.branch(name)
+
+    def create_tag(self, name: str, at_commit: int | None = None) -> None:
+        """Pin an immutable named tag at ``at_commit`` (default: this
+        handle's head) — the reproducible-training-set primitive: a run
+        reads ``read_snapshot(tag=...)`` forever, retention cleaning
+        protects the tagged files, and destructive restore refuses while
+        the tag lives."""
+        src = (self.timeline.at(at_commit) if at_commit is not None
+               else self.timeline.latest())
+        if src is None:
+            raise ValueError(
+                f"cannot tag {self.root}: commit "
+                f"{at_commit if at_commit is not None else '(head)'} "
+                "not found")
+        self.timeline.create_tag(name, src)
+
+    def drop_tag(self, name: str) -> None:
+        self.timeline.drop_tag(name)
+
+    def drop_branch(self, name: str) -> None:
+        """Delete a branch's timeline; its unmerged data files become
+        orphans that ``vacuum()`` reclaims (unless a fast-forward carried
+        them into main, which keeps them live by reference)."""
+        self.timeline.drop_branch(name)
+
+    def fast_forward(self, name: str, drop: bool = False) -> Commit:
+        """Publish branch ``name``'s head onto main — the WAP publish
+        step. Requires main's head to still BE the branch's fork base
+        (true fast-forward); if main advanced, raises — re-branch and
+        replay, exactly Iceberg's fast_forward contract.
+
+        Metadata-only: the new main manifest carries the branch head's
+        files by reference (ids allocated off the global max keep their
+        row stamps unique and monotonic on main). A concurrent main
+        writer racing this publish collides on the commit id and one
+        side rebases/aborts through the normal OCC path.
+        """
+        if self.ref is not None:
+            raise ValueError("fast_forward must run on the main handle")
+        bt = self.timeline.branch_timeline(name)
+        bh = bt.latest()
+        if bh is None:
+            raise ValueError(f"no branch {name!r} at {self.root}")
+        first = bt.history()[0]
+        fork_base = first.stats.get("forked_from")
+        head = self.timeline.latest()
+        head_id = head.commit_id if head else 0
+        if head_id != fork_base:
+            raise ConcurrentWriteError(
+                f"fast_forward {name!r} onto {self.root}: main advanced "
+                f"(head {head_id}, fork base {fork_base}) — re-branch "
+                "from the new head and replay")
+        cid = self.timeline.next_commit_id()
+        commit = Commit(
+            commit_id=cid,
+            action="fast_forward",
+            files=list(bh.files),
+            deltas=[dict(d) for d in bh.deltas],
+            schema_json=bh.schema_json,
+            wall_time=time.time(),
+            stats={"fast_forward_of": name, "branch_head": bh.commit_id,
+                   "fork_base": fork_base},
+            key_stats=dict(bh.key_stats),
+            col_stats=dict(bh.col_stats),
+            column_mapping=dict(bh.column_mapping),
+            retired_cols=list(bh.retired_cols),
+            dvs=dict(bh.dvs),
+            partition_spec=(list(bh.partition_spec)
+                            if bh.partition_spec is not None else None),
+        )
+        commit.file_sizes = {f: bh.file_sizes[f]
+                             for f in _all_manifest_files(bh)
+                             if f in bh.file_sizes}
+        commit.row_counts = {f: bh.row_counts[f]
+                             for f in _all_manifest_files(bh)
+                             if f in bh.row_counts}
+        self.timeline.publish(commit)
+        self.timeline.clean(self.retain_commits)
+        # adopt the branch's partition spec on this handle (like rollback)
+        if commit.partition_spec is not None and \
+                list(commit.partition_spec) != self.partition_keys:
+            self.partition_keys = list(commit.partition_spec)
+            self._set_pfields()
+        if drop:
+            self.timeline.drop_branch(name)
+        return commit
 
     def read_keys(self, keys: list[str], with_meta: bool = False) -> DataFrame:
         """Point lookups: rows whose record key is in ``keys``, reading
@@ -1606,8 +1819,9 @@ class NativeTable:
         as_of_timestamp: float | str | None = None,
         view: str = "snapshot",
         prune: dict | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
-        """Current (or time-travel ``as_of``) table contents.
+        """Current (or time-travel ``as_of`` / named ``tag``) contents.
 
         ``view``: ``snapshot`` — CoW files, or MoR base+deltas merged
         (Hudi's ``_rt`` real-time view); ``read_optimized`` — base files
@@ -1622,7 +1836,12 @@ class NativeTable:
         because they lack stats (and for MoR delta rows, which are always
         read — deltas are small by construction).
         """
-        if as_of_timestamp is not None:
+        if tag is not None:
+            # VERSION AS OF a named tag: the frozen manifest copy — exact
+            # and clock-free, and immune to retention (a tag's files are
+            # protected from clean/restore while the tag lives)
+            commit = self.timeline.tag_commit(tag)
+        elif as_of_timestamp is not None:
             # Delta TIMESTAMP AS OF: newest commit published at-or-before
             # the instant (wall-clock; commit-id as_of remains the exact,
             # clock-free form)
@@ -2157,7 +2376,7 @@ class NativeTable:
                               if head is not None
                               and head.partition_spec is not None
                               else list(self.partition_keys))
-        base = self.timeline.at(commit_id - 1)  # the head this writer saw
+        base = self.timeline.before(commit_id)  # the head this writer saw
         for _ in range(OCC_MAX_REBASES + 1):
             commit = Commit(
                 commit_id=commit_id,
@@ -2898,7 +3117,11 @@ class NativeTable:
         # two-level pruning: partition dirs first, then per-file key ranges
         # (the record-level index) — a narrow-key upsert on an unpartitioned
         # table rewrites only the files whose key interval it can hit.
-        touched = self._batch_partitions(batch)
+        # A GLOBAL index skips the partition level (a key may live in ANY
+        # partition; relocation must find and remove the old copy) and
+        # lets the key-range/bloom indexes bound the affected set.
+        touched = (None if self.global_index
+                   else self._batch_partitions(batch))
         affected, untouched = self._split_files(prev.files, touched)
         affected, skipped = self._prune_by_key_range(
             affected, prev.key_stats, self._batch_key_range(batch)
@@ -3093,7 +3316,8 @@ class NativeTable:
         keyed = self._with_meta(batch, f"{cid:020d}")
         keyed = self._precombine_dedup(keyed)
 
-        touched = self._batch_partitions(batch)
+        touched = (None if self.global_index
+                   else self._batch_partitions(batch))
         affected, untouched = self._split_files(prev.files, touched)
         affected, skipped = self._prune_by_key_range(
             affected, prev.key_stats, self._batch_key_range(batch)

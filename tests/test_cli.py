@@ -195,3 +195,38 @@ def test_cli_evolve_partition(spark, tmp_path, capsys):
     table = pipe._table(ctl)
     assert table.partition_keys == ["days(measurement_date_time)"]
     assert table.read_snapshot().count() == 100
+
+
+def test_cli_branch_tag_fast_forward(spark, tmp_path, capsys):
+    ctl = JobControl(**{**CONTROL,
+                        "primary_key": "measurement_id",
+                        "precombine_field": "measurement_date_time",
+                        "partition_key": ""})
+    control = tmp_path / "control.json"
+    ControlStore(control).save([ctl])
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    base = ["--control", str(control), "--curated", str(tmp_path / "curated")]
+
+    def run_cmd(*argv):
+        rc = main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    _land(make_full_load_df(spark), raw, "LOAD1")
+    rc, _ = run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    assert rc == 0
+    rc, out = run_cmd("tag", *base, "--name", "v1")
+    assert rc == 0 and out[0]["tag"] == "v1"
+    rc, out = run_cmd("branch", *base, "--name", "staging")
+    assert rc == 0 and out[0]["branch"] == "staging"
+    from glue_hudi_spark.pipeline import CdcPipeline
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
+    table = pipe._table(ctl)
+    b = table.branch("staging")
+    b.delete(b.read_snapshot().select("measurement_id").limit(10))
+    rc, out = run_cmd("fast-forward", *base, "--name", "staging", "--drop")
+    assert rc == 0 and out[0]["fast_forward_of"] == "staging"
+    assert table.read_snapshot().count() == 90
+    assert table.read_snapshot(tag="v1").count() == 100
+    rc, out = run_cmd("drop-tag", *base, "--name", "v1")
+    assert rc == 0 and out[0]["dropped_tag"] == "v1"

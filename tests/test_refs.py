@@ -1,0 +1,289 @@
+"""Named refs: branches, tags, fast-forward (Iceberg ref class).
+
+The scale contracts under test: a branch fork / tag create is ONE
+manifest copy carrying files by reference (zero data bytes moved); a
+branch's data dirs are ``data/<cid>.b-<name>`` so cross-ref restore and
+vacuum are structurally unable to touch another ref's files; retention
+cleaning and destructive restore protect every file a living tag or
+branch still references; fast-forward publishes the branch head onto
+main as a metadata-only commit guarded by the normal OCC collision.
+
+The reference delegates versioning to the Hudi timeline (savepoints,
+no named branches — processData.py:342's restore is the closest op);
+this is the Iceberg branch/tag/WAP surface built on the same
+full-snapshot manifests.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_hudi_spark.storage.commits import CommitTimeline, ConcurrentWriteError
+from glue_hudi_spark.storage.native import NativeTable
+
+
+def _df(spark, n=60, ver=1):
+    return spark.range(0, n).select(
+        F.format_string("k%04d", F.col("id")).alias("id"),
+        F.col("id").cast("double").alias("v"),
+        F.lit(ver).alias("seq"),
+    )
+
+
+def _mk(spark, path, **kw):
+    kw.setdefault("files_per_partition", 4)
+    return NativeTable(spark, path, record_keys=["id"], precombine="seq",
+                       **kw)
+
+
+# --------------------------------------------------------------- branches
+
+
+def test_branch_isolation(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    b = t.create_branch("dev")
+    b.upsert(_df(spark, n=5, ver=2).withColumn("v", F.col("v") + 100))
+    # main untouched, branch sees its write
+    assert t.read_snapshot().filter("v >= 100").count() == 0
+    assert b.read_snapshot().filter("v >= 100").count() == 5
+    # fork was by reference: branch dir holds ONLY the branch's new files
+    fork = b.timeline.history()[0]
+    assert fork.action == "create_branch"
+    assert set(fork.files) == set(t.timeline.latest().files)
+    head = b.timeline.latest()
+    new = set(head.files) - set(fork.files)
+    assert new and all(".b-dev" in f for f in new)
+    assert all(".b-dev" not in f for f in t.timeline.latest().files)
+
+
+def test_branch_handle_reopens(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    t.create_branch("dev").upsert(_df(spark, n=3, ver=2))
+    # a fresh process opens the branch by name
+    t2 = _mk(spark, tmp_path / "t", ref="dev")
+    assert t2.timeline.latest().commit_id > 1
+    assert t2.read_snapshot().count() == 60
+    assert t.timeline.branches() == ["dev"]
+
+
+def test_create_branch_conflicts(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    t.create_branch("dev")
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_branch("dev")
+    with pytest.raises(ValueError, match="fork from the main"):
+        t.branch("dev").create_branch("nested")
+    with pytest.raises(ValueError, match="invalid ref name"):
+        t.create_branch("bad.name")
+
+
+def test_drop_branch_then_vacuum_reclaims(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    b = t.create_branch("dev")
+    b.upsert(_df(spark, n=5, ver=2))
+    branch_files = [f for f in b.timeline.latest().files if ".b-dev" in f]
+    assert branch_files
+    # while the branch lives its files are NOT orphans
+    assert not [f for f in t.validate()["orphan_files"] if ".b-dev" in f]
+    t.drop_branch("dev")
+    rep = t.validate()
+    assert set(branch_files) <= set(rep["orphan_files"])
+    v = t.vacuum()
+    assert set(branch_files) <= set(v["deleted_files"])
+    assert t.validate()["ok"]
+
+
+def test_vacuum_spares_live_branch_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    b = t.create_branch("dev")
+    b.upsert(_df(spark, n=5, ver=2))
+    v = t.vacuum()
+    assert not [f for f in v["deleted_files"] if ".b-dev" in f]
+    assert b.read_snapshot().count() == 60
+
+
+def test_branch_restore_leaves_main_alone(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    b = t.create_branch("dev")
+    b.upsert(_df(spark, n=5, ver=2).withColumn("v", F.col("v") + 100))
+    fork_id = b.timeline.history()[0].commit_id
+    b.restore(fork_id)
+    assert b.read_snapshot().filter("v >= 100").count() == 0
+    assert t.read_snapshot().count() == 60
+    assert t.validate()["ok"]
+
+
+# ------------------------------------------------------------------- tags
+
+
+def test_tag_read_is_frozen(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    t.create_tag("v1")
+    t.upsert(_df(spark, n=10, ver=2).withColumn("v", F.col("v") + 100))
+    assert t.read_snapshot(tag="v1").filter("v >= 100").count() == 0
+    assert t.read_snapshot(tag="v1").count() == 60
+    assert t.timeline.tags() == ["v1"]
+    with pytest.raises(ValueError, match="already exists"):
+        t.create_tag("v1")
+    with pytest.raises(ValueError, match="no tag"):
+        t.read_snapshot(tag="nope")
+
+
+def test_tag_survives_retention_clean(spark, tmp_path):
+    # the reproducible-training-set pin: heavy churn + aggressive
+    # retention must never free a tagged snapshot's files
+    t = _mk(spark, tmp_path / "t", retain_commits=2)
+    t.bulk_insert(_df(spark))
+    t.create_tag("v1")
+    for i in range(6):
+        t.upsert(_df(spark, n=60, ver=10 + i))
+    assert len(t.timeline.history()) == 2  # clean is running
+    assert t.read_snapshot(tag="v1").count() == 60
+    assert t.validate()["ok"]
+
+
+def test_restore_refuses_below_referenced_tag(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    t.upsert(_df(spark, n=5, ver=2))  # commit 2 writes data/2 files
+    t.create_tag("pin")  # references commit-2 files
+    with pytest.raises(ValueError, match="drop the ref first"):
+        t.restore(1)
+    t.drop_tag("pin")
+    t.restore(1)
+    assert t.read_snapshot().count() == 60
+    assert t.validate()["ok"]
+
+
+def test_restore_ok_when_tag_predates_target(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    t.create_tag("v1")  # at commit 1
+    t.upsert(_df(spark, n=5, ver=2))
+    t.restore(1)  # tag's files all live at/before the target: allowed
+    assert t.read_snapshot(tag="v1").count() == 60
+
+
+def test_tag_on_branch_head(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    b = t.create_branch("dev")
+    b.upsert(_df(spark, n=5, ver=2).withColumn("v", F.col("v") + 100))
+    b.create_tag("dev-v1")
+    t.drop_branch("dev")
+    t.vacuum()
+    # the tag keeps the branch's files alive even after the branch died
+    assert t.read_snapshot(tag="dev-v1").filter("v >= 100").count() == 5
+
+
+# ----------------------------------------------------------- fast-forward
+
+
+def test_fast_forward_publishes_branch_head(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    b = t.create_branch("audit")
+    b.upsert(_df(spark, n=8, ver=2).withColumn("v", F.col("v") + 100))
+    b.delete(_df(spark, n=60).filter("v >= 58").select("id"))
+    branch_head_files = set(b.timeline.latest().files)
+    c = t.fast_forward("audit", drop=True)
+    assert c.action == "fast_forward"
+    snap = t.read_snapshot()
+    assert snap.filter("v >= 100").count() == 8
+    assert snap.count() == 58
+    assert t.timeline.branches() == []
+    # metadata-only: the FF manifest's files all pre-exist (by reference)
+    assert set(c.files) == branch_head_files
+    assert t.validate()["ok"]
+    t.vacuum()
+    assert t.read_snapshot().count() == 58
+
+
+def test_fast_forward_refused_when_main_advanced(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    b = t.create_branch("audit")
+    b.upsert(_df(spark, n=3, ver=2))
+    t.upsert(_df(spark, n=1, ver=3))  # main moves past the fork base
+    with pytest.raises(ConcurrentWriteError, match="main advanced"):
+        t.fast_forward("audit")
+    # branch still intact for re-branch-and-replay
+    assert b.read_snapshot().count() == 60
+
+
+def test_fast_forward_occ_vs_concurrent_writer(spark, tmp_path):
+    # a concurrent main writer and the FF race the same commit id; the
+    # writer loses at publish and REBASES onto the FF manifest (disjoint
+    # files), so both effects land — the multi-writer contract
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    # one merge first so schema_json is already in its merged (nullable)
+    # form — the rebase legality check compares schemas EXACTLY, and a
+    # first-ever merge flips lit-column nullability
+    t.upsert(_df(spark, n=1, ver=1))
+    b = t.create_branch("audit")
+    b.upsert(_df(spark, n=3, ver=2).withColumn("v", F.col("v") + 100))
+
+    orig_publish = t.timeline.publish
+    state = {"raced": False}
+
+    def racing_publish(commit):
+        if not state["raced"]:
+            state["raced"] = True
+            t.fast_forward("audit")  # lands first, steals the id
+        return orig_publish(commit)
+
+    t.timeline.publish = racing_publish
+    try:
+        # touches keys far from the branch's rewrites → rebase is legal
+        t.upsert(_df(spark, n=60, ver=3).filter("v >= 55"))
+    finally:
+        t.timeline.publish = orig_publish
+    snap = t.read_snapshot()
+    assert snap.filter("v >= 100").count() == 3  # FF survived
+    assert snap.filter("seq = 3").count() == 5   # writer rebased in
+    assert t.timeline.latest().stats.get("occ_rebased_onto") is not None
+
+
+def test_wap_via_branch(spark, tmp_path):
+    # write-audit-publish as Iceberg stages it: write to an audit
+    # branch, audit the branch snapshot, fast-forward only if clean
+    from glue_hudi_spark.operators.expectations import (
+        check_expectations, not_null)
+
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    b = t.create_branch("staging")
+    b.upsert(_df(spark, n=4, ver=2).withColumn("v", F.lit(None).cast("double")))
+    bad = check_expectations(
+        b.read_snapshot(), [not_null("v_set", "v")]).collect()
+    assert any(r["violations"] for r in bad)  # audit fails on the branch
+    # main never saw the bad batch; abandon the branch
+    t.drop_branch("staging")
+    assert t.read_snapshot().filter("v IS NULL").count() == 0
+    t.vacuum()
+    assert t.validate()["ok"]
+
+
+def test_global_ids_keep_stamps_unique(spark, tmp_path):
+    # branch commits allocate off the global max: after interleaved
+    # main/branch writes and an FF, no two manifests carrying data share
+    # a commit-time stamp on main's visible history
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))              # main: 1
+    b = t.create_branch("dev")             # dev fork @1
+    b.upsert(_df(spark, n=2, ver=2))       # dev: 2 (global max 1 → 2)
+    stamps = (t.branch("dev").read_snapshot(with_meta=True)
+              .select("_ghs_commit_time").distinct().count())
+    assert stamps == 2
+    c = t.fast_forward("dev")
+    assert c.commit_id == 3  # global max (2) + 1, even though main head was 1
+    assert t.read_snapshot().count() == 60
