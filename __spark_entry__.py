@@ -1558,6 +1558,89 @@ WHERE event_id % 61 = 0 AND event_id % 83 <> 0
 """
 
 
+def ann_index_persisted(spark, sf_dir):
+    """PERSISTED IVF vector index with incremental refresh (round 8):
+    the FAISS IVF-Flat design as lakehouse files — centroids in a
+    driver-sized meta.json, inverted lists as parquet hive-partitioned
+    by cell under the table's ``_index/ivf/``. Built once against the
+    embeddings table; an upsert (vector mutation → cell relocation) and
+    a delete then arrive; querying the stale index RAISES (asserted
+    in-query — silent recall loss is how retrieval bugs ship); a
+    change-feed refresh rewrites only the affected cell partitions; the
+    query reads ONLY the probed cells' partitions (plan-guarded in
+    tests/test_vector_index.py). At 100 TB the query scan is
+    nprobe/n_cells of the corpus and maintenance is O(changed rows) —
+    vs. the ad-hoc `ann_ivf_topk`, which re-assigns the corpus per query
+    batch. Train-free deterministic centroids (8 lowest vec_ids) so
+    DuckDB replays training, assignment, refresh, and probe exactly."""
+    from glue_hudi_spark.operators.vector_index import (
+        StaleIndexError, VectorIndex)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tmp = _scratch_dir("vix_")
+    table = NativeTable(
+        spark, f"{tmp}/emb_tbl", record_keys=["vk"], precombine="vec_id",
+        partition_keys=[], files_per_partition=4,
+    )
+    table.bulk_insert(emb.select(
+        F.format_string("%08d", F.col("vec_id")).alias("vk"),
+        "vec_id", "embedding", "label"))
+    ix = VectorIndex(table)
+    ix.build(id_col="vec_id", n_centroids=8)
+    # vector churn: some embeddings flip sign (guaranteed cell moves),
+    # some rows leave entirely
+    table.upsert(table.read_snapshot()
+                 .filter("vec_id >= 10 AND vec_id % 11 = 5")
+                 .withColumn("embedding",
+                             F.transform("embedding", lambda x: -x)))
+    table.delete(table.read_snapshot()
+                 .filter("vec_id >= 10 AND vec_id % 13 = 9").select("vk"))
+    queries = table.read_snapshot().filter("vec_id < 5")
+    try:
+        ix.query(queries, k=10)
+        raise AssertionError("stale index query must raise")
+    except StaleIndexError:
+        pass
+    r = ix.refresh()
+    assert r["refreshed"] and r["cells_rewritten"] >= 1
+    return ix.query(queries, k=10, nprobe=1)
+
+
+ANN_INDEX_PERSISTED_ORACLE = """
+WITH orig AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cell, v AS cv FROM orig WHERE vec_id < 8),
+base AS (
+  SELECT vec_id,
+         CASE WHEN vec_id >= 10 AND vec_id % 11 = 5
+              THEN list_transform(v, x -> -x) ELSE v END AS v
+  FROM orig
+  WHERE NOT (vec_id >= 10 AND vec_id % 13 = 9)
+),
+assigned AS (
+  SELECT vec_id AS id, v, cell FROM (
+    SELECT b.vec_id, b.v, c.cell,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+             round(list_dot_product(b.v, c.cv) /
+               (sqrt(list_dot_product(b.v, b.v)) *
+                sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+             c.cell ASC) AS rn
+    FROM base b CROSS JOIN cent c) t WHERE rn = 1
+),
+q AS (SELECT id AS query_id, v AS qv, cell FROM assigned WHERE id < 5),
+scored AS (
+  SELECT q.query_id, a.id AS neighbor_id,
+         round(list_dot_product(q.qv, a.v) /
+           (sqrt(list_dot_product(q.qv, q.qv)) *
+            sqrt(list_dot_product(a.v, a.v))), 6) AS sim
+  FROM q JOIN assigned a ON q.cell = a.cell AND q.query_id <> a.id)
+SELECT query_id, neighbor_id, rank, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored) t WHERE rank <= 10
+"""
+
+
 def cdc_concurrent_writers(spark, sf_dir):
     """Multi-writer OCC with rebase (round 7): two optimistic writers
     update DISJOINT partitions of one table, and the second writer's
@@ -7991,6 +8074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_partition_evolution": cdc_partition_evolution,
         "cdc_branch_wap": cdc_branch_wap,
         "cdc_global_index": cdc_global_index,
+        "ann_index_persisted": ann_index_persisted,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -8235,6 +8319,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_partition_evolution": PARTITION_EVOLUTION_ORACLE,
         "cdc_branch_wap": BRANCH_WAP_ORACLE,
         "cdc_global_index": GLOBAL_INDEX_ORACLE,
+        "ann_index_persisted": ANN_INDEX_PERSISTED_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "cdc_partition_evolution",
     "cdc_branch_wap",
     "cdc_global_index",
+    "ann_index_persisted",
 ]
 
 

@@ -143,6 +143,14 @@ def main(argv: list[str] | None = None) -> int:
     pep.add_argument("--spec", nargs="*", default=[], metavar="FIELD",
                      help="new spec entries, e.g. 'months(ts)' "
                           "'bucket(8, user_id)'; empty = unpartitioned")
+    pex = sub.add_parser("expire", help="age-based history expiration "
+                                        "(Iceberg expire_snapshots): drop "
+                                        "commits older than a timestamp")
+    _common(pex, raw=False)
+    pex.add_argument("--older-than", required=True,
+                     help="ISO-8601 timestamp or epoch seconds")
+    pex.add_argument("--retain-last", type=int, default=1,
+                     help="always keep the newest N commits (default 1)")
     pbr = sub.add_parser("branch", help="fork a zero-copy named branch "
                                         "from the table head (Iceberg "
                                         "ref class; WAP staging)")
@@ -356,6 +364,16 @@ def main(argv: list[str] | None = None) -> int:
             c = table.evolve_partition_spec(list(args.spec))
             out.append({"table": ctl.table_name, "commit": c.commit_id,
                         **c.stats["partition_spec"]})
+        elif args.cmd == "expire":
+            table = pipe._table(ctl)
+            older = args.older_than
+            try:
+                older = float(older)
+            except ValueError:
+                pass  # ISO string — the timeline parses it
+            r = table.expire_snapshots(older, retain_last=args.retain_last)
+            out.append({"table": ctl.table_name, "expired": r["expired"],
+                        "deleted_files": len(r["deleted_files"])})
         elif args.cmd == "branch":
             table = pipe._table(ctl)
             b = table.create_branch(args.name, at_commit=args.at)

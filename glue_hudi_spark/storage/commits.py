@@ -558,7 +558,37 @@ class CommitTimeline:
         paths = self._manifest_paths()
         if len(paths) <= retain_commits:
             return []
-        keep, drop = paths[-retain_commits:], paths[:-retain_commits]
+        return self._reap(paths[-retain_commits:], paths[:-retain_commits])
+
+    def expire_snapshots(self, older_than: float | str,
+                         retain_last: int = 1) -> dict:
+        """Age-based retention (Iceberg ``expire_snapshots`` parity):
+        drop manifests whose publish wall-time is before ``older_than``
+        (epoch seconds or ISO-8601, naive = UTC), always keeping the
+        newest ``retain_last`` regardless of age, then delete the files
+        only expired manifests referenced — with the same tag/branch
+        protection as ``clean``. Compliance-friendly complement to the
+        count-based clean: "history older than 30 days must go" is an
+        age contract, not a commit-count one."""
+        if isinstance(older_than, str):
+            import datetime as _dt
+
+            parsed = _dt.datetime.fromisoformat(older_than)
+            if parsed.tzinfo is None:
+                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
+            older_than = parsed.timestamp()
+        paths = self._manifest_paths()
+        keep_tail = paths[-retain_last:] if retain_last > 0 else []
+        drop = [p for p in paths if p not in keep_tail
+                and 0 < self._load(p).wall_time < older_than]
+        keep = [p for p in paths if p not in drop]
+        deleted = self._reap(keep, drop) if drop else []
+        return {"expired": [int(p.name.split(".")[0]) for p in drop],
+                "deleted_files": deleted}
+
+    def _reap(self, keep: list[Path], drop: list[Path]) -> list[str]:
+        """Unlink the ``drop`` manifests and delete files no ``keep``
+        manifest — nor any tag or other ref — still references."""
         live: set[str] = self._protected_rels()
         for p in keep:
             c = self._load(p)

@@ -1518,6 +1518,14 @@ class NativeTable:
         writes continue from ``commit_id + 1``."""
         return self.timeline.restore_to(commit_id)
 
+    def expire_snapshots(self, older_than: float | str,
+                         retain_last: int = 1) -> dict:
+        """Age-based history expiration (Iceberg ``expire_snapshots``):
+        drop commits published before ``older_than`` (epoch or ISO-8601),
+        always keeping the newest ``retain_last``; files a tag or branch
+        still references survive. See ``CommitTimeline.expire_snapshots``."""
+        return self.timeline.expire_snapshots(older_than, retain_last)
+
     # -- named refs: branches, tags, fast-forward (Iceberg ref class) --------
     # The reference delegates versioning to the Hudi timeline, which has
     # savepoints but no named branches; this is the Iceberg branch/tag/WAP

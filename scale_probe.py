@@ -405,6 +405,28 @@ def main() -> None:
           rebase_overhead_vs_solo=round((total - winner_inside) / solo, 2),
           rebased_from=c.stats.get("occ_rebased_from"))
 
+    # ---- named refs at 10×: fork / tag / fast-forward are O(metadata) ----
+    # the contract: branching the 6M-row table writes ZERO data bytes;
+    # only the branch's own upsert pays a (pruned) merge; fast-forward
+    # publishes the branch head as one manifest carrying files by
+    # reference
+    t0 = time.perf_counter()
+    br = cow.create_branch("probe")
+    fork_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cow.create_tag("probe-v1")
+    tag_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    c = br.upsert(narrow.withColumn("qty", F.col("qty") + 2))
+    branch_upsert_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ff = cow.fast_forward("probe", drop=True)
+    ff_s = time.perf_counter() - t0
+    probe("refs_fork_tag_ff_6m", fork_s + tag_s + ff_s,
+          fork_s=round(fork_s, 4), tag_s=round(tag_s, 4),
+          ff_s=round(ff_s, 4), branch_upsert_s=round(branch_upsert_s, 3),
+          ff_new_data_files=len(set(ff.files) - set(c.files)))
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 

@@ -230,3 +230,32 @@ def test_cli_branch_tag_fast_forward(spark, tmp_path, capsys):
     assert table.read_snapshot(tag="v1").count() == 100
     rc, out = run_cmd("drop-tag", *base, "--name", "v1")
     assert rc == 0 and out[0]["dropped_tag"] == "v1"
+
+
+def test_cli_expire_snapshots(spark, tmp_path, capsys):
+    import time as _time
+
+    ctl = JobControl(**CONTROL)
+    control = tmp_path / "control.json"
+    ControlStore(control).save([ctl])
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    base = ["--control", str(control), "--curated", str(tmp_path / "curated")]
+
+    def run_cmd(*argv):
+        rc = main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    _land(make_full_load_df(spark), raw, "LOAD1")
+    run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    _land(make_cdc_df(spark), raw, "CDC1")
+    run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    rc, out = run_cmd("expire", *base,
+                      "--older-than", str(_time.time() + 10),
+                      "--retain-last", "1")
+    assert rc == 0 and out[0]["expired"]
+    from glue_hudi_spark.pipeline import CdcPipeline
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
+    table = pipe._table(ctl)
+    assert len(table.timeline.history()) == 1
+    assert table.read_snapshot().count() == 190

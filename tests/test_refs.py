@@ -287,3 +287,44 @@ def test_global_ids_keep_stamps_unique(spark, tmp_path):
     c = t.fast_forward("dev")
     assert c.commit_id == 3  # global max (2) + 1, even though main head was 1
     assert t.read_snapshot().count() == 60
+
+
+# ------------------------------------------------- age-based expiration
+
+
+def test_expire_snapshots_by_age(spark, tmp_path):
+    import time as _time
+
+    t = _mk(spark, tmp_path / "t", retain_commits=100)
+    t.bulk_insert(_df(spark))
+    t.create_tag("v1")  # protects commit 1's files from expiration
+    t.upsert(_df(spark, n=5, ver=2))
+    t.upsert(_df(spark, n=5, ver=3))
+    assert len(t.timeline.history()) == 3
+    # nothing is older than epoch 1 → no-op
+    r = t.expire_snapshots(older_than=1.0)
+    assert r["expired"] == [] and len(t.timeline.history()) == 3
+    # everything is older than now+1 → keep only the newest
+    r = t.expire_snapshots(older_than=_time.time() + 1, retain_last=1)
+    assert r["expired"] == [1, 2]
+    assert len(t.timeline.history()) == 1
+    # current state and the tagged snapshot both still read
+    assert t.read_snapshot().count() == 60
+    assert t.read_snapshot(tag="v1").count() == 60
+    assert t.validate()["ok"]
+
+
+def test_expire_snapshots_retain_last(spark, tmp_path):
+    import time as _time
+
+    t = _mk(spark, tmp_path / "t", retain_commits=100)
+    t.bulk_insert(_df(spark))
+    for i in range(4):
+        t.upsert(_df(spark, n=2, ver=2 + i))
+    r = t.expire_snapshots(older_than=_time.time() + 1, retain_last=3)
+    assert r["expired"] == [1, 2]
+    assert [c.commit_id for c in t.timeline.history()] == [3, 4, 5]
+    assert t.read_snapshot().count() == 60
+    # ISO-8601 form parses too (far past → no-op)
+    r = t.expire_snapshots(older_than="2000-01-01T00:00:00")
+    assert r["expired"] == []
