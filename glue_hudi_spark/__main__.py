@@ -143,6 +143,12 @@ def main(argv: list[str] | None = None) -> int:
     pep.add_argument("--spec", nargs="*", default=[], metavar="FIELD",
                      help="new spec entries, e.g. 'months(ts)' "
                           "'bucket(8, user_id)'; empty = unpartitioned")
+    pin = sub.add_parser("inspect", help="metadata tables (Iceberg "
+                                         "files/partitions/snapshots/refs "
+                                         "class) — zero data reads")
+    _common(pin, raw=False)
+    pin.add_argument("--kind", required=True,
+                     choices=["files", "partitions", "snapshots", "refs"])
     pex = sub.add_parser("expire", help="age-based history expiration "
                                         "(Iceberg expire_snapshots): drop "
                                         "commits older than a timestamp")
@@ -364,6 +370,12 @@ def main(argv: list[str] | None = None) -> int:
             c = table.evolve_partition_spec(list(args.spec))
             out.append({"table": ctl.table_name, "commit": c.commit_id,
                         **c.stats["partition_spec"]})
+        elif args.cmd == "inspect":
+            table = pipe._table(ctl)
+            rows = [r.asDict() for r in
+                    table.metadata_table(args.kind).collect()]
+            out.append({"table": ctl.table_name, "kind": args.kind,
+                        "rows": rows})
         elif args.cmd == "expire":
             table = pipe._table(ctl)
             older = args.older_than

@@ -57,21 +57,34 @@ from pyspark.sql.types import StructType
 _META_COLS = ("_ghs_commit_time", "_ghs_record_key", "_ghs_delta_op")
 
 
-def _timeline(path: str):
+def _timeline(path: str, branch: str | None = None):
     from glue_hudi_spark.storage.commits import CommitTimeline
 
-    return CommitTimeline(path)
+    return CommitTimeline(path, ref=branch)
 
 
 def _resolve_commit(options, reject_deltas: bool = False):
     path = options.get("path")
     if not path:
         raise ValueError("ghs_table: option('path', <table root>) is required")
-    tl = _timeline(path)
+    branch = options.get("branch")
+    tag = options.get("tag")
     as_of = options.get("asof")
-    commit = tl.at(int(as_of)) if as_of else tl.latest()
+    if tag and (branch or as_of):
+        raise ValueError(
+            "ghs_table: option('tag') is a complete version pin — it "
+            "cannot combine with 'branch' or 'asOf'")
+    tl = _timeline(path, branch)
+    if tag:
+        commit = tl.tag_commit(tag)  # frozen manifest, retention-immune
+    elif as_of:
+        commit = tl.at(int(as_of))
+    else:
+        commit = tl.latest()
     if commit is None:
-        raise ValueError(f"ghs_table: no commits at {path} (asOf={as_of})")
+        raise ValueError(
+            f"ghs_table: no commits at {path} "
+            f"(asOf={as_of}, branch={branch})")
     if reject_deltas and commit.deltas:
         # batch snapshots need the engine's precombine merge; the STREAM
         # serves pending deltas directly (one commit's changes each)
@@ -226,6 +239,10 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ghs_table: option('path') is required")
+        # tail a named branch's change feed instead of main's — the
+        # staging-pipeline pattern: consumers validate a branch's stream
+        # before it fast-forwards
+        self.branch = options.get("branch")
         self.start = int(options.get("startingcommit", 0))
         self.columns = [f.name for f in schema.fields]
         self.emit_deletes = (
@@ -287,7 +304,7 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
         deleting commit's token, other columns NULL."""
         import pyarrow.parquet as pq
 
-        tl = _timeline(self.path)
+        tl = _timeline(self.path, self.branch)
         out = []
         for cid in range(start_id + 1, end_id + 1):
             c = tl.at(cid)
@@ -309,7 +326,7 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
         return out
 
     def read(self, start):
-        tl = _timeline(self.path)
+        tl = _timeline(self.path, self.branch)
         latest = tl.latest()
         if latest is None or latest.commit_id <= start["commit_id"]:
             return iter([]), start
@@ -320,7 +337,7 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
         return iter(rows), {"commit_id": latest.commit_id}
 
     def readBetweenOffsets(self, start, end):
-        commit = _timeline(self.path).at(end["commit_id"])
+        commit = _timeline(self.path, self.branch).at(end["commit_id"])
         if commit is None:
             raise ValueError(
                 f"ghs_table stream replay: commit {end['commit_id']} no "
@@ -340,10 +357,15 @@ class GhsTableDataSource(DataSource):
     ``spark.read.format("ghs_table").option("path", root).load()``.
 
     Options: ``path`` (required), ``asOf`` (commit id, batch only),
-    ``withMeta`` (include ``_ghs_*`` columns), ``startingCommit``
-    (stream only; default 0 = full history then tail), ``emitDeletes``
-    (stream only, requires withMeta; emit tombstone rows with
-    ``_ghs_delta_op='d'`` for keys deleted by range commits).
+    ``tag`` (batch only: read a named tag's frozen, retention-immune
+    snapshot — the reproducible-training-set read; excludes asOf/branch),
+    ``branch`` (read/stream a named branch instead of main — batch reads
+    its head snapshot, the stream tails ITS change feed: the
+    validate-before-fast-forward pattern), ``withMeta`` (include
+    ``_ghs_*`` columns), ``startingCommit`` (stream only; default 0 =
+    full history then tail), ``emitDeletes`` (stream only, requires
+    withMeta; emit tombstone rows with ``_ghs_delta_op='d'`` for keys
+    deleted by range commits).
     """
 
     @classmethod

@@ -2675,6 +2675,80 @@ class NativeTable:
             "total_rows bigint, stats string",
         )
 
+    def metadata_table(self, kind: str) -> DataFrame:
+        """Table internals as DataFrames (the Iceberg metadata-tables
+        class: ``db.table.files`` / ``.partitions`` / ``.snapshots`` /
+        ``.refs``) — pure manifest/driver metadata, ZERO data-file reads,
+        so each is O(files) JSON work however many terabytes the files
+        hold. Kinds:
+
+        * ``files`` — one row per live file (base + MoR delta): path,
+          type, size, rows, DV-marked rows, partition values, record-key
+          [min,max], writing commit id;
+        * ``partitions`` — per partition tuple: file/byte/row totals;
+        * ``snapshots`` — alias of :meth:`describe_history`;
+        * ``refs`` — named branches and tags with their pinned commit.
+        """
+        kind = kind.lower()
+        if kind == "snapshots":
+            return self.describe_history()
+        if kind == "refs":
+            rows = []
+            for b in self.timeline.branches():
+                h = self.timeline.branch_timeline(b).latest()
+                rows.append((b, "branch",
+                             h.commit_id if h else None,
+                             float(h.wall_time) if h else None))
+            for tname in self.timeline.tags():
+                c = self.timeline.tag_commit(tname)
+                rows.append((tname, "tag", c.commit_id, float(c.wall_time)))
+            return self.spark.createDataFrame(
+                rows, "name string, type string, commit_id bigint, "
+                      "wall_time double")
+        head = self.timeline.latest()
+        if head is None:
+            raise ValueError(f"table {self.root} has no commits")
+        if kind == "files":
+            rows = []
+            entries = [(f, "base") for f in head.files] + [
+                (f, "delta") for d in head.deltas for f in d["files"]]
+            for rel, ftype in entries:
+                ks = head.key_stats.get(rel)
+                pv = self._file_partition(rel)
+                rows.append((
+                    rel, ftype,
+                    int(head.file_sizes.get(rel, 0)),
+                    int(head.row_counts.get(rel, 0)),
+                    int(head.dvs.get(rel, {}).get("rows", 0)),
+                    dict(zip([f.name for f in self._pfields], pv))
+                    if self.partition_keys else {},
+                    ks[0] if ks else None, ks[1] if ks else None,
+                    int(Path(rel).parts[1].split(".")[0]),
+                ))
+            return self.spark.createDataFrame(
+                rows, "path string, file_type string, bytes bigint, "
+                      "rows bigint, dv_marked bigint, "
+                      "partition map<string,string>, key_min string, "
+                      "key_max string, commit_id bigint")
+        if kind == "partitions":
+            agg: dict = {}
+            for rel in head.files:
+                pv = self._file_partition(rel)
+                a = agg.setdefault(pv, [0, 0, 0])
+                a[0] += 1
+                a[1] += int(head.file_sizes.get(rel, 0))
+                a[2] += (int(head.row_counts.get(rel, 0))
+                         - int(head.dvs.get(rel, {}).get("rows", 0)))
+            names = [f.name for f in self._pfields]
+            rows = [(dict(zip(names, pv)) if names else {},
+                     n, b, r) for pv, (n, b, r) in sorted(agg.items())]
+            return self.spark.createDataFrame(
+                rows, "partition map<string,string>, n_files int, "
+                      "bytes bigint, rows bigint")
+        raise ValueError(
+            f"metadata_table: unknown kind {kind!r} "
+            "(files | partitions | snapshots | refs)")
+
     def bulk_insert(self, df: DataFrame, parallelism: int = 0,
                     extra_stats: dict | None = None) -> Commit | None:
         """Initial/full load (processData.py:207-213,337-342): sorted bulk

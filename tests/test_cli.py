@@ -259,3 +259,24 @@ def test_cli_expire_snapshots(spark, tmp_path, capsys):
     table = pipe._table(ctl)
     assert len(table.timeline.history()) == 1
     assert table.read_snapshot().count() == 190
+
+
+def test_cli_inspect(spark, tmp_path, capsys):
+    ctl = JobControl(**CONTROL)
+    control = tmp_path / "control.json"
+    ControlStore(control).save([ctl])
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    base = ["--control", str(control), "--curated", str(tmp_path / "curated")]
+
+    def run_cmd(*argv):
+        rc = main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    _land(make_full_load_df(spark), raw, "LOAD1")
+    run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    rc, out = run_cmd("inspect", *base, "--kind", "files")
+    assert rc == 0
+    assert sum(r["rows"] for r in out[0]["rows"]) == 100
+    rc, out = run_cmd("inspect", *base, "--kind", "refs")
+    assert rc == 0 and out[0]["rows"] == []

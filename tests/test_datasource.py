@@ -211,3 +211,41 @@ def test_replication_from_uncompacted_mor_source(spark, tmp_path):
     got = {(r["id"], r["v"]) for r in dest.read_snapshot().collect()}
     want = {(r["id"], r["v"]) for r in src.read_snapshot().collect()}
     assert got == want and ("k4", 4.0) not in got and ("k2", 77.0) in got
+
+
+def test_batch_read_tag_and_branch(spark, table):
+    table.create_tag("v1")
+    b = table.create_branch("dev")
+    b.upsert(_rows(spark, [dict(id="k001", v=-1.0, seq=3)]))
+    # branch read sees the branch head; main read doesn't
+    bdf = _fmt(spark, table, branch="dev")
+    assert {r["v"] for r in bdf.filter("id = 'k001'").collect()} == {-1.0}
+    assert {r["v"] for r in _fmt(spark, table)
+            .filter("id = 'k001'").collect()} == {1.0}
+    # tag read is the frozen pre-churn snapshot, even after more writes
+    table.upsert(_rows(spark, [dict(id="k002", v=-2.0, seq=3)]))
+    tdf = _fmt(spark, table, tag="v1")
+    assert {r["v"] for r in tdf.filter("id = 'k002'").collect()} == {2.0}
+    # tag is a complete pin: combining with branch/asOf is an error
+    with pytest.raises(Exception, match="complete version pin"):
+        _fmt(spark, table, tag="v1", branch="dev").collect()
+
+
+def test_stream_tails_branch_feed(spark, table, tmp_path):
+    b = table.create_branch("stage")
+    b.upsert(_rows(spark, [dict(id="k900", v=900.0, seq=1)]))
+    start = table.timeline.latest().commit_id  # skip shared history
+    sdf = (spark.readStream.format("ghs_table")
+           .option("path", str(table.root))
+           .option("branch", "stage")
+           .option("startingCommit", str(start))
+           .load())
+    out = tmp_path / "out"
+    q = (sdf.writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["id"]: r["v"] for r in spark.read.parquet(str(out)).collect()}
+    # ONLY the branch's own commit flows — not main's history
+    assert got == {"k900": 900.0}

@@ -328,3 +328,54 @@ def test_expire_snapshots_retain_last(spark, tmp_path):
     # ISO-8601 form parses too (far past → no-op)
     r = t.expire_snapshots(older_than="2000-01-01T00:00:00")
     assert r["expired"] == []
+
+
+# ------------------------------------------------- metadata tables
+
+
+def test_metadata_tables(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq", partition_keys=["grp"],
+                    files_per_partition=2)
+    t.bulk_insert(spark.createDataFrame(
+        [dict(id=f"k{i:03d}", grp=("a" if i % 2 else "b"),
+              v=float(i), seq=1) for i in range(40)]))
+    t.create_tag("v1")
+    t.create_branch("dev")
+    files = t.metadata_table("files").collect()
+    assert all(r["file_type"] == "base" for r in files)
+    assert sum(r["rows"] for r in files) == 40
+    assert {r["partition"]["grp"] for r in files} == {"a", "b"}
+    assert all(r["bytes"] > 0 and r["commit_id"] == 1 for r in files)
+    parts = {tuple(sorted(r["partition"].items())): r
+             for r in t.metadata_table("partitions").collect()}
+    assert parts[(("grp", "a"),)]["rows"] == 20
+    assert parts[(("grp", "b"),)]["n_files"] >= 1
+    refs = {r["name"]: r for r in t.metadata_table("refs").collect()}
+    assert refs["v1"]["type"] == "tag" and refs["v1"]["commit_id"] == 1
+    assert refs["dev"]["type"] == "branch"
+    snaps = t.metadata_table("snapshots").collect()
+    assert [r["commit_id"] for r in snaps] == [1]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown kind"):
+        t.metadata_table("nope")
+
+
+def test_metadata_files_reflects_dvs_and_deltas(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "dv", record_keys=["id"],
+                    precombine="seq", files_per_partition=4,
+                    deletion_vectors=True)
+    t.bulk_insert(spark.createDataFrame(
+        [dict(id=f"k{i:03d}", v=float(i), seq=1) for i in range(40)]))
+    t.delete(spark.createDataFrame([dict(id="k003"), dict(id="k017")]))
+    files = t.metadata_table("files").collect()
+    assert sum(r["dv_marked"] for r in files) == 2
+    # partitions row count is DV-exact
+    m = NativeTable(spark, tmp_path / "mor", record_keys=["id"],
+                    precombine="seq", storage_type="mor",
+                    files_per_partition=4, compact_every=100)
+    m.bulk_insert(spark.createDataFrame(
+        [dict(id=f"k{i:03d}", v=float(i), seq=1) for i in range(10)]))
+    m.upsert(spark.createDataFrame([dict(id="k001", v=-1.0, seq=2)]))
+    kinds = {r["file_type"] for r in m.metadata_table("files").collect()}
+    assert kinds == {"base", "delta"}
