@@ -2416,6 +2416,59 @@ s AS (
 """
 
 
+def dedup_containment(spark, sf_dir):
+    """ASYMMETRIC containment dedup (round 8; Broder containment,
+    |A∩B|/min(|A|,|B|) ≥ 0.9): catches doc-inside-doc duplication —
+    the mode MinHash-LSH structurally under-recalls because its
+    collision curve tracks symmetric Jaccard, which a 10×-wrapped
+    quote drives to 0.1. Candidates come from RARE-SHINGLE blocking
+    (each doc's 3 globally rarest shingles, document frequency ≤ 50,
+    deterministic (df, shingle) tie-break) joined against the FULL
+    shingle postings: a contained doc shares all its shingles with its
+    container, rare ones included, so candidate recall ≈ 1 at the 0.9
+    threshold. Scale: one df-count groupBy + a candidate equi-join
+    bounded by r × N × max_df rare-posting hits, never O(block²);
+    exact verification joins only candidates. Returns the CONTAINED
+    side as id_small — the natural drop candidate."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.containment_pairs(docs, threshold=0.9)
+
+
+CONTAINMENT_ORACLE = r"""
+WITH
+s AS (
+  SELECT doc_id AS id,
+         list_distinct(CASE WHEN len(w) >= 3
+           THEN list_transform(range(1, len(w)-1),
+                               i -> array_to_string(w[i:i+2], ' '))
+           ELSE [array_to_string(w, ' ')] END) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents) raw
+),
+ex AS (SELECT id, unnest(sh) AS g FROM s),
+dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+rare AS (
+  SELECT id, g FROM (
+    SELECT e.id, e.g,
+           row_number() OVER (PARTITION BY e.id
+                              ORDER BY d.df ASC, e.g ASC) AS rn
+    FROM ex e JOIN dfreq d USING (g) WHERE d.df <= 50) t
+  WHERE rn <= 3),
+pairs AS (SELECT DISTINCT least(a.id, b.id) AS id_a,
+                 greatest(a.id, b.id) AS id_b
+          FROM rare a JOIN ex b ON a.g = b.g AND a.id <> b.id),
+v AS (
+  SELECT p.id_a, p.id_b, len(sa.sh) AS n_a, len(sb.sh) AS n_b,
+         round(len(list_intersect(sa.sh, sb.sh))::DOUBLE
+               / least(len(sa.sh), len(sb.sh))::DOUBLE, 6) AS containment
+  FROM pairs p JOIN s sa ON sa.id = p.id_a JOIN s sb ON sb.id = p.id_b)
+SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS id_small,
+       CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS id_big,
+       containment
+FROM v WHERE containment >= 0.9
+"""
+
+
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard ≥ 0.7 verified over MinHash-LSH candidates —
     the composed plan (candidate volume governed by the LSH collision
@@ -2537,6 +2590,51 @@ reach AS (
   SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.peer)
 SELECT id AS member_id, MIN(peer) AS cluster_id, MIN(peer) AS keep_id
 FROM reach GROUP BY id
+"""
+
+
+def dedup_keep_best(spark, sf_dir):
+    """Quality-aware keeper election (round 8; the FineWeb/Gopher
+    keep-best-representative policy): the same MinHash near-dup
+    clusters as dedup_cluster_keep_one, but each cluster keeps its
+    HIGHEST-QUALITY member (longest text by n_chars; ties → smaller
+    id) instead of the smallest id — dedup must not delete the
+    cleanest copy because a dirtier one sorted first. The re-election
+    window runs over the members table (docs-in-any-pair), never the
+    corpus; the oracle replays the closure as a recursive CTE and the
+    election as the same (score DESC, id ASC) row_number."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, n=3, num_hashes=16, bands=8, verify_threshold=0.5)
+    clusters = dedup.resolve_clusters(pairs)
+    return dedup.keep_best_in_clusters(docs, clusters,
+                                       score_col="n_chars")
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified),
+reach AS (
+  SELECT src AS id, dst AS peer FROM edges
+  UNION
+  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.peer),
+members AS (
+  SELECT id AS member_id, MIN(peer) AS cluster_id FROM reach GROUP BY id),
+scored AS (
+  SELECT m.member_id, m.cluster_id, d.n_chars
+  FROM members m JOIN documents d ON d.doc_id = m.member_id),
+keep AS (
+  SELECT cluster_id, member_id AS keep_id FROM (
+    SELECT cluster_id, member_id,
+           row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY n_chars DESC, member_id ASC) AS rn
+    FROM scored) t WHERE rn = 1)
+SELECT s.member_id, s.cluster_id, k.keep_id
+FROM scored s JOIN keep k USING (cluster_id)
 """
 
 
@@ -8075,6 +8173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_branch_wap": cdc_branch_wap,
         "cdc_global_index": cdc_global_index,
         "ann_index_persisted": ann_index_persisted,
+        "dedup_containment": dedup_containment,
+        "dedup_keep_best": dedup_keep_best,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -8320,6 +8420,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_branch_wap": BRANCH_WAP_ORACLE,
         "cdc_global_index": GLOBAL_INDEX_ORACLE,
         "ann_index_persisted": ANN_INDEX_PERSISTED_ORACLE,
+        "dedup_containment": CONTAINMENT_ORACLE,
+        "dedup_keep_best": _keep_best_oracle(),
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

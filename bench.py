@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "cdc_branch_wap",
     "cdc_global_index",
     "ann_index_persisted",
+    "dedup_containment",
+    "dedup_keep_best",
 ]
 
 

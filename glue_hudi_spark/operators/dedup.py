@@ -301,6 +301,97 @@ def minhash_lsh_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    rare_per_doc: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """ASYMMETRIC near-duplicate pairs by n-gram shingle CONTAINMENT:
+    |A∩B| / min(|A|, |B|) ≥ threshold (Broder's containment measure).
+
+    Catches the doc-inside-doc case symmetric Jaccard structurally
+    misses — a 100-shingle article fully quoted inside a 1000-shingle
+    page has Jaccard 0.1 but containment 1.0 (boilerplate wrappers,
+    quote farms, re-publishes with added chrome — the duplication mode
+    MinHash-LSH pipelines leave behind). Returns (id_small, id_big,
+    containment) with ``id_small`` the CONTAINED (smaller shingle set)
+    side — the natural drop candidate; composes with
+    ``resolve_clusters``/``drop_near_duplicates`` like any pair source.
+
+    Candidates come from RARE-SHINGLE blocking, not MinHash (whose LSH
+    collision curve tracks Jaccard, so it structurally under-recalls
+    exactly the pairs this function exists for): each doc emits its
+    ``rare_per_doc`` globally rarest shingles (document frequency ≤
+    ``max_df``; ties by shingle text, so the pick is deterministic),
+    and a candidate pair is (doc, ANY doc containing one of its rare
+    shingles) — rare side joined against the FULL exploded shingle
+    postings, not rare-vs-rare: a container's own rarest shingles are
+    its unique chrome (df=1), never the shared quote, so rare-vs-rare
+    would structurally miss the one-sided case this exists for. A
+    contained doc's shingles ALL appear in its container, so its rare
+    picks (df ≥ 2 by containment) collide with the container's
+    postings — candidate recall ≈ 1-(1-c)^r, ~1 at the c ≥ 0.9 this
+    targets. Scale shape: one groupBy(shingle) for document frequency,
+    one shuffle to join df back, a per-doc top-r (map-side
+    combinable), and a candidate equi-join bounded by Σ df(g) over
+    rare picks ≤ r × N × max_df — never block-population-squared;
+    exact verification joins only the candidates.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(word_shingles(text_col, n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = shingled.select("id", F.explode("sh").alias("g"))
+    dfreq = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+             .filter(F.col("df") <= max_df))
+    # per-doc r rarest shingles: (df, g) ascending — the same
+    # (ORDER BY df, g) the SQL oracle replays, so picks are identical
+    pick = F.struct(F.col("df"), F.col("g"))
+    rare = (
+        ex.join(dfreq, on="g")
+        .groupBy("id")
+        .agg(F.slice(F.sort_array(F.collect_list(pick)), 1,
+                     rare_per_doc).alias("_picks"))
+        .select("id", F.explode("_picks").alias("_p"))
+        .select("id", F.col("_p.g").alias("g"))
+    )
+    pairs = (
+        rare.select(F.col("id").alias("_ra"), "g")
+        .join(ex.select(F.col("id").alias("_xb"), "g"), on="g")
+        .filter(F.col("_ra") != F.col("_xb"))
+        .select(F.least("_ra", "_xb").alias("id_a"),
+                F.greatest("_ra", "_xb").alias("id_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("id").alias("id_a"),
+                         F.col("sh").alias("sh_a"),
+                         F.col("n_sh").alias("n_a"))
+    sb = shingled.select(F.col("id").alias("id_b"),
+                         F.col("sh").alias("sh_b"),
+                         F.col("n_sh").alias("n_b"))
+    verified = (
+        pairs.join(sa, on="id_a").join(sb, on="id_b")
+        .withColumn(
+            "containment",
+            F.round(F.size(F.array_intersect("sh_a", "sh_b"))
+                    .cast("double")
+                    / F.least("n_a", "n_b").cast("double"), 6))
+        .filter(F.col("containment") >= threshold)
+    )
+    small_first = F.col("n_a") <= F.col("n_b")
+    return verified.select(
+        F.when(small_first, F.col("id_a")).otherwise(F.col("id_b"))
+        .alias("id_small"),
+        F.when(small_first, F.col("id_b")).otherwise(F.col("id_a"))
+        .alias("id_big"),
+        "containment",
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 
 
@@ -556,8 +647,39 @@ def resolve_clusters(
     )
 
 
+def keep_best_in_clusters(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "n_chars",
+) -> DataFrame:
+    """Re-elect each cluster's keeper by QUALITY instead of min-id:
+    (member_id, cluster_id, keep_id) with keep_id = the member with the
+    highest ``score_col`` (ties → smaller id; NULL scores last) — the
+    FineWeb/Gopher keep-best-representative policy: dedup must not
+    delete the cleanest copy just because a dirtier one has a smaller
+    id. The window runs over the MEMBERS table (|docs-in-any-pair|
+    rows), never the corpus; the per-cluster partition is a duplicate
+    cluster's membership — small by construction."""
+    from pyspark.sql import Window
+
+    scored = clusters.select("member_id", "cluster_id").join(
+        df.select(F.col(id_col).alias("member_id"),
+                  F.col(score_col).alias("_s")),
+        on="member_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("_s").desc_nulls_last(), F.col("member_id").asc())
+    keep = (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("cluster_id", F.col("member_id").alias("keep_id")))
+    return (scored.select("member_id", "cluster_id")
+            .join(keep, on="cluster_id")
+            .select("member_id", "cluster_id", "keep_id"))
+
+
 def drop_near_duplicates(
-    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id"
+    df: DataFrame, clusters: DataFrame, id_col: str = "doc_id",
+    score_col: str | None = None,
 ) -> DataFrame:
     """Keep-one enforcement: remove every cluster member except its keeper.
 
@@ -565,7 +687,12 @@ def drop_near_duplicates(
     id column; the loser set is |members| - |clusters| rows — let AQE pick
     broadcast vs shuffle by its actual size (at 100 TB a heavy-dup corpus
     makes it too big to broadcast blindly).
+
+    ``score_col``: keep the highest-scoring member per cluster instead of
+    the smallest id (see ``keep_best_in_clusters``).
     """
+    if score_col is not None:
+        clusters = keep_best_in_clusters(df, clusters, id_col, score_col)
     losers = clusters.filter(F.col("member_id") != F.col("keep_id")).select(
         F.col("member_id").alias(id_col)
     )

@@ -47,6 +47,43 @@ def test_ngram_jaccard_over_lsh_candidates(spark, docs):
     assert all(p[0] != 3 and p[1] != 3 for p in got)  # unrelated doc never pairs
 
 
+def test_containment_catches_doc_inside_doc(spark):
+    # a short doc fully embedded in a 6x-larger page: Jaccard ~0.15
+    # (below any dedup threshold) but containment = 1.0 — the case
+    # containment_pairs exists for
+    from pyspark.sql import Row
+
+    inner = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    filler = " ".join(f"word{i} blah{i} text{i}" for i in range(18))
+    rows = [
+        Row(doc_id=1, text=inner),
+        Row(doc_id=2, text=filler + " " + inner + " " + filler[::-1].lower()),
+        Row(doc_id=3, text="totally unrelated things about query planners"),
+    ]
+    df = spark.createDataFrame(rows)
+    jac = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
+    assert not [r for r in jac if {r["id_a"], r["id_b"]} == {1, 2}]
+    got = {(r["id_small"], r["id_big"]): r["containment"]
+           for r in dedup.containment_pairs(
+               df, threshold=0.9, max_df=10).collect()}
+    assert got.get((1, 2)) == 1.0  # contained side reported as id_small
+    assert all(3 not in k for k in got)
+
+
+def test_containment_orients_smaller_side(spark):
+    from pyspark.sql import Row
+
+    small = "one two three four five six seven eight nine ten"
+    rows = [
+        Row(doc_id=9, text="pre amble words here " + small + " post script"),
+        Row(doc_id=5, text=small),
+    ]
+    out = dedup.containment_pairs(
+        spark.createDataFrame(rows), threshold=0.9, max_df=10).collect()
+    assert len(out) == 1
+    assert out[0]["id_small"] == 5 and out[0]["id_big"] == 9
+
+
 def test_minhash_lsh_candidates_superset_sanity(spark, docs):
     pairs = dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
@@ -401,3 +438,27 @@ def test_line_dedup_property_vs_python(spark):
             spark.createDataFrame(
                 [Row(doc_id=d, text=t) for d, t in docs.items()])).collect()}
         assert got == expect, (trial, docs)
+
+
+def test_drop_near_duplicates_keep_best(spark):
+    from pyspark.sql import Row
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        Row(doc_id=1, text=base, n_chars=len(base)),
+        Row(doc_id=2, text=base + " kilo lima", n_chars=len(base) + 10),
+        Row(doc_id=7, text="unrelated words entirely here now", n_chars=33),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = dedup.ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    clusters = dedup.resolve_clusters(pairs)
+    # min-id policy keeps doc 1; quality policy keeps the LONGER doc 2
+    kept_minid = {r["doc_id"] for r in
+                  dedup.drop_near_duplicates(df, clusters).collect()}
+    assert kept_minid == {1, 7}
+    kept_best = {r["doc_id"] for r in dedup.drop_near_duplicates(
+        df, clusters, score_col="n_chars").collect()}
+    assert kept_best == {2, 7}
+    elected = dedup.keep_best_in_clusters(df, clusters,
+                                          score_col="n_chars").collect()
+    assert all(r["keep_id"] == 2 for r in elected)

@@ -72,10 +72,16 @@ def test_query_postings_read_is_partition_pruned(spark, tmp_path):
     ix.build(id_col="vec_id", n_centroids=8)
     out = ix.query(t.read_snapshot().filter("vec_id = 3"), k=5, nprobe=1)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    # the postings scan must carry a partition filter on cell — the
-    # nprobe/n_cells read fraction IS the index
-    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
-        "cell#", "cell #") or "cell IN" in plan or "cell#" in plan
+    # the postings scan (the one reading _vnorm) must carry a NON-EMPTY
+    # partition filter on cell — the nprobe/n_cells read fraction IS the
+    # index; an empty PartitionFilters would mean a full-corpus scan
+    postings_scans = [l for l in plan.splitlines()
+                      if "_vnorm" in l and "PartitionFilters" in l]
+    assert postings_scans, "postings FileScan not found in plan"
+    for l in postings_scans:
+        pf = l.split("PartitionFilters: ")[1]
+        assert pf.startswith("[") and not pf.startswith("[]"), l
+        assert "cell" in pf.split("]")[0], l
     assert out.count() > 0
 
 
