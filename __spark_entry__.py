@@ -2638,6 +2638,111 @@ FROM scored s JOIN keep k USING (cluster_id)
 """
 
 
+def dedup_index_probe(spark, sf_dir):
+    """PERSISTED dedup index, end to end (round 8): the scale path for
+    arrival-time corpus dedup — ``incremental_exact`` re-hashes the
+    whole corpus text per batch; this index materializes content hashes
+    + banded MinHash rows ONCE (id-bucket-partitioned store under the
+    table's ``_index/dedup/``), catches up off the table change feed by
+    rewriting only changed buckets, and probes a batch against hashes
+    only (near-dup verification fetches just the candidate corpus docs
+    through the table's own range/bloom-pruned point lookup). In-query:
+    build on the even-doc corpus, ingest 10 more docs + refresh, then
+    probe a batch of odd docs + 50 exact re-crawls — novel survivors
+    must drop exact re-crawls, docs now in the corpus via the refresh,
+    verified near-dups (band collision + Jaccard ≥ 0.5), and in-batch
+    exact dups (min-id keeper). The oracle replays fingerprints,
+    refresh, and the probe decision in SQL."""
+    from glue_hudi_spark.operators.dedup_index import DedupIndex
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") % 2 == 0)
+    tmp = _scratch_dir("dix_")
+    table = NativeTable(
+        spark, f"{tmp}/docs_tbl", record_keys=["dk"],
+        precombine="doc_id", partition_keys=[], files_per_partition=8,
+        stats_cols=["doc_id"],
+    )
+
+    def keyed(df):
+        return df.select(F.format_string("%09d", "doc_id").alias("dk"),
+                         "doc_id", "text")
+
+    table.bulk_insert(keyed(corpus))
+    ix = DedupIndex(table, id_col="doc_id")
+    ix.build()
+    # corpus grows after the build: refresh must pick the new docs up
+    late = (d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 20))
+            .select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    table.upsert(keyed(late))
+    assert ix.refresh()["refreshed"]
+    recrawl = (corpus.filter(F.col("doc_id") < 100)
+               .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    batch = d.filter(F.col("doc_id") % 2 == 1).unionByName(recrawl)
+    return ix.probe(batch, verify_threshold=0.5).select("doc_id")
+
+
+def _dedup_index_oracle() -> str:
+    sh = (r"list_distinct(CASE WHEN len(w) >= 3"
+          r" THEN list_transform(range(1, len(w)-1),"
+          r" i -> array_to_string(w[i:i+2], ' '))"
+          r" ELSE [array_to_string(w, ' ')] END)")
+    mh = ", ".join(
+        f"list_aggregate(list_transform(sh, x -> substr(md5(x || ':{j // 4}'),"
+        f" {1 + 8 * (j % 4)}, 8)), 'min') AS mh{j}"
+        for j in range(16))
+
+    def bands(m):
+        return " UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5(mh{2 * b} || '|' || mh{2 * b + 1})"
+            f" AS band_hash FROM {m}" for b in range(8))
+
+    return rf"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text FROM documents
+  WHERE doc_id % 2 = 1 AND doc_id < 20
+),
+batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents
+  WHERE doc_id % 2 = 0 AND doc_id < 100
+),
+cs AS (SELECT doc_id AS id, {sh} AS sh,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+       FROM (SELECT doc_id, text,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+             FROM corpus) r),
+bs AS (SELECT doc_id AS id, {sh} AS sh,
+              md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS h
+       FROM (SELECT doc_id, text,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS w
+             FROM batch) r),
+cm AS (SELECT id, {mh} FROM cs),
+bm AS (SELECT id, {mh} FROM bs),
+cb AS ({bands('cm')}),
+bb AS ({bands('bm')}),
+fresh AS (SELECT id, h FROM bs
+          WHERE h NOT IN (SELECT DISTINCT h FROM cs)),
+keep1 AS (SELECT h, min(id) AS id FROM fresh GROUP BY h),
+surv AS (SELECT id FROM keep1),
+cand AS (
+  SELECT DISTINCT s.id AS bid, cb.id AS cid
+  FROM surv s JOIN bb ON bb.id = s.id
+  JOIN cb ON cb.band = bb.band AND cb.band_hash = bb.band_hash),
+dup AS (
+  SELECT DISTINCT c.bid FROM cand c
+  JOIN bs ON bs.id = c.bid JOIN cs ON cs.id = c.cid
+  WHERE round(len(list_intersect(bs.sh, cs.sh))::DOUBLE
+              / len(list_distinct(list_cat(bs.sh, cs.sh)))::DOUBLE, 6)
+        >= 0.5)
+SELECT id AS doc_id FROM surv
+WHERE id NOT IN (SELECT bid FROM dup)
+"""
+
+
 def dedup_semantic(spark, sf_dir):
     """SemDeDup: k-means partition the embedding space (deterministic
     Lloyd's, 8 cells × 2 iterations), exact cosine pairs WITHIN each
@@ -8175,6 +8280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_persisted": ann_index_persisted,
         "dedup_containment": dedup_containment,
         "dedup_keep_best": dedup_keep_best,
+        "dedup_index_probe": dedup_index_probe,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -8422,6 +8528,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_index_persisted": ANN_INDEX_PERSISTED_ORACLE,
         "dedup_containment": CONTAINMENT_ORACLE,
         "dedup_keep_best": _keep_best_oracle(),
+        "dedup_index_probe": _dedup_index_oracle(),
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "ann_index_persisted",
     "dedup_containment",
     "dedup_keep_best",
+    "dedup_index_probe",
 ]
 
 

@@ -188,13 +188,31 @@ class VectorIndex:
         # minus every changed id, plus the new assignments
         changed_ids = (gone.select("id").unionByName(add.select("id"))
                        .distinct())
+        self.spark.catalog.refreshByPath(str(self.postings))
         old = (self.spark.read.parquet(str(self.postings))
                .filter(F.col("cell").isin(cells)))
         keep = old.join(changed_ids, on="id", how="left_anti")
-        out = keep.unionByName(self._postings_df(add))
+        # materialize BEFORE overwriting the directory being read (and
+        # guard later readers against Spark's cached file listing)
+        out = (keep.unionByName(self._postings_df(add))
+               .localCheckpoint(eager=True))
         (out.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cell").parquet(str(self.postings)))
+        self.spark.catalog.refreshByPath(str(self.postings))
+        # dynamic overwrite replaces only partitions PRESENT in the
+        # output: an affected cell whose postings all left (every vector
+        # deleted/moved away, none arrived) writes no rows and would keep
+        # serving its STALE files — clear those dirs explicitly
+        still = {r["cell"] for r in
+                 out.select("cell").distinct().collect()}
+        import shutil
+
+        for c in cells:
+            if c not in still:
+                d = self.postings / f"cell={c}"
+                if d.is_dir():
+                    shutil.rmtree(d)
         meta["indexed_commit"] = head.commit_id
         self._write_meta(meta)
         return {"refreshed": True, "cells_rewritten": len(cells)}
@@ -233,6 +251,7 @@ class VectorIndex:
         # through this same index cell-by-cell instead)
         probed = sorted({r["cell"] for r in
                          q.select("cell").distinct().collect()})
+        self.spark.catalog.refreshByPath(str(self.postings))
         post = (self.spark.read.parquet(str(self.postings))
                 .filter(F.col("cell").isin(probed)))
         scored = (

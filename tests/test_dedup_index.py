@@ -1,0 +1,103 @@
+"""Persisted dedup index: build → probe (exact + verified near-dup off
+the hash store, never a corpus text scan) → incremental bucket refresh.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from glue_hudi_spark.operators.dedup_index import DedupIndex
+from glue_hudi_spark.operators.vector_index import StaleIndexError
+from glue_hudi_spark.storage.native import NativeTable
+
+TEXTS = [
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet",
+    "kilo lima mike november oscar papa quebec romeo sierra tango",
+    "uniform victor whiskey xray yankee zulu one two three four",
+    "the quick brown fox jumps over the lazy dog again today",
+    "entirely different content about spark query planners and joins",
+]
+
+
+def _mk(spark, path, n=5):
+    t = NativeTable(spark, path, record_keys=["dk"], precombine="doc_id",
+                    files_per_partition=2, stats_cols=["doc_id"])
+    rows = [dict(dk=f"{i:05d}", doc_id=i, text=TEXTS[i % len(TEXTS)]
+                 + f" tail{i}") for i in range(n * len(TEXTS))]
+    # doc 7 is the only NEAR-DUP-FREE doc (the cycled TEXTS give every
+    # other doc siblings) — the delete/re-ingest test needs one
+    rows[7]["text"] = ("singular document seven zyzzyva quixotic phlogiston "
+                       "absquatulate borborygmus callipygian")
+    t.bulk_insert(spark.createDataFrame(rows))
+    return t
+
+
+def test_probe_drops_exact_and_near_dups(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    ix = DedupIndex(t, id_col="doc_id")
+    ix.build()
+    corpus = t.read_snapshot()
+    batch = spark.createDataFrame([
+        # exact re-crawl of doc 3 under a new id → dropped
+        dict(doc_id=1003, text=corpus.filter("doc_id = 3")
+             .collect()[0]["text"]),
+        # near-dup of doc 4 (one word changed) → dropped by verify
+        dict(doc_id=1004, text=corpus.filter("doc_id = 4")
+             .collect()[0]["text"].replace("joins", "unions")),
+        # novel doc → kept
+        dict(doc_id=1005, text="совершенно new words never seen in corpus "
+                               "zetetic quixotic phlogiston"),
+        # in-batch exact pair → min id kept
+        dict(doc_id=1006, text="duplicate pair payload words here now"),
+        dict(doc_id=1007, text="duplicate pair payload words here now"),
+    ])
+    got = sorted(r["doc_id"] for r in ix.probe(batch).collect())
+    assert got == [1005, 1006]
+
+
+def test_probe_stale_raises_then_refresh(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    ix = DedupIndex(t, id_col="doc_id")
+    ix.build()
+    novel = "brand new corpus document with fresh tokens xylophone"
+    t.upsert(spark.createDataFrame(
+        [dict(dk="99999", doc_id=99999, text=novel)]))
+    batch = spark.createDataFrame([dict(doc_id=5000, text=novel)])
+    with pytest.raises(StaleIndexError, match="refresh"):
+        ix.probe(batch)
+    # stale probe would have ADMITTED the duplicate of the new doc
+    assert ix.probe(batch, allow_stale=True).count() == 1
+    r = ix.refresh()
+    assert r["refreshed"] and r["buckets_rewritten"] >= 1
+    assert ix.probe(batch).count() == 0  # now it's a known exact dup
+
+
+def test_refresh_handles_deletes(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    ix = DedupIndex(t, id_col="doc_id")
+    ix.build()
+    doomed = t.read_snapshot().filter("doc_id = 7").collect()[0]
+    t.delete(spark.createDataFrame([dict(dk="00007")]))
+    ix.refresh()
+    # the deleted doc's fingerprints are gone: re-ingesting it is NOVEL
+    batch = spark.createDataFrame(
+        [dict(doc_id=7007, text=doomed["text"])])
+    assert ix.probe(batch).count() == 1
+    store = spark.read.parquet(str(ix.store))
+    assert store.filter("id = 7").count() == 0
+
+
+def test_refresh_noop(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    ix = DedupIndex(t, id_col="doc_id")
+    ix.build()
+    assert ix.refresh() == {"refreshed": False, "buckets_rewritten": 0}
+
+
+def test_store_never_holds_text(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    ix = DedupIndex(t, id_col="doc_id")
+    ix.build()
+    cols = set(spark.read.parquet(str(ix.store)).columns)
+    assert cols == {"id", "h", "band", "band_hash", "bucket"}

@@ -170,3 +170,27 @@ def test_refresh_rewrites_only_affected_cells(spark, tmp_path):
     r = ix.refresh()
     assert r["refreshed"]
     assert 1 <= r["cells_rewritten"] <= 2
+
+
+def test_refresh_clears_emptied_cell(spark, tmp_path):
+    # delete EVERY member of one cell with no arrivals: dynamic partition
+    # overwrite writes no rows for it, so the refresh must clear the
+    # stale partition dir explicitly — deleted vectors must never be
+    # served as neighbors
+    t = _mk_table(spark, tmp_path / "t")
+    ix = VectorIndex(t)
+    ix.build(id_col="vec_id", n_centroids=8)
+    post = spark.read.parquet(str(ix.postings))
+    cells = {r["cell"]: r["n"] for r in
+             post.groupBy("cell").count().withColumnRenamed(
+                 "count", "n").collect()}
+    victim = min(cells, key=lambda c: cells[c])
+    doomed = [r["id"] for r in
+              post.filter(F.col("cell") == victim).collect()]
+    t.delete(spark.createDataFrame(
+        [dict(vk=f"{i:06d}") for i in doomed]))
+    ix.refresh()
+    left = spark.read.parquet(str(ix.postings))
+    assert left.filter(F.col("id").isin(doomed)).count() == 0
+    got = ix.query(t.read_snapshot().filter("vec_id < 4"), k=50, nprobe=8)
+    assert not [r for r in got.collect() if r["neighbor_id"] in doomed]
