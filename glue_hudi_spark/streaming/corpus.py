@@ -46,6 +46,8 @@ class CorpusIngestStream:
         max_files_per_trigger: int | None = None,
         min_quality: float | None = None,
         pipeline=None,
+        use_index: bool = False,
+        near_dup_threshold: float = 0.5,
     ):
         self.spark = spark
         self.docs_dir = str(docs_dir)
@@ -63,6 +65,16 @@ class CorpusIngestStream:
         # (filters/dedup); a corpus-relative stage like token_budget
         # belongs in a periodic batch re-curation, not here.
         self.pipeline = pipeline
+        # use_index: dedup each batch against the PERSISTED fingerprint
+        # store (operators.dedup_index) instead of re-hashing the corpus
+        # text per batch — the 100-TB ingest shape: probes join hashes
+        # only, and the batch is ALSO checked for verified near-dups
+        # (band collision + Jaccard ≥ near_dup_threshold), which the
+        # hash-only path can't see. The index refreshes after each
+        # commit; a crash between commit and refresh self-heals (the
+        # next batch's refresh is change-feed-driven and idempotent).
+        self.use_index = use_index
+        self.near_dup_threshold = near_dup_threshold
         self.schema = schema or self.spark.read.parquet(self.docs_dir).schema
         self.max_files_per_trigger = max_files_per_trigger
         self.table = NativeTable(
@@ -83,7 +95,18 @@ class CorpusIngestStream:
             if batch_df.isEmpty():
                 return
         marker = {"stream_batch_id": int(batch_id)}
-        if self.table.exists():
+        ix = None
+        if self.use_index:
+            from glue_hudi_spark.operators.dedup_index import DedupIndex
+
+            ix = DedupIndex(self.table, id_col=self.id_col,
+                            text_col=self.text_col)
+        if self.table.exists() and ix is not None \
+                and ix._meta_path().exists():
+            ix.refresh()  # no-op when current; heals a post-commit crash
+            fresh = ix.probe(batch_df,
+                             verify_threshold=self.near_dup_threshold)
+        elif self.table.exists():
             fresh = dedup.incremental_exact(
                 batch_df,
                 self.table.read_snapshot().select(self.text_col),
@@ -106,6 +129,11 @@ class CorpusIngestStream:
         if fresh.isEmpty():
             return
         self.table.bulk_insert(fresh, extra_stats=marker)
+        if ix is not None:
+            if ix._meta_path().exists():
+                ix.refresh()
+            else:
+                ix.build()
 
     def start(self, trigger_available_now: bool = True):
         reader = (

@@ -379,3 +379,35 @@ def test_metadata_files_reflects_dvs_and_deltas(spark, tmp_path):
     m.upsert(spark.createDataFrame([dict(id="k001", v=-1.0, seq=2)]))
     kinds = {r["file_type"] for r in m.metadata_table("files").collect()}
     assert kinds == {"base", "delta"}
+
+
+def test_same_branch_occ_race_rebases(spark, tmp_path):
+    # two writers on ONE branch race the commit id: per-timeline OCC is
+    # unchanged by global id allocation — the loser rebases onto the
+    # branch head exactly like a main-timeline loser would
+    t = _mk(spark, tmp_path / "t")
+    t.bulk_insert(_df(spark))
+    t.upsert(_df(spark, n=1, ver=1))  # normalize schema_json (merged form)
+    t.create_branch("dev")
+    wa = _mk(spark, tmp_path / "t", ref="dev")
+    wb = _mk(spark, tmp_path / "t", ref="dev")
+    orig = wb.timeline.publish
+    fired = []
+
+    def racing(commit):
+        if not fired:
+            fired.append(True)
+            wa.upsert(_df(spark, n=60, ver=2).filter("v < 3"))
+        return orig(commit)
+
+    wb.timeline.publish = racing
+    try:
+        c = wb.upsert(_df(spark, n=60, ver=3).filter("v >= 57"))
+    finally:
+        wb.timeline.publish = orig
+    assert c.stats.get("occ_rebased_from") is not None
+    snap = _mk(spark, tmp_path / "t", ref="dev").read_snapshot()
+    assert snap.filter("seq = 2").count() == 3   # A's write survived
+    assert snap.filter("seq = 3").count() == 3   # B's write survived
+    # main never saw either
+    assert t.read_snapshot().filter("seq >= 2").count() == 0

@@ -149,3 +149,36 @@ def test_pretrained_lm_model_flows_through_streaming_path(spark, tmp_path):
     assert {r["doc_id"] for r in stream.table.read_snapshot().collect()} == {1, 3}
     stages = stream.table.timeline.latest().stats["curation_stages"]
     assert stages["input"] == 2 and stages["0:lm_filter"] == 1
+
+
+def test_corpus_stream_index_mode_drops_near_dups(spark, tmp_path):
+    # use_index=True: dedup against the PERSISTED fingerprint store, which
+    # also drops verified NEAR-duplicates the hash-only path admits
+    docs = tmp_path / "docs"
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima")
+    _land(spark, [
+        dict(doc_id=1, text=base),
+        dict(doc_id=2, text="totally different words about query planners"),
+    ], docs, "B1")
+    stream = CorpusIngestStream(
+        spark, docs, tmp_path / "corpus", tmp_path / "ckpt",
+        use_index=True)
+    stream.run_available()
+    assert {r["doc_id"] for r in
+            stream.table.read_snapshot().collect()} == {1, 2}
+    _land(spark, [
+        dict(doc_id=10, text=base.replace("kilo", "zulu")),  # near-dup of 1
+        dict(doc_id=11, text="ALPHA bravo charlie delta echo foxtrot golf "
+                             "hotel india juliet kilo lima"),  # exact dup
+        dict(doc_id=12, text="fresh unrelated document appended here"),
+    ], docs, "B2")
+    stream.run_available()
+    snap = {r["doc_id"] for r in stream.table.read_snapshot().collect()}
+    assert snap == {1, 2, 12}, snap
+    # the index is current after the commit (next probe needs no opt-in)
+    from glue_hudi_spark.operators.dedup_index import DedupIndex
+
+    ix = DedupIndex(stream.table, id_col="doc_id")
+    assert ix._meta()["indexed_commit"] == \
+        stream.table.timeline.latest().commit_id
