@@ -321,9 +321,15 @@ def main() -> None:
     )
     cft.upsert(batch)
     t0 = time.perf_counter()
-    n_changes = cft.diff_snapshots(1).count()
+    diff = cft.diff_snapshots(1)
+    n_changes = diff.count()
     probe("change_feed_diff_6m", time.perf_counter() - t0,
-          changed_rows=n_changes)
+          changed_rows=n_changes,
+          # adjacent-commit diffs scan only the files the two manifests
+          # DISAGREE on (shared files can't contribute a change) —
+          # the count pins the O(changed files) contract
+          files_scanned=len(diff.inputFiles()),
+          files_total=len(cft.timeline.latest().files))
     from glue_hudi_spark.operators import ivm
 
     state = ivm.aggregate_state(

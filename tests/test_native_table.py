@@ -1002,3 +1002,30 @@ def test_table_changes_per_version_attribution(spark, tmp_path):
     assert all(x is not None for x in ts)
     with _pytest.raises(ValueError, match="must be <"):
         t.table_changes(3)
+
+
+def test_change_feed_scans_only_changed_files(spark, tmp_path):
+    # adjacent-commit diffs must read O(changed files), not two full
+    # snapshots: files shared by both manifests (same DV state) serve
+    # byte-identical rows and are excluded from BOTH sides
+    t = NativeTable(spark, tmp_path / "cf", record_keys=["k"],
+                    precombine="s", files_per_partition=16)
+    t.bulk_insert(spark.range(4000).selectExpr(
+        "format_string('k%05d', id) AS k", "id AS v", "1 AS s"))
+    total = len(t.timeline.latest().files)
+    assert total == 16
+    c = t.upsert(spark.createDataFrame(
+        [("k00042", -1, 2)], "k string, v long, s int"))
+    rewritten = c.stats["files_rewritten"]
+    assert rewritten <= 2
+    diff = t.change_feed(c.commit_id - 1, c.commit_id)
+    rows = {(r["_change_type"], r["k"]) for r in diff.collect()}
+    assert rows == {("update_preimage", "k00042"),
+                    ("update_postimage", "k00042")}
+    scanned = diff.inputFiles()
+    # old side: the rewritten files' originals; new side: their rewrites
+    assert len(scanned) <= 2 * rewritten, scanned
+    # the same bound holds through table_changes' per-version replay
+    tc = t.table_changes(c.commit_id - 1, c.commit_id)
+    assert len(tc.inputFiles()) <= 2 * rewritten
+    assert tc.count() == 2
