@@ -268,14 +268,23 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        from glue_hudi_spark.storage.native import file_dir_commit
+
         token = f"{start_id:020d}"
         out = []
         m = end_commit.column_mapping
         cols = list(dict.fromkeys(
             [*self.columns, "_ghs_commit_time", "_ghs_delta_op"]))
         phys = [m.get(c, c) for c in cols]
-        delta_files = [f for d in end_commit.deltas for f in d["files"]]
-        for rel in [*end_commit.files, *delta_files]:
+        delta_files = [f for d in end_commit.deltas
+                       if d["commit_id"] > start_id for f in d["files"]]
+        # a file's dir commit id upper-bounds its row stamps (carried
+        # rows keep OLDER stamps) — files of commits ≤ start can't hold
+        # a row the stamp filter keeps, so each micro-batch reads
+        # O(files written in the window), never the live file set
+        live = [f for f in end_commit.files
+                if file_dir_commit(f) > start_id]
+        for rel in [*live, *delta_files]:
             fpath = str(Path(self.path) / rel)
             # a delete-marker delta file carries only the delete batch's
             # columns — read what the file has, null-fill the rest

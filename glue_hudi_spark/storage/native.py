@@ -405,6 +405,19 @@ def _all_manifest_files(c: "Commit") -> list[str]:
     return [*c.files, *(f for d in c.deltas for f in d["files"])]
 
 
+def file_dir_commit(rel: str) -> int:
+    """The commit id that WROTE a data file, parsed off its
+    ``data/<cid>[.suffix]/`` dir. Because carried rows keep their
+    original (older) stamps and ids are allocated off the global max,
+    a file's dir id UPPER-BOUNDS every row stamp inside it — the
+    invariant incremental reads prune files with. Unparseable paths
+    return a huge sentinel (conservatively always read)."""
+    try:
+        return int(Path(rel).parts[1].split(".")[0])
+    except (ValueError, IndexError):
+        return 1 << 62
+
+
 def record_key_expr(keys: list[str]):
     """Build the record-key string column.
 
@@ -1828,8 +1841,16 @@ class NativeTable:
         view: str = "snapshot",
         prune: dict | None = None,
         tag: str | None = None,
+        min_file_commit: int | None = None,
     ) -> DataFrame:
         """Current (or time-travel ``as_of`` / named ``tag``) contents.
+
+        ``min_file_commit``: read only files WRITTEN by commits strictly
+        newer — the incremental-read prune (see ``read_incremental``):
+        a file's dir commit id upper-bounds its row stamps, so files of
+        older commits can't contribute a row any stamp filter above
+        this bound would keep. Exact only under that filter — plain
+        snapshot reads must leave it None.
 
         ``view``: ``snapshot`` — CoW files, or MoR base+deltas merged
         (Hudi's ``_rt`` real-time view); ``read_optimized`` — base files
@@ -1864,6 +1885,9 @@ class NativeTable:
         if commit is None:
             raise ValueError(f"table {self.root} has no commits")
         base_files = commit.files
+        if min_file_commit is not None:
+            base_files = [f for f in base_files
+                          if file_dir_commit(f) > min_file_commit]
         if prune:
             base_files = self._prune_files_by_partition(
                 base_files, prune, self._pfields_of(commit))
@@ -1872,6 +1896,16 @@ class NativeTable:
             )
         base = self._read_files(base_files, commit.schema_json,
                                 dvs=commit.dvs)
+        if min_file_commit is not None and commit.deltas:
+            # older delta commits' rows all carry stamps ≤ the bound;
+            # dropping them can only ADD back base rows those deltas
+            # suppressed — rows the stamp filter removes again. Copy
+            # the commit so the shared manifest-cache object stays pure.
+            import copy as _copy
+
+            commit = _copy.copy(commit)
+            commit.deltas = [d for d in commit.deltas
+                             if d["commit_id"] > min_file_commit]
         if view == "read_optimized" or not commit.deltas:
             out = base
         else:
@@ -1929,7 +1963,13 @@ class NativeTable:
         """
         if end_commit is not None:
             kwargs = {**kwargs, "as_of": end_commit}
-        snap = self.read_snapshot(with_meta=True, **kwargs)
+        # file-level prune: a file written at commit c holds only rows
+        # stamped ≤ c (carried rows keep OLDER stamps; global id
+        # allocation keeps dir ids monotonic), so files of commits
+        # ≤ since can't contribute a row the stamp filter keeps — the
+        # incremental query costs O(files written since), like Hudi's
+        snap = self.read_snapshot(with_meta=True,
+                                  min_file_commit=since_commit, **kwargs)
         token = f"{since_commit:020d}"
         out = snap.filter(F.col(COMMIT_TIME_COL) > token)
         return out.drop(*META_COLS)

@@ -1029,3 +1029,20 @@ def test_change_feed_scans_only_changed_files(spark, tmp_path):
     tc = t.table_changes(c.commit_id - 1, c.commit_id)
     assert len(tc.inputFiles()) <= 2 * rewritten
     assert tc.count() == 2
+
+
+def test_read_incremental_scans_only_new_commits_files(spark, tmp_path):
+    # a file's dir commit id upper-bounds its row stamps, so an
+    # incremental read scans O(files written since), never the table
+    t = NativeTable(spark, tmp_path / "inc", record_keys=["k"],
+                    precombine="s", files_per_partition=16)
+    t.bulk_insert(spark.range(4000).selectExpr(
+        "format_string('k%05d', id) AS k", "id AS v", "1 AS s"))
+    c = t.upsert(spark.createDataFrame(
+        [("k00042", -1, 2)], "k string, v long, s int"))
+    inc = t.read_incremental(c.commit_id - 1)
+    rows = {(r["k"], r["v"]) for r in inc.collect()}
+    assert rows == {("k00042", -1)}
+    # only the rewrite commit's files are opened
+    assert all(f"/data/{c.commit_id:020d}" in f for f in inc.inputFiles())
+    assert len(inc.inputFiles()) <= c.stats["files_rewritten"]
