@@ -2669,10 +2669,7 @@ def dedup_index_probe(spark, sf_dir):
                          "doc_id", "text")
 
     table.bulk_insert(keyed(corpus))
-    # 16 store buckets at this SF (the 64-bucket default sizes for
-    # corpora where a bucket rewrite must stay small; here it just
-    # multiplies tiny-file overhead)
-    ix = DedupIndex(table, id_col="doc_id", n_buckets=16)
+    ix = DedupIndex(table, id_col="doc_id")
     ix.build()
     # corpus grows after the build: refresh must pick the new docs up
     late = (d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 20))

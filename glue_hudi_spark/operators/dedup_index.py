@@ -6,20 +6,27 @@ is a full-corpus scan per micro-batch. This index materializes the
 corpus's dedup fingerprints ONCE and maintains them off the table's
 change feed:
 
-* ``build()`` writes one store under ``<table>/_index/dedup/store/``:
-  per doc, its normalized content hash (exact dedup) and its banded
-  MinHash rows (near-dup candidates) — (id, h, band, band_hash) rows
-  hive-partitioned by a stable id bucket. The store holds HASHES ONLY:
-  probing never touches corpus text.
+* ``build()`` writes two hash-only stores under
+  ``<table>/_index/dedup/``: ``exact/`` — (id, content hash) partitioned
+  by the hash's hex PREFIX, and ``bands/`` — (id, band, band_hash)
+  partitioned by the band hash's prefix. Prefix partitioning is what
+  makes SMALL probes cheap: a streaming micro-batch of b docs touches at
+  most b exact prefixes and b×bands band prefixes, so its store reads
+  prune to that fraction of the corpus fingerprints — the probe cost
+  tracks the BATCH, not the corpus (a bulk backfill batch covers every
+  prefix and degrades gracefully to one full fingerprint scan, still
+  never the text).
 * ``probe(batch)`` returns the batch rows that are NOVEL: no exact hash
   match against the store, no verified near-duplicate (band collision →
   exact shingle-Jaccard check against the matched corpus docs, fetched
   by the table's own indexed point lookup — ``read_by_value``, so the
   verification read is range/bloom-pruned, never a corpus scan), and
   in-batch exact duplicates collapsed to the min-id representative.
-* ``refresh()`` consumes the change feed since ``indexed_commit`` and
-  rewrites only the id-buckets holding changed docs — O(changed rows +
-  touched buckets), never O(corpus).
+* ``refresh()`` consumes the change feed since ``indexed_commit``;
+  changed docs' OLD fingerprints are recomputed from the feed's
+  pre-images (deterministic hashing — no store lookup needed to locate
+  them), so only the prefix partitions holding changed fingerprints are
+  rewritten — O(changed rows + touched partitions), never O(corpus).
 
 Same staleness contract as the vector index: probing a stale index
 raises unless explicitly allowed — silently missing newly-ingested
@@ -50,19 +57,25 @@ from glue_hudi_spark.operators.vector_index import StaleIndexError
 
 
 class DedupIndex:
-    """Exact + near-dup fingerprint store attached to one text column."""
+    """Exact + near-dup fingerprint store attached to one text column.
+
+    ``prefix_len``: hex chars of hash prefix per partition — 1 → 16
+    partitions per store (small corpora; the default), 2 → 256 (large
+    corpora, where a partition should stay a bounded rewrite unit).
+    """
 
     def __init__(self, table, id_col: str, text_col: str = "text",
                  n: int = 3, num_hashes: int = 16, bands: int = 8,
-                 n_buckets: int = 64):
+                 prefix_len: int = 1):
         self.table = table
         self.spark = table.spark
         self.id_col = id_col
         self.text_col = text_col
         self.n, self.num_hashes, self.bands = n, num_hashes, bands
-        self.n_buckets = n_buckets
+        self.prefix_len = prefix_len
         self.root = Path(table.root) / "_index" / "dedup"
-        self.store = self.root / "store"
+        self.exact_store = self.root / "exact"
+        self.bands_store = self.root / "bands"
 
     # ------------------------------------------------------------- metadata
 
@@ -84,10 +97,12 @@ class DedupIndex:
 
     # ----------------------------------------------------------------- rows
 
+    def _pfx(self, col):
+        return F.substring(col, 1, self.prefix_len)
+
     def _fingerprints(self, df: DataFrame) -> DataFrame:
-        """(id, bucket, h, band, band_hash) — the exact hash rides on
-        every band row (bands× amplification of tiny rows; the store
-        never carries text or shingles)."""
+        """(id, h, band, band_hash) — per doc, ``bands`` small rows; the
+        stores never carry text or shingles."""
         r = self.num_hashes // self.bands
         sig = df.select(
             F.col(self.id_col).alias("id"),
@@ -95,7 +110,7 @@ class DedupIndex:
             minhash_signature(self.text_col, self.n,
                               self.num_hashes).alias("mh"),
         )
-        banded = sig.select(
+        return sig.select(
             "id", "h",
             F.posexplode(F.array(*[
                 F.md5(F.concat_ws(
@@ -103,10 +118,15 @@ class DedupIndex:
                 for b in range(self.bands)
             ])).alias("band", "band_hash"),
         )
-        return banded.withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.col("id").cast("string")),
-                   F.lit(self.n_buckets)))
+
+    def _exact_rows(self, fp: DataFrame) -> DataFrame:
+        return (fp.select("id", "h").distinct()
+                .withColumn("hp", self._pfx(F.col("h"))))
+
+    def _band_rows(self, fp: DataFrame) -> DataFrame:
+        return fp.select(
+            "id", "band", "band_hash",
+            self._pfx(F.col("band_hash")).alias("bp"))
 
     # ----------------------------------------------------------------- build
 
@@ -114,70 +134,102 @@ class DedupIndex:
         head = self.table.timeline.latest()
         if head is None:
             raise ValueError(f"table {self.table.root} has no commits")
-        snap = self.table.read_snapshot()
-        (self._fingerprints(snap).write.mode("overwrite")
-         .partitionBy("bucket").parquet(str(self.store)))
+        fp = self._fingerprints(self.table.read_snapshot()).persist()
+        try:
+            (self._exact_rows(fp).write.mode("overwrite")
+             .partitionBy("hp").parquet(str(self.exact_store)))
+            (self._band_rows(fp).write.mode("overwrite")
+             .partitionBy("bp").parquet(str(self.bands_store)))
+        finally:
+            fp.unpersist()
         self._write_meta({
             "id_col": self.id_col, "text_col": self.text_col,
             "n": self.n, "num_hashes": self.num_hashes,
-            "bands": self.bands, "n_buckets": self.n_buckets,
+            "bands": self.bands, "prefix_len": self.prefix_len,
             "indexed_commit": head.commit_id,
         })
         return {"indexed_commit": head.commit_id}
 
     # --------------------------------------------------------------- refresh
 
-    def refresh(self) -> dict:
-        """Catch up to the table head: changed ids' fingerprints are
-        removed/re-added by rewriting ONLY their id-buckets."""
-        meta = self._meta()
-        head = self.table.timeline.latest()
-        if head is None or head.commit_id == meta["indexed_commit"]:
-            return {"refreshed": False, "buckets_rewritten": 0}
-        feed = self.table.change_feed(meta["indexed_commit"], head.commit_id)
-        gone_ids = (feed.filter(F.col("_change_type")
-                                .isin("delete", "update_preimage"))
-                    .select(F.col(self.id_col).alias("id")).distinct())
-        add = feed.filter(F.col("_change_type")
-                          .isin("insert", "update_postimage"))
-        new_rows = self._fingerprints(add)
-        bucket_of = F.pmod(F.xxhash64(F.col("id").cast("string")),
-                           F.lit(self.n_buckets))
-        buckets = sorted(
-            {r["b"] for r in gone_ids.select(bucket_of.alias("b"))
-             .distinct().collect()}
-            | {r["bucket"] for r in new_rows.select("bucket")
-               .distinct().collect()})
-        if not buckets:
-            meta["indexed_commit"] = head.commit_id
-            self._write_meta(meta)
-            return {"refreshed": True, "buckets_rewritten": 0}
-        changed = gone_ids.unionByName(
-            new_rows.select("id").distinct()).distinct()
-        self.spark.catalog.refreshByPath(str(self.store))
-        old = (self.spark.read.parquet(str(self.store))
-               .filter(F.col("bucket").isin(buckets)))
-        keep = old.join(changed, on="id", how="left_anti")
-        # materialize BEFORE overwriting the directory being read — the
-        # rewrite set is the affected buckets only, never the store
+    def _rewrite_store(self, path: Path, part_col: str, old_filtered,
+                       changed_ids, new_rows) -> None:
+        """Rewrite one store's affected partitions: old rows minus every
+        changed id, plus the new rows. Dynamic overwrite skips emptied
+        partitions, so those are cleared explicitly."""
+        keep = old_filtered.join(changed_ids, on="id", how="left_anti")
         out = keep.unionByName(new_rows).localCheckpoint(eager=True)
         (out.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("bucket").parquet(str(self.store)))
-        self.spark.catalog.refreshByPath(str(self.store))
-        # dynamic overwrite skips partitions absent from the output — an
-        # emptied bucket must be cleared explicitly (same edge as the
-        # vector index's emptied cell)
-        still = {r["bucket"] for r in
-                 out.select("bucket").distinct().collect()}
-        for b in buckets:
-            if b not in still:
-                d = self.store / f"bucket={b}"
-                if d.is_dir():
-                    shutil.rmtree(d)
+         .partitionBy(part_col).parquet(str(path)))
+        self.spark.catalog.refreshByPath(str(path))
+        return out
+
+    def refresh(self) -> dict:
+        """Catch up to the table head: only the prefix partitions holding
+        changed fingerprints are rewritten."""
+        meta = self._meta()
+        head = self.table.timeline.latest()
+        if head is None or head.commit_id == meta["indexed_commit"]:
+            return {"refreshed": False, "partitions_rewritten": 0}
+        feed = self.table.change_feed(meta["indexed_commit"], head.commit_id)
+        gone_fp = self._fingerprints(
+            feed.filter(F.col("_change_type")
+                        .isin("delete", "update_preimage"))).persist()
+        add_fp = self._fingerprints(
+            feed.filter(F.col("_change_type")
+                        .isin("insert", "update_postimage"))).persist()
+        try:
+            changed_ids = (gone_fp.select("id").unionByName(
+                add_fp.select("id")).distinct()
+                .localCheckpoint(eager=True))
+            hps = sorted(
+                {r["hp"] for r in self._exact_rows(gone_fp).select("hp")
+                 .distinct().collect()}
+                | {r["hp"] for r in self._exact_rows(add_fp).select("hp")
+                   .distinct().collect()})
+            bps = sorted(
+                {r["bp"] for r in self._band_rows(gone_fp).select("bp")
+                 .distinct().collect()}
+                | {r["bp"] for r in self._band_rows(add_fp).select("bp")
+                   .distinct().collect()})
+            n_parts = 0
+            if hps:
+                self.spark.catalog.refreshByPath(str(self.exact_store))
+                old = (self.spark.read.parquet(str(self.exact_store))
+                       .filter(F.col("hp").isin(hps)))
+                out = self._rewrite_store(
+                    self.exact_store, "hp", old, changed_ids,
+                    self._exact_rows(add_fp))
+                still = {r["hp"] for r in
+                         out.select("hp").distinct().collect()}
+                for p in hps:
+                    if p not in still:
+                        d = self.exact_store / f"hp={p}"
+                        if d.is_dir():
+                            shutil.rmtree(d)
+                n_parts += len(hps)
+            if bps:
+                self.spark.catalog.refreshByPath(str(self.bands_store))
+                old = (self.spark.read.parquet(str(self.bands_store))
+                       .filter(F.col("bp").isin(bps)))
+                out = self._rewrite_store(
+                    self.bands_store, "bp", old, changed_ids,
+                    self._band_rows(add_fp))
+                still = {r["bp"] for r in
+                         out.select("bp").distinct().collect()}
+                for p in bps:
+                    if p not in still:
+                        d = self.bands_store / f"bp={p}"
+                        if d.is_dir():
+                            shutil.rmtree(d)
+                n_parts += len(bps)
+        finally:
+            gone_fp.unpersist()
+            add_fp.unpersist()
         meta["indexed_commit"] = head.commit_id
         self._write_meta(meta)
-        return {"refreshed": True, "buckets_rewritten": len(buckets)}
+        return {"refreshed": True, "partitions_rewritten": n_parts}
 
     # ----------------------------------------------------------------- probe
 
@@ -189,9 +241,10 @@ class DedupIndex:
         exact shingle Jaccard ≥ ``verify_threshold`` against the matched
         corpus docs — fetched via the table's indexed point lookup, a
         candidate-bounded read), and in-batch exact duplicates (min-id
-        keeper). Candidate corpus ids are collected to drive the pruned
-        lookup — bounded by ``max_candidates`` (raise = the batch is
-        pathologically duplicate-heavy; split it)."""
+        keeper). Store reads are PREFIX-PRUNED to the batch's own hash
+        prefixes, so a small batch reads a small fraction of the
+        fingerprints. Candidate corpus ids are collected to drive the
+        pruned lookup — bounded by ``max_candidates``."""
         meta = self._meta()
         head = self.table.timeline.latest()
         if (not allow_stale and head is not None
@@ -200,51 +253,64 @@ class DedupIndex:
                 f"dedup index at {self.root} is at commit "
                 f"{meta['indexed_commit']} but the table head is "
                 f"{head.commit_id}; refresh() or pass allow_stale=True")
-        self.spark.catalog.refreshByPath(str(self.store))
-        store = self.spark.read.parquet(str(self.store))
         fp = self._fingerprints(batch).persist()
         try:
-            # exact: one narrow distinct-hash projection of the store
-            seen_h = store.select("h").distinct()
+            # exact: prune the store to the batch's hash prefixes
+            hps = sorted({r["hp"] for r in self._exact_rows(fp)
+                          .select("hp").distinct().collect()})
+            self.spark.catalog.refreshByPath(str(self.exact_store))
+            seen_h = (self.spark.read.parquet(str(self.exact_store))
+                      .filter(F.col("hp").isin(hps))
+                      .select("h").distinct())
             fresh = fp.join(seen_h, on="h", how="left_anti")
             # in-batch exact keep-one (same min-id policy as exact_dedup)
             keep = fresh.groupBy("h").agg(F.min("id").alias("id"))
             fresh = fresh.join(keep, on=["h", "id"], how="left_semi")
-            # near-dup candidates: band-collide the survivors
-            cand = (fresh.select("id", "band", "band_hash")
-                    .join(store.select(F.col("id").alias("corpus_id"),
-                                       "band", "band_hash"),
-                          on=["band", "band_hash"])
-                    .select("id", "corpus_id").distinct())
-            corpus_ids = [r["corpus_id"] for r in
-                          cand.select("corpus_id").distinct()
-                          .limit(max_candidates + 1).collect()]
-            if len(corpus_ids) > max_candidates:
-                raise ValueError(
-                    f"dedup probe: >{max_candidates} candidate corpus "
-                    "docs — split the batch or raise max_candidates")
+            # near-dup candidates: band-collide the survivors against the
+            # batch's band-hash prefixes only
+            bps = sorted({r["bp"] for r in self._band_rows(fresh)
+                          .select("bp").distinct().collect()})
+            self.spark.catalog.refreshByPath(str(self.bands_store))
+            store_bands = (self.spark.read.parquet(str(self.bands_store))
+                           .filter(F.col("bp").isin(bps)) if bps
+                           else None)
             surviving_ids = fresh.select("id").distinct()
-            if corpus_ids:
-                corpus_docs = self.table.read_by_value(
-                    self.id_col, corpus_ids)
-                csh = corpus_docs.select(
-                    F.col(self.id_col).alias("corpus_id"),
-                    F.array_distinct(word_shingles(
-                        self.text_col, self.n)).alias("sh_c"))
-                bsh = batch.select(
-                    F.col(self.id_col).alias("id"),
-                    F.array_distinct(word_shingles(
-                        self.text_col, self.n)).alias("sh_b"))
-                inter = F.size(F.array_intersect("sh_b", "sh_c"))
-                union = F.size(F.array_union("sh_b", "sh_c"))
-                dup_ids = (cand.join(bsh, on="id").join(csh, on="corpus_id")
-                           .withColumn("jac", F.round(
-                               inter.cast("double") / union.cast("double"),
-                               6))
-                           .filter(F.col("jac") >= verify_threshold)
-                           .select("id").distinct())
-                surviving_ids = surviving_ids.join(
-                    dup_ids, on="id", how="left_anti")
+            if store_bands is not None:
+                cand = (fresh.select("id", "band", "band_hash")
+                        .join(store_bands.select(
+                            F.col("id").alias("corpus_id"),
+                            "band", "band_hash"),
+                            on=["band", "band_hash"])
+                        .select("id", "corpus_id").distinct())
+                corpus_ids = [r["corpus_id"] for r in
+                              cand.select("corpus_id").distinct()
+                              .limit(max_candidates + 1).collect()]
+                if len(corpus_ids) > max_candidates:
+                    raise ValueError(
+                        f"dedup probe: >{max_candidates} candidate corpus "
+                        "docs — split the batch or raise max_candidates")
+                if corpus_ids:
+                    corpus_docs = self.table.read_by_value(
+                        self.id_col, corpus_ids)
+                    csh = corpus_docs.select(
+                        F.col(self.id_col).alias("corpus_id"),
+                        F.array_distinct(word_shingles(
+                            self.text_col, self.n)).alias("sh_c"))
+                    bsh = batch.select(
+                        F.col(self.id_col).alias("id"),
+                        F.array_distinct(word_shingles(
+                            self.text_col, self.n)).alias("sh_b"))
+                    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+                    union = F.size(F.array_union("sh_b", "sh_c"))
+                    dup_ids = (cand.join(bsh, on="id")
+                               .join(csh, on="corpus_id")
+                               .withColumn("jac", F.round(
+                                   inter.cast("double")
+                                   / union.cast("double"), 6))
+                               .filter(F.col("jac") >= verify_threshold)
+                               .select("id").distinct())
+                    surviving_ids = surviving_ids.join(
+                        dup_ids, on="id", how="left_anti")
             # materialize the novel-id set EXECUTOR-side (it is
             # batch-sized — never collect it to the driver) so the
             # fingerprint persist can be released before returning

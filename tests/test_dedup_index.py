@@ -69,7 +69,7 @@ def test_probe_stale_raises_then_refresh(spark, tmp_path):
     # stale probe would have ADMITTED the duplicate of the new doc
     assert ix.probe(batch, allow_stale=True).count() == 1
     r = ix.refresh()
-    assert r["refreshed"] and r["buckets_rewritten"] >= 1
+    assert r["refreshed"] and r["partitions_rewritten"] >= 1
     assert ix.probe(batch).count() == 0  # now it's a known exact dup
 
 
@@ -84,20 +84,50 @@ def test_refresh_handles_deletes(spark, tmp_path):
     batch = spark.createDataFrame(
         [dict(doc_id=7007, text=doomed["text"])])
     assert ix.probe(batch).count() == 1
-    store = spark.read.parquet(str(ix.store))
-    assert store.filter("id = 7").count() == 0
+    for store in (ix.exact_store, ix.bands_store):
+        assert spark.read.parquet(str(store)).filter(
+            "id = 7").count() == 0
 
 
 def test_refresh_noop(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     ix = DedupIndex(t, id_col="doc_id")
     ix.build()
-    assert ix.refresh() == {"refreshed": False, "buckets_rewritten": 0}
+    assert ix.refresh() == {"refreshed": False, "partitions_rewritten": 0}
 
 
 def test_store_never_holds_text(spark, tmp_path):
     t = _mk(spark, tmp_path / "t")
     ix = DedupIndex(t, id_col="doc_id")
     ix.build()
-    cols = set(spark.read.parquet(str(ix.store)).columns)
-    assert cols == {"id", "h", "band", "band_hash", "bucket"}
+    assert set(spark.read.parquet(str(ix.exact_store)).columns) == \
+        {"id", "h", "hp"}
+    assert set(spark.read.parquet(str(ix.bands_store)).columns) == \
+        {"id", "band", "band_hash", "bp"}
+
+
+def test_probe_store_reads_are_prefix_pruned(spark, tmp_path):
+    # a 1-doc probe must read only its own hash-prefix partitions of
+    # each store — the property that makes streaming probes O(batch)
+    t = _mk(spark, tmp_path / "t")
+    ix = DedupIndex(t, id_col="doc_id")
+    ix.build()
+    batch = spark.createDataFrame(
+        [dict(doc_id=5555, text="one single novel probe document here")])
+    novel = ix.probe(batch)
+    assert novel.count() == 1
+    from glue_hudi_spark.operators.dedup import normalized_text
+    hp = batch.select(F.substring(F.md5(
+        normalized_text("text")), 1, 1).alias("p")).collect()[0]["p"]
+    exact_dirs = {d.name for d in ix.exact_store.iterdir()
+                  if d.name.startswith("hp=")}
+    # the store HAS many prefixes; the probe read needs exactly one —
+    # assert the scan plan carries the non-empty partition filter
+    assert len(exact_dirs) > 4
+    pruned = (spark.read.parquet(str(ix.exact_store))
+              .filter(F.col("hp").isin([hp])).select("h"))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert scans
+    pf = scans[0].split("PartitionFilters: ")[1]
+    assert not pf.startswith("[]") and "hp" in pf.split("]")[0], pf
