@@ -1641,6 +1641,52 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
+def cdc_sorted_scan(spark, sf_dir):
+    """Declared table SORT ORDER (round 8; Iceberg SortOrder class):
+    the events table laid out range-clustered on ``ts`` serves a
+    time-window read from a FEW files — asserted in-query via
+    inputFiles (the key-range layout reads every file for the same
+    predicate: per-file ts spans the whole table). The documented
+    trade — upserts lose key-interval pruning — is carried by the
+    bloom index (Hudi's sort-clustering + bloom pairing), exercised
+    here with a post-load upsert whose commit must carry files. At
+    100 TB this is the difference between a dashboard's hourly window
+    reading gigabytes vs the table."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.format_string("%010d", F.col("event_id")).alias("ek"),
+        "event_id", "ts", "user_id", "value",
+    )
+    tmp = _scratch_dir("srt_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["ek"],
+        precombine="event_id", partition_keys=[], files_per_partition=16,
+        stats_cols=["ts", "event_id"], sort_order=["ts"], bloom_index=True,
+    )
+    table.bulk_insert(ev)
+    up = ev.filter(F.col("event_id") % 301 == 0).withColumn(
+        "value", F.col("value") + 7000.0)
+    c = table.upsert(up)
+    assert c.stats["files_carried"] > 0, "bloom pruning lost under sort"
+    lo, hi = "2024-01-05 00:00:00", "2024-01-07 23:59:59"
+    out = table.read_snapshot(prune={"ts": (lo, hi)})
+    # the layout contract, asserted in-query: a 3-day window out of ~3
+    # weeks reads a small fraction of the files
+    n_read = len(out.inputFiles())
+    n_total = len(table.timeline.latest().files)
+    assert n_read <= max(4, n_total // 3), (n_read, n_total)
+    return out.select("event_id", "user_id", "value")
+
+
+SORTED_SCAN_ORACLE = """
+SELECT event_id, user_id,
+       CASE WHEN event_id % 301 = 0 THEN value + 7000.0 ELSE value END
+         AS value
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-07 23:59:59'
+"""
+
+
 def cdc_concurrent_writers(spark, sf_dir):
     """Multi-writer OCC with rebase (round 7): two optimistic writers
     update DISJOINT partitions of one table, and the second writer's
@@ -8281,6 +8327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": dedup_containment,
         "dedup_keep_best": dedup_keep_best,
         "dedup_index_probe": dedup_index_probe,
+        "cdc_sorted_scan": cdc_sorted_scan,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -8529,6 +8576,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_containment": CONTAINMENT_ORACLE,
         "dedup_keep_best": _keep_best_oracle(),
         "dedup_index_probe": _dedup_index_oracle(),
+        "cdc_sorted_scan": SORTED_SCAN_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

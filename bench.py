@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "dedup_containment",
     "dedup_keep_best",
     "dedup_index_probe",
+    "cdc_sorted_scan",
 ]
 
 

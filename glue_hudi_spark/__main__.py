@@ -143,6 +143,14 @@ def main(argv: list[str] | None = None) -> int:
     pep.add_argument("--spec", nargs="*", default=[], metavar="FIELD",
                      help="new spec entries, e.g. 'months(ts)' "
                           "'bucket(8, user_id)'; empty = unpartitioned")
+    pmt = sub.add_parser("maintain", help="one-call service pass: compact "
+                                          "MoR deltas + bin-pack + clean "
+                                          "+ vacuum (+ optional age expiry)")
+    _common(pmt, raw=False)
+    pmt.add_argument("--target-mb", type=int, default=128,
+                     help="bin-pack target file size in MB (default 128)")
+    pmt.add_argument("--expire-older-than", default=None,
+                     help="also expire history before this ISO timestamp")
     pin = sub.add_parser("inspect", help="metadata tables (Iceberg "
                                          "files/partitions/snapshots/refs "
                                          "class) — zero data reads")
@@ -370,6 +378,12 @@ def main(argv: list[str] | None = None) -> int:
             c = table.evolve_partition_spec(list(args.spec))
             out.append({"table": ctl.table_name, "commit": c.commit_id,
                         **c.stats["partition_spec"]})
+        elif args.cmd == "maintain":
+            table = pipe._table(ctl)
+            r = table.maintain(
+                target_bytes=args.target_mb * 1024 * 1024,
+                expire_older_than=args.expire_older_than)
+            out.append({"table": ctl.table_name, **r})
         elif args.cmd == "inspect":
             table = pipe._table(ctl)
             rows = [r.asDict() for r in

@@ -456,6 +456,7 @@ class NativeTable:
         deletion_vectors: bool = False,
         ref: str | None = None,
         global_index: bool = False,
+        sort_order: list[str] | None = None,
     ):
         self.spark = spark
         self.root = Path(path)
@@ -547,6 +548,26 @@ class NativeTable:
         # global bloom scales the same contract. Default False = Hudi's
         # default non-global semantics (identity is (partition, key)).
         self.global_index = global_index
+        # Declared table SORT ORDER (Iceberg SortOrder class): every
+        # write range-clusters + sorts its files on these columns
+        # instead of the record key, so the column-stats index
+        # (``stats_cols``) prunes range predicates on them file-level —
+        # the scan-heavy-table layout (e.g. an events table sorted by
+        # ts serves time-range reads from a few files). TRADE-OFF: the
+        # per-file record-KEY ranges then span the table, so upserts
+        # lose interval pruning — pair with ``bloom_index=True`` (the
+        # membership index doesn't care about layout), exactly Hudi's
+        # sort-clustering + bloom pairing. Unpartitioned tables only;
+        # partitioned layouts sort within each partition's files.
+        self.sort_order = list(sort_order or [])
+        if self.sort_order and not set(self.sort_order) <= set(
+                self.stats_cols):
+            # a sort order nobody can prune on is a silent no-op —
+            # demand the stats so read_snapshot(prune=...) benefits
+            raise ValueError(
+                f"sort_order {self.sort_order} requires its columns in "
+                f"stats_cols (got {self.stats_cols}) — the layout exists "
+                "to serve column-stats pruning")
         # Partition spec (Iceberg hidden-partitioning class): each entry
         # is a column name (identity) or a transform — days(ts),
         # months(ts), years(ts), hours(ts), bucket(N, col),
@@ -599,6 +620,11 @@ class NativeTable:
             change_feed_deletes=getattr(ctl, "change_feed", "no") == "yes",
             deletion_vectors=getattr(ctl, "deletion_vectors", "no") == "yes",
             global_index=getattr(ctl, "global_index", "no") == "yes",
+            sort_order=[
+                c.strip()
+                for c in getattr(ctl, "sort_order", "").split(";")
+                if c.strip()
+            ],
             secondary_bloom_cols=[
                 c.strip()
                 for c in getattr(ctl, "secondary_bloom_cols", "").split(";")
@@ -755,7 +781,15 @@ class NativeTable:
             )
             out = out.repartition(
                 *[F.col(c) for c in self._pp_cols()], bucket
-            ).sortWithinPartitions(*self.record_keys)
+            ).sortWithinPartitions(*(self.sort_order or self.record_keys))
+        elif width and self.sort_order:
+            # declared SortOrder (Iceberg class): range-cluster on the
+            # sort columns so each file covers a disjoint interval of
+            # THEM — column-stats pruning on the sort columns becomes
+            # file-selective (see constructor for the key-range trade)
+            out = out.repartitionByRange(
+                width, *self.sort_order
+            ).sortWithinPartitions(*self.sort_order)
         elif width:
             # unpartitioned: RANGE-cluster on the record key so each file
             # covers a disjoint key interval — that's what makes the
@@ -1530,6 +1564,32 @@ class NativeTable:
         orphan deletion (see ``CommitTimeline.restore_to``); subsequent
         writes continue from ``commit_id + 1``."""
         return self.timeline.restore_to(commit_id)
+
+    def maintain(self, target_bytes: int = 128 * 1024 * 1024,
+                 expire_older_than: float | str | None = None) -> dict:
+        """One-call table service pass (the OPTIMIZE-everything button —
+        the orchestration Hudi runs as inline/async table services and
+        Delta as OPTIMIZE + VACUUM): compact pending MoR deltas,
+        bin-pack undersized files toward ``target_bytes``, run the
+        count-based retention clean (plus age-based expiration when
+        ``expire_older_than`` is given), and vacuum crashed-writer
+        orphans. Each step is the existing audited primitive; the value
+        is one idempotent call a scheduler can fire nightly. Returns a
+        per-step report."""
+        report: dict = {}
+        head = self.timeline.latest()
+        if head is not None and head.deltas:
+            report["compacted"] = self.compact().commit_id
+        packed = self.bin_pack(target_bytes)
+        report["bin_packed"] = packed.stats.get("packed") if packed else 0
+        report["cleaned"] = len(self.timeline.clean(self.retain_commits))
+        if expire_older_than is not None:
+            report["expired"] = self.expire_snapshots(
+                expire_older_than)["expired"]
+        v = self.vacuum()
+        report["vacuumed"] = len(v["deleted_files"])
+        report["ok"] = self.validate()["ok"]
+        return report
 
     def expire_snapshots(self, older_than: float | str,
                          retain_last: int = 1) -> dict:

@@ -280,3 +280,29 @@ def test_cli_inspect(spark, tmp_path, capsys):
     assert sum(r["rows"] for r in out[0]["rows"]) == 100
     rc, out = run_cmd("inspect", *base, "--kind", "refs")
     assert rc == 0 and out[0]["rows"] == []
+
+
+def test_cli_maintain(spark, tmp_path, capsys):
+    ctl = JobControl(**{**CONTROL, "hudi_storage_type": "mor"})
+    control = tmp_path / "control.json"
+    ControlStore(control).save([ctl])
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    base = ["--control", str(control), "--curated", str(tmp_path / "curated")]
+
+    def run_cmd(*argv):
+        rc = main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    _land(make_full_load_df(spark), raw, "LOAD1")
+    run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    _land(make_cdc_df(spark), raw, "CDC1")
+    run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    rc, out = run_cmd("maintain", *base)
+    assert rc == 0 and out[0]["ok"]
+    assert "compacted" in out[0]  # the MoR deltas got folded
+    from glue_hudi_spark.pipeline import CdcPipeline
+    pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
+    table = pipe._table(ctl)
+    assert not table.timeline.latest().deltas
+    assert table.read_snapshot().count() == 190

@@ -1046,3 +1046,39 @@ def test_read_incremental_scans_only_new_commits_files(spark, tmp_path):
     # only the rewrite commit's files are opened
     assert all(f"/data/{c.commit_id:020d}" in f for f in inc.inputFiles())
     assert len(inc.inputFiles()) <= c.stats["files_rewritten"]
+
+
+def test_sort_order_layout_prunes_on_sort_column(spark, tmp_path):
+    # Iceberg SortOrder class: a table declared sorted on ts serves
+    # ts-range predicates from a few files; the same table laid out by
+    # record key cannot prune on ts at all (every file spans all ts)
+    rows = spark.range(4000).selectExpr(
+        "format_string('k%05d', pmod(hash(id), 100000)) AS k",
+        "id AS ts", "id * 2 AS v", "1 AS s")
+    sorted_t = NativeTable(spark, tmp_path / "st", record_keys=["k"],
+                           precombine="s", files_per_partition=16,
+                           stats_cols=["ts"], sort_order=["ts"],
+                           bloom_index=True)
+    sorted_t.bulk_insert(rows)
+    got = sorted_t.read_snapshot(prune={"ts": (100, 150)})
+    assert got.count() == 51
+    assert len(got.inputFiles()) <= 2  # a narrow ts slice = 1-2 files
+    plain = NativeTable(spark, tmp_path / "pt", record_keys=["k"],
+                        precombine="s", files_per_partition=16,
+                        stats_cols=["ts"])
+    plain.bulk_insert(rows)
+    unsorted = plain.read_snapshot(prune={"ts": (100, 150)})
+    assert unsorted.count() == 51
+    assert len(unsorted.inputFiles()) == 16  # key layout: no ts pruning
+    # the documented trade: upserts on the sorted table still work (the
+    # bloom index carries the pruning the key layout gave up)
+    c = sorted_t.upsert(rows.filter("ts = 100").withColumn(
+        "v", F.lit(-1).cast("long")))
+    assert c.stats["files_carried"] > 0  # blooms pruned the rewrite
+    assert sorted_t.read_snapshot().filter("v = -1").count() == 1
+
+
+def test_sort_order_requires_stats(spark, tmp_path):
+    with pytest.raises(ValueError, match="stats_cols"):
+        NativeTable(spark, tmp_path / "t", record_keys=["k"],
+                    sort_order=["ts"])
