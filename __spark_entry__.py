@@ -1641,6 +1641,75 @@ SELECT query_id, neighbor_id, rank, sim FROM (
 """
 
 
+def corpus_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer TRAINING (round 8; Sennrich et al.'s
+    algorithm, Spark-first): token frequencies are one corpus pass;
+    every merge round then runs over the VOCABULARY table (distinct
+    words × weights — thousands of rows at any corpus size), never the
+    corpus again. Per round: adjacent-symbol pair counts (weighted,
+    map-side-combinable), a deterministic argmax (ties → lexicographic
+    pair), and a greedy-exact merge applied as ONE literal string
+    replace over a \\x1f-wrapped symbol encoding (adjacent matches
+    share no characters, so global replace IS the left-to-right greedy
+    merge — including self-pairs). The oracle replays all four rounds
+    as unrolled CTEs with scalar-subquery replaces. This is the
+    tokenizer-fitting pass a training pipeline runs before
+    corpus_tokenize_ids; at 100 TB the per-round cost is the vocab
+    table, which grows with unique words, not bytes."""
+    from glue_hudi_spark.operators import lm
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = lm.bpe_train(docs, rounds=4, min_count=2)
+    return spark.createDataFrame(
+        [(m["round"], m["left"], m["right"], m["pair_count"])
+         for m in merges],
+        "merge_round int, lhs string, rhs string, pair_count bigint")
+
+
+def _bpe_oracle(rounds: int = 4, min_count: int = 2) -> str:
+    sep = "chr(31)"
+    parts = [rf"""v0 AS (
+  SELECT {sep} || array_to_string(
+           list_transform(
+             list_append(list_transform(range(1, len(tok) + 1),
+                                        i -> tok[i:i]), '</w>'),
+             s -> s),
+           {sep} || ' ' || {sep}) || {sep} AS seq,
+         cnt AS w
+  FROM (SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                  '\s+')) AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY tok))"""]
+    for i in range(1, rounds + 1):
+        prev = f"v{i - 1}"
+        parts.append(rf"""s{i} AS (
+  SELECT w, list_transform(string_split(seq, ' '),
+                           x -> replace(x, chr(31), '')) AS ss
+  FROM {prev})""")
+        parts.append(rf"""p{i} AS (
+  SELECT struct_extract(pr, 1) AS l, struct_extract(pr, 2) AS r,
+         sum(w) AS cnt FROM (
+    SELECT w, unnest(list_zip(ss[1:len(ss) - 1], ss[2:len(ss)])) AS pr
+    FROM s{i} WHERE len(ss) >= 2) t
+  GROUP BY 1, 2 HAVING sum(w) >= {min_count})""")
+        parts.append(
+            f"b{i} AS (SELECT l, r, cnt FROM p{i} "
+            f"ORDER BY cnt DESC, l ASC, r ASC LIMIT 1)")
+        parts.append(rf"""v{i} AS (
+  SELECT replace(seq,
+                 {sep} || (SELECT l FROM b{i}) || {sep} || ' ' ||
+                 {sep} || (SELECT r FROM b{i}) || {sep},
+                 {sep} || (SELECT l FROM b{i}) ||
+                 (SELECT r FROM b{i}) || {sep}) AS seq, w
+  FROM {prev})""")
+    selects = " UNION ALL ".join(
+        f"SELECT {i} AS merge_round, l AS lhs, r AS rhs, "
+        f"cnt::BIGINT AS pair_count FROM b{i}"
+        for i in range(1, rounds + 1))
+    return "WITH " + ",\n".join(parts) + "\n" + selects
+
+
 def cdc_sorted_scan(spark, sf_dir):
     """Declared table SORT ORDER (round 8; Iceberg SortOrder class):
     the events table laid out range-clustered on ``ts`` serves a
@@ -8328,6 +8397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup_keep_best,
         "dedup_index_probe": dedup_index_probe,
         "cdc_sorted_scan": cdc_sorted_scan,
+        "corpus_bpe_merges": corpus_bpe_merges,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -8577,6 +8647,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": _keep_best_oracle(),
         "dedup_index_probe": _dedup_index_oracle(),
         "cdc_sorted_scan": SORTED_SCAN_ORACLE,
+        "corpus_bpe_merges": _bpe_oracle(),
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "dedup_keep_best",
     "dedup_index_probe",
     "cdc_sorted_scan",
+    "corpus_bpe_merges",
 ]
 
 

@@ -224,3 +224,123 @@ def unigram_score_pair(
         F.avg("_lpa").alias("avg_logp_a"),
         F.avg("_lpb").alias("avg_logp_b"),
     )
+
+
+# ----------------------------------------------------------------- BPE
+
+# Symbol-sequence encoding for distributed BPE: each symbol is wrapped
+# in \x1f and symbols are joined with one space — so the merge rule
+# (a, b) is ONE literal string replace of "\x1fa\x1f \x1fb\x1f" with
+# "\x1fab\x1f". Adjacent matches share NO characters (each match
+# consumes exactly its own two wrapped tokens), which makes a plain
+# global replace EXACTLY the left-to-right greedy merge BPE specifies —
+# including self-pairs ("a a a" merges once) — and lets a SQL oracle
+# replay training with the identical replace() call. (A space-delimited
+# encoding would make adjacent matches share their separator and global
+# replace would skip every second occurrence.)
+_BPE_SEP = "\x1f"
+
+
+def _bpe_wrap(tok_col):
+    """word → initial wrapped symbol string: characters + </w>."""
+    chars = F.split(F.col(tok_col), "")
+    syms = F.concat(chars, F.array(F.lit("</w>")))
+    return F.concat(
+        F.lit(_BPE_SEP),
+        F.array_join(syms, f"{_BPE_SEP} {_BPE_SEP}"),
+        F.lit(_BPE_SEP),
+    )
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text",
+              rounds: int = 4, min_count: int = 2) -> list[dict]:
+    """Learn ``rounds`` BPE merge rules from a corpus, distributed.
+
+    The classic algorithm, Spark-first: token frequencies are ONE
+    corpus pass (groupBy); every training round then runs over the
+    VOCABULARY table (distinct words × weights — thousands of rows
+    however many terabytes the corpus is), never the corpus again:
+
+    1. explode each word's adjacent symbol pairs, weighted by word
+       count (map-side combinable sum);
+    2. argmax pair (ties → lexicographic smallest (left, right), pairs
+       below ``min_count`` excluded) — ONE driver-sized row collected;
+    3. apply the merge to every word with one literal string replace
+       of the wrapped encoding (see ``_BPE_SEP``) — greedy-exact.
+
+    Deterministic end to end, so a SQL oracle replays the full training
+    loop as unrolled CTEs with scalar-subquery replaces. Returns
+    [{round, left, right, pair_count}, ...]; merges stop early when no
+    pair clears ``min_count``.
+    """
+    vocab = (
+        docs.select(F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("w"))
+        .select(_bpe_wrap("tok").alias("seq"), "w")
+    )
+    merges: list[dict] = []
+    for rnd in range(1, rounds + 1):
+        vocab = vocab.localCheckpoint(eager=True)  # truncate replace chain
+        syms = F.transform(
+            F.split(F.col("seq"), " "),
+            lambda s: F.regexp_replace(s, _BPE_SEP, ""),
+        )
+        pairs = (
+            vocab.select(F.col("w"), syms.alias("ss"))
+            .select(
+                "w",
+                F.explode(F.when(
+                    F.size("ss") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ss") - 1),
+                        lambda i: F.struct(
+                            F.element_at("ss", i).alias("l"),
+                            F.element_at("ss", i + 1).alias("r")),
+                    )).otherwise(F.array())).alias("p"),
+            )
+            .groupBy("p.l", "p.r").agg(F.sum("w").alias("cnt"))
+            .filter(F.col("cnt") >= min_count)
+        )
+        best = (pairs.orderBy(F.col("cnt").desc(), F.col("l").asc(),
+                              F.col("r").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        b = best[0]
+        merges.append({"round": rnd, "left": b["l"], "right": b["r"],
+                       "pair_count": int(b["cnt"])})
+        tgt = f"{_BPE_SEP}{b['l']}{_BPE_SEP} {_BPE_SEP}{b['r']}{_BPE_SEP}"
+        rep = f"{_BPE_SEP}{b['l']}{b['r']}{_BPE_SEP}"
+        vocab = vocab.select(
+            F.replace(F.col("seq"), F.lit(tgt), F.lit(rep)).alias("seq"),
+            "w")
+    return merges
+
+
+def bpe_segment(df: DataFrame, merges: list[dict], text_col: str = "text",
+                out_col: str = "bpe_tokens") -> DataFrame:
+    """Apply learned merges to a corpus: per token, the same wrapped
+    encoding + the merge replaces in training order, then unwrap to the
+    final subword array. Pure string expressions — one corpus pass,
+    zero shuffles, zero UDFs."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def encode(tok):
+        chars = F.split(tok, "")
+        syms = F.concat(chars, F.array(F.lit("</w>")))
+        seq = F.concat(F.lit(_BPE_SEP),
+                       F.array_join(syms, f"{_BPE_SEP} {_BPE_SEP}"),
+                       F.lit(_BPE_SEP))
+        for m in merges:
+            tgt = (f"{_BPE_SEP}{m['left']}{_BPE_SEP} "
+                   f"{_BPE_SEP}{m['right']}{_BPE_SEP}")
+            rep = f"{_BPE_SEP}{m['left']}{m['right']}{_BPE_SEP}"
+            seq = F.replace(seq, F.lit(tgt), F.lit(rep))
+        return F.transform(F.split(seq, " "),
+                           lambda s: F.regexp_replace(s, _BPE_SEP, ""))
+
+    return df.withColumn(
+        out_col,
+        F.flatten(F.transform(toks, encode)))

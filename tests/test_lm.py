@@ -111,3 +111,50 @@ def test_score_pair_matches_two_single_scores(spark):
         assert abs(pair[d][0] - sa[d]) < 1e-12
         assert abs(pair[d][1] - sb[d]) < 1e-12
     assert pair[1][2] == 3
+
+
+def test_bpe_train_classic_example(spark):
+    # Sennrich et al.'s worked example: es → est → est</w> dominate
+    from glue_hudi_spark.operators import lm
+
+    docs = spark.createDataFrame([
+        ("low low low low low",),
+        ("lower lower newest newest newest",),
+        ("newest newest newest widest widest",),
+    ], "text string")
+    merges = lm.bpe_train(docs, rounds=5)
+    got = [(m["left"], m["right"]) for m in merges]
+    assert got == [("e", "s"), ("es", "t"), ("est", "</w>"),
+                   ("l", "o"), ("lo", "w")]
+    # segmentation applies merges in training order, greedy-exact
+    seg = lm.bpe_segment(
+        spark.createDataFrame([("newest lowest",)], "text string"), merges)
+    toks = seg.select("bpe_tokens").collect()[0][0]
+    # "lowest" gets the full chain l+o → lo+w → "low" then "est</w>"
+    assert toks == ["n", "e", "w", "est</w>", "low", "est</w>"]
+
+
+def test_bpe_greedy_self_pair(spark):
+    # 'aaaa' under merge (a,a): greedy left-to-right gives aa|aa, never
+    # the overlapping a|aa|a — the wrapped-encoding replace must agree
+    from glue_hudi_spark.operators import lm
+
+    docs = spark.createDataFrame([("aaaa aaaa aaaa",)], "text string")
+    merges = lm.bpe_train(docs, rounds=2)
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    # round 2 ties (aa,aa) with (aa,</w>) at 3 — lexicographic tie-break
+    # picks (aa,</w>) ('<' sorts below 'a'), deterministically
+    assert (merges[1]["left"], merges[1]["right"]) == ("aa", "</w>")
+    seg = lm.bpe_segment(docs, merges)
+    toks = seg.select("bpe_tokens").collect()[0][0]
+    # greedy self-pair: a a a a → aa aa (never the overlapping a aa a),
+    # then (aa,</w>) merges the tail
+    assert toks[:2] == ["aa", "aa</w>"]
+
+
+def test_bpe_min_count_stops_early(spark):
+    from glue_hudi_spark.operators import lm
+
+    docs = spark.createDataFrame([("xy",)], "text string")
+    merges = lm.bpe_train(docs, rounds=5, min_count=2)
+    assert merges == []  # every pair is a singleton
