@@ -136,9 +136,13 @@ class DedupIndex:
             raise ValueError(f"table {self.table.root} has no commits")
         fp = self._fingerprints(self.table.read_snapshot()).persist()
         try:
-            (self._exact_rows(fp).write.mode("overwrite")
+            # repartition on the partition column so each prefix dir is
+            # one task's output — without it every shuffle task writes a
+            # sliver into every dir (T×P tiny files, the small-file
+            # problem at any scale)
+            (self._exact_rows(fp).repartition("hp").write.mode("overwrite")
              .partitionBy("hp").parquet(str(self.exact_store)))
-            (self._band_rows(fp).write.mode("overwrite")
+            (self._band_rows(fp).repartition("bp").write.mode("overwrite")
              .partitionBy("bp").parquet(str(self.bands_store)))
         finally:
             fp.unpersist()
@@ -159,7 +163,7 @@ class DedupIndex:
         partitions, so those are cleared explicitly."""
         keep = old_filtered.join(changed_ids, on="id", how="left_anti")
         out = keep.unionByName(new_rows).localCheckpoint(eager=True)
-        (out.write.mode("overwrite")
+        (out.repartition(part_col).write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy(part_col).parquet(str(path)))
         self.spark.catalog.refreshByPath(str(path))
