@@ -116,3 +116,74 @@ def test_partition_moves_between_batches(spark, tmp_path, seed):
     by_pt = {(r["k"], r["pt"]): r["v"] for r in rows}
     assert by_pt[("a", "p1")] == 2
     assert ("a", "p0") in by_pt  # documented: partition-local upsert
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_pruned_change_feed_equals_full_diff(spark, tmp_path, seed):
+    """Random commit histories: change_feed/diff_snapshots between every
+    adjacent (and one random non-adjacent) commit pair must equal the
+    UNPRUNED full-outer diff — the file-pruning optimization may skip
+    shared files only because they provably contribute nothing."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from glue_hudi_spark.storage.native import META_COLS, NativeTable
+
+    rng = _random.Random(seed)
+    t = NativeTable(spark, tmp_path / f"t{seed}", record_keys=["k"],
+                    precombine="s", files_per_partition=4,
+                    deletion_vectors=(seed % 2 == 0))
+    seq = [0]
+
+    def batch(n):
+        out = []
+        for _ in range(n):
+            seq[0] += 1
+            out.append((f"k{rng.randrange(40):03d}",
+                        rng.randrange(1000), seq[0]))
+        return out
+
+    # bulk_insert doesn't dedup — seed with UNIQUE keys (diff semantics
+    # assume merge-maintained key uniqueness)
+    seed_rows = {r[0]: r for r in batch(30)}
+    t.bulk_insert(spark.createDataFrame(
+        list(seed_rows.values()), "k string, v int, s int"))
+    for _ in range(4):
+        op = rng.choice(["upsert", "delete", "upsert"])
+        if op == "upsert":
+            t.upsert(spark.createDataFrame(batch(8),
+                                           "k string, v int, s int"))
+        else:
+            ks = [f"k{rng.randrange(40):03d}" for _ in range(4)]
+            t.delete(spark.createDataFrame([(k,) for k in ks], "k string"))
+
+    def full_diff(a, b):
+        old = t.read_snapshot(with_meta=True, as_of=a)
+        new = t.read_snapshot(with_meta=True, as_of=b)
+        cols = [c for c in new.columns if c not in META_COLS]
+        fp = F.md5(F.concat_ws("\x1f", *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+            for c in cols]))
+        o = old.select(F.col("_ghs_record_key").alias("_k"),
+                       fp.alias("f1"),
+                       *[F.col(c).alias(f"o_{c}") for c in cols])
+        n = new.select(F.col("_ghs_record_key").alias("_k"),
+                       fp.alias("f2"), *cols)
+        j = o.join(n, "_k", "full_outer")
+        ch = (F.when(F.col("f1").isNull(), F.lit("I"))
+              .when(F.col("f2").isNull(), F.lit("D"))
+              .when(F.col("f1") != F.col("f2"), F.lit("U")))
+        outc = [F.when(F.col("f2").isNull(), F.col(f"o_{c}"))
+                .otherwise(F.col(c)).alias(c) for c in cols]
+        return (j.withColumn("_change", ch)
+                .filter(F.col("_change").isNotNull())
+                .select("_change", *outc))
+
+    head = t.timeline.latest().commit_id
+    pairs = [(i, i + 1) for i in range(1, head)]
+    pairs.append((1, head))
+    for a, b in pairs:
+        got = sorted(map(tuple, t.diff_snapshots(a, b).collect()))
+        want = sorted(map(tuple, full_diff(a, b).collect()))
+        assert got == want, f"diff({a},{b}) diverged"
