@@ -143,6 +143,16 @@ def main(argv: list[str] | None = None) -> int:
     pep.add_argument("--spec", nargs="*", default=[], metavar="FIELD",
                      help="new spec entries, e.g. 'months(ts)' "
                           "'bucket(8, user_id)'; empty = unpartitioned")
+    prl = sub.add_parser("release", help="pin a named multi-table dataset "
+                                         "release: tag EVERY managed table "
+                                         "+ write one release manifest")
+    _common(prl, raw=False)
+    prl.add_argument("--name", required=True)
+    pdr = sub.add_parser("drop-release", help="drop a release's tags and "
+                                             "manifest (frees its files "
+                                             "for retention)")
+    _common(pdr, raw=False)
+    pdr.add_argument("--name", required=True)
     pmt = sub.add_parser("maintain", help="one-call service pass: compact "
                                           "MoR deltas + bin-pack + clean "
                                           "+ vacuum (+ optional age expiry)")
@@ -257,6 +267,21 @@ def main(argv: list[str] | None = None) -> int:
              "commits": [c.action for c in res.commits]}
             for ctl, res in zip(records, results)
         ]))
+        return 0
+    if args.cmd in ("release", "drop-release"):
+        # cross-table commands: one release spans EVERY managed table
+        from glue_hudi_spark.storage import release as REL
+
+        tables = {ctl.table_name: pipe._table(ctl) for ctl in records}
+        if args.cmd == "release":
+            m = REL.create_release(args.name, tables, pipe.curated_root)
+            print(json.dumps({
+                "release": args.name,
+                "tables": {k: e["commit_id"]
+                           for k, e in m["tables"].items()}}))
+        else:
+            REL.drop_release(args.name, tables, pipe.curated_root)
+            print(json.dumps({"dropped_release": args.name}))
         return 0
     for ctl in records:
         if args.cmd == "run":

@@ -306,3 +306,28 @@ def test_cli_maintain(spark, tmp_path, capsys):
     table = pipe._table(ctl)
     assert not table.timeline.latest().deltas
     assert table.read_snapshot().count() == 190
+
+
+def test_cli_release_lifecycle(spark, tmp_path, capsys):
+    ctl = JobControl(**CONTROL)
+    control = tmp_path / "control.json"
+    ControlStore(control).save([ctl])
+    raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
+    base = ["--control", str(control), "--curated", str(tmp_path / "curated")]
+
+    def run_cmd(*argv):
+        rc = main(list(argv))
+        out = capsys.readouterr().out.strip().splitlines()[-1]
+        return rc, json.loads(out)
+
+    _land(make_full_load_df(spark), raw, "LOAD1")
+    run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    rc, out = run_cmd("release", *base, "--name", "train-v1")
+    assert rc == 0 and ctl.table_name in out["tables"]
+    _land(make_cdc_df(spark), raw, "CDC1")
+    run_cmd("run", *base, "--raw", str(tmp_path / "raw"))
+    from glue_hudi_spark.storage import release as REL
+    loaded = REL.load_release(spark, tmp_path / "curated", "train-v1")
+    assert loaded[ctl.table_name].count() == 100  # pre-CDC pin
+    rc, out = run_cmd("drop-release", *base, "--name", "train-v1")
+    assert rc == 0 and out["dropped_release"] == "train-v1"
