@@ -3,6 +3,7 @@ stateful profiles, streaming dedup + sessionization."""
 
 from glue_hudi_spark.streaming.cdc_stream import CdcStream
 from glue_hudi_spark.streaming.corpus import CorpusIngestStream
+from glue_hudi_spark.streaming.vectors import EmbeddingIngestStream
 from glue_hudi_spark.streaming.enrich import EnrichStream, enrich_asof
 from glue_hudi_spark.streaming.dedup import (
     streaming_exact_dedup,
@@ -16,6 +17,7 @@ from glue_hudi_spark.streaming.windowed import windowed_event_counts
 __all__ = [
     "CdcStream",
     "CorpusIngestStream",
+    "EmbeddingIngestStream",
     "EnrichStream",
     "enrich_asof",
     "MaterializedAgg",

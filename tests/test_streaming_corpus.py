@@ -182,3 +182,30 @@ def test_corpus_stream_index_mode_drops_near_dups(spark, tmp_path):
     ix = DedupIndex(stream.table, id_col="doc_id")
     assert ix._meta()["indexed_commit"] == \
         stream.table.timeline.latest().commit_id
+
+
+def test_embedding_stream_keeps_index_current(spark, tmp_path):
+    from glue_hudi_spark.streaming import EmbeddingIngestStream
+
+    def vec(i):
+        return [float(((i * 7 + j * 13) % 19) - 9) for j in range(6)]
+
+    docs = tmp_path / "vecs"
+    _land(spark, [dict(vec_id=i, embedding=vec(i)) for i in range(30)],
+          docs, "B1")
+    stream = EmbeddingIngestStream(
+        spark, docs, tmp_path / "vtab", tmp_path / "ckpt")
+    stream.run_available()
+    assert stream.index.exists()
+    q = stream.table.read_snapshot().filter("vec_id < 2")
+    # nprobe=all cells ≡ exact: 2 queries × k — and proves non-stale
+    assert stream.index.query(q, k=3, nprobe=8).count() == 6
+    # batch 2: new vectors + a mutation that moves cells
+    _land(spark, [dict(vec_id=100 + i, embedding=vec(100 + i))
+                  for i in range(5)]
+          + [dict(vec_id=9, embedding=[-x for x in vec(9)])], docs, "B2")
+    stream.run_available()
+    assert stream.table.read_snapshot().count() == 35
+    assert not stream.index.status()["stale"]
+    got = stream.index.query(q, k=40, nprobe=8)
+    assert got.count() == 2 * 34  # all non-self neighbors reachable
