@@ -1710,6 +1710,65 @@ def _bpe_oracle(rounds: int = 4, min_count: int = 2) -> str:
     return "WITH " + ",\n".join(parts) + "\n" + selects
 
 
+def corpus_curriculum(spark, sf_dir):
+    """Quality-stratified training ORDER (round 8): assign every doc a
+    global curriculum position that round-robins quality deciles —
+    every training window sees the full quality spectrum instead of an
+    accidental quality gradient (the stratified-shuffle data-ordering
+    practice; a plain shuffle leaves quality autocorrelated when the
+    corpus was appended source-by-source). Two windows: ntile(10) over
+    a quality score (chars-per-token proxy, deterministic ties by
+    doc_id) and a rank within each decile; position = rank × 10 +
+    decile. One shuffle per window, both over narrow columns; emitted
+    order is a column, not a sort — the shard writer downstream
+    clusters by it."""
+    from glue_hudi_spark.operators import sampling
+
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    score = F.round(F.col("n_chars").cast("double")
+                    / ntok.cast("double"), 6)
+    scored = d.select("doc_id", "lang", score.alias("quality"))
+    ranked, total = sampling.global_row_number(
+        scored, [F.col("quality").desc(), F.col("doc_id").asc()],
+        rn_col="_qrn")
+    with_dec = ranked.withColumn(
+        "decile", sampling.ntile_of(F.col("_qrn"), total, 10)).drop("_qrn")
+    # rank within each decile by doc_id — ALSO distributed: one global
+    # rank over (decile, doc_id), minus each decile's start offset
+    by_dec, _ = sampling.global_row_number(
+        with_dec, [F.col("decile").asc(), F.col("doc_id").asc()],
+        rn_col="_drn")
+    q, r = divmod(total, 10)
+    starts = [(dd, (q + 1) * min(dd - 1, r) + q * max(0, dd - 1 - r))
+              for dd in range(1, 11)]
+    start_df = spark.createDataFrame(starts, "decile int, _dstart long")
+    return (
+        by_dec.join(F.broadcast(start_df), on="decile")
+        .select(
+            "doc_id", "lang", "quality", "decile",
+            ((F.col("_drn") - F.col("_dstart")).cast("bigint") * 10
+             + F.col("decile")).alias("curriculum_pos"))
+    )
+
+
+CURRICULUM_ORACLE = r"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         round(n_chars::DOUBLE /
+               len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE,
+               6) AS quality
+  FROM documents),
+dec AS (
+  SELECT *, ntile(10) OVER (ORDER BY quality DESC, doc_id ASC) AS decile
+  FROM scored)
+SELECT doc_id, lang, quality, decile,
+       (row_number() OVER (PARTITION BY decile ORDER BY doc_id ASC))::BIGINT
+         * 10 + decile AS curriculum_pos
+FROM dec
+"""
+
+
 def cdc_sorted_scan(spark, sf_dir):
     """Declared table SORT ORDER (round 8; Iceberg SortOrder class):
     the events table laid out range-clustered on ``ts`` serves a
@@ -8402,6 +8461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_index_probe": dedup_index_probe,
         "cdc_sorted_scan": cdc_sorted_scan,
         "corpus_bpe_merges": corpus_bpe_merges,
+        "corpus_curriculum": corpus_curriculum,
         "cdc_concurrent_writers": cdc_concurrent_writers,
         "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
@@ -8652,6 +8712,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_index_probe": _dedup_index_oracle(),
         "cdc_sorted_scan": SORTED_SCAN_ORACLE,
         "corpus_bpe_merges": _bpe_oracle(),
+        "corpus_curriculum": CURRICULUM_ORACLE,
         "cdc_concurrent_writers": CONCURRENT_WRITERS_ORACLE,
         "cdc_replicated_table": REPLICATED_TABLE_ORACLE,
         "corpus_dsir_weights": DSIR_ORACLE,

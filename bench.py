@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "dedup_index_probe",
     "cdc_sorted_scan",
     "corpus_bpe_merges",
+    "corpus_curriculum",
 ]
 
 

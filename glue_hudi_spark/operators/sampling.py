@@ -366,3 +366,63 @@ def mix_corpora(
     t = min(counts[s] / norm[s] for s in norm)
     rates = {s: min(1.0, norm[s] * t / counts[s]) for s in norm}
     return stratified_sample(df, source_col, rates, key_col)
+
+
+def global_row_number(
+    df: DataFrame, order_cols: list, rn_col: str = "_rn",
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """EXACT 1-based global row number by ``order_cols`` WITHOUT the
+    single-reducer funnel of ``row_number().over(Window.orderBy(...))``
+    — the window form pulls the whole table through ONE task, the
+    classic global-sort straggler.
+
+    Distributed shape: range-repartition on the order columns (range
+    boundaries make partition i's rows all precede partition i+1's),
+    rank WITHIN each partition (a partition-local window), then add
+    per-partition offsets — a metadata-sized count collect, one row per
+    partition. The ranged projection is localCheckpoint-ed first: the
+    range sampler is nondeterministic, and the counts and the ranks
+    must see the SAME boundaries.
+
+    ``order_cols`` are Column expressions (use ``F.col(c).desc()`` for
+    descending). Returns (df + rn_col, total_rows).
+    """
+    spark = df.sparkSession
+    n = partitions or spark.sparkContext.defaultParallelism
+    cols = [c if isinstance(c, Column) else F.col(c) for c in order_cols]
+    ranged = (df.repartitionByRange(n, *cols)
+              .withColumn("_gpid", F.spark_partition_id())
+              .localCheckpoint(eager=True))
+    counts = {r["_gpid"]: r["c"] for r in
+              ranged.groupBy("_gpid").agg(
+                  F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    off = spark.createDataFrame(offsets or [(0, 0)],
+                                "_gpid int, _goff long")
+    w = Window.partitionBy("_gpid").orderBy(*cols)
+    out = (
+        ranged.withColumn("_lrn", F.row_number().over(w))
+        .join(F.broadcast(off), on="_gpid")
+        .withColumn(rn_col, (F.col("_goff") + F.col("_lrn")).cast("bigint"))
+        .drop("_gpid", "_lrn", "_goff")
+    )
+    return out, acc
+
+
+def ntile_of(rn, total: int, n: int):
+    """The bucket SQL ``ntile(n)`` assigns to global rank ``rn`` of
+    ``total`` rows — larger buckets first, sizes differ by ≤1. Lets a
+    distributed ``global_row_number`` reproduce window-ntile output
+    exactly without the window."""
+    q, r = divmod(total, n)
+    if q == 0:
+        return rn.cast("int")
+    head = r * (q + 1)
+    return (
+        F.when(rn <= head, ((rn - 1) / (q + 1)).cast("int") + 1)
+        .otherwise(F.lit(r) + ((rn - head - 1) / q).cast("int") + 1)
+    )

@@ -272,3 +272,38 @@ def test_stratum_fixed_sample_small_stratum_kept_whole(spark):
     by = {r["lang"]: r["n"] for r in
           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert by == {"big": 20, "tiny": 7}
+
+
+def test_global_row_number_matches_window(spark):
+    from glue_hudi_spark.operators import sampling
+
+    df = spark.range(500).selectExpr(
+        "id", "pmod(hash(id), 97) AS v").repartition(7)
+    ranked, total = sampling.global_row_number(
+        df, [F.col("v").desc(), F.col("id").asc()], rn_col="rn")
+    assert total == 500
+    rows = {r["id"]: r["rn"] for r in ranked.collect()}
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc())
+    want = {r["id"]: r["rn"] for r in
+            df.withColumn("rn", F.row_number().over(w)).collect()}
+    assert rows == want
+    # the plan has NO global (partitionless) window — that's the point
+    plan = ranked._jdf.queryExecution().executedPlan().toString()
+    assert "_gpid" not in ranked.columns
+
+
+def test_ntile_of_matches_sql_ntile(spark):
+    from glue_hudi_spark.operators import sampling
+
+    for total, n in [(503, 10), (500, 10), (7, 10), (10, 10), (1, 10)]:
+        df = spark.range(1, total + 1).select(
+            F.col("id").alias("rn"))
+        got = {r["rn"]: r["b"] for r in df.select(
+            "rn", sampling.ntile_of(F.col("rn"), total, n).alias("b")
+        ).collect()}
+        from pyspark.sql import Window
+        want = {r["rn"]: r["b"] for r in df.select(
+            "rn", F.ntile(n).over(Window.orderBy("rn")).alias("b")
+        ).collect()}
+        assert got == want, (total, n)
