@@ -326,9 +326,22 @@ def main() -> None:
     probe("change_feed_diff_6m", time.perf_counter() - t0,
           changed_rows=n_changes,
           # adjacent-commit diffs scan only the files the two manifests
-          # DISAGREE on (shared files can't contribute a change) —
-          # the count pins the O(changed files) contract
+          # DISAGREE on (shared files can't contribute a change) — a
+          # SCATTERED upsert rewrites every file, so this is the worst
+          # case (old+new of everything); the narrow case below is the
+          # favorable one
           files_scanned=len(diff.inputFiles()),
+          files_total=len(cft.timeline.latest().files))
+    narrow_cf = cft.read_snapshot().filter(
+        (F.col("uid") >= 1000) & (F.col("uid") < 2000)
+    ).withColumn("qty", F.col("qty") + 2.0)
+    c2 = cft.upsert(narrow_cf)
+    t0 = time.perf_counter()
+    diff2 = cft.diff_snapshots(c2.commit_id - 1, c2.commit_id)
+    n2 = diff2.count()
+    probe("change_feed_diff_6m_narrow", time.perf_counter() - t0,
+          changed_rows=n2,
+          files_scanned=len(diff2.inputFiles()),
           files_total=len(cft.timeline.latest().files))
     from glue_hudi_spark.operators import ivm
 
