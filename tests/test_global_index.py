@@ -98,3 +98,23 @@ def test_global_index_with_bloom_pruning(spark, tmp_path):
     got = t.read_snapshot().filter("id = 'k013'").collect()
     assert len(got) == 1 and got[0]["region"] == "US"
     assert c.stats["files_carried"] > 0
+
+
+def test_global_semantics_on_mor_through_compaction(spark, tmp_path):
+    # MoR is key-global by construction (_rt merges deltas by record key
+    # and compact() materializes through that same merge) — a partition-
+    # moving delta must survive compaction as ONE relocated record
+    t = NativeTable(spark, tmp_path / "m", record_keys=["id"],
+                    precombine="seq", partition_keys=["region"],
+                    storage_type="mor", files_per_partition=2,
+                    compact_every=100)
+    t.bulk_insert(_rows(spark, [
+        dict(id=f"k{i:03d}", region=("EU" if i % 2 else "US"),
+             v=float(i), seq=1) for i in range(20)]))
+    t.upsert(_rows(spark, [dict(id="k004", region="EU", v=999.0, seq=2)]))
+    got = t.read_snapshot().filter("id = 'k004'").collect()
+    assert len(got) == 1 and got[0]["region"] == "EU"  # _rt view relocates
+    t.compact()
+    got = t.read_snapshot().filter("id = 'k004'").collect()
+    assert len(got) == 1 and got[0]["region"] == "EU"
+    assert t.read_snapshot().count() == 20
