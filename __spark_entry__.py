@@ -45,6 +45,11 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         "spark.sql.adaptive.enabled": "true",
+        # Spark 4.1 defaults this FALSE and errors on any Python data
+        # source reader that implements pushFilters — the ghs_table
+        # reader degrades gracefully without it (r08's one driver red),
+        # but with the conf on it keeps manifest stats pruning.
+        "spark.sql.python.filterPushdown.enabled": "true",
         "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
         # events.parquet carries TIMESTAMP(NANOS) columns Spark 4 can't
         # read natively; read them as epoch-nanos longs session-wide

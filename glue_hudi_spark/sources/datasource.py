@@ -126,13 +126,71 @@ class _FileSlice(InputPartition):
         self.dv_rels = tuple(dv_rels)
 
 
-class GhsTableReader(DataSourceReader):
+def _planner_pushdown_enabled():
+    """Whether the session allows Python-data-source filter pushdown.
+
+    Spark 4.1 defaults ``spark.sql.python.filterPushdown.enabled`` to
+    FALSE and hard-errors (``DATA_SOURCE_PUSHDOWN_DISABLED``) on any
+    reader that merely *implements* ``pushFilters`` — so a reader built
+    for sessions with the conf on breaks every session with it off. The
+    conf's value is not handed to ``DataSource.reader()`` (it runs in the
+    planning worker, no SparkSession in sight), but the worker's ``main``
+    holds it as the local ``enable_pushdown`` right before calling
+    ``reader()`` — read it off the call stack. Returns None when
+    undeterminable (direct construction in tests, future Spark renames);
+    callers treat None as "enabled" to preserve stats pruning, and the
+    explicit per-read ``option("pushdown", "false")`` remains the manual
+    override either way. Pushdown is an OPTIMIZATION here (file-level
+    stats pruning); correctness never depends on it — all filters are
+    returned to Spark for re-evaluation regardless.
+    """
+    import sys
+
+    try:
+        f = sys._getframe(1)
+        while f is not None:
+            if "enable_pushdown" in f.f_locals:
+                return bool(f.f_locals["enable_pushdown"])
+            f = f.f_back
+    except Exception:
+        pass
+    return None
+
+
+class GhsTableNoPushdownReader(DataSourceReader):
+    """Batch reader WITHOUT ``pushFilters`` — the portability tier for
+    sessions running Spark's default
+    ``spark.sql.python.filterPushdown.enabled=false`` (which rejects any
+    reader that implements the method). Identical partition planning and
+    executor-side pyarrow read path; it only loses manifest stats
+    pruning, which Spark's own post-scan filters never depended on."""
+
     def __init__(self, options, schema: StructType):
         self.path, self.commit = _resolve_commit(options, reject_deltas=True)
         self.columns = [f.name for f in schema.fields]  # logical
         self.physical = _to_physical_names(self.commit, self.columns)
         self.files = list(self.commit.files)
 
+    def partitions(self):
+        dvs = self.commit.dvs
+        return [_FileSlice(self.path, f,
+                           dvs.get(f, {}).get("files", ()))
+                for f in self.files]
+
+    def read(self, part: _FileSlice):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(
+            str(Path(part.root) / part.rel), columns=self.physical)
+        if part.dv_rels:
+            table = _drop_dv_positions(table, part.root, part.rel,
+                                       part.dv_rels)
+        if self.physical != self.columns:  # column-mapping rename
+            table = table.rename_columns(self.columns)
+        yield from table.to_batches()
+
+
+class GhsTableReader(GhsTableNoPushdownReader):
     def pushFilters(self, filters):
         # translate range/equality filters on single columns into the
         # manifest's column-stats prune — whole files drop before any
@@ -159,24 +217,6 @@ class GhsTableReader(DataSourceReader):
             self.files = _prune_by_stats(
                 self.files, self.commit.col_stats, prune)
         return filters
-
-    def partitions(self):
-        dvs = self.commit.dvs
-        return [_FileSlice(self.path, f,
-                           dvs.get(f, {}).get("files", ()))
-                for f in self.files]
-
-    def read(self, part: _FileSlice):
-        import pyarrow.parquet as pq
-
-        table = pq.read_table(
-            str(Path(part.root) / part.rel), columns=self.physical)
-        if part.dv_rels:
-            table = _drop_dv_positions(table, part.root, part.rel,
-                                       part.dv_rels)
-        if self.physical != self.columns:  # column-mapping rename
-            table = table.rename_columns(self.columns)
-        yield from table.to_batches()
 
 
 def _drop_dv_positions(table, root: str, rel: str, dv_rels):
@@ -387,7 +427,23 @@ class GhsTableDataSource(DataSource):
             commit, str(self.options.get("withmeta", "")).lower() == "true")
 
     def reader(self, schema):
-        return GhsTableReader(self.options, schema)
+        # pushdown tier selection: explicit option first, else the
+        # session's own conf (sniffed from the planning worker — see
+        # _planner_pushdown_enabled), else the pushdown tier. Spark 4.1
+        # REJECTS readers that implement pushFilters whenever
+        # spark.sql.python.filterPushdown.enabled is false (its default),
+        # so a foreign session that never heard of the conf must land on
+        # the pushdown-less tier automatically — same files, same
+        # executor-side read, only the manifest stats prune is skipped
+        # (Spark re-evaluates every filter either way).
+        opt = self.options.get("pushdown")
+        if opt is not None:
+            enabled = str(opt).lower() != "false"
+        else:
+            enabled = _planner_pushdown_enabled()
+            enabled = True if enabled is None else enabled
+        cls = GhsTableReader if enabled else GhsTableNoPushdownReader
+        return cls(self.options, schema)
 
     def simpleStreamReader(self, schema):
         return GhsChangeFeedStreamReader(self.options, schema)

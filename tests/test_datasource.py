@@ -249,3 +249,40 @@ def test_stream_tails_branch_feed(spark, table, tmp_path):
     got = {r["id"]: r["v"] for r in spark.read.parquet(str(out)).collect()}
     # ONLY the branch's own commit flows — not main's history
     assert got == {"k900": 900.0}
+
+
+def test_batch_read_with_pushdown_conf_off(spark, table):
+    """Spark 4.1 defaults spark.sql.python.filterPushdown.enabled=false
+    and hard-errors on readers that implement pushFilters — the r08
+    driver red. A foreign session with the conf off (or unset) must
+    still batch-read ghs_table: the data source auto-selects the
+    pushdown-less reader tier by sniffing the planning worker's
+    enable_pushdown flag. Correctness is identical (Spark re-evaluates
+    all filters); only the manifest stats prune is skipped."""
+    k = "spark.sql.python.filterPushdown.enabled"
+    prev = spark.conf.get(k)
+    spark.conf.set(k, "false")
+    try:
+        df = _fmt(spark, table).filter("v >= 90.0 and v < 95.0")
+        got = sorted(r["id"] for r in df.collect())
+        assert got == [f"k{i:03d}" for i in range(90, 95)]
+        # full unfiltered read works too
+        assert _fmt(spark, table).count() == 100
+        # the explicit manual override keeps working with the conf off
+        r = (spark.read.format("ghs_table")
+             .option("path", str(table.root))
+             .option("pushdown", "false").load())
+        assert r.count() == 100
+    finally:
+        spark.conf.set(k, prev)
+
+
+def test_pushdown_option_false_with_conf_on(spark, table):
+    """option('pushdown','false') forces the no-pushdown tier even when
+    the session conf is on — same rows, no stats prune."""
+    df = (spark.read.format("ghs_table")
+          .option("path", str(table.root))
+          .option("pushdown", "false").load()
+          .filter("v >= 90.0 and v < 95.0"))
+    assert sorted(r["id"] for r in df.collect()) == [
+        f"k{i:03d}" for i in range(90, 95)]
