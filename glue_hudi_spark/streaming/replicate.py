@@ -77,6 +77,9 @@ class TableReplicationStream:
         # masked view of the source
         self.transform = transform
         self.sync_deletes_every = sync_deletes_every
+        # True/False after each sync_deletes(): did the checksum gate
+        # let the cadence skip the key anti-join?
+        self.last_sync_skipped_join: bool | None = None
 
     def _apply_batch(self, batch_df, batch_id: int) -> None:
         last = self.dest.last_stream_batch_id()
@@ -122,7 +125,20 @@ class TableReplicationStream:
         in-stream this finds nothing (assert that, if auditing); it
         remains the propagation path for sources written with
         ``change_feed_deletes=False``. Key projections only — no data
-        columns cross the join."""
+        columns cross the join.
+
+        Cost shape (the recurring cadence tax at 100 TB): the key-set
+        anti-join — two full key shuffles — runs ONLY when a cheap
+        checksum gate says the key sets differ. The gate is one global
+        (count, order-independent md5-word-sum) aggregate per side
+        (``operators.recon.table_checksum`` with no group columns):
+        map-side combined, a 1-row result each, zero shuffle of keys.
+        A converged replica therefore pays two narrow-column scans and
+        no join per cadence; ``last_sync_skipped_join`` records which
+        path the most recent call took (auditability + the pytest pin).
+        """
+        from glue_hudi_spark.operators.recon import table_checksum
+
         src_keys = (
             self.spark.read.format("ghs_table")
             .option("path", self.src_path)
@@ -132,6 +148,12 @@ class TableReplicationStream:
         )
         dest_keys = self.dest.read_snapshot(with_meta=True).select(
             F.col(RECORD_KEY_COL).alias("_k"), *self.dest.record_keys)
+        cs = table_checksum(src_keys, [], ["_k"]).first()
+        cd = table_checksum(dest_keys.select("_k"), [], ["_k"]).first()
+        if (cs["n"], cs["ck"]) == (cd["n"], cd["ck"]):
+            self.last_sync_skipped_join = True
+            return 0
+        self.last_sync_skipped_join = False
         gone = dest_keys.join(src_keys, on="_k", how="left_anti").drop("_k")
         if gone.isEmpty():
             return 0

@@ -161,3 +161,29 @@ def test_replication_converges_under_random_cdc(spark, tmp_path):
         got = {(r["id"], round(r["v"], 9)) for r in dest.read_snapshot().collect()}
         want = {(r["id"], round(r["v"], 9)) for r in src.read_snapshot().collect()}
         assert got == want, f"diverged at step {step}"
+
+
+def test_sync_deletes_checksum_gate_skips_join_when_converged(
+        spark, tmp_path):
+    """A converged replica's cadence pays only the two 1-row checksum
+    aggregates (operators.recon) — the full key anti-join runs only when
+    the key sets actually differ, and still finds + fixes the drift."""
+    src = _mk(spark, tmp_path / "src", change_feed_deletes=False)
+    src.bulk_insert(_rows(spark, [dict(id=f"k{i}", v=1.0, seq=1)
+                                  for i in range(8)]))
+    dest = _mk(spark, tmp_path / "dest")
+    rep = TableReplicationStream(spark, src.root, dest, tmp_path / "ckpt")
+    rep.run_available()
+    # converged: gate matches, join skipped
+    assert rep.sync_deletes() == 0
+    assert rep.last_sync_skipped_join is True
+    # upstream delete with NO tombstone feed: key sets now differ — the
+    # gate opens, the anti-join runs and propagates the delete
+    src.delete(_rows(spark, [dict(id="k5", v=1.0, seq=1)]).select("id"))
+    assert rep.sync_deletes() == 1
+    assert rep.last_sync_skipped_join is False
+    assert {r["id"] for r in dest.read_snapshot().collect()} == {
+        f"k{i}" for i in range(8) if i != 5}
+    # and converged again afterwards
+    assert rep.sync_deletes() == 0
+    assert rep.last_sync_skipped_join is True
