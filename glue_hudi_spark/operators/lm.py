@@ -320,27 +320,67 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
 
 
 def bpe_segment(df: DataFrame, merges: list[dict], text_col: str = "text",
-                out_col: str = "bpe_tokens") -> DataFrame:
+                out_col: str = "bpe_tokens",
+                chunk_size: int = 64) -> DataFrame:
     """Apply learned merges to a corpus: per token, the same wrapped
     encoding + the merge replaces in training order, then unwrap to the
-    final subword array. Pure string expressions — one corpus pass,
-    zero shuffles, zero UDFs."""
+    final subword array. Pure string expressions — zero shuffles, zero
+    UDFs.
+
+    Merge application is CHUNKED: each pass applies ≤ ``chunk_size``
+    replaces, and passes are separated by a lazy ``localCheckpoint`` so
+    Catalyst's project-collapsing can't fuse them back into one
+    expression tree — without the break, a 10k-merge production
+    vocabulary unrolls into a 10k-deep nested ``replace`` chain and
+    blows whole-stage codegen (the same expression-size failure family
+    BASELINE.md documents for unrolled centroids). ≤ ``chunk_size``
+    merges stay a single pass with no checkpoint — identical plan to
+    the unchunked original. The checkpoint materializes the
+    (doc columns + wrapped-seq array) projection per pass; passes are
+    O(corpus) each, so total cost is ceil(#merges/chunk_size) linear
+    scans — exactly how training (``bpe_train``) already bounds its
+    per-round replace chain."""
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
 
-    def encode(tok):
+    def wrap(tok):
         chars = F.split(tok, "")
         syms = F.concat(chars, F.array(F.lit("</w>")))
-        seq = F.concat(F.lit(_BPE_SEP),
-                       F.array_join(syms, f"{_BPE_SEP} {_BPE_SEP}"),
-                       F.lit(_BPE_SEP))
-        for m in merges:
+        return F.concat(F.lit(_BPE_SEP),
+                        F.array_join(syms, f"{_BPE_SEP} {_BPE_SEP}"),
+                        F.lit(_BPE_SEP))
+
+    def apply_chunk(seq, chunk):
+        for m in chunk:
             tgt = (f"{_BPE_SEP}{m['left']}{_BPE_SEP} "
                    f"{_BPE_SEP}{m['right']}{_BPE_SEP}")
             rep = f"{_BPE_SEP}{m['left']}{m['right']}{_BPE_SEP}"
             seq = F.replace(seq, F.lit(tgt), F.lit(rep))
-        return F.transform(F.split(seq, " "),
-                           lambda s: F.regexp_replace(s, _BPE_SEP, ""))
+        return seq
 
-    return df.withColumn(
+    seq_col = f"_{out_col}_seq"
+    out = df.withColumn(seq_col, F.transform(toks, wrap))
+    chunks = [merges[i:i + chunk_size]
+              for i in range(0, len(merges), chunk_size)]
+    for i, chunk in enumerate(chunks):
+        if i > 0:
+            # lazy lineage break between passes: bounds the per-stage
+            # expression depth at chunk_size replaces
+            out = out.localCheckpoint(eager=False)
+        # NB: bind the chunk via a closure factory, not a lambda default
+        # arg — F.transform dispatches on lambda ARITY, so a second
+        # parameter would receive the element-index column
+        def pass_fn(c):
+            return lambda s: apply_chunk(s, c)
+
+        out = out.withColumn(
+            seq_col, F.transform(F.col(seq_col), pass_fn(chunk)))
+    return out.withColumn(
         out_col,
-        F.flatten(F.transform(toks, encode)))
+        F.flatten(F.transform(
+            F.col(seq_col),
+            lambda seq: F.transform(
+                F.split(seq, " "),
+                lambda s: F.regexp_replace(s, _BPE_SEP, ""))))
+    ).drop(seq_col)

@@ -158,3 +158,42 @@ def test_bpe_min_count_stops_early(spark):
     docs = spark.createDataFrame([("xy",)], "text string")
     merges = lm.bpe_train(docs, rounds=5, min_count=2)
     assert merges == []  # every pair is a singleton
+
+
+def test_bpe_segment_chunked_equals_unchunked(spark):
+    """Property: chunked merge application (chunk_size=2, so the 4-round
+    merge list spans multiple checkpointed passes) produces exactly the
+    unchunked segmentation."""
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest newest new widest"),
+         (2, "low low low newest widest wide")],
+        "doc_id long, text string")
+    merges = lm.bpe_train(docs, rounds=4, min_count=1)
+    assert len(merges) == 4
+    one = {r["doc_id"]: r["bpe_tokens"] for r in lm.bpe_segment(
+        docs, merges, chunk_size=1000).collect()}
+    chunked = {r["doc_id"]: r["bpe_tokens"] for r in lm.bpe_segment(
+        docs, merges, chunk_size=2).collect()}
+    assert one == chunked and len(one) == 2
+
+
+def test_bpe_segment_256_merges_no_expression_blowup(spark):
+    """A production-scale merge list (256 rules, mostly non-matching)
+    must run through the default chunk_size without blowing the codegen
+    expression tree — the chunked passes bound per-stage depth."""
+    docs = spark.createDataFrame(
+        [(1, "aaab abab baaa"), (2, "abba baab abab")],
+        "doc_id long, text string")
+    real = lm.bpe_train(docs, rounds=2, min_count=1)
+    # pad with well-formed rules that never match the corpus: applying a
+    # non-matching replace is a semantic no-op, so the expected output is
+    # the real-rules-only segmentation
+    fake = [{"round": i, "left": f"x{i}", "right": f"y{i}", "pair_count": 1}
+            for i in range(len(real) + 1, 257)]
+    merges = real + fake
+    assert len(merges) == 256
+    want = {r["doc_id"]: r["bpe_tokens"]
+            for r in lm.bpe_segment(docs, real).collect()}
+    got = {r["doc_id"]: r["bpe_tokens"]
+           for r in lm.bpe_segment(docs, merges).collect()}
+    assert got == want
