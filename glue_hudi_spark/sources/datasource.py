@@ -18,16 +18,21 @@ Scale shape:
   columns. All filters are also RETURNED to Spark (partial pushdown):
   file-level stats pruning is conservative, so Spark re-evaluates —
   correctness never depends on the stats.
-* The stream reader is a ``SimpleDataSourceStreamReader`` — offsets are
-  commit ids, each micro-batch is the rows newer than the last offset
-  (CoW incremental-query semantics, same contract as
-  ``NativeTable.read_incremental``). MoR tables stream WITHOUT
-  compacting: a pending delta file holds exactly one commit's
-  precombine-deduped, stamped changes — it IS that commit's change set
-  (delete markers flow only with ``emitDeletes``). Simple-reader reads
-  run on the driver; this is the documented low-throughput tail (a CDC
-  feed), not a bulk path — replay (``readBetweenOffsets``) re-reads
-  deterministically from the immutable manifests.
+* The stream has TWO tiers sharing one offset contract (offsets are
+  commit ids, each micro-batch is the rows newer than the last offset —
+  CoW incremental-query semantics, same contract as
+  ``NativeTable.read_incremental``). The DEFAULT is the partition-based
+  ``GhsChangeFeedPartitionedStreamReader``: the driver plans one
+  ``InputPartition`` per changed file from the manifest and every
+  executor task reads its own file via pyarrow — row bytes never pass
+  through the driver, so replication can tail high-churn tables at
+  cluster bandwidth. ``option("simpleStream", "true")`` selects the
+  legacy ``SimpleDataSourceStreamReader`` (driver-side prefetch/cache)
+  instead. MoR tables stream WITHOUT compacting on both tiers: a
+  pending delta file holds exactly one commit's precombine-deduped,
+  stamped changes — it IS that commit's change set (delete markers flow
+  only with ``emitDeletes``). Replay after a crash re-plans the same
+  range deterministically from the immutable manifests.
 
 BATCH reads of MoR tables with UNCOMPACTED deltas are rejected (a
 snapshot needs the engine's precombine merge; compact first, or read
@@ -44,6 +49,7 @@ from pathlib import Path
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -401,6 +407,163 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+class _ChangeSlice(InputPartition):
+    """One unit of change-feed work for one executor task: either a data
+    file's stamped rows ("file") or one commit's delete tombstones
+    ("tombstone")."""
+
+    def __init__(self, root: str, rel: str, kind: str, start_token: str,
+                 cols_phys, dv_rels=(), commit_token: str | None = None):
+        self.root = root
+        self.rel = rel
+        self.kind = kind  # "file" | "tombstone"
+        self.start_token = start_token
+        # [(logical, physical)] under the END commit's column mapping
+        self.cols_phys = tuple(cols_phys)
+        self.dv_rels = tuple(dv_rels)
+        self.commit_token = commit_token  # tombstone: the deleting commit
+
+
+class GhsChangeFeedPartitionedStreamReader(DataSourceStreamReader):
+    """Partition-based change-feed reader: the HIGH-THROUGHPUT tier.
+
+    Same offset/replay semantics as ``GhsChangeFeedStreamReader`` (offsets
+    are commit ids, each batch = changes in ``(start, latest]``), but
+    micro-batch planning emits one ``InputPartition`` per changed file —
+    each EXECUTOR task then reads its own parquet file via pyarrow and
+    yields Arrow batches, exactly the batch reader's path. The driver
+    touches only the manifest: ``partitions()`` lists O(files changed in
+    the window) slices (a file dir's commit id upper-bounds its row
+    stamps, so files of commits ≤ start never enter the plan), and row
+    bytes never pass through the driver — this is what lets replication
+    tail a high-churn table at cluster bandwidth instead of the
+    SimpleDataSourceStreamReader driver funnel. Replay after a crash
+    re-plans the same (start, end] from the immutable manifests;
+    retention-cleaned range commits raise rather than silently dropping
+    their tombstones."""
+
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ghs_table: option('path') is required")
+        self.branch = options.get("branch")
+        self.start = int(options.get("startingcommit", 0))
+        self.columns = [f.name for f in schema.fields]
+        self.emit_deletes = (
+            str(options.get("emitdeletes", "")).lower() == "true")
+        if self.emit_deletes and "_ghs_delta_op" not in self.columns:
+            raise ValueError(
+                "ghs_table stream: emitDeletes requires "
+                "option('withMeta', 'true') — delete rows are "
+                "distinguished by _ghs_delta_op = 'd'")
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        # the arrow types read() null-fills absent columns with
+        # (delete-marker delta files carry only their batch's columns)
+        self._arrow_types = {
+            f.name: f.type for f in to_arrow_schema(schema)}
+
+    def initialOffset(self):
+        return {"commit_id": self.start}
+
+    def latestOffset(self):
+        latest = _timeline(self.path, self.branch).latest()
+        cid = self.start if latest is None else max(self.start,
+                                                    latest.commit_id)
+        return {"commit_id": cid}
+
+    def partitions(self, start, end):
+        from glue_hudi_spark.storage.native import file_dir_commit
+
+        s, e = start["commit_id"], end["commit_id"]
+        if e <= s:
+            return []
+        tl = _timeline(self.path, self.branch)
+        commit = tl.at(e)
+        if commit is None:
+            raise ValueError(
+                f"ghs_table stream: commit {e} no longer retained — "
+                "increase retain_commits for streaming")
+        token = f"{s:020d}"
+        m = commit.column_mapping
+        cols = list(dict.fromkeys(
+            [*self.columns, "_ghs_commit_time", "_ghs_delta_op"]))
+        cols_phys = [(c, m.get(c, c)) for c in cols]
+        parts = [
+            _ChangeSlice(self.path, rel, "file", token, cols_phys,
+                         commit.dvs.get(rel, {}).get("files", ()))
+            for rel in (
+                [f for f in commit.files if file_dir_commit(f) > s]
+                + [f for d in commit.deltas
+                   if d["commit_id"] > s for f in d["files"]])
+        ]
+        if self.emit_deletes:
+            for cid in range(s + 1, e + 1):
+                c = tl.at(cid)
+                if c is None:
+                    raise ValueError(
+                        f"ghs_table stream: commit {cid} no longer "
+                        "retained — its delete tombstones are "
+                        "unrecoverable. Increase retain_commits, or seed "
+                        "the consumer from a snapshot and startingCommit "
+                        "at the seed (see streaming.replicate's 100-TB "
+                        "pattern)")
+                parts.extend(
+                    _ChangeSlice(self.path, rel, "tombstone", token,
+                                 [(col, col) for col in self.columns],
+                                 commit_token=c.commit_time)
+                    for rel in c.tombstones)
+        return parts
+
+    def read(self, part: _ChangeSlice):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        fpath = str(Path(part.root) / part.rel)
+        if part.kind == "tombstone":
+            t = pq.read_table(fpath)  # tombstones are key-only, tiny
+            n = t.num_rows
+            arrays = []
+            for col in self.columns:
+                if col == "_ghs_commit_time":
+                    arrays.append(pa.array([part.commit_token] * n,
+                                           type=pa.string()))
+                elif col == "_ghs_delta_op":
+                    arrays.append(pa.array(["d"] * n, type=pa.string()))
+                elif col in t.schema.names:
+                    arrays.append(t.column(col).combine_chunks())
+                else:
+                    arrays.append(pa.nulls(n, self._arrow_types[col]))
+            yield from pa.table(
+                arrays, names=list(self.columns)).to_batches()
+            return
+        # version rows: same per-file logic as the simple reader, one
+        # executor task per file, arrow end to end; the scan reads only
+        # projected + filter columns (column pruning at the parquet read)
+        avail = set(pq.read_schema(fpath).names)
+        have = {c: p for c, p in part.cols_phys if p in avail}
+        t = pq.read_table(fpath, columns=list(dict.fromkeys(have.values())))
+        if part.dv_rels:
+            t = _drop_dv_positions(t, part.root, part.rel, part.dv_rels)
+        t = t.filter(
+            pc.greater(t.column(have["_ghs_commit_time"]), part.start_token))
+        if not self.emit_deletes:
+            t = t.filter(
+                pc.not_equal(t.column(have["_ghs_delta_op"]), "d"))
+        if t.num_rows == 0:
+            return
+        arrays = [
+            t.column(have[c]).combine_chunks() if c in have
+            else pa.nulls(t.num_rows, self._arrow_types[c])
+            for c in self.columns
+        ]
+        yield from pa.table(arrays, names=list(self.columns)).to_batches()
+
+    def commit(self, end):
+        pass
+
+
 class GhsTableDataSource(DataSource):
     """``spark.dataSource.register(GhsTableDataSource)`` then
     ``spark.read.format("ghs_table").option("path", root).load()``.
@@ -444,6 +607,20 @@ class GhsTableDataSource(DataSource):
             enabled = True if enabled is None else enabled
         cls = GhsTableReader if enabled else GhsTableNoPushdownReader
         return cls(self.options, schema)
+
+    def streamReader(self, schema):
+        # default streaming tier: partition-based, executor-side reads.
+        # option("simpleStream", "true") falls back to the driver-side
+        # SimpleDataSourceStreamReader (prefetch/cache pattern — handy
+        # for debugging, and the low-throughput contract some tests pin).
+        if str(self.options.get("simplestream", "")).lower() == "true":
+            from pyspark.errors import PySparkNotImplementedError
+
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={"feature": "streamReader"},
+            )
+        return GhsChangeFeedPartitionedStreamReader(self.options, schema)
 
     def simpleStreamReader(self, schema):
         return GhsChangeFeedStreamReader(self.options, schema)

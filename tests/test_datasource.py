@@ -286,3 +286,84 @@ def test_pushdown_option_false_with_conf_on(spark, table):
           .filter("v >= 90.0 and v < 95.0"))
     assert sorted(r["id"] for r in df.collect()) == [
         f"k{i:03d}" for i in range(90, 95)]
+
+
+def test_stream_uses_partitioned_reader_by_default(spark, table, tmp_path,
+                                                   monkeypatch):
+    """The default streaming tier is the partition-based reader
+    (executor-side pyarrow file reads) — poison the driver-side simple
+    reader to prove it is never constructed, then drain a stream."""
+    def boom(self, options, schema):
+        raise AssertionError(
+            "driver-side SimpleDataSourceStreamReader constructed — the "
+            "default tier must be the partitioned reader")
+
+    monkeypatch.setattr(DS.GhsChangeFeedStreamReader, "__init__", boom)
+    out = tmp_path / "pout"
+    q = (spark.readStream.format("ghs_table")
+         .option("path", str(table.root))
+         .load()
+         .writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "pckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(str(out)).count() == 100
+
+
+def test_stream_simple_tier_on_request(spark, table, tmp_path):
+    """option('simpleStream','true') falls back to the driver-side
+    SimpleDataSourceStreamReader tier — same rows."""
+    out = tmp_path / "sout"
+    q = (spark.readStream.format("ghs_table")
+         .option("path", str(table.root))
+         .option("simpleStream", "true")
+         .load()
+         .writeStream.format("parquet")
+         .option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "sckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    assert spark.read.parquet(str(out)).count() == 100
+
+
+def test_partitioned_stream_plans_one_slice_per_changed_file(spark, table):
+    """Micro-batch planning is O(files changed in the window), never the
+    live file set: a one-key upsert window plans exactly the files of the
+    commits after the offset."""
+    from glue_hudi_spark.storage.native import file_dir_commit
+
+    reader = DS.GhsChangeFeedPartitionedStreamReader(
+        {"path": str(table.root)},
+        spark.read.format("ghs_table").option("path", str(table.root))
+        .load().schema)
+    latest = table.timeline.latest()
+    # window (1, latest]: only commit 2's files (the single-key upsert)
+    parts = reader.partitions({"commit_id": 1},
+                              {"commit_id": latest.commit_id})
+    assert all(file_dir_commit(p.rel) > 1 for p in parts)
+    assert 0 < len(parts) < len(latest.files)
+    # empty window plans nothing
+    assert reader.partitions({"commit_id": latest.commit_id},
+                             {"commit_id": latest.commit_id}) == []
+
+
+def test_partitioned_stream_read_is_arrow_batched(spark, table):
+    """read() yields pyarrow RecordBatches (the executor fast path), with
+    only rows stamped inside the window."""
+    import pyarrow as pa
+
+    reader = DS.GhsChangeFeedPartitionedStreamReader(
+        {"path": str(table.root)},
+        spark.read.format("ghs_table").option("path", str(table.root))
+        .load().schema)
+    latest = table.timeline.latest()
+    parts = reader.partitions({"commit_id": 1},
+                              {"commit_id": latest.commit_id})
+    rows = []
+    for p in parts:
+        for b in reader.read(p):
+            assert isinstance(b, pa.RecordBatch)
+            rows.extend(b.to_pylist())
+    assert {r["id"] for r in rows} == {"k000"}  # the upsert commit only
+    assert rows[0]["v"] == 999.0
