@@ -4585,6 +4585,60 @@ FROM f
 """
 
 
+def multimodal_image_dedup(spark, sf_dir):
+    """Resolution-band-bucketed image dedup: bucket images by
+    (width div 64, height div 64) + a cheap 32-byte thumbnail
+    fingerprint, then resolve duplicate groups to clusters with
+    ``dedup.resolve_clusters`` (min-label propagation) — the image
+    analogue of the LSH band→bucket→component pipeline, all equi-joins,
+    no pairwise scan. This oracle-gated path runs the FAKE metadata tier
+    (deterministic byte-derived dims — driver testdata is text bytes);
+    the REAL tier of the identical dataflow is
+    ``multimodal.image_pixel_stats``'s perceptual aHash over decoded
+    BMP/baseline-JPEG pixels (operators/jpeg.py), pinned by
+    tests/test_multimodal_real.py."""
+    media = multimodal.attach_binary_payload(_t(spark, sf_dir, "documents"))
+    meta = multimodal.decode_image_metadata(media, fake=True)
+    fp = media.select(
+        "media_id",
+        F.lower(F.sha2(F.expr("substring(payload, 1, 32)"), 256))
+        .alias("fp"))
+    b = (meta.join(fp, "media_id")
+         .select("media_id",
+                 F.expr("CAST(width div 64 AS INT)").alias("band_w"),
+                 F.expr("CAST(height div 64 AS INT)").alias("band_h"),
+                 "fp"))
+    reps = (b.groupBy("band_w", "band_h", "fp")
+            .agg(F.min("media_id").alias("rep"),
+                 F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2))
+    edges = (b.join(reps, ["band_w", "band_h", "fp"])
+             .filter(F.col("media_id") != F.col("rep"))
+             .select(F.col("rep").alias("id_a"),
+                     F.col("media_id").alias("id_b")))
+    clusters = dedup.resolve_clusters(edges)
+    return (clusters.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"))
+            .join(b.withColumnRenamed("media_id", "cluster_id"),
+                  "cluster_id")
+            .select(F.col("cluster_id").alias("cluster_rep"),
+                    "n_members", "band_w", "band_h")
+            .orderBy("cluster_rep"))
+
+
+IMAGE_DEDUP_ORACLE = """
+WITH meta AS (
+  SELECT doc_id AS media_id,
+    CAST(octet_length(encode(text)) % 512 + 1 AS INT) // 64 AS band_w,
+    CAST(octet_length(encode(text)) % 384 + 1 AS INT) // 64 AS band_h,
+    sha256(substr(text, 1, 32)) AS fp
+  FROM documents)
+SELECT MIN(media_id) AS cluster_rep, COUNT(*) AS n_members, band_w, band_h
+FROM meta GROUP BY band_w, band_h, fp HAVING COUNT(*) >= 2
+ORDER BY cluster_rep
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H long tail — the 14 query *shapes* not yet covered (Q2, Q7-Q9, Q11-Q13,
 # Q15-Q17, Q19-Q22), adapted to the fixture's reduced schema (no partsupp, no
@@ -8499,6 +8553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
+        "multimodal_image_dedup": multimodal_image_dedup,
         "text_fingerprint": text_fingerprint,
         "cdc_table_merge": cdc_table_merge,
         "cdc_table_merge_mor": cdc_table_merge_mor,
@@ -8843,4 +8898,5 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_kmeans": _ivf_kmeans_oracle(),
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
+        "multimodal_image_dedup": IMAGE_DEDUP_ORACLE,
     }

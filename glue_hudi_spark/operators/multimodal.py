@@ -246,11 +246,10 @@ def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8,
 RESIZE_SCHEMA = "media_id long, payload binary, width int, height int"
 
 
-def _resize_bmp24(data: bytes, out_w: int, out_h: int) -> bytes | None:
-    """Nearest-neighbor resize of an uncompressed 24-bit BMP, stdlib+numpy
-    only: parse the pixel array (bottom-up rows, 4-byte row padding),
-    index-resample, rebuild the file. Returns None if the payload isn't a
-    plain BI_RGB 24bpp BMP."""
+def _bmp24_pixels(data: bytes):
+    """Uncompressed 24-bit BMP → (h, w, 3) RGB uint8 array (top-down), or
+    None if the payload isn't a plain BI_RGB 24bpp BMP. Stdlib+numpy:
+    bottom-up rows, 4-byte row padding, BGR byte order normalized."""
     import numpy as np
 
     if data is None or len(data) < 54 or data[:2] != b"BM":
@@ -270,6 +269,119 @@ def _resize_bmp24(data: bytes, out_w: int, out_h: int) -> bytes | None:
     px = px.reshape(h, row_size)[:, : w * 3].reshape(h, w, 3)
     if flipped:
         px = px[::-1]
+    return px[:, :, ::-1]  # BGR (BMP storage) → RGB
+
+
+def decode_pixels(data: bytes):
+    """Container-dispatching REAL pixel decode: (h, w, 3) RGB or (h, w)
+    gray uint8 for uncompressed 24-bit BMP and baseline JPEG (the
+    stdlib+numpy codec in ``operators.jpeg``); None for anything else
+    (PNG/GIF pixels, progressive JPEG — codec-library territory)."""
+    if data is None or len(data) < 4:
+        return None
+    if data[:2] == b"BM":
+        return _bmp24_pixels(data)
+    if data[:2] == b"\xff\xd8":
+        from glue_hudi_spark.operators.jpeg import decode_baseline
+
+        return decode_baseline(data)
+    return None
+
+
+def _ahash_bits(px) -> str | None:
+    """64-bit average hash (aHash) of a decoded image: gray → 8×8
+    block-mean downsample → threshold at the mean → 16-hex-digit string.
+    The classic perceptual fingerprint for near-duplicate images —
+    robust to resize and mild recompression, cheap enough for a corpus
+    pass."""
+    import numpy as np
+
+    if px is None:
+        return None
+    a = px.astype(np.float64)
+    gray = (0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+            if a.ndim == 3 else a)
+    h, w = gray.shape
+    if h < 1 or w < 1:
+        return None
+    # 8×8 block means over ragged bins (any input dims)
+    ys = (np.arange(9) * h) // 8
+    xs = (np.arange(9) * w) // 8
+    cells = np.empty((8, 8))
+    for i in range(8):
+        y0, y1 = ys[i], max(ys[i + 1], ys[i] + 1)
+        for j in range(8):
+            x0, x1 = xs[j], max(xs[j + 1], xs[j] + 1)
+            cells[i, j] = gray[y0:y1, x0:x1].mean()
+    bits = (cells > cells.mean()).reshape(-1)
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    return f"{v:016x}"
+
+
+PIXEL_STATS_SCHEMA = (
+    "media_id long, width int, height int, channels int, "
+    "mean_luma double, ahash string"
+)
+
+
+def image_pixel_stats(df: DataFrame) -> DataFrame:
+    """REAL-tier pixel statistics + perceptual hash per image: decode
+    (BMP24 / baseline JPEG), emit dims, mean luma, and the 64-bit aHash.
+    Undecodable payloads emit null stats — a bad row never poisons the
+    batch. Arrow-batched ``mapInPandas``; compose the ahash column with
+    ``dedup.resolve_clusters`` (exact-equality or banded hamming join)
+    for the image near-dup tier."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": pdf["media_id"], "width": [], "height": [],
+                   "channels": [], "mean_luma": [], "ahash": []}
+            for b in pdf["payload"]:
+                px = decode_pixels(b)
+                if px is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["mean_luma"].append(None)
+                    out["ahash"].append(None)
+                    continue
+                h, w = px.shape[:2]
+                c = px.shape[2] if px.ndim == 3 else 1
+                a = px.astype(np.float64)
+                luma = (0.299 * a[..., 0] + 0.587 * a[..., 1]
+                        + 0.114 * a[..., 2]) if c == 3 else a
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(c)
+                out["mean_luma"].append(round(float(luma.mean()), 6))
+                out["ahash"].append(_ahash_bits(px))
+            yield pd.DataFrame({
+                "media_id": out["media_id"],
+                "width": pd.array(out["width"], dtype="Int32"),
+                "height": pd.array(out["height"], dtype="Int32"),
+                "channels": pd.array(out["channels"], dtype="Int32"),
+                "mean_luma": pd.array(out["mean_luma"], dtype="Float64"),
+                "ahash": out["ahash"],
+            })
+
+    return df.mapInPandas(batches, schema=PIXEL_STATS_SCHEMA)
+
+
+def _resize_bmp24(data: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Nearest-neighbor resize of an uncompressed 24-bit BMP, stdlib+numpy
+    only: parse the pixel array (bottom-up rows, 4-byte row padding),
+    index-resample, rebuild the file. Returns None if the payload isn't a
+    plain BI_RGB 24bpp BMP."""
+    import numpy as np
+
+    rgb = _bmp24_pixels(data)
+    if rgb is None:
+        return None
+    px = rgb[:, :, ::-1]  # back to the BGR byte order BMP files store
+    h, w = px.shape[:2]
     yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
     xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
     out = px[yi][:, xi]  # nearest-neighbor
@@ -291,20 +403,48 @@ def _resize_bmp24(data: bytes, out_w: int, out_h: int) -> bytes | None:
     return header + body
 
 
+def _resize_any(data: bytes, out_w: int, out_h: int) -> bytes | None:
+    """Format-preserving nearest-neighbor resize: BMP24 → BMP24 (exact
+    container rebuild), baseline JPEG → baseline JPEG (decode via
+    ``operators.jpeg``, resample, re-encode q=85). None for anything
+    else."""
+    import numpy as np
+
+    if data is None or len(data) < 4:
+        return None
+    if data[:2] == b"BM":
+        return _resize_bmp24(data, out_w, out_h)
+    if data[:2] == b"\xff\xd8":
+        from glue_hudi_spark.operators.jpeg import (
+            decode_baseline, encode_baseline,
+        )
+
+        px = decode_baseline(data)
+        if px is None:
+            return None
+        h, w = px.shape[:2]
+        yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+        xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+        return encode_baseline(px[yi][:, xi], quality=85)
+    return None
+
+
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Image resize over binary payloads (payload→payload mapInPandas).
 
-    REAL for uncompressed 24-bit BMP — full pixel-array decode, vectorized
-    nearest-neighbor resample, re-encode — using stdlib ``struct`` +
-    numpy. Compressed formats (JPEG/PNG pixels) need a codec library this
-    container lacks: those rows emit a null payload (with null dims)
-    rather than failing the job; swap ``_resize_bmp24`` for a
-    Pillow-backed resizer to widen coverage without touching the dataflow.
+    REAL for uncompressed 24-bit BMP (full pixel-array decode, vectorized
+    nearest-neighbor resample, container rebuild) and baseline JPEG
+    (decode → resample → re-encode through the stdlib+numpy codec in
+    ``operators.jpeg``). Other formats (PNG pixels, progressive JPEG)
+    need a codec library this container lacks: those rows emit a null
+    payload (with null dims) rather than failing the job; swap
+    ``_resize_any`` for a Pillow-backed resizer to widen coverage without
+    touching the dataflow.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            resized = [ _resize_bmp24(b, width, height) for b in pdf["payload"] ]
+            resized = [ _resize_any(b, width, height) for b in pdf["payload"] ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
