@@ -711,6 +711,52 @@ FROM patch p LEFT JOIN snap s USING (user_id)
 """
 
 
+def cdc_type_widening(spark, sf_dir):
+    """TYPE WIDENING through the real storage path (Delta type-widening
+    parity): the table's ``amount`` column is created INT; the CDC batch
+    arrives LONG with values past int range. The merge promotes the
+    schema metadata-only — carried files stay int32 parquet, upcast at
+    the scan (pinned by tests/test_type_widening.py) — and the snapshot
+    serves one BIGINT column across old and new files."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    tmp = _scratch_dir("widen_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(
+        "user_id", "event_id",
+        F.expr("CAST(event_id % 1000000 AS INT)").alias("amount")))
+    table.upsert(batch.select(
+        "user_id", "event_id",
+        F.expr("CAST(event_id % 1000000 + 5000000000 AS BIGINT)")
+        .alias("amount")))
+    return table.read_snapshot().select(
+        "user_id", "event_id",
+        F.col("amount").cast("bigint").alias("amount"))
+
+
+TYPE_WIDENING_ORACLE = f"""
+WITH snap AS (
+  SELECT user_id, event_id FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+)
+SELECT s.user_id, s.event_id,
+       CAST(s.event_id % 1000000 AS BIGINT) AS amount
+FROM snap s WHERE s.user_id NOT IN (SELECT user_id FROM batch)
+UNION ALL
+SELECT b.user_id, b.event_id,
+       CAST(b.event_id % 1000000 + 5000000000 AS BIGINT) AS amount
+FROM batch b
+"""
+
+
 def cdc_merge_into(spark, sf_dir):
     """Conditional SQL MERGE INTO through the real storage path (Delta
     whenMatched/whenNotMatched parity; the general form of the
@@ -8499,12 +8545,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # DRIVER WINDOW (first 50 keys): the driver's CORRECTNESS gate samples the
-        # registry's first 50 keys in order — rotated each round. Round 8: the 26
-        # never-driver-checked queries (round-7 flagships merge_into / concurrent
-        # writers / replication, DSIR, span dedup, survival/drift analytics, plus
-        # 14 round-5/6 stragglers) followed by 24 oldest-evidence re-confirmations
-        # (7 last checked r02, 17 storage/cdc paths last checked r04).
+        # DRIVER WINDOW (first 50 keys): the driver's CORRECTNESS gate samples
+        # the registry's first 50 keys in order — rotated each round. Round 9:
+        # the new round-9 query (first contact), then cdc_replicated_table (the
+        # r08 red — the pushdown-portability fix needs driver evidence), then
+        # the 41 queries whose freshest driver evidence is r04 (they predate
+        # column mapping / deletion vectors / sort order touching the read
+        # paths), then 7 oldest-r06 re-confirmations (storage paths first).
+        "multimodal_image_dedup": multimodal_image_dedup,
+        "cdc_type_widening": cdc_type_widening,
+        "cdc_replicated_table": cdc_replicated_table,
+        "cdc_incremental_read": cdc_incremental_read,
+        "cdc_pruned_read": cdc_pruned_read,
+        "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
+        "cdc_point_lookup": cdc_point_lookup,
+        "cdc_merge_sql": cdc_merge_sql,
+        "cdc_retention_delete": cdc_retention_delete,
+        "events_zorder_read": events_zorder_read,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "events_asof_join": events_asof_join,
+        "events_sessionization": events_sessionization,
+        "orders_cube": orders_cube,
+        "events_window_suite": events_window_suite,
+        "events_pivot": events_pivot,
+        "cdc_filter_deletes": cdc_filter_deletes,
+        "cdc_filter_non_deletes": cdc_filter_non_deletes,
+        "cdc_project_drop": cdc_project_drop,
+        "cdc_rename_lowercase": cdc_rename_lowercase,
+        "scalar_string_funcs": scalar_string_funcs,
+        "scalar_datetime_funcs": scalar_datetime_funcs,
+        "scalar_split_explode": scalar_split_explode,
+        "scalar_timestamp_parse": scalar_timestamp_parse,
+        "orders_priority_rollup": orders_priority_rollup,
+        "events_json_extract": events_json_extract,
+        "orders_price_quantiles": orders_price_quantiles,
+        "topk_orders_per_customer": topk_orders_per_customer,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_cluster_keep_one": dedup_cluster_keep_one,
+        "dedup_embedding_cluster": dedup_embedding_cluster,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_embedding_multiband": dedup_embedding_multiband,
+        "skew_salted_agg": skew_salted_agg,
+        "skew_salted_join": skew_salted_join,
+        "events_asof_tolerance": events_asof_tolerance,
+        "events_hourly_rollup": events_hourly_rollup,
+        "region_nation_stats": region_nation_stats,
+        "part_brand_stats": part_brand_stats,
+        "text_token_stats": text_token_stats,
+        "text_quality": text_quality,
+        "text_lang_id": text_lang_id,
+        "cdc_window_dedup": cdc_window_dedup,
+        "cdc_filter_inserts": cdc_filter_inserts,
+        "cdc_filter_updates": cdc_filter_updates,
+        "q1_pricing_summary": q1_pricing_summary,
+        "revenue_by_nation": revenue_by_nation,
+        "q3_shipping_priority": q3_shipping_priority,
+        # --- below this line: outside the r09 driver window ---
+        "q6_forecast_revenue": q6_forecast_revenue,
         "cdc_merge_into": cdc_merge_into,
         "cdc_merge_full_sync": cdc_merge_full_sync,
         "cdc_column_mapping": cdc_column_mapping,
@@ -8522,7 +8621,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_bpe_merges": corpus_bpe_merges,
         "corpus_curriculum": corpus_curriculum,
         "cdc_concurrent_writers": cdc_concurrent_writers,
-        "cdc_replicated_table": cdc_replicated_table,
         "corpus_dsir_weights": corpus_dsir_weights,
         "corpus_span_dedup": corpus_span_dedup,
         "orders_kaplan_meier": orders_kaplan_meier,
@@ -8546,33 +8644,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weekday_hour_heatmap": events_weekday_hour_heatmap,
         "lineitem_grouping_sets": lineitem_grouping_sets,
         "part_price_regression": part_price_regression,
-        # re-confirmation slots (oldest driver evidence)
         "ann_cosine_topk": ann_cosine_topk,
         "ann_lsh_bucketed": ann_lsh_bucketed,
         "ann_ivf_topk": ann_ivf_topk,
         "ann_ivf_kmeans": ann_ivf_kmeans,
         "multimodal_image_meta": multimodal_image_meta,
         "multimodal_frame_sample": multimodal_frame_sample,
-        "multimodal_image_dedup": multimodal_image_dedup,
         "text_fingerprint": text_fingerprint,
         "cdc_table_merge": cdc_table_merge,
         "cdc_table_merge_mor": cdc_table_merge_mor,
-        "cdc_incremental_read": cdc_incremental_read,
-        "cdc_pruned_read": cdc_pruned_read,
-        "cdc_bloom_scattered_upsert": cdc_bloom_scattered_upsert,
-        "cdc_point_lookup": cdc_point_lookup,
-        "cdc_merge_sql": cdc_merge_sql,
-        "cdc_retention_delete": cdc_retention_delete,
-        "events_zorder_read": events_zorder_read,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "events_asof_join": events_asof_join,
-        "events_sessionization": events_sessionization,
-        "orders_cube": orders_cube,
-        "events_window_suite": events_window_suite,
-        "events_pivot": events_pivot,
-        # driver-checked green in r01-r07 (freshest evidence last)
         "cdc_partial_update": cdc_partial_update,
         "cdc_time_travel": cdc_time_travel,
         "cdc_change_feed": cdc_change_feed,
@@ -8623,10 +8703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": events_markov_transitions,
         "orders_seasonality": orders_seasonality,
         "copurchase_triangles": copurchase_triangles,
-        "q1_pricing_summary": q1_pricing_summary,
-        "revenue_by_nation": revenue_by_nation,
-        "q3_shipping_priority": q3_shipping_priority,
-        "q6_forecast_revenue": q6_forecast_revenue,
         "q18_large_volume": q18_large_volume,
         "q4_order_priority": q4_order_priority,
         "q5_local_supplier": q5_local_supplier,
@@ -8670,35 +8746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_yoy_growth": orders_yoy_growth,
         "supplier_balance_outliers": supplier_balance_outliers,
         "count_rows": count_rows,
-        "cdc_window_dedup": cdc_window_dedup,
-        "cdc_filter_inserts": cdc_filter_inserts,
-        "cdc_filter_updates": cdc_filter_updates,
-        "cdc_filter_deletes": cdc_filter_deletes,
-        "cdc_filter_non_deletes": cdc_filter_non_deletes,
-        "cdc_project_drop": cdc_project_drop,
-        "cdc_rename_lowercase": cdc_rename_lowercase,
-        "scalar_string_funcs": scalar_string_funcs,
-        "scalar_datetime_funcs": scalar_datetime_funcs,
-        "scalar_split_explode": scalar_split_explode,
-        "scalar_timestamp_parse": scalar_timestamp_parse,
-        "orders_priority_rollup": orders_priority_rollup,
-        "events_json_extract": events_json_extract,
-        "orders_price_quantiles": orders_price_quantiles,
-        "topk_orders_per_customer": topk_orders_per_customer,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_cluster_keep_one": dedup_cluster_keep_one,
-        "dedup_embedding_cluster": dedup_embedding_cluster,
-        "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_embedding_multiband": dedup_embedding_multiband,
-        "skew_salted_agg": skew_salted_agg,
-        "skew_salted_join": skew_salted_join,
-        "events_asof_tolerance": events_asof_tolerance,
-        "events_hourly_rollup": events_hourly_rollup,
-        "region_nation_stats": region_nation_stats,
-        "part_brand_stats": part_brand_stats,
-        "text_token_stats": text_token_stats,
-        "text_quality": text_quality,
-        "text_lang_id": text_lang_id,
     }
 
 
@@ -8899,4 +8946,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_meta": MEDIA_ORACLE,
         "multimodal_frame_sample": FRAMES_ORACLE,
         "multimodal_image_dedup": IMAGE_DEDUP_ORACLE,
+        "cdc_type_widening": TYPE_WIDENING_ORACLE,
     }

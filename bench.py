@@ -139,11 +139,39 @@ BENCH_QUERIES = [
     "cdc_sorted_scan",
     "corpus_bpe_merges",
     "corpus_curriculum",
+    # round-9 additions (no baseline counterpart — compare within-run):
+    "multimodal_image_dedup",
+    "cdc_type_widening",
 ]
 
 
 def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
+
+
+def machine_probe(spark) -> dict:
+    """Fixed-work host-speed probe recorded with every bench run, so the
+    documented ~2× host-variance band self-annotates: cross-round ratio
+    gates divide by the probe before reading a regression into a number.
+    Two axes: a JVM/Spark aggregate (codegen + task scheduling) and a
+    single-thread CPU hash (raw core speed). Median of 3 each."""
+    import hashlib
+
+    def med(fn):
+        xs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            xs.append(time.perf_counter() - t0)
+        return round(statistics.median(xs), 3)
+
+    blob = b"\x5a" * (64 << 20)
+    return {
+        "spark_sum_200m_sec": med(
+            lambda: spark.range(0, 200_000_000, 1, 32)
+            .selectExpr("sum(id % 1000003)").collect()),  # no ANSI overflow
+        "sha256_64mb_sec": med(lambda: hashlib.sha256(blob).digest()),
+    }
 
 
 def main() -> None:
@@ -153,6 +181,7 @@ def main() -> None:
 
     # warmup: session, codegen, parquet footer caches
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    probe = machine_probe(spark)
 
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     queries = entry_mod.queries()
@@ -186,6 +215,7 @@ def main() -> None:
         "sf": sf,
         "runs": n_runs,
         "cold_value": round(sum(cold.values()), 3),
+        "machine_probe": probe,
     }
     if errors:
         out["errors"] = errors
@@ -231,6 +261,7 @@ def main() -> None:
         "baseline25_total": round(
             sum(timings.get(k, 0.0) for k in BENCH_QUERIES[:25]), 3
         ),
+        "machine_probe": probe,
     }
     if errors:
         compact["failed_queries"] = len(errors)

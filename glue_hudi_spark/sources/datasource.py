@@ -176,6 +176,9 @@ class GhsTableNoPushdownReader(DataSourceReader):
         self.columns = [f.name for f in schema.fields]  # logical
         self.physical = _to_physical_names(self.commit, self.columns)
         self.files = list(self.commit.files)
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._arrow_types = {f.name: f.type for f in to_arrow_schema(schema)}
 
     def partitions(self):
         dvs = self.commit.dvs
@@ -193,6 +196,7 @@ class GhsTableNoPushdownReader(DataSourceReader):
                                        part.dv_rels)
         if self.physical != self.columns:  # column-mapping rename
             table = table.rename_columns(self.columns)
+        table = _upcast_widened(table, self._arrow_types)
         yield from table.to_batches()
 
 
@@ -223,6 +227,34 @@ class GhsTableReader(GhsTableNoPushdownReader):
             self.files = _prune_by_stats(
                 self.files, self.commit.col_stats, prune)
         return filters
+
+
+def _upcast_widened(table, arrow_types: dict):
+    """Per-column numeric upcast of a file-native arrow table to the
+    logical read schema — the arrow-side mirror of Spark's parquet scan
+    upcast that makes TYPE WIDENING metadata-only: files written before
+    a promotion keep int32/float32/decimal(p,s) physically and widen
+    here. Only int→int, float→float, decimal→decimal casts are applied
+    (widening lattice); every other type passes through untouched."""
+    import pyarrow as pa
+
+    cols, changed = [], False
+    for i, name in enumerate(table.schema.names):
+        col = table.column(i)
+        want = arrow_types.get(name)
+        ft = col.type
+        if (want is not None and ft != want
+                and ((pa.types.is_integer(ft) and pa.types.is_integer(want))
+                     or (pa.types.is_floating(ft)
+                         and pa.types.is_floating(want))
+                     or (pa.types.is_decimal(ft)
+                         and pa.types.is_decimal(want)))):
+            col = col.cast(want)
+            changed = True
+        cols.append(col)
+    if not changed:
+        return table
+    return pa.table(cols, names=list(table.schema.names))
 
 
 def _drop_dv_positions(table, root: str, rel: str, dv_rels):
@@ -535,8 +567,9 @@ class GhsChangeFeedPartitionedStreamReader(DataSourceStreamReader):
                     arrays.append(t.column(col).combine_chunks())
                 else:
                     arrays.append(pa.nulls(n, self._arrow_types[col]))
-            yield from pa.table(
-                arrays, names=list(self.columns)).to_batches()
+            yield from _upcast_widened(
+                pa.table(arrays, names=list(self.columns)),
+                self._arrow_types).to_batches()
             return
         # version rows: same per-file logic as the simple reader, one
         # executor task per file, arrow end to end; the scan reads only
@@ -553,12 +586,15 @@ class GhsChangeFeedPartitionedStreamReader(DataSourceStreamReader):
                 pc.not_equal(t.column(have["_ghs_delta_op"]), "d"))
         if t.num_rows == 0:
             return
-        arrays = [
-            t.column(have[c]).combine_chunks() if c in have
-            else pa.nulls(t.num_rows, self._arrow_types[c])
-            for c in self.columns
-        ]
-        yield from pa.table(arrays, names=list(self.columns)).to_batches()
+        arrays = []
+        for c in self.columns:
+            if c not in have:
+                arrays.append(pa.nulls(t.num_rows, self._arrow_types[c]))
+                continue
+            arrays.append(t.column(have[c]).combine_chunks())
+        tbl = _upcast_widened(
+            pa.table(arrays, names=list(self.columns)), self._arrow_types)
+        yield from tbl.to_batches()
 
     def commit(self, end):
         pass

@@ -418,6 +418,30 @@ def file_dir_commit(rel: str) -> int:
         return 1 << 62
 
 
+_INT_WIDEN = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+_FLOAT_WIDEN = {"float": 0, "double": 1}
+
+
+def _widen_type(stored: T.DataType, incoming: T.DataType):
+    """The common WIDENED type when (stored, incoming) sit on a supported
+    type-widening chain, else None. Chains (all upcastable at the parquet
+    scan by Spark 4's reader, so promotion is metadata-only):
+    byte→short→int→long; float→double; decimal(p,s)→decimal(p',s) with
+    p' ≥ p (same scale). Equal types trivially pass."""
+    if stored == incoming:
+        return stored
+    a, b = stored.typeName(), incoming.typeName()
+    if a in _INT_WIDEN and b in _INT_WIDEN:
+        return stored if _INT_WIDEN[a] >= _INT_WIDEN[b] else incoming
+    if a in _FLOAT_WIDEN and b in _FLOAT_WIDEN:
+        return stored if _FLOAT_WIDEN[a] >= _FLOAT_WIDEN[b] else incoming
+    if (isinstance(stored, T.DecimalType)
+            and isinstance(incoming, T.DecimalType)
+            and stored.scale == incoming.scale):
+        return stored if stored.precision >= incoming.precision else incoming
+    return None
+
+
 def record_key_expr(keys: list[str]):
     """Build the record-key string column.
 
@@ -696,6 +720,54 @@ class NativeTable:
             .withColumn(RECORD_KEY_COL, record_key_expr(self.record_keys))
             .withColumn(DELTA_OP_COL, F.lit(delta_op))
         )
+
+    def _apply_type_widening(
+        self, prev: "Commit", keyed: DataFrame
+    ) -> tuple[str, DataFrame]:
+        """Delta-style TYPE WIDENING on merge: a batch whose overlapping
+        columns carry a WIDER type than the table promotes the table
+        schema in place — metadata-only, ZERO file rewrites, because
+        Spark 4's parquet reader upcasts at the scan (an int32 file
+        column reads cleanly under a LongType read schema; verified for
+        byte→short→int→long, float→double, and decimal precision growth
+        at equal scale). Returns ``(read_schema_json, keyed')``: the
+        stored schema with promoted columns (used to read the affected
+        AND carried files — every snapshot read thereafter uses the
+        commit's published schema the same way), and the batch with its
+        own NARROWER columns cast up, so the merge union's types are
+        deterministic rather than coercion-inferred.
+
+        Any non-widening type change (narrowing, string↔numeric, …)
+        raises: silent union coercion to string is data corruption in a
+        storage engine. Scale shape: pure metadata — the promotion costs
+        one schema-json diff however many petabytes the table holds.
+        """
+        stored = T.StructType.fromJson(json.loads(prev.schema_json))
+        btypes = {f.name: f.dataType for f in keyed.schema.fields}
+        fields, changed = [], False
+        for f in stored.fields:
+            bt = btypes.get(f.name)
+            if bt is None or bt == f.dataType:
+                fields.append(f)
+                continue
+            widened = _widen_type(f.dataType, bt)
+            if widened is None:
+                raise ValueError(
+                    f"incompatible type change for column '{f.name}' of "
+                    f"{self.root}: table has {f.dataType.simpleString()}, "
+                    f"batch has {bt.simpleString()} — only widening "
+                    "promotions are supported (byte→short→int→long, "
+                    "float→double, decimal precision growth at equal "
+                    "scale); cast the batch or migrate explicitly")
+            if widened != f.dataType:
+                changed = True
+            if widened != bt:
+                keyed = keyed.withColumn(
+                    f.name, F.col(f.name).cast(widened))
+            fields.append(T.StructField(f.name, widened, f.nullable))
+        if not changed:
+            return prev.schema_json, keyed
+        return T.StructType(fields).json(), keyed
 
     def _write_files(
         self, df: DataFrame, commit_id: int, n_files: int | None = None,
@@ -3330,6 +3402,7 @@ class NativeTable:
         cid = self.timeline.next_commit_id()
         keyed = self._with_meta(batch, f"{cid:020d}")
         keyed = self._precombine_dedup(keyed)
+        read_schema_json, keyed = self._apply_type_widening(prev, keyed)
 
         # two-level pruning: partition dirs first, then per-file key ranges
         # (the record-level index) — a narrow-key upsert on an unpartitioned
@@ -3360,7 +3433,7 @@ class NativeTable:
                 affected, keyed, prev.key_stats
             )
             untouched = untouched + bloom_skipped
-        existing = self._read_files(affected, prev.schema_json, dvs=prev.dvs)
+        existing = self._read_files(affected, read_schema_json, dvs=prev.dvs)
 
         keys_only = keyed.select(RECORD_KEY_COL)
         if parallelism > 0:
@@ -3532,6 +3605,7 @@ class NativeTable:
         cid = self.timeline.next_commit_id()
         keyed = self._with_meta(batch, f"{cid:020d}")
         keyed = self._precombine_dedup(keyed)
+        read_schema_json, keyed = self._apply_type_widening(prev, keyed)
 
         touched = (None if self.global_index
                    else self._batch_partitions(batch))
@@ -3555,7 +3629,7 @@ class NativeTable:
                 affected, keyed, prev.key_stats
             )
             untouched = untouched + bloom_skipped
-        existing = self._read_files(affected, prev.schema_json, dvs=prev.dvs)
+        existing = self._read_files(affected, read_schema_json, dvs=prev.dvs)
         if parallelism > 0:
             existing = existing.repartition(parallelism, RECORD_KEY_COL)
 
@@ -3823,6 +3897,12 @@ class NativeTable:
         prev = self.timeline.latest()
         cid = self.timeline.next_commit_id()
         keyed = self._precombine_dedup(self._with_meta(batch, f"{cid:020d}", op))
+        if prev is not None:
+            # type widening BEFORE the delta file lands: the published
+            # schema carries the promoted types and the delta's own
+            # columns are cast up, so compaction and _rt merges read
+            # base (narrow, scan-upcast) + delta (wide) consistently
+            widened_json, keyed = self._apply_type_widening(prev, keyed)
         tombstones = self._write_tombstones(keyed) if op == "d" else []
         files = self._write_files(keyed, cid, build_blooms=False)
         if prev is None:
@@ -3833,7 +3913,7 @@ class NativeTable:
             # batch columns append. A delta batch MISSING an evolved
             # column must not regress the table schema — base files would
             # silently read without it.
-            stored = T.StructType.fromJson(json.loads(prev.schema_json))
+            stored = T.StructType.fromJson(json.loads(widened_json))
             have = {f.name for f in stored.fields}
             evolved = T.StructType(
                 stored.fields

@@ -1,0 +1,148 @@
+"""Delta-style TYPE WIDENING on merge: a batch with wider numeric types
+promotes the table schema metadata-only (zero rewrites of carried
+files — Spark 4's parquet scan upcasts int32 files under a long read
+schema), narrower batches cast up, incompatible changes raise.
+
+No reference counterpart (Hudi delegates schema evolution to Avro
+resolution inside the jars; processData.py never touches it) — part of
+the §2.7 table-service extension surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from glue_hudi_spark.sources import datasource as DS
+from glue_hudi_spark.storage.native import NativeTable, _widen_type
+from pyspark.sql import types as T
+
+
+def _rows(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_widen_type_lattice():
+    i, l = T.IntegerType(), T.LongType()
+    f, d = T.FloatType(), T.DoubleType()
+    assert _widen_type(i, l) == l and _widen_type(l, i) == l
+    assert _widen_type(T.ByteType(), T.ShortType()) == T.ShortType()
+    assert _widen_type(f, d) == d and _widen_type(d, f) == d
+    assert _widen_type(T.DecimalType(5, 2), T.DecimalType(10, 2)) \
+        == T.DecimalType(10, 2)
+    # same scale required; string↔numeric refused
+    assert _widen_type(T.DecimalType(5, 2), T.DecimalType(10, 3)) is None
+    assert _widen_type(T.StringType(), l) is None
+    assert _widen_type(i, T.StringType()) is None
+    assert _widen_type(i, d) is None  # cross-family: explicit cast only
+
+
+def test_cow_upsert_widens_int_to_long(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq")
+    t.bulk_insert(_rows(spark, [(f"k{i}", i, 1) for i in range(20)],
+                        "id string, v int, seq int"))
+    # wider batch: v arrives as LONG with a value outside int range
+    t.upsert(_rows(spark, [("k0", 5_000_000_000, 2)],
+                   "id string, v long, seq int"))
+    snap = t.read_snapshot()
+    assert dict(snap.dtypes)["v"] == "bigint"
+    got = {r["id"]: r["v"] for r in snap.collect()}
+    assert got["k0"] == 5_000_000_000 and got["k7"] == 7 and len(got) == 20
+
+
+def test_cow_widening_leaves_carried_files_unrewritten(spark, tmp_path):
+    """The promotion is metadata-only: files the merge doesn't touch are
+    carried (still int32 parquet) and upcast at the scan."""
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq", stats_cols=["v"],
+                    files_per_partition=4)
+    t.bulk_insert(_rows(spark, [(f"k{i:03d}", i, 1) for i in range(100)],
+                        "id string, v int, seq int"))
+    c = t.upsert(_rows(spark, [("k000", 5_000_000_000, 2)],
+                       "id string, v long, seq int"))
+    assert c.stats["files_carried"] > 0  # narrow merge: most files carried
+    import pyarrow.parquet as pq
+    carried = [f for f in c.files if "/data/00000000000000000001/" in f
+               or f.split("/")[1] == "00000000000000000001"]
+    assert carried, c.files
+    # physically still int32 in the carried file
+    sch = pq.read_schema(str(t.root / carried[0]))
+    assert str(sch.field("v").type) == "int32"
+    # but the snapshot reads them as long, values intact
+    got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got["k099"] == 99 and got["k000"] == 5_000_000_000
+
+
+def test_narrower_batch_casts_up_not_errors(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq")
+    t.bulk_insert(_rows(spark, [("a", 1.5, 1)],
+                        "id string, v double, seq int"))
+    t.upsert(_rows(spark, [("b", 2.25, 1)], "id string, v float, seq int"))
+    snap = t.read_snapshot()
+    assert dict(snap.dtypes)["v"] == "double"
+    assert {r["v"] for r in snap.collect()} == {1.5, 2.25}
+
+
+def test_incompatible_type_change_raises(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq")
+    t.bulk_insert(_rows(spark, [("a", 1, 1)], "id string, v int, seq int"))
+    with pytest.raises(ValueError, match="incompatible type change"):
+        t.upsert(_rows(spark, [("a", "oops", 2)],
+                       "id string, v string, seq int"))
+
+
+def test_mor_delta_widening_through_compaction(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "m", record_keys=["id"],
+                    precombine="seq", storage_type="mor",
+                    compact_every=100)
+    t.bulk_insert(_rows(spark, [(f"k{i}", i, 1) for i in range(8)],
+                        "id string, v int, seq int"))
+    t.upsert(_rows(spark, [("k1", 6_000_000_000, 2)],
+                   "id string, v long, seq int"))   # pending delta, wide
+    rt = t.read_snapshot()                          # _rt merge pre-compact
+    assert dict(rt.dtypes)["v"] == "bigint"
+    got = {r["id"]: r["v"] for r in rt.collect()}
+    assert got["k1"] == 6_000_000_000 and got["k5"] == 5
+    t.compact()
+    got2 = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got2 == got
+
+
+def test_ghs_table_datasource_reads_widened_table(spark, tmp_path):
+    """The pyarrow read path mirrors the scan upcast: carried int32
+    files and new int64 files serve one long column."""
+    DS.register(spark)
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq", files_per_partition=4,
+                    change_feed_deletes=True)
+    t.bulk_insert(_rows(spark, [(f"k{i:02d}", i, 1) for i in range(40)],
+                        "id string, v int, seq int"))
+    t.upsert(_rows(spark, [("k00", 5_000_000_000, 2)],
+                   "id string, v long, seq int"))
+    df = spark.read.format("ghs_table").option("path", str(t.root)).load()
+    assert dict(df.dtypes)["v"] == "bigint"
+    got = {r["id"]: r["v"] for r in df.collect()}
+    assert got["k00"] == 5_000_000_000 and got["k39"] == 39 and len(got) == 40
+    # and the change-feed stream serves widened rows too
+    out = tmp_path / "out"
+    q = (spark.readStream.format("ghs_table")
+         .option("path", str(t.root)).load()
+         .writeStream.format("parquet").option("path", str(out))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    srows = {r["id"]: r["v"] for r in spark.read.parquet(str(out)).collect()}
+    assert srows["k00"] == 5_000_000_000 and len(srows) == 40
+
+
+def test_partial_update_with_widening(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq")
+    t.bulk_insert(_rows(spark, [("a", 1, 10, 1)],
+                        "id string, v int, w int, seq int"))
+    t.upsert(_rows(spark, [("a", 7_000_000_000, None, 2)],
+                   "id string, v long, w int, seq int"), partial=True)
+    row = t.read_snapshot().collect()[0]
+    assert row["v"] == 7_000_000_000 and row["w"] == 10
