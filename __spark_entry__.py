@@ -757,6 +757,62 @@ FROM batch b
 """
 
 
+def orders_materialized_join(spark, sf_dir):
+    """Incrementally-maintained JOIN view (orders ⋈ customer) through the
+    real storage path: initial materialization, then fact inserts +
+    updates + deletes AND dim updates land as CDC commits on their base
+    tables; one ``MaterializedJoin.refresh()`` absorbs both change feeds
+    — O(changes + affected facts), never a recompute — and the final
+    state must row-equal the from-scratch join the oracle computes."""
+    from glue_hudi_spark.streaming.materialized import MaterializedJoin
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("total"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name")
+    tmp = _scratch_dir("matjoin_")
+    fact = NativeTable(spark, f"{tmp}/fact", record_keys=["o_orderkey"],
+                       precombine=None)
+    dim = NativeTable(spark, f"{tmp}/dim", record_keys=["o_custkey"],
+                      precombine=None)
+    fact.bulk_insert(orders.filter(F.col("o_orderkey") % 4 != 0))
+    dim.bulk_insert(cust)
+    mj = MaterializedJoin(spark, fact, dim, f"{tmp}/mv",
+                          join_col="o_custkey", dim_cols=["c_name"])
+    mj.refresh()
+    # CDC on the fact: late inserts, doubled totals, retention deletes
+    fact.upsert(
+        orders.filter(F.col("o_orderkey") % 4 == 0).unionByName(
+            orders.filter((F.col("o_orderkey") % 7 == 0)
+                          & (F.col("o_orderkey") % 4 != 0))
+            .withColumn("total", F.col("total") * 2)))
+    fact.delete(orders.filter(F.col("o_orderkey") % 5 == 0)
+                .select("o_orderkey"))
+    # CDC on the dim: a rename wave — only its facts re-emit
+    dim.upsert(cust.filter(F.col("o_custkey") % 10 == 0)
+               .withColumn("c_name", F.upper(F.col("c_name"))))
+    mj.refresh()
+    return mj.read().select("o_orderkey", "o_custkey", "total", "c_name")
+
+
+MATERIALIZED_JOIN_ORACLE = """
+WITH fact AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 4 <> 0
+              THEN CAST(o_totalprice AS DOUBLE) * 2
+              ELSE CAST(o_totalprice AS DOUBLE) END AS total
+  FROM orders WHERE o_orderkey % 5 <> 0),
+dim AS (
+  SELECT c_custkey AS o_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN upper(c_name) ELSE c_name END
+           AS c_name
+  FROM customer)
+SELECT f.o_orderkey, f.o_custkey, f.total, d.c_name
+FROM fact f LEFT JOIN dim d USING (o_custkey)
+"""
+
+
 def cdc_merge_into(spark, sf_dir):
     """Conditional SQL MERGE INTO through the real storage path (Delta
     whenMatched/whenNotMatched parity; the general form of the
@@ -8554,6 +8610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # paths), then 7 oldest-r06 re-confirmations (storage paths first).
         "multimodal_image_dedup": multimodal_image_dedup,
         "cdc_type_widening": cdc_type_widening,
+        "orders_materialized_join": orders_materialized_join,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_pruned_read": cdc_pruned_read,
@@ -8601,8 +8658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_filter_updates": cdc_filter_updates,
         "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
-        "q3_shipping_priority": q3_shipping_priority,
         # --- below this line: outside the r09 driver window ---
+        "q3_shipping_priority": q3_shipping_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "cdc_merge_into": cdc_merge_into,
         "cdc_merge_full_sync": cdc_merge_full_sync,
@@ -8947,4 +9004,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_frame_sample": FRAMES_ORACLE,
         "multimodal_image_dedup": IMAGE_DEDUP_ORACLE,
         "cdc_type_widening": TYPE_WIDENING_ORACLE,
+        "orders_materialized_join": MATERIALIZED_JOIN_ORACLE,
     }

@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     # round-9 additions (no baseline counterpart — compare within-run):
     "multimodal_image_dedup",
     "cdc_type_widening",
+    "orders_materialized_join",
 ]
 
 

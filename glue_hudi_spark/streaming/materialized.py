@@ -86,3 +86,126 @@ class MaterializedAgg:
 
     def read(self):
         return self.state.read_snapshot()
+
+
+class MaterializedJoin:
+    """Incrementally-maintained JOIN view: ``state = fact LEFT JOIN dim
+    ON join_col`` (the N:1 enrichment join), refreshed from BOTH tables'
+    change feeds — the join analogue of ``MaterializedAgg``, and the
+    thing warehouses sell as an incrementally-refreshed join view.
+
+    Delta equations per refresh window (f_since→f_upto, d_since→d_upto):
+
+    * Δfact inserts/update-postimages re-join against the dim's CURRENT
+      snapshot and upsert into the state; Δfact deletes delete their
+      state rows — O(|Δfact|).
+    * Δdim changed keys K select the AFFECTED facts (semi-join of the
+      fact snapshot on ``join_col ∈ K``), which re-join and upsert —
+      O(|affected facts|), not O(|fact|), once the semi-join prunes (at
+      100 TB attach a ``secondary_bloom_cols=[join_col]`` index to the
+      fact table so the probe reads only files that can hold a changed
+      key; AQE broadcasts K either way). A dim DELETE re-emits its
+      facts with NULL attributes — left-join semantics preserved, facts
+      never silently dropped.
+
+    The whole window lands as ONE atomic ``merge`` commit (upserts +
+    deletes together) carrying both watermarks
+    (``join_of_fact_commit`` / ``join_of_dim_commit``) in its stats —
+    idempotent under replayed triggers, crash-safe like every other
+    streaming sink here. Maintained state is row-identical to the
+    from-scratch join of the two snapshots (the pytest invariant).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        fact: NativeTable,
+        dim: NativeTable,
+        state_path: str | Path,
+        join_col: str,
+        dim_cols: list[str] | None = None,
+    ):
+        self.spark = spark
+        self.fact = fact
+        self.dim = dim
+        self.join_col = join_col
+        self.dim_cols = dim_cols
+        self.state = NativeTable(
+            spark, state_path, record_keys=list(fact.record_keys),
+            precombine=None,
+        )
+
+    def _dim_proj(self, as_of: int | None):
+        from pyspark.sql import functions as F
+
+        d = self.dim.read_snapshot(as_of=as_of)
+        cols = self.dim_cols or [
+            c for c in d.columns if c != self.join_col]
+        return d.select(F.col(self.join_col), *cols)
+
+    def _watermarks(self):
+        last = self.state.timeline.latest()
+        if last is None:
+            return None
+        return (last.stats.get("join_of_fact_commit"),
+                last.stats.get("join_of_dim_commit"))
+
+    def refresh(self):
+        """Bring the view to both base tables' heads. Returns the new
+        (fact_commit, dim_commit) watermark, or None when fresh."""
+        from pyspark.sql import functions as F
+
+        f_latest = self.fact.timeline.latest()
+        if f_latest is None:
+            return None
+        d_latest = self.dim.timeline.latest()
+        f_upto = f_latest.commit_id
+        d_upto = d_latest.commit_id if d_latest else 0
+        marker = {"join_of_fact_commit": int(f_upto),
+                  "join_of_dim_commit": int(d_upto)}
+        dim_now = self._dim_proj(d_upto if d_latest else None)
+        wm = self._watermarks()
+        if wm is None or wm[0] is None:
+            snap = self.fact.read_snapshot(as_of=f_upto).join(
+                dim_now, on=self.join_col, how="left")
+            self.state.insert_overwrite(snap, extra_stats=marker)
+            return f_upto, d_upto
+        f_since, d_since = wm
+        if f_since >= f_upto and d_since >= d_upto:
+            return None  # fresh, or a replayed trigger
+        fk = self.fact.record_keys
+        ups = dels = None
+        if f_upto > f_since:
+            ff = self.fact.change_feed(f_since, f_upto)
+            ups = ff.filter(F.col("_change_type").isin(
+                "insert", "update_postimage")).drop("_change_type")
+            dels = ff.filter(
+                F.col("_change_type") == "delete").drop("_change_type")
+        if d_upto > d_since:
+            dkeys = (self.dim.change_feed(d_since, d_upto)
+                     .select(self.join_col).distinct())
+            affected = self.fact.read_snapshot(as_of=f_upto).join(
+                dkeys, on=self.join_col, how="left_semi")
+            # overlap with Δfact rows is benign: both carry the same
+            # as-of-f_upto image — dedup by the fact key
+            ups = (affected if ups is None
+                   else ups.unionByName(affected, allowMissingColumns=True)
+                   .dropDuplicates(fk))
+        parts = []
+        if ups is not None:
+            parts.append(ups.join(dim_now, on=self.join_col, how="left")
+                         .withColumn("_mj_op", F.lit("U")))
+        if dels is not None:
+            parts.append(dels.withColumn("_mj_op", F.lit("D")))
+        batch = parts[0]
+        for p in parts[1:]:
+            batch = batch.unionByName(p, allowMissingColumns=True)
+        # one atomic commit applies the window's upserts AND deletes,
+        # with the watermarks in its stats. An empty batch (dim churn
+        # that touches no fact) publishes nothing — the next refresh
+        # redoes the same empty window, idempotently.
+        self.state.merge(batch, op_col="_mj_op", extra_stats=marker)
+        return f_upto, d_upto
+
+    def read(self):
+        return self.state.read_snapshot()

@@ -188,3 +188,97 @@ def test_partition_overwrite_compacts_mor_deltas_first(spark, tmp_path):
     got = {(r["id"], r["v"]) for r in t.read_snapshot().collect()}
     # b's delta record (v=2) survived; a took the restated value
     assert got == {("a", 9), ("b", 2)}
+
+
+# ---------------------------------------------------------- join views
+
+from glue_hudi_spark.streaming.materialized import MaterializedJoin
+
+
+def _mk_join_pair(spark, tmp_path):
+    fact = NativeTable(spark, tmp_path / "fact", record_keys=["oid"],
+                       precombine="seq")
+    dim = NativeTable(spark, tmp_path / "dim", record_keys=["ckey"],
+                      precombine="seq")
+    fact.bulk_insert(spark.createDataFrame(
+        [(i, i % 3, float(i), 1) for i in range(12)],
+        "oid long, ckey long, amt double, seq int"))
+    dim.bulk_insert(spark.createDataFrame(
+        [(c, f"cust{c}", 1) for c in range(3)],
+        "ckey long, name string, seq int"))
+    mj = MaterializedJoin(spark, fact, dim, tmp_path / "mv",
+                          join_col="ckey", dim_cols=["name"])
+    return fact, dim, mj
+
+
+def _scratch_join(fact, dim):
+    from pyspark.sql import functions as F
+    d = dim.read_snapshot().select("ckey", "name")
+    return fact.read_snapshot().join(d, on="ckey", how="left")
+
+
+def _mj_rows(df):
+    return {tuple(r) for r in df.select(
+        "oid", "ckey", "amt", "name").collect()}
+
+
+def test_materialized_join_initial_and_fact_deltas(spark, tmp_path):
+    fact, dim, mj = _mk_join_pair(spark, tmp_path)
+    assert mj.refresh() is not None
+    assert _mj_rows(mj.read()) == _mj_rows(_scratch_join(fact, dim))
+    # fact insert + update + delete, one refresh
+    fact.upsert(spark.createDataFrame(
+        [(100, 2, 5.0, 1), (0, 0, 99.0, 2)],
+        "oid long, ckey long, amt double, seq int"))
+    fact.delete(spark.createDataFrame([(7,)], "oid long"))
+    assert mj.refresh() is not None
+    got = _mj_rows(mj.read())
+    assert got == _mj_rows(_scratch_join(fact, dim))
+    assert (100, 2, 5.0, "cust2") in got and (0, 0, 99.0, "cust0") in got
+    assert not any(r[0] == 7 for r in got)
+    # fresh → no-op
+    assert mj.refresh() is None
+
+
+def test_materialized_join_dim_deltas_touch_only_affected(spark, tmp_path):
+    fact, dim, mj = _mk_join_pair(spark, tmp_path)
+    mj.refresh()
+    # dim rename of ckey=1 → exactly the ckey=1 facts re-emit
+    dim.upsert(spark.createDataFrame([(1, "RENAMED", 2)],
+                                     "ckey long, name string, seq int"))
+    mj.refresh()
+    got = _mj_rows(mj.read())
+    assert got == _mj_rows(_scratch_join(fact, dim))
+    assert all(r[3] == "RENAMED" for r in got if r[1] == 1)
+    # the maintenance commit rewrote state rows only for affected keys:
+    # its merge batch was the 4 ckey=1 facts, not the full view
+    last = mj.state.timeline.latest()
+    assert last.action == "merge"
+
+
+def test_materialized_join_dim_delete_keeps_left_semantics(spark, tmp_path):
+    fact, dim, mj = _mk_join_pair(spark, tmp_path)
+    mj.refresh()
+    dim.delete(spark.createDataFrame([(2,)], "ckey long"))
+    mj.refresh()
+    got = _mj_rows(mj.read())
+    assert got == _mj_rows(_scratch_join(fact, dim))
+    # ckey=2 facts survive with NULL name (left join), never dropped
+    assert any(r[1] == 2 and r[3] is None for r in got)
+
+
+def test_materialized_join_mixed_both_sides_and_replay(spark, tmp_path):
+    fact, dim, mj = _mk_join_pair(spark, tmp_path)
+    mj.refresh()
+    fact.upsert(spark.createDataFrame([(1, 2, 50.0, 2)],
+                                      "oid long, ckey long, amt double, seq int"))
+    dim.upsert(spark.createDataFrame([(2, "BOTH", 2)],
+                                     "ckey long, name string, seq int"))
+    wm = mj.refresh()
+    assert wm is not None
+    want = _mj_rows(_scratch_join(fact, dim))
+    assert _mj_rows(mj.read()) == want
+    # replayed trigger: same watermark → no new state commit
+    n = len(mj.state.timeline.history())
+    assert mj.refresh() is None
+    assert len(mj.state.timeline.history()) == n
