@@ -146,3 +146,35 @@ def test_partial_update_with_widening(spark, tmp_path):
                    "id string, v long, w int, seq int"), partial=True)
     row = t.read_snapshot().collect()[0]
     assert row["v"] == 7_000_000_000 and row["w"] == 10
+
+
+def test_concurrent_widening_is_an_occ_schema_conflict(spark, tmp_path):
+    """A widening commit changes schema_json, so an OCC loser racing it
+    must get the schema-conflict error (never a silent rebase across a
+    type promotion its plan didn't see)."""
+    from glue_hudi_spark.storage.commits import ConcurrentWriteError
+
+    path = tmp_path / "t"
+    t = NativeTable(spark, path, record_keys=["id"], precombine="seq")
+    t.bulk_insert(_rows(spark, [(f"k{i}", i, 1) for i in range(10)],
+                        "id string, v int, seq int"))
+    winner = NativeTable(spark, path, record_keys=["id"], precombine="seq")
+    loser = NativeTable(spark, path, record_keys=["id"], precombine="seq")
+
+    # the winner WIDENS v to long inside the loser's publish window
+    # (same deterministic race rig as test_occ_rebase)
+    orig = loser.timeline.publish
+    fired = []
+
+    def racing_publish(commit):
+        if not fired:
+            fired.append(True)
+            winner.upsert(_rows(spark, [("k9", 5_000_000_000, 2)],
+                                "id string, v long, seq int"))
+        return orig(commit)
+
+    loser.timeline.publish = racing_publish
+    with pytest.raises(ConcurrentWriteError, match="schema"):
+        loser.upsert(_rows(spark, [("k1", 7, 2)],
+                           "id string, v int, seq int"))
+    assert fired
