@@ -26,7 +26,8 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from glue_hudi_spark.functions import sketches as SK
 from glue_hudi_spark.functions import text as TX
 from glue_hudi_spark.operators import (
-    cdc, decontam, dedup, multimodal, ranges, sampling, sharding, similarity,
+    cdc, classify, decontam, dedup, multimodal, ranges, sampling, sharding,
+    similarity,
 )
 from glue_hudi_spark.storage.native import NativeTable
 
@@ -4741,6 +4742,84 @@ ORDER BY cluster_rep
 """
 
 
+_PCT_COLS = ["w_bias", "w_spaces", "w_the", "w_de", "w_len"]
+
+
+def corpus_train_classifier(spark, sf_dir):
+    """Distributed linear-classifier training (batch perceptron, exact
+    integer arithmetic — ``operators.classify``): learn an is-English
+    classifier from byte-level document features (space count, ' the '
+    and ' de ' marker counts, length band). Each round is ONE aggregate
+    pass over the corpus; the driver holds only the 5 weights; integer
+    sums make every round's weights bit-exact, so the oracle replays
+    training as three unrolled CTE rounds."""
+    docs = _t(spark, sf_dir, "documents")
+    f = docs.select(
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1))
+        .cast("long").alias("y"),
+        F.lit(1).cast("long").alias("w_bias"),
+        F.expr("CAST(length(text) - length(replace(text, ' ', '')) "
+               "AS BIGINT)").alias("w_spaces"),
+        F.expr("CAST((length(text) - length(replace(text, ' the ', ''))) "
+               "div 5 AS BIGINT)").alias("w_the"),
+        F.expr("CAST((length(text) - length(replace(text, ' de ', ''))) "
+               "div 4 AS BIGINT)").alias("w_de"),
+        F.expr("CAST(length(text) div 100 AS BIGINT)").alias("w_len"),
+    )
+    rows = classify.perceptron_train(f, _PCT_COLS, rounds=3)
+    return spark.createDataFrame(
+        [(r["round"], r["n_mis"], *[r[c] for c in _PCT_COLS])
+         for r in rows],
+        "round int, n_mis long, w_bias long, w_spaces long, w_the long, "
+        "w_de long, w_len long",
+    ).orderBy("round")
+
+
+TRAIN_CLASSIFIER_ORACLE = """
+WITH f AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         CAST(1 AS BIGINT) AS x0,
+         CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS x1,
+         CAST((length(text) - length(replace(text, ' the ', ''))) // 5
+              AS BIGINT) AS x2,
+         CAST((length(text) - length(replace(text, ' de ', ''))) // 4
+              AS BIGINT) AS x3,
+         CAST(length(text) // 100 AS BIGINT) AS x4
+  FROM documents),
+r1 AS (SELECT count(*) AS n_mis, sum(y*x0) AS d0, sum(y*x1) AS d1,
+              sum(y*x2) AS d2, sum(y*x3) AS d3, sum(y*x4) AS d4 FROM f),
+w1 AS (SELECT d0 AS w0, d1 AS w1, d2 AS w2, d3 AS w3, d4 AS w4 FROM r1),
+r2 AS (SELECT count(*) AS n_mis,
+              COALESCE(sum(y*x0),0) AS d0, COALESCE(sum(y*x1),0) AS d1,
+              COALESCE(sum(y*x2),0) AS d2, COALESCE(sum(y*x3),0) AS d3,
+              COALESCE(sum(y*x4),0) AS d4
+       FROM f, w1
+       WHERE y * (w1.w0*x0 + w1.w1*x1 + w1.w2*x2 + w1.w3*x3 + w1.w4*x4)
+             <= 0),
+w2 AS (SELECT w1.w0 + r2.d0 AS w0, w1.w1 + r2.d1 AS w1, w1.w2 + r2.d2 AS w2,
+              w1.w3 + r2.d3 AS w3, w1.w4 + r2.d4 AS w4 FROM w1, r2),
+r3 AS (SELECT count(*) AS n_mis,
+              COALESCE(sum(y*x0),0) AS d0, COALESCE(sum(y*x1),0) AS d1,
+              COALESCE(sum(y*x2),0) AS d2, COALESCE(sum(y*x3),0) AS d3,
+              COALESCE(sum(y*x4),0) AS d4
+       FROM f, w2
+       WHERE y * (w2.w0*x0 + w2.w1*x1 + w2.w2*x2 + w2.w3*x3 + w2.w4*x4)
+             <= 0),
+w3 AS (SELECT w2.w0 + r3.d0 AS w0, w2.w1 + r3.d1 AS w1, w2.w2 + r3.d2 AS w2,
+              w2.w3 + r3.d3 AS w3, w2.w4 + r3.d4 AS w4 FROM w2, r3)
+SELECT CAST(1 AS INT) AS round, r1.n_mis AS n_mis, w1.w0 AS w_bias,
+       w1.w1 AS w_spaces, w1.w2 AS w_the, w1.w3 AS w_de, w1.w4 AS w_len
+FROM r1, w1
+UNION ALL
+SELECT CAST(2 AS INT), r2.n_mis, w2.w0, w2.w1, w2.w2, w2.w3, w2.w4
+FROM r2, w2
+UNION ALL
+SELECT CAST(3 AS INT), r3.n_mis, w3.w0, w3.w1, w3.w2, w3.w3, w3.w4
+FROM r3, w3
+ORDER BY round
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H long tail — the 14 query *shapes* not yet covered (Q2, Q7-Q9, Q11-Q13,
 # Q15-Q17, Q19-Q22), adapted to the fixture's reduced schema (no partsupp, no
@@ -8611,6 +8690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_dedup": multimodal_image_dedup,
         "cdc_type_widening": cdc_type_widening,
         "orders_materialized_join": orders_materialized_join,
+        "corpus_train_classifier": corpus_train_classifier,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_pruned_read": cdc_pruned_read,
@@ -8657,8 +8737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_filter_inserts": cdc_filter_inserts,
         "cdc_filter_updates": cdc_filter_updates,
         "q1_pricing_summary": q1_pricing_summary,
-        "revenue_by_nation": revenue_by_nation,
         # --- below this line: outside the r09 driver window ---
+        "revenue_by_nation": revenue_by_nation,
         "q3_shipping_priority": q3_shipping_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
         "cdc_merge_into": cdc_merge_into,
@@ -9005,4 +9085,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_image_dedup": IMAGE_DEDUP_ORACLE,
         "cdc_type_widening": TYPE_WIDENING_ORACLE,
         "orders_materialized_join": MATERIALIZED_JOIN_ORACLE,
+        "corpus_train_classifier": TRAIN_CLASSIFIER_ORACLE,
     }

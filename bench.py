@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "multimodal_image_dedup",
     "cdc_type_widening",
     "orders_materialized_join",
+    "corpus_train_classifier",
 ]
 
 

@@ -1,0 +1,90 @@
+"""Distributed linear-classifier training with EXACT integer arithmetic.
+
+Curation pipelines train small linear models over document features
+(quality filters, language/domain classifiers — the fastText-classifier
+role in CCNet/RefinedWeb). The distributed-and-auditable version here is
+the BATCH PERCEPTRON over integer features:
+
+    round k:  margin_i = y_i · (w_{k-1} · x_i)
+              w_k = w_{k-1} + Σ_{margin_i ≤ 0} y_i · x_i
+
+Why this exact form:
+
+* Each round is ONE aggregate pass over the features (map-side combined
+  sums of y·x over the misclassified set) — the driver holds only the
+  weight vector, so the shape is K linear scans however many terabytes
+  the corpus is. This is the same pass structure SGD-free large-batch
+  training uses; swap the update rule without touching the dataflow.
+* Integer features + integer updates ⇒ BIT-EXACT determinism across
+  engines and summation orders (float gradient sums are
+  order-dependent and unauditable) — a SQL oracle replays training as
+  unrolled CTEs and hash-matches every round's weights.
+
+Fixed round count, no early stop: a converged round contributes a zero
+delta and identical weights — keeping the output schema and the oracle
+replay trivially aligned.
+
+No reference counterpart (the reference stops at CDC merge); part of
+the training-data extension surface (SURVEY §2-ext).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def perceptron_train(
+    feats: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "y",
+    rounds: int = 3,
+) -> list[dict]:
+    """Train a batch perceptron on integer features.
+
+    ``feats``: one row per example with BIGINT ``feature_cols`` and a
+    ±1 BIGINT ``label_col``. Returns one dict per round:
+    ``{"round": k, "n_mis": misclassified-under-w_{k-1}, "<col>": w_k}``.
+
+    The input is checkpointed once (K passes must not recompute the
+    feature pipeline); each round is a single filtered aggregate.
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    feats = feats.select(
+        F.col(label_col).cast("long").alias(label_col),
+        *[F.col(c).cast("long").alias(c) for c in feature_cols],
+    ).localCheckpoint(eager=True)
+    w = [0] * len(feature_cols)
+    out: list[dict] = []
+    for k in range(1, rounds + 1):
+        dot = None
+        for i, c in enumerate(feature_cols):
+            term = F.col(c) * F.lit(w[i]).cast("long")
+            dot = term if dot is None else dot + term
+        mis = feats.filter(F.col(label_col) * dot <= 0)
+        agg = mis.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.coalesce(F.sum(F.col(label_col) * F.col(c)), F.lit(0))
+                .cast("long").alias(c)
+                for c in feature_cols
+            ],
+        ).first()
+        n_mis = int(agg["_n"])
+        if n_mis:
+            w = [w[i] + int(agg[c]) for i, c in enumerate(feature_cols)]
+        out.append({"round": k, "n_mis": n_mis,
+                    **{c: w[i] for i, c in enumerate(feature_cols)}})
+    return out
+
+
+def classify(feats: DataFrame, weights: dict, feature_cols: list[str],
+             out_col: str = "pred") -> DataFrame:
+    """Apply trained weights: ``pred = +1 if w·x > 0 else -1`` — pure
+    column expressions, zero shuffles."""
+    dot = None
+    for c in feature_cols:
+        term = F.col(c) * F.lit(int(weights[c])).cast("long")
+        dot = term if dot is None else dot + term
+    return feats.withColumn(
+        out_col, F.when(dot > 0, F.lit(1)).otherwise(F.lit(-1)))
