@@ -4807,14 +4807,20 @@ r3 AS (SELECT count(*) AS n_mis,
              <= 0),
 w3 AS (SELECT w2.w0 + r3.d0 AS w0, w2.w1 + r3.d1 AS w1, w2.w2 + r3.d2 AS w2,
               w2.w3 + r3.d3 AS w3, w2.w4 + r3.d4 AS w4 FROM w2, r3)
-SELECT CAST(1 AS INT) AS round, r1.n_mis AS n_mis, w1.w0 AS w_bias,
-       w1.w1 AS w_spaces, w1.w2 AS w_the, w1.w3 AS w_de, w1.w4 AS w_len
+SELECT CAST(1 AS INT) AS round, r1.n_mis AS n_mis,
+       CAST(w1.w0 AS BIGINT) AS w_bias, CAST(w1.w1 AS BIGINT) AS w_spaces,
+       CAST(w1.w2 AS BIGINT) AS w_the, CAST(w1.w3 AS BIGINT) AS w_de,
+       CAST(w1.w4 AS BIGINT) AS w_len
 FROM r1, w1
 UNION ALL
-SELECT CAST(2 AS INT), r2.n_mis, w2.w0, w2.w1, w2.w2, w2.w3, w2.w4
+SELECT CAST(2 AS INT), r2.n_mis, CAST(w2.w0 AS BIGINT),
+       CAST(w2.w1 AS BIGINT), CAST(w2.w2 AS BIGINT), CAST(w2.w3 AS BIGINT),
+       CAST(w2.w4 AS BIGINT)
 FROM r2, w2
 UNION ALL
-SELECT CAST(3 AS INT), r3.n_mis, w3.w0, w3.w1, w3.w2, w3.w3, w3.w4
+SELECT CAST(3 AS INT), r3.n_mis, CAST(w3.w0 AS BIGINT),
+       CAST(w3.w1 AS BIGINT), CAST(w3.w2 AS BIGINT), CAST(w3.w3 AS BIGINT),
+       CAST(w3.w4 AS BIGINT)
 FROM r3, w3
 ORDER BY round
 """
