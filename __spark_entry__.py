@@ -758,6 +758,48 @@ FROM batch b
 """
 
 
+def cdc_add_column_default(spark, sf_dir):
+    """ADD COLUMN ... DEFAULT through the real storage path (Delta
+    parity): the snapshot loads WITHOUT ``tier``, ``add_column`` appends
+    it metadata-only with default 'legacy' (zero rewrites — pre-add
+    files serve the constant at the scan), then a post-add CDC batch
+    writes explicit values AND explicit NULLs — which stay NULL (the
+    default backfills only rows from files that predate the add)."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    tmp = _scratch_dir("addcol_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select("user_id", "event_id"))
+    table.add_column("tier", "string", default="legacy")
+    table.upsert(batch.select(
+        "user_id", "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type")).alias("tier")))
+    return table.read_snapshot().select("user_id", "event_id", "tier")
+
+
+ADD_COLUMN_ORACLE = f"""
+WITH snap AS (
+  SELECT user_id, event_id FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_type END AS tier
+  FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+)
+SELECT s.user_id, s.event_id, 'legacy' AS tier
+FROM snap s WHERE s.user_id NOT IN (SELECT user_id FROM batch)
+UNION ALL
+SELECT b.user_id, b.event_id, b.tier FROM batch b
+"""
+
+
 def orders_materialized_join(spark, sf_dir):
     """Incrementally-maintained JOIN view (orders ⋈ customer) through the
     real storage path: initial materialization, then fact inserts +
@@ -8697,6 +8739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_type_widening": cdc_type_widening,
         "orders_materialized_join": orders_materialized_join,
         "corpus_train_classifier": corpus_train_classifier,
+        "cdc_add_column_default": cdc_add_column_default,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_pruned_read": cdc_pruned_read,
@@ -8742,8 +8785,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_window_dedup": cdc_window_dedup,
         "cdc_filter_inserts": cdc_filter_inserts,
         "cdc_filter_updates": cdc_filter_updates,
-        "q1_pricing_summary": q1_pricing_summary,
         # --- below this line: outside the r09 driver window ---
+        "q1_pricing_summary": q1_pricing_summary,
         "revenue_by_nation": revenue_by_nation,
         "q3_shipping_priority": q3_shipping_priority,
         "q6_forecast_revenue": q6_forecast_revenue,
@@ -9092,4 +9135,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_type_widening": TYPE_WIDENING_ORACLE,
         "orders_materialized_join": MATERIALIZED_JOIN_ORACLE,
         "corpus_train_classifier": TRAIN_CLASSIFIER_ORACLE,
+        "cdc_add_column_default": ADD_COLUMN_ORACLE,
     }

@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "cdc_type_widening",
     "orders_materialized_join",
     "corpus_train_classifier",
+    "cdc_add_column_default",
 ]
 
 

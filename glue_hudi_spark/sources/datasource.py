@@ -124,12 +124,34 @@ def _to_physical_names(commit, logical_cols):
 
 
 class _FileSlice(InputPartition):
-    def __init__(self, root: str, rel: str, dv_rels=()):
+    def __init__(self, root: str, rel: str, dv_rels=(), fills=None):
         self.root = root
         self.rel = rel
         # deletion-vector sidecars marking this file's deleted rows —
         # the executor task drops those positions before yielding
         self.dv_rels = tuple(dv_rels)
+        # {logical col: constant} — column DEFAULTs that apply to THIS
+        # file (it predates the column's add commit, so it physically
+        # lacks the column; the executor fills the constant instead of
+        # nulls). Computed at plan time from the manifest.
+        self.fills = dict(fills or {})
+
+
+def _default_fills(commit, rel: str, columns, physical) -> dict:
+    """Column-DEFAULT constants applying to ``rel``: its dir commit
+    predates the default's ``since`` (the file cannot hold real values
+    for a column added later). Keyed by LOGICAL name."""
+    if not commit.column_defaults:
+        return {}
+    from glue_hudi_spark.storage.native import file_dir_commit
+
+    dc = file_dir_commit(rel)
+    return {
+        c: commit.column_defaults[p]["value"]
+        for c, p in zip(columns, physical)
+        if p in commit.column_defaults
+        and dc < commit.column_defaults[p]["since"]
+    }
 
 
 def _planner_pushdown_enabled():
@@ -183,21 +205,38 @@ class GhsTableNoPushdownReader(DataSourceReader):
     def partitions(self):
         dvs = self.commit.dvs
         return [_FileSlice(self.path, f,
-                           dvs.get(f, {}).get("files", ()))
+                           dvs.get(f, {}).get("files", ()),
+                           _default_fills(self.commit, f, self.columns,
+                                          self.physical))
                 for f in self.files]
 
     def read(self, part: _FileSlice):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
+        fpath = str(Path(part.root) / part.rel)
+        # schema evolution: a carried file may predate a column the
+        # table schema has since gained — read what the file has,
+        # null-fill the rest (exact per-file semantics, mirroring the
+        # stream tier)
+        avail = set(pq.read_schema(fpath).names)
+        pairs = list(zip(self.columns, self.physical))
         table = pq.read_table(
-            str(Path(part.root) / part.rel), columns=self.physical)
+            fpath, columns=[p for _, p in pairs if p in avail])
         if part.dv_rels:
             table = _drop_dv_positions(table, part.root, part.rel,
                                        part.dv_rels)
-        if self.physical != self.columns:  # column-mapping rename
-            table = table.rename_columns(self.columns)
-        table = _upcast_widened(table, self._arrow_types)
-        yield from table.to_batches()
+        n = table.num_rows
+        arrays = [
+            table.column(p).combine_chunks() if p in avail
+            else pa.array([part.fills[c]] * n, type=self._arrow_types[c])
+            if c in part.fills
+            else pa.nulls(n, self._arrow_types[c])
+            for c, p in pairs
+        ]
+        out = pa.table(arrays, names=list(self.columns))
+        out = _upcast_widened(out, self._arrow_types)
+        yield from out.to_batches()
 
 
 class GhsTableReader(GhsTableNoPushdownReader):
@@ -368,6 +407,7 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
             # columns — read what the file has, null-fill the rest
             avail = set(pq.read_schema(fpath).names)
             have = [(c, p) for c, p in zip(cols, phys) if p in avail]
+            fills = _default_fills(end_commit, rel, cols, phys)
             t = pq.read_table(fpath, columns=[p for _, p in have])
             dv_rels = end_commit.dvs.get(rel, {}).get("files", ())
             if dv_rels:
@@ -380,8 +420,10 @@ class GhsChangeFeedStreamReader(SimpleDataSourceStreamReader):
             if not self.emit_deletes:
                 t = t.filter(pc.not_equal(t.column("_ghs_delta_op"), "d"))
             if t.num_rows:
+                have_names = {c for c, _ in have}
                 out.extend(
-                    tuple(d.get(c) for c in self.columns)
+                    tuple(d.get(c) if c in have_names else fills.get(c)
+                          for c in self.columns)
                     for d in t.to_pylist())
         return iter(out)
 
@@ -445,7 +487,8 @@ class _ChangeSlice(InputPartition):
     ("tombstone")."""
 
     def __init__(self, root: str, rel: str, kind: str, start_token: str,
-                 cols_phys, dv_rels=(), commit_token: str | None = None):
+                 cols_phys, dv_rels=(), commit_token: str | None = None,
+                 fills=None):
         self.root = root
         self.rel = rel
         self.kind = kind  # "file" | "tombstone"
@@ -454,6 +497,7 @@ class _ChangeSlice(InputPartition):
         self.cols_phys = tuple(cols_phys)
         self.dv_rels = tuple(dv_rels)
         self.commit_token = commit_token  # tombstone: the deleting commit
+        self.fills = dict(fills or {})  # column DEFAULTs for this file
 
 
 class GhsChangeFeedPartitionedStreamReader(DataSourceStreamReader):
@@ -521,9 +565,12 @@ class GhsChangeFeedPartitionedStreamReader(DataSourceStreamReader):
         cols = list(dict.fromkeys(
             [*self.columns, "_ghs_commit_time", "_ghs_delta_op"]))
         cols_phys = [(c, m.get(c, c)) for c in cols]
+        logical = [c for c, _ in cols_phys]
+        phys = [p for _, p in cols_phys]
         parts = [
             _ChangeSlice(self.path, rel, "file", token, cols_phys,
-                         commit.dvs.get(rel, {}).get("files", ()))
+                         commit.dvs.get(rel, {}).get("files", ()),
+                         fills=_default_fills(commit, rel, logical, phys))
             for rel in (
                 [f for f in commit.files if file_dir_commit(f) > s]
                 + [f for d in commit.deltas
@@ -589,7 +636,12 @@ class GhsChangeFeedPartitionedStreamReader(DataSourceStreamReader):
         arrays = []
         for c in self.columns:
             if c not in have:
-                arrays.append(pa.nulls(t.num_rows, self._arrow_types[c]))
+                if c in part.fills:
+                    arrays.append(pa.array([part.fills[c]] * t.num_rows,
+                                           type=self._arrow_types[c]))
+                else:
+                    arrays.append(pa.nulls(t.num_rows,
+                                           self._arrow_types[c]))
                 continue
             arrays.append(t.column(have[c]).combine_chunks())
         tbl = _upcast_widened(

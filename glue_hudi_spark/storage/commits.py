@@ -124,6 +124,15 @@ class Commit:
     # them. None (legacy manifests) = spec never recorded; the
     # constructor's partition_keys is then authoritative.
     partition_spec: list | None = None
+    # Column DEFAULT values for columns ADDED after data existed (Delta
+    # ADD COLUMN ... DEFAULT class): {physical_col: {"value": <json
+    # scalar>, "since": <commit id that added it>}}. A file written by a
+    # commit BEFORE ``since`` physically lacks the column — readers
+    # serve the default for its rows (exact: such a file cannot hold a
+    # real value). Files at/after ``since`` serve stored values, so a
+    # post-add writer's explicit NULL stays NULL. Carried forward;
+    # compaction materializes defaults into file bytes and clears this.
+    column_defaults: dict = field(default_factory=dict)
 
     @property
     def commit_time(self) -> str:
@@ -256,6 +265,7 @@ class CommitTimeline:
             retired_cols=d.get("retired_cols", []),
             dvs=d.get("dvs", {}),
             partition_spec=d.get("partition_spec"),
+            column_defaults=d.get("column_defaults", {}),
         )
         if key is not None:
             cache = CommitTimeline._manifest_cache
@@ -412,6 +422,7 @@ class CommitTimeline:
             "retired_cols": commit.retired_cols,
             "dvs": commit.dvs,
             "partition_spec": commit.partition_spec,
+            "column_defaults": commit.column_defaults,
         }
 
     def publish(self, commit: Commit) -> None:

@@ -1392,7 +1392,36 @@ class NativeTable:
         )
 
     def _read_files(self, files: list[str], schema_json: str | None,
-                    dvs: dict | None = None) -> DataFrame:
+                    dvs: dict | None = None,
+                    defaults: dict | None = None) -> DataFrame:
+        if defaults:
+            # Column DEFAULTs for added columns, applied EXACTLY: a file
+            # whose dir commit predates a default's ``since`` physically
+            # lacks the column (it didn't exist), so its rows take the
+            # default as a literal; files at/after ``since`` serve stored
+            # values (a post-add writer's explicit NULL stays NULL).
+            # Files group by which defaults apply — one scan per group
+            # (≤ #distinct add-generations + 1, in practice 2), unioned.
+            groups: dict[tuple, list[str]] = {}
+            for f in files:
+                dc = file_dir_commit(f)
+                key = tuple(sorted(
+                    c for c, d in defaults.items() if dc < d["since"]))
+                groups.setdefault(key, []).append(f)
+            if any(groups):
+                sch = (T.StructType.fromJson(json.loads(schema_json))
+                       if schema_json else None)
+                dtypes = {f.name: f.dataType for f in sch.fields} if sch \
+                    else {}
+                out = None
+                for key, fs in groups.items():
+                    df = self._read_files(fs, schema_json, dvs=dvs)
+                    for c in key:
+                        df = df.withColumn(
+                            c, F.lit(defaults[c]["value"])
+                            .cast(dtypes.get(c, "string")))
+                    out = df if out is None else out.unionByName(df)
+                return out
         if not files:
             if schema_json:
                 return self.spark.createDataFrame(
@@ -1877,7 +1906,8 @@ class NativeTable:
             candidates = kept
         out = self._to_logical(
             self._read_files(candidates, commit.schema_json,
-                             dvs=commit.dvs), commit
+                             dvs=commit.dvs,
+                             defaults=commit.column_defaults), commit
         ).filter(F.col(RECORD_KEY_COL).isin(key_list))
         return out if with_meta else out.drop(*META_COLS)
 
@@ -1960,7 +1990,8 @@ class NativeTable:
                 candidates = kept
         out = _exact(self._to_logical(
             self._read_files(candidates, commit.schema_json,
-                             dvs=commit.dvs), commit))
+                             dvs=commit.dvs,
+                             defaults=commit.column_defaults), commit))
         return out if with_meta else out.drop(*META_COLS)
 
     # ----------------------------------------------------------------- reads
@@ -2027,7 +2058,8 @@ class NativeTable:
                 base_files, commit.col_stats, prune
             )
         base = self._read_files(base_files, commit.schema_json,
-                                dvs=commit.dvs)
+                                dvs=commit.dvs,
+                                defaults=commit.column_defaults)
         if min_file_commit is not None and commit.deltas:
             # older delta commits' rows all carry stamps ≤ the bound;
             # dropping them can only ADD back base rows those deltas
@@ -2051,7 +2083,8 @@ class NativeTable:
             # (Round-2 verdict: the previous whole-table window made every
             # _rt read pay a full-table exchange.)
             delta_files = [f for d in commit.deltas for f in d["files"]]
-            deltas = self._read_files(delta_files, commit.schema_json)
+            deltas = self._read_files(delta_files, commit.schema_json,
+                                      defaults=commit.column_defaults)
             order = [F.col(COMMIT_TIME_COL).desc()]
             if self.precombine:
                 order.append(F.col(self.precombine).desc())
@@ -2555,7 +2588,8 @@ class NativeTable:
                 column_mapping: dict | None = None,
                 retired_cols: list[str] | None = None,
                 dvs: dict | None = None,
-                partition_spec: list[str] | None = None) -> Commit:
+                partition_spec: list[str] | None = None,
+                column_defaults: dict | None = None) -> Commit:
         """Publish with bounded retry-with-rebase on OCC conflict.
 
         When another writer wins the commit id, the loser does NOT re-run
@@ -2575,6 +2609,10 @@ class NativeTable:
             column_mapping = dict(head.column_mapping) if head else {}
         if retired_cols is None:
             retired_cols = list(head.retired_cols) if head else []
+        if column_defaults is None:
+            # carried forward like the mapping; compact/cluster pass {}
+            # after materializing defaults into file bytes
+            column_defaults = dict(head.column_defaults) if head else {}
         # deletion vectors carry forward per surviving data file: a
         # rewritten/removed file's entry dies with it (the rewrite read
         # DV-filtered rows, so the marks are materialized). Callers that
@@ -2607,6 +2645,7 @@ class NativeTable:
                 retired_cols=list(retired_cols),
                 dvs=dict(dvs),
                 partition_spec=list(partition_spec),
+                column_defaults=dict(column_defaults),
             )
             commit.file_sizes, commit.row_counts = (
                 self._manifest_inventory(files, deltas))
@@ -3258,7 +3297,8 @@ class NativeTable:
             return None
         carried = [f for f in commit.files if f not in set(to_purge)]
         df = self._read_files(to_purge, commit.schema_json,
-                              dvs=commit.dvs)
+                              dvs=commit.dvs,
+                              defaults=commit.column_defaults)
         cid = self.timeline.next_commit_id()
         files = self._write_files(
             df, cid,
@@ -3433,7 +3473,8 @@ class NativeTable:
                 affected, keyed, prev.key_stats
             )
             untouched = untouched + bloom_skipped
-        existing = self._read_files(affected, read_schema_json, dvs=prev.dvs)
+        existing = self._read_files(affected, read_schema_json, dvs=prev.dvs,
+                                    defaults=prev.column_defaults)
 
         keys_only = keyed.select(RECORD_KEY_COL)
         if parallelism > 0:
@@ -3629,7 +3670,8 @@ class NativeTable:
                 affected, keyed, prev.key_stats
             )
             untouched = untouched + bloom_skipped
-        existing = self._read_files(affected, read_schema_json, dvs=prev.dvs)
+        existing = self._read_files(affected, read_schema_json, dvs=prev.dvs,
+                                    defaults=prev.column_defaults)
         if parallelism > 0:
             existing = existing.repartition(parallelism, RECORD_KEY_COL)
 
@@ -4008,7 +4050,7 @@ class NativeTable:
         return self._commit(
             cid, "cluster", files, [], merged.schema.json(), {},
             *self._collect_file_stats(files),
-            column_mapping={}, retired_cols=[],
+            column_mapping={}, retired_cols=[], column_defaults={},
         )
 
     def bin_pack(self, target_bytes: int = 128 * 1024 * 1024) -> Commit | None:
@@ -4228,6 +4270,53 @@ class NativeTable:
             dict(prev.key_stats), dict(prev.col_stats),
             column_mapping=mapping,
             retired_cols=list(prev.retired_cols) + [physical],
+            column_defaults={k: v for k, v in prev.column_defaults.items()
+                             if k != physical},
+        )
+
+    def add_column(self, col: str, dtype: str,
+                   default=None) -> Commit:
+        """Metadata-only ADD COLUMN (Delta ``ADD COLUMN ... DEFAULT``
+        class): append a nullable column to the table schema — ZERO data
+        rewrite. Live files keep their bytes; reads null-fill the new
+        column for rows in files that predate this commit, or serve
+        ``default`` for them when one is given (exact: a pre-add file
+        cannot hold a real value, so the dir-commit bound distinguishes
+        backfilled rows from a post-add writer's explicit NULL, which
+        stays NULL). ``compact()``/``cluster()`` materialize defaults
+        into file bytes and clear the manifest entry. Re-adding a
+        dropped column's name stays unsupported (see ``drop_column``).
+
+        ``dtype`` is a Spark DDL type string (``"string"``, ``"bigint"``,
+        ``"decimal(10,2)"`` …); ``default`` must be a plain JSON scalar
+        (goes into the manifest)."""
+        prev = self.timeline.latest()
+        if prev is None:
+            raise ValueError(f"table {self.root} has no commits")
+        logical = self._logical_names(prev)
+        if col in logical or col in META_COLS:
+            raise ValueError(f"column {col!r} already exists")
+        if col in prev.retired_cols:
+            raise ValueError(
+                f"{col!r} is a dropped column's physical name; compact() "
+                "first to materialize the drop")
+        if default is not None and not isinstance(
+                default, (str, int, float, bool)):
+            raise ValueError("default must be a JSON scalar")
+        stored = T.StructType.fromJson(json.loads(prev.schema_json))
+        dt = T._parse_datatype_string(dtype)
+        new_schema = T.StructType(
+            list(stored.fields) + [T.StructField(col, dt, True)])
+        defaults = dict(prev.column_defaults)
+        cid = self.timeline.next_commit_id()
+        if default is not None:
+            defaults[col] = {"value": default, "since": cid}
+        return self._commit(
+            cid, "add_column", list(prev.files),
+            [dict(d) for d in prev.deltas], new_schema.json(),
+            {"added": {"column": col, "type": dtype, "default": default}},
+            dict(prev.key_stats), dict(prev.col_stats),
+            column_defaults=defaults,
         )
 
     def evolve_partition_spec(self, new_specs: list[str] | None) -> Commit:
@@ -4301,7 +4390,7 @@ class NativeTable:
         return self._commit(
             cid, "compact", files, [], merged.schema.json(), {},
             *self._collect_file_stats(files),
-            column_mapping={}, retired_cols=[],
+            column_mapping={}, retired_cols=[], column_defaults={},
         )
 
     def rollback(self, to_commit_id: int | None = None) -> Commit:
