@@ -135,6 +135,18 @@ def main(argv: list[str] | None = None) -> int:
                                              "materializes)")
     _common(pdc, raw=False)
     pdc.add_argument("--column", required=True, help="column to drop")
+    pac = sub.add_parser("add-column", help="metadata-only column add "
+                                            "(optional DEFAULT backfills "
+                                            "pre-add rows at the scan; "
+                                            "zero data rewrite)")
+    _common(pac, raw=False)
+    pac.add_argument("--column", required=True, help="new column name")
+    pac.add_argument("--type", dest="col_type", required=True,
+                     metavar="DDL", help="Spark DDL type, e.g. string, "
+                                         "bigint, decimal(10,2)")
+    pac.add_argument("--default", default=None,
+                     help="optional DEFAULT literal (JSON scalar; "
+                          "numbers auto-detected)")
     pep = sub.add_parser("evolve-partition",
                          help="metadata-only partition-spec change "
                               "(Iceberg partition evolution; old files "
@@ -398,6 +410,19 @@ def main(argv: list[str] | None = None) -> int:
             c = table.drop_column(args.column)
             out.append({"table": ctl.table_name, "commit": c.commit_id,
                         "dropped": c.stats["dropped"]})
+        elif args.cmd == "add-column":
+            import json as _json
+
+            table = pipe._table(ctl)
+            dflt = args.default
+            if dflt is not None:
+                try:
+                    dflt = _json.loads(dflt)  # 7 → int, 1.5 → float, …
+                except ValueError:
+                    pass  # plain string literal
+            c = table.add_column(args.column, args.col_type, default=dflt)
+            out.append({"table": ctl.table_name, "commit": c.commit_id,
+                        **c.stats["added"]})
         elif args.cmd == "evolve-partition":
             table = pipe._table(ctl)
             c = table.evolve_partition_spec(list(args.spec))

@@ -161,12 +161,17 @@ def test_cli_rename_and_drop_column(spark, tmp_path, capsys):
         "from": "measurement_value", "to": "reading"}
     rc, out = run_cmd("drop-column", *base, "--column", "measurement_date")
     assert rc == 0 and out[0]["dropped"] == "measurement_date"
+    rc, out = run_cmd("add-column", *base, "--column", "tier",
+                      "--type", "string", "--default", "legacy")
+    assert rc == 0 and out[0]["column"] == "tier" \
+        and out[0]["default"] == "legacy"
     from glue_hudi_spark.pipeline import CdcPipeline
     pipe = CdcPipeline(spark, tmp_path / "raw", tmp_path / "curated")
     snap = pipe._table(ctl).read_snapshot()
     assert "reading" in snap.columns
     assert "measurement_value" not in snap.columns
     assert "measurement_date" not in snap.columns
+    assert {r["tier"] for r in snap.select("tier").collect()} == {"legacy"}
 
 
 def test_cli_evolve_partition(spark, tmp_path, capsys):
