@@ -45,3 +45,24 @@ def test_classify_applies_weights(spark):
 def test_rounds_validation():
     with pytest.raises(ValueError):
         classify.perceptron_train(None, ["x"], rounds=0)
+
+
+def test_training_round_is_one_partial_aggregate_pass(spark):
+    """Each perceptron round must compile to ONE map-side-combined
+    aggregate over the (filtered) feature table — no join, no window,
+    no second scan: the shape that makes K rounds K linear passes at
+    corpus scale."""
+    from pyspark.sql import functions as F
+    from glue_hudi_spark.plans import lint
+
+    f = _feats(spark, [(1, 1, 2), (-1, 1, -2)] * 50)
+    # the exact per-round plan perceptron_train builds (w = [3, -1])
+    dot = f["b"] * F.lit(3).cast("long") + f["x"] * F.lit(-1).cast("long")
+    agg = (f.filter(f["y"] * dot <= 0)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(f["y"] * f["b"]).alias("b"),
+                F.sum(f["y"] * f["x"]).alias("x")))
+    plan = lint.plan_text(agg)
+    assert "partial" in plan.lower()       # map-side combine
+    assert "Join" not in plan and "Window" not in plan
+    lint.assert_no_python_eval(agg)

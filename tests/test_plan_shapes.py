@@ -303,3 +303,15 @@ def test_dsir_scores_join_on_token_never_collect(spark):
     df = entry_mod.corpus_dsir_weights(spark, SF_DIR)
     lint.assert_no_cartesian(df)
     lint.assert_no_python_eval(df)
+
+
+def test_image_dedup_is_bucketed_equi_joined(spark):
+    """multimodal_image_dedup: band+fingerprint bucketing → group-rep
+    edges → components — all equi-joins over bucket keys, never a
+    pairwise image comparison (no cartesian anywhere in the final
+    plan; the mapInPandas decode is the sanctioned python stage)."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.multimodal_image_dedup(spark, SF_DIR)
+    lint.assert_no_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in lint.plan_text(df)
