@@ -177,7 +177,12 @@ def _planner_pushdown_enabled():
     try:
         f = sys._getframe(1)
         while f is not None:
-            if "enable_pushdown" in f.f_locals:
+            # trust the local only in the planning worker's own module —
+            # an unrelated ancestor frame that happens to define the name
+            # must not decide the tier
+            if ("enable_pushdown" in f.f_locals
+                    and "plan_data_source_read"
+                    in f.f_code.co_filename):
                 return bool(f.f_locals["enable_pushdown"])
             f = f.f_back
     except Exception:
@@ -692,7 +697,12 @@ class GhsTableDataSource(DataSource):
             enabled = str(opt).lower() != "false"
         else:
             enabled = _planner_pushdown_enabled()
-            enabled = True if enabled is None else enabled
+            # inconclusive sniff (direct construction, future pyspark
+            # refactor of the planning worker) fails SAFE: the
+            # no-pushdown tier works under either conf value — it only
+            # skips the manifest stats prune, never correctness — while
+            # the pushdown tier hard-errors when the conf is off
+            enabled = False if enabled is None else enabled
         cls = GhsTableReader if enabled else GhsTableNoPushdownReader
         return cls(self.options, schema)
 

@@ -1912,7 +1912,8 @@ class NativeTable:
         return out if with_meta else out.drop(*META_COLS)
 
     def read_by_value(
-        self, col: str, values: list, with_meta: bool = False
+        self, col: str, values: list, with_meta: bool = False,
+        as_of: int | None = None,
     ) -> DataFrame:
         """Equality lookup on a SECONDARY column: rows where ``col`` is in
         ``values``, reading only the files whose indexes admit them.
@@ -1929,35 +1930,19 @@ class NativeTable:
         (correct, unpruned) snapshot path — compact first for cheap
         lookups, same caveat as ``read_keys``.
         """
-        return self.read_by_values({col: values}, with_meta=with_meta)
+        return self.read_by_values({col: values}, with_meta=with_meta,
+                                   as_of=as_of)
 
-    def read_by_values(
-        self, probes: dict[str, list], with_meta: bool = False
-    ) -> DataFrame:
-        """Conjunctive (AND) equality lookup across MULTIPLE secondary
-        columns: rows matching EVERY column's value list, reading only
-        files that survive the INTERSECTION of the per-column pruning
-        ladders — each column's range/bloom index prunes independently
-        and a file must pass all of them, so two mediocre indexes (each
-        admitting 30% of files) compose into a ~9% scan. The composite
-        answer a dedicated multi-column index would give, without
-        maintaining one."""
-        if not probes:
-            raise ValueError("read_by_values: empty probe dict")
-        commit = self.timeline.latest()
-        if commit is None:
-            raise ValueError(f"table {self.root} has no commits")
-
-        def _exact(df: DataFrame) -> DataFrame:
-            for c, vals in probes.items():
-                df = df.filter(F.col(c).isin(vals))
-            return df
-
-        if commit.deltas:
-            out = _exact(self.read_snapshot(with_meta=True))
-            return out if with_meta else out.drop(*META_COLS)
-
-        candidates = list(commit.files)
+    def _prune_candidates_by_values(
+        self, candidates: list[str], col_stats: dict,
+        probes: dict[str, list]
+    ) -> list[str]:
+        """The per-column value-pruning ladder shared by
+        ``read_by_values`` and value-pruned merges: range stats drop
+        files whose [min, max] excludes every probe value, secondary
+        bloom sidecars drop files whose value SET rejects all of them.
+        Files without stats are kept — pruning is only an optimization;
+        exactness always comes from the caller's own filter/anti-join."""
         for col, values in probes.items():
             # probe values rendered with Spark CAST semantics to match
             # the sidecar build; any un-renderable value disables bloom
@@ -1967,7 +1952,7 @@ class NativeTable:
             vstats = [_stat_value(v) for v in values]
             kept = []
             for f in candidates:
-                s = commit.col_stats.get(f, {}).get(col)
+                s = col_stats.get(f, {}).get(col)
                 if s is not None and all(
                     _outside_range(vs, s[0], s[1]) for vs in vstats
                 ):
@@ -1988,6 +1973,39 @@ class NativeTable:
                     ):
                         kept.append(f)
                 candidates = kept
+        return candidates
+
+    def read_by_values(
+        self, probes: dict[str, list], with_meta: bool = False,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Conjunctive (AND) equality lookup across MULTIPLE secondary
+        columns: rows matching EVERY column's value list, reading only
+        files that survive the INTERSECTION of the per-column pruning
+        ladders — each column's range/bloom index prunes independently
+        and a file must pass all of them, so two mediocre indexes (each
+        admitting 30% of files) compose into a ~9% scan. The composite
+        answer a dedicated multi-column index would give, without
+        maintaining one."""
+        if not probes:
+            raise ValueError("read_by_values: empty probe dict")
+        commit = (self.timeline.at(as_of) if as_of is not None
+                  else self.timeline.latest())
+        if commit is None:
+            raise ValueError(f"table {self.root} has no commits"
+                             + (f" at {as_of}" if as_of is not None else ""))
+
+        def _exact(df: DataFrame) -> DataFrame:
+            for c, vals in probes.items():
+                df = df.filter(F.col(c).isin(vals))
+            return df
+
+        if commit.deltas:
+            out = _exact(self.read_snapshot(with_meta=True, as_of=as_of))
+            return out if with_meta else out.drop(*META_COLS)
+
+        candidates = self._prune_candidates_by_values(
+            list(commit.files), commit.col_stats, probes)
         out = _exact(self._to_logical(
             self._read_files(candidates, commit.schema_json,
                              dvs=commit.dvs,
@@ -2161,8 +2179,9 @@ class NativeTable:
         if (old_c is None or new_c is None or old_c.deltas or new_c.deltas
                 or old_c.column_mapping != new_c.column_mapping
                 or old_c.retired_cols != new_c.retired_cols):
-            return (self.read_snapshot(with_meta=True, as_of=from_commit),
-                    self.read_snapshot(with_meta=True, as_of=to_commit))
+            return self._align_old_side(
+                self.read_snapshot(with_meta=True, as_of=from_commit),
+                self.read_snapshot(with_meta=True, as_of=to_commit))
         new_files = set(new_c.files)
         shared = {f for f in old_c.files if f in new_files
                   and old_c.dvs.get(f) == new_c.dvs.get(f)}
@@ -2171,10 +2190,28 @@ class NativeTable:
             kept = [f for f in files if f not in shared]
             df = self._read_files(
                 kept, c.schema_json,
-                dvs={f: e for f, e in c.dvs.items() if f in set(kept)})
+                dvs={f: e for f, e in c.dvs.items() if f in set(kept)},
+                defaults=c.column_defaults)
             return self._to_logical(df, c)
 
-        return side(old_c, old_c.files), side(new_c, new_c.files)
+        return self._align_old_side(side(old_c, old_c.files),
+                                    side(new_c, new_c.files))
+
+    @staticmethod
+    def _align_old_side(old: DataFrame, new: DataFrame):
+        """Schema evolution inside a diff/feed window: a column added
+        after the window's start doesn't exist on the old side — serve
+        it as NULL there (Delta CDF reads the whole range under the
+        LATEST schema). A plain ADD COLUMN thus emits zero change rows
+        (null == null in the row fingerprint); an add WITH DEFAULT
+        surfaces rewritten rows' new visible value as updates — what a
+        downstream maintainer needs to stay consistent."""
+        have = set(old.columns)
+        new_types = dict(new.dtypes)
+        for c in new.columns:
+            if c not in have:
+                old = old.withColumn(c, F.lit(None).cast(new_types[c]))
+        return old, new
 
     def diff_snapshots(
         self, from_commit: int, to_commit: int | None = None
@@ -3257,24 +3294,48 @@ class NativeTable:
             affected = self._prune_files_by_partition(affected, prune)
             affected = self._prune_files_by_col_stats(
                 affected, prev.col_stats, prune)
-        src = self.spark.read.schema(
-            T.StructType.fromJson(json.loads(prev.schema_json))
-        ).parquet(*[str(self.root / f) for f in affected]) if affected \
-            else None
-        if src is None:
+        if not affected:
             return self._dv_commit(
                 prev, cid, self.spark.createDataFrame(
                     [], "file string, pos long"), [], extra_stats)
-        matched = src.filter(F.coalesce(cond, F.lit(False)))
+        # direct parquet read (not _read_files) so _metadata.row_index
+        # stays tied to the physical file — but that bypasses the
+        # ADD COLUMN ... DEFAULT fill, so group files by which defaults
+        # apply (same dir-commit rule as _read_files) and fill per group:
+        # a pre-add file physically lacks the column, so every row takes
+        # the literal; post-add files serve stored values (incl. NULL).
+        sch = T.StructType.fromJson(json.loads(prev.schema_json))
+        dtypes = {f.name: f.dataType for f in sch.fields}
+        groups: dict[tuple, list[str]] = {}
+        for f in affected:
+            dc = file_dir_commit(f)
+            key = tuple(sorted(
+                c for c, d in prev.column_defaults.items()
+                if dc < d["since"]))
+            groups.setdefault(key, []).append(f)
+        # _metadata cols resolve only against the file scan itself, so
+        # select file/pos per group BEFORE any union
+        matched = hits = None
+        for key, fs in groups.items():
+            part = self.spark.read.schema(sch).parquet(
+                *[str(self.root / f) for f in fs])
+            for c in key:
+                part = part.withColumn(
+                    c, F.lit(prev.column_defaults[c]["value"])
+                    .cast(dtypes.get(c, "string")))
+            m = part.filter(F.coalesce(cond, F.lit(False)))
+            h = m.select(
+                self._file_rel_expr().alias("file"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+            m = m.select(*[f.name for f in sch.fields])
+            matched = m if matched is None else matched.unionByName(m)
+            hits = h if hits is None else hits.unionByName(h)
         tombstones = self._write_tombstones(
             matched.withColumn(
                 RECORD_KEY_COL,
                 F.coalesce(F.col(RECORD_KEY_COL),
                            record_key_expr(self.record_keys))))
-        hits = matched.select(
-            self._file_rel_expr().alias("file"),
-            F.col("_metadata.row_index").alias("pos"),
-        )
         hits = self._subtract_prior_marks(hits, affected, prev.dvs)
         return self._dv_commit(prev, cid, hits, tombstones, extra_stats)
 
@@ -3585,7 +3646,8 @@ class NativeTable:
                 affected, prev.col_stats, prune
             )
             untouched = [f for f in prev.files if f not in set(affected)]
-        existing = self._read_files(affected, prev.schema_json, dvs=prev.dvs)
+        existing = self._read_files(affected, prev.schema_json, dvs=prev.dvs,
+                                    defaults=prev.column_defaults)
         kept = existing.filter(~F.coalesce(cond, F.lit(False)))
         # change feed: the dropped rows' keys — one extra filter pass over
         # the SAME pruned affected set, nothing table-wide
@@ -3609,10 +3671,35 @@ class NativeTable:
             tombstones=tombstones,
         )
 
+    def touch(self, extra_stats: dict | None = None,
+              action: str = "touch") -> Commit:
+        """Metadata-only commit: republish the head's exact state (files,
+        deltas, schema, stats indexes, DVs, spec, defaults) with fresh
+        ``extra_stats``. Zero data movement — an O(manifest) write.
+
+        The watermark-advance primitive incremental consumers need: a
+        refresh window whose change batch is EMPTY (the base head moved
+        via compact/cluster/add_column, or a dim churn touched no fact)
+        must still record "view reflects commit N", or every later
+        refresh re-plans and re-scans the same converged window forever
+        (round-9 advice on ``MaterializedJoin.refresh``)."""
+        head = self.timeline.latest()
+        if head is None:
+            raise ValueError(f"table {self.root} has no commits")
+        cid = self.timeline.next_commit_id()
+        return self._commit(
+            cid, action, list(head.files),
+            [dict(d) for d in head.deltas], head.schema_json,
+            dict(extra_stats or {}),
+            dict(head.key_stats), dict(head.col_stats),
+            dvs=dict(head.dvs),
+        )
+
     def merge(self, batch: DataFrame, op_col: str = "op",
               drop_cols: list[str] | None = None,
               parallelism: int = 0,
-              extra_stats: dict | None = None) -> Commit | None:
+              extra_stats: dict | None = None,
+              prune_values: dict[str, list] | None = None) -> Commit | None:
         """Single-commit CDC merge: one atomic commit applies inserts,
         updates, and deletes together (the improvement SURVEY §4 suggests
         over the reference's non-atomic I→U→D triple commit,
@@ -3621,6 +3708,19 @@ class NativeTable:
         ``batch`` must be W1-deduped (≤1 surviving op per key) and still
         carry ``op_col``; payload/envelope columns in ``drop_cols`` are
         projected away before write.
+
+        ``prune_values`` ({col: [values]}) additionally prunes the
+        affected file set through the secondary value ladder
+        (col-stats ranges + secondary blooms — ``read_by_values``'
+        ladder): the caller asserts every batch row's target AND current
+        state row live in files admitting those values. The lever that
+        makes a merge O(changed keys' files) on a table laid out by a
+        NON-record-key column (``sort_order=[col]``), e.g. a join view
+        clustered by its join column. CALLER CONTRACT: the value list
+        must cover the column's PRE-image values too (a row whose value
+        changed still lives in a file placed by the old value), and must
+        not be passed when batch rows hold NULL in the column (min/max
+        stats are silent about NULLs).
         """
         if batch.isEmpty():
             return None
@@ -3655,6 +3755,12 @@ class NativeTable:
             affected, prev.key_stats, self._batch_key_range(batch)
         )
         untouched = untouched + skipped
+        if prune_values and affected:
+            vkept = self._prune_candidates_by_values(
+                affected, prev.col_stats, prune_values)
+            untouched = untouched + [f for f in affected
+                                     if f not in set(vkept)]
+            affected = vkept
         persisted = None
         # the tombstone pass adds two extra actions over the batch
         # (emptiness probe + key write); persist so the batch lineage —
@@ -3821,14 +3927,16 @@ class NativeTable:
         elif by_source:
             tgt = self._to_logical(
                 self._read_files(prev.files, prev.schema_json,
-                                 dvs=prev.dvs), prev
+                                 dvs=prev.dvs,
+                                 defaults=prev.column_defaults), prev
             ).drop(*META_COLS)
         else:
             files, _ = self._prune_by_key_range(
                 prev.files, prev.key_stats, self._batch_key_range(source))
             tgt = self._to_logical(
                 self._read_files(files, prev.schema_json,
-                                 dvs=prev.dvs), prev
+                                 dvs=prev.dvs,
+                                 defaults=prev.column_defaults), prev
             ).drop(*META_COLS)
         tgt = tgt.withColumn("_ghs_tgt_exists", F.lit(True))
         source = source.withColumn("_ghs_src_exists", F.lit(True))
@@ -4092,7 +4200,8 @@ class NativeTable:
         if not to_pack:
             return None
         carried = [f for f in commit.files if f not in set(to_pack)]
-        df = self._read_files(to_pack, commit.schema_json, dvs=commit.dvs)
+        df = self._read_files(to_pack, commit.schema_json, dvs=commit.dvs,
+                              defaults=commit.column_defaults)
         cid = self.timeline.next_commit_id()
         if self.partition_keys:
             # width 1: all of a partition's slivers coalesce into ~1 file
@@ -4166,7 +4275,8 @@ class NativeTable:
             return None
         carried = [f for f in commit.files if f not in set(selected)]
         df = self._read_files(selected, commit.schema_json,
-                              dvs=commit.dvs)
+                              dvs=commit.dvs,
+                              defaults=commit.column_defaults)
         cid = self.timeline.next_commit_id()
         files = self._write_files(df, cid)
         key_stats, col_stats = self._collect_file_stats(files)
@@ -4435,6 +4545,11 @@ class NativeTable:
             # evolve_partition restores the old layout
             partition_spec=(list(target.partition_spec)
                             if target.partition_spec is not None else None),
+            # likewise the TARGET's column defaults: rolling back past a
+            # compact/cluster (which cleared defaults after materializing
+            # them into file bytes) restores pre-add files whose rows are
+            # served by the default — an empty map would read them NULL
+            column_defaults=dict(target.column_defaults),
         )
         if target.partition_spec is not None and \
                 list(target.partition_spec) != self.partition_keys:

@@ -99,21 +99,38 @@ class MaterializedJoin:
     * Δfact inserts/update-postimages re-join against the dim's CURRENT
       snapshot and upsert into the state; Δfact deletes delete their
       state rows — O(|Δfact|).
-    * Δdim changed keys K select the AFFECTED facts (semi-join of the
-      fact snapshot on ``join_col ∈ K``), which re-join and upsert —
-      O(|affected facts|), not O(|fact|), once the semi-join prunes (at
-      100 TB attach a ``secondary_bloom_cols=[join_col]`` index to the
-      fact table so the probe reads only files that can hold a changed
-      key; AQE broadcasts K either way). A dim DELETE re-emits its
+    * Δdim changed keys K select the AFFECTED facts: when the fact
+      table indexes ``join_col`` (stats or secondary blooms) and K is
+      driver-sized, ``fact.read_by_value(join_col, K)`` reads ONLY the
+      files that can hold a changed key; otherwise a semi-join of the
+      fact snapshot on ``join_col ∈ K`` (AQE broadcasts K). Either way
+      O(|affected facts|), not O(|fact|). A dim DELETE re-emits its
       facts with NULL attributes — left-join semantics preserved, facts
       never silently dropped.
+
+    ``cluster_by=join_col`` fixes the STATE layout for dim-heavy churn:
+    by default state files range-cluster on the fact record key, so one
+    changed dim key's facts scatter across every state file and the
+    merge rewrites all of them (the round-9 probe's 32/32). With it,
+    the state table is laid out by the join column
+    (``sort_order=[join_col]`` + stats + secondary bloom), and each
+    refresh passes the window's join-key set — PRE-images included, so
+    a fact re-pointed at a new dim key still rewrites its old row's
+    file — to ``merge(prune_values=...)``: rewrites become O(changed
+    join keys' files). Windows whose join-key set exceeds
+    ``prune_key_cap`` (or holds NULLs) fall back to unpruned merges —
+    pruning is an optimization, never a correctness dependency.
 
     The whole window lands as ONE atomic ``merge`` commit (upserts +
     deletes together) carrying both watermarks
     (``join_of_fact_commit`` / ``join_of_dim_commit``) in its stats —
     idempotent under replayed triggers, crash-safe like every other
-    streaming sink here. Maintained state is row-identical to the
-    from-scratch join of the two snapshots (the pytest invariant).
+    streaming sink here. An EMPTY window (base heads moved by
+    compact/add_column, or dim churn touching no fact) publishes a
+    metadata-only ``touch`` commit so the watermark still advances and
+    converged refreshes stay O(1) (round-9 advice). Maintained state is
+    row-identical to the from-scratch join of the two snapshots (the
+    pytest invariant).
     """
 
     def __init__(
@@ -124,15 +141,34 @@ class MaterializedJoin:
         state_path: str | Path,
         join_col: str,
         dim_cols: list[str] | None = None,
+        cluster_by: str | None = None,
+        prune_key_cap: int = 4096,
     ):
         self.spark = spark
         self.fact = fact
         self.dim = dim
         self.join_col = join_col
         self.dim_cols = dim_cols
+        if cluster_by is not None and cluster_by != join_col:
+            raise ValueError(
+                f"cluster_by={cluster_by!r}: only the join column "
+                f"({join_col!r}) is a meaningful state layout — merge "
+                "pruning is driven by the window's join-key set")
+        self.cluster_by = cluster_by
+        self.prune_key_cap = int(prune_key_cap)
+        # clustered layout needs an explicit write width: _write_files
+        # only range-partitions on the sort order when a file count is
+        # set (otherwise files fall out of the upstream shuffle and each
+        # spans the full join-key range, defeating the prune)
+        width = (int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+                 if cluster_by else None)
         self.state = NativeTable(
             spark, state_path, record_keys=list(fact.record_keys),
             precombine=None,
+            **({"sort_order": [cluster_by], "stats_cols": [cluster_by],
+                "secondary_bloom_cols": [cluster_by],
+                "files_per_partition": width}
+               if cluster_by else {}),
         )
 
     def _dim_proj(self, as_of: int | None):
@@ -175,8 +211,23 @@ class MaterializedJoin:
             return None  # fresh, or a replayed trigger
         fk = self.fact.record_keys
         ups = dels = None
+        # the window's join-key set, for the value-pruned state merge
+        # (cluster_by layout). None = pruning disabled for this window
+        # (off, too many keys, or NULL join values — merge stays exact
+        # either way, the prune is only a file-skip).
+        prune_keys: set | None = set() if self.cluster_by else None
+        ff_persisted = None
         if f_upto > f_since:
             ff = self.fact.change_feed(f_since, f_upto)
+            if prune_keys is not None:
+                # the feed feeds three consumers (ups, dels, key probe) —
+                # persist so its lineage computes once
+                ff_persisted = ff = ff.persist()
+                # ALL change types: a fact re-pointed to a new dim key
+                # still has its OLD row in a file placed by the PRE-image
+                # value — that file must stay in the merge's rewrite set
+                prune_keys = self._bounded_keys(
+                    ff.select(self.join_col).distinct(), prune_keys)
             ups = ff.filter(F.col("_change_type").isin(
                 "insert", "update_postimage")).drop("_change_type")
             dels = ff.filter(
@@ -184,8 +235,20 @@ class MaterializedJoin:
         if d_upto > d_since:
             dkeys = (self.dim.change_feed(d_since, d_upto)
                      .select(self.join_col).distinct())
-            affected = self.fact.read_snapshot(as_of=f_upto).join(
-                dkeys, on=self.join_col, how="left_semi")
+            dvals = self._bounded_keys(dkeys, set())
+            if dvals is not None and (
+                    self.join_col in self.fact.stats_cols
+                    or self.join_col in self.fact.secondary_bloom_cols):
+                # bloom/stats-assisted affected-fact selection: reads
+                # only fact files that can hold a changed dim key
+                affected = self.fact.read_by_value(
+                    self.join_col, sorted(dvals), as_of=f_upto)
+            else:
+                affected = self.fact.read_snapshot(as_of=f_upto).join(
+                    dkeys, on=self.join_col, how="left_semi")
+            if prune_keys is not None:
+                prune_keys = (prune_keys | dvals
+                              if dvals is not None else None)
             # overlap with Δfact rows is benign: both carry the same
             # as-of-f_upto image — dedup by the fact key
             ups = (affected if ups is None
@@ -201,11 +264,33 @@ class MaterializedJoin:
         for p in parts[1:]:
             batch = batch.unionByName(p, allowMissingColumns=True)
         # one atomic commit applies the window's upserts AND deletes,
-        # with the watermarks in its stats. An empty batch (dim churn
-        # that touches no fact) publishes nothing — the next refresh
-        # redoes the same empty window, idempotently.
-        self.state.merge(batch, op_col="_mj_op", extra_stats=marker)
+        # with the watermarks in its stats
+        committed = self.state.merge(
+            batch, op_col="_mj_op", extra_stats=marker,
+            prune_values=({self.join_col: sorted(prune_keys)}
+                          if prune_keys else None))
+        if ff_persisted is not None:
+            ff_persisted.unpersist()
+        if committed is None:
+            # empty window (heads moved without row changes, or dim
+            # churn touching no fact): advance the watermark with a
+            # metadata-only commit, or every later refresh re-plans and
+            # re-scans this same converged window forever
+            self.state.touch(marker, action="watermark")
         return f_upto, d_upto
+
+    def _bounded_keys(self, df, acc: set) -> set | None:
+        """Driver-bounded distinct key collection: ``acc`` ∪ df's values
+        when ≤ ``prune_key_cap`` and NULL-free, else None (pruning off —
+        min/max file stats can't speak for NULLs, and an unbounded list
+        would put O(changes) on the driver)."""
+        rows = df.limit(self.prune_key_cap + 1).collect()
+        if len(rows) > self.prune_key_cap:
+            return None
+        vals = {r[0] for r in rows}
+        if None in vals:
+            return None
+        return acc | vals
 
     def read(self):
         return self.state.read_snapshot()

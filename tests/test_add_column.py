@@ -129,3 +129,101 @@ def test_ghs_table_reads_serve_defaults(spark, tmp_path):
     s2 = {r["id"]: r["tier"]
           for r in spark.read.parquet(str(out2)).collect()}
     assert s2 == want
+
+
+# ---- round-10: DEFAULTs must survive every rewrite path (r9 advice) ----
+# A pre-add file rewritten by bin_pack/rewrite_files/delete_where/merge
+# lands under a NEW dir commit >= the default's `since`; if the rewrite
+# read skipped the default fill, those rows would permanently flip to
+# NULL. Same class: match semantics (merge_into / delete predicates /
+# DV deletes) evaluated against NULL instead of the default, rollback
+# dropping the defaults map, and the change feed emitting NULLs.
+
+
+def _legacy(t):
+    return {r["id"]: r["tier"] for r in t.read_snapshot().collect()}
+
+
+def test_default_survives_bin_pack(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", files_per_partition=4)
+    t.add_column("tier", "string", default="legacy")
+    c = t.bin_pack(target_bytes=64 * 1024 * 1024)  # everything is small
+    assert c is not None and c.action == "bin_pack"
+    snap = _legacy(t)
+    assert len(snap) == 20 and set(snap.values()) == {"legacy"}
+
+
+def test_default_survives_rewrite_files(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", files_per_partition=4)
+    t.add_column("tier", "string", default="legacy")
+    c = t.rewrite_data_files()
+    assert c is not None and c.action == "rewrite_files"
+    snap = _legacy(t)
+    assert len(snap) == 20 and set(snap.values()) == {"legacy"}
+
+
+def test_default_serves_delete_where_match_and_rewrite(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path / "t", files_per_partition=4)
+    t.add_column("tier", "string", default="legacy")
+    # match semantics: the predicate references the added column — every
+    # pre-add row must MATCH via the default, not read NULL (kept)
+    t.delete_where((F.col("tier") == "legacy") & (F.col("id") < "k05"))
+    snap = _legacy(t)
+    assert len(snap) == 15 and set(snap.values()) == {"legacy"}
+
+
+def test_default_serves_dv_delete_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _mk(spark, tmp_path / "t", files_per_partition=4,
+            deletion_vectors=True)
+    t.add_column("tier", "string", default="legacy")
+    t.delete_where((F.col("tier") == "legacy") & (F.col("id") < "k05"))
+    snap = _legacy(t)
+    assert len(snap) == 15 and set(snap.values()) == {"legacy"}
+
+
+def test_default_serves_merge_into_target(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", files_per_partition=4)
+    t.add_column("tier", "string", default="legacy")
+    src = _rows(spark, [("k03", 9.0, 2), ("k99", 99.0, 1)],
+                "id string, v double, seq int")
+    # update expression reads tgt.tier — must see the default
+    t.merge_into(src, when_matched_update={"v": "src.v",
+                                           "tier": "concat(tgt.tier, '+')"})
+    snap = _legacy(t)
+    assert snap["k03"] == "legacy+"
+    assert snap["k99"] is None          # fresh insert: no default (post-add)
+    assert snap["k05"] == "legacy"
+    # the carried pre-add files still serve the default after the merge
+    assert sum(v == "legacy" for v in snap.values()) == 19
+
+
+def test_default_in_change_feed_rewrites(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", files_per_partition=4)
+    t.add_column("tier", "string", default="legacy")
+    head = t.timeline.latest().commit_id
+    t.upsert(_rows(spark, [("k00", 5.0, 2, "gold")],
+                   "id string, v double, seq int, tier string"))
+    feed = t.change_feed(head, t.timeline.latest().commit_id)
+    pre = {r["_change_type"]: r["tier"] for r in feed.collect()
+           if r["id"] == "k00"}
+    # the preimage row lived in a pre-add file: its tier is the default
+    assert pre["update_preimage"] == "legacy"
+    assert pre["update_postimage"] == "gold"
+    # sibling rows rewritten alongside k00 must NOT surface as changes
+    assert feed.filter("id <> 'k00'").count() == 0
+
+
+def test_rollback_past_compact_restores_defaults(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t", files_per_partition=4)
+    t.add_column("tier", "string", default="legacy")
+    pre_compact = t.timeline.latest().commit_id
+    t.compact()  # materializes + clears the defaults map
+    assert t.timeline.latest().column_defaults == {}
+    t.rollback(pre_compact)
+    assert t.timeline.latest().column_defaults != {}
+    snap = _legacy(t)
+    assert len(snap) == 20 and set(snap.values()) == {"legacy"}
