@@ -758,6 +758,59 @@ FROM batch b
 """
 
 
+def cdc_decimal_widening(spark, sf_dir):
+    """DECIMAL SCALE widening through the real storage path (Delta
+    type-widening parity, round-10 extension): the table's ``amount``
+    is created decimal(10,2); the CDC batch arrives decimal(14,4) —
+    both integer digits and scale grow, so the merge promotes the
+    schema metadata-only (carried decimal(10,2) files upcast at the
+    scan; pinned by tests/test_type_widening.py) and the snapshot
+    serves one decimal(14,4) column with old values rescaled
+    losslessly. Reference: Hudi delegates decimal evolution to Avro
+    resolution inside its jars; this is the native equivalent."""
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    tmp = _scratch_dir("decwiden_")
+    table = NativeTable(
+        spark, f"{tmp}/events_tbl", record_keys=["user_id"],
+        precombine="event_id", partition_keys=[],
+    )
+    table.bulk_insert(snap.select(
+        "user_id", "event_id",
+        F.expr("CAST(event_id % 1000000 AS DECIMAL(10,2))")
+        .alias("amount")))
+    table.upsert(batch.select(
+        "user_id", "event_id",
+        F.expr("CAST(CAST(event_id % 1000000 AS DECIMAL(14,4)) "
+               "+ CAST('0.1234' AS DECIMAL(14,4)) AS DECIMAL(14,4))")
+        .alias("amount")))
+    out = table.read_snapshot()
+    assert dict(out.dtypes)["amount"] == "decimal(14,4)", \
+        "merge should have widened the stored decimal scale"
+    return out.select("user_id", "event_id", "amount")
+
+
+DECIMAL_WIDENING_ORACLE = f"""
+WITH snap AS (
+  SELECT user_id, event_id FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id FROM (
+    SELECT e.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events e WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+)
+SELECT s.user_id, s.event_id,
+       CAST(CAST(s.event_id % 1000000 AS DECIMAL(10,2)) AS DECIMAL(14,4)) AS amount
+FROM snap s WHERE s.user_id NOT IN (SELECT user_id FROM batch)
+UNION ALL
+SELECT b.user_id, b.event_id,
+       CAST(CAST(b.event_id % 1000000 AS DECIMAL(14,4))
+            + CAST('0.1234' AS DECIMAL(14,4)) AS DECIMAL(14,4)) AS amount
+FROM batch b
+"""
+
+
 def cdc_add_column_default(spark, sf_dir):
     """ADD COLUMN ... DEFAULT through the real storage path (Delta
     parity): the snapshot loads WITHOUT ``tier``, ``add_column`` appends
@@ -8740,6 +8793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_materialized_join": orders_materialized_join,
         "corpus_train_classifier": corpus_train_classifier,
         "cdc_add_column_default": cdc_add_column_default,
+        "cdc_decimal_widening": cdc_decimal_widening,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_pruned_read": cdc_pruned_read,
@@ -9136,4 +9190,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_materialized_join": MATERIALIZED_JOIN_ORACLE,
         "corpus_train_classifier": TRAIN_CLASSIFIER_ORACLE,
         "cdc_add_column_default": ADD_COLUMN_ORACLE,
+        "cdc_decimal_widening": DECIMAL_WIDENING_ORACLE,
     }

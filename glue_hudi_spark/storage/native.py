@@ -426,8 +426,12 @@ def _widen_type(stored: T.DataType, incoming: T.DataType):
     """The common WIDENED type when (stored, incoming) sit on a supported
     type-widening chain, else None. Chains (all upcastable at the parquet
     scan by Spark 4's reader, so promotion is metadata-only):
-    byte→short→int→long; float→double; decimal(p,s)→decimal(p',s) with
-    p' ≥ p (same scale). Equal types trivially pass."""
+    byte→short→int→long; float→double; decimal(p1,s1)→decimal(p2,s2)
+    when neither integer digits nor scale shrink (Delta's rule — the
+    widened type takes max integer digits + max scale, so stored values
+    rescale losslessly; verified against Spark 4's vectorized reader,
+    which upcasts decimal(10,2) files under a decimal(14,4) read schema
+    and rejects integer-digit shrink). Equal types trivially pass."""
     if stored == incoming:
         return stored
     a, b = stored.typeName(), incoming.typeName()
@@ -436,9 +440,17 @@ def _widen_type(stored: T.DataType, incoming: T.DataType):
     if a in _FLOAT_WIDEN and b in _FLOAT_WIDEN:
         return stored if _FLOAT_WIDEN[a] >= _FLOAT_WIDEN[b] else incoming
     if (isinstance(stored, T.DecimalType)
-            and isinstance(incoming, T.DecimalType)
-            and stored.scale == incoming.scale):
-        return stored if stored.precision >= incoming.precision else incoming
+            and isinstance(incoming, T.DecimalType)):
+        scale = max(stored.scale, incoming.scale)
+        idigits = max(stored.precision - stored.scale,
+                      incoming.precision - incoming.scale)
+        if idigits + scale > 38:
+            return None  # would overflow Spark's decimal precision cap
+        if stored.precision == idigits + scale and stored.scale == scale:
+            return stored
+        if incoming.precision == idigits + scale and incoming.scale == scale:
+            return incoming
+        return T.DecimalType(idigits + scale, scale)
     return None
 
 
@@ -757,8 +769,9 @@ class NativeTable:
                     f"{self.root}: table has {f.dataType.simpleString()}, "
                     f"batch has {bt.simpleString()} — only widening "
                     "promotions are supported (byte→short→int→long, "
-                    "float→double, decimal precision growth at equal "
-                    "scale); cast the batch or migrate explicitly")
+                    "float→double, decimal growth that shrinks neither "
+                    "integer digits nor scale); cast the batch or "
+                    "migrate explicitly")
             if widened != f.dataType:
                 changed = True
             if widened != bt:

@@ -29,8 +29,17 @@ def test_widen_type_lattice():
     assert _widen_type(f, d) == d and _widen_type(d, f) == d
     assert _widen_type(T.DecimalType(5, 2), T.DecimalType(10, 2)) \
         == T.DecimalType(10, 2)
-    # same scale required; string↔numeric refused
-    assert _widen_type(T.DecimalType(5, 2), T.DecimalType(10, 3)) is None
+    # scale-increasing widens (Delta rule): neither integer digits nor
+    # scale may shrink; the widened type takes max of each
+    assert _widen_type(T.DecimalType(10, 2), T.DecimalType(14, 4)) \
+        == T.DecimalType(14, 4)
+    assert _widen_type(T.DecimalType(5, 2), T.DecimalType(10, 3)) \
+        == T.DecimalType(10, 3)  # idigits 3→7, scale 2→3: both grow
+    # sides that each win one dimension meet at a type wider than both
+    assert _widen_type(T.DecimalType(12, 2), T.DecimalType(8, 6)) \
+        == T.DecimalType(16, 6)  # idigits max(10,2)=10 + scale 6
+    # precision cap: a meet beyond decimal(38) is not a legal widen
+    assert _widen_type(T.DecimalType(38, 0), T.DecimalType(10, 6)) is None
     assert _widen_type(T.StringType(), l) is None
     assert _widen_type(i, T.StringType()) is None
     assert _widen_type(i, d) is None  # cross-family: explicit cast only
@@ -178,3 +187,88 @@ def test_concurrent_widening_is_an_occ_schema_conflict(spark, tmp_path):
         loser.upsert(_rows(spark, [("k1", 7, 2)],
                            "id string, v int, seq int"))
     assert fired
+
+
+# ---- round-10: decimal SCALE widening (Delta parity) ----
+
+def test_decimal_scale_widening_cow(spark, tmp_path):
+    """decimal(10,2) table + decimal(14,4) batch: metadata-only
+    promotion; carried files upcast at the scan (probed against Spark
+    4's vectorized reader), values rescale losslessly."""
+    from decimal import Decimal
+
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq", files_per_partition=4)
+    t.bulk_insert(_rows(
+        spark, [(f"k{i:02d}", Decimal(f"{i}.25"), 1) for i in range(40)],
+        "id string, amt decimal(10,2), seq int"))
+    before = set(t.timeline.latest().files)
+    t.upsert(_rows(spark, [("k00", Decimal("7.1234"), 2)],
+                   "id string, amt decimal(14,4), seq int"))
+    after = t.timeline.latest()
+    assert dict(t.read_snapshot().dtypes)["amt"] == "decimal(14,4)"
+    # carried pre-widen files were NOT rewritten
+    assert len(before & set(after.files)) >= 3
+    got = {r["id"]: r["amt"] for r in t.read_snapshot().collect()}
+    assert got["k00"] == Decimal("7.1234")
+    assert got["k05"] == Decimal("5.2500")
+
+
+def test_decimal_two_sided_meet(spark, tmp_path):
+    """Table decimal(12,2) vs batch decimal(8,6): each wins one
+    dimension — the published schema is the meet, decimal(16,6),
+    wider than BOTH sides; both old and new values rescale."""
+    from decimal import Decimal
+
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq")
+    t.bulk_insert(_rows(spark, [("a", Decimal("1234567890.12"), 1)],
+                        "id string, amt decimal(12,2), seq int"))
+    t.upsert(_rows(spark, [("b", Decimal("1.123456"), 1)],
+                   "id string, amt decimal(8,6), seq int"))
+    assert dict(t.read_snapshot().dtypes)["amt"] == "decimal(16,6)"
+    got = {r["id"]: r["amt"] for r in t.read_snapshot().collect()}
+    assert got["a"] == Decimal("1234567890.120000")
+    assert got["b"] == Decimal("1.123456")
+
+
+def test_decimal_scale_widening_mor_and_partial(spark, tmp_path):
+    from decimal import Decimal
+
+    m = NativeTable(spark, tmp_path / "m", record_keys=["id"],
+                    precombine="seq", storage_type="mor",
+                    compact_every=100)
+    m.bulk_insert(_rows(spark, [(f"k{i}", Decimal(f"{i}.50"), 1)
+                                for i in range(8)],
+                        "id string, amt decimal(10,2), seq int"))
+    m.upsert(_rows(spark, [("k1", Decimal("9.8765"), 2)],
+                   "id string, amt decimal(14,4), seq int"))
+    rt = m.read_snapshot()
+    assert dict(rt.dtypes)["amt"] == "decimal(14,4)"
+    got = {r["id"]: r["amt"] for r in rt.collect()}
+    assert got["k1"] == Decimal("9.8765")
+    assert got["k5"] == Decimal("5.5000")
+    m.compact()
+    assert {r["id"]: r["amt"] for r in m.read_snapshot().collect()} == got
+    # partial update rides the same promotion
+    p = NativeTable(spark, tmp_path / "p", record_keys=["id"],
+                    precombine="seq")
+    p.bulk_insert(_rows(spark, [("a", Decimal("1.25"), 10, 1)],
+                        "id string, amt decimal(10,2), w int, seq int"))
+    p.upsert(_rows(spark, [("a", Decimal("2.0001"), None, 2)],
+                   "id string, amt decimal(14,4), w int, seq int"),
+             partial=True)
+    row = p.read_snapshot().collect()[0]
+    assert row["amt"] == Decimal("2.0001") and row["w"] == 10
+
+
+def test_decimal_overflow_meet_raises(spark, tmp_path):
+    from decimal import Decimal
+
+    t = NativeTable(spark, tmp_path / "t", record_keys=["id"],
+                    precombine="seq")
+    t.bulk_insert(_rows(spark, [("a", Decimal("1"), 1)],
+                        "id string, amt decimal(38,0), seq int"))
+    with pytest.raises(ValueError, match="incompatible type change"):
+        t.upsert(_rows(spark, [("a", Decimal("1.123456"), 2)],
+                       "id string, amt decimal(10,6), seq int"))
