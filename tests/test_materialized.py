@@ -282,3 +282,102 @@ def test_materialized_join_mixed_both_sides_and_replay(spark, tmp_path):
     n = len(mj.state.timeline.history())
     assert mj.refresh() is None
     assert len(mj.state.timeline.history()) == n
+
+
+# ------------------------------------------- clustered state layout (r10)
+
+def _mk_clustered_pair(spark, tmp_path, **mj_kw):
+    """64 facts over 8 dim keys, state clustered by the join column.
+    conftest pins shuffle partitions = 4, so the clustered state lands
+    as 4 range-files on ckey (≈2 keys per file)."""
+    fact = NativeTable(spark, tmp_path / "fact", record_keys=["oid"],
+                       precombine="seq")
+    dim = NativeTable(spark, tmp_path / "dim", record_keys=["ckey"],
+                      precombine="seq")
+    fact.bulk_insert(spark.createDataFrame(
+        [(i, i % 8, float(i), 1) for i in range(64)],
+        "oid long, ckey long, amt double, seq int"))
+    dim.bulk_insert(spark.createDataFrame(
+        [(c, f"cust{c}", 1) for c in range(8)],
+        "ckey long, name string, seq int"))
+    mj = MaterializedJoin(spark, fact, dim, tmp_path / "mv",
+                          join_col="ckey", dim_cols=["name"],
+                          cluster_by="ckey", **mj_kw)
+    return fact, dim, mj
+
+
+def test_clustered_join_view_tracks_both_feeds(spark, tmp_path):
+    fact, dim, mj = _mk_clustered_pair(spark, tmp_path)
+    mj.refresh()
+    assert _mj_rows(mj.read()) == _mj_rows(_scratch_join(fact, dim))
+    # fact insert + update + RE-POINT (oid 3 moves ckey 3→7: its state
+    # row lives in a file placed by the PRE-image value — the prune set
+    # must cover it) + delete, then dim churn, across two refreshes
+    fact.upsert(spark.createDataFrame(
+        [(200, 5, 9.0, 1), (3, 7, 3.5, 2)],
+        "oid long, ckey long, amt double, seq int"))
+    fact.delete(spark.createDataFrame([(10,)], "oid long"))
+    assert mj.refresh() is not None
+    got = _mj_rows(mj.read())
+    assert got == _mj_rows(_scratch_join(fact, dim))
+    assert (3, 7, 3.5, "cust7") in got and not any(r[0] == 10 for r in got)
+    dim.upsert(spark.createDataFrame([(2, "RENAMED", 2)],
+                                     "ckey long, name string, seq int"))
+    dim.delete(spark.createDataFrame([(6,)], "ckey long"))
+    assert mj.refresh() is not None
+    got = _mj_rows(mj.read())
+    assert got == _mj_rows(_scratch_join(fact, dim))
+    assert all(r[3] == "RENAMED" for r in got if r[1] == 2)
+    assert any(r[1] == 6 and r[3] is None for r in got)  # left semantics
+
+
+def test_clustered_join_view_prunes_state_rewrite(spark, tmp_path):
+    """Dim churn on 1 of 8 keys: the unclustered layout rewrites every
+    state file (facts of one dim key scatter across all of them); the
+    clustered layout rewrites only the file(s) whose ckey range admits
+    the changed key — the round-9 probe's 32/32 → O(changed keys)."""
+    fact, dim, mj = _mk_clustered_pair(spark, tmp_path)
+    mj.refresh()
+    n_files = len(mj.state.timeline.latest().files)
+    assert n_files >= 3  # layout actually spread the state
+    dim.upsert(spark.createDataFrame([(0, "X", 2)],
+                                     "ckey long, name string, seq int"))
+    mj.refresh()
+    c = mj.state.timeline.latest()
+    assert c.action == "merge"
+    assert c.stats["files_rewritten"] <= 2  # not n_files
+    assert c.stats["files_rewritten"] + c.stats["files_carried"] >= n_files
+    assert _mj_rows(mj.read()) == _mj_rows(_scratch_join(fact, dim))
+
+
+def test_clustered_join_view_key_cap_falls_back_exact(spark, tmp_path):
+    """A window whose join-key set exceeds prune_key_cap disables the
+    file prune but the merge stays exact."""
+    fact, dim, mj = _mk_clustered_pair(spark, tmp_path, prune_key_cap=1)
+    mj.refresh()
+    dim.upsert(spark.createDataFrame(
+        [(1, "A", 2), (4, "B", 2), (5, "C", 2)],
+        "ckey long, name string, seq int"))
+    mj.refresh()
+    assert _mj_rows(mj.read()) == _mj_rows(_scratch_join(fact, dim))
+
+
+def test_join_view_empty_window_advances_watermark(spark, tmp_path):
+    """A base-head move with zero row changes (bin_pack) publishes a
+    metadata-only watermark commit — the converged cadence returns to
+    the O(1) early-exit instead of re-scanning the window forever
+    (round-9 advice)."""
+    fact, dim, mj = _mk_clustered_pair(spark, tmp_path)
+    mj.refresh()
+    fact.bin_pack()  # head advances, no row changes
+    wm = mj.refresh()
+    assert wm is not None
+    last = mj.state.timeline.latest()
+    assert last.action == "watermark"
+    assert last.stats["join_of_fact_commit"] == \
+        fact.timeline.latest().commit_id
+    # converged: next refresh is the cheap no-op
+    n = len(mj.state.timeline.history())
+    assert mj.refresh() is None
+    assert len(mj.state.timeline.history()) == n
+    assert _mj_rows(mj.read()) == _mj_rows(_scratch_join(fact, dim))
