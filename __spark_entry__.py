@@ -811,6 +811,90 @@ FROM batch b
 """
 
 
+def cdc_sql_surface(spark, sf_dir):
+    """The whole lakehouse lifecycle driven by SQL TEXT only
+    (``GhsSql``, glue_hudi_spark/sql.py): CREATE TABLE ... USING
+    ghs_table, INSERT INTO from a view, a three-clause MERGE INTO,
+    UPDATE ... WHERE, DELETE FROM ... WHERE, ALTER TABLE ADD COLUMN
+    ... DEFAULT, a post-add INSERT, and the final SELECT — the
+    reference's single SQL entry (the window-dedup text run through
+    spark.sql, processData.py:317-327) generalized to the full DDL/DML
+    surface a SQL-only user needs. Every statement routes to the same
+    pruned/indexed NativeTable paths the Python API uses (the DELETE
+    gets delete_where's stats pruning, the MERGE gets merge()'s
+    key-range + bloom file pruning); the dispatcher itself moves no
+    data."""
+    from glue_hudi_spark.sql import GhsSql
+
+    snap, batch = _events_merge_parts(spark, sf_dir)
+    snap.select("user_id", "event_id", "value") \
+        .createOrReplaceTempView("sql_snap_v")
+    # deletes ride as NULL value so the MERGE text can route them with
+    # a plain clause condition (the source view carries no op column —
+    # INSERT * must not evolve the table schema)
+    batch.select(
+        "user_id", "event_id",
+        F.when(F.col("op") == "D", F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"),
+    ).createOrReplaceTempView("sql_batch_v")
+    ghs = GhsSql(spark, _scratch_dir("sqlsurf_"))
+    ghs.sql("""
+        CREATE TABLE sql_acct (user_id BIGINT, event_id BIGINT,
+                               value DOUBLE)
+            USING ghs_table
+            TBLPROPERTIES ('primaryKey'='user_id',
+                           'preCombineField'='event_id');
+        INSERT INTO sql_acct SELECT * FROM sql_snap_v;
+        MERGE INTO sql_acct t USING sql_batch_v s
+            ON t.user_id = s.user_id
+            WHEN MATCHED AND s.value IS NULL THEN DELETE
+            WHEN MATCHED THEN UPDATE SET event_id = s.event_id,
+                                         value = s.value
+            WHEN NOT MATCHED AND s.value IS NOT NULL THEN INSERT *;
+        UPDATE sql_acct SET value = value * 2 WHERE user_id % 10 = 0;
+        DELETE FROM sql_acct WHERE user_id % 97 = 0;
+        ALTER TABLE sql_acct ADD COLUMN tier STRING DEFAULT 'std';
+        INSERT INTO sql_acct (user_id, event_id, value, tier)
+            VALUES (900000001, 1, 0.5, 'gold')
+    """)
+    return ghs.sql(
+        "SELECT user_id, event_id, value, tier FROM sql_acct")
+
+
+SQL_SURFACE_ORACLE = f"""
+WITH ev AS (SELECT e.*, {OP_CASE} AS op FROM events e),
+snap AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts < TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id,
+         CASE WHEN op = 'D' THEN NULL ELSE value END AS value
+  FROM (
+    SELECT ev.*, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM ev WHERE ts >= TIMESTAMP '{CUTOFF}') t WHERE rn = 1
+),
+merged AS (
+  SELECT s.user_id, s.event_id, s.value FROM snap s
+  WHERE s.user_id NOT IN (SELECT user_id FROM batch)
+  UNION ALL
+  SELECT b.user_id, b.event_id, b.value FROM batch b
+  WHERE b.value IS NOT NULL
+),
+updated AS (
+  SELECT user_id, event_id,
+         CASE WHEN user_id % 10 = 0 THEN value * 2 ELSE value END AS value
+  FROM merged
+),
+kept AS (SELECT * FROM updated WHERE user_id % 97 <> 0)
+SELECT user_id, event_id, value, 'std' AS tier FROM kept
+UNION ALL
+SELECT CAST(900000001 AS BIGINT) AS user_id, CAST(1 AS BIGINT) AS event_id,
+       CAST(0.5 AS DOUBLE) AS value, 'gold' AS tier
+"""
+
+
 def cdc_add_column_default(spark, sf_dir):
     """ADD COLUMN ... DEFAULT through the real storage path (Delta
     parity): the snapshot loads WITHOUT ``tier``, ``add_column`` appends
@@ -8794,6 +8878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_train_classifier": corpus_train_classifier,
         "cdc_add_column_default": cdc_add_column_default,
         "cdc_decimal_widening": cdc_decimal_widening,
+        "cdc_sql_surface": cdc_sql_surface,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_pruned_read": cdc_pruned_read,
@@ -9191,4 +9276,5 @@ def oracle_sql() -> dict[str, str]:
         "corpus_train_classifier": TRAIN_CLASSIFIER_ORACLE,
         "cdc_add_column_default": ADD_COLUMN_ORACLE,
         "cdc_decimal_widening": DECIMAL_WIDENING_ORACLE,
+        "cdc_sql_surface": SQL_SURFACE_ORACLE,
     }

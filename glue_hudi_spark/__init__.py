@@ -25,8 +25,10 @@ Everything here is public-API PySpark; no Glue, boto3, or Hudi jars required.
 
 from glue_hudi_spark.config import JobControl, ControlStore
 from glue_hudi_spark.session import get_spark
+from glue_hudi_spark.sql import GhsSql
 from glue_hudi_spark.storage.native import NativeTable
 
-__all__ = ["JobControl", "ControlStore", "get_spark", "NativeTable"]
+__all__ = ["JobControl", "ControlStore", "get_spark", "GhsSql",
+           "NativeTable"]
 
 __version__ = "0.1.0"

@@ -1,0 +1,535 @@
+"""SQL text entry point for the native table format: ``GhsSql`` routes
+the handful of DDL/DML forms a lakehouse user writes by hand —
+``CREATE TABLE ... USING ghs_table``, ``INSERT INTO``, ``INSERT
+OVERWRITE``, ``UPDATE``, ``DELETE FROM``, ``MERGE INTO``, ``ALTER TABLE
+ADD COLUMN``, ``DROP TABLE`` — to the corresponding ``NativeTable``
+calls, and passes reads (``SELECT``/``WITH``/``VALUES``) through
+``spark.sql`` with every registered table visible as a temp view.
+
+This generalizes the reference's one SQL entry (the window-dedup query
+built as text and run via ``spark.sql``, processData.py:317-327) into a
+full DDL/DML surface: Spark's own Python DataSource API is read-only
+(``sources/datasource.py`` raises on ``writer()`` by API design), so a
+SQL-only user previously had no write path at all.
+
+Statement skeletons are recognized with anchored regexes;
+**expressions are never parsed here** — WHERE predicates, SET
+right-hand sides, MERGE clause conditions and VALUES lists are handed
+verbatim to Spark (``F.expr`` / ``spark.sql``), so the full Spark SQL
+expression language works everywhere an expression can appear. Scale
+shape: each form lands on the same pruned/indexed NativeTable paths the
+Python API uses (a SQL ``DELETE ... WHERE`` gets the same column-stats
+file pruning as ``delete_where``); the dispatcher adds zero driver-side
+data movement.
+
+Table-shape options ride Hudi's spark-sql CREATE TABLE convention
+(TBLPROPERTIES ``primaryKey``, ``preCombineField``, ``type``='cow|mor'
+— the names the reference's write config emits, processData.py:64-78),
+plus this engine's extensions (``partitionKeys`` via PARTITIONED BY,
+``statsCols``, ``bloomIndex``, ...).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+from glue_hudi_spark.storage.native import NativeTable
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"
+
+
+def _unq(name: str) -> str:
+    name = name.strip()
+    return name[1:-1] if name.startswith("`") else name
+
+
+def _split_top(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth 0 (column lists, SET lists,
+    VALUES tuples)."""
+    parts, depth, cur, i, q = [], 0, [], 0, None
+    while i < len(text):
+        ch = text[i]
+        if q:
+            cur.append(ch)
+            if ch == q and not (i + 1 < len(text) and text[i + 1] == q):
+                q = None
+            elif ch == q:
+                cur.append(text[i + 1])
+                i += 1
+        elif ch in "'\"`":
+            q = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def _parse_props(text: str) -> dict[str, str]:
+    """TBLPROPERTIES / OPTIONS body: 'k'='v' [, ...] (quotes optional)."""
+    props = {}
+    for item in _split_top(text):
+        if not item:
+            continue
+        k, _, v = item.partition("=")
+        props[_unq(k.strip().strip("'\""))] = v.strip().strip("'\"")
+    return props
+
+
+def _strip_comments(text: str) -> str:
+    return re.sub(r"--[^\n]*", "", text)
+
+
+def _balanced_end(text: str) -> int | None:
+    """Index one past the paren that closes ``text[0] == '('``, honoring
+    single/double-quoted literals; None when unbalanced."""
+    depth, i, q = 0, 0, None
+    while i < len(text):
+        ch = text[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return None
+
+
+class GhsSql:
+    """Dispatches SQL text to NativeTable calls. One instance holds a
+    name → NativeTable registry: ``CREATE TABLE`` adds entries (files
+    land under ``warehouse/<name>`` unless LOCATION is given), and
+    pre-built handles attach via ``tables=`` or :meth:`register`."""
+
+    def __init__(self, spark: SparkSession, warehouse: str | Path,
+                 tables: dict[str, NativeTable] | None = None):
+        self.spark = spark
+        self.warehouse = Path(warehouse)
+        self.tables: dict[str, NativeTable] = dict(tables or {})
+
+    def register(self, name: str, table: NativeTable) -> None:
+        self.tables[name] = table
+
+    # ------------------------------------------------------------- entry
+
+    def sql(self, text: str) -> DataFrame | None:
+        """Execute one statement (or several, ``;``-separated, in
+        order). Returns the last statement's DataFrame for reads, None
+        for DDL/DML."""
+        out = None
+        for stmt in _split_top(_strip_comments(text), ";"):
+            if stmt.strip():
+                out = self._one(stmt.strip())
+        return out
+
+    def _one(self, s: str) -> DataFrame | None:
+        head = s.split(None, 2)[0].upper() if s.split() else ""
+        if head == "CREATE":
+            return self._create(s)
+        if head == "INSERT":
+            return self._insert(s)
+        if head == "UPDATE":
+            return self._update(s)
+        if head == "DELETE":
+            return self._delete(s)
+        if head == "MERGE":
+            return self._merge(s)
+        if head == "ALTER":
+            return self._alter(s)
+        if head == "DROP":
+            return self._drop(s)
+        if head in ("SELECT", "WITH", "VALUES", "TABLE"):
+            return self._read(s)
+        raise ValueError(f"ghs.sql: unsupported statement: {s[:80]!r}")
+
+    # ------------------------------------------------------------- helpers
+
+    def _table(self, name: str) -> NativeTable:
+        t = self.tables.get(_unq(name))
+        if t is None:
+            raise ValueError(
+                f"ghs.sql: unknown table {name!r} — CREATE it with USING "
+                f"ghs_table or attach a handle via register()")
+        return t
+
+    def _with_views(self):
+        for name, t in self.tables.items():
+            try:
+                t.read_snapshot().createOrReplaceTempView(name)
+            except ValueError:
+                # an empty, never-written table has no snapshot yet —
+                # readable as an empty relation would need a schema;
+                # skip (the view appears after its first write)
+                pass
+
+    def _read(self, s: str) -> DataFrame:
+        self._with_views()
+        return self.spark.sql(s)
+
+    def _query_df(self, q: str) -> DataFrame:
+        q = q.strip()
+        if q.upper().startswith("VALUES"):
+            return self.spark.sql(q)
+        self._with_views()
+        return self.spark.sql(q)
+
+    # ------------------------------------------------------------- CREATE
+
+    _CREATE = re.compile(
+        rf"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s*"
+        rf"\((?P<cols>.*)\)\s*USING\s+ghs_table"
+        rf"(?P<rest>.*)$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _create(self, s: str) -> None:
+        m = self._CREATE.match(s)
+        if not m:
+            raise ValueError(
+                "ghs.sql: CREATE TABLE must be of the form CREATE TABLE "
+                "name (col type, ...) USING ghs_table [PARTITIONED BY "
+                "(...)] [LOCATION '...'] [TBLPROPERTIES (...)]")
+        name = _unq(m.group("name"))
+        if_not_exists = re.search(r"IF\s+NOT\s+EXISTS", s[:m.start("cols")],
+                                  re.IGNORECASE) is not None
+        if name in self.tables:
+            if if_not_exists:
+                return None
+            raise ValueError(f"ghs.sql: table {name!r} already exists")
+        rest = m.group("rest")
+        pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest,
+                       re.IGNORECASE)
+        lm = re.search(r"LOCATION\s+'([^']+)'", rest, re.IGNORECASE)
+        tm = re.search(r"TBLPROPERTIES\s*\((.*)\)", rest,
+                       re.IGNORECASE | re.DOTALL)
+        props = _parse_props(tm.group(1)) if tm else {}
+        keys = [k.strip() for k in
+                props.get("primaryKey", "").replace(";", ",").split(",")
+                if k.strip()]
+        if not keys:
+            raise ValueError(
+                "ghs.sql: CREATE TABLE needs TBLPROPERTIES "
+                "('primaryKey'='col[,col2]') — every ghs_table is keyed "
+                "(the reference's control table likewise mandates "
+                "primary_key per table)")
+        schema_fields = []
+        defaults: list[tuple[str, str, object]] = []
+        for coldef in _split_top(m.group("cols")):
+            parts = coldef.split(None, 2)
+            cname, ctype = _unq(parts[0]), parts[1]
+            tail = parts[2] if len(parts) > 2 else ""
+            dm = re.match(r"DEFAULT\s+(.+)$", tail.strip(), re.IGNORECASE)
+            if dm:
+                defaults.append((cname, ctype, dm.group(1)))
+                continue  # added post-create so the default is recorded
+            schema_fields.append(f"{cname} {ctype}")
+        path = Path(lm.group(1)) if lm else self.warehouse / name
+        t = NativeTable(
+            self.spark, path, record_keys=keys,
+            precombine=props.get("preCombineField") or None,
+            partition_keys=([c.strip() for c in pm.group(1).split(",")]
+                            if pm else []),
+            storage_type=props.get("type", "cow"),
+            stats_cols=[c.strip() for c in
+                        props.get("statsCols", "").split(",") if c.strip()],
+            bloom_index=props.get("bloomIndex", "").lower() == "true",
+            files_per_partition=(int(props["filesPerPartition"])
+                                 if props.get("filesPerPartition") else None),
+        )
+        # an empty first commit publishes the declared schema, so the
+        # table is immediately readable/alterable like any SQL table
+        t.bulk_insert(
+            self.spark.createDataFrame([], ", ".join(schema_fields)),
+            allow_empty=True)
+        for cname, ctype, dexpr in defaults:
+            lit = self.spark.sql(f"SELECT CAST({dexpr} AS {ctype})").first()[0]
+            t.add_column(cname, ctype, default=lit)
+        self.tables[name] = t
+        return None
+
+    # ------------------------------------------------------------- INSERT
+
+    _INSERT = re.compile(
+        rf"^INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+        rf"(?P<name>{_IDENT})\s*(?:\((?P<cols>[^)]*)\))?\s*(?P<q>.+)$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _insert(self, s: str) -> None:
+        m = self._INSERT.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse INSERT: {s[:80]!r}")
+        t = self._table(m.group("name"))
+        df = self._query_df(m.group("q"))
+        target_cols = ([_unq(c.strip()) for c in m.group("cols").split(",")]
+                       if m.group("cols")
+                       else [c for c in self._data_columns(t)])
+        if len(df.columns) != len(target_cols):
+            raise ValueError(
+                f"ghs.sql: INSERT provides {len(df.columns)} columns, "
+                f"table expects {len(target_cols)} ({target_cols})")
+        df = df.toDF(*target_cols)
+        defaults = self._data_defaults(t)
+        for c, typ in self._data_types(t).items():
+            if c in target_cols:
+                df = df.withColumn(c, F.col(c).cast(typ))
+            else:
+                # SQL INSERT semantics: an omitted column takes its
+                # declared DEFAULT (stored as a real value — this is a
+                # post-add write), else NULL
+                df = df.withColumn(c, F.lit(defaults.get(c)).cast(typ))
+        if m.group("mode").upper() == "OVERWRITE":
+            t.insert_overwrite(df)
+        else:
+            # keyed table: INSERT INTO upserts on the primary key (the
+            # Hudi spark-sql behavior for primaryKey tables)
+            t.upsert(df)
+        return None
+
+    def _data_columns(self, t: NativeTable) -> list[str]:
+        return [c for c, _ in self._data_types(t).items()]
+
+    def _data_defaults(self, t: NativeTable) -> dict[str, object]:
+        head = t.timeline.latest()
+        if head is None:
+            return {}
+        inv = {p: l for l, p in head.column_mapping.items()}
+        return {inv.get(c, c): d["value"]
+                for c, d in head.column_defaults.items()}
+
+    def _data_types(self, t: NativeTable) -> dict[str, str]:
+        import json as _json
+
+        from glue_hudi_spark.storage.native import META_COLS
+
+        head = t.timeline.latest()
+        if head is None:
+            raise ValueError(f"ghs.sql: table at {t.root} has no schema yet")
+        sch = T.StructType.fromJson(_json.loads(head.schema_json))
+        inv = {p: l for l, p in head.column_mapping.items()}
+        retired = set(head.retired_cols)
+        out = {}
+        for f in sch.fields:
+            if f.name in META_COLS or f.name in retired:
+                continue
+            out[inv.get(f.name, f.name)] = f.dataType.simpleString()
+        # column defaults live in the manifest, not the stored schema
+        for c, d in head.column_defaults.items():
+            out.setdefault(inv.get(c, c), d.get("type", "string"))
+        return out
+
+    # ------------------------------------------------------------- UPDATE
+
+    _UPDATE = re.compile(
+        rf"^UPDATE\s+(?P<name>{_IDENT})\s+SET\s+(?P<sets>.+?)"
+        rf"(?:\s+WHERE\s+(?P<where>.+))?$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _update(self, s: str) -> None:
+        m = self._UPDATE.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse UPDATE: {s[:80]!r}")
+        t = self._table(m.group("name"))
+        assigns = {}
+        for item in _split_top(m.group("sets")):
+            k, _, v = item.partition("=")
+            assigns[_unq(k.strip())] = v.strip()
+        cond = m.group("where") or "true"
+        snap = t.read_snapshot().filter(F.expr(cond))
+        # SQL UPDATE: every RHS sees the OLD row — one simultaneous
+        # projection, not a withColumn cascade
+        out = snap.select(*[
+            F.expr(assigns[c]).cast(dict(snap.dtypes)[c]).alias(c)
+            if c in assigns else F.col(c)
+            for c in snap.columns
+        ])
+        t.upsert(out)
+        return None
+
+    # ------------------------------------------------------------- DELETE
+
+    _DELETE = re.compile(
+        rf"^DELETE\s+FROM\s+(?P<name>{_IDENT})"
+        rf"(?:\s+WHERE\s+(?P<where>.+))?$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _delete(self, s: str) -> None:
+        m = self._DELETE.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse DELETE: {s[:80]!r}")
+        t = self._table(m.group("name"))
+        t.delete_where(F.expr(m.group("where") or "true"))
+        return None
+
+    # ------------------------------------------------------------- MERGE
+
+    _MERGE_HEAD = re.compile(
+        rf"^MERGE\s+INTO\s+(?P<tgt>{_IDENT})(?:\s+AS)?\s+(?P<ta>{_IDENT})\s+"
+        rf"USING\s+", re.IGNORECASE | re.DOTALL)
+    _MERGE_TAIL = re.compile(
+        rf"\s*(?:AS\s+)?(?P<sa>{_IDENT})\s+ON\s+(?P<on>.+?)\s+"
+        rf"(?P<clauses>WHEN\s+.+)$", re.IGNORECASE | re.DOTALL)
+    _WHEN = re.compile(
+        r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+        r"(?P<act>UPDATE\s+SET\s+\*|UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*"
+        r"|INSERT\s*\([^)]*\)\s*VALUES\s*\([^)]*\))"
+        r"(?=\s+WHEN\s|\s*$)",
+        re.IGNORECASE | re.DOTALL)
+
+    def _merge(self, s: str) -> None:
+        bad = ValueError(
+            "ghs.sql: MERGE must be of the form MERGE INTO tgt t "
+            "USING src s ON t.k = s.k WHEN [NOT] MATCHED [AND c] "
+            "THEN UPDATE SET ... | DELETE | INSERT *")
+        hm = self._MERGE_HEAD.match(s)
+        if not hm:
+            raise bad
+        # the USING source: a (subquery) — balanced-paren scanned, since
+        # expressions nest arbitrarily (CAST(x AS DECIMAL(10,2))) — or a
+        # bare table/view name
+        rest = s[hm.end():].lstrip()
+        if rest.startswith("("):
+            end = _balanced_end(rest)
+            if end is None:
+                raise bad
+            srcref, rest = rest[:end], rest[end:]
+        else:
+            im = re.match(_IDENT, rest)
+            if not im:
+                raise bad
+            srcref, rest = im.group(0), rest[im.end():]
+        m = self._MERGE_TAIL.match(rest)
+        if not m:
+            raise bad
+        t = self._table(hm.group("tgt"))
+        ta, sa = _unq(hm.group("ta")), _unq(m.group("sa"))
+        source = (self._query_df(srcref[1:-1])
+                  if srcref.startswith("(") else self._view_df(srcref))
+
+        def norm(expr: str | None) -> str | None:
+            if expr is None:
+                return None
+            expr = re.sub(rf"\b{re.escape(ta)}\.", "tgt.", expr)
+            return re.sub(rf"\b{re.escape(sa)}\.", "src.", expr)
+
+        # the ON clause must be exactly the record-key equality
+        # conjunction — merge_into matches on the table's keys by design
+        on_keys = set()
+        for term in re.split(r"\s+AND\s+", m.group("on"),
+                             flags=re.IGNORECASE):
+            em = re.match(
+                rf"^\s*(?:{_IDENT})\.({_IDENT})\s*=\s*(?:{_IDENT})"
+                rf"\.({_IDENT})\s*$", term)
+            if not em or _unq(em.group(1)) != _unq(em.group(2)):
+                raise ValueError(
+                    f"ghs.sql: MERGE ON must be a conjunction of "
+                    f"key equalities (t.k = s.k); got {term.strip()!r}")
+            on_keys.add(_unq(em.group(1)))
+        if on_keys != set(t.record_keys):
+            raise ValueError(
+                f"ghs.sql: MERGE ON keys {sorted(on_keys)} must equal the "
+                f"table's record keys {sorted(t.record_keys)}")
+        kw: dict = {"when_not_matched_insert": False}
+        for wm in self._WHEN.finditer(m.group("clauses")):
+            act = wm.group("act")
+            actU = act.upper()
+            if wm.group("not"):
+                if not actU.startswith("INSERT"):
+                    raise ValueError(
+                        "ghs.sql: WHEN NOT MATCHED supports INSERT only")
+                if actU.replace(" ", "") != "INSERT*" and "VALUES" in actU:
+                    raise ValueError(
+                        "ghs.sql: WHEN NOT MATCHED THEN INSERT supports "
+                        "INSERT * (column-list inserts: project the "
+                        "USING source instead)")
+                kw["when_not_matched_insert"] = True
+                kw["insert_condition"] = norm(wm.group("cond"))
+            elif actU == "DELETE":
+                kw["when_matched_delete"] = norm(wm.group("cond")) or "true"
+            else:  # UPDATE SET ...
+                body = re.sub(r"^UPDATE\s+SET\s+", "", act,
+                              flags=re.IGNORECASE).strip()
+                if body == "*":
+                    kw["when_matched_update"] = "*"
+                else:
+                    kw["when_matched_update"] = {
+                        _unq(k.strip()).split(".")[-1]: norm(v.strip())
+                        for k, v in (item.partition("=")[::2]
+                                     for item in _split_top(body))
+                    }
+                kw["update_condition"] = norm(wm.group("cond"))
+        t.merge_into(source, **kw)
+        return None
+
+    def _view_df(self, name: str) -> DataFrame:
+        name = _unq(name)
+        if name in self.tables:
+            return self.tables[name].read_snapshot()
+        return self.spark.table(name)
+
+    # ------------------------------------------------------------- ALTER
+
+    _ALTER_ADD = re.compile(
+        rf"^ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+ADD\s+COLUMNS?\s*"
+        rf"\(?\s*(?P<col>{_IDENT})\s+(?P<type>[A-Za-z0-9_(),\s]+?)"
+        rf"(?:\s+DEFAULT\s+(?P<def>.+?))?\s*\)?\s*$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _alter(self, s: str) -> None:
+        m = self._ALTER_ADD.match(s)
+        if not m:
+            raise ValueError(
+                "ghs.sql: only ALTER TABLE name ADD COLUMN col type "
+                "[DEFAULT expr] is supported here (rename/drop: use the "
+                "CLI or the Python API)")
+        t = self._table(m.group("name"))
+        ctype = m.group("type").strip()
+        default = None
+        if m.group("def") is not None:
+            default = self.spark.sql(
+                f"SELECT CAST({m.group('def')} AS {ctype})").first()[0]
+        t.add_column(_unq(m.group("col")), ctype, default=default)
+        return None
+
+    # ------------------------------------------------------------- DROP
+
+    _DROP = re.compile(
+        rf"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE)
+
+    def _drop(self, s: str) -> None:
+        m = self._DROP.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse DROP: {s[:80]!r}")
+        name = _unq(m.group("name"))
+        if name not in self.tables:
+            if re.search(r"IF\s+EXISTS", s, re.IGNORECASE):
+                return None
+            raise ValueError(f"ghs.sql: unknown table {name!r}")
+        import shutil
+
+        t = self.tables.pop(name)
+        shutil.rmtree(t.root, ignore_errors=True)
+        self.spark.catalog.dropTempView(name) if name in [
+            v.name for v in self.spark.catalog.listTables()] else None
+        return None

@@ -3046,12 +3046,31 @@ class NativeTable:
             "(files | partitions | snapshots | refs)")
 
     def bulk_insert(self, df: DataFrame, parallelism: int = 0,
-                    extra_stats: dict | None = None) -> Commit | None:
+                    extra_stats: dict | None = None,
+                    allow_empty: bool = False) -> Commit | None:
         """Initial/full load (processData.py:207-213,337-342): sorted bulk
         write, no key-index lookup. ``parallelism`` mirrors
-        ``hoodie.bulkinsert.shuffle.parallelism``; 0 → leave it to AQE."""
+        ``hoodie.bulkinsert.shuffle.parallelism``; 0 → leave it to AQE.
+
+        ``allow_empty=True`` publishes a zero-file commit carrying the
+        batch's SCHEMA — how ``CREATE TABLE`` (sql.py) makes a brand-new
+        table readable/alterable before its first data write (plain
+        empty batches stay no-ops so CDC replay semantics don't change).
+        """
         if df.isEmpty():
-            return None
+            if not allow_empty:
+                return None
+            cid = self.timeline.next_commit_id()
+            out = self._with_meta(df, f"{cid:020d}")
+            prev = self.timeline.latest()
+            return self._commit(
+                cid, "bulk_insert",
+                list(prev.files) if prev else [],
+                [dict(d) for d in prev.deltas] if prev else [],
+                out.schema.json(), dict(extra_stats or {}),
+                dict(prev.key_stats) if prev else {},
+                dict(prev.col_stats) if prev else {},
+            )
         cid = self.timeline.next_commit_id()
         out = self._with_meta(df, f"{cid:020d}")
         if parallelism > 0:

@@ -1,0 +1,199 @@
+"""SQL text entry point (``GhsSql``): every DDL/DML form routes to the
+same NativeTable paths the Python API uses, so a SQL-only user can run
+the whole lifecycle — CREATE / INSERT / UPDATE / DELETE / MERGE / ALTER
+/ SELECT — without touching Python. The reference's single SQL entry is
+the window-dedup text run via spark.sql (processData.py:317-327); this
+pins the generalized surface."""
+
+from __future__ import annotations
+
+import pytest
+
+from glue_hudi_spark.sql import GhsSql
+from glue_hudi_spark.storage.native import NativeTable
+
+
+@pytest.fixture()
+def ghs(spark, tmp_path):
+    return GhsSql(spark, tmp_path / "wh")
+
+
+def _mk(ghs):
+    ghs.sql("""
+        CREATE TABLE accounts (
+            id STRING, balance DECIMAL(10,2), region STRING, seq INT
+        ) USING ghs_table
+        TBLPROPERTIES ('primaryKey'='id', 'preCombineField'='seq')
+    """)
+    ghs.sql("""
+        INSERT INTO accounts VALUES
+            ('a', CAST(10.00 AS DECIMAL(10,2)), 'eu', 1),
+            ('b', CAST(20.00 AS DECIMAL(10,2)), 'us', 1),
+            ('c', CAST(30.00 AS DECIMAL(10,2)), 'eu', 1)
+    """)
+
+
+def _rows(ghs, q="SELECT id, balance, region FROM accounts ORDER BY id"):
+    return [tuple(r) for r in ghs.sql(q).collect()]
+
+
+def test_create_insert_select_roundtrip(ghs):
+    _mk(ghs)
+    got = {r[0]: (str(r[1]), r[2]) for r in _rows(ghs)}
+    assert got == {"a": ("10.00", "eu"), "b": ("20.00", "us"),
+                   "c": ("30.00", "eu")}
+    # the created handle is a real NativeTable under warehouse/<name>
+    t = ghs.tables["accounts"]
+    assert isinstance(t, NativeTable) and t.record_keys == ["id"]
+
+
+def test_insert_into_upserts_on_primary_key(ghs):
+    """Hudi spark-sql semantics: INSERT INTO a primaryKey table merges
+    on the key (no duplicate rows), precombine resolves in-batch dupes."""
+    _mk(ghs)
+    ghs.sql("INSERT INTO accounts VALUES "
+            "('a', CAST(99.00 AS DECIMAL(10,2)), 'eu', 2), "
+            "('d', CAST(40.00 AS DECIMAL(10,2)), 'ap', 1)")
+    got = {r[0]: str(r[1]) for r in _rows(ghs)}
+    assert got == {"a": "99.00", "b": "20.00", "c": "30.00", "d": "40.00"}
+
+
+def test_insert_overwrite_replaces_table(ghs):
+    _mk(ghs)
+    ghs.sql("INSERT OVERWRITE accounts VALUES "
+            "('z', CAST(1.00 AS DECIMAL(10,2)), 'eu', 1)")
+    assert [r[0] for r in _rows(ghs)] == ["z"]
+
+
+def test_insert_with_column_list_fills_missing_with_null(ghs):
+    _mk(ghs)
+    ghs.sql("INSERT INTO accounts (id, balance, seq) VALUES "
+            "('e', CAST(5.00 AS DECIMAL(10,2)), 1)")
+    got = {r[0]: r[2] for r in _rows(ghs)}
+    assert got["e"] is None and got["a"] == "eu"
+
+
+def test_update_where(ghs):
+    _mk(ghs)
+    ghs.sql("UPDATE accounts SET balance = balance * 2 WHERE region = 'eu'")
+    got = {r[0]: str(r[1]) for r in _rows(ghs)}
+    assert got == {"a": "20.00", "b": "20.00", "c": "60.00"}
+
+
+def test_update_rhs_sees_old_row_simultaneously(ghs):
+    """SQL UPDATE semantics: every SET right-hand side evaluates against
+    the OLD row — SET balance = seq, seq = balance must swap, not
+    cascade."""
+    _mk(ghs)
+    ghs.sql("UPDATE accounts SET balance = CAST(seq AS DECIMAL(10,2)), "
+            "seq = CAST(balance AS INT) WHERE id = 'a'")
+    row = ghs.sql("SELECT balance, seq FROM accounts WHERE id = 'a'") \
+        .collect()[0]
+    assert str(row[0]) == "1.00" and row[1] == 10
+
+
+def test_delete_where_routes_to_pruned_delete(ghs):
+    _mk(ghs)
+    ghs.sql("DELETE FROM accounts WHERE region = 'eu'")
+    assert [r[0] for r in _rows(ghs)] == ["b"]
+    assert ghs.tables["accounts"].timeline.latest().action == "delete"
+
+
+def test_merge_into_full_three_clause(ghs):
+    _mk(ghs)
+    ghs.sql("""
+        MERGE INTO accounts t
+        USING (SELECT 'a' AS id, CAST(0 AS DECIMAL(10,2)) AS balance,
+                      'eu' AS region, 9 AS seq
+               UNION ALL
+               SELECT 'b', CAST(77.00 AS DECIMAL(10,2)), 'us', 9
+               UNION ALL
+               SELECT 'n', CAST(50.00 AS DECIMAL(10,2)), 'ap', 9) s
+        ON t.id = s.id
+        WHEN MATCHED AND s.balance = 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET balance = s.balance
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    got = {r[0]: str(r[1]) for r in _rows(ghs)}
+    assert got == {"b": "77.00", "c": "30.00", "n": "50.00"}
+
+
+def test_merge_requires_key_equality_on(ghs):
+    _mk(ghs)
+    with pytest.raises(ValueError, match="record keys"):
+        ghs.sql("MERGE INTO accounts t USING accounts s "
+                "ON t.region = s.region "
+                "WHEN MATCHED THEN UPDATE SET balance = s.balance")
+
+
+def test_alter_add_column_with_default_and_create_default(ghs, spark):
+    _mk(ghs)
+    ghs.sql("ALTER TABLE accounts ADD COLUMN tier STRING DEFAULT 'std'")
+    got = {r["id"]: r["tier"]
+           for r in ghs.sql("SELECT id, tier FROM accounts").collect()}
+    assert set(got.values()) == {"std"}
+    # post-add writers override the default
+    ghs.sql("INSERT INTO accounts (id, balance, seq, tier) VALUES "
+            "('p', CAST(1.00 AS DECIMAL(10,2)), 1, 'gold')")
+    got = {r["id"]: r["tier"]
+           for r in ghs.sql("SELECT id, tier FROM accounts").collect()}
+    assert got["p"] == "gold" and got["a"] == "std"
+
+
+def test_create_table_with_default_column(ghs):
+    ghs.sql("""
+        CREATE TABLE t2 (id STRING, v INT, src STRING DEFAULT 'api')
+        USING ghs_table TBLPROPERTIES ('primaryKey'='id')
+    """)
+    ghs.sql("INSERT INTO t2 (id, v) VALUES ('x', 1)")
+    row = ghs.sql("SELECT * FROM t2").collect()[0]
+    assert row["src"] == "api"
+
+
+def test_partitioned_create_and_statement_batch(ghs):
+    out = ghs.sql("""
+        CREATE TABLE ev (k STRING, day STRING, v INT) USING ghs_table
+            PARTITIONED BY (day)
+            TBLPROPERTIES ('primaryKey'='k', 'filesPerPartition'='2');
+        INSERT INTO ev VALUES ('a', '2024-01-01', 1),
+                              ('b', '2024-01-02', 2);
+        SELECT k, day FROM ev ORDER BY k
+    """)
+    assert [tuple(r) for r in out.collect()] == [
+        ("a", "2024-01-01"), ("b", "2024-01-02")]
+    assert ghs.tables["ev"].partition_keys == ["day"]
+
+
+def test_drop_table_and_if_exists(ghs):
+    _mk(ghs)
+    root = ghs.tables["accounts"].root
+    ghs.sql("DROP TABLE accounts")
+    assert "accounts" not in ghs.tables and not root.exists()
+    ghs.sql("DROP TABLE IF EXISTS accounts")  # no-op, no raise
+    with pytest.raises(ValueError, match="unknown table"):
+        ghs.sql("DROP TABLE accounts")
+
+
+def test_create_if_not_exists_and_duplicate_create(ghs):
+    _mk(ghs)
+    ghs.sql("CREATE TABLE IF NOT EXISTS accounts (id STRING) "
+            "USING ghs_table TBLPROPERTIES ('primaryKey'='id')")
+    assert len(_rows(ghs)) == 3  # untouched
+    with pytest.raises(ValueError, match="already exists"):
+        ghs.sql("CREATE TABLE accounts (id STRING) USING ghs_table "
+                "TBLPROPERTIES ('primaryKey'='id')")
+
+
+def test_register_existing_handle_and_read(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "ext", record_keys=["id"],
+                    precombine="seq")
+    t.bulk_insert(spark.createDataFrame([("x", 1, 1)],
+                                        "id string, v int, seq int"))
+    ghs = GhsSql(spark, tmp_path / "wh", tables={"ext": t})
+    ghs.sql("UPDATE ext SET v = v + 1")
+    assert ghs.sql("SELECT v FROM ext").collect()[0][0] == 2
+
+
+def test_unsupported_statement_raises(ghs):
+    with pytest.raises(ValueError, match="unsupported"):
+        ghs.sql("TRUNCATE TABLE accounts")
