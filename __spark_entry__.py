@@ -5005,6 +5005,78 @@ ORDER BY round
 """
 
 
+def corpus_classifier_curation(spark, sf_dir):
+    """The learned quality screen as a CURATION PIPELINE stage (round-10,
+    glue_hudi_spark/curation.py:_stage_classifier_filter): documents
+    with doc_id % 3 == 0 carry a ±1 long-document label (the labeled
+    sample — length(text) >= 300, the one signal the synthetic corpus
+    actually encodes); the ``classifier_filter`` stage trains the batch
+    perceptron on exactly that slice (3 map-side-combined aggregate
+    passes — operators/classify.py), then applies the learned weights
+    as a codegen'd dot-product filter over the FULL corpus — the
+    CCNet/fastText train-then-screen composition. Features are CENTERED
+    integers (length band around 300, space-count excess over the
+    corpus-typical 17.8% rate) — raw byte counts make the perceptron
+    oscillate all-or-nothing (verified); centering is what makes the
+    screen land a non-trivial boundary (~52% survive, a handful of
+    boundary misclassifications — a real learned filter, not a
+    tautology). All divisions keep dividends positive so Spark's
+    truncating ``div`` and DuckDB's flooring ``//`` agree; exact
+    integer arithmetic end to end, so the surviving set hash-matches
+    the oracle's unrolled CTE replay."""
+    from glue_hudi_spark.curation import CurationPipeline
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "lang", "text",
+        F.lit(1).cast("long").alias("x0"),
+        F.expr("CAST((length(text) + 700) div 10 - 100 AS BIGINT)")
+        .alias("x1"),
+        F.expr("CAST((length(text) - length(replace(text, ' ', ''))) "
+               "- length(text) * 178 div 1000 AS BIGINT)").alias("x2"),
+        F.expr("CAST(CASE WHEN doc_id % 3 = 0 THEN "
+               "CASE WHEN length(text) >= 300 THEN 1 ELSE -1 END "
+               "END AS BIGINT)").alias("y_long"),
+    )
+    pipe = CurationPipeline({
+        "id_col": "doc_id", "text_col": "text",
+        "stages": [{"op": "classifier_filter", "label_col": "y_long",
+                    "feature_cols": ["x0", "x1", "x2"], "rounds": 3}],
+    })
+    return pipe.run(feats).select("doc_id", "lang")
+
+
+_CCUR_X = """
+         CAST(1 AS BIGINT) AS x0,
+         CAST((length(text) + 700) // 10 - 100 AS BIGINT) AS x1,
+         CAST((length(text) - length(replace(text, ' ', '')))
+              - length(text) * 178 // 1000 AS BIGINT) AS x2
+"""
+
+CLASSIFIER_CURATION_ORACLE = f"""
+WITH lab AS (
+  SELECT CASE WHEN length(text) >= 300 THEN 1 ELSE -1 END AS y, {_CCUR_X}
+  FROM documents WHERE doc_id % 3 = 0),
+r1 AS (SELECT sum(y*x0) AS d0, sum(y*x1) AS d1, sum(y*x2) AS d2 FROM lab),
+w1 AS (SELECT d0 AS w0, d1 AS w1, d2 AS w2 FROM r1),
+r2 AS (SELECT COALESCE(sum(y*x0),0) AS d0, COALESCE(sum(y*x1),0) AS d1,
+              COALESCE(sum(y*x2),0) AS d2
+       FROM lab, w1
+       WHERE y * (w1.w0*x0 + w1.w1*x1 + w1.w2*x2) <= 0),
+w2 AS (SELECT w1.w0 + r2.d0 AS w0, w1.w1 + r2.d1 AS w1,
+              w1.w2 + r2.d2 AS w2 FROM w1, r2),
+r3 AS (SELECT COALESCE(sum(y*x0),0) AS d0, COALESCE(sum(y*x1),0) AS d1,
+              COALESCE(sum(y*x2),0) AS d2
+       FROM lab, w2
+       WHERE y * (w2.w0*x0 + w2.w1*x1 + w2.w2*x2) <= 0),
+w3 AS (SELECT w2.w0 + r3.d0 AS w0, w2.w1 + r3.d1 AS w1,
+              w2.w2 + r3.d2 AS w2 FROM w2, r3),
+feats AS (SELECT doc_id, lang, {_CCUR_X} FROM documents)
+SELECT f.doc_id, f.lang FROM feats f, w3
+WHERE w3.w0*f.x0 + w3.w1*f.x1 + w3.w2*f.x2 > 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # TPC-H long tail — the 14 query *shapes* not yet covered (Q2, Q7-Q9, Q11-Q13,
 # Q15-Q17, Q19-Q22), adapted to the fixture's reduced schema (no partsupp, no
@@ -8879,6 +8951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_add_column_default": cdc_add_column_default,
         "cdc_decimal_widening": cdc_decimal_widening,
         "cdc_sql_surface": cdc_sql_surface,
+        "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
         "cdc_pruned_read": cdc_pruned_read,
@@ -9277,4 +9350,5 @@ def oracle_sql() -> dict[str, str]:
         "cdc_add_column_default": ADD_COLUMN_ORACLE,
         "cdc_decimal_widening": DECIMAL_WIDENING_ORACLE,
         "cdc_sql_surface": SQL_SURFACE_ORACLE,
+        "corpus_classifier_curation": CLASSIFIER_CURATION_ORACLE,
     }

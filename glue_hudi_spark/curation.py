@@ -115,6 +115,44 @@ def _stage_sample(df: DataFrame, cfg: dict, ctx: dict) -> DataFrame:
         key_col=ctx["id_col"], default_rate=cfg.get("default_rate", 0.0))
 
 
+def _stage_classifier_filter(df: DataFrame, cfg: dict, ctx: dict) -> DataFrame:
+    """CCNet/fastText-style learned quality screen: train a linear
+    classifier on the LABELED subset, apply it to every document, keep
+    the positive side. Two modes:
+
+    * ``weights`` ({feature_col: int}) — apply a pre-trained model
+      (train once offline, reuse across runs; no training pass).
+    * ``label_col`` — rows where that column is non-NULL (±1) are the
+      labeled sample; ``perceptron_train`` runs ``rounds`` map-side-
+      combined aggregate passes over just that slice, then the learned
+      weights filter the full input. Driver state = the weight vector.
+
+    ``feature_cols`` names existing integer columns; when omitted the
+    standard byte-level text featurization (``classify.text_features``)
+    is computed on the fly — pure column expressions, no shuffle. The
+    filter itself is a codegen'd dot-product predicate, so predicate
+    pushdown/pruning around it survive."""
+    from glue_hudi_spark.operators import classify as _cls
+
+    keep = int(cfg.get("keep", 1))
+    cols = cfg.get("feature_cols")
+    featurize = cols is None
+    if featurize:
+        cols = _cls.TEXT_FEATURE_COLS
+    feats = (_cls.text_features(df, ctx["text_col"]) if featurize else df)
+    weights = cfg.get("weights")
+    if weights is None:
+        lab = cfg["label_col"]
+        train = feats.filter(F.col(lab).isNotNull()).withColumn(
+            lab, F.col(lab).cast("long"))
+        rows = _cls.perceptron_train(
+            train, cols, label_col=lab, rounds=int(cfg.get("rounds", 3)))
+        weights = {c: rows[-1][c] for c in cols}
+    out = _cls.classify(feats, weights, cols).filter(
+        F.col("pred") == F.lit(keep)).drop("pred")
+    return out.drop(*_cls.TEXT_FEATURE_COLS) if featurize else out
+
+
 _STAGES = {
     "quality_filter": _stage_quality_filter,
     "lm_filter": _stage_lm_filter,
@@ -122,6 +160,7 @@ _STAGES = {
     "minhash_dedup": _stage_minhash_dedup,
     "token_budget": _stage_token_budget,
     "sample": _stage_sample,
+    "classifier_filter": _stage_classifier_filter,
 }
 
 # required per-stage keys, checked at BUILD time — a missing budget must
@@ -155,6 +194,11 @@ class CurationPipeline:
                 if key not in s:
                     raise CurationConfigError(
                         f"stage {i} ({s['op']}): missing required {key!r}")
+            if (s["op"] == "classifier_filter"
+                    and "weights" not in s and "label_col" not in s):
+                raise CurationConfigError(
+                    f"stage {i} (classifier_filter): needs either "
+                    "pre-trained 'weights' or a 'label_col' to train on")
         self.stages = stages
 
     def run(self, docs: DataFrame, counts: list | None = None) -> DataFrame:

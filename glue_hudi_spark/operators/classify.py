@@ -78,6 +78,33 @@ def perceptron_train(
     return out
 
 
+#: the standard byte-level text featurization (bias, space count,
+#: ' the '/' de ' marker counts, length band) — the CCNet-style
+#: is-English screen's feature set, shared by the flagship training
+#: query and the curation pipeline's classifier stage so one SQL
+#: oracle replays both.
+TEXT_FEATURE_COLS = ["f_bias", "f_spaces", "f_the", "f_de", "f_len"]
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append the :data:`TEXT_FEATURE_COLS` integer features — pure
+    column expressions (JVM-side, codegen'd), zero shuffles, exactly
+    replayable in ANSI SQL (length/replace arithmetic only)."""
+    t = text_col
+    return df.withColumns({
+        "f_bias": F.lit(1).cast("long"),
+        "f_spaces": F.expr(
+            f"CAST(length({t}) - length(replace({t}, ' ', '')) AS BIGINT)"),
+        "f_the": F.expr(
+            f"CAST((length({t}) - length(replace({t}, ' the ', ''))) "
+            "div 5 AS BIGINT)"),
+        "f_de": F.expr(
+            f"CAST((length({t}) - length(replace({t}, ' de ', ''))) "
+            "div 4 AS BIGINT)"),
+        "f_len": F.expr(f"CAST(length({t}) div 100 AS BIGINT)"),
+    })
+
+
 def classify(feats: DataFrame, weights: dict, feature_cols: list[str],
              out_col: str = "pred") -> DataFrame:
     """Apply trained weights: ``pred = +1 if w·x > 0 else -1`` — pure

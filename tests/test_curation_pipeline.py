@@ -210,3 +210,78 @@ def test_lm_filter_with_pretrained_model(spark, tmp_path):
         [(300, "en", "qz xv jq zk")], "doc_id long, lang string, text string"))
     got = {r["doc_id"] for r in pipe.run(batch).collect()}
     assert 300 not in got and 0 in got
+
+
+# ------------------------------------------ classifier stage (round 10)
+
+def _en_fr_docs(spark):
+    """Linearly separable en/fr corpus: symmetric space counts so the
+    ' the ' / ' de ' marker features decide (space-dominated toy data
+    makes the perceptron oscillate — verified while writing this)."""
+    rows = []
+    for i in range(30):
+        if i % 2 == 0:
+            body = f"x{i} " + "a the b the c the d " * (2 + i % 3)
+        else:
+            body = f"x{i} " + "a de b de c de d " * (2 + i % 3)
+        rows.append((i, "en" if i % 2 == 0 else "fr", body))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_classifier_filter_trains_on_labeled_slice_and_screens(spark):
+    docs = _en_fr_docs(spark).withColumn(
+        "y", F.when(F.col("doc_id") < 10,
+                    F.when(F.col("lang") == "en", 1).otherwise(-1))
+        .cast("long"))  # only docs 0-9 labeled
+    pipe = CurationPipeline({
+        "id_col": "doc_id", "text_col": "text",
+        "stages": [{"op": "classifier_filter", "label_col": "y",
+                    "rounds": 3}],
+    })
+    out = pipe.run(docs)
+    got = {r["doc_id"] for r in out.collect()}
+    # learned screen keeps the English half — including UNLABELED docs
+    assert got == {i for i in range(30) if i % 2 == 0}
+    # feature helper columns don't leak into the output
+    assert set(out.columns) == {"doc_id", "lang", "text", "y"}
+
+
+def test_classifier_filter_with_pretrained_weights(spark):
+    from glue_hudi_spark.operators import classify as C
+
+    docs = _en_fr_docs(spark)
+    feats = C.text_features(docs, "text").withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long"))
+    rows = C.perceptron_train(feats, C.TEXT_FEATURE_COLS, rounds=3)
+    weights = {c: rows[-1][c] for c in C.TEXT_FEATURE_COLS}
+    pipe = CurationPipeline({
+        "id_col": "doc_id", "text_col": "text",
+        "stages": [{"op": "classifier_filter", "weights": weights}],
+    })
+    got = {r["doc_id"] for r in pipe.run(docs).collect()}
+    assert got == {i for i in range(30) if i % 2 == 0}
+
+
+def test_classifier_filter_composes_after_dedup(spark):
+    """The CCNet composition: dedup first, then the learned screen."""
+    docs = _en_fr_docs(spark).withColumn(
+        "y", F.when(F.col("lang") == "en", 1).otherwise(-1).cast("long"))
+    extra = spark.createDataFrame(
+        [(200, "en", "x0 " + "a the b the c the d " * 2)],  # dup of doc 0
+        "doc_id long, lang string, text string").withColumn(
+        "y", F.lit(1).cast("long"))
+    pipe = CurationPipeline({
+        "id_col": "doc_id", "text_col": "text",
+        "stages": [{"op": "exact_dedup"},
+                   {"op": "classifier_filter", "label_col": "y"}],
+    })
+    counts: list = []
+    out = pipe.run(docs.unionByName(extra), counts=counts)
+    assert dict(counts)["0:exact_dedup"] == 30  # dup dropped first
+    assert {r["doc_id"] for r in out.collect()} == \
+        {i for i in range(30) if i % 2 == 0}
+
+
+def test_classifier_filter_config_validation():
+    with pytest.raises(CurationConfigError, match="classifier_filter"):
+        CurationPipeline({"stages": [{"op": "classifier_filter"}]})
