@@ -8935,15 +8935,77 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# DRIVER WINDOW (first 50 keys): the driver's CORRECTNESS gate samples the
+# registry's first 50 keys in order — rotated each round by reordering the
+# full dict against this list. Round 10: the 3 new round-10 queries (first
+# contact), then ALL 47 queries whose freshest driver evidence is r06 (the
+# round-6 analytics batch + TPC-H long tail — the oldest tier; they predate
+# the r08 read-path changes: column mapping, deletion vectors, widening
+# upcasts now sit under every scan). After this round no registered query's
+# evidence is older than r07.
+_DRIVER_WINDOW = [
+    "cdc_decimal_widening",
+    "cdc_sql_surface",
+    "corpus_classifier_curation",
+    "corpus_bm25_search",
+    "corpus_tokenize_ids",
+    "count_rows",
+    "customer_pareto_share",
+    "dim_scd2_history",
+    "events_activity_streaks",
+    "events_cms_heavy_hitters",
+    "events_cohort_retention",
+    "events_hll_distinct",
+    "events_median_gap",
+    "events_sliding_distinct",
+    "lineitem_copurchase_pairs",
+    "lineitem_moment_stats",
+    "lineitem_skew_report",
+    "nation_supplier_roster",
+    "nation_trade_pagerank",
+    "orders_attribution",
+    "orders_expectations",
+    "orders_price_deciles",
+    "orders_recon_checksum",
+    "orders_yoy_growth",
+    "part_fuzzy_match",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_volume",
+    "q19_disjunctive_rev",
+    "q1_pricing_summary",
+    "q20_supplier_parts",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "revenue_by_nation",
+    "scalar_array_funcs",
+    "supplier_balance_outliers",
+]
+
+
+def _rotate(q: dict) -> dict:
+    missing = [k for k in _DRIVER_WINDOW if k not in q]
+    assert not missing, f"window names unknown queries: {missing}"
+    head = {k: q[k] for k in _DRIVER_WINDOW}
+    return {**head, **{k: v for k, v in q.items() if k not in head}}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        # DRIVER WINDOW (first 50 keys): the driver's CORRECTNESS gate samples
-        # the registry's first 50 keys in order — rotated each round. Round 9:
-        # the new round-9 query (first contact), then cdc_replicated_table (the
-        # r08 red — the pushdown-portability fix needs driver evidence), then
-        # the 41 queries whose freshest driver evidence is r04 (they predate
-        # column mapping / deletion vectors / sort order touching the read
-        # paths), then 7 oldest-r06 re-confirmations (storage paths first).
+    return _rotate({
         "multimodal_image_dedup": multimodal_image_dedup,
         "cdc_type_widening": cdc_type_widening,
         "orders_materialized_join": orders_materialized_join,
@@ -9144,7 +9206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_yoy_growth": orders_yoy_growth,
         "supplier_balance_outliers": supplier_balance_outliers,
         "count_rows": count_rows,
-    }
+    })
 
 
 def oracle_sql() -> dict[str, str]:

@@ -45,15 +45,21 @@ def perceptron_train(
     ±1 BIGINT ``label_col``. Returns one dict per round:
     ``{"round": k, "n_mis": misclassified-under-w_{k-1}, "<col>": w_k}``.
 
-    The input is checkpointed once (K passes must not recompute the
-    feature pipeline); each round is a single filtered aggregate.
+    The label+feature projection is persisted once as compressed
+    columnar batches with disk spill (K passes must not recompute the
+    feature pipeline, and a row-object localCheckpoint of the same data
+    is several × larger — it GC-killed an 8 GB driver at 60M rows where
+    this cache holds comfortably); each round is then a single filtered
+    map-side-combined aggregate.
     """
+    from pyspark import StorageLevel
+
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
     feats = feats.select(
         F.col(label_col).cast("long").alias(label_col),
         *[F.col(c).cast("long").alias(c) for c in feature_cols],
-    ).localCheckpoint(eager=True)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     w = [0] * len(feature_cols)
     out: list[dict] = []
     for k in range(1, rounds + 1):
@@ -75,6 +81,7 @@ def perceptron_train(
             w = [w[i] + int(agg[c]) for i, c in enumerate(feature_cols)]
         out.append({"round": k, "n_mis": n_mis,
                     **{c: w[i] for i, c in enumerate(feature_cols)}})
+    feats.unpersist()
     return out
 
 

@@ -609,7 +609,67 @@ def main_matjoin() -> None:
           **{k: c.stats[k] for k in ("files_rewritten", "files_carried")
              if k in c.stats})
 
+    # --- round-10: the clustered state layout on the SAME dim-churn
+    # shape. cluster_by=ckey lays state files out by the join column
+    # (sort_order + stats + secondary bloom), and the refresh passes the
+    # window's join-key set to merge(prune_values=...): the 5%-of-keys
+    # churn that rewrote 32/32 files above should now rewrite only the
+    # files whose ckey range admits a changed key — O(changed keys'
+    # files), the round-9 verdict's documented-but-unprobed mitigation.
+    mjc = MaterializedJoin(spark, fact, dim, f"{work}/mv_clustered",
+                           join_col="ckey", dim_cols=["grp"],
+                           cluster_by="ckey")
+    t0 = time.perf_counter()
+    mjc.refresh()
+    n_state_files = len(mjc.state.timeline.latest().files)
+    probe("matjoin_clustered_initial", time.perf_counter() - t0,
+          rows=n_fact, state_files=n_state_files)
+
+    dim.upsert(spark.range(50, 55).select(
+        F.col("id").alias("ckey"), F.lit(3.0).alias("q"),
+        F.lit("CHANGED2").alias("grp")))
+    t0 = time.perf_counter()
+    mjc.refresh()
+    c = mjc.state.timeline.latest()
+    probe("matjoin_clustered_dim_delta_5pct", time.perf_counter() - t0,
+          affected_rows=mjc.read().filter(
+              F.col("grp") == "CHANGED2").count(),
+          state_files=n_state_files,
+          **{k: c.stats[k] for k in ("files_rewritten", "files_carried")
+             if k in c.stats})
+
     shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+def main_classifier() -> None:
+    """Round-10 probe: K-pass aggregate classifier training at 6M and
+    60M rows (60M ≈ a 10× sf0.1 feature table; one decade apart so any
+    super-linear term shows). The claim under test
+    (operators/classify.py): each round is ONE map-side-combined
+    aggregate scan, driver state = the weight vector — so sec/round
+    should scale ~linearly in rows and be flat across rounds."""
+    from glue_hudi_spark.operators import classify as C
+
+    spark = get_spark(app_name="glue_hudi_spark-scale-probe-classifier")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
+
+    for n in (6_000_000, 60_000_000):
+        # deterministic, imbalanced, not-perfectly-separable features:
+        # y encodes a linear rule over x1,x2 with a modular "noise" band
+        feats = spark.range(n).selectExpr(
+            "CAST(1 AS BIGINT) AS x0",
+            "CAST(id % 1000 - 500 AS BIGINT) AS x1",
+            "CAST((id * 2654435761) % 997 - 498 AS BIGINT) AS x2",
+            "CAST(CASE WHEN (id % 1000 - 500) + 2*((id * 2654435761) % 997 - 498) "
+            "+ (id % 37) - 18 > 0 THEN 1 ELSE -1 END AS BIGINT) AS y",
+        )
+        t0 = time.perf_counter()
+        rows = C.perceptron_train(feats, ["x0", "x1", "x2"], rounds=3)
+        total = time.perf_counter() - t0
+        probe(f"classifier_train_{n // 1_000_000}m", round(total, 2),
+              rows=n, rounds=3, sec_per_round=round(total / 3, 2),
+              last_n_mis=rows[-1]["n_mis"])
     spark.stop()
 
 
@@ -620,5 +680,7 @@ if __name__ == "__main__":
         main_stream()
     elif "--matjoin" in sys.argv[1:]:
         main_matjoin()
+    elif "--classifier" in sys.argv[1:]:
+        main_classifier()
     else:
         main()

@@ -315,3 +315,39 @@ def test_image_dedup_is_bucketed_equi_joined(spark):
     df = entry_mod.multimodal_image_dedup(spark, SF_DIR)
     lint.assert_no_cartesian(df)
     assert "BroadcastNestedLoopJoin" not in lint.plan_text(df)
+
+
+def test_matjoin_clustered_state_scan_reads_only_admitting_files(
+        spark, tmp_path):
+    """The clustered MaterializedJoin layout's scale contract: with
+    sort_order/stats/secondary-bloom on the join column, a join-key
+    probe of the state reads a strict SUBSET of the state files (the
+    value ladder prunes at the manifest, before Spark ever plans the
+    scan) — the same candidate set the dim-churn merge rewrites. An
+    unclustered state would admit every file and this pin would fail."""
+    from pyspark.sql import functions as F
+
+    from glue_hudi_spark.storage.native import NativeTable
+    from glue_hudi_spark.streaming.materialized import MaterializedJoin
+
+    fact = NativeTable(spark, tmp_path / "fact", record_keys=["oid"],
+                       precombine="seq")
+    fact.bulk_insert(spark.range(64).select(
+        F.col("id").alias("oid"), (F.col("id") % 8).alias("ckey"),
+        F.col("id").cast("double").alias("amt"), F.lit(1).alias("seq")))
+    dim = NativeTable(spark, tmp_path / "dim", record_keys=["ckey"],
+                      precombine="seq")
+    dim.bulk_insert(spark.range(8).select(
+        F.col("id").alias("ckey"),
+        F.concat(F.lit("c"), F.col("id")).alias("name"),
+        F.lit(1).alias("seq")))
+    mj = MaterializedJoin(spark, fact, dim, tmp_path / "mv",
+                          join_col="ckey", dim_cols=["name"],
+                          cluster_by="ckey")
+    mj.refresh()
+    head = mj.state.timeline.latest()
+    assert len(head.files) >= 3
+    probe = mj.state.read_by_value("ckey", [0])
+    touched = {f for f in probe.inputFiles()}
+    assert 0 < len(touched) <= 2  # strict subset: layout + ladder work
+    assert probe.filter(F.col("ckey") == 0).count() == 8
