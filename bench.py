@@ -145,6 +145,9 @@ BENCH_QUERIES = [
     "orders_materialized_join",
     "corpus_train_classifier",
     "cdc_add_column_default",
+    "cdc_decimal_widening",
+    "cdc_sql_surface",
+    "corpus_classifier_curation",
 ]
 
 

@@ -160,6 +160,16 @@ class GhsSql:
             return self._alter(s)
         if head == "DROP":
             return self._drop(s)
+        if head == "TRUNCATE":
+            return self._truncate(s)
+        if head == "SHOW":
+            return self._show(s)
+        if head in ("DESCRIBE", "DESC"):
+            return self._describe(s)
+        if head == "OPTIMIZE":
+            return self._optimize(s)
+        if head == "VACUUM":
+            return self._vacuum(s)
         if head in ("SELECT", "WITH", "VALUES", "TABLE"):
             return self._read(s)
         raise ValueError(f"ghs.sql: unsupported statement: {s[:80]!r}")
@@ -184,9 +194,35 @@ class GhsSql:
                 # skip (the view appears after its first write)
                 pass
 
+    # time travel in reads: Delta/Iceberg SQL's ``t VERSION AS OF n`` /
+    # ``t TIMESTAMP AS OF 'ts'`` — each occurrence binds a temp view over
+    # the manifest-resolved historical snapshot (an O(manifest) driver
+    # lookup; the scan itself stays lazy/pruned) and the reference is
+    # rewritten to that view before Spark parses the text.
+    _TIME_TRAVEL = re.compile(
+        rf"\b(?P<name>{_IDENT})\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF"
+        rf"\s+(?P<val>\d+|'[^']*')", re.IGNORECASE)
+
+    def _rewrite_time_travel(self, s: str) -> str:
+        def sub(m: "re.Match[str]") -> str:
+            name = _unq(m.group("name"))
+            t = self.tables.get(name)
+            if t is None:
+                return m.group(0)
+            if m.group("kind").upper() == "VERSION":
+                alias = f"{name}__v{m.group('val')}"
+                df = t.read_snapshot(as_of=int(m.group("val")))
+            else:
+                ts = m.group("val").strip("'")
+                alias = f"{name}__t{re.sub('[^0-9]', '', ts)}"
+                df = t.read_snapshot(as_of_timestamp=ts)
+            df.createOrReplaceTempView(alias)
+            return alias
+        return self._TIME_TRAVEL.sub(sub, s)
+
     def _read(self, s: str) -> DataFrame:
         self._with_views()
-        return self.spark.sql(s)
+        return self.spark.sql(self._rewrite_time_travel(s))
 
     def _query_df(self, q: str) -> DataFrame:
         q = q.strip()
@@ -495,13 +531,30 @@ class GhsSql:
         rf"(?:\s+DEFAULT\s+(?P<def>.+?))?\s*\)?\s*$",
         re.IGNORECASE | re.DOTALL)
 
+    _ALTER_RENAME = re.compile(
+        rf"^ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+RENAME\s+COLUMN\s+"
+        rf"(?P<old>{_IDENT})\s+TO\s+(?P<new>{_IDENT})\s*$",
+        re.IGNORECASE)
+    _ALTER_DROP = re.compile(
+        rf"^ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+DROP\s+COLUMNS?\s*"
+        rf"\(?\s*(?P<col>{_IDENT})\s*\)?\s*$", re.IGNORECASE)
+
     def _alter(self, s: str) -> None:
+        m = self._ALTER_RENAME.match(s)
+        if m:
+            self._table(m.group("name")).rename_column(
+                _unq(m.group("old")), _unq(m.group("new")))
+            return None
+        m = self._ALTER_DROP.match(s)
+        if m:
+            self._table(m.group("name")).drop_column(_unq(m.group("col")))
+            return None
         m = self._ALTER_ADD.match(s)
         if not m:
             raise ValueError(
-                "ghs.sql: only ALTER TABLE name ADD COLUMN col type "
-                "[DEFAULT expr] is supported here (rename/drop: use the "
-                "CLI or the Python API)")
+                "ghs.sql: ALTER TABLE supports ADD COLUMN col type "
+                "[DEFAULT expr], RENAME COLUMN old TO new, DROP COLUMN "
+                "col (further maintenance: OPTIMIZE/VACUUM or the CLI)")
         t = self._table(m.group("name"))
         ctype = m.group("type").strip()
         default = None
@@ -509,6 +562,70 @@ class GhsSql:
             default = self.spark.sql(
                 f"SELECT CAST({m.group('def')} AS {ctype})").first()[0]
         t.add_column(_unq(m.group("col")), ctype, default=default)
+        return None
+
+    # --------------------------------------- introspection / maintenance
+
+    _TRUNCATE = re.compile(
+        rf"^TRUNCATE\s+TABLE\s+(?P<name>{_IDENT})\s*$", re.IGNORECASE)
+
+    def _truncate(self, s: str) -> None:
+        m = self._TRUNCATE.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse TRUNCATE: {s[:80]!r}")
+        self._table(m.group("name")).delete_where(F.expr("true"))
+        return None
+
+    def _show(self, s: str) -> DataFrame:
+        if not re.match(r"^SHOW\s+TABLES\s*$", s, re.IGNORECASE):
+            raise ValueError("ghs.sql: only SHOW TABLES is supported")
+        return self.spark.createDataFrame(
+            [(n,) for n in sorted(self.tables)] or [],
+            "tableName string")
+
+    _DESCRIBE = re.compile(
+        rf"^DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE)
+
+    def _describe(self, s: str) -> DataFrame:
+        m = self._DESCRIBE.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse DESCRIBE: {s[:80]!r}")
+        t = self._table(m.group("name"))
+        rows = [(c, typ, "") for c, typ in self._data_types(t).items()]
+        rows += [("# record_keys", ",".join(t.record_keys), ""),
+                 ("# partition_keys", ",".join(t.partition_keys), ""),
+                 ("# storage_type", t.storage_type, ""),
+                 ("# location", str(t.root), "")]
+        return self.spark.createDataFrame(
+            rows, "col_name string, data_type string, comment string")
+
+    _OPTIMIZE = re.compile(
+        rf"^OPTIMIZE\s+(?P<name>{_IDENT})"
+        rf"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*$", re.IGNORECASE)
+
+    def _optimize(self, s: str) -> None:
+        """Delta's OPTIMIZE surface: plain → bin-pack small files;
+        ZORDER BY (cols) → cluster on the interleaved key."""
+        m = self._OPTIMIZE.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse OPTIMIZE: {s[:80]!r}")
+        t = self._table(m.group("name"))
+        if m.group("cols"):
+            t.cluster(zorder_by=[_unq(c.strip())
+                                 for c in m.group("cols").split(",")])
+        else:
+            t.bin_pack()
+        return None
+
+    _VACUUM = re.compile(
+        rf"^VACUUM\s+(?P<name>{_IDENT})\s*$", re.IGNORECASE)
+
+    def _vacuum(self, s: str) -> None:
+        m = self._VACUUM.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse VACUUM: {s[:80]!r}")
+        self._table(m.group("name")).vacuum()
         return None
 
     # ------------------------------------------------------------- DROP

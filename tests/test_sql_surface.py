@@ -196,4 +196,73 @@ def test_register_existing_handle_and_read(spark, tmp_path):
 
 def test_unsupported_statement_raises(ghs):
     with pytest.raises(ValueError, match="unsupported"):
-        ghs.sql("TRUNCATE TABLE accounts")
+        ghs.sql("GRANT SELECT ON accounts TO analyst")
+
+
+# ------------------------------- round-10b: travel/introspect/maintain
+
+def test_select_version_as_of_time_travel(ghs):
+    _mk(ghs)  # commit 1 = create (empty), commit 2 = the 3-row insert
+    v_after_insert = ghs.tables["accounts"].timeline.latest().commit_id
+    ghs.sql("UPDATE accounts SET balance = balance * 100 WHERE id = 'a'")
+    now = {r[0]: str(r[1]) for r in _rows(ghs)}
+    assert now["a"] == "1000.00"
+    old = ghs.sql(f"SELECT id, balance FROM accounts "
+                  f"VERSION AS OF {v_after_insert} ORDER BY id").collect()
+    assert {r[0]: str(r[1]) for r in old}["a"] == "10.00"
+    # joins across versions work: both references rewrite independently
+    both = ghs.sql(f"""
+        SELECT n.id, n.balance AS nb, o.balance AS ob
+        FROM accounts n JOIN accounts VERSION AS OF {v_after_insert} o
+          ON n.id = o.id WHERE n.id = 'a'
+    """).collect()[0]
+    assert str(both["nb"]) == "1000.00" and str(both["ob"]) == "10.00"
+
+
+def test_show_tables_and_describe(ghs):
+    _mk(ghs)
+    assert [r[0] for r in ghs.sql("SHOW TABLES").collect()] == ["accounts"]
+    d = {r["col_name"]: r["data_type"]
+         for r in ghs.sql("DESCRIBE accounts").collect()}
+    assert d["balance"] == "decimal(10,2)"
+    assert d["# record_keys"] == "id" and d["# storage_type"] == "cow"
+
+
+def test_truncate_keeps_schema(ghs):
+    _mk(ghs)
+    ghs.sql("TRUNCATE TABLE accounts")
+    assert ghs.sql("SELECT * FROM accounts").count() == 0
+    # still writable with the declared schema
+    ghs.sql("INSERT INTO accounts VALUES "
+            "('n', CAST(1.00 AS DECIMAL(10,2)), 'eu', 1)")
+    assert [r[0] for r in _rows(ghs)] == ["n"]
+
+
+def test_alter_rename_and_drop_column(ghs):
+    _mk(ghs)
+    ghs.sql("ALTER TABLE accounts RENAME COLUMN region TO zone")
+    assert {r["zone"] for r in ghs.sql(
+        "SELECT zone FROM accounts").collect()} == {"eu", "us"}
+    ghs.sql("ALTER TABLE accounts DROP COLUMN zone")
+    cols = ghs.sql("SELECT * FROM accounts").columns
+    assert "zone" not in cols and "region" not in cols
+
+
+def test_optimize_binpacks_and_zorder_clusters(ghs):
+    _mk(ghs)
+    ghs.sql("INSERT INTO accounts VALUES "
+            "('d', CAST(5.00 AS DECIMAL(10,2)), 'ap', 1)")
+    n_before = len(ghs.tables["accounts"].timeline.latest().files)
+    ghs.sql("OPTIMIZE accounts")
+    t = ghs.tables["accounts"]
+    assert t.timeline.latest().action in ("bin_pack", "optimize")
+    assert len(t.timeline.latest().files) <= n_before
+    ghs.sql("OPTIMIZE accounts ZORDER BY (seq, balance)")
+    assert ghs.sql("SELECT count(*) FROM accounts").collect()[0][0] == 4
+
+
+def test_vacuum_runs(ghs):
+    _mk(ghs)
+    ghs.sql("UPDATE accounts SET balance = balance + 1 WHERE id = 'a'")
+    ghs.sql("VACUUM accounts")  # no raise; current snapshot intact
+    assert ghs.sql("SELECT count(*) FROM accounts").collect()[0][0] == 3
