@@ -229,7 +229,9 @@ class GhsSql:
         if q.upper().startswith("VALUES"):
             return self.spark.sql(q)
         self._with_views()
-        return self.spark.sql(q)
+        # DML sources get the same time-travel rewrite as reads — an
+        # INSERT INTO ... SELECT FROM t VERSION AS OF n restores history
+        return self.spark.sql(self._rewrite_time_travel(q))
 
     # ------------------------------------------------------------- CREATE
 
@@ -238,22 +240,15 @@ class GhsSql:
         rf"\((?P<cols>.*)\)\s*USING\s+ghs_table"
         rf"(?P<rest>.*)$",
         re.IGNORECASE | re.DOTALL)
+    _CREATE_AS = re.compile(
+        rf"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s+"
+        rf"USING\s+ghs_table(?P<rest>.*?)\s+AS\s+"
+        rf"(?P<q>(?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+        re.IGNORECASE | re.DOTALL)
 
-    def _create(self, s: str) -> None:
-        m = self._CREATE.match(s)
-        if not m:
-            raise ValueError(
-                "ghs.sql: CREATE TABLE must be of the form CREATE TABLE "
-                "name (col type, ...) USING ghs_table [PARTITIONED BY "
-                "(...)] [LOCATION '...'] [TBLPROPERTIES (...)]")
-        name = _unq(m.group("name"))
-        if_not_exists = re.search(r"IF\s+NOT\s+EXISTS", s[:m.start("cols")],
-                                  re.IGNORECASE) is not None
-        if name in self.tables:
-            if if_not_exists:
-                return None
-            raise ValueError(f"ghs.sql: table {name!r} already exists")
-        rest = m.group("rest")
+    def _build_table(self, name: str, rest: str) -> NativeTable:
+        """Shared CREATE machinery: parse PARTITIONED BY / LOCATION /
+        TBLPROPERTIES and construct the (not-yet-committed) handle."""
         pm = re.search(r"PARTITIONED\s+BY\s*\(([^)]*)\)", rest,
                        re.IGNORECASE)
         lm = re.search(r"LOCATION\s+'([^']+)'", rest, re.IGNORECASE)
@@ -269,19 +264,8 @@ class GhsSql:
                 "('primaryKey'='col[,col2]') — every ghs_table is keyed "
                 "(the reference's control table likewise mandates "
                 "primary_key per table)")
-        schema_fields = []
-        defaults: list[tuple[str, str, object]] = []
-        for coldef in _split_top(m.group("cols")):
-            parts = coldef.split(None, 2)
-            cname, ctype = _unq(parts[0]), parts[1]
-            tail = parts[2] if len(parts) > 2 else ""
-            dm = re.match(r"DEFAULT\s+(.+)$", tail.strip(), re.IGNORECASE)
-            if dm:
-                defaults.append((cname, ctype, dm.group(1)))
-                continue  # added post-create so the default is recorded
-            schema_fields.append(f"{cname} {ctype}")
         path = Path(lm.group(1)) if lm else self.warehouse / name
-        t = NativeTable(
+        return NativeTable(
             self.spark, path, record_keys=keys,
             precombine=props.get("preCombineField") or None,
             partition_keys=([c.strip() for c in pm.group(1).split(",")]
@@ -293,6 +277,42 @@ class GhsSql:
             files_per_partition=(int(props["filesPerPartition"])
                                  if props.get("filesPerPartition") else None),
         )
+
+    def _create(self, s: str) -> None:
+        m = self._CREATE.match(s)
+        ctas = None if m else self._CREATE_AS.match(s)
+        if not m and not ctas:
+            raise ValueError(
+                "ghs.sql: CREATE TABLE must be of the form CREATE TABLE "
+                "name (col type, ...) USING ghs_table [PARTITIONED BY "
+                "(...)] [LOCATION '...'] [TBLPROPERTIES (...)] — or the "
+                "CTAS form CREATE TABLE name USING ghs_table "
+                "[options] AS SELECT ...")
+        mm = m or ctas
+        name = _unq(mm.group("name"))
+        if_not_exists = re.search(
+            r"IF\s+NOT\s+EXISTS", s[:mm.end("name")],
+            re.IGNORECASE) is not None
+        if name in self.tables:
+            if if_not_exists:
+                return None
+            raise ValueError(f"ghs.sql: table {name!r} already exists")
+        t = self._build_table(name, mm.group("rest"))
+        if ctas:
+            t.bulk_insert(self._query_df(ctas.group("q")))
+            self.tables[name] = t
+            return None
+        schema_fields = []
+        defaults: list[tuple[str, str, object]] = []
+        for coldef in _split_top(m.group("cols")):
+            parts = coldef.split(None, 2)
+            cname, ctype = _unq(parts[0]), parts[1]
+            tail = parts[2] if len(parts) > 2 else ""
+            dm = re.match(r"DEFAULT\s+(.+)$", tail.strip(), re.IGNORECASE)
+            if dm:
+                defaults.append((cname, ctype, dm.group(1)))
+                continue  # added post-create so the default is recorded
+            schema_fields.append(f"{cname} {ctype}")
         # an empty first commit publishes the declared schema, so the
         # table is immediately readable/alterable like any SQL table
         t.bulk_insert(

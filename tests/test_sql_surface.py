@@ -266,3 +266,29 @@ def test_vacuum_runs(ghs):
     ghs.sql("UPDATE accounts SET balance = balance + 1 WHERE id = 'a'")
     ghs.sql("VACUUM accounts")  # no raise; current snapshot intact
     assert ghs.sql("SELECT count(*) FROM accounts").collect()[0][0] == 3
+
+
+def test_ctas_creates_and_loads(ghs):
+    _mk(ghs)
+    ghs.sql("""
+        CREATE TABLE eu_accounts USING ghs_table
+            TBLPROPERTIES ('primaryKey'='id')
+            AS SELECT id, balance FROM accounts WHERE region = 'eu'
+    """)
+    got = {r[0]: str(r[1]) for r in
+           ghs.sql("SELECT id, balance FROM eu_accounts").collect()}
+    assert got == {"a": "10.00", "c": "30.00"}
+    # CTAS result is a full table: writable, describable
+    ghs.sql("DELETE FROM eu_accounts WHERE id = 'a'")
+    assert [r[0] for r in
+            ghs.sql("SELECT id FROM eu_accounts").collect()] == ["c"]
+
+
+def test_insert_from_time_travel_restores_history(ghs):
+    _mk(ghs)
+    v1 = ghs.tables["accounts"].timeline.latest().commit_id
+    ghs.sql("UPDATE accounts SET balance = CAST(0 AS DECIMAL(10,2))")
+    ghs.sql(f"INSERT INTO accounts SELECT * FROM accounts "
+            f"VERSION AS OF {v1}")
+    got = {r[0]: str(r[1]) for r in _rows(ghs)}
+    assert got == {"a": "10.00", "b": "20.00", "c": "30.00"}
