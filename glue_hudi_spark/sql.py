@@ -127,7 +127,16 @@ class GhsSql:
                  tables: dict[str, NativeTable] | None = None):
         self.spark = spark
         self.warehouse = Path(warehouse)
-        self.tables: dict[str, NativeTable] = dict(tables or {})
+        self.tables: dict[str, NativeTable] = {}
+        # durable catalog: CREATE TABLE persists each table's config as
+        # <root>/_table.json (NativeTable.save_properties), so a fresh
+        # GhsSql over the same warehouse re-attaches every table — SQL
+        # state survives the session. Explicit handles override.
+        if self.warehouse.is_dir():
+            for d in sorted(self.warehouse.iterdir()):
+                if (d / "_table.json").is_file():
+                    self.tables[d.name] = NativeTable.open(spark, d)
+        self.tables.update(tables or {})
 
     def register(self, name: str, table: NativeTable) -> None:
         self.tables[name] = table
@@ -298,6 +307,7 @@ class GhsSql:
                 return None
             raise ValueError(f"ghs.sql: table {name!r} already exists")
         t = self._build_table(name, mm.group("rest"))
+        t.save_properties()  # durable catalog entry (see __init__)
         if ctas:
             t.bulk_insert(self._query_df(ctas.group("q")))
             self.tables[name] = t

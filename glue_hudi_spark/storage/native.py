@@ -632,6 +632,46 @@ class NativeTable:
 
     # ------------------------------------------------------------------ util
 
+    #: constructor config persisted by save_properties()/open() — the
+    #: durable-catalog contract (what _table.json holds)
+    _PROPS = (
+        "record_keys", "precombine", "partition_keys", "storage_type",
+        "retain_commits", "compact_every", "compact_delta_bytes",
+        "files_per_partition", "stats_cols", "bloom_index",
+        "secondary_bloom_cols", "constraints", "change_feed_deletes",
+        "strict_schema", "deletion_vectors", "global_index", "sort_order",
+    )
+
+    def save_properties(self) -> None:
+        """Persist the table's CONSTRUCTOR config as ``_table.json`` so a
+        later session can :meth:`open` the path without knowing it — the
+        durable-catalog piece the commit manifests deliberately don't
+        carry (manifests version DATA state; keys/layout/indexing are
+        table identity, fixed at creation). Equivalent in role to Hudi's
+        ``hoodie.properties`` / Delta's protocol-and-metadata action."""
+        props = {k: getattr(self, k) for k in self._PROPS}
+        self.root.mkdir(parents=True, exist_ok=True)
+        tmp = self.root / "_table.json.tmp"
+        tmp.write_text(json.dumps(props, indent=1, sort_keys=True))
+        tmp.replace(self.root / "_table.json")  # atomic publish
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str | Path,
+             ref: str | None = None) -> "NativeTable":
+        """Attach to an existing table from its ``_table.json`` (written
+        by :meth:`save_properties` — ``GhsSql`` CREATE does this). The
+        partition spec may have evolved past the saved one; the
+        constructor already reconciles against the manifest head."""
+        p = Path(path) / "_table.json"
+        if not p.exists():
+            raise ValueError(
+                f"{path}: no _table.json — not a saved table (open() "
+                "needs save_properties(); for ad-hoc handles pass the "
+                "config to the constructor)")
+        props = json.loads(p.read_text())
+        return cls(spark, path, ref=ref,
+                   **{k: v for k, v in props.items() if k in cls._PROPS})
+
     @classmethod
     def for_control(cls, spark: SparkSession, curated_root: str | Path, ctl) -> "NativeTable":
         """Table location mirrors the reference's curated layout

@@ -292,3 +292,42 @@ def test_insert_from_time_travel_restores_history(ghs):
             f"VERSION AS OF {v1}")
     got = {r[0]: str(r[1]) for r in _rows(ghs)}
     assert got == {"a": "10.00", "b": "20.00", "c": "30.00"}
+
+
+def test_catalog_is_durable_across_instances(ghs, spark):
+    """CREATE persists _table.json; a FRESH GhsSql over the same
+    warehouse re-attaches every table with its full config — SQL state
+    survives the session (the piece commit manifests deliberately don't
+    carry)."""
+    _mk(ghs)
+    ghs.sql("CREATE TABLE p (k STRING, day STRING, v INT) USING ghs_table "
+            "PARTITIONED BY (day) TBLPROPERTIES ('primaryKey'='k', "
+            "'preCombineField'='v', 'type'='mor')")
+    g2 = GhsSql(spark, ghs.warehouse)
+    assert sorted(g2.tables) == ["accounts", "p"]
+    t = g2.tables["p"]
+    assert (t.record_keys, t.precombine, t.partition_keys,
+            t.storage_type) == (["k"], "v", ["day"], "mor")
+    # reattached handles are fully functional
+    g2.sql("INSERT INTO accounts VALUES "
+           "('q', CAST(7.00 AS DECIMAL(10,2)), 'ap', 1)")
+    assert len(_rows(g2)) == 4
+    # DROP removes the durable entry too
+    g2.sql("DROP TABLE p")
+    assert "p" not in GhsSql(spark, ghs.warehouse).tables
+
+
+def test_native_table_open_roundtrip(spark, tmp_path):
+    t = NativeTable(spark, tmp_path / "t", record_keys=["a", "b"],
+                    precombine="s", stats_cols=["v"], bloom_index=True,
+                    sort_order=["v"], files_per_partition=2)
+    t.bulk_insert(spark.createDataFrame(
+        [("x", "y", 1, 1)], "a string, b string, v int, s int"))
+    t.save_properties()
+    o = NativeTable.open(spark, tmp_path / "t")
+    assert (o.record_keys, o.precombine, o.stats_cols, o.bloom_index,
+            o.sort_order, o.files_per_partition) == (
+        ["a", "b"], "s", ["v"], True, ["v"], 2)
+    assert o.read_snapshot().count() == 1
+    with pytest.raises(ValueError, match="_table.json"):
+        NativeTable.open(spark, tmp_path / "nope")
