@@ -31,6 +31,7 @@ plus this engine's extensions (``partitionKeys`` via PARTITIONED BY,
 
 from __future__ import annotations
 
+import json
 import re
 from pathlib import Path
 
@@ -569,7 +570,29 @@ class GhsSql:
         rf"^ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+DROP\s+COLUMNS?\s*"
         rf"\(?\s*(?P<col>{_IDENT})\s*\)?\s*$", re.IGNORECASE)
 
+    _ALTER_CONSTRAINT = re.compile(
+        rf"^ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+ADD\s+CONSTRAINT\s+"
+        rf"(?:{_IDENT})\s+CHECK\s*\((?P<expr>.+)\)\s*$",
+        re.IGNORECASE | re.DOTALL)
+
     def _alter(self, s: str) -> None:
+        m = self._ALTER_CONSTRAINT.match(s)
+        if m:
+            # Delta semantics: EXISTING rows must already satisfy the
+            # constraint (one aggregate over the snapshot; NULL passes —
+            # SQL CHECK), then future writes enforce it at the write
+            # chokepoint. Persisted so reopened handles keep enforcing.
+            t = self._table(m.group("name"))
+            expr = m.group("expr").strip()
+            bad = t.read_snapshot().filter(
+                ~F.coalesce(F.expr(expr), F.lit(True))).count()
+            if bad:
+                raise ValueError(
+                    f"ghs.sql: cannot ADD CONSTRAINT ({expr}): {bad} "
+                    "existing rows violate it")
+            t.constraints.append(expr)
+            t.save_properties()
+            return None
         m = self._ALTER_RENAME.match(s)
         if m:
             self._table(m.group("name")).rename_column(
@@ -613,11 +636,25 @@ class GhsSql:
             [(n,) for n in sorted(self.tables)] or [],
             "tableName string")
 
+    _DESCRIBE_HISTORY = re.compile(
+        rf"^DESC(?:RIBE)?\s+HISTORY\s+(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE)
     _DESCRIBE = re.compile(
         rf"^DESC(?:RIBE)?\s+(?:TABLE\s+)?(?P<name>{_IDENT})\s*$",
         re.IGNORECASE)
 
     def _describe(self, s: str) -> DataFrame:
+        hm = self._DESCRIBE_HISTORY.match(s)
+        if hm:
+            # Delta's DESCRIBE HISTORY: the commit timeline, newest first
+            t = self._table(hm.group("name"))
+            rows = [(c.commit_id, c.action,
+                     float(c.wall_time), len(c.files),
+                     json.dumps(c.stats, sort_keys=True, default=str))
+                    for c in reversed(t.timeline.history())]
+            return self.spark.createDataFrame(
+                rows, "version long, operation string, timestamp double, "
+                      "n_files int, stats string")
         m = self._DESCRIBE.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse DESCRIBE: {s[:80]!r}")

@@ -331,3 +331,34 @@ def test_native_table_open_roundtrip(spark, tmp_path):
     assert o.read_snapshot().count() == 1
     with pytest.raises(ValueError, match="_table.json"):
         NativeTable.open(spark, tmp_path / "nope")
+
+
+def test_describe_history_lists_timeline(ghs):
+    _mk(ghs)
+    ghs.sql("UPDATE accounts SET balance = balance + 1 WHERE id = 'a'")
+    h = ghs.sql("DESCRIBE HISTORY accounts").collect()
+    # newest first: UPDATE upsert, INSERT upsert, empty CREATE commit
+    assert [r["operation"] for r in h] == ["upsert", "upsert",
+                                           "bulk_insert"]
+    assert h[0]["version"] > h[-1]["version"]  # newest first
+    assert {"version", "operation", "timestamp", "n_files",
+            "stats"} <= set(h[0].asDict())
+
+
+def test_add_constraint_validates_then_enforces(ghs, spark):
+    _mk(ghs)
+    ghs.sql("ALTER TABLE accounts ADD CONSTRAINT pos "
+            "CHECK (balance >= 0)")
+    # enforced at the write chokepoint from now on
+    with pytest.raises(Exception, match="balance"):
+        ghs.sql("INSERT INTO accounts VALUES "
+                "('bad', CAST(-5.00 AS DECIMAL(10,2)), 'eu', 1)")
+    # persisted: a reopened catalog still enforces
+    g2 = GhsSql(spark, ghs.warehouse)
+    with pytest.raises(Exception, match="balance"):
+        g2.sql("INSERT INTO accounts VALUES "
+               "('bad2', CAST(-1.00 AS DECIMAL(10,2)), 'eu', 1)")
+    # a constraint existing rows violate is rejected outright
+    with pytest.raises(ValueError, match="existing rows violate"):
+        ghs.sql("ALTER TABLE accounts ADD CONSTRAINT big "
+                "CHECK (balance > 15)")
