@@ -351,3 +351,16 @@ def test_matjoin_clustered_state_scan_reads_only_admitting_files(
     touched = {f for f in probe.inputFiles()}
     assert 0 < len(touched) <= 2  # strict subset: layout + ladder work
     assert probe.filter(F.col("ckey") == 0).count() == 8
+
+
+def test_classifier_curation_screen_is_codegen_filter(spark):
+    """corpus_classifier_curation's apply side: the learned screen must
+    be a plain dot-product filter (codegen'd column arithmetic) — no
+    cartesian, no Python eval, no window — so pushdown/pruning around
+    it survive at 100 TB."""
+    from glue_hudi_spark.plans import lint
+
+    df = entry_mod.corpus_classifier_curation(spark, SF_DIR)
+    lint.assert_no_cartesian(df)
+    lint.assert_no_python_eval(df)
+    assert "Window" not in lint.plan_text(df)
