@@ -3799,19 +3799,13 @@ class NativeTable:
         prev = self.timeline.latest()
         drop_cols = drop_cols or []
         if self.storage_type == "mor":
-            # MoR writes are cheap delta appends already; atomicity across
-            # the two appends is not provided (documented limitation).
-            # Return the newest commit that actually happened — an
-            # upsert-only batch must not look like a no-op to callers.
-            c_up = self.upsert(
-                batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols),
-                extra_stats=extra_stats,
-            )
-            c_del = self.delete(
-                batch.filter(F.col(op_col) == "D").drop(op_col, *drop_cols),
-                extra_stats=extra_stats,
-            )
-            return c_del or c_up
+            # ATOMIC since round 10: the whole mixed batch lands as ONE
+            # delta append under ONE commit, each row carrying its own
+            # 'u'/'d' marker (the format delete deltas always used) — no
+            # window where a reader sees the upserts without the deletes.
+            return self._delta_commit(
+                batch.drop(*drop_cols), "delta_merge", "u", extra_stats,
+                op_col=op_col)
         if prev is None:
             keep = batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
             return self.bulk_insert(keep, parallelism, extra_stats)
@@ -4115,17 +4109,33 @@ class NativeTable:
     # ------------------------------------------------------------------- MoR
 
     def _delta_commit(self, batch: DataFrame, action: str, op: str,
-                      extra_stats: dict | None = None) -> Commit:
+                      extra_stats: dict | None = None,
+                      op_col: str | None = None) -> Commit:
+        """One delta append + one manifest publish. ``op`` stamps every
+        row; ``op_col`` instead takes each row's op from that column
+        ('D' → delete marker, else upsert) — the ATOMIC MoR merge: a
+        mixed CDC batch lands as ONE delta file under ONE commit, the
+        row-level 'u'/'d' markers the `_rt` read and compaction already
+        resolve (delete deltas have always been marker rows)."""
         prev = self.timeline.latest()
         cid = self.timeline.next_commit_id()
-        keyed = self._precombine_dedup(self._with_meta(batch, f"{cid:020d}", op))
+        keyed = self._with_meta(batch, f"{cid:020d}", op)
+        if op_col is not None:
+            keyed = keyed.withColumn(
+                DELTA_OP_COL,
+                F.when(F.col(op_col) == "D", F.lit("d"))
+                .otherwise(F.lit("u"))).drop(op_col)
+        keyed = self._precombine_dedup(keyed)
         if prev is not None:
             # type widening BEFORE the delta file lands: the published
             # schema carries the promoted types and the delta's own
             # columns are cast up, so compaction and _rt merges read
             # base (narrow, scan-upcast) + delta (wide) consistently
             widened_json, keyed = self._apply_type_widening(prev, keyed)
-        tombstones = self._write_tombstones(keyed) if op == "d" else []
+        has_dels = op == "d" or op_col is not None
+        tombstones = (self._write_tombstones(
+            keyed.filter(F.col(DELTA_OP_COL) == "d"))
+            if has_dels and self.change_feed_deletes else [])
         files = self._write_files(keyed, cid, build_blooms=False)
         if prev is None:
             base_files, deltas, schema = [], [], keyed.schema.json()

@@ -48,8 +48,8 @@ def _expected_snapshot_checks(snap_rows):
 @pytest.mark.parametrize("single_commit", [False, True])
 @pytest.mark.parametrize("storage_type", ["cow", "mor"])
 def test_golden_cdc_merge(spark, tmp_path, storage_type, single_commit):
-    if storage_type == "mor" and single_commit:
-        pytest.skip("single-commit mode is a CoW feature")
+    # round 10: single-commit merge is atomic on BOTH storage types (a
+    # MoR merge lands one mixed-marker delta under one commit)
     ctl = JobControl(**{**CONTROL, "hudi_storage_type": storage_type})
     raw = tmp_path / "raw" / ctl.db_name / ctl.schema_name / ctl.table_name
     pipe = CdcPipeline(

@@ -443,7 +443,8 @@ def test_mor_merge_returns_commit_without_deletes(spark, tmp_table_dir):
     t.bulk_insert(_rows(spark, [dict(id=1, v="old", seq=1, pt="a")]))
     batch = _rows(spark, [dict(id=1, v="upd", seq=2, pt="a", op="U")])
     c = t.merge(batch, op_col="op")
-    assert c is not None and c.action == "delta_upsert"
+    # round 10: every MoR merge is one atomic delta_merge commit
+    assert c is not None and c.action == "delta_merge"
     got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
     assert got == {1: "upd"}
 
@@ -1082,3 +1083,29 @@ def test_sort_order_requires_stats(spark, tmp_path):
     with pytest.raises(ValueError, match="stats_cols"):
         NativeTable(spark, tmp_path / "t", record_keys=["k"],
                     sort_order=["ts"])
+
+
+def test_mor_merge_is_one_atomic_commit(spark, tmp_path):
+    """Round-10: a mixed I/U/D batch on a MoR table lands as ONE delta
+    append under ONE commit (rows carry their own 'u'/'d' markers) —
+    previously two commits with a visible in-between state."""
+    import pyspark.sql.functions as F
+
+    t = NativeTable(spark, tmp_path / "m", record_keys=["id"],
+                    precombine="seq", storage_type="mor",
+                    compact_every=100)
+    t.bulk_insert(spark.createDataFrame(
+        [(f"k{i}", i, 1) for i in range(6)], "id string, v int, seq int"))
+    n0 = len(t.timeline.history())
+    batch = spark.createDataFrame(
+        [("k0", 99, 2, "U"), ("k1", 0, 2, "D"), ("knew", 7, 1, "I")],
+        "id string, v int, seq int, op string")
+    c = t.merge(batch, op_col="op")
+    hist = t.timeline.history()
+    assert len(hist) == n0 + 1 and c.action == "delta_merge"
+    got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got["k0"] == 99 and got["knew"] == 7 and "k1" not in got
+    assert got["k5"] == 5
+    # compaction resolves the mixed markers identically
+    t.compact()
+    assert {r["id"]: r["v"] for r in t.read_snapshot().collect()} == got
