@@ -166,8 +166,9 @@ def _planner_pushdown_enabled():
     holds it as the local ``enable_pushdown`` right before calling
     ``reader()`` — read it off the call stack. Returns None when
     undeterminable (direct construction in tests, future Spark renames);
-    callers treat None as "enabled" to preserve stats pruning, and the
-    explicit per-read ``option("pushdown", "false")`` remains the manual
+    the caller FAILS SAFE on None by picking the no-pushdown reader
+    (which works under either conf value — r9 advice), and the explicit
+    per-read ``option("pushdown", "false")`` remains the manual
     override either way. Pushdown is an OPTIMIZATION here (file-level
     stats pruning); correctness never depends on it — all filters are
     returned to Spark for re-evaluation regardless.

@@ -367,3 +367,20 @@ def test_partitioned_stream_read_is_arrow_batched(spark, table):
             rows.extend(b.to_pylist())
     assert {r["id"] for r in rows} == {"k000"}  # the upsert commit only
     assert rows[0]["v"] == 999.0
+
+
+def test_inconclusive_pushdown_sniff_fails_safe(spark, table):
+    """Direct construction (no planning worker on the stack): the sniff
+    returns None and reader() must FAIL SAFE to the no-pushdown tier —
+    the tier that works under EITHER conf value (r9 advice: a future
+    pyspark refactor of the planning worker must degrade to 'no stats
+    prune', never to the DATA_SOURCE_PUSHDOWN_DISABLED hard error)."""
+    from glue_hudi_spark.sources.datasource import (
+        GhsTableDataSource, GhsTableNoPushdownReader, GhsTableReader,
+        _planner_pushdown_enabled)
+
+    assert _planner_pushdown_enabled() is None  # not in a planning worker
+    ds = GhsTableDataSource({"path": str(table.root)})
+    r = ds.reader(ds.schema())
+    assert isinstance(r, GhsTableNoPushdownReader)
+    assert not isinstance(r, GhsTableReader)
