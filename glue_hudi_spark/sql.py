@@ -457,7 +457,8 @@ class GhsSql:
         rf"\s*(?:AS\s+)?(?P<sa>{_IDENT})\s+ON\s+(?P<on>.+?)\s+"
         rf"(?P<clauses>WHEN\s+.+)$", re.IGNORECASE | re.DOTALL)
     _WHEN = re.compile(
-        r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
+        r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+        r"(?:\s+AND\s+(?P<cond>.+?))?\s+THEN\s+"
         r"(?P<act>UPDATE\s+SET\s+\*|UPDATE\s+SET\s+.+?|DELETE|INSERT\s+\*"
         r"|INSERT\s*\([^)]*\)\s*VALUES\s*\([^)]*\))"
         r"(?=\s+WHEN\s|\s*$)",
@@ -520,6 +521,34 @@ class GhsSql:
         for wm in self._WHEN.finditer(m.group("clauses")):
             act = wm.group("act")
             actU = act.upper()
+            if wm.group("bysrc"):
+                # WHEN NOT MATCHED BY SOURCE: table rows absent from the
+                # source — Delta's reconciliation clauses (tgt-only
+                # expressions; merge_into widens the probe accordingly)
+                if not wm.group("not"):
+                    raise ValueError(
+                        "ghs.sql: BY SOURCE requires NOT MATCHED")
+                if actU == "DELETE":
+                    kw["when_not_matched_by_source_delete"] = \
+                        norm(wm.group("cond")) or True
+                elif actU.startswith("UPDATE"):
+                    body = re.sub(r"^UPDATE\s+SET\s+", "", act,
+                                  flags=re.IGNORECASE).strip()
+                    if body == "*":
+                        raise ValueError(
+                            "ghs.sql: BY SOURCE UPDATE needs explicit "
+                            "SET assignments (there is no source row)")
+                    kw["when_not_matched_by_source_update"] = {
+                        _unq(k.strip()).split(".")[-1]: norm(v.strip())
+                        for k, v in (item.partition("=")[::2]
+                                     for item in _split_top(body))
+                    }
+                    kw["by_source_update_condition"] = norm(wm.group("cond"))
+                else:
+                    raise ValueError(
+                        "ghs.sql: WHEN NOT MATCHED BY SOURCE supports "
+                        "DELETE or UPDATE SET only")
+                continue
             if wm.group("not"):
                 if not actU.startswith("INSERT"):
                     raise ValueError(

@@ -362,3 +362,26 @@ def test_add_constraint_validates_then_enforces(ghs, spark):
     with pytest.raises(ValueError, match="existing rows violate"):
         ghs.sql("ALTER TABLE accounts ADD CONSTRAINT big "
                 "CHECK (balance > 15)")
+
+
+def test_merge_not_matched_by_source_reconciliation(ghs):
+    """The nightly full-snapshot reconciliation form: one MERGE upserts
+    the snapshot AND retires table rows that left it (Delta's WHEN NOT
+    MATCHED BY SOURCE surface)."""
+    _mk(ghs)
+    ghs.sql("""
+        MERGE INTO accounts t
+        USING (SELECT 'a' AS id, CAST(11.00 AS DECIMAL(10,2)) AS balance,
+                      'eu' AS region, 9 AS seq
+               UNION ALL
+               SELECT 'n', CAST(50.00 AS DECIMAL(10,2)), 'ap', 9) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE AND t.region = 'eu' THEN DELETE
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET region = 'stale'
+    """)
+    got = {r[0]: (str(r[1]), r[2]) for r in _rows(ghs)}
+    # a updated, n inserted, c ('eu', unmatched) deleted, b marked stale
+    assert got == {"a": ("11.00", "eu"), "n": ("50.00", "ap"),
+                   "b": ("20.00", "stale")}
