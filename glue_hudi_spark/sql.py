@@ -56,7 +56,12 @@ def _split_top(text: str, sep: str = ",") -> list[str]:
         ch = text[i]
         if q:
             cur.append(ch)
-            if ch == q and not (i + 1 < len(text) and text[i + 1] == q):
+            if ch == "\\" and q != "`" and i + 1 < len(text):
+                # Spark string literals are C-style escaped: \' \\ etc.
+                # — the escaped char must not close the quote
+                cur.append(text[i + 1])
+                i += 1
+            elif ch == q and not (i + 1 < len(text) and text[i + 1] == q):
                 q = None
             elif ch == q:
                 cur.append(text[i + 1])
@@ -104,7 +109,9 @@ def _balanced_end(text: str) -> int | None:
     while i < len(text):
         ch = text[i]
         if q:
-            if ch == q:
+            if ch == "\\" and i + 1 < len(text):
+                i += 1  # escaped char can't close the literal
+            elif ch == q:
                 q = None
         elif ch in "'\"":
             q = ch

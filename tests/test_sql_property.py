@@ -1,0 +1,76 @@
+"""Property tests for the SQL text surface (``GhsSql``): statement
+splitting and value roundtrips must survive adversarial strings —
+semicolons, quotes, doubled quotes, parens, newlines, unicode — because
+WHERE/SET/VALUES text is handed verbatim to Spark and a mis-split
+statement would execute WRONG SQL, not raise."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from glue_hudi_spark.sql import GhsSql, _balanced_end, _split_top
+
+# strings that stress the splitter: with Spark's C-style escaping any
+# content is representable
+_content = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_characters="\x00"),
+    min_size=0, max_size=40)
+
+
+def _sql_quote(s: str) -> str:
+    # Spark SQL string literals are C-style escaped by default
+    # (spark.sql.parser.escapedStringLiterals=false): backslash and the
+    # quote itself must be escaped — the form a Spark SQL user writes
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+@given(parts=st.lists(_content, min_size=1, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_split_top_never_splits_inside_quotes(parts):
+    """Join n quoted literals with ';' — the splitter must give exactly
+    n statements back, each parsing to its own literal, regardless of
+    what the literals contain (semicolons, parens, quotes...)."""
+    stmts = [f"SELECT {_sql_quote(p)} AS v" for p in parts]
+    got = _split_top(";".join(stmts), ";")
+    assert len(got) == len(parts)
+    for g, p in zip(got, parts):
+        assert g.strip() == f"SELECT {_sql_quote(p)} AS v".strip()
+
+
+@given(inner=_content, depth=st.integers(min_value=1, max_value=5))
+@settings(max_examples=200, deadline=None)
+def test_balanced_end_matches_nesting(inner, depth):
+    text = "(" * depth + _sql_quote(inner) + ")" * depth + " trailing"
+    end = _balanced_end(text)
+    assert end == depth * 2 + len(_sql_quote(inner))
+    assert text[:end].count("(") >= depth
+
+
+def test_split_top_unterminated_paren_is_single_piece():
+    assert _balanced_end("(SELECT 'x'") is None
+
+
+# ---- end-to-end value roundtrip through INSERT → SELECT ----
+
+_ids = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=10**6), _content),
+    min_size=1, max_size=4, unique_by=lambda t: t[0]))
+def test_insert_select_roundtrips_arbitrary_strings(spark, tmp_path_factory,
+                                                    vals):
+    """Arbitrary text survives the SQL path byte-identically: VALUES
+    literals (Spark-escaped) → upsert → SELECT."""
+    wh = tmp_path_factory.mktemp("sqlprop")
+    g = GhsSql(spark, wh)
+    g.sql("CREATE TABLE rt (id INT, s STRING) USING ghs_table "
+          "TBLPROPERTIES ('primaryKey'='id')")
+    values = ", ".join(f"({i}, {_sql_quote(s)})" for i, s in vals)
+    g.sql(f"INSERT INTO rt VALUES {values}")
+    got = {r["id"]: r["s"] for r in g.sql("SELECT * FROM rt").collect()}
+    assert got == dict(vals)
