@@ -385,3 +385,31 @@ def test_merge_not_matched_by_source_reconciliation(ghs):
     # a updated, n inserted, c ('eu', unmatched) deleted, b marked stale
     assert got == {"a": ("11.00", "eu"), "n": ("50.00", "ap"),
                    "b": ("20.00", "stale")}
+
+
+def test_full_lifecycle_on_mor_table(ghs):
+    """Every statement form against a merge-on-read table: the SQL
+    layer must be storage-type agnostic (delta appends + _rt reads
+    underneath, atomic delta_merge for MERGE)."""
+    ghs.sql("""
+        CREATE TABLE m (id STRING, v INT, seq INT) USING ghs_table
+            TBLPROPERTIES ('primaryKey'='id', 'preCombineField'='seq',
+                           'type'='mor');
+        INSERT INTO m VALUES ('a', 1, 1), ('b', 2, 1), ('c', 3, 1)
+    """)
+    ghs.sql("UPDATE m SET v = v + 10 WHERE id <> 'c'")
+    ghs.sql("""
+        MERGE INTO m t USING (SELECT 'a' AS id, 0 AS v, 9 AS seq
+                              UNION ALL SELECT 'd', 40, 9) s
+        ON t.id = s.id
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED THEN INSERT *
+    """)
+    assert ghs.tables["m"].timeline.latest().action in (
+        "delta_merge", "compact")  # one atomic commit for the merge
+    ghs.sql("DELETE FROM m WHERE id = 'c'")
+    got = {r["id"]: r["v"] for r in ghs.sql("SELECT * FROM m").collect()}
+    assert got == {"b": 12, "d": 40}
+    ghs.sql("ALTER TABLE m ADD COLUMN t STRING DEFAULT 'x'")
+    got = {r["id"]: r["t"] for r in ghs.sql("SELECT * FROM m").collect()}
+    assert got == {"b": "x", "d": "x"}
