@@ -383,6 +383,58 @@ class GhsSql:
     def _data_columns(self, t: NativeTable) -> list[str]:
         return [c for c, _ in self._data_types(t).items()]
 
+    _BOUND = re.compile(
+        rf"^\s*(?P<col>{_IDENT})\s*(?P<op><=|>=|=|<|>)\s*(?P<rhs>.+?)\s*$",
+        re.DOTALL)
+
+    def _where_bounds(self, t: NativeTable,
+                      where: str | None) -> dict | None:
+        """Best-effort ``{col: (lo, hi)}`` bounds from a WHERE
+        CONJUNCTION, for manifest-level file pruning (partition dirs +
+        column-stats index) on DELETE/UPDATE. Pruning is an
+        OPTIMIZATION, never a correctness dependency: any term or whole
+        predicate this can't bound simply returns fewer/no bounds and
+        the engine scans more files. Conservative by construction —
+        OR/NOT/BETWEEN anywhere disables it, a term only contributes
+        when its left side is a table column, its right side evaluates
+        as a constant (``SELECT rhs`` succeeds) and mentions no table
+        column (guards columns shadowing SQL function names, e.g. a
+        column literally named ``current_date``). Strict < / > use the
+        inclusive bound — a slightly wider range, still sound."""
+        if not where or re.search(r"\b(OR|NOT|BETWEEN)\b", where,
+                                  re.IGNORECASE):
+            return None
+        cols = set(self._data_types(t))
+        colpat = re.compile(
+            r"\b(" + "|".join(re.escape(c) for c in sorted(cols)) + r")\b",
+            re.IGNORECASE) if cols else None
+        bounds: dict = {}
+        for term in re.split(r"\s+AND\s+", where, flags=re.IGNORECASE):
+            m = self._BOUND.match(term)
+            if not m:
+                continue
+            col = _unq(m.group("col"))
+            rhs = m.group("rhs")
+            if col not in cols or (colpat and colpat.search(rhs)):
+                continue
+            try:
+                val = self.spark.sql(f"SELECT {rhs}").first()[0]
+            except Exception:
+                continue  # not a constant — can't bound this term
+            if val is None:
+                continue
+            lo, hi = bounds.get(col, (None, None))
+            op = m.group("op")
+            try:
+                if op in (">", ">=", "="):
+                    lo = val if lo is None else max(lo, val)
+                if op in ("<", "<=", "="):
+                    hi = val if hi is None else min(hi, val)
+            except TypeError:
+                continue  # mixed incomparable bounds — leave previous
+            bounds[col] = (lo, hi)
+        return bounds or None
+
     def _data_defaults(self, t: NativeTable) -> dict[str, object]:
         head = t.timeline.latest()
         if head is None:
@@ -429,7 +481,12 @@ class GhsSql:
             k, _, v = item.partition("=")
             assigns[_unq(k.strip())] = v.strip()
         cond = m.group("where") or "true"
-        snap = t.read_snapshot().filter(F.expr(cond))
+        # manifest-level prune (partition dirs + stats index) BEFORE the
+        # scan when the WHERE yields bounds; the rewrite side is pruned
+        # by upsert's key-range/bloom ladder regardless
+        snap = t.read_snapshot(
+            prune=self._where_bounds(t, m.group("where"))
+        ).filter(F.expr(cond))
         # SQL UPDATE: every RHS sees the OLD row — one simultaneous
         # projection, not a withColumn cascade
         out = snap.select(*[
@@ -452,7 +509,8 @@ class GhsSql:
         if not m:
             raise ValueError(f"ghs.sql: cannot parse DELETE: {s[:80]!r}")
         t = self._table(m.group("name"))
-        t.delete_where(F.expr(m.group("where") or "true"))
+        t.delete_where(F.expr(m.group("where") or "true"),
+                       prune=self._where_bounds(t, m.group("where")))
         return None
 
     # ------------------------------------------------------------- MERGE
