@@ -74,3 +74,43 @@ def test_insert_select_roundtrips_arbitrary_strings(spark, tmp_path_factory,
     g.sql(f"INSERT INTO rt VALUES {values}")
     got = {r["id"]: r["s"] for r in g.sql("SELECT * FROM rt").collect()}
     assert got == dict(vals)
+
+
+# ---- prune-derivation soundness: pruned DELETE ≡ plain filter ----
+
+_ops = st.sampled_from(["<", "<=", "=", ">", ">="])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(terms=st.lists(
+    st.tuples(st.sampled_from(["b", "v"]), _ops,
+              st.integers(min_value=-5, max_value=105)),
+    min_size=1, max_size=3))
+def test_derived_prune_never_changes_delete_semantics(spark,
+                                                      tmp_path_factory,
+                                                      terms):
+    """DELETE through GhsSql (WHERE-derived manifest pruning) must keep
+    exactly the rows a plain DataFrame filter keeps, for arbitrary
+    conjunctions over stats-indexed and un-indexed columns — including
+    bounds outside the data range (whole-table prune / no-op prune)."""
+    from pyspark.sql import functions as F
+
+    from glue_hudi_spark.storage.native import NativeTable
+
+    wh = tmp_path_factory.mktemp("prprop")
+    t = NativeTable(spark, wh / "t", record_keys=["id"],
+                    stats_cols=["b"], sort_order=["b"],
+                    files_per_partition=4)
+    data = spark.range(200).select(
+        F.col("id"), (F.col("id") % 100).alias("b"),
+        ((F.col("id") * 7) % 50).alias("v"))
+    t.bulk_insert(data)
+    where = " AND ".join(f"{c} {op} {k}" for c, op, k in terms)
+    expected = sorted(
+        r["id"] for r in data.filter(f"NOT ({where}) OR ({where}) IS NULL")
+        .collect())
+    g = GhsSql(spark, wh, tables={"t": t})
+    g.sql(f"DELETE FROM t WHERE {where}")
+    got = sorted(r["id"] for r in g.sql("SELECT id FROM t").collect())
+    assert got == expected
