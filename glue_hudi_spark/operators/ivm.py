@@ -37,22 +37,32 @@ def aggregate_state(
     )
 
 
-def apply_change_feed(
-    state: DataFrame, feed: DataFrame, group_cols: list[str], sum_col: str,
+def change_feed_delta(
+    feed: DataFrame, group_cols: list[str], sum_col: str,
     sum_type: str = "decimal(28,6)",
 ) -> DataFrame:
-    """Merge a CDF batch into an aggregate state. Groups whose count
-    reaches zero are dropped (they no longer exist in the base table);
-    groups born in the feed appear. Exact-decimal arithmetic end-to-end."""
+    """Signed per-group deltas ``(group..., _cnt_d, _sum_d)`` from a CDF
+    batch — one map-side-combined aggregate, rows only for groups the
+    window actually touched."""
     sign = F.when(F.col("_change_type").isin(*_POS), F.lit(1)).otherwise(
         F.lit(-1)
     )
-    delta = feed.groupBy(*group_cols).agg(
+    return feed.groupBy(*group_cols).agg(
         F.sum(sign).alias("_cnt_d"),
         F.sum(sign.cast(sum_type) * F.col(sum_col).cast(sum_type))
         .cast(sum_type).alias("_sum_d"),
     )
-    merged = state.join(delta, on=group_cols, how="full_outer").select(
+
+
+def merge_delta(
+    state: DataFrame, delta: DataFrame, group_cols: list[str],
+    sum_type: str = "decimal(28,6)",
+) -> DataFrame:
+    """Apply per-group deltas to (a slice of) the state. Emits every
+    group either side holds — including groups whose count reached ≤ 0,
+    which the CALLER must drop (full-state maintenance) or turn into
+    delete ops (keyed-state maintenance)."""
+    return state.join(delta, on=group_cols, how="full_outer").select(
         *group_cols,
         (F.coalesce(F.col("cnt"), F.lit(0))
          + F.coalesce(F.col("_cnt_d"), F.lit(0))).alias("cnt"),
@@ -60,4 +70,15 @@ def apply_change_feed(
          + F.coalesce(F.col("_sum_d"), F.lit(0).cast(sum_type)))
         .cast(sum_type).alias("total"),
     )
-    return merged.filter(F.col("cnt") > 0)
+
+
+def apply_change_feed(
+    state: DataFrame, feed: DataFrame, group_cols: list[str], sum_col: str,
+    sum_type: str = "decimal(28,6)",
+) -> DataFrame:
+    """Merge a CDF batch into an aggregate state. Groups whose count
+    reaches zero are dropped (they no longer exist in the base table);
+    groups born in the feed appear. Exact-decimal arithmetic end-to-end."""
+    delta = change_feed_delta(feed, group_cols, sum_col, sum_type)
+    return merge_delta(state, delta, group_cols, sum_type).filter(
+        F.col("cnt") > 0)

@@ -74,14 +74,31 @@ class MaterializedAgg:
             return upto
         if since >= upto:
             return None  # fresh (or a replayed trigger) — no-op
+        from pyspark.sql import functions as F
+
         feed = self.base.change_feed(since, upto)
-        new_state = ivm.apply_change_feed(
-            self.state.read_snapshot(), feed, self.group_cols, self.sum_col
-        )
-        # one ATOMIC replace commit (insert_overwrite): no two-commit
-        # window where a reader could observe a partial state; the
-        # watermark marker publishes with the same manifest
-        self.state.insert_overwrite(new_state, extra_stats=marker)
+        # O(changed groups), round-10 (the MaterializedJoin shape): the
+        # signed per-group delta (map-side combined over the feed)
+        # semi-joins the CURRENT state down to touched groups only, the
+        # algebra runs on that slice, and ONE atomic merge commit
+        # upserts changed groups / deletes emptied ones — the state
+        # rewrite prunes to the touched groups' files instead of
+        # rewriting the whole view (insert_overwrite did O(state) file
+        # writes per refresh however narrow the window was).
+        delta = ivm.change_feed_delta(feed, self.group_cols, self.sum_col)
+        touched = self.state.read_snapshot().join(
+            delta.select(*self.group_cols), on=self.group_cols,
+            how="left_semi")
+        merged = ivm.merge_delta(touched, delta, self.group_cols)
+        batch = merged.withColumn(
+            "_ma_op", F.when(F.col("cnt") > 0, F.lit("U"))
+            .otherwise(F.lit("D")))
+        committed = self.state.merge(batch, op_col="_ma_op",
+                                     extra_stats=marker)
+        if committed is None:
+            # empty window (head moved by compact/etc.): metadata-only
+            # watermark commit keeps the converged cadence O(1)
+            self.state.touch(marker, action="watermark")
         return upto
 
     def read(self):

@@ -60,7 +60,9 @@ def test_refresh_is_single_atomic_commit(spark, tmp_path):
     view.refresh()
     hist = view.state.timeline.history()
     assert len(hist) == n_before + 1          # exactly ONE commit per refresh
-    assert hist[-1].action == "insert_overwrite"
+    # round 10: incremental refreshes are keyed merges (O(changed
+    # groups) rewrite), not full-state overwrites
+    assert hist[-1].action == "merge"
     assert hist[-1].stats["view_of_commit"] == 2
 
 
@@ -381,3 +383,46 @@ def test_join_view_empty_window_advances_watermark(spark, tmp_path):
     assert mj.refresh() is None
     assert len(mj.state.timeline.history()) == n
     assert _mj_rows(mj.read()) == _mj_rows(_scratch_join(fact, dim))
+
+
+def test_agg_refresh_rewrites_only_touched_group_files(spark, tmp_path):
+    """Round-10 state shape: a narrow base churn touches one group —
+    the maintenance merge rewrites only the state files whose group-key
+    range admits it, never the whole view (the pre-r10
+    insert_overwrite rewrote O(state) files per refresh)."""
+    base = NativeTable(spark, tmp_path / "base", record_keys=["id"],
+                       precombine="seq")
+    base.bulk_insert(spark.createDataFrame(
+        [(i, f"g{i % 32:02d}", float(i), 1) for i in range(256)],
+        "id long, grp string, value double, seq int"))
+    view = MaterializedAgg(spark, base, tmp_path / "view", ["grp"],
+                           "value")
+    # spread the initial state over several files
+    view.state.files_per_partition = 4
+    view.refresh()
+    n_files = len(view.state.timeline.latest().files)
+    assert n_files >= 3
+    base.upsert(spark.createDataFrame(
+        [(0, "g00", 999.0, 2)], "id long, grp string, value double, seq int"))
+    view.refresh()
+    c = view.state.timeline.latest()
+    assert c.action == "merge"
+    assert c.stats["files_rewritten"] <= 2
+    assert c.stats["files_rewritten"] + c.stats["files_carried"] >= n_files
+    assert _state(view.read()) == _recompute(base)
+
+
+def test_agg_refresh_deletes_emptied_groups_and_touch(spark, tmp_path):
+    base = _mk(spark, tmp_path / "base")
+    view = MaterializedAgg(spark, base, tmp_path / "view", ["grp"], "value")
+    base.bulk_insert(_rows(spark, [("a", "g1", 1.0, 1), ("b", "g2", 2.0, 1)]))
+    view.refresh()
+    base.delete(spark.createDataFrame([("b",)], "id string"))
+    view.refresh()
+    assert _state(view.read()) == _recompute(base)   # g2 gone
+    assert "g2" not in _state(view.read())
+    # empty window: head moves with zero row changes -> watermark touch
+    base.bin_pack()
+    assert view.refresh() is not None
+    assert view.state.timeline.latest().action == "watermark"
+    assert view.refresh() is None  # converged early-exit
