@@ -642,6 +642,50 @@ def main_matjoin() -> None:
     spark.stop()
 
 
+def main_maggr() -> None:
+    """Round-10 probe: MaterializedAgg's keyed-merge refresh at 10×.
+
+    6M-row base, 100k-group aggregate state over 32 files. A narrow
+    base churn (one group) must rewrite only the state file(s) whose
+    group-key range admits it — the pre-r10 insert_overwrite rewrote
+    all 32 every refresh regardless of window width."""
+    from glue_hudi_spark.streaming.materialized import MaterializedAgg
+
+    spark = get_spark(app_name="glue_hudi_spark-scale-probe-maggr")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
+    work = tempfile.mkdtemp(prefix="ghs_scale_ma_")
+
+    base = NativeTable(spark, f"{work}/base", record_keys=["id"],
+                       precombine="seq", files_per_partition=32)
+    base.bulk_insert(spark.range(6_000_000).select(
+        F.col("id"),
+        F.concat(F.lit("g"), F.lpad((F.col("id") % 100_000)
+                                    .cast("string"), 6, "0")).alias("grp"),
+        (F.col("id") % 1000).cast("double").alias("value"),
+        F.lit(1).alias("seq")))
+    view = MaterializedAgg(spark, base, f"{work}/view", ["grp"], "value")
+    view.state.files_per_partition = 32
+    t0 = time.perf_counter()
+    view.refresh()
+    n_files = len(view.state.timeline.latest().files)
+    probe("maggr_initial_6m", time.perf_counter() - t0,
+          groups=100_000, state_files=n_files)
+
+    base.upsert(spark.createDataFrame(
+        [(0, "g000000", 9999.0, 2)],
+        "id long, grp string, value double, seq int"))
+    t0 = time.perf_counter()
+    view.refresh()
+    c = view.state.timeline.latest()
+    probe("maggr_one_group_churn", time.perf_counter() - t0,
+          state_files=n_files,
+          **{k: c.stats[k] for k in ("files_rewritten", "files_carried")
+             if k in c.stats})
+
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
 def main_classifier() -> None:
     """Round-10 probe: K-pass aggregate classifier training at 6M and
     60M rows (60M ≈ a 10× sf0.1 feature table; one decade apart so any
@@ -682,5 +726,7 @@ if __name__ == "__main__":
         main_matjoin()
     elif "--classifier" in sys.argv[1:]:
         main_classifier()
+    elif "--maggr" in sys.argv[1:]:
+        main_maggr()
     else:
         main()
