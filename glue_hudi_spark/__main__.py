@@ -227,7 +227,36 @@ def main(argv: list[str] | None = None) -> int:
     pcu.add_argument("--output", required=True,
                      help="curated NativeTable root dir")
     pcu.add_argument("--id-col", default="doc_id")
+    psq = sub.add_parser("sql", help="execute SQL text against a "
+                                     "warehouse of ghs tables (GhsSql: "
+                                     "CREATE/INSERT/UPDATE/DELETE/MERGE/"
+                                     "ALTER/OPTIMIZE/VACUUM/SELECT...)")
+    psq.add_argument("--warehouse", required=True,
+                     help="warehouse dir (tables auto-discovered via "
+                          "_table.json)")
+    psq.add_argument("statement", nargs="+",
+                     help="one or more SQL statements (each argument "
+                          "may itself be a ';'-separated batch)")
     args = ap.parse_args(argv)
+
+    if args.cmd == "sql":
+        from glue_hudi_spark.sql import GhsSql
+
+        spark = get_spark(app_name="glue_hudi_spark-sql")
+        ghs = GhsSql(spark, args.warehouse)
+        out = None
+        try:
+            for stmt in args.statement:
+                out = ghs.sql(stmt)
+        except ValueError as exc:
+            print(json.dumps({"error": str(exc)}))
+            return 2
+        if out is not None:
+            for row in out.collect():
+                print(json.dumps(row.asDict(), default=str))
+        print(json.dumps({"ok": True,
+                          "tables": sorted(ghs.tables)}))
+        return 0
 
     if args.cmd == "curate":
         from glue_hudi_spark.curation import (

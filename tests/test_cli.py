@@ -336,3 +336,33 @@ def test_cli_release_lifecycle(spark, tmp_path, capsys):
     assert loaded[ctl.table_name].count() == 100  # pre-CDC pin
     rc, out = run_cmd("drop-release", *base, "--name", "train-v1")
     assert rc == 0 and out["dropped_release"] == "train-v1"
+
+
+def test_cli_sql_end_to_end(tmp_path, capsys):
+    """`python -m glue_hudi_spark sql --warehouse W "stmts"`: the SQL
+    entry as an operational command — create + write in one invocation,
+    read back in a SECOND invocation (durable catalog rediscovers)."""
+    import json as _json
+
+    from glue_hudi_spark.__main__ import main
+
+    wh = tmp_path / "wh"
+    rc = main(["sql", "--warehouse", str(wh),
+               "CREATE TABLE t (id STRING, v INT) USING ghs_table "
+               "TBLPROPERTIES ('primaryKey'='id'); "
+               "INSERT INTO t VALUES ('a', 1), ('b', 2)"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert _json.loads(out[-1]) == {"ok": True, "tables": ["t"]}
+
+    rc = main(["sql", "--warehouse", str(wh),
+               "UPDATE t SET v = v + 10 WHERE id = 'a'",
+               "SELECT id, v FROM t ORDER BY id"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rows = [_json.loads(l) for l in out[:-1]]
+    assert rows == [{"id": "a", "v": 11}, {"id": "b", "v": 2}]
+
+    rc = main(["sql", "--warehouse", str(wh), "FROBNICATE t"])
+    assert rc == 2
+    assert "error" in _json.loads(capsys.readouterr().out.strip())
