@@ -456,3 +456,38 @@ def test_sql_delete_prunes_files_via_stats(ghs, spark):
     assert ghs.sql(
         "SELECT count(*) FROM ledger WHERE bucket >= 90"
     ).collect()[0][0] == 0
+
+
+def test_create_with_location_and_describe_partitioned(ghs, tmp_path):
+    ext = tmp_path / "elsewhere" / "ev"
+    ghs.sql(f"""
+        CREATE TABLE ev (k STRING, day STRING, v INT) USING ghs_table
+            PARTITIONED BY (day)
+            TBLPROPERTIES ('primaryKey'='k')
+            LOCATION '{ext}'
+    """)
+    assert ghs.tables["ev"].root == ext and ext.exists()
+    d = {r["col_name"]: r["data_type"]
+         for r in ghs.sql("DESCRIBE ev").collect()}
+    assert d["# partition_keys"] == "day"
+    assert d["# location"] == str(ext)
+
+
+def test_statement_batch_stops_at_first_error(ghs):
+    """A failing statement mid-batch must not execute the rest."""
+    _mk(ghs)
+    with pytest.raises(ValueError):
+        ghs.sql("DELETE FROM accounts WHERE id = 'a'; "
+                "FROBNICATE x; "
+                "DELETE FROM accounts WHERE id = 'b'")
+    got = [r[0] for r in _rows(ghs)]
+    assert got == ["b", "c"]  # first ran, third did not
+
+
+def test_time_travel_on_unregistered_name_passes_through(ghs, spark):
+    """`x VERSION AS OF n` for a non-ghs name is left for Spark to
+    parse (and reject) — the rewriter must not mangle foreign SQL."""
+    _mk(ghs)
+    spark.range(3).createOrReplaceTempView("plainview")
+    with pytest.raises(Exception):
+        ghs.sql("SELECT * FROM plainview VERSION AS OF 1")
