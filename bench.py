@@ -180,6 +180,25 @@ def machine_probe(spark) -> dict:
     }
 
 
+def local_artifact_name(here: str, sf: str) -> str:
+    """Name for the durable full-record JSON. The round artifact
+    ``BENCH_local_r{N}.json`` is reserved for the DEFAULT scale factor
+    (0.1 — what the driver and BASELINE.md compare); a run at any other
+    SF writes ``..._sf{X}.json`` so a sf0.001 smoke test can never
+    clobber the round's committed numbers (round-10 verdict #6).
+    N = next round after the newest driver BENCH_r*."""
+    rounds = [
+        int(f[len("BENCH_r"):-len(".json")])
+        for f in os.listdir(here)
+        if f.startswith("BENCH_r") and f.endswith(".json")
+        and f[len("BENCH_r"):-len(".json")].isdigit()
+    ]
+    n = (max(rounds) + 1) if rounds else 0
+    if sf == "0.1":
+        return f"BENCH_local_r{n:02d}.json"
+    return f"BENCH_local_r{n:02d}_sf{sf}.json"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -234,14 +253,8 @@ def main() -> None:
     # regardless of stdout capture. N = next round after the newest BENCH_r*.
     try:
         here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [
-            int(f[len("BENCH_r"):-len(".json")])
-            for f in os.listdir(here)
-            if f.startswith("BENCH_r") and f.endswith(".json")
-            and f[len("BENCH_r"):-len(".json")].isdigit()
-        ]
-        n = (max(rounds) + 1) if rounds else 0
-        with open(os.path.join(here, f"BENCH_local_r{n:02d}.json"), "w") as fh:
+        with open(os.path.join(here, local_artifact_name(here, sf)),
+                  "w") as fh:
             json.dump({**out, "cold": cold}, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # read-only checkout: stdout lines below still carry the data

@@ -3096,20 +3096,31 @@ class NativeTable:
         batch's SCHEMA — how ``CREATE TABLE`` (sql.py) makes a brand-new
         table readable/alterable before its first data write (plain
         empty batches stay no-ops so CDC replay semantics don't change).
+        FIRST commit only: on a table with history it raises — it would
+        republish the empty frame's schema verbatim, bypassing the
+        type-widening/strict-schema chokepoints.
         """
         if df.isEmpty():
             if not allow_empty:
                 return None
+            prev = self.timeline.latest()
+            if prev is not None:
+                # schema-only commits exist to make CREATE TABLE's
+                # declared schema readable BEFORE the first write; on a
+                # table with history they would republish the empty
+                # batch's schema verbatim, bypassing type-widening and
+                # strict-schema checks (round-10 advice — latent, no
+                # caller does this today)
+                raise ValueError(
+                    f"table {self.root}: bulk_insert(allow_empty=True) "
+                    "is the empty-table schema-publish path; this table "
+                    "already has commits — an empty batch is a no-op "
+                    "(call with allow_empty=False)")
             cid = self.timeline.next_commit_id()
             out = self._with_meta(df, f"{cid:020d}")
-            prev = self.timeline.latest()
             return self._commit(
-                cid, "bulk_insert",
-                list(prev.files) if prev else [],
-                [dict(d) for d in prev.deltas] if prev else [],
-                out.schema.json(), dict(extra_stats or {}),
-                dict(prev.key_stats) if prev else {},
-                dict(prev.col_stats) if prev else {},
+                cid, "bulk_insert", [], [],
+                out.schema.json(), dict(extra_stats or {}), {}, {},
             )
         cid = self.timeline.next_commit_id()
         out = self._with_meta(df, f"{cid:020d}")

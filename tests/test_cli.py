@@ -366,3 +366,18 @@ def test_cli_sql_end_to_end(tmp_path, capsys):
     rc = main(["sql", "--warehouse", str(wh), "FROBNICATE t"])
     assert rc == 2
     assert "error" in _json.loads(capsys.readouterr().out.strip())
+
+
+def test_bench_artifact_name_guards_non_default_sf(tmp_path):
+    """A bench run at a non-default SF must not overwrite the round
+    artifact BENCH_local_r{N}.json (round-10 verdict #6)."""
+    import bench
+
+    (tmp_path / "BENCH_r07.json").write_text("{}")
+    (tmp_path / "BENCH_r10.json").write_text("{}")
+    assert bench.local_artifact_name(str(tmp_path), "0.1") == \
+        "BENCH_local_r11.json"
+    assert bench.local_artifact_name(str(tmp_path), "0.001") == \
+        "BENCH_local_r11_sf0.001.json"
+    assert bench.local_artifact_name(str(tmp_path), "0.01") == \
+        "BENCH_local_r11_sf0.01.json"

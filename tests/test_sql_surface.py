@@ -491,3 +491,229 @@ def test_time_travel_on_unregistered_name_passes_through(ghs, spark):
     spark.range(3).createOrReplaceTempView("plainview")
     with pytest.raises(Exception):
         ghs.sql("SELECT * FROM plainview VERSION AS OF 1")
+
+
+# ---------------------------------------------------------------- round 11
+
+
+def _mk_ledger(ghs, spark):
+    """Stats-indexed 4-file table for file-pruning pins."""
+    from pyspark.sql import functions as F
+
+    t = NativeTable(spark, ghs.warehouse / "ledger", record_keys=["id"],
+                    stats_cols=["bucket"], sort_order=["bucket"],
+                    files_per_partition=4)
+    t.bulk_insert(spark.range(400).select(
+        F.col("id"), (F.col("id") % 100).alias("bucket"),
+        F.lit(1).alias("v")))
+    ghs.register("ledger", t)
+    return t
+
+
+def test_where_bounds_quote_aware(ghs):
+    """A string literal containing ' AND col = k ' must not parse as a
+    conjunction term — the round-10 advice bug yielded a bogus bound
+    and DELETE/UPDATE silently skipped files holding matching rows."""
+    _mk(ghs)
+    t = ghs.tables["accounts"]
+    wb = ghs._where_bounds
+    # the literal's inner "AND seq = 5" is NOT a term; the whole literal
+    # is the region bound
+    got = wb(t, "region = 'x AND seq = 5 AND y'")
+    assert got == {"region": ("x AND seq = 5 AND y",
+                              "x AND seq = 5 AND y")}
+    # OR hidden inside a literal must not disable pruning; a real OR must
+    assert wb(t, "region = 'a OR b' AND seq <= 3") == {
+        "region": ("a OR b", "a OR b"), "seq": (None, 3)}
+    assert wb(t, "seq <= 3 OR region = 'eu'") is None
+    # AND inside parens stays whole (no mid-expression split)
+    assert wb(t, "region = concat('e', 'u') AND seq >= 1") == {
+        "region": ("eu", "eu"), "seq": (1, None)}
+
+
+def test_delete_with_and_inside_literal_deletes_all_matches(ghs):
+    _mk(ghs)
+    ghs.sql("INSERT INTO accounts VALUES "
+            "('k', CAST(1.00 AS DECIMAL(10,2)), 'x AND seq = 99 AND y', 1)")
+    ghs.sql("DELETE FROM accounts WHERE region = 'x AND seq = 99 AND y'")
+    assert [r[0] for r in _rows(ghs)] == ["a", "b", "c"]
+
+
+def test_update_rejects_key_partition_and_unknown_columns(ghs, spark):
+    _mk(ghs)
+    with pytest.raises(ValueError, match="record-key"):
+        ghs.sql("UPDATE accounts SET id = 'z' WHERE id = 'a'")
+    with pytest.raises(ValueError, match="unknown column"):
+        ghs.sql("UPDATE accounts SET balnce = 5")
+    # partition column: rejected without a global index ...
+    ghs.sql("CREATE TABLE pev (k STRING, day STRING, v INT) "
+            "USING ghs_table PARTITIONED BY (day) "
+            "TBLPROPERTIES ('primaryKey'='k')")
+    ghs.sql("INSERT INTO pev VALUES ('r1', 'd1', 1)")
+    with pytest.raises(ValueError, match="partition column"):
+        ghs.sql("UPDATE pev SET day = 'd2' WHERE k = 'r1'")
+    # ... and RELOCATES (not duplicates) with one
+    g = NativeTable(spark, ghs.warehouse / "gev", record_keys=["k"],
+                    partition_keys=["day"], global_index=True)
+    g.bulk_insert(spark.createDataFrame([("r1", "d1", 1)], "k string, day string, v int"))
+    ghs.register("gev", g)
+    ghs.sql("UPDATE gev SET day = 'd2' WHERE k = 'r1'")
+    assert [tuple(r) for r in
+            ghs.sql("SELECT k, day FROM gev").collect()] == [("r1", "d2")]
+
+
+def test_drop_external_table_keeps_data(ghs, tmp_path):
+    """LOCATION-pinned tables are external: DROP deregisters, data and
+    _table.json survive for a later open(); managed roots are deleted."""
+    ext = tmp_path / "outside" / "ex"
+    ghs.sql(f"CREATE TABLE ex (k STRING, v INT) USING ghs_table "
+            f"TBLPROPERTIES ('primaryKey'='k') LOCATION '{ext}'")
+    ghs.sql("INSERT INTO ex VALUES ('a', 1)")
+    ghs.sql("DROP TABLE ex")
+    assert "ex" not in ghs.tables
+    assert (ext / "_table.json").is_file()  # data left in place
+    # the stale temp view must be gone — a SELECT raises, not resolves
+    with pytest.raises(Exception):
+        ghs.sql("SELECT * FROM ex").collect()
+    # reattachable
+    t = NativeTable.open(ghs.spark, ext)
+    assert t.read_snapshot().count() == 1
+    # managed table: DROP deletes the warehouse root
+    _mk(ghs)
+    root = ghs.tables["accounts"].root
+    ghs.sql("DROP TABLE accounts")
+    assert not root.exists()
+
+
+def test_select_prunes_files_via_stats(ghs, spark):
+    """Round-10 verdict #2: a selective SQL SELECT must scan fewer
+    files than the table holds (manifest-level pruning on the SQL read
+    path, same ladder as delete_where)."""
+    t = _mk_ledger(ghs, spark)
+    total = len(t.timeline.latest().files)
+    assert total >= 4
+    df = ghs.sql("SELECT * FROM ledger WHERE bucket >= 90")
+    assert 0 < len(df.inputFiles()) < total
+    assert df.count() == 40
+    # exactness: pruned SQL == unpruned Python-API filter
+    assert ghs.sql(
+        "SELECT sum(v) FROM ledger WHERE bucket >= 90"
+    ).collect()[0][0] == 40
+    # alias-qualified WHERE terms still contribute bounds
+    df2 = ghs.sql("SELECT l.id FROM ledger l WHERE l.bucket >= 90")
+    assert 0 < len(df2.inputFiles()) < total and df2.count() == 40
+    # conservative bail-outs: join shapes read the plain view, correct
+    ghs.register("ledger2", t)
+    n = ghs.sql("SELECT count(*) FROM ledger a JOIN ledger2 b "
+                "ON a.id = b.id WHERE a.bucket >= 90").collect()[0][0]
+    assert n == 40
+
+
+def test_select_prune_literal_cannot_narrow_results(ghs):
+    """The pruned SELECT path must survive hostile literals: an AND/OR
+    inside a string constant narrows nothing."""
+    _mk(ghs)
+    ghs.sql("INSERT INTO accounts VALUES "
+            "('k', CAST(1.00 AS DECIMAL(10,2)), 'eu AND seq = 99', 7)")
+    got = [r[0] for r in ghs.sql(
+        "SELECT id FROM accounts WHERE region = 'eu AND seq = 99' "
+        "ORDER BY id").collect()]
+    assert got == ["k"]
+    # GROUP BY / LIMIT after WHERE don't leak into the bound text
+    n = ghs.sql("SELECT region, count(*) AS n FROM accounts "
+                "WHERE seq >= 1 GROUP BY region LIMIT 10").count()
+    assert n == 3
+
+
+def test_with_views_cached_by_head_commit(ghs, monkeypatch):
+    """A multi-statement session re-plans a table's snapshot view only
+    when its head commit moves (round-10 verdict #8)."""
+    _mk(ghs)
+    t = ghs.tables["accounts"]
+    calls = []
+    orig = t.read_snapshot
+
+    def spy(*a, **kw):
+        calls.append(kw)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(t, "read_snapshot", spy)
+    ghs.sql("SELECT count(*) FROM accounts")
+    ghs.sql("SELECT count(*) FROM accounts")
+    ghs.sql("SELECT count(*) FROM accounts")
+    assert len(calls) == 1  # bound once, reused across the batch
+    ghs.sql("INSERT INTO accounts VALUES "
+            "('z', CAST(9.00 AS DECIMAL(10,2)), 'eu', 1)")
+    ghs.sql("SELECT count(*) FROM accounts")
+    assert len(calls) >= 2  # head moved -> re-bound
+    assert ghs.sql("SELECT count(*) FROM accounts").collect()[0][0] == 4
+
+
+def test_pruned_select_does_not_poison_next_statement(ghs, spark):
+    """A pruned view bound for one SELECT must not serve the next
+    statement's unfiltered read."""
+    _mk_ledger(ghs, spark)
+    assert ghs.sql("SELECT count(*) FROM ledger WHERE bucket >= 90"
+                   ).collect()[0][0] == 40
+    assert ghs.sql("SELECT count(*) FROM ledger").collect()[0][0] == 400
+
+
+def test_show_create_table_roundtrip(ghs, spark, tmp_path):
+    """SHOW CREATE TABLE output re-executed in a FRESH warehouse
+    reproduces an equivalent table (round-10 verdict #5)."""
+    ghs.sql("""
+        CREATE TABLE src (
+            k STRING, day STRING, v INT, tag STRING DEFAULT 'new'
+        ) USING ghs_table PARTITIONED BY (day)
+        TBLPROPERTIES ('primaryKey'='k', 'preCombineField'='v',
+                       'type'='cow', 'statsCols'='v',
+                       'bloomIndex'='true')
+    """)
+    stmt = ghs.sql("SHOW CREATE TABLE src").collect()[0][0]
+    assert "USING ghs_table" in stmt and "LOCATION" not in stmt
+    other = GhsSql(spark, tmp_path / "wh2")
+    other.sql(stmt)
+    a, b = ghs.tables["src"], other.tables["src"]
+    assert (a.record_keys, a.precombine, a.partition_keys,
+            a.storage_type, a.stats_cols, a.bloom_index) == \
+           (b.record_keys, b.precombine, b.partition_keys,
+            b.storage_type, b.stats_cols, b.bloom_index)
+    other.sql("INSERT INTO src (k, day, v) VALUES ('a', 'd1', 1)")
+    assert [tuple(r) for r in other.sql(
+        "SELECT k, tag FROM src").collect()] == [("a", "new")]
+
+
+def test_show_create_table_external_carries_location(ghs, tmp_path):
+    ext = tmp_path / "outside" / "exloc"
+    ghs.sql(f"CREATE TABLE exloc (k STRING, v INT) USING ghs_table "
+            f"TBLPROPERTIES ('primaryKey'='k') LOCATION '{ext}'")
+    stmt = ghs.sql("SHOW CREATE TABLE exloc").collect()[0][0]
+    assert f"LOCATION '{ext}'" in stmt
+
+
+def test_describe_detail(ghs, spark):
+    t = _mk_ledger(ghs, spark)
+    row = ghs.sql("DESCRIBE DETAIL ledger").collect()[0]
+    head = t.timeline.latest()
+    assert row["format"] == "ghs_table"
+    assert row["location"] == str(t.root)
+    assert row["record_keys"] == ["id"]
+    assert row["num_files"] == len(head.files)
+    assert row["num_rows"] == 400
+    assert row["size_bytes"] > 0
+    assert row["head_commit"] == head.commit_id
+    import json as _json
+    assert _json.loads(row["properties"])["stats_cols"] == ["bucket"]
+
+
+def test_allow_empty_restricted_to_first_commit(ghs, spark):
+    """bulk_insert(allow_empty=True) on a table with history must raise
+    — it would republish the empty frame's schema, bypassing widening
+    and strict-schema checks (round-10 advice)."""
+    _mk(ghs)
+    t = ghs.tables["accounts"]
+    empty = spark.createDataFrame([], "id string, balance decimal(10,2), "
+                                      "region string, seq int")
+    with pytest.raises(ValueError, match="allow_empty"):
+        t.bulk_insert(empty, allow_empty=True)
+    assert t.bulk_insert(empty) is None  # plain empty stays a no-op
