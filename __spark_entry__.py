@@ -895,6 +895,59 @@ SELECT CAST(900000001 AS BIGINT) AS user_id, CAST(1 AS BIGINT) AS event_id,
 """
 
 
+def sql_time_travel(spark, sf_dir):
+    """SQL-text time travel + CTAS (round-10 verdict #3): the history
+    surface driven purely through ``GhsSql.sql()`` — CREATE, INSERT
+    INTO ... SELECT, UPDATE, ``VERSION AS OF`` in a CTAS source, a
+    DELETE, and a final join of the current table against the
+    historical clone. Commit ids are deterministic (CREATE's schema
+    commit = 1, each statement += 1), so ``VERSION AS OF 2`` is the
+    post-insert, pre-update state. Pins Delta's SQL time-travel
+    semantics (``VERSION AS OF`` resolves through the manifest; the
+    scan stays lazy/pruned) end-to-end with a DuckDB oracle replaying
+    the same lineage."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet") \
+        .filter(F.col("o_orderkey") % 5 == 0) \
+        .select(F.col("o_orderkey").alias("ok"),
+                F.col("o_custkey").alias("ck"),
+                F.col("o_totalprice").cast("double").alias("price")) \
+        .createOrReplaceTempView("tt_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqltt_"))
+    ghs.sql("""
+        CREATE TABLE tt_orders (ok BIGINT, ck BIGINT, price DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='ok');
+        INSERT INTO tt_orders SELECT ok, ck, price FROM tt_src_v;
+        UPDATE tt_orders SET price = price * 1.1 WHERE ck % 7 = 0;
+        CREATE TABLE tt_snap USING ghs_table
+            TBLPROPERTIES ('primaryKey'='ok')
+            AS SELECT ok, ck, price FROM tt_orders VERSION AS OF 2;
+        DELETE FROM tt_orders WHERE ok % 100 = 0
+    """)
+    return ghs.sql("""
+        SELECT c.ok, c.ck, c.price AS cur_price, h.price AS old_price
+        FROM tt_orders c JOIN tt_snap h ON c.ok = h.ok
+    """).select("ok", "ck", "cur_price", "old_price")
+
+
+SQL_TIME_TRAVEL_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+updated AS (
+  SELECT ok, ck,
+         CASE WHEN ck % 7 = 0 THEN price * 1.1 ELSE price END AS price
+  FROM src
+),
+kept AS (SELECT * FROM updated WHERE ok % 100 <> 0)
+SELECT k.ok, k.ck, k.price AS cur_price, s.price AS old_price
+FROM kept k JOIN src s ON k.ok = s.ok
+"""
+
+
 def cdc_add_column_default(spark, sf_dir):
     """ADD COLUMN ... DEFAULT through the real storage path (Delta
     parity): the snapshot loads WITHOUT ``tier``, ``add_column`` appends
@@ -8937,63 +8990,65 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # DRIVER WINDOW (first 50 keys): the driver's CORRECTNESS gate samples the
 # registry's first 50 keys in order — rotated each round by reordering the
-# full dict against this list. Round 10: the 3 new round-10 queries (first
-# contact), then ALL 47 queries whose freshest driver evidence is r06 (the
-# round-6 analytics batch + TPC-H long tail — the oldest tier; they predate
-# the r08 read-path changes: column mapping, deletion vectors, widening
-# upcasts now sit under every scan). After this round no registered query's
-# evidence is older than r07.
+# full dict against this list. Round 11: the new round-11 query first
+# (sql_time_travel — first contact), then 49 of the 50 queries whose
+# freshest driver evidence is r07 (they predate the r08 read-path changes:
+# column mapping, deletion vectors, widening upcasts under every scan).
+# Deferred to r12: copurchase_triangles — the one r07 query that reads raw
+# parquet through plain DataFrame ops only (no NativeTable scan), so the
+# read-path-rewrite staleness concern does not apply to it; after this
+# round it is the only entry older than r08.
 _DRIVER_WINDOW = [
-    "cdc_decimal_widening",
-    "cdc_sql_surface",
-    "corpus_classifier_curation",
-    "corpus_bm25_search",
-    "corpus_tokenize_ids",
-    "count_rows",
-    "customer_pareto_share",
-    "dim_scd2_history",
-    "events_activity_streaks",
-    "events_cms_heavy_hitters",
-    "events_cohort_retention",
-    "events_hll_distinct",
-    "events_median_gap",
-    "events_sliding_distinct",
-    "lineitem_copurchase_pairs",
-    "lineitem_moment_stats",
-    "lineitem_skew_report",
-    "nation_supplier_roster",
-    "nation_trade_pagerank",
-    "orders_attribution",
-    "orders_expectations",
-    "orders_price_deciles",
-    "orders_recon_checksum",
-    "orders_yoy_growth",
-    "part_fuzzy_match",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_qty_revenue",
-    "q18_large_volume",
-    "q19_disjunctive_rev",
-    "q1_pricing_summary",
-    "q20_supplier_parts",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "revenue_by_nation",
-    "scalar_array_funcs",
-    "supplier_balance_outliers",
+    "sql_time_travel",
+    "ann_ivf_multiprobe",
+    "ann_pq_topk",
+    "cdc_change_feed",
+    "cdc_incremental_window",
+    "cdc_multi_column_lookup",
+    "cdc_partial_update",
+    "cdc_secondary_lookup",
+    "cdc_time_travel",
+    "corpus_bigram_logprob",
+    "corpus_boilerplate",
+    "corpus_chunk",
+    "corpus_curation",
+    "corpus_decontaminate",
+    "corpus_hybrid_search",
+    "corpus_line_dedup",
+    "corpus_mixed",
+    "corpus_pack",
+    "corpus_profile",
+    "corpus_quality_filter",
+    "corpus_quality_percentile",
+    "corpus_shard",
+    "corpus_source_best",
+    "corpus_stratified_sample",
+    "corpus_stratum_fixed",
+    "corpus_temperature_mix",
+    "corpus_token_budget",
+    "corpus_top_bigrams",
+    "corpus_unigram_logprob",
+    "corpus_zipf_fit",
+    "customer_rfm_segments",
+    "dedup_incremental",
+    "dedup_semantic",
+    "embedding_outliers",
+    "embedding_quantize",
+    "events_asof_forward",
+    "events_asof_nearest",
+    "events_entropy_profile",
+    "events_funnel",
+    "events_interval_join",
+    "events_ivm_rollup",
+    "events_markov_transitions",
+    "events_value_mad_outliers",
+    "lineitem_winsorized_stats",
+    "orders_seasonality",
+    "supplier_concentration_hhi",
+    "text_commonness",
+    "text_diversity",
+    "text_pii_redact",
+    "text_repetition",
 ]
 
 
@@ -9013,6 +9068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_add_column_default": cdc_add_column_default,
         "cdc_decimal_widening": cdc_decimal_widening,
         "cdc_sql_surface": cdc_sql_surface,
+        "sql_time_travel": sql_time_travel,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -9412,5 +9468,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_add_column_default": ADD_COLUMN_ORACLE,
         "cdc_decimal_widening": DECIMAL_WIDENING_ORACLE,
         "cdc_sql_surface": SQL_SURFACE_ORACLE,
+        "sql_time_travel": SQL_TIME_TRAVEL_ORACLE,
         "corpus_classifier_curation": CLASSIFIER_CURATION_ORACLE,
     }
