@@ -948,6 +948,64 @@ FROM kept k JOIN src s ON k.ok = s.ok
 """
 
 
+def sql_transactions(spark, sf_dir):
+    """Multi-statement, multi-TABLE transactions over the SQL surface
+    (round-11 extension; glue_hudi_spark/sql.py ``_begin``): three
+    lifecycles against one pair of tables — a COMMITTED transaction
+    (UPDATE + audit INSERT, both kept), an explicit ROLLBACK (both
+    tables restored to their BEGIN heads via ``timeline.restore_to`` —
+    manifest truncation + orphan-file deletion), and an
+    ERROR-ABORTED transaction (a failing statement mid-batch rolls
+    back the statements that ran before it). The all-or-nothing spans
+    TABLES — the gap single-table commit protocols (Delta/Hudi) leave
+    open. The oracle replays only the committed transaction."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    ).createOrReplaceTempView("txn_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqltxn_"))
+    ghs.sql("""
+        CREATE TABLE txn_acct (id BIGINT, bal DOUBLE) USING ghs_table
+            TBLPROPERTIES ('primaryKey'='id');
+        CREATE TABLE txn_audit (id BIGINT, note STRING) USING ghs_table
+            TBLPROPERTIES ('primaryKey'='id');
+        INSERT INTO txn_acct SELECT id, bal FROM txn_src_v;
+        BEGIN;
+        UPDATE txn_acct SET bal = bal + 100 WHERE id % 10 = 0;
+        INSERT INTO txn_audit VALUES (1, 'bumped tier-10 accounts');
+        COMMIT;
+        BEGIN;
+        UPDATE txn_acct SET bal = 0;
+        DELETE FROM txn_acct WHERE id % 3 = 0;
+        INSERT INTO txn_audit VALUES (2, 'must not survive');
+        ROLLBACK
+    """)
+    try:
+        ghs.sql("""
+            BEGIN;
+            DELETE FROM txn_acct WHERE id % 7 = 0;
+            INSERT INTO txn_nosuch VALUES (3, 'boom')
+        """)
+    except ValueError:
+        pass  # unknown table aborts the transaction; DELETE rolled back
+    return ghs.sql("""
+        SELECT a.id, a.bal, (SELECT count(*) FROM txn_audit) AS audit_n
+        FROM txn_acct a
+    """).select("id", "bal", F.col("audit_n").cast("long").alias("audit_n"))
+
+
+SQL_TRANSACTIONS_ORACLE = """
+SELECT c_custkey AS id,
+       CASE WHEN c_custkey % 10 = 0
+            THEN CAST(c_acctbal AS DOUBLE) + 100
+            ELSE CAST(c_acctbal AS DOUBLE) END AS bal,
+       CAST(1 AS BIGINT) AS audit_n
+FROM customer
+"""
+
+
 def cdc_add_column_default(spark, sf_dir):
     """ADD COLUMN ... DEFAULT through the real storage path (Delta
     parity): the snapshot loads WITHOUT ``tier``, ``add_column`` appends
@@ -8994,12 +9052,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # (sql_time_travel — first contact), then 49 of the 50 queries whose
 # freshest driver evidence is r07 (they predate the r08 read-path changes:
 # column mapping, deletion vectors, widening upcasts under every scan).
-# Deferred to r12: copurchase_triangles — the one r07 query that reads raw
-# parquet through plain DataFrame ops only (no NativeTable scan), so the
-# read-path-rewrite staleness concern does not apply to it; after this
-# round it is the only entry older than r08.
+# Round 11 adds two new queries (sql_time_travel, sql_transactions), so
+# two r07 entries defer to r12: copurchase_triangles and
+# corpus_top_bigrams — the r07 queries that read raw parquet through
+# plain DataFrame ops only (no NativeTable scan), so the
+# read-path-rewrite staleness concern does not apply to them; after this
+# round they are the only entries older than r08.
 _DRIVER_WINDOW = [
     "sql_time_travel",
+    "sql_transactions",
     "ann_ivf_multiprobe",
     "ann_pq_topk",
     "cdc_change_feed",
@@ -9026,7 +9087,6 @@ _DRIVER_WINDOW = [
     "corpus_stratum_fixed",
     "corpus_temperature_mix",
     "corpus_token_budget",
-    "corpus_top_bigrams",
     "corpus_unigram_logprob",
     "corpus_zipf_fit",
     "customer_rfm_segments",
@@ -9069,6 +9129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_decimal_widening": cdc_decimal_widening,
         "cdc_sql_surface": cdc_sql_surface,
         "sql_time_travel": sql_time_travel,
+        "sql_transactions": sql_transactions,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -9469,5 +9530,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_decimal_widening": DECIMAL_WIDENING_ORACLE,
         "cdc_sql_surface": SQL_SURFACE_ORACLE,
         "sql_time_travel": SQL_TIME_TRAVEL_ORACLE,
+        "sql_transactions": SQL_TRANSACTIONS_ORACLE,
         "corpus_classifier_curation": CLASSIFIER_CURATION_ORACLE,
     }

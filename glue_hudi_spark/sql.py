@@ -196,6 +196,12 @@ class GhsSql:
         # per WRITE, not per statement. wall_time disambiguates a
         # restore_to + republish that reuses a commit id.
         self._view_cache: dict[str, tuple] = {}
+        # open transaction: name -> head commit id at BEGIN (0 = table
+        # had no commits), plus the set of tables CREATEd inside the
+        # transaction (rolled back by deregistration/removal). None =
+        # autocommit. See _begin/_commit_txn/_rollback.
+        self._txn: dict[str, int] | None = None
+        self._txn_created: set[str] = set()
 
     def register(self, name: str, table: NativeTable) -> None:
         self.tables[name] = table
@@ -209,11 +215,34 @@ class GhsSql:
         out = None
         for stmt in _split_top(_strip_comments(text), ";"):
             if stmt.strip():
-                out = self._one(stmt.strip())
+                try:
+                    out = self._one(stmt.strip())
+                except Exception:
+                    if self._txn is not None:
+                        # all-or-nothing inside an explicit transaction:
+                        # a failing statement aborts the whole thing (the
+                        # BEGIN; ...; COMMIT batch form has no way to
+                        # handle the error mid-flight)
+                        self._rollback()
+                    raise
         return out
 
     def _one(self, s: str) -> DataFrame | None:
         head = s.split(None, 2)[0].upper() if s.split() else ""
+        if head == "BEGIN" or (head == "START"
+                               and s.upper().split()[:2]
+                               == ["START", "TRANSACTION"]):
+            return self._begin(s)
+        if head == "COMMIT":
+            return self._commit_txn(s)
+        if head == "ROLLBACK":
+            self._require_txn("ROLLBACK")
+            return self._rollback()
+        if self._txn is not None and head in ("DROP", "VACUUM"):
+            raise ValueError(
+                f"ghs.sql: {head} is not allowed inside a transaction — "
+                "it deletes files restore cannot bring back (COMMIT or "
+                "ROLLBACK first)")
         if head == "CREATE":
             return self._create(s)
         if head == "INSERT":
@@ -384,6 +413,89 @@ class GhsSql:
         # INSERT INTO ... SELECT FROM t VERSION AS OF n restores history
         return self.spark.sql(self._rewrite_time_travel(q))
 
+    # ------------------------------------------------------- transactions
+
+    def _require_txn(self, kw: str) -> None:
+        if self._txn is None:
+            raise ValueError(f"ghs.sql: {kw} without an open transaction "
+                             "(BEGIN first)")
+
+    def _begin(self, s: str) -> None:
+        """``BEGIN [TRANSACTION]``: multi-statement, multi-TABLE
+        all-or-nothing over the engine's own commit protocol — the gap
+        Delta/Hudi leave open (each of their commits is single-table
+        atomic; nothing spans tables). Mechanism: record every
+        registered table's head commit id now; statements execute
+        immediately (reads inside the transaction see its own writes —
+        each write is still an ordinary atomic commit); ``COMMIT``
+        forgets the snapshot; ``ROLLBACK`` — or any statement error —
+        restores each moved table to its recorded head via
+        ``timeline.restore_to`` (pure manifest truncation + orphan-file
+        deletion) and removes tables CREATEd inside the transaction.
+
+        SINGLE-WRITER semantics, stated plainly: restore truncates the
+        timeline, so a FOREIGN writer's commit landing between BEGIN
+        and ROLLBACK on the same table would be rolled back with ours
+        — the same single-pipeline-owns-the-table assumption the
+        reference's driver loop makes (processData.py's per-table
+        sequential batches). Cross-process isolation needs a catalog
+        service (lakeFS-style ref store), out of scope by design.
+        DROP/VACUUM are rejected inside a transaction: they delete
+        files restore cannot resurrect."""
+        words = s.upper().split()
+        if words not in (["BEGIN"], ["BEGIN", "TRANSACTION"],
+                         ["START", "TRANSACTION"]):
+            raise ValueError(f"ghs.sql: cannot parse {s[:40]!r} — use "
+                             "BEGIN [TRANSACTION]")
+        if self._txn is not None:
+            raise ValueError("ghs.sql: transaction already open "
+                             "(nested BEGIN is not supported)")
+        heads = {}
+        for name, t in self.tables.items():
+            h = t.timeline.latest()
+            heads[name] = h.commit_id if h else 0
+        self._txn = heads
+        self._txn_created = set()
+        return None
+
+    def _commit_txn(self, s: str) -> None:
+        if s.upper().split() not in (["COMMIT"], ["COMMIT", "TRANSACTION"]):
+            raise ValueError(f"ghs.sql: cannot parse {s[:40]!r} — use "
+                             "COMMIT [TRANSACTION]")
+        self._require_txn("COMMIT")
+        self._txn = None
+        self._txn_created = set()
+        return None
+
+    def _rollback(self) -> None:
+        txn, created = self._txn, self._txn_created
+        self._txn, self._txn_created = None, set()
+        import shutil
+
+        for name in created:
+            t = self.tables.pop(name, None)
+            txn.pop(name, None)
+            if t is None:
+                continue
+            self._view_cache.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            try:
+                managed = Path(t.root).resolve().is_relative_to(
+                    self.warehouse.resolve())
+            except (OSError, ValueError):
+                managed = False
+            if managed:
+                shutil.rmtree(t.root, ignore_errors=True)
+        for name, saved in txn.items():
+            t = self.tables.get(name)
+            if t is None:
+                continue
+            h = t.timeline.latest()
+            if (h.commit_id if h else 0) != saved:
+                t.timeline.restore_to(saved)
+                self._view_cache.pop(name, None)
+        return None
+
     # ------------------------------------------------------------- CREATE
 
     _CREATE = re.compile(
@@ -453,6 +565,8 @@ class GhsSql:
         if ctas:
             t.bulk_insert(self._query_df(ctas.group("q")))
             self.tables[name] = t
+            if self._txn is not None:
+                self._txn_created.add(name)
             return None
         schema_fields = []
         defaults: list[tuple[str, str, object]] = []
@@ -474,6 +588,8 @@ class GhsSql:
             lit = self.spark.sql(f"SELECT CAST({dexpr} AS {ctype})").first()[0]
             t.add_column(cname, ctype, default=lit)
         self.tables[name] = t
+        if self._txn is not None:
+            self._txn_created.add(name)
         return None
 
     # ------------------------------------------------------------- INSERT

@@ -111,6 +111,83 @@ def main_decade() -> None:
     probe("minhash_lsh_500k_docs", time.perf_counter() - t0,
           docs=n_docs, pairs=n_pairs)
 
+    # ---- persisted dedup index at 500k docs (round-10 verdict #7):
+    # refresh cost must track CHURN (touched prefix partitions), never
+    # corpus size. prefix_len=2 → 256 exact + 256 band partitions, the
+    # large-corpus layout the class docstring prescribes. --------------
+    from glue_hudi_spark.operators.dedup_index import DedupIndex
+
+    docs_tbl = NativeTable(
+        spark, f"{work}/docs_tbl", record_keys=["dk"],
+        precombine="doc_id", files_per_partition=64,
+        stats_cols=["doc_id"])
+
+    def keyed_docs(df):
+        return df.select(
+            F.format_string("%012d", "doc_id").alias("dk"),
+            "doc_id", "text")
+
+    docs_tbl.bulk_insert(keyed_docs(big_docs))
+    ix = DedupIndex(docs_tbl, id_col="doc_id", prefix_len=2)
+    t0 = time.perf_counter()
+    ix.build()
+    build_s = time.perf_counter() - t0
+    probe("dedup_index_build_500k_docs", build_s, docs=n_docs,
+          partitions=512)
+    for churn in (10, 100):
+        late = big_docs.orderBy("doc_id").limit(churn).select(
+            (F.col("doc_id") + 90_000_000 + churn).alias("doc_id"),
+            F.concat(F.col("text"),
+                     F.lit(f" churn{churn}")).alias("text"))
+        docs_tbl.upsert(keyed_docs(late))
+        t0 = time.perf_counter()
+        r = ix.refresh()
+        probe(f"dedup_index_refresh_churn{churn}_500k_docs",
+              time.perf_counter() - t0, churn_docs=churn,
+              partitions_rewritten=r["partitions_rewritten"],
+              build_sec=round(build_s, 2))
+
+    # ---- persisted IVF index at 5M vectors (round-10 verdict #7):
+    # change-feed refresh rewrites only the churned vectors' cell
+    # partitions — O(batch + touched cells), not O(corpus). -------------
+    from glue_hudi_spark.operators.vector_index import VectorIndex
+
+    dim, n_vec, n_cells = 16, 5_000_000, 256
+    vecs = spark.range(n_vec).select(
+        F.col("id").alias("vec_id"),
+        F.format_string("%012d", "id").alias("vk"),
+        F.array(*[
+            ((F.col("id") * (7 + 13 * j) + 37 * j) % 997 / 997.0)
+            .cast("double") for j in range(dim)
+        ]).alias("embedding"))
+    vec_tbl = NativeTable(
+        spark, f"{work}/vec_tbl", record_keys=["vk"],
+        precombine="vec_id", files_per_partition=64,
+        stats_cols=["vec_id"])
+    vec_tbl.bulk_insert(vecs)
+    vx = VectorIndex(vec_tbl)
+    t0 = time.perf_counter()
+    vx.build(id_col="vec_id", n_centroids=n_cells, train_iters=1)
+    build_s = time.perf_counter() - t0
+    probe("ivf_index_build_5m_vecs", build_s, vectors=n_vec,
+          cells=n_cells)
+    for churn in (32, 512):
+        batch = spark.range(churn).select(
+            (F.col("id") + 90_000_000 + churn).alias("vec_id"),
+            F.format_string("%012d", F.col("id") + 90_000_000 + churn)
+            .alias("vk"),
+            F.array(*[
+                ((F.col("id") * (11 + 17 * j) + 5 * j) % 997 / 997.0)
+                .cast("double") for j in range(dim)
+            ]).alias("embedding"))
+        vec_tbl.upsert(batch)
+        t0 = time.perf_counter()
+        r = vx.refresh()
+        probe(f"ivf_index_refresh_churn{churn}_5m_vecs",
+              time.perf_counter() - t0, churn_vectors=churn,
+              cells_rewritten=r["cells_rewritten"],
+              total_cells=n_cells, build_sec=round(build_s, 2))
+
     shutil.rmtree(work, ignore_errors=True)
     spark.stop()
 

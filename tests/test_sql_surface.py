@@ -717,3 +717,91 @@ def test_allow_empty_restricted_to_first_commit(ghs, spark):
     with pytest.raises(ValueError, match="allow_empty"):
         t.bulk_insert(empty, allow_empty=True)
     assert t.bulk_insert(empty) is None  # plain empty stays a no-op
+
+
+# ----------------------------------------------------- transactions (r11)
+
+
+def test_txn_commit_keeps_multi_table_writes(ghs):
+    _mk(ghs)
+    ghs.sql("CREATE TABLE audit (id STRING, note STRING) USING ghs_table "
+            "TBLPROPERTIES ('primaryKey'='id')")
+    ghs.sql("""
+        BEGIN;
+        UPDATE accounts SET balance = balance + 1 WHERE id = 'a';
+        INSERT INTO audit VALUES ('a', 'bumped');
+        COMMIT
+    """)
+    assert {r[0]: str(r[1]) for r in _rows(ghs)}["a"] == "11.00"
+    assert ghs.sql("SELECT count(*) FROM audit").collect()[0][0] == 1
+
+
+def test_txn_rollback_restores_every_table(ghs):
+    """Explicit ROLLBACK: both tables return to their BEGIN heads —
+    the all-or-nothing contract across TABLES, which single-table
+    commit protocols (Delta/Hudi) cannot give."""
+    _mk(ghs)
+    ghs.sql("CREATE TABLE audit (id STRING, note STRING) USING ghs_table "
+            "TBLPROPERTIES ('primaryKey'='id')")
+    ghs.sql("""
+        BEGIN;
+        UPDATE accounts SET balance = 0 WHERE id = 'a';
+        DELETE FROM accounts WHERE id = 'b';
+        INSERT INTO audit VALUES ('a', 'zeroed');
+        ROLLBACK
+    """)
+    got = {r[0]: str(r[1]) for r in _rows(ghs)}
+    assert got == {"a": "10.00", "b": "20.00", "c": "30.00"}
+    assert ghs.sql("SELECT count(*) FROM audit").collect()[0][0] == 0
+
+
+def test_txn_statement_error_aborts_all(ghs):
+    """A failing statement mid-transaction rolls back everything that
+    ran before it (the batch form has no error handler)."""
+    _mk(ghs)
+    with pytest.raises(Exception):
+        ghs.sql("""
+            BEGIN;
+            DELETE FROM accounts WHERE id = 'a';
+            INSERT INTO nosuch VALUES (1);
+            COMMIT
+        """)
+    assert [r[0] for r in _rows(ghs)] == ["a", "b", "c"]
+    assert ghs._txn is None  # transaction closed, session usable
+    ghs.sql("DELETE FROM accounts WHERE id = 'c'")
+    assert [r[0] for r in _rows(ghs)] == ["a", "b"]
+
+
+def test_txn_rollback_removes_created_tables(ghs):
+    _mk(ghs)
+    ghs.sql("""
+        BEGIN;
+        CREATE TABLE scratch USING ghs_table
+            TBLPROPERTIES ('primaryKey'='id')
+            AS SELECT id, balance FROM accounts;
+        ROLLBACK
+    """)
+    assert "scratch" not in ghs.tables
+    assert not (ghs.warehouse / "scratch").exists()
+    with pytest.raises(Exception):
+        ghs.sql("SELECT * FROM scratch").collect()
+
+
+def test_txn_reads_see_own_writes_and_guards(ghs):
+    _mk(ghs)
+    ghs.sql("BEGIN")
+    ghs.sql("UPDATE accounts SET balance = 99 WHERE id = 'a'")
+    assert str({r[0]: r[1] for r in _rows(ghs)}["a"]) == "99.00"
+    # DROP and VACUUM are non-restorable: rejected inside a transaction
+    with pytest.raises(ValueError, match="not allowed inside"):
+        ghs.sql("DROP TABLE accounts")
+    assert ghs._txn is None  # the guard error aborted the transaction
+    got = {r[0]: str(r[1]) for r in _rows(ghs)}
+    assert got["a"] == "10.00"  # update rolled back with it
+    # protocol errors
+    with pytest.raises(ValueError, match="without an open"):
+        ghs.sql("COMMIT")
+    ghs.sql("BEGIN")
+    with pytest.raises(ValueError, match="already open"):
+        ghs.sql("BEGIN")
+    assert ghs._txn is None  # nested-BEGIN error aborted it too
