@@ -1006,6 +1006,63 @@ FROM customer
 """
 
 
+def sql_materialized_view(spark, sf_dir):
+    """``CREATE MATERIALIZED VIEW`` / ``REFRESH MATERIALIZED VIEW`` on
+    the SQL surface (round-11; glue_hudi_spark/sql.py ``_create_mview``)
+    binding the engine's incrementally-maintained view machinery
+    (``streaming/materialized.py``): the view materializes at CREATE,
+    then UPDATE + DELETE + INSERT land as CDC commits on the base and
+    ONE REFRESH absorbs the change feed — O(changed groups), a merge
+    commit, never a recompute (pinned in tests). The oracle recomputes
+    the final aggregate from scratch; maintained state must hash-equal
+    it (exact DECIMAL sums make that bit-identical)."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).createOrReplaceTempView("mv_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqlmv_"))
+    ghs.sql("""
+        CREATE TABLE mv_orders (ok BIGINT, pri STRING, price DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='ok');
+        INSERT INTO mv_orders SELECT ok, pri, price FROM mv_src_v;
+        CREATE MATERIALIZED VIEW mv_rev AS
+            SELECT pri, COUNT(*) AS cnt, SUM(price) AS total
+            FROM mv_orders GROUP BY pri;
+        UPDATE mv_orders SET price = price * 2 WHERE ok % 10 = 0;
+        DELETE FROM mv_orders WHERE ok % 7 = 0;
+        INSERT INTO mv_orders VALUES (900000001, '0-NEW', 42.5);
+        REFRESH MATERIALIZED VIEW mv_rev
+    """)
+    return ghs.sql("SELECT pri, cnt, total FROM mv_rev") \
+        .select("pri", F.col("cnt").cast("long").alias("cnt"), "total")
+
+
+SQL_MATERIALIZED_VIEW_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS ok, o_orderpriority AS pri,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+updated AS (
+  SELECT ok, pri,
+         CASE WHEN ok % 10 = 0 THEN price * 2 ELSE price END AS price
+  FROM src
+),
+kept AS (SELECT * FROM updated WHERE ok % 7 <> 0),
+final AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT 900000001, '0-NEW', CAST(42.5 AS DOUBLE)
+)
+SELECT pri, COUNT(*) AS cnt,
+       CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total
+FROM final GROUP BY pri
+"""
+
+
 def cdc_add_column_default(spark, sf_dir):
     """ADD COLUMN ... DEFAULT through the real storage path (Delta
     parity): the snapshot loads WITHOUT ``tier``, ``add_column`` appends
@@ -9059,6 +9116,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # read-path-rewrite staleness concern does not apply to them; after this
 # round they are the only entries older than r08.
 _DRIVER_WINDOW = [
+    "sql_materialized_view",
     "sql_time_travel",
     "sql_transactions",
     "ann_ivf_multiprobe",
@@ -9108,7 +9166,10 @@ _DRIVER_WINDOW = [
     "text_commonness",
     "text_diversity",
     "text_pii_redact",
-    "text_repetition",
+    # text_repetition deferred to r12 with copurchase_triangles /
+    # corpus_top_bigrams: pure functions/text.py query, no NativeTable
+    # read path, so the read-path-rewrite staleness concern that drives
+    # this rotation does not apply to it
 ]
 
 
@@ -9130,6 +9191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_sql_surface": cdc_sql_surface,
         "sql_time_travel": sql_time_travel,
         "sql_transactions": sql_transactions,
+        "sql_materialized_view": sql_materialized_view,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -9531,5 +9593,6 @@ def oracle_sql() -> dict[str, str]:
         "cdc_sql_surface": SQL_SURFACE_ORACLE,
         "sql_time_travel": SQL_TIME_TRAVEL_ORACLE,
         "sql_transactions": SQL_TRANSACTIONS_ORACLE,
+        "sql_materialized_view": SQL_MATERIALIZED_VIEW_ORACLE,
         "corpus_classifier_curation": CLASSIFIER_CURATION_ORACLE,
     }

@@ -148,6 +148,10 @@ BENCH_QUERIES = [
     "cdc_decimal_widening",
     "cdc_sql_surface",
     "corpus_classifier_curation",
+    # round-11 additions:
+    "sql_time_travel",
+    "sql_transactions",
+    "sql_materialized_view",
 ]
 
 

@@ -190,6 +190,23 @@ class GhsSql:
                 if (d / "_table.json").is_file():
                     self.tables[d.name] = NativeTable.open(spark, d)
         self.tables.update(tables or {})
+        # materialized views: name -> MaterializedAgg/MaterializedJoin
+        # (the state NativeTable is ALSO registered in self.tables so
+        # reads/DESCRIBE/BEGIN-snapshots see it; write statements are
+        # guarded by _target). Durable like tables: the definition
+        # persists as <state-root>/_mview.json and re-attaches here —
+        # second pass, since an MV's bases must already be registered.
+        self.mviews: dict[str, object] = {}
+        self._mv_specs: dict[str, dict] = {}
+        if self.warehouse.is_dir():
+            for d in sorted(self.warehouse.iterdir()):
+                f = d / "_mview.json"
+                if f.is_file() and d.name not in self.tables:
+                    spec = json.loads(f.read_text())
+                    bases = ([spec.get("base")] if spec["kind"] == "agg"
+                             else [spec.get("fact"), spec.get("dim")])
+                    if all(b in self.tables for b in bases):
+                        self._attach_mview(d.name, spec)
         # name -> (commit_id, wall_time) of the head the bound temp view
         # reflects; _with_views skips re-binding when unchanged, so a
         # multi-statement session pays one snapshot-plan build per table
@@ -245,6 +262,8 @@ class GhsSql:
                 "ROLLBACK first)")
         if head == "CREATE":
             return self._create(s)
+        if head == "REFRESH":
+            return self._refresh_mv(s)
         if head == "INSERT":
             return self._insert(s)
         if head == "UPDATE":
@@ -280,6 +299,17 @@ class GhsSql:
                 f"ghs.sql: unknown table {name!r} — CREATE it with USING "
                 f"ghs_table or attach a handle via register()")
         return t
+
+    def _target(self, name: str) -> NativeTable:
+        """A table handle that a WRITE statement may target: resolves
+        like :meth:`_table` but rejects materialized views — their
+        state is derived; modify the base table(s) and ``REFRESH``."""
+        if _unq(name) in self.mviews:
+            raise ValueError(
+                f"ghs.sql: {_unq(name)!r} is a MATERIALIZED VIEW — it is "
+                "read-only (write to its base table(s), then REFRESH "
+                f"MATERIALIZED VIEW {_unq(name)})")
+        return self._table(name)
 
     def _with_views(self):
         for name, t in self.tables.items():
@@ -474,6 +504,8 @@ class GhsSql:
 
         for name in created:
             t = self.tables.pop(name, None)
+            self.mviews.pop(name, None)
+            self._mv_specs.pop(name, None)
             txn.pop(name, None)
             if t is None:
                 continue
@@ -542,6 +574,8 @@ class GhsSql:
         )
 
     def _create(self, s: str) -> None:
+        if re.match(r"^CREATE\s+MATERIALIZED\s+VIEW\b", s, re.IGNORECASE):
+            return self._create_mview(s)
         m = self._CREATE.match(s)
         ctas = None if m else self._CREATE_AS.match(s)
         if not m and not ctas:
@@ -592,6 +626,187 @@ class GhsSql:
             self._txn_created.add(name)
         return None
 
+    # ------------------------------------------------- MATERIALIZED VIEW
+
+    _CREATE_MV = re.compile(
+        rf"^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        rf"(?P<name>{_IDENT})\s*"
+        rf"(?:TBLPROPERTIES\s*\((?P<props>.*?)\)\s*)?"
+        rf"AS\s+(?P<q>SELECT\b.*)$", re.IGNORECASE | re.DOTALL)
+    _MV_AGG = re.compile(
+        rf"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<base>{_IDENT})\s+"
+        rf"GROUP\s+BY\s+(?P<grp>.+?)\s*$", re.IGNORECASE | re.DOTALL)
+    _MV_AGG_CNT = re.compile(
+        r"^COUNT\s*\(\s*(?:\*|1)\s*\)\s+AS\s+cnt$", re.IGNORECASE)
+    _MV_AGG_SUM = re.compile(
+        rf"^SUM\s*\(\s*(?P<col>{_IDENT})\s*\)\s+AS\s+total$",
+        re.IGNORECASE)
+    _MV_JOIN = re.compile(
+        rf"^SELECT\s+\*\s+FROM\s+(?P<fact>{_IDENT})\s+"
+        rf"LEFT\s+(?:OUTER\s+)?JOIN\s+(?P<dim>{_IDENT})\s+"
+        rf"(?:ON\s+(?P<on>.+?)|USING\s*\(\s*(?P<using>{_IDENT})\s*\))"
+        rf"\s*$", re.IGNORECASE | re.DOTALL)
+    _MV_ON = re.compile(
+        rf"^\s*(?P<q1>{_IDENT})\.(?P<c1>{_IDENT})\s*=\s*"
+        rf"(?P<q2>{_IDENT})\.(?P<c2>{_IDENT})\s*$")
+
+    _MV_SHAPES = (
+        "ghs.sql: CREATE MATERIALIZED VIEW supports exactly two "
+        "maintainable query shapes — the additive aggregate "
+        "'SELECT g1[, g2...], COUNT(*) AS cnt, SUM(col) AS total FROM "
+        "base GROUP BY g1[, g2...]' (MaterializedAgg: O(changed groups) "
+        "refresh off the change feed) and the N:1 enrichment join "
+        "'SELECT * FROM fact LEFT JOIN dim ON fact.k = dim.k' "
+        "(MaterializedJoin: O(changes + affected facts)). Arbitrary "
+        "queries have no incremental maintenance plan — use CREATE "
+        "TABLE ... AS SELECT for a one-shot snapshot")
+
+    def _mv_base(self, name: str) -> str:
+        name = _unq(name)
+        if name in self.mviews:
+            raise ValueError(
+                f"ghs.sql: {name!r} is itself a materialized view — "
+                "stacked views are not maintainable (no change feed is "
+                "published for view state); build on the base table")
+        if name not in self.tables:
+            raise ValueError(
+                f"ghs.sql: unknown base table {name!r} for the "
+                "materialized view")
+        return name
+
+    def _parse_mv_query(self, q: str, props: dict) -> dict:
+        """Recognize the two maintainable shapes (see _MV_SHAPES) and
+        return the durable spec dict. Conservative on purpose: anything
+        unrecognized raises rather than silently materializing a
+        non-refreshable snapshot."""
+        q = re.sub(r"\s+", " ", q.strip())
+        jm = self._MV_JOIN.match(q)
+        if jm:
+            fact = self._mv_base(jm.group("fact"))
+            dim = self._mv_base(jm.group("dim"))
+            if jm.group("using"):
+                join_col = _unq(jm.group("using"))
+            else:
+                om = self._MV_ON.match(jm.group("on"))
+                if not om:
+                    raise ValueError(self._MV_SHAPES)
+                q1, c1 = _unq(om.group("q1")), _unq(om.group("c1"))
+                q2, c2 = _unq(om.group("q2")), _unq(om.group("c2"))
+                if c1 != c2:
+                    raise ValueError(
+                        "ghs.sql: the join column must have the SAME "
+                        f"name on both sides (got {c1!r} = {c2!r}) — "
+                        "MaterializedJoin keys its state and its merge "
+                        "pruning by one column name")
+                if {q1, q2} != {fact, dim}:
+                    raise ValueError(
+                        f"ghs.sql: ON qualifiers {sorted({q1, q2})} must "
+                        f"be the joined tables {sorted({fact, dim})} "
+                        "(aliases are not supported in MV definitions)")
+                join_col = c1
+            dim_cols = ([c.strip() for c in props["dimCols"].split(",")]
+                        if props.get("dimCols") else None)
+            return {"kind": "join", "fact": fact, "dim": dim,
+                    "join_col": join_col, "dim_cols": dim_cols,
+                    "cluster_by": props.get("clusterBy") or None,
+                    "query": q}
+        am = self._MV_AGG.match(q)
+        if not am:
+            raise ValueError(self._MV_SHAPES)
+        base = self._mv_base(am.group("base"))
+        items = _split_top(am.group("sel"))
+        if len(items) < 3 or not self._MV_AGG_CNT.match(items[-2]) \
+                or not self._MV_AGG_SUM.match(items[-1]):
+            raise ValueError(self._MV_SHAPES)
+        sum_col = _unq(self._MV_AGG_SUM.match(items[-1]).group("col"))
+        group_cols = []
+        for it in items[:-2]:
+            if not re.fullmatch(_IDENT, it):
+                raise ValueError(self._MV_SHAPES)
+            group_cols.append(_unq(it))
+        grp = [_unq(g) for g in _split_top(am.group("grp"))]
+        if grp != group_cols:
+            raise ValueError(
+                f"ghs.sql: GROUP BY columns {grp} must equal the "
+                f"select list's leading columns {group_cols} — the "
+                "state table is keyed by exactly the group columns")
+        return {"kind": "agg", "base": base, "group_cols": group_cols,
+                "sum_col": sum_col, "query": q}
+
+    def _attach_mview(self, name: str, spec: dict):
+        from glue_hudi_spark.streaming.materialized import (
+            MaterializedAgg, MaterializedJoin)
+
+        path = self.warehouse / name
+        if spec["kind"] == "agg":
+            mv = MaterializedAgg(self.spark, self.tables[spec["base"]],
+                                 path, list(spec["group_cols"]),
+                                 spec["sum_col"])
+        else:
+            mv = MaterializedJoin(
+                self.spark, self.tables[spec["fact"]],
+                self.tables[spec["dim"]], path,
+                join_col=spec["join_col"],
+                dim_cols=(list(spec["dim_cols"])
+                          if spec.get("dim_cols") else None),
+                cluster_by=spec.get("cluster_by") or None)
+        self.mviews[name] = mv
+        self._mv_specs[name] = spec
+        self.tables[name] = mv.state
+        return mv
+
+    def _create_mview(self, s: str) -> None:
+        """``CREATE MATERIALIZED VIEW name [TBLPROPERTIES (...)] AS
+        SELECT ...``: binds the engine's incrementally-maintained view
+        machinery (``streaming/materialized.py``) to the SQL surface —
+        the Materialize/Snowflake-DMT form. The view materializes NOW
+        (Postgres semantics) and goes STALE as its bases change;
+        ``REFRESH MATERIALIZED VIEW`` absorbs the bases' change feeds —
+        O(changes), never a recompute. TBLPROPERTIES: ``clusterBy`` (the
+        join column — state laid out for dim-churn merge pruning),
+        ``dimCols`` (projection of the dim side). The definition
+        persists as ``_mview.json`` so a fresh GhsSql re-attaches it."""
+        m = self._CREATE_MV.match(s)
+        if not m:
+            raise ValueError(
+                "ghs.sql: cannot parse CREATE MATERIALIZED VIEW — use "
+                "CREATE MATERIALIZED VIEW name [TBLPROPERTIES (...)] "
+                "AS SELECT ...")
+        name = _unq(m.group("name"))
+        if name in self.tables:
+            if re.search(r"IF\s+NOT\s+EXISTS", s[:m.end("name")],
+                         re.IGNORECASE):
+                return None
+            raise ValueError(f"ghs.sql: table {name!r} already exists")
+        props = _parse_props(m.group("props")) if m.group("props") else {}
+        spec = self._parse_mv_query(m.group("q"), props)
+        mv = self._attach_mview(name, spec)
+        mv.refresh()
+        Path(mv.state.root).mkdir(parents=True, exist_ok=True)
+        (Path(mv.state.root) / "_mview.json").write_text(
+            json.dumps(spec, sort_keys=True))
+        if self._txn is not None:
+            self._txn_created.add(name)
+        return None
+
+    _REFRESH_MV = re.compile(
+        rf"^REFRESH\s+MATERIALIZED\s+VIEW\s+(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE)
+
+    def _refresh_mv(self, s: str) -> None:
+        m = self._REFRESH_MV.match(s)
+        if not m:
+            raise ValueError(
+                f"ghs.sql: cannot parse REFRESH: {s[:80]!r} — use "
+                "REFRESH MATERIALIZED VIEW name")
+        name = _unq(m.group("name"))
+        mv = self.mviews.get(name)
+        if mv is None:
+            raise ValueError(
+                f"ghs.sql: {name!r} is not a materialized view")
+        mv.refresh()
+        return None
+
     # ------------------------------------------------------------- INSERT
 
     _INSERT = re.compile(
@@ -603,7 +818,7 @@ class GhsSql:
         m = self._INSERT.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse INSERT: {s[:80]!r}")
-        t = self._table(m.group("name"))
+        t = self._target(m.group("name"))
         df = self._query_df(m.group("q"))
         target_cols = ([_unq(c.strip()) for c in m.group("cols").split(",")]
                        if m.group("cols")
@@ -734,7 +949,7 @@ class GhsSql:
         m = self._UPDATE.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse UPDATE: {s[:80]!r}")
-        t = self._table(m.group("name"))
+        t = self._target(m.group("name"))
         assigns = {}
         for item in _split_top(m.group("sets")):
             k, _, v = item.partition("=")
@@ -795,7 +1010,7 @@ class GhsSql:
         m = self._DELETE.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse DELETE: {s[:80]!r}")
-        t = self._table(m.group("name"))
+        t = self._target(m.group("name"))
         t.delete_where(F.expr(m.group("where") or "true"),
                        prune=self._where_bounds(t, m.group("where")))
         return None
@@ -841,7 +1056,7 @@ class GhsSql:
         m = self._MERGE_TAIL.match(rest)
         if not m:
             raise bad
-        t = self._table(hm.group("tgt"))
+        t = self._target(hm.group("tgt"))
         ta, sa = _unq(hm.group("ta")), _unq(m.group("sa"))
         source = (self._query_df(srcref[1:-1])
                   if srcref.startswith("(") else self._view_df(srcref))
@@ -963,7 +1178,7 @@ class GhsSql:
             # constraint (one aggregate over the snapshot; NULL passes —
             # SQL CHECK), then future writes enforce it at the write
             # chokepoint. Persisted so reopened handles keep enforcing.
-            t = self._table(m.group("name"))
+            t = self._target(m.group("name"))
             expr = m.group("expr").strip()
             bad = t.read_snapshot().filter(
                 ~F.coalesce(F.expr(expr), F.lit(True))).count()
@@ -976,12 +1191,12 @@ class GhsSql:
             return None
         m = self._ALTER_RENAME.match(s)
         if m:
-            self._table(m.group("name")).rename_column(
+            self._target(m.group("name")).rename_column(
                 _unq(m.group("old")), _unq(m.group("new")))
             return None
         m = self._ALTER_DROP.match(s)
         if m:
-            self._table(m.group("name")).drop_column(_unq(m.group("col")))
+            self._target(m.group("name")).drop_column(_unq(m.group("col")))
             return None
         m = self._ALTER_ADD.match(s)
         if not m:
@@ -989,7 +1204,7 @@ class GhsSql:
                 "ghs.sql: ALTER TABLE supports ADD COLUMN col type "
                 "[DEFAULT expr], RENAME COLUMN old TO new, DROP COLUMN "
                 "col (further maintenance: OPTIMIZE/VACUUM or the CLI)")
-        t = self._table(m.group("name"))
+        t = self._target(m.group("name"))
         ctype = m.group("type").strip()
         default = None
         if m.group("def") is not None:
@@ -1007,7 +1222,7 @@ class GhsSql:
         m = self._TRUNCATE.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse TRUNCATE: {s[:80]!r}")
-        self._table(m.group("name")).delete_where(F.expr("true"))
+        self._target(m.group("name")).delete_where(F.expr("true"))
         return None
 
     _SHOW_CREATE = re.compile(
@@ -1042,7 +1257,22 @@ class GhsSql:
         schema, declared defaults), not the original text — renames and
         ADD/DROP COLUMN are reflected. LOCATION only for EXTERNAL roots:
         a warehouse-managed table re-created elsewhere must land in the
-        new warehouse, not point back at the old files."""
+        new warehouse, not point back at the old files. A materialized
+        view emits its recorded CREATE MATERIALIZED VIEW statement."""
+        if name in self.mviews:
+            spec = self._mv_specs[name]
+            props = {}
+            if spec.get("cluster_by"):
+                props["clusterBy"] = spec["cluster_by"]
+            if spec.get("dim_cols"):
+                props["dimCols"] = ",".join(spec["dim_cols"])
+            stmt = f"CREATE MATERIALIZED VIEW {name}"
+            if props:
+                stmt += "\nTBLPROPERTIES (" + ", ".join(
+                    f"'{k}'='{v}'" for k, v in props.items()) + ")"
+            stmt += f"\nAS {spec['query']}"
+            return self.spark.createDataFrame(
+                [(stmt,)], "createtab_stmt string")
         t = self._table(name)
         defaults = self._data_defaults(t)
         cols = []
@@ -1156,7 +1386,7 @@ class GhsSql:
         m = self._OPTIMIZE.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse OPTIMIZE: {s[:80]!r}")
-        t = self._table(m.group("name"))
+        t = self._target(m.group("name"))
         if m.group("cols"):
             t.cluster(zorder_by=[_unq(c.strip())
                                  for c in m.group("cols").split(",")])
@@ -1177,21 +1407,46 @@ class GhsSql:
     # ------------------------------------------------------------- DROP
 
     _DROP = re.compile(
-        rf"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*$",
+        rf"^DROP\s+(?P<kind>TABLE|MATERIALIZED\s+VIEW)\s+"
+        rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*$",
         re.IGNORECASE)
+
+    def _mv_dependents(self, name: str) -> list[str]:
+        out = []
+        for mv, spec in self._mv_specs.items():
+            bases = ([spec.get("base")] if spec["kind"] == "agg"
+                     else [spec.get("fact"), spec.get("dim")])
+            if name in bases:
+                out.append(mv)
+        return sorted(out)
 
     def _drop(self, s: str) -> None:
         m = self._DROP.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse DROP: {s[:80]!r}")
         name = _unq(m.group("name"))
+        is_mv_stmt = m.group("kind").upper() != "TABLE"
         if name not in self.tables:
             if re.search(r"IF\s+EXISTS", s, re.IGNORECASE):
                 return None
             raise ValueError(f"ghs.sql: unknown table {name!r}")
+        if is_mv_stmt != (name in self.mviews):
+            raise ValueError(
+                f"ghs.sql: {name!r} is a "
+                f"{'materialized view' if name in self.mviews else 'table'}"
+                f" — use DROP "
+                f"{'MATERIALIZED VIEW' if name in self.mviews else 'TABLE'}"
+                f" {name}")
+        deps = self._mv_dependents(name)
+        if deps:
+            raise ValueError(
+                f"ghs.sql: table {name!r} has dependent materialized "
+                f"view(s) {deps} — DROP MATERIALIZED VIEW them first")
         import shutil
 
         t = self.tables.pop(name)
+        self.mviews.pop(name, None)
+        self._mv_specs.pop(name, None)
         self._view_cache.pop(name, None)
         try:
             managed = Path(t.root).resolve().is_relative_to(

@@ -805,3 +805,146 @@ def test_txn_reads_see_own_writes_and_guards(ghs):
     with pytest.raises(ValueError, match="already open"):
         ghs.sql("BEGIN")
     assert ghs._txn is None  # nested-BEGIN error aborted it too
+
+
+# ---------------------------------------------------- materialized views
+
+
+def _mk_mv_bases(ghs):
+    ghs.sql("""
+        CREATE TABLE fact (ok BIGINT, ck BIGINT, amt DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='ok');
+        CREATE TABLE dim (ck BIGINT, name STRING)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='ck');
+        INSERT INTO fact VALUES (1,10,5.0),(2,20,6.0),(3,10,7.0);
+        INSERT INTO dim VALUES (10,'ten'),(20,'twenty')
+    """)
+
+
+def test_mview_agg_lifecycle(ghs):
+    """CREATE MATERIALIZED VIEW materializes now; REFRESH absorbs the
+    base's change feed INCREMENTALLY (second state commit is a merge,
+    never an insert_overwrite) and equals a from-scratch recompute."""
+    _mk_mv_bases(ghs)
+    ghs.sql("""
+        CREATE MATERIALIZED VIEW rev AS
+            SELECT ck, COUNT(*) AS cnt, SUM(amt) AS total
+            FROM fact GROUP BY ck
+    """)
+    got = {(r.ck, r.cnt, str(r.total))
+           for r in ghs.sql("SELECT * FROM rev").collect()}
+    assert got == {(10, 2, "12.000000"), (20, 1, "6.000000")}
+    ghs.sql("""
+        UPDATE fact SET amt = amt * 2 WHERE ok = 1;
+        DELETE FROM fact WHERE ok = 2;
+        INSERT INTO fact VALUES (4,30,1.5);
+        REFRESH MATERIALIZED VIEW rev
+    """)
+    got = {(r.ck, r.cnt, str(r.total))
+           for r in ghs.sql("SELECT * FROM rev").collect()}
+    assert got == {(10, 2, "17.000000"), (30, 1, "1.500000")}
+    actions = [c.action for c in ghs.tables["rev"].timeline.history()]
+    assert actions[0] == "insert_overwrite" and "merge" in actions[1:]
+    assert "insert_overwrite" not in actions[1:]
+
+
+def test_mview_join_lifecycle(ghs):
+    """Join MV (ON form, clusterBy layout): dim churn re-emits only its
+    facts, fact inserts join the current dim, LEFT semantics keep
+    unmatched facts with NULL dim attrs."""
+    _mk_mv_bases(ghs)
+    ghs.sql("""
+        CREATE MATERIALIZED VIEW mj TBLPROPERTIES ('clusterBy'='ck')
+            AS SELECT * FROM fact LEFT JOIN dim ON fact.ck = dim.ck
+    """)
+    ghs.sql("""
+        UPDATE dim SET name = upper(name) WHERE ck = 10;
+        INSERT INTO fact VALUES (4,30,1.0);
+        REFRESH MATERIALIZED VIEW mj
+    """)
+    got = {tuple(r) for r in
+           ghs.sql("SELECT ok, ck, amt, name FROM mj").collect()}
+    assert got == {(1, 10, 5.0, "TEN"), (2, 20, 6.0, "twenty"),
+                   (3, 10, 7.0, "TEN"), (4, 30, 1.0, None)}
+    # USING form binds the same machinery
+    ghs.sql("CREATE MATERIALIZED VIEW mj2 AS "
+            "SELECT * FROM fact LEFT JOIN dim USING (ck)")
+    assert ghs.sql("SELECT count(*) AS n FROM mj2").first().n == 4
+
+
+def test_mview_guards(ghs):
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE MATERIALIZED VIEW rev AS SELECT ck, COUNT(*) AS cnt,"
+            " SUM(amt) AS total FROM fact GROUP BY ck")
+    for stmt in ("INSERT INTO rev VALUES (1,1,CAST(1 AS DECIMAL(28,6)))",
+                 "UPDATE rev SET cnt = 0",
+                 "DELETE FROM rev",
+                 "TRUNCATE TABLE rev",
+                 "ALTER TABLE rev ADD COLUMN x INT",
+                 "OPTIMIZE rev"):
+        with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+            ghs.sql(stmt)
+    with pytest.raises(ValueError, match="DROP MATERIALIZED VIEW"):
+        ghs.sql("DROP TABLE rev")
+    with pytest.raises(ValueError, match="dependent materialized"):
+        ghs.sql("DROP TABLE fact")
+    with pytest.raises(ValueError, match="stacked"):
+        ghs.sql("CREATE MATERIALIZED VIEW r2 AS SELECT ck, COUNT(*) AS "
+                "cnt, SUM(cnt) AS total FROM rev GROUP BY ck")
+    with pytest.raises(ValueError, match="not a materialized view"):
+        ghs.sql("REFRESH MATERIALIZED VIEW fact")
+    # unsupported query shapes raise rather than snapshotting silently
+    for q in ("SELECT ck, MAX(amt) AS m FROM fact GROUP BY ck",
+              "SELECT * FROM fact JOIN dim USING (ck)",
+              "SELECT * FROM fact LEFT JOIN dim ON fact.ck = dim.name",
+              "SELECT ck, COUNT(*) AS cnt, SUM(amt) AS total "
+              "FROM fact GROUP BY name"):
+        with pytest.raises(ValueError):
+            ghs.sql(f"CREATE MATERIALIZED VIEW bad AS {q}")
+    ghs.sql("DROP MATERIALIZED VIEW rev")
+    assert "rev" not in ghs.tables
+    ghs.sql("DROP TABLE fact")  # dependency gone
+
+
+def test_mview_durable_reattach_and_show_create(ghs, spark, tmp_path):
+    """The MV definition persists as _mview.json: a fresh GhsSql over
+    the warehouse re-attaches it (REFRESH + reads keep working), and
+    SHOW CREATE TABLE emits a statement that re-executes."""
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE MATERIALIZED VIEW rev AS SELECT ck, COUNT(*) AS cnt,"
+            " SUM(amt) AS total FROM fact GROUP BY ck")
+    fresh = GhsSql(spark, ghs.warehouse)
+    assert "rev" in fresh.mviews
+    fresh.sql("INSERT INTO fact VALUES (9,10,1.0); "
+              "REFRESH MATERIALIZED VIEW rev")
+    got = {(r.ck, r.cnt) for r in fresh.sql("SELECT * FROM rev").collect()}
+    assert got == {(10, 3), (20, 1)}
+    stmt = fresh.sql("SHOW CREATE TABLE rev").first()[0]
+    # round-trip: the emitted statement re-executes against new bases
+    other = GhsSql(spark, tmp_path / "wh2")
+    other.sql("""
+        CREATE TABLE fact (ok BIGINT, ck BIGINT, amt DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='ok');
+        INSERT INTO fact VALUES (1,10,2.0)
+    """)
+    other.sql(stmt)
+    assert [tuple(r) for r in other.sql("SELECT ck, cnt FROM rev")
+            .collect()] == [(10, 1)]
+
+
+def test_mview_txn_rollback(ghs):
+    """A REFRESH inside a rolled-back transaction reverts (the state
+    table's head was snapshotted at BEGIN); a CREATE MATERIALIZED VIEW
+    inside a rolled-back transaction is removed entirely."""
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE MATERIALIZED VIEW rev AS SELECT ck, COUNT(*) AS cnt,"
+            " SUM(amt) AS total FROM fact GROUP BY ck")
+    before = {tuple(r) for r in ghs.sql("SELECT * FROM rev").collect()}
+    ghs.sql("BEGIN; INSERT INTO fact VALUES (9,10,9.9); "
+            "REFRESH MATERIALIZED VIEW rev; ROLLBACK")
+    after = {tuple(r) for r in ghs.sql("SELECT * FROM rev").collect()}
+    assert after == before
+    ghs.sql("BEGIN; CREATE MATERIALIZED VIEW mj AS SELECT * FROM fact "
+            "LEFT JOIN dim USING (ck); ROLLBACK")
+    assert "mj" not in ghs.tables and "mj" not in ghs.mviews
+    assert not (ghs.warehouse / "mj").exists()
