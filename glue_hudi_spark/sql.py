@@ -27,6 +27,15 @@ Table-shape options ride Hudi's spark-sql CREATE TABLE convention
 — the names the reference's write config emits, processData.py:64-78),
 plus this engine's extensions (``partitionKeys`` via PARTITIONED BY,
 ``statsCols``, ``bloomIndex``, ...).
+
+Beyond single statements the dispatcher carries: multi-table
+transactions (``BEGIN``/``COMMIT``/``ROLLBACK`` with ``SAVEPOINT`` /
+``ROLLBACK TO`` / ``RELEASE`` nesting), materialized views bound to the
+incremental-maintenance machinery (``CREATE/REFRESH/DROP MATERIALIZED
+VIEW``; ``'refresh'='auto'`` for eager per-statement maintenance),
+Delta-parity history reads (``VERSION/TIMESTAMP AS OF``,
+``table_changes('t', from [, to])``), and ``EXPLAIN`` prefixed with the
+manifest-level file-prune decision Spark's plan can't show.
 """
 
 from __future__ import annotations
@@ -219,6 +228,9 @@ class GhsSql:
         # autocommit. See _begin/_commit_txn/_rollback.
         self._txn: dict[str, int] | None = None
         self._txn_created: set[str] = set()
+        # name -> (heads-at-savepoint, created-at-savepoint); insertion
+        # order = declaration order (ROLLBACK TO discards later ones)
+        self._txn_savepoints: dict[str, tuple] = {}
 
     def register(self, name: str, table: NativeTable) -> None:
         self.tables[name] = table
@@ -252,8 +264,20 @@ class GhsSql:
             return self._begin(s)
         if head == "COMMIT":
             return self._commit_txn(s)
+        if head == "SAVEPOINT":
+            return self._savepoint(s)
+        if head == "RELEASE":
+            return self._release_savepoint(s)
         if head == "ROLLBACK":
             self._require_txn("ROLLBACK")
+            rm = self._ROLLBACK_TO.match(s)
+            if rm:
+                return self._rollback_to(_unq(rm.group("name")))
+            if s.upper().split() not in (["ROLLBACK"],
+                                         ["ROLLBACK", "TRANSACTION"]):
+                raise ValueError(
+                    f"ghs.sql: cannot parse {s[:60]!r} — use ROLLBACK "
+                    "[TRANSACTION] or ROLLBACK TO [SAVEPOINT] name")
             return self._rollback()
         if self._txn is not None and head in ("DROP", "VACUUM"):
             raise ValueError(
@@ -286,6 +310,8 @@ class GhsSql:
             return self._optimize(s)
         if head == "VACUUM":
             return self._vacuum(s)
+        if head == "EXPLAIN":
+            return self._explain(s)
         if head in ("SELECT", "WITH", "VALUES", "TABLE"):
             return self._read(s)
         raise ValueError(f"ghs.sql: unsupported statement: {s[:80]!r}")
@@ -351,6 +377,32 @@ class GhsSql:
             df.createOrReplaceTempView(alias)
             return alias
         return self._TIME_TRAVEL.sub(sub, s)
+
+    # Delta's CDC read TVF: ``table_changes('t', from [, to])`` in any
+    # read (or DML source) binds a temp view over the table's change
+    # feed — Delta-CDF-shaped rows (_change_type ∈ insert/
+    # update_preimage/update_postimage/delete). Bounds follow the
+    # engine's change_feed contract: FROM commit exclusive, TO commit
+    # inclusive (omitted TO = head). Planning is O(window files) via the
+    # manifest diff; the corpus is never rescanned.
+    _TABLE_CHANGES = re.compile(
+        r"\btable_changes\s*\(\s*'(?P<name>[^']+)'\s*,\s*(?P<a>\d+)\s*"
+        r"(?:,\s*(?P<b>\d+)\s*)?\)", re.IGNORECASE)
+
+    def _rewrite_table_changes(self, s: str) -> str:
+        def sub(m: "re.Match[str]") -> str:
+            t = self.tables.get(m.group("name"))
+            if t is None:
+                raise ValueError(
+                    f"ghs.sql: table_changes: unknown table "
+                    f"{m.group('name')!r}")
+            a = int(m.group("a"))
+            b = (int(m.group("b")) if m.group("b")
+                 else t.timeline.latest().commit_id)
+            alias = f"{m.group('name')}__ch{a}_{b}"
+            t.change_feed(a, b).createOrReplaceTempView(alias)
+            return alias
+        return self._TABLE_CHANGES.sub(sub, s)
 
     _KEYWORD_ALIAS = (
         "WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|"
@@ -432,16 +484,66 @@ class GhsSql:
             self.tables[name].read_snapshot(
                 prune=bounds).createOrReplaceTempView(name)
             self._view_cache.pop(name, None)
-        return self.spark.sql(self._rewrite_time_travel(s))
+        return self.spark.sql(
+            self._rewrite_table_changes(self._rewrite_time_travel(s)))
+
+    _EXPLAIN = re.compile(
+        r"^EXPLAIN(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST))?\s+"
+        r"(?P<q>(?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _explain(self, s: str) -> DataFrame:
+        """``EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] <query>``:
+        Spark's own plan over the bound views, PREFIXED by one row
+        reporting the dispatcher's manifest-level file-prune decision —
+        the part Spark's plan cannot show, because file skipping happens
+        on the driver before the scan relation is even planned. The
+        pruned binding is the same one ``_read`` would use, so the plan
+        matches what the SELECT will actually run."""
+        m = self._EXPLAIN.match(s)
+        if not m:
+            raise ValueError(
+                f"ghs.sql: cannot parse EXPLAIN: {s[:80]!r} — use "
+                "EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] SELECT ...")
+        q = m.group("q")
+        self._with_views()
+        pr = self._select_prune(q)
+        if pr:
+            name, bounds = pr
+            t = self.tables[name]
+            kept, total = t.pruned_file_count(bounds)
+            t.read_snapshot(prune=bounds).createOrReplaceTempView(name)
+            self._view_cache.pop(name, None)
+            note = (
+                "== GHS Manifest Pruning ==\n"
+                f"table {name}: WHERE bounds {bounds} -> "
+                f"{kept}/{total} base files survive partition-dir + "
+                "column-stats skipping (applied before Spark plans the "
+                "scan)")
+        else:
+            note = (
+                "== GHS Manifest Pruning ==\n"
+                "none derived (not a single-table SELECT with "
+                "range-bound WHERE terms): full live-file listing; "
+                "parquet row-group pushdown still applies")
+        mode = (m.group("mode") or "").upper()
+        rewritten = self._rewrite_table_changes(
+            self._rewrite_time_travel(q))
+        plan = self.spark.sql(
+            f"EXPLAIN {mode} {rewritten}".replace("EXPLAIN  ", "EXPLAIN "))
+        return self.spark.createDataFrame(
+            [(note,)], "plan string").unionAll(plan)
 
     def _query_df(self, q: str) -> DataFrame:
         q = q.strip()
         if q.upper().startswith("VALUES"):
             return self.spark.sql(q)
         self._with_views()
-        # DML sources get the same time-travel rewrite as reads — an
-        # INSERT INTO ... SELECT FROM t VERSION AS OF n restores history
-        return self.spark.sql(self._rewrite_time_travel(q))
+        # DML sources get the same time-travel + change-feed rewrites as
+        # reads — INSERT INTO ... SELECT FROM t VERSION AS OF n restores
+        # history; ... FROM table_changes('t', a) replays a CDC window
+        return self.spark.sql(
+            self._rewrite_table_changes(self._rewrite_time_travel(q)))
 
     # ------------------------------------------------------- transactions
 
@@ -486,6 +588,7 @@ class GhsSql:
             heads[name] = h.commit_id if h else 0
         self._txn = heads
         self._txn_created = set()
+        self._txn_savepoints = {}
         return None
 
     def _commit_txn(self, s: str) -> None:
@@ -495,18 +598,20 @@ class GhsSql:
         self._require_txn("COMMIT")
         self._txn = None
         self._txn_created = set()
+        self._txn_savepoints = {}
         return None
 
-    def _rollback(self) -> None:
-        txn, created = self._txn, self._txn_created
-        self._txn, self._txn_created = None, set()
+    def _remove_created(self, names, heads: dict | None = None) -> None:
+        """Unregister (and delete, when warehouse-managed) tables/views
+        CREATEd inside the transaction scope being rolled back."""
         import shutil
 
-        for name in created:
+        for name in names:
             t = self.tables.pop(name, None)
             self.mviews.pop(name, None)
             self._mv_specs.pop(name, None)
-            txn.pop(name, None)
+            if heads is not None:
+                heads.pop(name, None)
             if t is None:
                 continue
             self._view_cache.pop(name, None)
@@ -518,7 +623,9 @@ class GhsSql:
                 managed = False
             if managed:
                 shutil.rmtree(t.root, ignore_errors=True)
-        for name, saved in txn.items():
+
+    def _restore_heads(self, heads: dict) -> None:
+        for name, saved in heads.items():
             t = self.tables.get(name)
             if t is None:
                 continue
@@ -526,6 +633,72 @@ class GhsSql:
             if (h.commit_id if h else 0) != saved:
                 t.timeline.restore_to(saved)
                 self._view_cache.pop(name, None)
+
+    def _rollback(self) -> None:
+        txn, created = self._txn, self._txn_created
+        self._txn, self._txn_created = None, set()
+        self._txn_savepoints = {}
+        self._remove_created(created, txn)
+        self._restore_heads(txn)
+        return None
+
+    # ---- savepoints: nested rollback scopes inside an open transaction
+    # (standard SQL SAVEPOINT / ROLLBACK TO / RELEASE): a savepoint
+    # records every registered table's head at its creation, exactly the
+    # way BEGIN does; ROLLBACK TO restores those heads, removes tables
+    # CREATEd after the savepoint, discards later savepoints, and leaves
+    # the transaction OPEN (the savepoint itself stays reusable). A full
+    # ROLLBACK or a failing statement still aborts to the BEGIN state.
+
+    _SAVEPOINT = re.compile(
+        rf"^SAVEPOINT\s+(?P<name>{_IDENT})\s*$", re.IGNORECASE)
+    _RELEASE = re.compile(
+        rf"^RELEASE\s+(?:SAVEPOINT\s+)?(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE)
+    _ROLLBACK_TO = re.compile(
+        rf"^ROLLBACK\s+TO\s+(?:SAVEPOINT\s+)?(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE)
+
+    def _savepoint(self, s: str) -> None:
+        m = self._SAVEPOINT.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse SAVEPOINT: "
+                             f"{s[:60]!r} — use SAVEPOINT name")
+        self._require_txn("SAVEPOINT")
+        heads = {}
+        for name, t in self.tables.items():
+            h = t.timeline.latest()
+            heads[name] = h.commit_id if h else 0
+        sp = _unq(m.group("name"))
+        # re-declaring a savepoint moves it (standard SQL): delete first
+        # so insertion order reflects the NEW position
+        self._txn_savepoints.pop(sp, None)
+        self._txn_savepoints[sp] = (heads, set(self._txn_created))
+        return None
+
+    def _release_savepoint(self, s: str) -> None:
+        m = self._RELEASE.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse RELEASE: {s[:60]!r}"
+                             " — use RELEASE SAVEPOINT name")
+        self._require_txn("RELEASE SAVEPOINT")
+        sp = _unq(m.group("name"))
+        if sp not in self._txn_savepoints:
+            raise ValueError(f"ghs.sql: unknown savepoint {sp!r}")
+        del self._txn_savepoints[sp]
+        return None
+
+    def _rollback_to(self, sp: str) -> None:
+        if sp not in self._txn_savepoints:
+            raise ValueError(f"ghs.sql: unknown savepoint {sp!r}")
+        heads, created_at_sp = self._txn_savepoints[sp]
+        self._remove_created(self._txn_created - created_at_sp)
+        self._restore_heads(heads)
+        self._txn_created = set(created_at_sp)
+        # savepoints declared after sp point past the restored state
+        names = list(self._txn_savepoints)
+        for later in names[names.index(sp) + 1:]:
+            del self._txn_savepoints[later]
         return None
 
     # ------------------------------------------------------------- CREATE
@@ -568,6 +741,8 @@ class GhsSql:
             storage_type=props.get("type", "cow"),
             stats_cols=[c.strip() for c in
                         props.get("statsCols", "").split(",") if c.strip()],
+            sort_order=[c.strip() for c in
+                        props.get("sortOrder", "").split(",") if c.strip()],
             bloom_index=props.get("bloomIndex", "").lower() == "true",
             files_per_partition=(int(props["filesPerPartition"])
                                  if props.get("filesPerPartition") else None),
@@ -709,6 +884,7 @@ class GhsSql:
             return {"kind": "join", "fact": fact, "dim": dim,
                     "join_col": join_col, "dim_cols": dim_cols,
                     "cluster_by": props.get("clusterBy") or None,
+                    "auto": props.get("refresh", "").lower() == "auto",
                     "query": q}
         am = self._MV_AGG.match(q)
         if not am:
@@ -731,7 +907,9 @@ class GhsSql:
                 f"select list's leading columns {group_cols} — the "
                 "state table is keyed by exactly the group columns")
         return {"kind": "agg", "base": base, "group_cols": group_cols,
-                "sum_col": sum_col, "query": q}
+                "sum_col": sum_col,
+                "auto": props.get("refresh", "").lower() == "auto",
+                "query": q}
 
     def _attach_mview(self, name: str, spec: dict):
         from glue_hudi_spark.streaming.materialized import (
@@ -807,6 +985,18 @@ class GhsSql:
         mv.refresh()
         return None
 
+    def _after_write(self, name: str) -> None:
+        """Eager maintenance: a view declared with TBLPROPERTIES
+        ('refresh'='auto') refreshes after EVERY write statement on a
+        base table — always-fresh reads at per-statement refresh cost
+        (each refresh is still the incremental O(changes) merge, so the
+        cost scales with the statement, not the view). Default stays
+        deferred: REFRESH MATERIALIZED VIEW on the user's cadence."""
+        name = _unq(name)
+        for mv_name in self._mv_dependents(name):
+            if self._mv_specs[mv_name].get("auto"):
+                self.mviews[mv_name].refresh()
+
     # ------------------------------------------------------------- INSERT
 
     _INSERT = re.compile(
@@ -837,12 +1027,33 @@ class GhsSql:
                 # declared DEFAULT (stored as a real value — this is a
                 # post-add write), else NULL
                 df = df.withColumn(c, F.lit(defaults.get(c)).cast(typ))
+        head = t.timeline.latest()
+        holds_data = head is not None and (head.files or head.deltas)
         if m.group("mode").upper() == "OVERWRITE":
             t.insert_overwrite(df)
+        elif not holds_data:
+            # FIRST data commit: take the bulk-load path (the
+            # reference's own choice for full loads) — range-clustered
+            # into the declared sortOrder/filesPerPartition width with
+            # footer stats and blooms. A plain upsert here would land
+            # the whole batch in ONE file (its rewrite width is the
+            # affected-file count, which is 0 on an empty table) — at
+            # scale, CREATE + INSERT INTO SELECT <1 TB> must not
+            # produce a single-file table. Precombine still resolves
+            # in-batch duplicate keys, matching the upsert contract.
+            if t.precombine:
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(*t.record_keys).orderBy(
+                    F.col(t.precombine).desc())
+                df = (df.withColumn("_ghs_rn", F.row_number().over(w))
+                      .filter(F.col("_ghs_rn") == 1).drop("_ghs_rn"))
+            t.bulk_insert(df)
         else:
             # keyed table: INSERT INTO upserts on the primary key (the
             # Hudi spark-sql behavior for primaryKey tables)
             t.upsert(df)
+        self._after_write(m.group("name"))
         return None
 
     def _data_columns(self, t: NativeTable) -> list[str]:
@@ -851,6 +1062,46 @@ class GhsSql:
     _BOUND = re.compile(
         rf"^\s*(?P<col>{_IDENT})\s*(?P<op><=|>=|=|<|>)\s*(?P<rhs>.+?)\s*$",
         re.DOTALL)
+    _BETWEEN_TERM = re.compile(
+        rf"^\s*(?P<col>{_IDENT})\s+BETWEEN\s+(?P<a>.+)\s+AND\s+"
+        rf"(?P<b>.+?)\s*$", re.IGNORECASE | re.DOTALL)
+    _IN_TERM = re.compile(
+        rf"^\s*(?P<col>{_IDENT})\s+IN\s*\((?P<body>.+)\)\s*$",
+        re.IGNORECASE | re.DOTALL)
+
+    @staticmethod
+    def _has_toplevel_kw(text: str, kw: str) -> bool:
+        """True when ``kw`` appears at paren depth 0 of the
+        literal-masked ``text`` (a BETWEEN buried in function args must
+        not trigger fragment merging)."""
+        depth = 0
+        for m in re.finditer(r"[()\[\]]|\b" + kw + r"\b",
+                             _mask_literals(text), re.IGNORECASE):
+            tok = m.group(0)
+            if tok in "([":
+                depth += 1
+            elif tok in ")]":
+                depth -= 1
+            elif depth == 0:
+                return True
+        return False
+
+    @classmethod
+    def _merge_between_terms(cls, terms: list[str]) -> list[str]:
+        """Re-join the two fragments a top-level ``col BETWEEN a AND b``
+        becomes under the AND split, so the term loop can bound it. A
+        merged term that still isn't a recognizable BETWEEN simply
+        contributes no bound (sound — pruning only narrows)."""
+        out, i = [], 0
+        while i < len(terms):
+            t = terms[i]
+            if i + 1 < len(terms) and cls._has_toplevel_kw(t, "BETWEEN"):
+                out.append(f"{t} AND {terms[i + 1]}")
+                i += 2
+            else:
+                out.append(t)
+                i += 1
+        return out
 
     def _where_bounds(self, t: NativeTable,
                       where: str | None) -> dict | None:
@@ -860,53 +1111,79 @@ class GhsSql:
         OPTIMIZATION, never a correctness dependency: any term or whole
         predicate this can't bound simply returns fewer/no bounds and
         the engine scans more files. Conservative by construction —
-        OR/NOT/BETWEEN anywhere disables it, a term only contributes
+        OR/NOT anywhere disables it, a term only contributes
         when its left side is a table column, its right side evaluates
         as a constant (``SELECT rhs`` succeeds) and mentions no table
         column (guards columns shadowing SQL function names, e.g. a
         column literally named ``current_date``). Strict < / > use the
         inclusive bound — a slightly wider range, still sound.
+        ``col BETWEEN a AND b`` bounds both sides (the AND-split
+        fragments re-merge first); ``col IN (v1, ...)`` bounds
+        [min(v), max(v)] when every list item is a constant.
 
         All keyword scans run on a literal-masked copy of the text
         (``_mask_literals``) and the AND split is quote/paren-aware —
         a string literal containing ``' AND seq = 5'`` must not parse
         as a conjunction term (it would yield a bogus bound and prune
         files that DO hold matching rows)."""
-        if not where or re.search(r"\b(OR|NOT|BETWEEN)\b",
+        if not where or re.search(r"\b(OR|NOT)\b",
                                   _mask_literals(where), re.IGNORECASE):
             return None
         cols = set(self._data_types(t))
         colpat = re.compile(
             r"\b(" + "|".join(re.escape(c) for c in sorted(cols)) + r")\b",
             re.IGNORECASE) if cols else None
-        bounds: dict = {}
-        for term in _split_and_top(where):
-            m = self._BOUND.match(term)
-            if not m:
-                continue
-            col = _unq(m.group("col"))
-            rhs = m.group("rhs")
-            # the column-mention guard runs on the literal-masked rhs: a
-            # column NAME inside a string constant is not a reference
-            if col not in cols or (colpat
-                                   and colpat.search(_mask_literals(rhs))):
-                continue
+
+        def const(expr: str):
+            """expr's value when it is a column-free constant, else
+            None (the column-mention guard runs on the literal-masked
+            text: a column NAME inside a string constant is not a
+            reference)."""
+            if colpat and colpat.search(_mask_literals(expr)):
+                return None
             try:
-                val = self.spark.sql(f"SELECT {rhs}").first()[0]
+                return self.spark.sql(f"SELECT {expr}").first()[0]
             except Exception:
-                continue  # not a constant — can't bound this term
-            if val is None:
-                continue
+                return None  # not a constant — can't bound this term
+
+        def narrow(col, lo_v, hi_v):
             lo, hi = bounds.get(col, (None, None))
-            op = m.group("op")
             try:
-                if op in (">", ">=", "="):
-                    lo = val if lo is None else max(lo, val)
-                if op in ("<", "<=", "="):
-                    hi = val if hi is None else min(hi, val)
+                if lo_v is not None:
+                    lo = lo_v if lo is None else max(lo, lo_v)
+                if hi_v is not None:
+                    hi = hi_v if hi is None else min(hi, hi_v)
             except TypeError:
-                continue  # mixed incomparable bounds — leave previous
+                return  # mixed incomparable bounds — leave previous
             bounds[col] = (lo, hi)
+
+        bounds: dict = {}
+        for term in self._merge_between_terms(_split_and_top(where)):
+            m = self._BOUND.match(term)
+            if m and _unq(m.group("col")) in cols:
+                val = const(m.group("rhs"))
+                if val is None:
+                    continue
+                op = m.group("op")
+                narrow(_unq(m.group("col")),
+                       val if op in (">", ">=", "=") else None,
+                       val if op in ("<", "<=", "=") else None)
+                continue
+            m = self._BETWEEN_TERM.match(term)
+            if m and _unq(m.group("col")) in cols:
+                a, b = const(m.group("a")), const(m.group("b"))
+                if a is not None and b is not None:
+                    narrow(_unq(m.group("col")), a, b)
+                continue
+            m = self._IN_TERM.match(term)
+            if m and _unq(m.group("col")) in cols:
+                vals = [const(item) for item in
+                        _split_top(m.group("body"))]
+                if vals and all(v is not None for v in vals):
+                    try:
+                        narrow(_unq(m.group("col")), min(vals), max(vals))
+                    except TypeError:
+                        pass  # mixed types in the list — skip
         return bounds or None
 
     def _data_defaults(self, t: NativeTable) -> dict[str, object]:
@@ -997,6 +1274,7 @@ class GhsSql:
             for c in snap.columns
         ])
         t.upsert(out)
+        self._after_write(m.group("name"))
         return None
 
     # ------------------------------------------------------------- DELETE
@@ -1013,6 +1291,7 @@ class GhsSql:
         t = self._target(m.group("name"))
         t.delete_where(F.expr(m.group("where") or "true"),
                        prune=self._where_bounds(t, m.group("where")))
+        self._after_write(m.group("name"))
         return None
 
     # ------------------------------------------------------------- MERGE
@@ -1142,6 +1421,7 @@ class GhsSql:
                     }
                 kw["update_condition"] = norm(wm.group("cond"))
         t.merge_into(source, **kw)
+        self._after_write(hm.group("tgt"))
         return None
 
     def _view_df(self, name: str) -> DataFrame:
@@ -1193,10 +1473,12 @@ class GhsSql:
         if m:
             self._target(m.group("name")).rename_column(
                 _unq(m.group("old")), _unq(m.group("new")))
+            self._after_write(m.group("name"))
             return None
         m = self._ALTER_DROP.match(s)
         if m:
             self._target(m.group("name")).drop_column(_unq(m.group("col")))
+            self._after_write(m.group("name"))
             return None
         m = self._ALTER_ADD.match(s)
         if not m:
@@ -1211,6 +1493,7 @@ class GhsSql:
             default = self.spark.sql(
                 f"SELECT CAST({m.group('def')} AS {ctype})").first()[0]
         t.add_column(_unq(m.group("col")), ctype, default=default)
+        self._after_write(m.group("name"))
         return None
 
     # --------------------------------------- introspection / maintenance
@@ -1223,6 +1506,7 @@ class GhsSql:
         if not m:
             raise ValueError(f"ghs.sql: cannot parse TRUNCATE: {s[:80]!r}")
         self._target(m.group("name")).delete_where(F.expr("true"))
+        self._after_write(m.group("name"))
         return None
 
     _SHOW_CREATE = re.compile(
@@ -1266,6 +1550,8 @@ class GhsSql:
                 props["clusterBy"] = spec["cluster_by"]
             if spec.get("dim_cols"):
                 props["dimCols"] = ",".join(spec["dim_cols"])
+            if spec.get("auto"):
+                props["refresh"] = "auto"
             stmt = f"CREATE MATERIALIZED VIEW {name}"
             if props:
                 stmt += "\nTBLPROPERTIES (" + ", ".join(
@@ -1286,6 +1572,8 @@ class GhsSql:
         props["type"] = t.storage_type
         if t.stats_cols:
             props["statsCols"] = ",".join(t.stats_cols)
+        if t.sort_order:
+            props["sortOrder"] = ",".join(t.sort_order)
         if t.bloom_index:
             props["bloomIndex"] = "true"
         if t.files_per_partition:

@@ -2183,6 +2183,22 @@ class NativeTable:
             out = out.drop(*META_COLS)
         return out
 
+    def pruned_file_count(self, prune: dict) -> tuple[int, int]:
+        """(kept, total) base files after manifest-level partition +
+        column-stats pruning with ``prune`` bounds — the file skip a
+        ``read_snapshot(prune=...)`` scan will get. Introspection only
+        (SQL ``EXPLAIN`` reports it); reads the head manifest, opens no
+        file."""
+        commit = self.timeline.latest()
+        if commit is None:
+            return (0, 0)
+        files = commit.files
+        kept = self._prune_files_by_partition(
+            files, prune, self._pfields_of(commit))
+        kept = self._prune_files_by_col_stats(
+            kept, commit.col_stats, prune)
+        return (len(kept), len(files))
+
     def read_incremental(self, since_commit: int,
                          end_commit: int | None = None, **kwargs) -> DataFrame:
         """Hudi-style incremental query: rows whose latest version was

@@ -79,14 +79,23 @@ def test_insert_select_roundtrips_arbitrary_strings(spark, tmp_path_factory,
 # ---- prune-derivation soundness: pruned DELETE ≡ plain filter ----
 
 _ops = st.sampled_from(["<", "<=", "=", ">", ">="])
+_cols = st.sampled_from(["b", "v"])
+_ints = st.integers(min_value=-5, max_value=105)
+# three bound-contributing term shapes: comparison, BETWEEN (including
+# empty/inverted ranges), IN lists — each must prune soundly or not at
+# all, never change which rows a DELETE removes
+_term = st.one_of(
+    st.tuples(_cols, _ops, _ints).map(lambda t: f"{t[0]} {t[1]} {t[2]}"),
+    st.tuples(_cols, _ints, _ints).map(
+        lambda t: f"{t[0]} BETWEEN {t[1]} AND {t[2]}"),
+    st.tuples(_cols, st.lists(_ints, min_size=1, max_size=4)).map(
+        lambda t: f"{t[0]} IN ({', '.join(map(str, t[1]))})"),
+)
 
 
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
-@given(terms=st.lists(
-    st.tuples(st.sampled_from(["b", "v"]), _ops,
-              st.integers(min_value=-5, max_value=105)),
-    min_size=1, max_size=3))
+@given(terms=st.lists(_term, min_size=1, max_size=3))
 def test_derived_prune_never_changes_delete_semantics(spark,
                                                       tmp_path_factory,
                                                       terms):
@@ -106,7 +115,7 @@ def test_derived_prune_never_changes_delete_semantics(spark,
         F.col("id"), (F.col("id") % 100).alias("b"),
         ((F.col("id") * 7) % 50).alias("v"))
     t.bulk_insert(data)
-    where = " AND ".join(f"{c} {op} {k}" for c, op, k in terms)
+    where = " AND ".join(terms)
     expected = sorted(
         r["id"] for r in data.filter(f"NOT ({where}) OR ({where}) IS NULL")
         .collect())

@@ -337,8 +337,10 @@ def test_describe_history_lists_timeline(ghs):
     _mk(ghs)
     ghs.sql("UPDATE accounts SET balance = balance + 1 WHERE id = 'a'")
     h = ghs.sql("DESCRIBE HISTORY accounts").collect()
-    # newest first: UPDATE upsert, INSERT upsert, empty CREATE commit
-    assert [r["operation"] for r in h] == ["upsert", "upsert",
+    # newest first: UPDATE upsert, first INSERT INTO (bulk-load path —
+    # r11: the first data commit range-clusters into the declared
+    # width), empty CREATE commit
+    assert [r["operation"] for r in h] == ["upsert", "bulk_insert",
                                            "bulk_insert"]
     assert h[0]["version"] > h[-1]["version"]  # newest first
     assert {"version", "operation", "timestamp", "n_files",
@@ -422,9 +424,9 @@ def test_where_bounds_extraction(ghs, spark):
     assert wb(t, "region = 'eu'") == {"region": ("eu", "eu")}
     assert wb(t, "seq >= 2 AND seq < 9 AND region = 'eu'") == {
         "seq": (2, 9), "region": ("eu", "eu")}
-    # OR / NOT / BETWEEN anywhere: pruning off
+    # OR / NOT anywhere: pruning off; BETWEEN bounds both sides (r11)
     assert wb(t, "seq > 2 OR region = 'eu'") is None
-    assert wb(t, "seq BETWEEN 1 AND 4") is None
+    assert wb(t, "seq BETWEEN 1 AND 4") == {"seq": (1, 4)}
     # column-vs-column and non-constant right sides contribute nothing
     assert wb(t, "seq = id") is None
     assert wb(t, "upper(region) = 'EU'") is None
@@ -437,7 +439,8 @@ def test_sql_delete_prunes_files_via_stats(ghs, spark):
     """DELETE ... WHERE on a stats-indexed column rewrites only files
     whose range admits the predicate — the manifest-level prune the
     class docstring promises, now derived from the WHERE text."""
-    # sort_order isn't a TBLPROPERTIES key — build the handle directly
+    # built via the Python API; 'sortOrder' TBLPROPERTIES (r11) is
+    # pinned by test_explain_reports_manifest_prune's CREATE
     from glue_hudi_spark.storage.native import NativeTable
     from pyspark.sql import functions as F
 
@@ -948,3 +951,159 @@ def test_mview_txn_rollback(ghs):
             "LEFT JOIN dim USING (ck); ROLLBACK")
     assert "mj" not in ghs.tables and "mj" not in ghs.mviews
     assert not (ghs.warehouse / "mj").exists()
+
+
+def test_mview_auto_refresh(ghs):
+    """TBLPROPERTIES ('refresh'='auto'): every write statement on a base
+    eagerly refreshes dependent views — reads are always fresh without a
+    REFRESH statement (each maintenance pass is still the incremental
+    merge). Deferred views on the same base stay stale until asked."""
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE MATERIALIZED VIEW live TBLPROPERTIES "
+            "('refresh'='auto') AS SELECT ck, COUNT(*) AS cnt, "
+            "SUM(amt) AS total FROM fact GROUP BY ck")
+    ghs.sql("CREATE MATERIALIZED VIEW lazy AS SELECT ck, COUNT(*) AS "
+            "cnt, SUM(amt) AS total FROM fact GROUP BY ck")
+    ghs.sql("INSERT INTO fact VALUES (4,30,1.5); "
+            "DELETE FROM fact WHERE ok = 2")
+    live = {(r.ck, r.cnt) for r in ghs.sql("SELECT * FROM live").collect()}
+    assert live == {(10, 2), (30, 1)}
+    lazy = {(r.ck, r.cnt) for r in ghs.sql("SELECT * FROM lazy").collect()}
+    assert lazy == {(10, 2), (20, 1)}  # still the CREATE-time state
+    # the spec survives reattach and SHOW CREATE carries it
+    assert "refresh'='auto" in ghs.sql(
+        "SHOW CREATE TABLE live").first()[0].replace('"', "'")
+
+
+def test_explain_reports_manifest_prune(ghs, spark):
+    """EXPLAIN prefixes Spark's plan with the dispatcher's file-prune
+    decision: a selective single-table WHERE shows kept < total base
+    files; a join shape reports that no manifest prune was derived."""
+    ghs.sql("""
+        CREATE TABLE seq (id BIGINT, grp BIGINT) USING ghs_table
+            TBLPROPERTIES ('primaryKey'='id', 'statsCols'='id',
+                           'sortOrder'='id', 'filesPerPartition'='4')
+    """)
+    ghs.sql("INSERT INTO seq SELECT id, id % 5 FROM range(4000)")
+    rows = ghs.sql(
+        "EXPLAIN SELECT id FROM seq WHERE id < 100").collect()
+    note, plan = rows[0].plan, "\n".join(r.plan for r in rows[1:])
+    m = __import__("re").search(r"(\d+)/(\d+) base files", note)
+    assert m and int(m.group(1)) < int(m.group(2)), note
+    assert "Scan" in plan or "Relation" in plan
+    # the pruned EXPLAIN binding must not poison the next statement
+    assert ghs.sql("SELECT count(*) AS n FROM seq").first().n == 4000
+    rows = ghs.sql("EXPLAIN FORMATTED SELECT a.id FROM seq a "
+                   "JOIN seq b ON a.id = b.id").collect()
+    assert "none derived" in rows[0].plan
+
+
+def test_txn_savepoints(ghs):
+    """SAVEPOINT / ROLLBACK TO SAVEPOINT / RELEASE: nested rollback
+    scopes inside an open transaction — ROLLBACK TO restores the
+    savepoint's heads, removes tables created after it, keeps the
+    transaction (and the savepoint) open; a later COMMIT keeps
+    everything up to the savepoint."""
+    _mk_mv_bases(ghs)
+    ghs.sql("""
+        BEGIN;
+        INSERT INTO fact VALUES (100,10,1.0);
+        SAVEPOINT sp1;
+        INSERT INTO fact VALUES (101,10,1.0);
+        CREATE TABLE scratch (id BIGINT) USING ghs_table
+            TBLPROPERTIES ('primaryKey'='id');
+        SAVEPOINT sp2;
+        DELETE FROM fact;
+        ROLLBACK TO SAVEPOINT sp2
+    """)
+    # sp2 state: rows 1,2,3,100,101 + scratch exists
+    assert ghs.sql("SELECT count(*) AS n FROM fact").first().n == 5
+    assert "scratch" in ghs.tables
+    ghs.sql("ROLLBACK TO sp1")
+    # sp1 state: rows 1,2,3,100; scratch (created after sp1) removed;
+    # sp2 (declared after sp1) discarded — a ROLLBACK TO sp2 would
+    # raise "unknown savepoint" and (like any in-transaction statement
+    # error) abort the whole transaction, so inspect the store instead
+    assert ghs.sql("SELECT count(*) AS n FROM fact").first().n == 4
+    assert "scratch" not in ghs.tables
+    assert "sp2" not in ghs._txn_savepoints and \
+        "sp1" in ghs._txn_savepoints
+    ghs.sql("COMMIT")
+    assert ghs.sql("SELECT count(*) AS n FROM fact").first().n == 4
+    # savepoints need an open transaction; RELEASE checks existence
+    with pytest.raises(ValueError, match="without an open transaction"):
+        ghs.sql("SAVEPOINT nope")
+    ghs.sql("BEGIN; SAVEPOINT a; RELEASE SAVEPOINT a")
+    with pytest.raises(ValueError, match="unknown savepoint"):
+        ghs.sql("ROLLBACK TO a")  # error aborts the txn (full rollback)
+    assert ghs._txn is None
+
+
+def test_txn_full_rollback_past_savepoints(ghs):
+    """A full ROLLBACK (or statement error) still aborts to the BEGIN
+    state, regardless of savepoints declared in between."""
+    _mk_mv_bases(ghs)
+    ghs.sql("BEGIN; INSERT INTO fact VALUES (100,10,1.0); "
+            "SAVEPOINT sp1; DELETE FROM fact WHERE ok = 1; ROLLBACK")
+    assert ghs.sql("SELECT count(*) AS n FROM fact").first().n == 3
+
+
+def test_table_changes_tvf(ghs):
+    """Delta-CDC read parity: table_changes('t', from [, to]) binds the
+    change feed in any read — FROM exclusive, TO inclusive (omitted =
+    head). Updates emit both images."""
+    _mk_mv_bases(ghs)  # fact head: commit 2 (schema commit + insert)
+    ghs.sql("UPDATE fact SET amt = amt + 1 WHERE ok = 1")     # commit 3
+    ghs.sql("DELETE FROM fact WHERE ok = 2")                  # commit 4
+    got = {(r.ok, r._change_type) for r in ghs.sql(
+        "SELECT ok, _change_type FROM table_changes('fact', 2, 3)"
+    ).collect()}
+    assert got == {(1, "update_preimage"), (1, "update_postimage")}
+    got = {(r.ok, r._change_type) for r in ghs.sql(
+        "SELECT ok, _change_type FROM table_changes('fact', 2)"
+    ).collect()}
+    assert got == {(1, "update_preimage"), (1, "update_postimage"),
+                   (2, "delete")}
+    # works as a DML source too: replay deletes into an audit table
+    ghs.sql("""
+        CREATE TABLE audit (ok BIGINT) USING ghs_table
+            TBLPROPERTIES ('primaryKey'='ok');
+        INSERT INTO audit SELECT ok FROM table_changes('fact', 2)
+            WHERE _change_type = 'delete'
+    """)
+    assert [r.ok for r in ghs.sql("SELECT ok FROM audit").collect()] == [2]
+    with pytest.raises(ValueError, match="unknown table"):
+        ghs.sql("SELECT * FROM table_changes('nope', 1)")
+
+
+def test_where_bounds_between_and_in(ghs):
+    """BETWEEN and IN now contribute manifest prune bounds (they used
+    to disable pruning entirely): both forms derive sound [lo, hi]
+    ranges, nested/odd shapes still contribute nothing rather than a
+    bogus bound, and the statements' semantics are unchanged."""
+    ghs.sql("""
+        CREATE TABLE sq (id BIGINT, v BIGINT) USING ghs_table
+            TBLPROPERTIES ('primaryKey'='id', 'statsCols'='id',
+                           'sortOrder'='id', 'filesPerPartition'='4');
+        INSERT INTO sq SELECT id, id FROM range(4000)
+    """)
+    t = ghs.tables["sq"]
+    assert ghs._where_bounds(t, "id BETWEEN 100 AND 200") == {
+        "id": (100, 200)}
+    assert ghs._where_bounds(t, "v = 5 AND id BETWEEN 10 AND 20") == {
+        "v": (5, 5), "id": (10, 20)}
+    assert ghs._where_bounds(t, "id IN (7, 3, 11)") == {"id": (3, 11)}
+    # a BETWEEN inside function args must not corrupt neighboring terms
+    b = ghs._where_bounds(
+        t, "if(v BETWEEN 1 AND 2, 1, 0) = 1 AND id >= 50")
+    assert b is None or b.get("id") == (50, None)
+    # IN with a non-constant item contributes nothing
+    assert ghs._where_bounds(t, "id IN (1, v)") is None
+    # end-to-end: pruned DELETE with BETWEEN removes exactly the range
+    ghs.sql("DELETE FROM sq WHERE id BETWEEN 0 AND 999")
+    assert ghs.sql("SELECT count(*) AS n FROM sq").first().n == 3000
+    rows = ghs.sql("EXPLAIN SELECT v FROM sq WHERE id IN (3000, 3001)"
+                   ).collect()
+    import re as _re
+    m = _re.search(r"(\d+)/(\d+) base files", rows[0].plan)
+    assert m and int(m.group(1)) < int(m.group(2)), rows[0].plan
