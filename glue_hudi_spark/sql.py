@@ -284,6 +284,13 @@ class GhsSql:
                 f"ghs.sql: {head} is not allowed inside a transaction — "
                 "it deletes files restore cannot bring back (COMMIT or "
                 "ROLLBACK first)")
+        if self._txn is not None and head == "COPY":
+            raise ValueError(
+                "ghs.sql: COPY INTO is not allowed inside a transaction "
+                "— its processed-file ledger commits outside the table "
+                "protocol, so a rolled-back transaction would strand "
+                "the batch as 'already loaded' (COMMIT or ROLLBACK "
+                "first; COPY is itself idempotent)")
         if head == "CREATE":
             return self._create(s)
         if head == "REFRESH":
@@ -312,6 +319,10 @@ class GhsSql:
             return self._vacuum(s)
         if head == "EXPLAIN":
             return self._explain(s)
+        if head == "COPY":
+            return self._copy_into(s)
+        if head == "RESTORE":
+            return self._restore(s)
         if head in ("SELECT", "WITH", "VALUES", "TABLE"):
             return self._read(s)
         raise ValueError(f"ghs.sql: unsupported statement: {s[:80]!r}")
@@ -748,9 +759,37 @@ class GhsSql:
                                  if props.get("filesPerPartition") else None),
         )
 
+    _CREATE_CLONE = re.compile(
+        rf"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})"
+        rf"\s+SHALLOW\s+CLONE\s+(?P<src>{_IDENT})\s*$", re.IGNORECASE)
+
     def _create(self, s: str) -> None:
         if re.match(r"^CREATE\s+MATERIALIZED\s+VIEW\b", s, re.IGNORECASE):
             return self._create_mview(s)
+        cm = self._CREATE_CLONE.match(s)
+        if cm:
+            # Delta's SHALLOW CLONE: zero-copy branch of the CURRENT
+            # snapshot (hardlinked data files + one fresh manifest —
+            # clone_to's O(metadata) contract); the clone is an
+            # independent table from here on.
+            name = _unq(cm.group("name"))
+            if name in self.tables:
+                if re.search(r"IF\s+NOT\s+EXISTS", s[:cm.end("name")],
+                             re.IGNORECASE):
+                    return None
+                raise ValueError(f"ghs.sql: table {name!r} already exists")
+            src_name = _unq(cm.group("src"))
+            if src_name in self.mviews:
+                raise ValueError(
+                    f"ghs.sql: {src_name!r} is a materialized view — "
+                    "clone its base table, or snapshot the view with "
+                    "CREATE TABLE ... AS SELECT")
+            t = self._table(src_name).clone_to(self.warehouse / name)
+            t.save_properties()
+            self.tables[name] = t
+            if self._txn is not None:
+                self._txn_created.add(name)
+            return None
         m = self._CREATE.match(s)
         ctas = None if m else self._CREATE_AS.match(s)
         if not m and not ctas:
@@ -1027,37 +1066,132 @@ class GhsSql:
                 # declared DEFAULT (stored as a real value — this is a
                 # post-add write), else NULL
                 df = df.withColumn(c, F.lit(defaults.get(c)).cast(typ))
-        head = t.timeline.latest()
-        holds_data = head is not None and (head.files or head.deltas)
         if m.group("mode").upper() == "OVERWRITE":
             t.insert_overwrite(df)
-        elif not holds_data:
-            # FIRST data commit: take the bulk-load path (the
-            # reference's own choice for full loads) — range-clustered
-            # into the declared sortOrder/filesPerPartition width with
-            # footer stats and blooms. A plain upsert here would land
-            # the whole batch in ONE file (its rewrite width is the
-            # affected-file count, which is 0 on an empty table) — at
-            # scale, CREATE + INSERT INTO SELECT <1 TB> must not
-            # produce a single-file table. Precombine still resolves
-            # in-batch duplicate keys, matching the upsert contract.
-            if t.precombine:
-                from pyspark.sql.window import Window
-
-                w = Window.partitionBy(*t.record_keys).orderBy(
-                    F.col(t.precombine).desc())
-                df = (df.withColumn("_ghs_rn", F.row_number().over(w))
-                      .filter(F.col("_ghs_rn") == 1).drop("_ghs_rn"))
-            t.bulk_insert(df)
         else:
-            # keyed table: INSERT INTO upserts on the primary key (the
-            # Hudi spark-sql behavior for primaryKey tables)
-            t.upsert(df)
+            self._keyed_write(t, df)
         self._after_write(m.group("name"))
         return None
 
+    @staticmethod
+    def _keyed_write(t: NativeTable, df: DataFrame) -> None:
+        """The INSERT INTO / COPY INTO write routing. FIRST data commit
+        takes the bulk-load path (the reference's own choice for full
+        loads) — range-clustered into the declared sortOrder/
+        filesPerPartition width with footer stats and blooms. A plain
+        upsert here would land the whole batch in ONE file (its rewrite
+        width is the affected-file count, which is 0 on an empty table)
+        — at scale, CREATE + INSERT INTO SELECT <1 TB> must not produce
+        a single-file table. Precombine still resolves in-batch
+        duplicate keys, matching the upsert contract. Later batches
+        upsert on the primary key (Hudi spark-sql semantics)."""
+        head = t.timeline.latest()
+        if head is not None and (head.files or head.deltas):
+            t.upsert(df)
+            return
+        if t.precombine:
+            from pyspark.sql.window import Window
+
+            w = Window.partitionBy(*t.record_keys).orderBy(
+                F.col(t.precombine).desc())
+            df = (df.withColumn("_ghs_rn", F.row_number().over(w))
+                  .filter(F.col("_ghs_rn") == 1).drop("_ghs_rn"))
+        t.bulk_insert(df)
+
     def _data_columns(self, t: NativeTable) -> list[str]:
         return [c for c, _ in self._data_types(t).items()]
+
+    # ---------------------------------------------------------- COPY INTO
+
+    _COPY = re.compile(
+        rf"^COPY\s+INTO\s+(?P<name>{_IDENT})\s+FROM\s+'(?P<src>[^']+)'"
+        rf"(?:\s+FILEFORMAT\s*=\s*(?P<fmt>[A-Za-z]+))?\s*$",
+        re.IGNORECASE)
+
+    def _copy_into(self, s: str) -> DataFrame:
+        """``COPY INTO t FROM '/landing/dir' [FILEFORMAT = PARQUET|CSV|
+        JSON|ORC]``: idempotent bookmarked file ingestion — the
+        reference's core loop (bookmarked multi-path scan feeding a
+        keyed table, processData.py + SURVEY §2.1 S1) surfaced as the
+        Databricks COPY INTO statement. A per-(source, format) ledger
+        under the TABLE root records processed files (the landing dir
+        stays read-only), so a re-run loads only new arrivals and a
+        replayed statement loads nothing; the ledger commits only AFTER
+        the table write publishes — crash between the two replays the
+        batch, and the keyed upsert makes the replay idempotent.
+        Columns map BY NAME (extra source columns are ignored; missing
+        table columns take their DEFAULT, else NULL; record keys must
+        be present). Returns (num_files_loaded, num_rows_loaded)."""
+        m = self._COPY.match(s)
+        if not m:
+            raise ValueError(
+                f"ghs.sql: cannot parse COPY: {s[:80]!r} — use COPY "
+                "INTO t FROM '/dir' [FILEFORMAT = PARQUET|CSV|JSON|ORC]")
+        import hashlib
+
+        from glue_hudi_spark.sources.batch import BookmarkedScan
+
+        t = self._target(m.group("name"))
+        fmt = (m.group("fmt") or "parquet").lower()
+        token = hashlib.md5(
+            f"{m.group('src')}|{fmt}".encode()).hexdigest()[:8]
+        scan = BookmarkedScan(
+            self.spark, m.group("src"),
+            ledger_path=Path(t.root) / f"_copy_ledger_{token}.json",
+            fmt=fmt)
+        batch = scan.read_batch()
+        report = "num_files_loaded int, num_rows_loaded bigint"
+        if batch is None:
+            return self.spark.createDataFrame([(0, 0)], report)
+        missing = [k for k in t.record_keys if k not in batch.columns]
+        if missing:
+            raise ValueError(
+                f"ghs.sql: COPY INTO source lacks record-key column(s) "
+                f"{missing}")
+        defaults = self._data_defaults(t)
+        out = batch.select(*[
+            (F.col(c).cast(typ) if c in batch.columns
+             else F.lit(defaults.get(c)).cast(typ)).alias(c)
+            for c, typ in self._data_types(t).items()])
+        n_files = len(scan._pending)
+        n_rows = out.count()
+        self._keyed_write(t, out)
+        scan.commit()  # only after the table commit published
+        self._after_write(m.group("name"))
+        return self.spark.createDataFrame([(n_files, n_rows)], report)
+
+    # ------------------------------------------------------------ RESTORE
+
+    _RESTORE = re.compile(
+        rf"^RESTORE\s+(?:TABLE\s+)?(?P<name>{_IDENT})\s+TO\s+"
+        rf"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<val>\d+|'[^']*')"
+        rf"\s*$", re.IGNORECASE)
+
+    def _restore(self, s: str) -> None:
+        """Delta's ``RESTORE TABLE t TO VERSION/TIMESTAMP AS OF``: the
+        engine's non-destructive rollback — publishes a NEW manifest
+        replaying the target commit's file set, so readers switch
+        atomically, history stays queryable, and orphaned files age out
+        through retention (no data deleted here)."""
+        m = self._RESTORE.match(s)
+        if not m:
+            raise ValueError(
+                f"ghs.sql: cannot parse RESTORE: {s[:80]!r} — use "
+                "RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS "
+                "OF 'ts'")
+        t = self._target(m.group("name"))
+        if m.group("kind").upper() == "VERSION":
+            cid = int(m.group("val"))
+        else:
+            commit = t.timeline.at_timestamp(m.group("val").strip("'"))
+            if commit is None:
+                raise ValueError(
+                    f"ghs.sql: no retained commit at or before "
+                    f"{m.group('val')}")
+            cid = commit.commit_id
+        t.rollback(to_commit_id=cid)
+        self._after_write(m.group("name"))
+        return None
 
     _BOUND = re.compile(
         rf"^\s*(?P<col>{_IDENT})\s*(?P<op><=|>=|=|<|>)\s*(?P<rhs>.+?)\s*$",

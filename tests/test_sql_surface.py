@@ -1107,3 +1107,66 @@ def test_where_bounds_between_and_in(ghs):
     import re as _re
     m = _re.search(r"(\d+)/(\d+) base files", rows[0].plan)
     assert m and int(m.group(1)) < int(m.group(2)), rows[0].plan
+
+
+def test_copy_into_bookmarked_ingestion(ghs, spark, tmp_path):
+    """COPY INTO = the reference's bookmarked scan as a SQL statement:
+    first run loads everything, a re-run loads nothing (per-source
+    ledger under the TABLE root — the landing dir stays untouched),
+    new arrivals load alone; columns map by name with DEFAULT fill."""
+    raw = tmp_path / "landing"
+    spark.range(10).selectExpr("id", "id * 2 AS v").coalesce(1) \
+        .write.parquet(str(raw / "b1"))
+    ghs.sql("CREATE TABLE tgt (id BIGINT, v BIGINT, "
+            "src STRING DEFAULT 'copy') USING ghs_table "
+            "TBLPROPERTIES ('primaryKey'='id')")
+    r = ghs.sql(f"COPY INTO tgt FROM '{raw}'").first()
+    assert (r.num_files_loaded, r.num_rows_loaded) == (1, 10)
+    r = ghs.sql(f"COPY INTO tgt FROM '{raw}'").first()
+    assert (r.num_files_loaded, r.num_rows_loaded) == (0, 0)
+    spark.range(10, 15).selectExpr("id", "id * 2 AS v").coalesce(1) \
+        .write.parquet(str(raw / "b2"))
+    r = ghs.sql(f"COPY INTO tgt FROM '{raw}'").first()
+    assert (r.num_files_loaded, r.num_rows_loaded) == (1, 5)
+    got = ghs.sql("SELECT count(*) AS n, min(src) AS s FROM tgt").first()
+    assert (got.n, got.s) == (15, "copy")  # DEFAULT filled by name-map
+    # the ledger lives under the table root, not the landing dir
+    assert not list(raw.glob("_processed*"))
+    assert list(ghs.tables["tgt"].root.glob("_copy_ledger_*.json"))
+    # record keys must be present in the source
+    spark.range(3).selectExpr("id AS other").coalesce(1) \
+        .write.parquet(str(tmp_path / "bad" / "b"))
+    with pytest.raises(ValueError, match="record-key"):
+        ghs.sql(f"COPY INTO tgt FROM '{tmp_path / 'bad'}'")
+    # ledger commits OUTSIDE the table protocol: rejected in-txn
+    with pytest.raises(ValueError, match="not allowed inside"):
+        ghs.sql(f"BEGIN; COPY INTO tgt FROM '{raw}'")
+
+
+def test_shallow_clone_and_restore(ghs, spark):
+    """CREATE TABLE ... SHALLOW CLONE branches the current snapshot
+    zero-copy; the clone diverges independently. RESTORE TABLE ... TO
+    VERSION AS OF republishes a prior file set non-destructively."""
+    _mk(ghs)
+    ghs.sql("CREATE TABLE snap SHALLOW CLONE accounts")
+    ghs.sql("DELETE FROM accounts WHERE region = 'eu'")
+    assert ghs.sql("SELECT count(*) AS n FROM accounts").first().n == 1
+    assert ghs.sql("SELECT count(*) AS n FROM snap").first().n == 3
+    # restore to the pre-delete version (delete is the newest commit)
+    pre = ghs.sql("DESCRIBE HISTORY accounts").collect()[1]["version"]
+    ghs.sql(f"RESTORE TABLE accounts TO VERSION AS OF {pre}")
+    assert ghs.sql("SELECT count(*) AS n FROM accounts").first().n == 3
+    # the restore is itself a commit — history stays queryable
+    ops = [r["operation"] for r in
+           ghs.sql("DESCRIBE HISTORY accounts").collect()]
+    assert ops[0] == "rollback"
+    # clone survives a fresh session (durable catalog)
+    fresh = GhsSql(spark, ghs.warehouse)
+    assert fresh.sql("SELECT count(*) AS n FROM snap").first().n == 3
+    # cloning a materialized view is rejected with guidance
+    ghs.sql("CREATE MATERIALIZED VIEW mv AS SELECT region, COUNT(*) AS "
+            "cnt, SUM(balance) AS total FROM accounts GROUP BY region")
+    with pytest.raises(ValueError, match="materialized view"):
+        ghs.sql("CREATE TABLE mvclone SHALLOW CLONE mv")
+    with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+        ghs.sql("RESTORE TABLE mv TO VERSION AS OF 1")
