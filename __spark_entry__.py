@@ -9105,16 +9105,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # DRIVER WINDOW (first 50 keys): the driver's CORRECTNESS gate samples the
 # registry's first 50 keys in order — rotated each round by reordering the
-# full dict against this list. Round 11: the new round-11 query first
-# (sql_time_travel — first contact), then 49 of the 50 queries whose
-# freshest driver evidence is r07 (they predate the r08 read-path changes:
-# column mapping, deletion vectors, widening upcasts under every scan).
-# Round 11 adds two new queries (sql_time_travel, sql_transactions), so
-# two r07 entries defer to r12: copurchase_triangles and
-# corpus_top_bigrams — the r07 queries that read raw parquet through
-# plain DataFrame ops only (no NativeTable scan), so the
-# read-path-rewrite staleness concern does not apply to them; after this
-# round they are the only entries older than r08.
+# full dict against this list. Round 11: the THREE new round-11 queries
+# lead (sql_materialized_view, sql_time_travel, sql_transactions — first
+# contact), then 47 of the 50 queries whose freshest driver evidence is
+# r07 (they predate the r08 read-path changes: column mapping, deletion
+# vectors, widening upcasts under every scan). Three r07 entries defer
+# to r12: copurchase_triangles, corpus_top_bigrams, text_repetition —
+# the r07 queries that read raw parquet through plain DataFrame/text ops
+# only (no NativeTable scan), so the read-path-rewrite staleness concern
+# does not apply to them; after this round they are the only entries
+# older than r08.
 _DRIVER_WINDOW = [
     "sql_materialized_view",
     "sql_time_travel",

@@ -231,6 +231,9 @@ class GhsSql:
         # name -> (heads-at-savepoint, created-at-savepoint); insertion
         # order = declaration order (ROLLBACK TO discards later ones)
         self._txn_savepoints: dict[str, tuple] = {}
+        # name -> constraints list at BEGIN (restored on rollback —
+        # constraints persist in _table.json outside the commit protocol)
+        self._txn_constraints: dict[str, list] = {}
 
     def register(self, name: str, table: NativeTable) -> None:
         self.tables[name] = table
@@ -354,8 +357,10 @@ class GhsSql:
             if head is None:
                 # an empty, never-written table has no snapshot yet —
                 # readable as an empty relation would need a schema;
-                # skip (the view appears after its first write)
-                self._view_cache.pop(name, None)
+                # skip (the view appears after its first write). Drop
+                # any stale view a pre-restore bind left behind.
+                if self._view_cache.pop(name, None) is not None:
+                    self.spark.catalog.dropTempView(name)
                 continue
             key = (head.commit_id, head.wall_time)
             if self._view_cache.get(name) == key:
@@ -408,8 +413,15 @@ class GhsSql:
                     f"ghs.sql: table_changes: unknown table "
                     f"{m.group('name')!r}")
             a = int(m.group("a"))
-            b = (int(m.group("b")) if m.group("b")
-                 else t.timeline.latest().commit_id)
+            head = t.timeline.latest()
+            if m.group("b"):
+                b = int(m.group("b"))
+            elif head is None:
+                raise ValueError(
+                    f"ghs.sql: table_changes: {m.group('name')!r} has "
+                    "no commits yet")
+            else:
+                b = head.commit_id
             alias = f"{m.group('name')}__ch{a}_{b}"
             t.change_feed(a, b).createOrReplaceTempView(alias)
             return alias
@@ -597,6 +609,11 @@ class GhsSql:
         for name, t in self.tables.items():
             h = t.timeline.latest()
             heads[name] = h.commit_id if h else 0
+        # constraints live in _table.json, OUTSIDE the commit protocol —
+        # restore_to can't undo an in-transaction ADD CONSTRAINT, so
+        # BEGIN snapshots them and _rollback restores + re-persists
+        self._txn_constraints = {
+            name: list(t.constraints) for name, t in self.tables.items()}
         self._txn = heads
         self._txn_created = set()
         self._txn_savepoints = {}
@@ -610,6 +627,7 @@ class GhsSql:
         self._txn = None
         self._txn_created = set()
         self._txn_savepoints = {}
+        self._txn_constraints = {}
         return None
 
     def _remove_created(self, names, heads: dict | None = None) -> None:
@@ -644,13 +662,28 @@ class GhsSql:
             if (h.commit_id if h else 0) != saved:
                 t.timeline.restore_to(saved)
                 self._view_cache.pop(name, None)
+                if saved == 0:
+                    # timeline emptied: a temp view bound during the
+                    # transaction would keep serving deleted files
+                    self.spark.catalog.dropTempView(name)
 
     def _rollback(self) -> None:
         txn, created = self._txn, self._txn_created
-        self._txn, self._txn_created = None, set()
-        self._txn_savepoints = {}
+        # restore FIRST, clear the transaction record LAST: if a
+        # restore_to raises mid-way (ref protection, I/O), the record
+        # survives and ROLLBACK can be retried — clearing eagerly would
+        # strand the untouched tables with their in-transaction commits
+        # and no way back
         self._remove_created(created, txn)
         self._restore_heads(txn)
+        for name, cons in self._txn_constraints.items():
+            t = self.tables.get(name)
+            if t is not None and list(t.constraints) != cons:
+                t.constraints[:] = cons
+                t.save_properties()
+        self._txn, self._txn_created = None, set()
+        self._txn_savepoints = {}
+        self._txn_constraints = {}
         return None
 
     # ---- savepoints: nested rollback scopes inside an open transaction
@@ -684,7 +717,10 @@ class GhsSql:
         # re-declaring a savepoint moves it (standard SQL): delete first
         # so insertion order reflects the NEW position
         self._txn_savepoints.pop(sp, None)
-        self._txn_savepoints[sp] = (heads, set(self._txn_created))
+        self._txn_savepoints[sp] = (
+            heads, set(self._txn_created),
+            {name: list(t.constraints)
+             for name, t in self.tables.items()})
         return None
 
     def _release_savepoint(self, s: str) -> None:
@@ -702,9 +738,14 @@ class GhsSql:
     def _rollback_to(self, sp: str) -> None:
         if sp not in self._txn_savepoints:
             raise ValueError(f"ghs.sql: unknown savepoint {sp!r}")
-        heads, created_at_sp = self._txn_savepoints[sp]
+        heads, created_at_sp, cons_at_sp = self._txn_savepoints[sp]
         self._remove_created(self._txn_created - created_at_sp)
         self._restore_heads(heads)
+        for name, cons in cons_at_sp.items():
+            t = self.tables.get(name)
+            if t is not None and list(t.constraints) != cons:
+                t.constraints[:] = cons
+                t.save_properties()
         self._txn_created = set(created_at_sp)
         # savepoints declared after sp point past the restored state
         names = list(self._txn_savepoints)
@@ -809,9 +850,14 @@ class GhsSql:
                 return None
             raise ValueError(f"ghs.sql: table {name!r} already exists")
         t = self._build_table(name, mm.group("rest"))
-        t.save_properties()  # durable catalog entry (see __init__)
         if ctas:
             t.bulk_insert(self._query_df(ctas.group("q")))
+            # durable catalog entry (see __init__) — written only AFTER
+            # the first commit succeeds: a failing CREATE over an
+            # existing root (e.g. LOCATION pointing at a live external
+            # table whose keys differ) must not clobber that table's
+            # _table.json with the new config
+            t.save_properties()
             self.tables[name] = t
             if self._txn is not None:
                 self._txn_created.add(name)
@@ -828,10 +874,14 @@ class GhsSql:
                 continue  # added post-create so the default is recorded
             schema_fields.append(f"{cname} {ctype}")
         # an empty first commit publishes the declared schema, so the
-        # table is immediately readable/alterable like any SQL table
+        # table is immediately readable/alterable like any SQL table.
+        # (The allow_empty guard raises when the root already holds a
+        # table with history — save_properties runs only after, so a
+        # failing CREATE can't clobber the existing _table.json.)
         t.bulk_insert(
             self.spark.createDataFrame([], ", ".join(schema_fields)),
             allow_empty=True)
+        t.save_properties()  # durable catalog entry (see __init__)
         for cname, ctype, dexpr in defaults:
             lit = self.spark.sql(f"SELECT CAST({dexpr} AS {ctype})").first()[0]
             t.add_column(cname, ctype, default=lit)
@@ -1154,8 +1204,16 @@ class GhsSql:
              else F.lit(defaults.get(c)).cast(typ)).alias(c)
             for c, typ in self._data_types(t).items()])
         n_files = len(scan._pending)
-        n_rows = out.count()
-        self._keyed_write(t, out)
+        # persist so the batch's files are parsed ONCE for both the
+        # row-count report and the write (num_rows_loaded = source rows
+        # read, pre-precombine — the COPY INTO convention; with a
+        # precombine column, in-batch duplicate keys land as one row)
+        out = out.persist()
+        try:
+            n_rows = out.count()
+            self._keyed_write(t, out)
+        finally:
+            out.unpersist()
         scan.commit()  # only after the table commit published
         self._after_write(m.group("name"))
         return self.spark.createDataFrame([(n_files, n_rows)], report)
@@ -1164,7 +1222,8 @@ class GhsSql:
 
     _RESTORE = re.compile(
         rf"^RESTORE\s+(?:TABLE\s+)?(?P<name>{_IDENT})\s+TO\s+"
-        rf"(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+(?P<val>\d+|'[^']*')"
+        rf"(?:VERSION\s+AS\s+OF\s+(?P<ver>\d+)"
+        rf"|TIMESTAMP\s+AS\s+OF\s+'(?P<ts>[^']*)')"
         rf"\s*$", re.IGNORECASE)
 
     def _restore(self, s: str) -> None:
@@ -1180,14 +1239,14 @@ class GhsSql:
                 "RESTORE TABLE t TO VERSION AS OF n | TO TIMESTAMP AS "
                 "OF 'ts'")
         t = self._target(m.group("name"))
-        if m.group("kind").upper() == "VERSION":
-            cid = int(m.group("val"))
+        if m.group("ver") is not None:
+            cid = int(m.group("ver"))
         else:
-            commit = t.timeline.at_timestamp(m.group("val").strip("'"))
+            commit = t.timeline.at_timestamp(m.group("ts"))
             if commit is None:
                 raise ValueError(
                     f"ghs.sql: no retained commit at or before "
-                    f"{m.group('val')}")
+                    f"{m.group('ts')!r}")
             cid = commit.commit_id
         t.rollback(to_commit_id=cid)
         self._after_write(m.group("name"))

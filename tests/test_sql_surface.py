@@ -1170,3 +1170,74 @@ def test_shallow_clone_and_restore(ghs, spark):
         ghs.sql("CREATE TABLE mvclone SHALLOW CLONE mv")
     with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
         ghs.sql("RESTORE TABLE mv TO VERSION AS OF 1")
+
+
+def test_txn_rollback_restores_constraints(ghs):
+    """Constraints persist in _table.json OUTSIDE the commit protocol,
+    so BEGIN snapshots them: an in-transaction ADD CONSTRAINT must not
+    survive ROLLBACK (it would keep rejecting writes forever)."""
+    _mk(ghs)
+    ghs.sql("BEGIN; ALTER TABLE accounts ADD CONSTRAINT pos "
+            "CHECK (balance >= 0); ROLLBACK")
+    assert ghs.tables["accounts"].constraints == []
+    # a negative write goes through post-rollback
+    ghs.sql("INSERT INTO accounts VALUES "
+            "('n', CAST(-1.00 AS DECIMAL(10,2)), 'eu', 1)")
+    # savepoints snapshot constraints the same way
+    ghs.sql("BEGIN; SAVEPOINT sp; ALTER TABLE accounts ADD CONSTRAINT "
+            "big CHECK (seq < 100); ROLLBACK TO sp")
+    assert ghs.tables["accounts"].constraints == []
+    ghs.sql("COMMIT")
+
+
+def test_failed_create_does_not_clobber_existing_catalog_entry(
+        ghs, spark, tmp_path):
+    """CREATE TABLE ... LOCATION over a live table root must fail
+    WITHOUT rewriting that table's _table.json — save_properties now
+    runs only after the first commit succeeds."""
+    ext = tmp_path / "ext"
+    t = NativeTable(spark, ext, record_keys=["id"], precombine="seq")
+    t.bulk_insert(spark.createDataFrame([("x", 1, 1)],
+                                        "id string, v int, seq int"))
+    t.save_properties()
+    with pytest.raises(ValueError):
+        ghs.sql(f"CREATE TABLE ex (k STRING) USING ghs_table "
+                f"TBLPROPERTIES ('primaryKey'='k') LOCATION '{ext}'")
+    reopened = NativeTable.open(spark, ext)
+    assert reopened.record_keys == ["id"]  # config untouched
+
+
+def test_txn_rollback_of_first_write_drops_stale_view(ghs, spark,
+                                                      tmp_path):
+    """Rolling back a table's FIRST commits empties its timeline
+    (restore_to(0)); the temp view bound during the transaction must
+    not keep resolving against the deleted files. SQL alone can't
+    write a schema-less handle, so the first write lands through the
+    Python API mid-transaction — the mixed-use shape register()
+    exists for."""
+    t = NativeTable(spark, tmp_path / "fresh", record_keys=["id"])
+    ghs.register("fresh", t)
+    ghs.sql("BEGIN")
+    t.bulk_insert(spark.createDataFrame([(1, 2)], "id int, v int"))
+    assert ghs.sql("SELECT count(*) AS n FROM fresh").first().n == 1
+    ghs.sql("ROLLBACK")
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        ghs.sql("SELECT count(*) FROM fresh").collect()
+
+
+def test_table_changes_and_restore_error_forms(ghs):
+    _mk(ghs)
+    with pytest.raises(ValueError, match="cannot parse RESTORE"):
+        ghs.sql("RESTORE TABLE accounts TO VERSION AS OF '3'")
+    with pytest.raises(ValueError, match="cannot parse RESTORE"):
+        ghs.sql("RESTORE TABLE accounts TO TIMESTAMP AS OF 123")
+    ghs.sql("CREATE TABLE empty0 (id BIGINT) USING ghs_table "
+            "TBLPROPERTIES ('primaryKey'='id')")
+    # schema commit exists but change_feed needs a window; omitted TO on
+    # a registered-but-commitless handle raises cleanly, not AttributeError
+    from glue_hudi_spark.storage.native import NativeTable as NT
+    ghs.register("neverwritten", NT(ghs.spark, ghs.warehouse / "nw",
+                                    record_keys=["id"]))
+    with pytest.raises(ValueError, match="no commits"):
+        ghs.sql("SELECT * FROM table_changes('neverwritten', 0)")
