@@ -497,7 +497,25 @@ class GhsSql:
         bounds = self._where_bounds(t, "".join(out))
         return (name, bounds) if bounds else None
 
+    # metadata-only COUNT(*): Delta answers a bare count from stats;
+    # the manifest carries per-file row counts, so the one query shape
+    # every dashboard fires at a 100-TB table costs zero data bytes
+    _FAST_COUNT = re.compile(
+        rf"^SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)\s*"
+        rf"(?:AS\s+(?P<alias>{_IDENT})\s*)?"
+        rf"FROM\s+(?P<name>{_IDENT})\s*$", re.IGNORECASE)
+
     def _read(self, s: str) -> DataFrame:
+        fc = self._FAST_COUNT.match(s)
+        if fc:
+            t = self.tables.get(_unq(fc.group("name")))
+            if t is not None and t.timeline.latest() is not None:
+                alias = (_unq(fc.group("alias")) if fc.group("alias")
+                         else "count(1)")
+                schema = T.StructType(
+                    [T.StructField(alias, T.LongType(), False)])
+                return self.spark.createDataFrame(
+                    [(int(t.count_rows()),)], schema)
         self._with_views()
         pr = self._select_prune(s)
         if pr:
@@ -1859,20 +1877,41 @@ class GhsSql:
 
     _OPTIMIZE = re.compile(
         rf"^OPTIMIZE\s+(?P<name>{_IDENT})"
-        rf"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*$", re.IGNORECASE)
+        rf"(?:\s+WHERE\s+(?P<where>.+?))?"
+        rf"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*$",
+        re.IGNORECASE | re.DOTALL)
 
     def _optimize(self, s: str) -> None:
         """Delta's OPTIMIZE surface: plain → bin-pack small files;
-        ZORDER BY (cols) → cluster on the interleaved key."""
+        WHERE <bounds> → scope the pack to matching files (at 100 TB a
+        maintenance pass is scheduled per partition slice, never
+        all-or-nothing); ZORDER BY (cols) → cluster on the interleaved
+        key. WHERE must derive manifest bounds — a predicate the bound
+        extractor can't prove raises rather than silently packing the
+        whole table."""
         m = self._OPTIMIZE.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse OPTIMIZE: {s[:80]!r}")
         t = self._target(m.group("name"))
+        prune = None
+        if m.group("where"):
+            if m.group("cols"):
+                raise ValueError(
+                    "ghs.sql: OPTIMIZE ... WHERE scopes bin-packing "
+                    "only — ZORDER rewrites the whole table (drop the "
+                    "WHERE, or bin-pack the slice first)")
+            prune = self._where_bounds(t, m.group("where"))
+            if prune is None:
+                raise ValueError(
+                    f"ghs.sql: OPTIMIZE WHERE {m.group('where')!r} "
+                    "derives no manifest bounds (use simple range/"
+                    "equality conjunctions on partition or stats "
+                    "columns) — refusing to silently pack everything")
         if m.group("cols"):
             t.cluster(zorder_by=[_unq(c.strip())
                                  for c in m.group("cols").split(",")])
         else:
-            t.bin_pack()
+            t.bin_pack(prune=prune)
         return None
 
     _VACUUM = re.compile(

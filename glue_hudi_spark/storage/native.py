@@ -4270,7 +4270,8 @@ class NativeTable:
             column_mapping={}, retired_cols=[], column_defaults={},
         )
 
-    def bin_pack(self, target_bytes: int = 128 * 1024 * 1024) -> Commit | None:
+    def bin_pack(self, target_bytes: int = 128 * 1024 * 1024,
+                 prune: dict | None = None) -> Commit | None:
         """Delta-OPTIMIZE-style small-file coalescing: rewrite ONLY the
         undersized base files (< ``target_bytes``), packed per hive
         partition; full-size files carry over by manifest reference.
@@ -4284,15 +4285,28 @@ class NativeTable:
         unchanged — delta records override by KEY at read, so base
         re-packing cannot change merge results.
 
+        ``prune``: {col: (lo, hi)} bounds restricting WHICH files are
+        pack candidates (partition-dir + column-stats skipping, the
+        read_snapshot(prune=) ladder) — Delta's ``OPTIMIZE ... WHERE``
+        scope. At 100 TB a maintenance pass must be schedulable per
+        partition slice, not all-or-nothing; unmatched files carry over
+        untouched by manifest reference.
+
         Returns the commit, or None when fewer than two files in every
         partition are undersized (nothing to pack)."""
         commit = self.timeline.latest()
         if commit is None:
             raise ValueError(f"table {self.root} has no commits")
+        candidates = commit.files
+        if prune:
+            candidates = self._prune_files_by_partition(
+                candidates, prune, self._pfields_of(commit))
+            candidates = self._prune_files_by_col_stats(
+                candidates, commit.col_stats, prune)
         # manifest-carried sizes: zero per-file metadata calls on a table
         # whose manifests record them; stat() only fills pre-field gaps
         sizes: dict[str, int] = {}
-        for f in commit.files:
+        for f in candidates:
             sz = commit.file_sizes.get(f)
             if sz is None:
                 sz = self._stat_size(f)

@@ -641,13 +641,15 @@ def test_with_views_cached_by_head_commit(ghs, monkeypatch):
         return orig(*a, **kw)
 
     monkeypatch.setattr(t, "read_snapshot", spy)
-    ghs.sql("SELECT count(*) FROM accounts")
-    ghs.sql("SELECT count(*) FROM accounts")
-    ghs.sql("SELECT count(*) FROM accounts")
+    # sum(seq), not count(*): a bare COUNT(*) now answers from the
+    # manifest's row counts without binding any view at all
+    ghs.sql("SELECT sum(seq) FROM accounts")
+    ghs.sql("SELECT sum(seq) FROM accounts")
+    ghs.sql("SELECT sum(seq) FROM accounts")
     assert len(calls) == 1  # bound once, reused across the batch
     ghs.sql("INSERT INTO accounts VALUES "
             "('z', CAST(9.00 AS DECIMAL(10,2)), 'eu', 1)")
-    ghs.sql("SELECT count(*) FROM accounts")
+    ghs.sql("SELECT sum(seq) FROM accounts")
     assert len(calls) >= 2  # head moved -> re-bound
     assert ghs.sql("SELECT count(*) FROM accounts").collect()[0][0] == 4
 
@@ -1241,3 +1243,58 @@ def test_table_changes_and_restore_error_forms(ghs):
                                     record_keys=["id"]))
     with pytest.raises(ValueError, match="no commits"):
         ghs.sql("SELECT * FROM table_changes('neverwritten', 0)")
+
+
+def test_optimize_where_scopes_bin_pack(ghs, spark):
+    """OPTIMIZE t WHERE <bounds> packs only matching files — the
+    schedulable per-slice maintenance form; files outside the bounds
+    carry over by reference. Underivable predicates raise instead of
+    silently packing the whole table."""
+    from pyspark.sql import functions as F
+
+    t = NativeTable(spark, ghs.warehouse / "packed", record_keys=["id"],
+                    stats_cols=["bucket"], sort_order=["bucket"],
+                    files_per_partition=8)
+    t.bulk_insert(spark.range(800).select(
+        F.col("id"), (F.col("id") % 100).alias("bucket")))
+    ghs.register("packed", t)
+    before = set(t.timeline.latest().files)
+    assert len(before) == 8  # 8 slivers, all < target
+    ghs.sql("OPTIMIZE packed WHERE bucket < 25")
+    after = set(t.timeline.latest().files)
+    packed = before - after
+    # only the low-bucket slivers repacked; the rest carried untouched
+    assert 2 <= len(packed) <= 4 and len(before & after) >= 4
+    assert t.count_rows() == 800
+    with pytest.raises(ValueError, match="derives no manifest bounds"):
+        ghs.sql("OPTIMIZE packed WHERE bucket < 25 OR bucket > 90")
+    with pytest.raises(ValueError, match="bin-packing only"):
+        ghs.sql("OPTIMIZE packed WHERE bucket < 25 ZORDER BY (id)")
+
+
+def test_select_count_star_is_metadata_only(ghs, spark):
+    """A bare SELECT COUNT(*) FROM t answers from the manifest's
+    per-file row counts — zero data files opened (Delta stats-count
+    parity). Shapes the fast path can't prove (WHERE, expressions)
+    fall through to the normal scan."""
+    _mk(ghs)
+    called = {"n": 0}
+    orig = NativeTable._read_files
+
+    def counting(self, *a, **k):
+        called["n"] += 1
+        return orig(self, *a, **k)
+
+    import glue_hudi_spark.storage.native as native_mod
+    try:
+        native_mod.NativeTable._read_files = counting
+        n = ghs.sql("SELECT COUNT(*) FROM accounts").first()[0]
+        assert n == 3 and called["n"] == 0  # no file plan built
+        n = ghs.sql("SELECT count(*) AS total FROM accounts").first()
+        assert n.total == 3 and called["n"] == 0
+    finally:
+        native_mod.NativeTable._read_files = orig
+    # WHERE falls through to the real scan and stays exact
+    n = ghs.sql("SELECT count(*) AS n FROM accounts "
+                "WHERE region = 'eu'").first().n
+    assert n == 2
