@@ -34,7 +34,10 @@ transactions (``BEGIN``/``COMMIT``/``ROLLBACK`` with ``SAVEPOINT`` /
 incremental-maintenance machinery (``CREATE/REFRESH/DROP MATERIALIZED
 VIEW``; ``'refresh'='auto'`` for eager per-statement maintenance),
 Delta-parity history reads (``VERSION/TIMESTAMP AS OF``,
-``table_changes('t', from [, to])``), and ``EXPLAIN`` prefixed with the
+``table_changes('t', from [, to])``), ``COPY INTO`` bookmarked file
+ingestion, ``CREATE TABLE ... SHALLOW CLONE``, ``RESTORE TABLE``,
+partition-scoped ``OPTIMIZE ... WHERE``, a metadata-only
+``SELECT COUNT(*)`` fast path, and ``EXPLAIN`` prefixed with the
 manifest-level file-prune decision Spark's plan can't show.
 """
 

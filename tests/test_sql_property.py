@@ -123,3 +123,81 @@ def test_derived_prune_never_changes_delete_semantics(spark,
     g.sql(f"DELETE FROM t WHERE {where}")
     got = sorted(r["id"] for r in g.sql("SELECT id FROM t").collect())
     assert got == expected
+
+
+# ---- transaction-machinery model check: random statement sequences ----
+
+_txn_op = st.one_of(
+    st.tuples(st.just("ins"), st.integers(0, 7), st.integers(0, 99)),
+    st.tuples(st.just("del"), st.integers(0, 7)),
+    st.just(("begin",)),
+    st.just(("commit",)),
+    st.just(("rollback",)),
+    st.tuples(st.just("sp"), st.sampled_from(["a", "b"])),
+    st.tuples(st.just("rbto"), st.sampled_from(["a", "b"])),
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(ops=st.lists(_txn_op, min_size=2, max_size=10))
+def test_transaction_machinery_matches_model(spark, tmp_path_factory,
+                                             ops):
+    """Random interleavings of writes, BEGIN/COMMIT/ROLLBACK and
+    SAVEPOINT/ROLLBACK TO must leave the table exactly where a plain
+    dict model says — including the abort rule: a statement ERROR
+    while a transaction is open (nested BEGIN, ROLLBACK TO an unknown
+    savepoint) rolls everything back to the BEGIN state."""
+    wh = tmp_path_factory.mktemp("txnmodel")
+    g = GhsSql(spark, wh)
+    g.sql("CREATE TABLE t (id INT, v INT) USING ghs_table "
+          "TBLPROPERTIES ('primaryKey'='id');"
+          "INSERT INTO t VALUES (100, 0)")  # seed so DELETEs have prey
+
+    state = {100: 0}          # committed/visible rows
+    txn_base = None           # state copy at BEGIN (None = autocommit)
+    sps: dict[str, dict] = {} # savepoint name -> state copy
+
+    def abort_if_txn():
+        nonlocal state, txn_base, sps
+        if txn_base is not None:
+            state = dict(txn_base)
+            txn_base, sps = None, {}
+
+    for op in ops:
+        kind = op[0]
+        try:
+            if kind == "ins":
+                g.sql(f"INSERT INTO t VALUES ({op[1]}, {op[2]})")
+                state[op[1]] = op[2]
+            elif kind == "del":
+                g.sql(f"DELETE FROM t WHERE id = {op[1]}")
+                state.pop(op[1], None)
+            elif kind == "begin":
+                g.sql("BEGIN")
+                txn_base, sps = dict(state), {}
+            elif kind == "commit":
+                g.sql("COMMIT")
+                txn_base, sps = None, {}
+            elif kind == "rollback":
+                g.sql("ROLLBACK")
+                state, txn_base, sps = dict(txn_base), None, {}
+            elif kind == "sp":
+                g.sql(f"SAVEPOINT {op[1]}")
+                # re-declare moves the savepoint: drop + append
+                sps.pop(op[1], None)
+                sps[op[1]] = dict(state)
+            elif kind == "rbto":
+                g.sql(f"ROLLBACK TO {op[1]}")
+                state = dict(sps[op[1]])
+                names = list(sps)
+                for later in names[names.index(op[1]) + 1:]:
+                    del sps[later]
+        except ValueError:
+            # a statement error inside an open transaction aborts it
+            # (the model mirrors _one's rollback-on-error contract);
+            # outside a transaction it's a plain no-op failure
+            abort_if_txn()
+    got = {r["id"]: r["v"]
+           for r in g.sql("SELECT id, v FROM t").collect()}
+    assert got == state, (ops, got, state)
