@@ -237,6 +237,16 @@ class GhsSql:
         # name -> constraints list at BEGIN (restored on rollback —
         # constraints persist in _table.json outside the commit protocol)
         self._txn_constraints: dict[str, list] = {}
+        # stored (non-materialized) views: name -> SELECT text, planned
+        # fresh at every bind so they always read the CURRENT snapshot
+        # of their base tables; durable as <warehouse>/_views.json.
+        # Insertion order = creation order, so a view may reference
+        # earlier views.
+        self.views: dict[str, str] = {}
+        vf = self.warehouse / "_views.json"
+        if vf.is_file():
+            self.views = dict(json.loads(vf.read_text()))
+        self._txn_views: dict[str, str] | None = None
 
     def register(self, name: str, table: NativeTable) -> None:
         self.tables[name] = table
@@ -370,6 +380,16 @@ class GhsSql:
                 continue  # view already reflects the head manifest
             t.read_snapshot().createOrReplaceTempView(name)
             self._view_cache[name] = key
+            self._stale_stored_views = True
+        if self.views and getattr(self, "_stale_stored_views", True):
+            # (re)plan stored views whenever any base table's binding
+            # moved: a temp view captures the plan at creation, so a
+            # stale one would keep reading the OLD snapshot relation
+            for vname, q in self.views.items():
+                self.spark.sql(self._rewrite_table_changes(
+                    self._rewrite_time_travel(q))
+                ).createOrReplaceTempView(vname)
+            self._stale_stored_views = False
 
     # time travel in reads: Delta/Iceberg SQL's ``t VERSION AS OF n`` /
     # ``t TIMESTAMP AS OF 'ts'`` — each occurrence binds a temp view over
@@ -635,6 +655,7 @@ class GhsSql:
         # BEGIN snapshots them and _rollback restores + re-persists
         self._txn_constraints = {
             name: list(t.constraints) for name, t in self.tables.items()}
+        self._txn_views = dict(self.views)
         self._txn = heads
         self._txn_created = set()
         self._txn_savepoints = {}
@@ -649,6 +670,7 @@ class GhsSql:
         self._txn_created = set()
         self._txn_savepoints = {}
         self._txn_constraints = {}
+        self._txn_views = None
         return None
 
     def _remove_created(self, names, heads: dict | None = None) -> None:
@@ -702,9 +724,16 @@ class GhsSql:
             if t is not None and list(t.constraints) != cons:
                 t.constraints[:] = cons
                 t.save_properties()
+        if self._txn_views is not None and self._txn_views != self.views:
+            for gone in set(self.views) - set(self._txn_views):
+                self.spark.catalog.dropTempView(gone)
+            self.views = dict(self._txn_views)
+            self._save_views()
+            self._stale_stored_views = True
         self._txn, self._txn_created = None, set()
         self._txn_savepoints = {}
         self._txn_constraints = {}
+        self._txn_views = None
         return None
 
     # ---- savepoints: nested rollback scopes inside an open transaction
@@ -821,6 +850,45 @@ class GhsSql:
                                  if props.get("filesPerPartition") else None),
         )
 
+    _CREATE_VIEW = re.compile(
+        rf"^CREATE\s+(?P<rep>OR\s+REPLACE\s+)?VIEW\s+"
+        rf"(?P<name>{_IDENT})\s+AS\s+"
+        rf"(?P<q>(?:SELECT|WITH|VALUES|TABLE)\b.*)$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _save_views(self) -> None:
+        self.warehouse.mkdir(parents=True, exist_ok=True)
+        (self.warehouse / "_views.json").write_text(
+            json.dumps(self.views))
+
+    def _create_view(self, m: "re.Match[str]", s: str) -> None:
+        """``CREATE [OR REPLACE] VIEW name AS SELECT ...``: a stored
+        query, not a table — the text persists (``_views.json``) and is
+        re-planned at every bind, so reads always see the CURRENT
+        snapshot of the base tables (time travel and table_changes
+        work inside the text). Views are read-only names: writes fail
+        with 'unknown table'. A transaction snapshots the view registry
+        at BEGIN, so CREATE/REPLACE VIEW rolls back with it."""
+        name = _unq(m.group("name"))
+        if name in self.tables:
+            raise ValueError(
+                f"ghs.sql: {name!r} is a table"
+                + (" (materialized view)" if name in self.mviews else "")
+                + " — view names must not shadow tables")
+        if name in self.views and not m.group("rep"):
+            raise ValueError(
+                f"ghs.sql: view {name!r} already exists (use CREATE OR "
+                "REPLACE VIEW)")
+        # validate NOW against current bindings — a typo'd view must
+        # fail at CREATE, not at first read
+        self._with_views()
+        self.spark.sql(self._rewrite_table_changes(
+            self._rewrite_time_travel(m.group("q"))))
+        self.views[name] = m.group("q").strip()
+        self._save_views()
+        self._stale_stored_views = True
+        return None
+
     _CREATE_CLONE = re.compile(
         rf"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})"
         rf"\s+SHALLOW\s+CLONE\s+(?P<src>{_IDENT})\s*$", re.IGNORECASE)
@@ -828,6 +896,9 @@ class GhsSql:
     def _create(self, s: str) -> None:
         if re.match(r"^CREATE\s+MATERIALIZED\s+VIEW\b", s, re.IGNORECASE):
             return self._create_mview(s)
+        vm = self._CREATE_VIEW.match(s)
+        if vm:
+            return self._create_view(vm, s)
         cm = self._CREATE_CLONE.match(s)
         if cm:
             # Delta's SHALLOW CLONE: zero-copy branch of the CURRENT
@@ -835,6 +906,10 @@ class GhsSql:
             # clone_to's O(metadata) contract); the clone is an
             # independent table from here on.
             name = _unq(cm.group("name"))
+            if name in self.views:
+                raise ValueError(
+                    f"ghs.sql: {name!r} is a stored view — DROP VIEW "
+                    "it first")
             if name in self.tables:
                 if re.search(r"IF\s+NOT\s+EXISTS", s[:cm.end("name")],
                              re.IGNORECASE):
@@ -863,6 +938,10 @@ class GhsSql:
                 "[options] AS SELECT ...")
         mm = m or ctas
         name = _unq(mm.group("name"))
+        if name in self.views:
+            raise ValueError(
+                f"ghs.sql: {name!r} is a stored view — DROP VIEW it "
+                "first")
         if_not_exists = re.search(
             r"IF\s+NOT\s+EXISTS", s[:mm.end("name")],
             re.IGNORECASE) is not None
@@ -1061,6 +1140,10 @@ class GhsSql:
                 "CREATE MATERIALIZED VIEW name [TBLPROPERTIES (...)] "
                 "AS SELECT ...")
         name = _unq(m.group("name"))
+        if name in self.views:
+            raise ValueError(
+                f"ghs.sql: {name!r} is a stored view — DROP VIEW it "
+                "first")
         if name in self.tables:
             if re.search(r"IF\s+NOT\s+EXISTS", s[:m.end("name")],
                          re.IGNORECASE):
@@ -1757,6 +1840,10 @@ class GhsSql:
         a warehouse-managed table re-created elsewhere must land in the
         new warehouse, not point back at the old files. A materialized
         view emits its recorded CREATE MATERIALIZED VIEW statement."""
+        if name in self.views:
+            return self.spark.createDataFrame(
+                [(f"CREATE VIEW {name}\nAS {self.views[name]}",)],
+                "createtab_stmt string")
         if name in self.mviews:
             spec = self._mv_specs[name]
             props = {}
@@ -1930,7 +2017,7 @@ class GhsSql:
     # ------------------------------------------------------------- DROP
 
     _DROP = re.compile(
-        rf"^DROP\s+(?P<kind>TABLE|MATERIALIZED\s+VIEW)\s+"
+        rf"^DROP\s+(?P<kind>TABLE|MATERIALIZED\s+VIEW|VIEW)\s+"
         rf"(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*$",
         re.IGNORECASE)
 
@@ -1948,7 +2035,23 @@ class GhsSql:
         if not m:
             raise ValueError(f"ghs.sql: cannot parse DROP: {s[:80]!r}")
         name = _unq(m.group("name"))
-        is_mv_stmt = m.group("kind").upper() != "TABLE"
+        kind = m.group("kind").upper()
+        if kind == "VIEW":
+            if name not in self.views:
+                if re.search(r"IF\s+EXISTS", s, re.IGNORECASE):
+                    return None
+                raise ValueError(
+                    f"ghs.sql: unknown view {name!r}"
+                    + (" — use DROP MATERIALIZED VIEW"
+                       if name in self.mviews else ""))
+            del self.views[name]
+            self._save_views()
+            self.spark.catalog.dropTempView(name)
+            return None
+        is_mv_stmt = kind != "TABLE"
+        if name in self.views:
+            raise ValueError(
+                f"ghs.sql: {name!r} is a stored view — use DROP VIEW")
         if name not in self.tables:
             if re.search(r"IF\s+EXISTS", s, re.IGNORECASE):
                 return None

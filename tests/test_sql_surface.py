@@ -1298,3 +1298,57 @@ def test_select_count_star_is_metadata_only(ghs, spark):
     n = ghs.sql("SELECT count(*) AS n FROM accounts "
                 "WHERE region = 'eu'").first().n
     assert n == 2
+
+
+def test_stored_views_lifecycle(ghs, spark):
+    """CREATE [OR REPLACE] VIEW stores query TEXT, re-planned at every
+    bind — reads always see the base tables' CURRENT snapshot (unlike a
+    materialized view, nothing is stored or refreshed). Durable across
+    sessions; rolled back with a transaction; name-collision guarded
+    both ways; SHOW CREATE and DROP VIEW round out the surface."""
+    _mk(ghs)
+    ghs.sql("CREATE VIEW eu_accts AS "
+            "SELECT id, balance FROM accounts WHERE region = 'eu'")
+    assert {r.id for r in ghs.sql("SELECT * FROM eu_accts").collect()} \
+        == {"a", "c"}
+    # always-current: a base write is visible with NO refresh
+    ghs.sql("INSERT INTO accounts VALUES "
+            "('e', CAST(5.00 AS DECIMAL(10,2)), 'eu', 1)")
+    assert {r.id for r in ghs.sql("SELECT * FROM eu_accts").collect()} \
+        == {"a", "c", "e"}
+    # durable: a fresh session re-attaches the view text
+    fresh = GhsSql(spark, ghs.warehouse)
+    assert fresh.sql("SELECT count(*) AS n FROM eu_accts").first().n == 3
+    stmt = fresh.sql("SHOW CREATE TABLE eu_accts").first()[0]
+    assert stmt.startswith("CREATE VIEW eu_accts")
+    # OR REPLACE; plain re-CREATE raises
+    with pytest.raises(ValueError, match="already exists"):
+        ghs.sql("CREATE VIEW eu_accts AS SELECT 1 AS x")
+    ghs.sql("CREATE OR REPLACE VIEW eu_accts AS "
+            "SELECT id FROM accounts WHERE region = 'us'")
+    assert [r.id for r in ghs.sql("SELECT * FROM eu_accts").collect()] \
+        == ["b"]
+    # a typo'd view fails at CREATE, not first read
+    with pytest.raises(Exception):
+        ghs.sql("CREATE VIEW bad AS SELECT nope FROM accounts")
+    assert "bad" not in ghs.views
+    # writes treat the view as an unknown table; collisions guard both ways
+    with pytest.raises(ValueError, match="unknown table"):
+        ghs.sql("INSERT INTO eu_accts VALUES ('x')")
+    with pytest.raises(ValueError, match="stored view"):
+        ghs.sql("CREATE TABLE eu_accts (id STRING) USING ghs_table "
+                "TBLPROPERTIES ('primaryKey'='id')")
+    with pytest.raises(ValueError, match="shadow"):
+        ghs.sql("CREATE VIEW accounts AS SELECT 1 AS x")
+    with pytest.raises(ValueError, match="DROP VIEW"):
+        ghs.sql("DROP TABLE eu_accts")
+    # transactional: CREATE VIEW inside a rolled-back txn disappears
+    ghs.sql("BEGIN; CREATE VIEW tmpv AS SELECT id FROM accounts; "
+            "ROLLBACK")
+    assert "tmpv" not in ghs.views
+    from pyspark.errors import AnalysisException
+    with pytest.raises(AnalysisException):
+        ghs.sql("SELECT * FROM tmpv").collect()
+    ghs.sql("DROP VIEW eu_accts")
+    assert "eu_accts" not in ghs.views
+    ghs.sql("DROP VIEW IF EXISTS eu_accts")  # no-op
