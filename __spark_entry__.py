@@ -1063,6 +1063,157 @@ FROM final GROUP BY pri
 """
 
 
+def sql_copy_into(spark, sf_dir):
+    """``COPY INTO`` end-to-end (round-11; sql.py ``_copy_into``): the
+    reference's bookmarked-ingestion loop as the Databricks statement.
+    Two landing batches arrive as raw parquet; the first COPY bulk-loads
+    (range-clustered first data commit), the second loads ONLY the new
+    file and upserts its overlap (modified prices replace), and a third
+    COPY is a no-op — the per-source ledger under the table root makes
+    re-runs idempotent. The oracle replays batch2-overrides-batch1."""
+    from glue_hudi_spark.sql import GhsSql
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").cast("double").alias("price"))
+    land = _scratch_dir("sqlcopy_land_")
+    orders.filter(F.col("ok") % 3 == 0).coalesce(2) \
+        .write.parquet(f"{land}/b1")
+    ghs = GhsSql(spark, _scratch_dir("sqlcopy_wh_"))
+    ghs.sql(f"""
+        CREATE TABLE cp_orders (ok BIGINT, ck BIGINT, price DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='ok');
+        COPY INTO cp_orders FROM '{land}'
+    """)
+    # batch 2: new keys (ok%3==1) plus an overlap wave (ok%6==0, price
+    # doubled) — the upsert must replace those rows
+    orders.filter(F.col("ok") % 3 == 1).unionByName(
+        orders.filter(F.col("ok") % 6 == 0)
+        .withColumn("price", F.col("price") * 2)).coalesce(2) \
+        .write.parquet(f"{land}/b2")
+    ghs.sql(f"COPY INTO cp_orders FROM '{land}'")
+    rerun = ghs.sql(f"COPY INTO cp_orders FROM '{land}'").first()
+    assert rerun.num_files_loaded == 0  # ledger idempotency, in-query
+    return ghs.sql("SELECT ok, ck, price FROM cp_orders")
+
+
+SQL_COPY_INTO_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS ok, o_custkey AS ck,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+)
+SELECT ok, ck, CASE WHEN ok % 6 = 0 THEN price * 2 ELSE price END AS price
+FROM src WHERE ok % 3 IN (0, 1)
+"""
+
+
+def sql_stored_views(spark, sf_dir):
+    """Stored (non-materialized) SQL views (round-11; sql.py
+    ``_create_view``): the view is query TEXT re-planned per bind, so
+    reads after base DML see the CURRENT snapshot with no refresh step
+    — pinned here by updating/deleting AFTER the CREATE VIEW and
+    reading through a second view stacked on the first. The oracle
+    replays the final base state through the same definitions."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    ).createOrReplaceTempView("sv_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqlviews_"))
+    ghs.sql("""
+        CREATE TABLE sv_cust (id BIGINT, seg STRING, bal DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='id');
+        INSERT INTO sv_cust SELECT id, seg, bal FROM sv_src_v;
+        CREATE VIEW sv_rich AS
+            SELECT id, seg, bal FROM sv_cust WHERE bal > 5000;
+        CREATE VIEW sv_rich_by_seg AS
+            SELECT seg, COUNT(*) AS cnt,
+                   CAST(SUM(CAST(bal AS DECIMAL(28,6)))
+                        AS DECIMAL(28,6)) AS total
+            FROM sv_rich GROUP BY seg;
+        UPDATE sv_cust SET bal = bal + 1000 WHERE id % 5 = 0;
+        DELETE FROM sv_cust WHERE id % 11 = 0
+    """)
+    return ghs.sql("SELECT seg, cnt, total FROM sv_rich_by_seg") \
+        .select("seg", F.col("cnt").cast("long").alias("cnt"), "total")
+
+
+SQL_STORED_VIEWS_ORACLE = """
+WITH src AS (
+  SELECT c_custkey AS id, c_mktsegment AS seg,
+         CAST(c_acctbal AS DOUBLE) AS bal
+  FROM customer
+),
+updated AS (
+  SELECT id, seg,
+         CASE WHEN id % 5 = 0 THEN bal + 1000 ELSE bal END AS bal
+  FROM src
+),
+kept AS (SELECT * FROM updated WHERE id % 11 <> 0),
+rich AS (SELECT * FROM kept WHERE bal > 5000)
+SELECT seg, COUNT(*) AS cnt,
+       CAST(SUM(CAST(bal AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total
+FROM rich GROUP BY seg
+"""
+
+
+def sql_auto_refresh_mv(spark, sf_dir):
+    """Eagerly-maintained materialized view (round-11; sql.py
+    ``_after_write``): TBLPROPERTIES ('refresh'='auto') refreshes the
+    view after EVERY write statement on its base — the final SELECT
+    issues NO REFRESH, so a stale view would hash-mismatch the oracle's
+    from-scratch recompute. Each maintenance pass is still the
+    incremental O(changed groups) merge (pinned in tests)."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    ).createOrReplaceTempView("amv_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqlamv_"))
+    ghs.sql("""
+        CREATE TABLE amv_orders (ok BIGINT, status STRING, price DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='ok');
+        INSERT INTO amv_orders SELECT ok, status, price FROM amv_src_v;
+        CREATE MATERIALIZED VIEW amv_rev TBLPROPERTIES ('refresh'='auto')
+            AS SELECT status, COUNT(*) AS cnt, SUM(price) AS total
+               FROM amv_orders GROUP BY status;
+        UPDATE amv_orders SET price = price * 3 WHERE ok % 8 = 0;
+        DELETE FROM amv_orders WHERE ok % 13 = 0;
+        INSERT INTO amv_orders VALUES (900000002, 'Z', 11.25)
+    """)
+    return ghs.sql("SELECT status, cnt, total FROM amv_rev") \
+        .select("status", F.col("cnt").cast("long").alias("cnt"), "total")
+
+
+SQL_AUTO_REFRESH_MV_ORACLE = """
+WITH src AS (
+  SELECT o_orderkey AS ok, o_orderstatus AS status,
+         CAST(o_totalprice AS DOUBLE) AS price
+  FROM orders
+),
+updated AS (
+  SELECT ok, status,
+         CASE WHEN ok % 8 = 0 THEN price * 3 ELSE price END AS price
+  FROM src
+),
+kept AS (SELECT * FROM updated WHERE ok % 13 <> 0),
+final AS (
+  SELECT * FROM kept
+  UNION ALL
+  SELECT 900000002, 'Z', CAST(11.25 AS DOUBLE)
+)
+SELECT status, COUNT(*) AS cnt,
+       CAST(SUM(CAST(price AS DECIMAL(28,6))) AS DECIMAL(28,6)) AS total
+FROM final GROUP BY status
+"""
+
+
 def cdc_add_column_default(spark, sf_dir):
     """ADD COLUMN ... DEFAULT through the real storage path (Delta
     parity): the snapshot loads WITHOUT ``tier``, ``add_column`` appends
@@ -9192,6 +9343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_time_travel": sql_time_travel,
         "sql_transactions": sql_transactions,
         "sql_materialized_view": sql_materialized_view,
+        "sql_copy_into": sql_copy_into,
+        "sql_stored_views": sql_stored_views,
+        "sql_auto_refresh_mv": sql_auto_refresh_mv,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -9594,5 +9748,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_time_travel": SQL_TIME_TRAVEL_ORACLE,
         "sql_transactions": SQL_TRANSACTIONS_ORACLE,
         "sql_materialized_view": SQL_MATERIALIZED_VIEW_ORACLE,
+        "sql_copy_into": SQL_COPY_INTO_ORACLE,
+        "sql_stored_views": SQL_STORED_VIEWS_ORACLE,
+        "sql_auto_refresh_mv": SQL_AUTO_REFRESH_MV_ORACLE,
         "corpus_classifier_curation": CLASSIFIER_CURATION_ORACLE,
     }

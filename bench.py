@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "sql_time_travel",
     "sql_transactions",
     "sql_materialized_view",
+    "sql_copy_into",
 ]
 
 
