@@ -1809,13 +1809,51 @@ class GhsSql:
     _SHOW_CREATE = re.compile(
         rf"^SHOW\s+CREATE\s+TABLE\s+(?P<name>{_IDENT})\s*$", re.IGNORECASE)
 
+    _SHOW_PARTITIONS = re.compile(
+        rf"^SHOW\s+PARTITIONS\s+(?P<name>{_IDENT})\s*$", re.IGNORECASE)
+
     def _show(self, s: str) -> DataFrame:
         cm = self._SHOW_CREATE.match(s)
         if cm:
             return self._show_create(_unq(cm.group("name")))
+        pm = self._SHOW_PARTITIONS.match(s)
+        if pm:
+            # metadata-only: partition tuples come from the manifest's
+            # file paths — no file is listed or opened (at 100 TB,
+            # SHOW PARTITIONS must not touch data)
+            t = self._table(pm.group("name"))
+            if not t.partition_keys:
+                raise ValueError(
+                    f"ghs.sql: table {_unq(pm.group('name'))!r} is not "
+                    "partitioned")
+            head = t.timeline.latest()
+            parts = sorted({t._file_partition(f)
+                            for f in (head.files if head else [])})
+            names = [f.name for f in t._pfields]
+            rows = [("/".join(f"{n}={v}" for n, v in zip(names, p)),)
+                    for p in parts]
+            return self.spark.createDataFrame(
+                rows or [], "partition string")
+        if re.match(r"^SHOW\s+VIEWS\s*$", s, re.IGNORECASE):
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.views)] or [],
+                "viewName string")
+        if re.match(r"^SHOW\s+MATERIALIZED\s+VIEWS\s*$", s, re.IGNORECASE):
+            rows = []
+            for n in sorted(self.mviews):
+                spec = self._mv_specs[n]
+                bases = ([spec["base"]] if spec["kind"] == "agg"
+                         else [spec["fact"], spec["dim"]])
+                rows.append((n, spec["kind"], ",".join(bases),
+                             bool(spec.get("auto"))))
+            return self.spark.createDataFrame(
+                rows or [], "name string, kind string, bases string, "
+                            "auto_refresh boolean")
         if not re.match(r"^SHOW\s+TABLES\s*$", s, re.IGNORECASE):
             raise ValueError(
-                "ghs.sql: SHOW supports SHOW TABLES and SHOW CREATE TABLE")
+                "ghs.sql: SHOW supports SHOW TABLES, SHOW VIEWS, SHOW "
+                "MATERIALIZED VIEWS, SHOW PARTITIONS t, and SHOW "
+                "CREATE TABLE t")
         return self.spark.createDataFrame(
             [(n,) for n in sorted(self.tables)] or [],
             "tableName string")

@@ -1352,3 +1352,27 @@ def test_stored_views_lifecycle(ghs, spark):
     ghs.sql("DROP VIEW eu_accts")
     assert "eu_accts" not in ghs.views
     ghs.sql("DROP VIEW IF EXISTS eu_accts")  # no-op
+
+
+def test_show_views_mviews_partitions(ghs, spark):
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE VIEW v1 AS SELECT ok FROM fact")
+    ghs.sql("CREATE MATERIALIZED VIEW rev TBLPROPERTIES "
+            "('refresh'='auto') AS SELECT ck, COUNT(*) AS cnt, "
+            "SUM(amt) AS total FROM fact GROUP BY ck")
+    assert [r.viewName for r in ghs.sql("SHOW VIEWS").collect()] == ["v1"]
+    mv = ghs.sql("SHOW MATERIALIZED VIEWS").collect()
+    assert [(r.name, r.kind, r.bases, r.auto_refresh) for r in mv] == [
+        ("rev", "agg", "fact", True)]
+    # SHOW PARTITIONS: manifest-only partition listing
+    ghs.sql("""
+        CREATE TABLE pt (k STRING, day STRING, v INT) USING ghs_table
+            PARTITIONED BY (day) TBLPROPERTIES ('primaryKey'='k');
+        INSERT INTO pt VALUES ('a','2024-01-01',1),('b','2024-01-02',2),
+                              ('c','2024-01-01',3)
+    """)
+    parts = [r.partition for r in
+             ghs.sql("SHOW PARTITIONS pt").collect()]
+    assert parts == ["day=2024-01-01", "day=2024-01-02"]
+    with pytest.raises(ValueError, match="not partitioned"):
+        ghs.sql("SHOW PARTITIONS fact")
