@@ -247,6 +247,9 @@ class GhsSql:
         if vf.is_file():
             self.views = dict(json.loads(vf.read_text()))
         self._txn_views: dict[str, str] | None = None
+        # view names whose binding must be (re)built at the next
+        # _with_views — newly created, or restored by a rollback
+        self._views_pending: set[str] = set(self.views)
 
     def register(self, name: str, table: NativeTable) -> None:
         self.tables[name] = table
@@ -365,6 +368,7 @@ class GhsSql:
         return self._table(name)
 
     def _with_views(self):
+        moved: set[str] = set()
         for name, t in self.tables.items():
             head = t.timeline.latest()
             if head is None:
@@ -380,16 +384,46 @@ class GhsSql:
                 continue  # view already reflects the head manifest
             t.read_snapshot().createOrReplaceTempView(name)
             self._view_cache[name] = key
-            self._stale_stored_views = True
-        if self.views and getattr(self, "_stale_stored_views", True):
-            # (re)plan stored views whenever any base table's binding
-            # moved: a temp view captures the plan at creation, so a
-            # stale one would keep reading the OLD snapshot relation
+            moved.add(name)
+        if self.views and (moved or self._views_pending):
+            # (re)plan ONLY the stored views whose base tables (or
+            # upstream views) moved: a temp view captures the plan at
+            # creation, so a stale one would keep reading the OLD
+            # snapshot relation — but replanning all V views on every
+            # head move is O(V) driver analysis per statement for
+            # unrelated work. Transitive: a view over a replanned view
+            # replans too (insertion order = creation order, so
+            # upstream views precede their dependents).
+            replanned: set[str] = set(moved)
             for vname, q in self.views.items():
-                self.spark.sql(self._rewrite_table_changes(
-                    self._rewrite_time_travel(q))
-                ).createOrReplaceTempView(vname)
-            self._stale_stored_views = False
+                if vname in self._views_pending or \
+                        self._mentions(q, replanned):
+                    try:
+                        self.spark.sql(self._rewrite_table_changes(
+                            self._rewrite_time_travel(q))
+                        ).createOrReplaceTempView(vname)
+                    except Exception as e:
+                        raise ValueError(
+                            f"ghs.sql: stored view {vname!r} failed to "
+                            f"bind against the current catalog ({e}) — "
+                            f"DROP VIEW {vname} or restore its bases"
+                        ) from e
+                    replanned.add(vname)
+            self._views_pending = set()
+
+    @staticmethod
+    def _mentions(text: str, names: set) -> bool:
+        """Word-boundary reference check on the literal-masked text —
+        the dependency notion DROP guards and view replanning share. A
+        name inside a string constant is not a reference; a column that
+        happens to share a table's name is a FALSE POSITIVE we accept
+        (over-replanning is cheap, over-guarding a DROP is safe)."""
+        if not names:
+            return False
+        pat = r"\b(" + "|".join(re.escape(n) for n in sorted(names)) \
+            + r")\b"
+        return re.search(pat, _mask_literals(text),
+                         re.IGNORECASE) is not None
 
     # time travel in reads: Delta/Iceberg SQL's ``t VERSION AS OF n`` /
     # ``t TIMESTAMP AS OF 'ts'`` — each occurrence binds a temp view over
@@ -729,7 +763,7 @@ class GhsSql:
                 self.spark.catalog.dropTempView(gone)
             self.views = dict(self._txn_views)
             self._save_views()
-            self._stale_stored_views = True
+            self._views_pending = set(self.views)
         self._txn, self._txn_created = None, set()
         self._txn_savepoints = {}
         self._txn_constraints = {}
@@ -770,7 +804,8 @@ class GhsSql:
         self._txn_savepoints[sp] = (
             heads, set(self._txn_created),
             {name: list(t.constraints)
-             for name, t in self.tables.items()})
+             for name, t in self.tables.items()},
+            dict(self.views))
         return None
 
     def _release_savepoint(self, s: str) -> None:
@@ -788,7 +823,8 @@ class GhsSql:
     def _rollback_to(self, sp: str) -> None:
         if sp not in self._txn_savepoints:
             raise ValueError(f"ghs.sql: unknown savepoint {sp!r}")
-        heads, created_at_sp, cons_at_sp = self._txn_savepoints[sp]
+        heads, created_at_sp, cons_at_sp, views_at_sp = \
+            self._txn_savepoints[sp]
         self._remove_created(self._txn_created - created_at_sp)
         self._restore_heads(heads)
         for name, cons in cons_at_sp.items():
@@ -796,6 +832,12 @@ class GhsSql:
             if t is not None and list(t.constraints) != cons:
                 t.constraints[:] = cons
                 t.save_properties()
+        if views_at_sp != self.views:
+            for gone in set(self.views) - set(views_at_sp):
+                self.spark.catalog.dropTempView(gone)
+            self.views = dict(views_at_sp)
+            self._save_views()
+            self._views_pending = set(self.views)
         self._txn_created = set(created_at_sp)
         # savepoints declared after sp point past the restored state
         names = list(self._txn_savepoints)
@@ -886,7 +928,7 @@ class GhsSql:
             self._rewrite_time_travel(m.group("q"))))
         self.views[name] = m.group("q").strip()
         self._save_views()
-        self._stale_stored_views = True
+        self._views_pending.add(name)
         return None
 
     _CREATE_CLONE = re.compile(
@@ -1826,14 +1868,14 @@ class GhsSql:
                 raise ValueError(
                     f"ghs.sql: table {_unq(pm.group('name'))!r} is not "
                     "partitioned")
-            head = t.timeline.latest()
-            parts = sorted({t._file_partition(f)
-                            for f in (head.files if head else [])})
+            # delegate to the Iceberg-style metadata table — ONE
+            # implementation of the manifest partition walk
             names = [f.name for f in t._pfields]
-            rows = [("/".join(f"{n}={v}" for n, v in zip(names, p)),)
-                    for p in parts]
-            return self.spark.createDataFrame(
-                rows or [], "partition string")
+            return t.metadata_table("partitions").select(
+                F.concat_ws("/", *[
+                    F.concat_ws("=", F.lit(n), F.col("partition")[n])
+                    for n in names]).alias("partition")
+            ).orderBy("partition")
         if re.match(r"^SHOW\s+VIEWS\s*$", s, re.IGNORECASE):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.views)] or [],
@@ -2068,6 +2110,13 @@ class GhsSql:
                 out.append(mv)
         return sorted(out)
 
+    def _view_dependents(self, name: str) -> list[str]:
+        """Stored views whose TEXT references ``name`` (word-boundary,
+        literal-masked — conservative: a same-named column reads as a
+        dependency, which can only over-protect a DROP)."""
+        return sorted(v for v, q in self.views.items()
+                      if v != name and self._mentions(q, {name}))
+
     def _drop(self, s: str) -> None:
         m = self._DROP.match(s)
         if not m:
@@ -2082,6 +2131,11 @@ class GhsSql:
                     f"ghs.sql: unknown view {name!r}"
                     + (" — use DROP MATERIALIZED VIEW"
                        if name in self.mviews else ""))
+            vdeps = self._view_dependents(name)
+            if vdeps:
+                raise ValueError(
+                    f"ghs.sql: view {name!r} is referenced by stored "
+                    f"view(s) {vdeps} — DROP VIEW them first")
             del self.views[name]
             self._save_views()
             self.spark.catalog.dropTempView(name)
@@ -2106,6 +2160,13 @@ class GhsSql:
             raise ValueError(
                 f"ghs.sql: table {name!r} has dependent materialized "
                 f"view(s) {deps} — DROP MATERIALIZED VIEW them first")
+        vdeps = self._view_dependents(name)
+        if vdeps:
+            raise ValueError(
+                f"ghs.sql: {name!r} is referenced by stored view(s) "
+                f"{vdeps} — DROP VIEW them first (dropping the base "
+                "would leave every later statement failing at the "
+                "view's replan)")
         import shutil
 
         t = self.tables.pop(name)

@@ -1376,3 +1376,33 @@ def test_show_views_mviews_partitions(ghs, spark):
     assert parts == ["day=2024-01-01", "day=2024-01-02"]
     with pytest.raises(ValueError, match="not partitioned"):
         ghs.sql("SHOW PARTITIONS fact")
+
+
+def test_view_dependency_guards_and_savepoint_views(ghs):
+    """Dropping a stored view's base (table or upstream view) raises
+    instead of leaving the session's view replans failing; ROLLBACK TO
+    SAVEPOINT restores the view registry exactly like a full
+    ROLLBACK does."""
+    _mk(ghs)
+    ghs.sql("CREATE VIEW v1 AS SELECT id, balance FROM accounts")
+    ghs.sql("CREATE VIEW v2 AS SELECT id FROM v1")
+    with pytest.raises(ValueError, match="referenced by stored view"):
+        ghs.sql("DROP TABLE accounts")
+    with pytest.raises(ValueError, match="referenced by stored view"):
+        ghs.sql("DROP VIEW v1")
+    ghs.sql("DROP VIEW v2; DROP VIEW v1")
+    ghs.sql("DROP TABLE accounts")  # guards released in order
+    # savepoint rollback restores the registry (create AND replace)
+    _mk(ghs)
+    ghs.sql("CREATE VIEW keepme AS SELECT id FROM accounts")
+    ghs.sql("""
+        BEGIN;
+        SAVEPOINT sp;
+        CREATE VIEW txnview AS SELECT id FROM accounts;
+        CREATE OR REPLACE VIEW keepme AS SELECT balance FROM accounts;
+        ROLLBACK TO sp
+    """)
+    assert "txnview" not in ghs.views
+    assert "id" in ghs.views["keepme"]  # original text restored
+    assert ghs.sql("SELECT * FROM keepme").columns == ["id"]
+    ghs.sql("COMMIT")
