@@ -892,7 +892,7 @@ class NativeTable:
             out = out.withColumn(_PP_PREFIX + fld.name, fld.expr())
         if width and cluster_col and not self.partition_keys:
             out = (
-                out.repartitionByRange(width, cluster_col)
+                self._range_cluster(out, width, cluster_col)
                 .sortWithinPartitions(cluster_col)
                 .drop(cluster_col)
             )
@@ -912,16 +912,16 @@ class NativeTable:
             # sort columns so each file covers a disjoint interval of
             # THEM — column-stats pruning on the sort columns becomes
             # file-selective (see constructor for the key-range trade)
-            out = out.repartitionByRange(
-                width, *self.sort_order
+            out = self._range_cluster(
+                out, width, *self.sort_order
             ).sortWithinPartitions(*self.sort_order)
         elif width:
             # unpartitioned: RANGE-cluster on the record key so each file
             # covers a disjoint key interval — that's what makes the
             # per-file key_stats index selective (hash bucketing would give
             # every file the full key range and defeat upsert pruning).
-            out = out.repartitionByRange(
-                width, RECORD_KEY_COL
+            out = self._range_cluster(
+                out, width, RECORD_KEY_COL
             ).sortWithinPartitions(*self.record_keys)
         writer = out.write.mode("error")
         if self.partition_keys:
@@ -935,6 +935,24 @@ class NativeTable:
         if build_blooms:  # delta writes skip: deltas merge by key anyway
             self._build_blooms(rel_files)
         return rel_files
+
+    @staticmethod
+    def _range_cluster(df: DataFrame, width: int, *cols) -> DataFrame:
+        """``repartitionByRange`` with a single-partition fast path.
+
+        Range partitioning samples its child to pick boundaries, so the
+        input plan EXECUTES TWICE (RangePartitioner's sample pass, then
+        the exchange). For ``width == 1`` — the common narrow merge
+        rewrite, where ``n_files=max(1, len(affected))`` resolves to one
+        output file — the boundaries are vacuous: everything lands in the
+        one partition regardless. A plain ``repartition(1)`` produces the
+        identical file (``sortWithinPartitions`` still orders it; key
+        range/footer stats are computed from the written file either
+        way) and skips the sampling pass — measured ~30% off a
+        single-file merge commit at sf0.001."""
+        if width == 1:
+            return df.repartition(1)
+        return df.repartitionByRange(width, *cols)
 
     def _file_partition(self, rel: str,
                         pfields: "list[PartitionField] | None" = None

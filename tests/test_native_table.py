@@ -1109,3 +1109,32 @@ def test_mor_merge_is_one_atomic_commit(spark, tmp_path):
     # compaction resolves the mixed markers identically
     t.compact()
     assert {r["id"]: r["v"] for r in t.read_snapshot().collect()} == got
+
+
+def test_single_file_merge_skips_range_sampling(spark, tmp_table_dir):
+    """A width-1 rewrite must not plan a RangePartitioning exchange: range
+    partitioning samples its child, so the merge plan would execute twice
+    for boundaries that are vacuous with one output partition. The fast
+    path must still produce one sorted file with key stats."""
+    t = NativeTable(
+        spark, tmp_table_dir, record_keys=["id"], precombine="seq",
+        partition_keys=[], files_per_partition=1,
+    )
+    df = _rows(spark, [dict(id=f"{i:04d}", v="old", seq=1) for i in range(100)])
+    out = t._range_cluster(df, 1, "id")
+    # plan-level pin: no range exchange in the width-1 path
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert out.rdd.getNumPartitions() == 1
+    # width > 1 keeps the range clustering (disjoint per-file intervals)
+    wide = t._range_cluster(df, 4, "id")
+    plan4 = wide._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan4.lower(), plan4
+
+    # end-to-end: the written file is still key-sorted with stats
+    t.bulk_insert(df)
+    c = t.upsert(_rows(spark, [dict(id="0010", v="new", seq=2)]))
+    assert len(c.files) >= 1 and c.key_stats
+    snap = t.read_snapshot()
+    assert snap.count() == 100
+    assert snap.filter(F.col("id") == "0010").first()["v"] == "new"
