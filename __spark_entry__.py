@@ -9270,6 +9270,9 @@ _DRIVER_WINDOW = [
     "sql_materialized_view",
     "sql_time_travel",
     "sql_transactions",
+    "sql_copy_into",
+    "sql_stored_views",
+    "sql_auto_refresh_mv",
     "ann_ivf_multiprobe",
     "ann_pq_topk",
     "cdc_change_feed",
@@ -9297,7 +9300,6 @@ _DRIVER_WINDOW = [
     "corpus_temperature_mix",
     "corpus_token_budget",
     "corpus_unigram_logprob",
-    "corpus_zipf_fit",
     "customer_rfm_segments",
     "dedup_incremental",
     "dedup_semantic",
@@ -9305,7 +9307,6 @@ _DRIVER_WINDOW = [
     "embedding_quantize",
     "events_asof_forward",
     "events_asof_nearest",
-    "events_entropy_profile",
     "events_funnel",
     "events_interval_join",
     "events_ivm_rollup",
@@ -9314,13 +9315,16 @@ _DRIVER_WINDOW = [
     "lineitem_winsorized_stats",
     "orders_seasonality",
     "supplier_concentration_hhi",
-    "text_commonness",
     "text_diversity",
     "text_pii_redact",
-    # text_repetition deferred to r12 with copurchase_triangles /
-    # corpus_top_bigrams: pure functions/text.py query, no NativeTable
-    # read path, so the read-path-rewrite staleness concern that drives
-    # this rotation does not apply to it
+    # deferred to r12: text_repetition, copurchase_triangles,
+    # corpus_top_bigrams (as before), plus text_commonness,
+    # corpus_zipf_fit and events_entropy_profile — all pure
+    # functions/text DataFrame queries with no
+    # NativeTable read path, displaced so the round's three NEW surfaces
+    # (COPY INTO, stored views, eager-MV maintenance) get first-contact
+    # driver evidence this round; the read-path-rewrite staleness concern
+    # that drives this rotation does not apply to the displaced six
 ]
 
 
