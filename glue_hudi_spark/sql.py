@@ -334,6 +334,8 @@ class GhsSql:
             return self._describe(s)
         if head == "OPTIMIZE":
             return self._optimize(s)
+        if head == "ANALYZE":
+            return self._analyze(s)
         if head == "VACUUM":
             return self._vacuum(s)
         if head == "EXPLAIN":
@@ -2044,6 +2046,53 @@ class GhsSql:
                  ("# location", str(t.root), "")]
         return self.spark.createDataFrame(
             rows, "col_name string, data_type string, comment string")
+
+    _ANALYZE = re.compile(
+        rf"^ANALYZE\s+TABLE\s+(?P<name>{_IDENT})\s+COMPUTE\s+STATISTICS"
+        rf"(?:\s+FOR\s+(?:(?P<all>ALL\s+COLUMNS)|COLUMNS\s+(?P<cols>.+?)))?"
+        rf"\s*$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _analyze(self, s: str) -> DataFrame:
+        """Spark's ``ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c, …
+        | FOR ALL COLUMNS]`` bound to :meth:`NativeTable.analyze`: ONE
+        aggregate pass over one snapshot scan computes row count plus
+        per-column NDV (HLL++), null count and min/max, persisted to
+        ``_stats/analyze.json`` stamped with the commit id it describes —
+        the planner-facing statistics a broadcast/bucketing/skew decision
+        reads without touching data again. Unlike Spark's statement this
+        RETURNS the stats (one row per analyzed column; the bare form
+        returns the row count only), so a SQL session can inspect what it
+        just computed. Allowed inside a transaction: the sidecar is
+        derived, advisory state outside the commit protocol."""
+        m = self._ANALYZE.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse ANALYZE: {s[:80]!r}")
+        t = self._table(m.group("name"))
+        if m.group("all"):
+            cols = None
+        elif m.group("cols"):
+            cols = [_unq(c.strip())
+                    for c in _split_top(m.group("cols")) if c.strip()]
+            known = set(self._data_types(t))
+            missing = [c for c in cols if c not in known]
+            if missing:
+                raise ValueError(
+                    f"ghs.sql: ANALYZE columns not in "
+                    f"{_unq(m.group('name'))!r}: {missing}")
+        else:
+            cols = []
+        out = t.analyze(cols)
+        rows = [(c, st["ndv_est"], st["null_count"], st["min"], st["max"],
+                 out["row_count"], out["as_of_commit"])
+                for c, st in out["columns"].items()]
+        if not rows:
+            rows = [(None, None, None, None, None,
+                     out["row_count"], out["as_of_commit"])]
+        return self.spark.createDataFrame(
+            rows, "column string, ndv_est long, null_count long, "
+                  "min string, max string, row_count long, "
+                  "as_of_commit long")
 
     _OPTIMIZE = re.compile(
         rf"^OPTIMIZE\s+(?P<name>{_IDENT})"

@@ -2504,7 +2504,9 @@ class NativeTable:
         candidates, bucketing keys, and skew suspects without touching
         the data again."""
         snap = self.read_snapshot()
-        cols = list(cols or snap.columns)
+        # None → every column; [] → row count only (SQL's bare
+        # ``COMPUTE STATISTICS`` form — the CLI passes None for "all")
+        cols = list(snap.columns) if cols is None else list(cols)
         aggs: list = [F.count(F.lit(1)).alias("_n")]
         for i, c in enumerate(cols):
             aggs += [

@@ -1406,3 +1406,42 @@ def test_view_dependency_guards_and_savepoint_views(ghs):
     assert "id" in ghs.views["keepme"]  # original text restored
     assert ghs.sql("SELECT * FROM keepme").columns == ["id"]
     ghs.sql("COMMIT")
+
+
+def test_analyze_table_compute_statistics(ghs, tmp_path):
+    """ANALYZE TABLE binds NativeTable.analyze: one pass computes row
+    count + per-column NDV/nulls/min/max, returns the stats, and persists
+    them beside the timeline stamped with the head commit id."""
+    _mk(ghs)
+    # bare form: row count only, no column analyzed
+    bare = ghs.sql("ANALYZE TABLE accounts COMPUTE STATISTICS").collect()
+    assert len(bare) == 1 and bare[0]["row_count"] == 3
+    assert bare[0]["column"] is None
+
+    got = ghs.sql(
+        "ANALYZE TABLE accounts COMPUTE STATISTICS FOR COLUMNS id, region"
+    ).collect()
+    by_col = {r["column"]: r for r in got}
+    assert set(by_col) == {"id", "region"}
+    assert by_col["id"]["ndv_est"] == 3 and by_col["id"]["null_count"] == 0
+    assert by_col["id"]["min"] == "a" and by_col["id"]["max"] == "c"
+    assert by_col["region"]["ndv_est"] == 2
+    assert all(r["row_count"] == 3 for r in got)
+
+    allc = ghs.sql(
+        "ANALYZE TABLE accounts COMPUTE STATISTICS FOR ALL COLUMNS"
+    ).collect()
+    assert {r["column"] for r in allc} == {"id", "balance", "region", "seq"}
+
+    # stamped + persisted beside the timeline
+    import json
+    t = ghs.tables["accounts"]
+    saved = json.loads((t.root / "_stats" / "analyze.json").read_text())
+    assert saved["as_of_commit"] == t.timeline.latest().commit_id
+    assert saved["row_count"] == 3
+
+    # unknown column raises, unknown table raises
+    with pytest.raises(ValueError, match="not in"):
+        ghs.sql("ANALYZE TABLE accounts COMPUTE STATISTICS FOR COLUMNS nope")
+    with pytest.raises(ValueError, match="unknown table"):
+        ghs.sql("ANALYZE TABLE ghost COMPUTE STATISTICS")
