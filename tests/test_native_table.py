@@ -1138,3 +1138,28 @@ def test_single_file_merge_skips_range_sampling(spark, tmp_table_dir):
     snap = t.read_snapshot()
     assert snap.count() == 100
     assert snap.filter(F.col("id") == "0010").first()["v"] == "new"
+
+
+def test_rewrite_persist_knob_on_path(spark, tmp_table_dir):
+    """rewrite_persist_max_bytes > 0 caches the merged rewrite across the
+    range-sampling pass (object-storage deployments). Off by default; the
+    ON path must produce byte-identical results and release the cache."""
+    t = NativeTable(
+        spark, tmp_table_dir, record_keys=["id"], precombine="seq",
+        partition_keys=[], files_per_partition=4,
+    )
+    t.bulk_insert(_rows(spark, [dict(id=f"{i:04d}", v="old", seq=1)
+                                for i in range(400)]))
+    t.rewrite_persist_max_bytes = 8 << 30
+    jsc = spark.sparkContext._jsc.sc()
+    cached_before = jsc.getPersistentRDDs().size()
+    # a scattered batch that straddles all 4 files -> width-4 range write
+    c = t.upsert(_rows(spark, [dict(id=f"{i:04d}", v="new", seq=2)
+                               for i in range(0, 400, 100)]))
+    assert c.stats["files_rewritten"] == 4
+    snap = t.read_snapshot()
+    assert snap.count() == 400
+    assert snap.filter(F.col("v") == "new").count() == 4
+    # cache released after the write (unpersist ran; other fixtures may
+    # hold their own caches — compare against the entry count)
+    assert jsc.getPersistentRDDs().size() <= cached_before
