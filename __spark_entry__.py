@@ -1161,6 +1161,76 @@ FROM rich GROUP BY seg
 """
 
 
+def sql_analyze_stats(spark, sf_dir):
+    """``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` (round-11
+    continuation; sql.py ``_analyze`` → ``NativeTable.analyze``): one
+    aggregate pass over one snapshot scan computes the planner-facing
+    statistics. The query drives CREATE → INSERT (with injected NULLs)
+    → DELETE through SQL, then returns the EXACT stats components
+    (null count, min/max, row count) for three columns; the oracle
+    recomputes them from the replayed final state. The NDV estimate is
+    engine-specific (HLL++) and excluded — exactness is what the gate
+    hashes. Stats reflect post-DML state: a scan of stale files would
+    mismatch."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("ck"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("bal"),
+    ).createOrReplaceTempView("an_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqlanalyze_"))
+    ghs.sql("""
+        CREATE TABLE an_cust (ck BIGINT, seg STRING, bal DECIMAL(12,2))
+            USING ghs_table TBLPROPERTIES ('primaryKey'='ck');
+        INSERT INTO an_cust
+            SELECT ck,
+                   CASE WHEN ck % 10 = 0 THEN NULL ELSE seg END,
+                   bal
+            FROM an_src_v;
+        DELETE FROM an_cust WHERE ck % 7 = 0
+    """)
+    stats = ghs.sql(
+        "ANALYZE TABLE an_cust COMPUTE STATISTICS FOR COLUMNS ck, seg, bal")
+    return stats.select(
+        F.col("column").alias("col_name"),
+        "null_count",
+        F.col("min").alias("min_v"),
+        F.col("max").alias("max_v"),
+        "row_count",
+    ).orderBy("col_name")
+
+
+SQL_ANALYZE_STATS_ORACLE = """
+WITH src AS (
+  SELECT c_custkey AS ck,
+         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_mktsegment END AS seg,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS bal
+  FROM customer
+),
+kept AS (SELECT * FROM src WHERE ck % 7 <> 0)
+SELECT col_name, null_count, min_v, max_v, row_count
+FROM (
+  SELECT 'ck' AS col_name,
+         COUNT(*) FILTER (WHERE ck IS NULL) AS null_count,
+         CAST(MIN(ck) AS VARCHAR) AS min_v,
+         CAST(MAX(ck) AS VARCHAR) AS max_v,
+         COUNT(*) AS row_count
+  FROM kept
+  UNION ALL
+  SELECT 'seg',
+         COUNT(*) FILTER (WHERE seg IS NULL),
+         CAST(MIN(seg) AS VARCHAR), CAST(MAX(seg) AS VARCHAR), COUNT(*)
+  FROM kept
+  UNION ALL
+  SELECT 'bal',
+         COUNT(*) FILTER (WHERE bal IS NULL),
+         CAST(MIN(bal) AS VARCHAR), CAST(MAX(bal) AS VARCHAR), COUNT(*)
+  FROM kept
+) ORDER BY col_name
+"""
+
+
 def sql_auto_refresh_mv(spark, sf_dir):
     """Eagerly-maintained materialized view (round-11; sql.py
     ``_after_write``): TBLPROPERTIES ('refresh'='auto') refreshes the
@@ -9273,6 +9343,7 @@ _DRIVER_WINDOW = [
     "sql_copy_into",
     "sql_stored_views",
     "sql_auto_refresh_mv",
+    "sql_analyze_stats",
     "ann_ivf_multiprobe",
     "ann_pq_topk",
     "cdc_change_feed",
@@ -9313,18 +9384,17 @@ _DRIVER_WINDOW = [
     "events_markov_transitions",
     "events_value_mad_outliers",
     "lineitem_winsorized_stats",
-    "orders_seasonality",
     "supplier_concentration_hhi",
     "text_diversity",
     "text_pii_redact",
     # deferred to r12: text_repetition, copurchase_triangles,
     # corpus_top_bigrams (as before), plus text_commonness,
-    # corpus_zipf_fit and events_entropy_profile — all pure
+    # corpus_zipf_fit, events_entropy_profile and orders_seasonality — all pure
     # functions/text DataFrame queries with no
     # NativeTable read path, displaced so the round's three NEW surfaces
     # (COPY INTO, stored views, eager-MV maintenance) get first-contact
     # driver evidence this round; the read-path-rewrite staleness concern
-    # that drives this rotation does not apply to the displaced six
+    # that drives this rotation does not apply to the displaced seven
 ]
 
 
@@ -9350,6 +9420,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_copy_into": sql_copy_into,
         "sql_stored_views": sql_stored_views,
         "sql_auto_refresh_mv": sql_auto_refresh_mv,
+        "sql_analyze_stats": sql_analyze_stats,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -9755,5 +9826,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_copy_into": SQL_COPY_INTO_ORACLE,
         "sql_stored_views": SQL_STORED_VIEWS_ORACLE,
         "sql_auto_refresh_mv": SQL_AUTO_REFRESH_MV_ORACLE,
+        "sql_analyze_stats": SQL_ANALYZE_STATS_ORACLE,
         "corpus_classifier_curation": CLASSIFIER_CURATION_ORACLE,
     }

@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "sql_transactions",
     "sql_materialized_view",
     "sql_copy_into",
+    "sql_analyze_stats",
 ]
 
 
