@@ -1231,6 +1231,58 @@ FROM (
 """
 
 
+def events_resample_gapfill(spark, sf_dir):
+    """Time-series resample + gap fill (operators/timeseries.py —
+    TimescaleDB's ``time_bucket_gapfill`` + ``locf``, absent from the
+    reference's surface): per user, the event stream regularized onto a
+    dense daily grid — observed buckets aggregate ``value`` (decimal, so
+    the sum hashes deterministically), gap buckets carry NULL + a flag,
+    and the last observation is carried forward per key. All built-in
+    ops (date_trunc/sequence/explode/equi-join/window) — one shuffle
+    key end-to-end, no UDF."""
+    from glue_hudi_spark.operators.timeseries import resample_gapfill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = resample_gapfill(
+        ev, keys=["user_id"], ts_col="ts",
+        values={"day_value": F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(18,6)")},
+        unit="day", locf=True,
+    )
+    return out.select(
+        "user_id",
+        F.to_date("bucket").alias("day"),
+        "day_value",
+        F.col("day_value_locf").alias("locf_value"),
+        "is_gap",
+    )
+
+
+EVENTS_RESAMPLE_GAPFILL_ORACLE = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6))
+             AS day_value
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT s.user_id, CAST(gs.d AS DATE) AS day
+  FROM span s,
+       LATERAL (SELECT unnest(generate_series(CAST(s.lo AS TIMESTAMP),
+                                              CAST(s.hi AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS d) gs
+)
+SELECT g.user_id, g.day, o.day_value,
+       LAST_VALUE(o.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+       (o.day IS NULL) AS is_gap
+FROM grid g
+LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+"""
+
+
 def sql_auto_refresh_mv(spark, sf_dir):
     """Eagerly-maintained materialized view (round-11; sql.py
     ``_after_write``): TBLPROPERTIES ('refresh'='auto') refreshes the
@@ -9344,6 +9396,7 @@ _DRIVER_WINDOW = [
     "sql_stored_views",
     "sql_auto_refresh_mv",
     "sql_analyze_stats",
+    "events_resample_gapfill",
     "ann_ivf_multiprobe",
     "ann_pq_topk",
     "cdc_change_feed",
@@ -9383,18 +9436,18 @@ _DRIVER_WINDOW = [
     "events_ivm_rollup",
     "events_markov_transitions",
     "events_value_mad_outliers",
-    "lineitem_winsorized_stats",
     "supplier_concentration_hhi",
     "text_diversity",
     "text_pii_redact",
     # deferred to r12: text_repetition, copurchase_triangles,
     # corpus_top_bigrams (as before), plus text_commonness,
-    # corpus_zipf_fit, events_entropy_profile and orders_seasonality — all pure
+    # corpus_zipf_fit, events_entropy_profile, orders_seasonality and
+    # lineitem_winsorized_stats — all pure
     # functions/text DataFrame queries with no
     # NativeTable read path, displaced so the round's three NEW surfaces
     # (COPY INTO, stored views, eager-MV maintenance) get first-contact
     # driver evidence this round; the read-path-rewrite staleness concern
-    # that drives this rotation does not apply to the displaced seven
+    # that drives this rotation does not apply to the displaced eight
 ]
 
 
@@ -9421,6 +9474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_stored_views": sql_stored_views,
         "sql_auto_refresh_mv": sql_auto_refresh_mv,
         "sql_analyze_stats": sql_analyze_stats,
+        "events_resample_gapfill": events_resample_gapfill,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -9827,5 +9881,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_stored_views": SQL_STORED_VIEWS_ORACLE,
         "sql_auto_refresh_mv": SQL_AUTO_REFRESH_MV_ORACLE,
         "sql_analyze_stats": SQL_ANALYZE_STATS_ORACLE,
+        "events_resample_gapfill": EVENTS_RESAMPLE_GAPFILL_ORACLE,
         "corpus_classifier_curation": CLASSIFIER_CURATION_ORACLE,
     }

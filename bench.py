@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "sql_materialized_view",
     "sql_copy_into",
     "sql_analyze_stats",
+    "events_resample_gapfill",
 ]
 
 

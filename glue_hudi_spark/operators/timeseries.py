@@ -1,0 +1,100 @@
+"""Time-series resampling with gap fill — TimescaleDB's
+``time_bucket_gapfill`` + ``locf`` family, expressed as DataFrame ops.
+
+The reference engine has no time-series surface (SURVEY §2.5); this is a
+large-pipeline extension in the hypertable-rollup family: regularize an
+event stream onto a fixed grid (one row per key per bucket, observed or
+not) so downstream windows/joins see dense, aligned series.
+
+Shape (all built-in, JVM-side — no UDF):
+
+* bucket observed rows with ``date_trunc(unit, ts)`` and aggregate;
+* per key, take ``[min(bucket), max(bucket)]`` and explode
+  ``sequence(lo, hi, interval 1 <unit>)`` into the dense grid;
+* left-join observations back on ``(keys..., bucket)`` — an equi-join,
+  hash-partitionable, AQE-skew-handled;
+* carry the last observation forward with
+  ``last(col, ignorenulls=True)`` over a per-key ordered window.
+
+Scale: grid size is keys x span-buckets — each key's explode factor is
+bounded by ITS OWN span, so the stage is embarrassingly parallel and
+never quadratic. The groupBy, the grid join, and the locf window all
+shuffle on the same key columns, so AQE coalesces them into one
+partitioning. The failure mode at 100 TB is a poisoned timestamp (one
+row in 1970 or 9999 stretches that key's grid to millions of buckets);
+``max_buckets`` caps the per-key span and the ``_gf_clamped`` flag makes
+the clamp auditable instead of silent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_UNITS = ("hour", "day", "week", "month")
+
+
+def resample_gapfill(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    values: "dict[str, Column]",
+    unit: str = "day",
+    locf: bool = True,
+    max_buckets: int | None = None,
+) -> DataFrame:
+    """Dense per-key time grid with aggregated observations and gaps.
+
+    ``values``: output name -> aggregate expression over the rows of one
+    (key, bucket) group, e.g. ``{"day_value": F.sum("value")}``.
+
+    Returns one row per (keys..., bucket) in each key's observed span:
+    the aggregated columns (NULL on gap buckets), ``is_gap`` (no row
+    observed in the bucket), and — with ``locf`` — a ``<name>_locf``
+    column per value carrying the last non-null observation forward.
+
+    ``max_buckets``: cap the per-key span at this many buckets measured
+    from the key's FIRST observation; keys that exceed it are clamped
+    (buckets past the cap dropped) and flagged via ``_gf_clamped`` so a
+    quality gate can quarantine them — one corrupt timestamp must not
+    explode a key's grid to millions of rows.
+    """
+    if unit not in _UNITS:
+        raise ValueError(f"resample_gapfill: unit must be one of {_UNITS}")
+    if not values:
+        raise ValueError("resample_gapfill: need at least one value agg")
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    obs = df.groupBy(*keys, bucket.alias("bucket")).agg(
+        *[v.alias(k) for k, v in values.items()],
+        F.lit(True).alias("_gf_obs"),
+    )
+    span = obs.groupBy(*keys).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
+    if max_buckets is not None:
+        cap = F.col("_lo") + F.expr(f"interval {int(max_buckets)} {unit}")
+        span = span.select(
+            *keys, "_lo",
+            F.least(F.col("_hi"), cap).alias("_hi"),
+            (F.col("_hi") > cap).alias("_gf_clamped"),
+        )
+    step = F.expr(f"interval 1 {unit}")
+    grid = span.select(
+        *keys,
+        F.explode(F.sequence("_lo", "_hi", step)).alias("bucket"),
+        *([F.col("_gf_clamped")] if max_buckets is not None else []),
+    )
+    out = grid.join(obs, [*keys, "bucket"], "left")
+    cols: list[Column] = [
+        *[F.col(k) for k in keys],
+        F.col("bucket"),
+        *[F.col(k) for k in values],
+        F.col("_gf_obs").isNull().alias("is_gap"),
+    ]
+    if locf:
+        w = (Window.partitionBy(*keys).orderBy("bucket")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        cols += [F.last(k, ignorenulls=True).over(w).alias(f"{k}_locf")
+                 for k in values]
+    if max_buckets is not None:
+        cols.append(F.col("_gf_clamped"))
+    return out.select(*cols)

@@ -1,0 +1,62 @@
+"""resample_gapfill: dense grid, locf carry-forward, poisoned-timestamp
+clamp (operators/timeseries.py — the TimescaleDB gapfill family)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from glue_hudi_spark.operators.timeseries import resample_gapfill
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame([
+        Row(k=k, ts=dt.datetime(2024, 1, d, h), v=float(v))
+        for k, d, h, v in rows])
+
+
+def test_gapfill_grid_locf_and_flags(spark):
+    # key "a": days 1, 2, 5 observed -> 3,4 are gaps; "b": single day
+    df = _ev(spark, [("a", 1, 8, 10), ("a", 1, 9, 5), ("a", 2, 8, 7),
+                     ("a", 5, 8, 1), ("b", 3, 12, 99)])
+    out = resample_gapfill(
+        df, keys=["k"], ts_col="ts",
+        values={"total": F.sum("v")}, unit="day",
+    ).orderBy("k", "bucket").collect()
+    a = [r for r in out if r["k"] == "a"]
+    assert len(a) == 5  # dense: Jan 1..5
+    assert [r["total"] for r in a] == [15.0, 7.0, None, None, 1.0]
+    assert [r["is_gap"] for r in a] == [False, False, True, True, False]
+    assert [r["total_locf"] for r in a] == [15.0, 7.0, 7.0, 7.0, 1.0]
+    b = [r for r in out if r["k"] == "b"]
+    assert len(b) == 1 and b[0]["is_gap"] is False
+
+
+def test_gapfill_clamps_poisoned_span(spark):
+    df = spark.createDataFrame([
+        Row(k="a", ts=dt.datetime(2024, 1, 1), v=1.0),
+        Row(k="a", ts=dt.datetime(2024, 1, 3), v=2.0),
+        # poisoned row: would stretch the grid ~70 years
+        Row(k="a", ts=dt.datetime(2094, 1, 1), v=3.0),
+        Row(k="b", ts=dt.datetime(2024, 1, 1), v=4.0),
+    ])
+    out = resample_gapfill(
+        df, keys=["k"], ts_col="ts",
+        values={"total": F.sum("v")}, unit="day", max_buckets=10,
+    ).collect()
+    a = [r for r in out if r["k"] == "a"]
+    assert len(a) == 11  # lo + 10 buckets, not 70 years of rows
+    assert all(r["_gf_clamped"] for r in a)
+    b = [r for r in out if r["k"] == "b"]
+    assert len(b) == 1 and not b[0]["_gf_clamped"]
+
+
+def test_gapfill_guards(spark):
+    df = _ev(spark, [("a", 1, 8, 1)])
+    with pytest.raises(ValueError, match="unit"):
+        resample_gapfill(df, ["k"], "ts", {"t": F.sum("v")}, unit="minute")
+    with pytest.raises(ValueError, match="value agg"):
+        resample_gapfill(df, ["k"], "ts", {})
