@@ -557,24 +557,92 @@ class GhsSql:
         return (name, bounds) if bounds else None
 
     # metadata-only COUNT(*): Delta answers a bare count from stats;
-    # the manifest carries per-file row counts, so the one query shape
-    # every dashboard fires at a 100-TB table costs zero data bytes
-    _FAST_COUNT = re.compile(
-        rf"^SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)\s*"
-        rf"(?:AS\s+(?P<alias>{_IDENT})\s*)?"
-        rf"FROM\s+(?P<name>{_IDENT})\s*$", re.IGNORECASE)
+    # the manifest carries per-file row counts AND per-file column
+    # min/max, so the query shapes every dashboard fires at a 100-TB
+    # table — bare COUNT(*) / MIN / MAX — cost zero data bytes (Delta's
+    # stats-based query answering). Anything the manifest cannot PROVE
+    # (WHERE, expressions, un-indexed columns, MoR deltas, live DV
+    # marks) falls through to the real scan.
+    _FAST_AGG = re.compile(
+        rf"^SELECT\s+(?P<items>.+?)\s+FROM\s+(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE | re.DOTALL)
+    _AGG_ITEM = re.compile(
+        rf"^(?:(?P<cnt>COUNT\s*\(\s*(?:\*|1)\s*\))"
+        rf"|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>{_IDENT})\s*\))"
+        rf"(?:\s+AS\s+(?P<alias>{_IDENT}))?$",
+        re.IGNORECASE)
+    _STAT_TYPES: "dict[str, T.DataType]" = {
+        "tinyint": T.ByteType(), "smallint": T.ShortType(),
+        "int": T.IntegerType(), "bigint": T.LongType(),
+        "float": T.FloatType(), "double": T.DoubleType(),
+        "string": T.StringType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+    }
+
+    @staticmethod
+    def _stat_to_py(v, type_name: str):
+        """A manifest stat value converted to the Python value Spark
+        expects for the column's type (stats store JSON-safe renderings:
+        numbers native, date/timestamp as ISO strings)."""
+        import datetime as _dt
+
+        if v is None:
+            return None
+        if type_name in ("tinyint", "smallint", "int", "bigint"):
+            return int(v)
+        if type_name in ("float", "double"):
+            return float(v)
+        if type_name == "string":
+            return str(v)
+        if type_name == "date":
+            return _dt.date.fromisoformat(v) if isinstance(v, str) else v
+        return _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
+
+    def _try_fast_agg(self, m: "re.Match[str]") -> DataFrame | None:
+        t = self.tables.get(_unq(m.group("name")))
+        if t is None or t.timeline.latest() is None:
+            return None
+        parsed = []
+        for item in _split_top(m.group("items")):
+            im = self._AGG_ITEM.match(item.strip())
+            if im is None:
+                return None
+            parsed.append(im)
+        types = self._data_types(t)
+        fields: list[T.StructField] = []
+        vals: list = []
+        extrema: dict[str, tuple | None] = {}
+        for im in parsed:
+            if im.group("cnt"):
+                alias = (_unq(im.group("alias")) if im.group("alias")
+                         else "count(1)")
+                fields.append(T.StructField(alias, T.LongType(), False))
+                vals.append(int(t.count_rows()))
+                continue
+            col = _unq(im.group("col"))
+            fn = im.group("fn").lower()
+            tn = types.get(col)
+            if tn not in self._STAT_TYPES:
+                return None  # unknown column / un-orderable stat type
+            if col not in extrema:
+                extrema[col] = t.stats_extrema(col)
+            ext = extrema[col]
+            if ext is None:
+                return None  # manifest can't prove it — real scan
+            alias = (_unq(im.group("alias")) if im.group("alias")
+                     else f"{fn}({col})")
+            fields.append(T.StructField(alias, self._STAT_TYPES[tn], True))
+            vals.append(self._stat_to_py(ext[0 if fn == "min" else 1], tn))
+        return self.spark.createDataFrame(
+            [tuple(vals)], T.StructType(fields))
 
     def _read(self, s: str) -> DataFrame:
-        fc = self._FAST_COUNT.match(s)
-        if fc:
-            t = self.tables.get(_unq(fc.group("name")))
-            if t is not None and t.timeline.latest() is not None:
-                alias = (_unq(fc.group("alias")) if fc.group("alias")
-                         else "count(1)")
-                schema = T.StructType(
-                    [T.StructField(alias, T.LongType(), False)])
-                return self.spark.createDataFrame(
-                    [(int(t.count_rows()),)], schema)
+        fa = self._FAST_AGG.match(s)
+        if fa:
+            out = self._try_fast_agg(fa)
+            if out is not None:
+                return out
         self._with_views()
         pr = self._select_prune(s)
         if pr:

@@ -3050,6 +3050,34 @@ class NativeTable:
             return sum(rc[f] for f in commit.files) - marked
         return self.read_snapshot().count()
 
+    def stats_extrema(self, col: str) -> tuple | None:
+        """(min, max) of logical column ``col`` from the manifest's
+        per-file column stats — zero data bytes read — or None when the
+        manifest cannot PROVE them: uncompacted MoR deltas (delta rows
+        override by key), live deletion-vector marks (a deleted row may
+        be the extremum), or any live file without stats for the column
+        (not in ``stats_cols``, all-null file, unsupported type). Footer
+        stats exclude NULLs, so the proved bounds match SQL MIN/MAX
+        semantics exactly. An empty table returns (None, None) — SQL
+        NULL. Used by the SQL fast-agg path (Delta's stats-based query
+        answering, the MIN/MAX sibling of :meth:`count_rows`)."""
+        commit = self.timeline.latest()
+        if commit is None or commit.deltas:
+            return None
+        if any(int(e.get("rows", 0)) for e in commit.dvs.values()):
+            return None
+        if not commit.files:
+            return (None, None)
+        phys = commit.column_mapping.get(col, col)
+        los, his = [], []
+        for f in commit.files:
+            s = commit.col_stats.get(f, {}).get(phys)
+            if s is None:
+                return None
+            los.append(s[0])
+            his.append(s[1])
+        return min(los), max(his)
+
     def describe_history(self) -> DataFrame:
         """The retained timeline as a DataFrame (Delta DESCRIBE HISTORY
         parity): one row per commit — id, action, wall-clock instant,

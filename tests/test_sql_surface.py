@@ -1445,3 +1445,72 @@ def test_analyze_table_compute_statistics(ghs, tmp_path):
         ghs.sql("ANALYZE TABLE accounts COMPUTE STATISTICS FOR COLUMNS nope")
     with pytest.raises(ValueError, match="unknown table"):
         ghs.sql("ANALYZE TABLE ghost COMPUTE STATISTICS")
+
+
+def test_select_minmax_is_metadata_only(ghs, spark):
+    """Bare SELECT MIN/MAX over stats-indexed columns answers from the
+    manifest's per-file column stats — zero data files opened (the
+    MIN/MAX sibling of the stats-count fast path). Shapes the manifest
+    cannot prove (un-indexed column, WHERE, deletion-vector marks) fall
+    through to the real scan and stay exact."""
+    from pyspark.sql import functions as F
+
+    t = NativeTable(spark, ghs.warehouse / "mm", record_keys=["id"],
+                    stats_cols=["v", "d"], files_per_partition=4)
+    t.bulk_insert(spark.range(100).select(
+        F.col("id"), (F.col("id") * 2).alias("v"),
+        F.to_date(F.lit("2024-01-01")).alias("d"),
+        F.col("id").cast("string").alias("s")))
+    ghs.register("mm", t)
+
+    called = {"n": 0}
+    orig = NativeTable._read_files
+
+    def counting(self, *a, **k):
+        called["n"] += 1
+        return orig(self, *a, **k)
+
+    import glue_hudi_spark.storage.native as native_mod
+    try:
+        native_mod.NativeTable._read_files = counting
+        r = ghs.sql("SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n, "
+                    "MAX(d) FROM mm").first()
+        assert (r.lo, r.hi, r.n) == (0, 198, 100)
+        assert str(r["max(d)"]) == "2024-01-01"
+        assert called["n"] == 0  # no file plan built
+    finally:
+        native_mod.NativeTable._read_files = orig
+
+    # un-indexed column (s not in stats_cols) -> real scan, same answer
+    r = ghs.sql("SELECT MAX(s) AS hi FROM mm").first()
+    assert r.hi == "99"  # string max of "0".."99"
+    # WHERE falls through and stays exact
+    r = ghs.sql("SELECT MIN(v) AS lo FROM mm WHERE id >= 50").first()
+    assert r.lo == 100
+    # a delete moves the provable extremum: stats refresh with the commit
+    ghs.sql("DELETE FROM mm WHERE id = 99")
+    try:
+        native_mod.NativeTable._read_files = counting
+        called["n"] = 0
+        r = ghs.sql("SELECT MAX(v) AS hi, COUNT(*) AS n FROM mm").first()
+        assert (r.hi, r.n) == (196, 99) and called["n"] == 0
+    finally:
+        native_mod.NativeTable._read_files = orig
+
+
+def test_minmax_fast_path_bails_on_dv_marks(ghs, spark):
+    """Deletion-vector tables: a marked row may BE the extremum, so the
+    manifest cannot prove MIN/MAX — the fast path must bail to the scan
+    (which applies the marks) rather than resurrect a deleted value."""
+    from pyspark.sql import functions as F
+
+    t = NativeTable(spark, ghs.warehouse / "dvmm", record_keys=["id"],
+                    stats_cols=["v"], deletion_vectors=True,
+                    files_per_partition=2)
+    t.bulk_insert(spark.range(10).select(
+        F.col("id"), (F.col("id") * 10).alias("v")))
+    t.delete(spark.range(9, 10).select(F.col("id")))  # marks v=90
+    ghs.register("dvmm", t)
+    assert t.stats_extrema("v") is None  # manifest refuses to prove
+    r = ghs.sql("SELECT MAX(v) AS hi, COUNT(*) AS n FROM dvmm").first()
+    assert (r.hi, r.n) == (80, 9)
