@@ -1283,6 +1283,23 @@ LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
 """
 
 
+def events_lttb_downsample(spark, sf_dir):
+    """LTTB visualization downsampling (operators/timeseries.py —
+    TimescaleDB's ``lttb``): each user's event series reduced to 24
+    shape-preserving points. Inherently sequential per key (each pick
+    depends on the previous selection), so it is the documented
+    Pandas-UDF path — ``applyInPandas`` per user, numpy per bucket —
+    and has NO SQL oracle (the driver records the rows-only check);
+    correctness is pinned by pytest properties: anchors kept, output
+    points are input points, spike retention under 25x reduction."""
+    from glue_hudi_spark.operators.timeseries import lttb_downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "ts", "value")
+    return lttb_downsample(ev, keys=["user_id"], ts_col="ts",
+                           value_col="value", n_out=24)
+
+
 def sql_auto_refresh_mv(spark, sf_dir):
     """Eagerly-maintained materialized view (round-11; sql.py
     ``_after_write``): TBLPROPERTIES ('refresh'='auto') refreshes the
@@ -9475,6 +9492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_auto_refresh_mv": sql_auto_refresh_mv,
         "sql_analyze_stats": sql_analyze_stats,
         "events_resample_gapfill": events_resample_gapfill,
+        "events_lttb_downsample": events_lttb_downsample,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,

@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "sql_copy_into",
     "sql_analyze_stats",
     "events_resample_gapfill",
+    "events_lttb_downsample",
 ]
 
 

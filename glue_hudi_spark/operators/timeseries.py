@@ -98,3 +98,69 @@ def resample_gapfill(
     if max_buckets is not None:
         cols.append(F.col("_gf_clamped"))
     return out.select(*cols)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    n_out: int = 100,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling, per key.
+
+    The standard visualization downsampler (Steinarsson 2013; TimescaleDB
+    ships it as ``lttb``): reduce each key's series to ``n_out`` points
+    that preserve its visual shape — first and last points anchored, the
+    interior split into ``n_out - 2`` buckets, and from each bucket the
+    point forming the largest triangle with the previously selected
+    point and the next bucket's centroid.
+
+    The selection is inherently sequential WITHIN a key (each pick
+    depends on the previous one), so this is the documented
+    Pandas-UDF path (SURVEY §7.2: built-ins can't express it):
+    ``applyInPandas`` groups by key — one Arrow batch per key, numpy
+    vectorized per bucket inside. Scale contract: parallelism is across
+    keys; ONE key's series must fit a worker (the same contract as any
+    per-entity sequential model), and at 100 TB the per-key series for a
+    dashboard-sized query is bounded by retention x sample rate, not by
+    corpus size. Null values are dropped before selection (a NaN
+    triangle area would poison every comparison).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 — applyInPandas contract
+
+    if n_out < 3:
+        raise ValueError("lttb_downsample: n_out must be >= 3")
+    proj = df.select(*keys, ts_col, value_col)
+    schema = proj.schema
+
+    def _one(pdf):
+        pdf = pdf.dropna(subset=[ts_col, value_col]) \
+                 .sort_values(ts_col).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf
+        x = pdf[ts_col].to_numpy()
+        if np.issubdtype(x.dtype, np.datetime64):
+            x = x.astype("datetime64[ns]").astype("int64")
+        x = x.astype("float64")
+        y = pdf[value_col].to_numpy(dtype="float64")
+        # bucket edges over the interior points [1, n-1)
+        edges = np.linspace(1, n - 1, n_out - 1).astype("int64")
+        sel = [0]
+        for i in range(n_out - 2):
+            lo, hi = edges[i], edges[i + 1]
+            if i + 2 < len(edges):
+                nlo, nhi = edges[i + 1], edges[i + 2]
+            else:
+                nlo, nhi = n - 1, n
+            ax, ay = x[sel[-1]], y[sel[-1]]
+            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            bx, by = x[lo:hi], y[lo:hi]
+            area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
+            sel.append(lo + int(area.argmax()))
+        sel.append(n - 1)
+        return pdf.iloc[sel]
+
+    return proj.groupBy(*keys).applyInPandas(_one, schema)

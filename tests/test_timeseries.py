@@ -60,3 +60,43 @@ def test_gapfill_guards(spark):
         resample_gapfill(df, ["k"], "ts", {"t": F.sum("v")}, unit="minute")
     with pytest.raises(ValueError, match="value agg"):
         resample_gapfill(df, ["k"], "ts", {})
+
+
+def _series(spark, n, spike_every=50):
+    """Flat series with a huge spike every `spike_every` points."""
+    rows = []
+    for i in range(n):
+        v = 1000.0 if (i % spike_every == spike_every // 2) else float(i % 3)
+        rows.append(Row(k="a", ts=dt.datetime(2024, 1, 1)
+                        + dt.timedelta(minutes=i), v=v))
+    return spark.createDataFrame(rows)
+
+
+def test_lttb_anchors_count_and_spikes(spark):
+    from glue_hudi_spark.operators.timeseries import lttb_downsample
+
+    df = _series(spark, 500, spike_every=50)
+    out = lttb_downsample(df, ["k"], "ts", "v", n_out=20) \
+        .orderBy("ts").collect()
+    assert len(out) == 20
+    src = df.orderBy("ts").collect()
+    # first/last anchored
+    assert out[0]["ts"] == src[0]["ts"] and out[-1]["ts"] == src[-1]["ts"]
+    # every output point is a real input point
+    src_set = {(r["ts"], r["v"]) for r in src}
+    assert all((r["ts"], r["v"]) in src_set for r in out)
+    # the shape-preserving property: the spikes dominate triangle areas,
+    # so most of the 10 spikes must survive 25x downsampling
+    assert sum(1 for r in out if r["v"] == 1000.0) >= 8
+
+
+def test_lttb_short_series_and_multi_key(spark):
+    from glue_hudi_spark.operators.timeseries import lttb_downsample
+
+    short = spark.createDataFrame([
+        Row(k=k, ts=dt.datetime(2024, 1, 1, h), v=float(h))
+        for k in ("a", "b") for h in range(5)])
+    out = lttb_downsample(short, ["k"], "ts", "v", n_out=10).collect()
+    assert len(out) == 10  # n <= n_out: series pass through untouched
+    with pytest.raises(ValueError, match="n_out"):
+        lttb_downsample(short, ["k"], "ts", "v", n_out=2)
