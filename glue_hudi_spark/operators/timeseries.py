@@ -53,16 +53,24 @@ def resample_gapfill(
     observed in the bucket), and — with ``locf`` — a ``<name>_locf``
     column per value carrying the last non-null observation forward.
 
-    ``max_buckets``: cap the per-key span at this many buckets measured
-    from the key's FIRST observation; keys that exceed it are clamped
-    (buckets past the cap dropped) and flagged via ``_gf_clamped`` so a
-    quality gate can quarantine them — one corrupt timestamp must not
-    explode a key's grid to millions of rows.
+    ``max_buckets``: cap each key's grid at this many bucket rows
+    measured from the key's FIRST observation; keys that exceed it are
+    clamped (buckets past the cap dropped) and flagged via
+    ``_gf_clamped`` so a quality gate can quarantine them — one corrupt
+    timestamp must not explode a key's grid to millions of rows.
+
+    Rows with a NULL ``ts_col`` are dropped up front: they belong to no
+    bucket, and letting them linger in the aggregation would silently
+    lose their values at the grid join. Quarantine them BEFORE calling
+    this (the same DQ posture as the clamp flag).
     """
     if unit not in _UNITS:
         raise ValueError(f"resample_gapfill: unit must be one of {_UNITS}")
     if not values:
         raise ValueError("resample_gapfill: need at least one value agg")
+    if max_buckets is not None and max_buckets < 1:
+        raise ValueError("resample_gapfill: max_buckets must be >= 1")
+    df = df.filter(F.col(ts_col).isNotNull())
     bucket = F.date_trunc(unit, F.col(ts_col))
     obs = df.groupBy(*keys, bucket.alias("bucket")).agg(
         *[v.alias(k) for k, v in values.items()],
@@ -71,7 +79,10 @@ def resample_gapfill(
     span = obs.groupBy(*keys).agg(
         F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi"))
     if max_buckets is not None:
-        cap = F.col("_lo") + F.expr(f"interval {int(max_buckets)} {unit}")
+        # lo itself is the first bucket row, so the cap is lo + (N-1)
+        # steps — a clamped key emits exactly max_buckets rows
+        cap = F.col("_lo") + F.expr(
+            f"interval {int(max_buckets) - 1} {unit}")
         span = span.select(
             *keys, "_lo",
             F.least(F.col("_hi"), cap).alias("_hi"),

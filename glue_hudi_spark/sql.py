@@ -571,11 +571,16 @@ class GhsSql:
         rf"|(?P<fn>MIN|MAX)\s*\(\s*(?P<col>{_IDENT})\s*\))"
         rf"(?:\s+AS\s+(?P<alias>{_IDENT}))?$",
         re.IGNORECASE)
+    # types whose parquet footer min/max are EXACT values from the data.
+    # Strings are deliberately absent: writers may truncate long string
+    # statistics (max rounded UP per the format spec) — safe for
+    # pruning, but serving one as a MAX() answer would return a value
+    # that exists in no row. String MIN/MAX falls through to the scan.
     _STAT_TYPES: "dict[str, T.DataType]" = {
         "tinyint": T.ByteType(), "smallint": T.ShortType(),
         "int": T.IntegerType(), "bigint": T.LongType(),
         "float": T.FloatType(), "double": T.DoubleType(),
-        "string": T.StringType(), "date": T.DateType(),
+        "date": T.DateType(),
         "timestamp": T.TimestampType(),
         "timestamp_ntz": T.TimestampNTZType(),
     }
@@ -593,8 +598,6 @@ class GhsSql:
             return int(v)
         if type_name in ("float", "double"):
             return float(v)
-        if type_name == "string":
-            return str(v)
         if type_name == "date":
             return _dt.date.fromisoformat(v) if isinstance(v, str) else v
         return _dt.datetime.fromisoformat(v) if isinstance(v, str) else v
@@ -640,7 +643,14 @@ class GhsSql:
     def _read(self, s: str) -> DataFrame:
         fa = self._FAST_AGG.match(s)
         if fa:
-            out = self._try_fast_agg(fa)
+            try:
+                out = self._try_fast_agg(fa)
+            except Exception:
+                # the fast path is an OPTIMIZATION: anything it cannot
+                # handle (legacy manifest without schema_json, malformed
+                # stats) must fall through to the scan, never fail a
+                # query the slow path can answer
+                out = None
             if out is not None:
                 return out
         self._with_views()

@@ -40,6 +40,7 @@ import os
 import re
 import time
 import urllib.parse
+from contextlib import contextmanager
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -969,20 +970,25 @@ class NativeTable:
     #: from pinning the executor cache at 100-TB scale.
     rewrite_persist_max_bytes: int = 0
 
-    def _persist_for_range_write(
-        self, merged: DataFrame, affected: list[str], prev: "Commit",
-    ) -> tuple[DataFrame, DataFrame | None]:
-        """(df, handle): persist a rewrite that is about to pay a
-        range-sampling pass, when the manifest says the affected set is
-        comfortably cacheable. Width-1 and hive-partitioned writes take
-        hash exchanges (single execution) — no persist needed there."""
-        if self.partition_keys or len(affected) <= 1:
-            return merged, None
-        size = sum(prev.file_sizes.get(f, 0) for f in affected)
-        if not size or size > self.rewrite_persist_max_bytes:
-            return merged, None
-        p = merged.persist(StorageLevel.MEMORY_AND_DISK)
-        return p, p
+    @contextmanager
+    def _range_write_cache(self, df: DataFrame, affected: list[str],
+                           prev: "Commit"):
+        """Persist a rewrite that is about to pay a range-sampling pass,
+        when the knob is on and the manifest says the affected set is
+        comfortably cacheable; ALWAYS released on exit (a failing write
+        must not leave the merged frame pinned in the executor cache).
+        Width-1 and hive-partitioned writes take hash exchanges (single
+        execution) — no persist there."""
+        handle = None
+        if not self.partition_keys and len(affected) > 1:
+            size = sum(prev.file_sizes.get(f, 0) for f in affected)
+            if size and size <= self.rewrite_persist_max_bytes:
+                handle = df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            yield df
+        finally:
+            if handle is not None:
+                handle.unpersist()
 
     def _file_partition(self, rel: str,
                         pfields: "list[PartitionField] | None" = None
@@ -3058,9 +3064,16 @@ class NativeTable:
         be the extremum), or any live file without stats for the column
         (not in ``stats_cols``, all-null file, unsupported type). Footer
         stats exclude NULLs, so the proved bounds match SQL MIN/MAX
-        semantics exactly. An empty table returns (None, None) — SQL
-        NULL. Used by the SQL fast-agg path (Delta's stats-based query
-        answering, the MIN/MAX sibling of :meth:`count_rows`)."""
+        semantics. An empty table returns (None, None) — SQL NULL.
+
+        STRING columns: parquet writers may TRUNCATE long string
+        statistics (max rounded UP per the format spec) — safe for
+        pruning, but a truncated max is a value that exists in no row.
+        Callers serving these bounds as exact query answers must
+        restrict to types whose footer stats are exact (numerics,
+        date/timestamp) — the SQL fast-agg path does. Used by the SQL
+        fast-agg path (Delta's stats-based query answering, the MIN/MAX
+        sibling of :meth:`count_rows`)."""
         commit = self.timeline.latest()
         if commit is None or commit.deltas:
             return None
@@ -3768,13 +3781,12 @@ class NativeTable:
             *prev_cols, *[c for c in merged.columns if c not in prev_cols]
         )
 
-        merged, spill = self._persist_for_range_write(merged, affected, prev)
-        files = self._write_files(
-            merged, cid,
-            n_files=max(1, len(affected)) if not self.partition_keys else None,
-        )
-        if spill is not None:
-            spill.unpersist()
+        with self._range_write_cache(merged, affected, prev) as merged:
+            files = self._write_files(
+                merged, cid,
+                n_files=(max(1, len(affected))
+                         if not self.partition_keys else None),
+            )
         if persisted is not None:
             persisted.unpersist()
         new_key_stats, new_col_stats = self._collect_file_stats(files)
@@ -3833,13 +3845,12 @@ class NativeTable:
         # the SAME pruned affected set, nothing table-wide
         tombstones = self._write_tombstones(
             existing.filter(F.coalesce(cond, F.lit(False))))
-        kept, spill = self._persist_for_range_write(kept, affected, prev)
-        files = self._write_files(
-            kept, cid,
-            n_files=max(1, len(affected)) if not self.partition_keys else None,
-        )
-        if spill is not None:
-            spill.unpersist()
+        with self._range_write_cache(kept, affected, prev) as kept:
+            files = self._write_files(
+                kept, cid,
+                n_files=(max(1, len(affected))
+                         if not self.partition_keys else None),
+            )
         new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(new_key_stats)
@@ -3970,13 +3981,12 @@ class NativeTable:
         merged = merged.select(
             *prev_cols, *[c for c in merged.columns if c not in prev_cols]
         )
-        merged, spill = self._persist_for_range_write(merged, affected, prev)
-        files = self._write_files(
-            merged, cid,
-            n_files=max(1, len(affected)) if not self.partition_keys else None,
-        )
-        if spill is not None:
-            spill.unpersist()
+        with self._range_write_cache(merged, affected, prev) as merged:
+            files = self._write_files(
+                merged, cid,
+                n_files=(max(1, len(affected))
+                         if not self.partition_keys else None),
+            )
         if persisted is not None:
             persisted.unpersist()
         new_key_stats, new_col_stats = self._collect_file_stats(files)

@@ -1153,9 +1153,28 @@ def test_rewrite_persist_knob_on_path(spark, tmp_table_dir):
     t.rewrite_persist_max_bytes = 8 << 30
     jsc = spark.sparkContext._jsc.sc()
     cached_before = jsc.getPersistentRDDs().size()
-    # a scattered batch that straddles all 4 files -> width-4 range write
-    c = t.upsert(_rows(spark, [dict(id=f"{i:04d}", v="new", seq=2)
-                               for i in range(0, 400, 100)]))
+    # spy: the cache must actually ENGAGE (a broken size guard that
+    # silently never persists would otherwise pass every assert below)
+    import contextlib
+
+    engaged = {"persisted": False}
+    orig_cm = NativeTable._range_write_cache
+
+    @contextlib.contextmanager
+    def spy(self, df, affected, prev):
+        with orig_cm(self, df, affected, prev) as out:
+            lvl = out.storageLevel
+            engaged["persisted"] |= bool(lvl.useMemory or lvl.useDisk)
+            yield out
+
+    NativeTable._range_write_cache = spy
+    try:
+        # scattered batch straddling all 4 files -> width-4 range write
+        c = t.upsert(_rows(spark, [dict(id=f"{i:04d}", v="new", seq=2)
+                                   for i in range(0, 400, 100)]))
+    finally:
+        NativeTable._range_write_cache = orig_cm
+    assert engaged["persisted"], "persist knob never engaged"
     assert c.stats["files_rewritten"] == 4
     snap = t.read_snapshot()
     assert snap.count() == 400

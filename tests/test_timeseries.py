@@ -48,7 +48,7 @@ def test_gapfill_clamps_poisoned_span(spark):
         values={"total": F.sum("v")}, unit="day", max_buckets=10,
     ).collect()
     a = [r for r in out if r["k"] == "a"]
-    assert len(a) == 11  # lo + 10 buckets, not 70 years of rows
+    assert len(a) == 10  # exactly max_buckets rows, not 70 years of them
     assert all(r["_gf_clamped"] for r in a)
     b = [r for r in out if r["k"] == "b"]
     assert len(b) == 1 and not b[0]["_gf_clamped"]
@@ -60,6 +60,14 @@ def test_gapfill_guards(spark):
         resample_gapfill(df, ["k"], "ts", {"t": F.sum("v")}, unit="minute")
     with pytest.raises(ValueError, match="value agg"):
         resample_gapfill(df, ["k"], "ts", {})
+    with pytest.raises(ValueError, match="max_buckets"):
+        resample_gapfill(df, ["k"], "ts", {"t": F.sum("v")}, max_buckets=0)
+    # NULL timestamps are dropped up front (documented), never joined in
+    withnull = df.unionByName(spark.createDataFrame(
+        [Row(k="a", ts=None, v=999.0)], df.schema))
+    out = resample_gapfill(withnull, ["k"], "ts",
+                           {"t": F.sum("v")}).collect()
+    assert len(out) == 1 and out[0]["t"] == 1.0
 
 
 def _series(spark, n, spike_every=50):
