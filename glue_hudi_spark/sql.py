@@ -250,6 +250,11 @@ class GhsSql:
         # view names whose binding must be (re)built at the next
         # _with_views — newly created, or restored by a rollback
         self._views_pending: set[str] = set(self.views)
+        # CACHE TABLE: name -> the persisted snapshot DataFrame. Session
+        # state only (Spark's own CACHE TABLE semantics); _with_views
+        # releases an entry when the table's head moves, so a write
+        # invalidates the cache instead of serving a stale snapshot.
+        self._cached: dict[str, DataFrame] = {}
 
     def register(self, name: str, table: NativeTable) -> None:
         self.tables[name] = table
@@ -336,6 +341,10 @@ class GhsSql:
             return self._optimize(s)
         if head == "ANALYZE":
             return self._analyze(s)
+        if head == "CACHE":
+            return self._cache_table(s)
+        if head == "UNCACHE":
+            return self._uncache_table(s)
         if head == "VACUUM":
             return self._vacuum(s)
         if head == "EXPLAIN":
@@ -369,6 +378,11 @@ class GhsSql:
                 f"MATERIALIZED VIEW {_unq(name)})")
         return self._table(name)
 
+    def _release_cache(self, name: str) -> None:
+        df = self._cached.pop(name, None)
+        if df is not None:
+            df.unpersist()
+
     def _with_views(self):
         moved: set[str] = set()
         for name, t in self.tables.items():
@@ -380,10 +394,14 @@ class GhsSql:
                 # any stale view a pre-restore bind left behind.
                 if self._view_cache.pop(name, None) is not None:
                     self.spark.catalog.dropTempView(name)
+                self._release_cache(name)
                 continue
             key = (head.commit_id, head.wall_time)
             if self._view_cache.get(name) == key:
                 continue  # view already reflects the head manifest
+            # a moved head invalidates a CACHE TABLE pin: release it
+            # rather than serve the pre-write snapshot from memory
+            self._release_cache(name)
             t.read_snapshot().createOrReplaceTempView(name)
             self._view_cache[name] = key
             moved.add(name)
@@ -655,7 +673,9 @@ class GhsSql:
                 return out
         self._with_views()
         pr = self._select_prune(s)
-        if pr:
+        if pr and pr[0] not in self._cached:
+            # (a CACHE TABLE pin beats file pruning: the data is already
+            # in executor memory, and rebinding would drop the pin)
             name, bounds = pr
             # bind THIS statement's view manifest-pruned; invalidate the
             # cache entry so the next statement re-binds the plain view
@@ -1956,6 +1976,13 @@ class GhsSql:
                     F.concat_ws("=", F.lit(n), F.col("partition")[n])
                     for n in names]).alias("partition")
             ).orderBy("partition")
+        tp = re.match(rf"^SHOW\s+TBLPROPERTIES\s+(?P<name>{_IDENT})\s*$",
+                      s, re.IGNORECASE)
+        if tp:
+            t = self._table(tp.group("name"))
+            rows = sorted(self._table_props(t).items())
+            return self.spark.createDataFrame(
+                rows, "key string, value string")
         if re.match(r"^SHOW\s+VIEWS\s*$", s, re.IGNORECASE):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.views)] or [],
@@ -1974,8 +2001,8 @@ class GhsSql:
         if not re.match(r"^SHOW\s+TABLES\s*$", s, re.IGNORECASE):
             raise ValueError(
                 "ghs.sql: SHOW supports SHOW TABLES, SHOW VIEWS, SHOW "
-                "MATERIALIZED VIEWS, SHOW PARTITIONS t, and SHOW "
-                "CREATE TABLE t")
+                "MATERIALIZED VIEWS, SHOW PARTITIONS t, SHOW "
+                "TBLPROPERTIES t, and SHOW CREATE TABLE t")
         return self.spark.createDataFrame(
             [(n,) for n in sorted(self.tables)] or [],
             "tableName string")
@@ -1990,6 +2017,24 @@ class GhsSql:
         # form — the consumer always CASTs to the declared column type
         s = str(v)
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    @staticmethod
+    def _table_props(t: NativeTable) -> dict[str, str]:
+        """The Hudi-convention TBLPROPERTIES payload for a table handle
+        (shared by SHOW CREATE TABLE and SHOW TBLPROPERTIES)."""
+        props = {"primaryKey": ",".join(t.record_keys)}
+        if t.precombine:
+            props["preCombineField"] = t.precombine
+        props["type"] = t.storage_type
+        if t.stats_cols:
+            props["statsCols"] = ",".join(t.stats_cols)
+        if t.sort_order:
+            props["sortOrder"] = ",".join(t.sort_order)
+        if t.bloom_index:
+            props["bloomIndex"] = "true"
+        if t.files_per_partition:
+            props["filesPerPartition"] = str(t.files_per_partition)
+        return props
 
     def _show_create(self, name: str) -> DataFrame:
         """Delta's ``SHOW CREATE TABLE``: a statement this dispatcher
@@ -2027,18 +2072,7 @@ class GhsSql:
             d = (f" DEFAULT {self._sql_literal(defaults[c])}"
                  if defaults.get(c) is not None else "")
             cols.append(f"{c} {typ}{d}")
-        props = {"primaryKey": ",".join(t.record_keys)}
-        if t.precombine:
-            props["preCombineField"] = t.precombine
-        props["type"] = t.storage_type
-        if t.stats_cols:
-            props["statsCols"] = ",".join(t.stats_cols)
-        if t.sort_order:
-            props["sortOrder"] = ",".join(t.sort_order)
-        if t.bloom_index:
-            props["bloomIndex"] = "true"
-        if t.files_per_partition:
-            props["filesPerPartition"] = str(t.files_per_partition)
+        props = self._table_props(t)
         stmt = f"CREATE TABLE {name} (\n  " + ",\n  ".join(cols) + \
             "\n) USING ghs_table"
         if t.partition_keys:
@@ -2172,6 +2206,52 @@ class GhsSql:
                   "min string, max string, row_count long, "
                   "as_of_commit long")
 
+    _CACHE = re.compile(
+        rf"^CACHE\s+(?P<lazy>LAZY\s+)?TABLE\s+(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE)
+    _UNCACHE = re.compile(
+        rf"^UNCACHE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE)
+
+    def _cache_table(self, s: str) -> None:
+        """Spark's ``CACHE [LAZY] TABLE``: pin the CURRENT snapshot in
+        executor memory and bind the view to the pinned frame — repeated
+        reads skip the scan entirely. Session-scoped (Spark semantics);
+        any write that moves the table's head releases the pin via
+        ``_with_views`` rather than serving the pre-write snapshot. The
+        default is EAGER (Spark parity): the pin materializes now, not
+        on first read."""
+        m = self._CACHE.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse CACHE: {s[:80]!r} — "
+                             "use CACHE [LAZY] TABLE name")
+        name = _unq(m.group("name"))
+        t = self._table(name)
+        head = t.timeline.latest()
+        if head is None:
+            raise ValueError(f"ghs.sql: table {name!r} has no commits — "
+                             "nothing to cache")
+        self._release_cache(name)
+        df = t.read_snapshot().persist()
+        if not m.group("lazy"):
+            df.count()
+        df.createOrReplaceTempView(name)
+        self._view_cache[name] = (head.commit_id, head.wall_time)
+        self._cached[name] = df
+        return None
+
+    def _uncache_table(self, s: str) -> None:
+        m = self._UNCACHE.match(s)
+        if not m:
+            raise ValueError(f"ghs.sql: cannot parse UNCACHE: {s[:80]!r}")
+        name = _unq(m.group("name"))
+        self._table(name)  # unknown table still raises (Spark parity)
+        if name in self._cached:
+            self._release_cache(name)
+            # rebind the plain snapshot view at the next statement
+            self._view_cache.pop(name, None)
+        return None
+
     _OPTIMIZE = re.compile(
         rf"^OPTIMIZE\s+(?P<name>{_IDENT})"
         rf"(?:\s+WHERE\s+(?P<where>.+?))?"
@@ -2212,12 +2292,26 @@ class GhsSql:
         return None
 
     _VACUUM = re.compile(
-        rf"^VACUUM\s+(?P<name>{_IDENT})\s*$", re.IGNORECASE)
+        rf"^VACUUM\s+(?P<name>{_IDENT})(?:\s+(?P<dry>DRY\s+RUN))?\s*$",
+        re.IGNORECASE)
 
-    def _vacuum(self, s: str) -> None:
+    def _vacuum(self, s: str) -> DataFrame | None:
         m = self._VACUUM.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse VACUUM: {s[:80]!r}")
+        if m.group("dry"):
+            # Delta's VACUUM ... DRY RUN: list what a real run would
+            # reclaim (same selection incl. the in-flight threshold),
+            # delete nothing — which also makes it transaction-safe,
+            # though for symmetry with VACUUM it stays rejected in-txn
+            rep = self._table(m.group("name")).vacuum(dry_run=True)
+            rows = ([("data", f) for f in rep["deleted_files"]]
+                    + [("bloom", f) for f in rep["deleted_blooms"]]
+                    + [("dv", f) for f in rep["deleted_dvs"]]
+                    + [("inflight_skipped", f)
+                       for f in rep["skipped_inflight"]])
+            return self.spark.createDataFrame(
+                rows or [], "kind string, path string")
         self._table(m.group("name")).vacuum()
         return None
 
@@ -2300,6 +2394,7 @@ class GhsSql:
         self.mviews.pop(name, None)
         self._mv_specs.pop(name, None)
         self._view_cache.pop(name, None)
+        self._release_cache(name)
         try:
             managed = Path(t.root).resolve().is_relative_to(
                 self.warehouse.resolve())

@@ -1664,7 +1664,7 @@ class NativeTable:
                        or orphan_tombstones or orphan_dvs or unreadable),
         }
 
-    def vacuum(self) -> dict:
+    def vacuum(self, dry_run: bool = False) -> dict:
         """Delete orphan data files and blooms ``validate()`` reports —
         the leftovers of crashed or OCC-losing writers, which retention
         cleaning never touches (it only frees files old manifests cover).
@@ -1676,6 +1676,10 @@ class NativeTable:
         are structurally out of vacuum's reach; after it publishes they
         are referenced and no longer orphans. Returns
         {deleted_files, deleted_blooms, skipped_inflight}.
+
+        ``dry_run`` (Delta's ``VACUUM ... DRY RUN``): the same selection
+        — including the in-flight threshold walk — with zero deletions;
+        the report lists what a real run WOULD reclaim.
         """
         report = self.validate()
         latest = self.timeline.latest()
@@ -1721,15 +1725,18 @@ class NativeTable:
                 continue
             f = self.root / rel
             if f.exists():
-                f.unlink()
+                if not dry_run:
+                    f.unlink()
                 deleted.append(rel)
-            for bloom in self._sidecar_paths(rel):
-                bloom.unlink()
+            if not dry_run:
+                for bloom in self._sidecar_paths(rel):
+                    bloom.unlink()
         deleted_blooms = []
         for rel in report["orphan_blooms"]:
             sidecars = self._sidecar_paths(rel)
-            for bloom in sidecars:
-                bloom.unlink()
+            if not dry_run:
+                for bloom in sidecars:
+                    bloom.unlink()
             if sidecars:
                 deleted_blooms.append(rel)
         deleted_dvs = []
@@ -1748,13 +1755,15 @@ class NativeTable:
                 continue
             f = self.root / rel
             if f.exists():
-                f.unlink()
+                if not dry_run:
+                    f.unlink()
                 deleted_dvs.append(rel)
         return {
             "deleted_files": deleted,
             "deleted_blooms": deleted_blooms,
             "deleted_dvs": deleted_dvs,
             "skipped_inflight": skipped,
+            **({"dry_run": True} if dry_run else {}),
         }
 
     def restore(self, commit_id: int) -> dict:

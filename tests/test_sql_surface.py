@@ -1514,3 +1514,61 @@ def test_minmax_fast_path_bails_on_dv_marks(ghs, spark):
     assert t.stats_extrema("v") is None  # manifest refuses to prove
     r = ghs.sql("SELECT MAX(v) AS hi, COUNT(*) AS n FROM dvmm").first()
     assert (r.hi, r.n) == (80, 9)
+
+
+def test_show_tblproperties(ghs):
+    _mk(ghs)
+    rows = {r.key: r.value
+            for r in ghs.sql("SHOW TBLPROPERTIES accounts").collect()}
+    assert rows["primaryKey"] == "id"
+    assert rows["preCombineField"] == "seq"
+    assert rows["type"] == "cow"
+
+
+def test_cache_and_uncache_table(ghs, spark):
+    """CACHE TABLE pins the current snapshot (eager by default) and a
+    write that moves the head RELEASES the pin — reads never serve the
+    pre-write snapshot from memory. UNCACHE rebinds the plain view."""
+    _mk(ghs)
+    ghs.sql("CACHE TABLE accounts")
+    df = ghs._cached["accounts"]
+    lvl = df.storageLevel
+    assert lvl.useMemory or lvl.useDisk
+    assert ghs.sql("SELECT id FROM accounts ORDER BY id").count() == 3
+    # a write invalidates the pin instead of serving stale rows
+    ghs.sql("INSERT INTO accounts VALUES "
+            "('d', CAST(40.00 AS DECIMAL(10,2)), 'ap', 1)")
+    got = ghs.sql("SELECT id FROM accounts ORDER BY id").collect()
+    assert [r.id for r in got] == ["a", "b", "c", "d"]
+    assert "accounts" not in ghs._cached  # released on head move
+    # lazy form + explicit uncache
+    ghs.sql("CACHE LAZY TABLE accounts")
+    assert "accounts" in ghs._cached
+    ghs.sql("UNCACHE TABLE accounts")
+    assert "accounts" not in ghs._cached
+    assert ghs.sql("SELECT COUNT(*) FROM accounts").first()[0] == 4
+    with pytest.raises(ValueError, match="no commits|unknown table"):
+        ghs.sql("CACHE TABLE ghost")
+
+
+def test_vacuum_dry_run_lists_without_deleting(ghs, spark, tmp_path):
+    """VACUUM t DRY RUN reports what a real run would reclaim — same
+    selection, zero deletions; the follow-up real VACUUM deletes it."""
+    _mk(ghs)
+    t = ghs.tables["accounts"]
+    # fabricate a crashed-writer orphan under an already-committed id
+    orphan_dir = t.root / "data" / "00000000000000000002"
+    orphan_dir.mkdir(parents=True, exist_ok=True)
+    orphan = orphan_dir / "orphan.parquet"
+    spark.range(3).coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "stage"))
+    src = next((tmp_path / "stage").glob("*.parquet"))
+    orphan.write_bytes(src.read_bytes())
+    out = ghs.sql("VACUUM accounts DRY RUN").collect()
+    listed = {r.path for r in out if r.kind == "data"}
+    assert any("orphan.parquet" in p for p in listed)
+    assert orphan.exists()  # nothing deleted
+    ghs.sql("VACUUM accounts")
+    assert not orphan.exists()
+    # table still reads clean after the real vacuum
+    assert ghs.sql("SELECT COUNT(*) FROM accounts").first()[0] == 3
