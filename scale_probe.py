@@ -889,9 +889,69 @@ def main_sql() -> None:
     shutil.rmtree(work, ignore_errors=True)
 
 
+def main_timeseries() -> None:
+    """Gap-fill scaling: the claim is grid cost = keys x OWN-span
+    buckets (never quadratic, never driver-side). Two axes, same total
+    row count, one decade apart in key count — if cost tracked anything
+    other than output-grid size, the two shapes would diverge:
+
+    * wide:   1.5k keys x ~1 year span  (long series, few keys)
+    * many: 150k keys x ~3.7 day span   (short series, many keys)
+
+    Plus LTTB at 6M points / 15k keys (applyInPandas across keys).
+    """
+    from glue_hudi_spark.operators.timeseries import (lttb_downsample,
+                                                      resample_gapfill)
+
+    spark = get_spark(app_name="ghs-timeseries-probe")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")  # 100k rows
+    base = ev.select("user_id", "ts", "value")
+    # 60x the rows: replicate with shifted users and times
+    reps = spark.range(60).withColumnRenamed("id", "rep")
+    big = base.crossJoin(reps).select(
+        # wide axis: SAME keys, 60x longer series (time shifted per rep)
+        F.col("user_id").alias("k_wide"),
+        # many axis: 100x the keys, each series ~1/100 the length
+        (F.col("user_id") * 100 + F.col("rep")
+         + (F.unix_timestamp("ts") % 97) * 1_000).alias("k_many"),
+        F.col("ts"),
+        (F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, rep * 500000)")
+         ).alias("ts_wide"),
+        "value",
+    ).persist()
+    n = big.count()
+    for label, key, ts in (("wide_1.5k_keys", "k_wide", "ts_wide"),
+                           ("many_150k_keys", "k_many", "ts")):
+        t0 = time.time()
+        out = resample_gapfill(
+            big.select(F.col(key).alias("k"), F.col(ts).alias("ts"),
+                       "value"),
+            keys=["k"], ts_col="ts",
+            values={"v": F.sum("value")}, unit="day", max_buckets=5000)
+        grid = out.count()
+        probe(f"gapfill_{label}", time.time() - t0,
+              input_rows=n, grid_rows=grid)
+    # LTTB's intended regime is FEW keys x LONG series (dashboard
+    # downsampling); the many-tiny-keys shape is included to record the
+    # per-group Arrow/pandas tax honestly
+    for label, key, n_out in (("wide_1.5k_keys", "k_wide", 200),
+                              ("many_150k_keys", "k_many", 24)):
+        t0 = time.time()
+        cnt = lttb_downsample(
+            big.select(F.col(key).alias("k"), "ts", "value"),
+            keys=["k"], ts_col="ts", value_col="value",
+            n_out=n_out).count()
+        probe(f"lttb_{label}", time.time() - t0,
+              input_rows=n, out_rows=cnt)
+    big.unpersist()
+    spark.stop()
+
+
 if __name__ == "__main__":
     if "--sql" in sys.argv[1:]:
         main_sql()
+    elif "--timeseries" in sys.argv[1:]:
+        main_timeseries()
     elif "--decade" in sys.argv[1:]:
         main_decade()
     elif "--stream" in sys.argv[1:]:
