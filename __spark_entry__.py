@@ -1283,6 +1283,59 @@ LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
 """
 
 
+def sql_continuous_aggregate(spark, sf_dir):
+    """Continuous aggregate (round-11 continuation; sql.py
+    ``_MV_AGG_BUCKET`` → ``MaterializedAgg(derive=...)``): a
+    materialized view grouped by a ``DATE_TRUNC`` bucket — TimescaleDB's
+    time_bucket form. The derived bucket re-projects onto every
+    change-feed row, so each REFRESH stays the incremental
+    O(changed groups) merge. The query drives CREATE → MV CREATE →
+    more INSERTs (existing + new days) → DELETE → REFRESH through SQL
+    text; the oracle recomputes the daily rollup from the replayed
+    final state — a stale or mis-bucketed view hash-mismatches."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("event_id") % 3 == 0) \
+        .select("event_id", "ts",
+                F.col("value").cast("decimal(18,6)").alias("v")) \
+        .createOrReplaceTempView("ca_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqlca_"))
+    ghs.sql("""
+        CREATE TABLE ca_events (event_id BIGINT, ts TIMESTAMP,
+                                v DECIMAL(18,6))
+            USING ghs_table TBLPROPERTIES ('primaryKey'='event_id');
+        INSERT INTO ca_events
+            SELECT event_id, ts, v FROM ca_src_v WHERE event_id % 2 = 0;
+        CREATE MATERIALIZED VIEW ca_daily AS
+            SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS cnt,
+                   SUM(v) AS total
+            FROM ca_events GROUP BY DATE_TRUNC('day', ts);
+        INSERT INTO ca_events
+            SELECT event_id, ts, v FROM ca_src_v WHERE event_id % 2 = 1;
+        DELETE FROM ca_events WHERE event_id % 7 = 0;
+        REFRESH MATERIALIZED VIEW ca_daily
+    """)
+    return ghs.sql("""
+        SELECT CAST(day AS DATE) AS day, cnt,
+               CAST(total AS DECIMAL(28,6)) AS total
+        FROM ca_daily
+    """)
+
+
+SQL_CONTINUOUS_AGGREGATE_ORACLE = """
+WITH src AS (
+  SELECT event_id, ts, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_id % 3 = 0
+),
+kept AS (SELECT * FROM src WHERE event_id % 7 <> 0)
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) AS cnt,
+       CAST(SUM(v) AS DECIMAL(28,6)) AS total
+FROM kept GROUP BY 1
+"""
+
+
 def events_lttb_downsample(spark, sf_dir):
     """LTTB visualization downsampling (operators/timeseries.py —
     TimescaleDB's ``lttb``): each user's event series reduced to 24
@@ -9414,6 +9467,7 @@ _DRIVER_WINDOW = [
     "sql_auto_refresh_mv",
     "sql_analyze_stats",
     "events_resample_gapfill",
+    "sql_continuous_aggregate",
     "ann_ivf_multiprobe",
     "ann_pq_topk",
     "cdc_change_feed",
@@ -9441,7 +9495,6 @@ _DRIVER_WINDOW = [
     "corpus_temperature_mix",
     "corpus_token_budget",
     "corpus_unigram_logprob",
-    "customer_rfm_segments",
     "dedup_incremental",
     "dedup_semantic",
     "embedding_outliers",
@@ -9458,13 +9511,13 @@ _DRIVER_WINDOW = [
     "text_pii_redact",
     # deferred to r12: text_repetition, copurchase_triangles,
     # corpus_top_bigrams (as before), plus text_commonness,
-    # corpus_zipf_fit, events_entropy_profile, orders_seasonality and
-    # lineitem_winsorized_stats — all pure
+    # corpus_zipf_fit, events_entropy_profile, orders_seasonality,
+    # lineitem_winsorized_stats and customer_rfm_segments — all pure
     # functions/text DataFrame queries with no
     # NativeTable read path, displaced so the round's three NEW surfaces
     # (COPY INTO, stored views, eager-MV maintenance) get first-contact
     # driver evidence this round; the read-path-rewrite staleness concern
-    # that drives this rotation does not apply to the displaced eight
+    # that drives this rotation does not apply to the displaced nine
 ]
 
 
@@ -9492,6 +9545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_auto_refresh_mv": sql_auto_refresh_mv,
         "sql_analyze_stats": sql_analyze_stats,
         "events_resample_gapfill": events_resample_gapfill,
+        "sql_continuous_aggregate": sql_continuous_aggregate,
         "events_lttb_downsample": events_lttb_downsample,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
@@ -9900,5 +9954,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_auto_refresh_mv": SQL_AUTO_REFRESH_MV_ORACLE,
         "sql_analyze_stats": SQL_ANALYZE_STATS_ORACLE,
         "events_resample_gapfill": EVENTS_RESAMPLE_GAPFILL_ORACLE,
+        "sql_continuous_aggregate": SQL_CONTINUOUS_AGGREGATE_ORACLE,
         "corpus_classifier_curation": CLASSIFIER_CURATION_ORACLE,
     }

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "sql_analyze_stats",
     "events_resample_gapfill",
     "events_lttb_downsample",
+    "sql_continuous_aggregate",
 ]
 
 

@@ -1147,6 +1147,13 @@ class GhsSql:
     _MV_AGG_SUM = re.compile(
         rf"^SUM\s*\(\s*(?P<col>{_IDENT})\s*\)\s+AS\s+total$",
         re.IGNORECASE)
+    _MV_AGG_BUCKET = re.compile(
+        rf"^DATE_TRUNC\s*\(\s*'(?P<unit>hour|day|week|month|year)'\s*,"
+        rf"\s*(?P<col>{_IDENT})\s*\)\s+AS\s+(?P<alias>{_IDENT})$",
+        re.IGNORECASE)
+    _MV_GRP_BUCKET = re.compile(
+        rf"^DATE_TRUNC\s*\(\s*'(?P<unit>hour|day|week|month|year)'\s*,"
+        rf"\s*(?P<col>{_IDENT})\s*\)$", re.IGNORECASE)
     _MV_JOIN = re.compile(
         rf"^SELECT\s+\*\s+FROM\s+(?P<fact>{_IDENT})\s+"
         rf"LEFT\s+(?:OUTER\s+)?JOIN\s+(?P<dim>{_IDENT})\s+"
@@ -1226,12 +1233,37 @@ class GhsSql:
                 or not self._MV_AGG_SUM.match(items[-1]):
             raise ValueError(self._MV_SHAPES)
         sum_col = _unq(self._MV_AGG_SUM.match(items[-1]).group("col"))
-        group_cols = []
+        group_cols, derive = [], {}
         for it in items[:-2]:
+            dm = self._MV_AGG_BUCKET.match(it)
+            if dm:
+                # continuous-aggregate bucket (TimescaleDB's
+                # time_bucket): a DERIVED group column, re-projected
+                # onto every change-feed row at refresh — deterministic
+                # and row-local, so the signed IVM algebra is unchanged
+                alias = _unq(dm.group("alias"))
+                group_cols.append(alias)
+                derive[alias] = (f"date_trunc('{dm.group('unit').lower()}'"
+                                 f", {_unq(dm.group('col'))})")
+                continue
             if not re.fullmatch(_IDENT, it):
                 raise ValueError(self._MV_SHAPES)
             group_cols.append(_unq(it))
-        grp = [_unq(g) for g in _split_top(am.group("grp"))]
+        grp = []
+        for g in _split_top(am.group("grp")):
+            g = g.strip()
+            gm = self._MV_GRP_BUCKET.match(g)
+            if gm:
+                # GROUP BY repeats the bucket expression: resolve it to
+                # the alias that declared the same derivation
+                ex = (f"date_trunc('{gm.group('unit').lower()}', "
+                      f"{_unq(gm.group('col'))})")
+                match = [a for a, e in derive.items() if e == ex]
+                if not match:
+                    raise ValueError(self._MV_SHAPES)
+                grp.append(match[0])
+            else:
+                grp.append(_unq(g))
         if grp != group_cols:
             raise ValueError(
                 f"ghs.sql: GROUP BY columns {grp} must equal the "
@@ -1239,6 +1271,7 @@ class GhsSql:
                 "state table is keyed by exactly the group columns")
         return {"kind": "agg", "base": base, "group_cols": group_cols,
                 "sum_col": sum_col,
+                **({"derive": derive} if derive else {}),
                 "auto": props.get("refresh", "").lower() == "auto",
                 "query": q}
 
@@ -1250,7 +1283,8 @@ class GhsSql:
         if spec["kind"] == "agg":
             mv = MaterializedAgg(self.spark, self.tables[spec["base"]],
                                  path, list(spec["group_cols"]),
-                                 spec["sum_col"])
+                                 spec["sum_col"],
+                                 derive=spec.get("derive"))
         else:
             mv = MaterializedJoin(
                 self.spark, self.tables[spec["fact"]],

@@ -39,14 +39,29 @@ class MaterializedAgg:
         state_path: str | Path,
         group_cols: list[str],
         sum_col: str,
+        derive: "dict[str, str] | None" = None,
     ):
         self.spark = spark
         self.base = base
         self.group_cols = list(group_cols)
         self.sum_col = sum_col
+        # derived group columns (TimescaleDB continuous aggregates):
+        # name -> deterministic SQL expr over base columns, projected
+        # onto BOTH the from-scratch snapshot and every change-feed row
+        # before grouping. Deterministic row-local exprs only — each
+        # feed image (pre and post) must re-derive the same bucket its
+        # row originally grouped into, or the signed algebra misses.
+        self.derive = dict(derive or {})
         self.state = NativeTable(
             spark, state_path, record_keys=list(group_cols), precombine=None
         )
+
+    def _derived(self, df):
+        from pyspark.sql import functions as F
+
+        for name, ex in self.derive.items():
+            df = df.withColumn(name, F.expr(ex))
+        return df
 
     def _last_refreshed(self) -> int | None:
         latest = self.state.timeline.latest()
@@ -67,7 +82,7 @@ class MaterializedAgg:
         marker = {"view_of_commit": int(upto)}
         if since is None:
             snap = ivm.aggregate_state(
-                self.base.read_snapshot(as_of=upto),
+                self._derived(self.base.read_snapshot(as_of=upto)),
                 self.group_cols, self.sum_col,
             )
             self.state.insert_overwrite(snap, extra_stats=marker)
@@ -76,7 +91,7 @@ class MaterializedAgg:
             return None  # fresh (or a replayed trigger) — no-op
         from pyspark.sql import functions as F
 
-        feed = self.base.change_feed(since, upto)
+        feed = self._derived(self.base.change_feed(since, upto))
         # O(changed groups), round-10 (the MaterializedJoin shape): the
         # signed per-group delta (map-side combined over the feed)
         # semi-joins the CURRENT state down to touched groups only, the

@@ -1572,3 +1572,59 @@ def test_vacuum_dry_run_lists_without_deleting(ghs, spark, tmp_path):
     assert not orphan.exists()
     # table still reads clean after the real vacuum
     assert ghs.sql("SELECT COUNT(*) FROM accounts").first()[0] == 3
+
+
+def test_continuous_aggregate_mv(ghs, spark):
+    """Continuous aggregate (TimescaleDB's time_bucket form): a
+    materialized view may GROUP BY a DATE_TRUNC bucket — the derived
+    column is re-projected onto every change-feed row, so refresh stays
+    the incremental O(changed groups) merge. GROUP BY may repeat the
+    expression or reference the alias."""
+    ghs.sql("""
+        CREATE TABLE readings (id BIGINT, ts TIMESTAMP, v DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='id');
+        INSERT INTO readings VALUES
+            (1, TIMESTAMP'2024-01-01 08:00:00', 10.0),
+            (2, TIMESTAMP'2024-01-01 17:00:00', 5.0),
+            (3, TIMESTAMP'2024-01-02 09:00:00', 7.0);
+        CREATE MATERIALIZED VIEW daily AS
+            SELECT DATE_TRUNC('day', ts) AS day, COUNT(*) AS cnt,
+                   SUM(v) AS total
+            FROM readings GROUP BY DATE_TRUNC('day', ts)
+    """)
+    rows = {str(r.day): (r.cnt, float(r.total)) for r in
+            ghs.sql("SELECT day, cnt, total FROM daily").collect()}
+    assert rows == {"2024-01-01 00:00:00": (2, 15.0),
+                    "2024-01-02 00:00:00": (1, 7.0)}
+    # churn: an insert into an existing day, a new day, and a delete
+    ghs.sql("""
+        INSERT INTO readings VALUES
+            (4, TIMESTAMP'2024-01-02 23:00:00', 3.0),
+            (5, TIMESTAMP'2024-01-03 01:00:00', 1.0);
+        DELETE FROM readings WHERE id = 1;
+        REFRESH MATERIALIZED VIEW daily
+    """)
+    rows = {str(r.day): (r.cnt, float(r.total)) for r in
+            ghs.sql("SELECT day, cnt, total FROM daily").collect()}
+    assert rows == {"2024-01-01 00:00:00": (1, 5.0),
+                    "2024-01-02 00:00:00": (2, 10.0),
+                    "2024-01-03 00:00:00": (1, 1.0)}
+    # refresh was a MERGE into the state, not a recompute-overwrite
+    head = ghs.tables["daily"].timeline.latest()
+    assert head.action in ("merge", "watermark"), head.action
+    # GROUP BY may reference the alias instead of the expression
+    ghs.sql("""
+        CREATE MATERIALIZED VIEW monthly AS
+            SELECT DATE_TRUNC('month', ts) AS m, COUNT(*) AS cnt,
+                   SUM(v) AS total
+            FROM readings GROUP BY m
+    """)
+    got = ghs.sql("SELECT cnt, total FROM monthly").first()
+    assert (got.cnt, float(got.total)) == (4, 16.0)
+    # SHOW CREATE round-trips the definition text
+    stmt = ghs.sql("SHOW CREATE TABLE daily").first()[0]
+    assert "DATE_TRUNC('day', ts) AS day" in stmt
+    # durable: a fresh GhsSql over the warehouse re-attaches with derive
+    fresh = GhsSql(spark, ghs.warehouse)
+    assert fresh.mviews["daily"].derive == {
+        "day": "date_trunc('day', ts)"}
