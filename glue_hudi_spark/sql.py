@@ -706,7 +706,15 @@ class GhsSql:
         q = m.group("q")
         self._with_views()
         pr = self._select_prune(q)
-        if pr:
+        if pr and pr[0] in self._cached:
+            # same rule as _read: a CACHE TABLE pin beats file pruning,
+            # and rebinding here would silently destroy the pin
+            name = pr[0]
+            note = (
+                "== GHS Manifest Pruning ==\n"
+                f"table {name} is pinned by CACHE TABLE: reads serve "
+                "the in-memory snapshot; manifest pruning skipped")
+        elif pr:
             name, bounds = pr
             t = self.tables[name]
             kept, total = t.pruned_file_count(bounds)
@@ -821,6 +829,7 @@ class GhsSql:
             if t is None:
                 continue
             self._view_cache.pop(name, None)
+            self._release_cache(name)
             self.spark.catalog.dropTempView(name)
             try:
                 managed = Path(t.root).resolve().is_relative_to(
@@ -1243,8 +1252,11 @@ class GhsSql:
                 # and row-local, so the signed IVM algebra is unchanged
                 alias = _unq(dm.group("alias"))
                 group_cols.append(alias)
+                # always backquote the source column: a quoted
+                # identifier (space, reserved word) must survive the
+                # round-trip into F.expr at refresh time
                 derive[alias] = (f"date_trunc('{dm.group('unit').lower()}'"
-                                 f", {_unq(dm.group('col'))})")
+                                 f", `{_unq(dm.group('col'))}`)")
                 continue
             if not re.fullmatch(_IDENT, it):
                 raise ValueError(self._MV_SHAPES)
@@ -1256,8 +1268,8 @@ class GhsSql:
             if gm:
                 # GROUP BY repeats the bucket expression: resolve it to
                 # the alias that declared the same derivation
-                ex = (f"date_trunc('{gm.group('unit').lower()}', "
-                      f"{_unq(gm.group('col'))})")
+                ex = (f"date_trunc('{gm.group('unit').lower()}'"
+                      f", `{_unq(gm.group('col'))}`)")
                 match = [a for a, e in derive.items() if e == ex]
                 if not match:
                     raise ValueError(self._MV_SHAPES)
@@ -2279,6 +2291,9 @@ class GhsSql:
         if not m:
             raise ValueError(f"ghs.sql: cannot parse UNCACHE: {s[:80]!r}")
         name = _unq(m.group("name"))
+        if name not in self.tables and re.search(
+                r"IF\s+EXISTS", s, re.IGNORECASE):
+            return None  # Spark parity: IF EXISTS makes it a no-op
         self._table(name)  # unknown table still raises (Spark parity)
         if name in self._cached:
             self._release_cache(name)

@@ -896,7 +896,7 @@ def main_timeseries() -> None:
     other than output-grid size, the two shapes would diverge:
 
     * wide:   1.5k keys x ~1 year span  (long series, few keys)
-    * many: 150k keys x ~3.7 day span   (short series, many keys)
+    * many:  90k keys x short span      (short series, many keys)
 
     Plus LTTB at 6M points / 15k keys (applyInPandas across keys).
     """
@@ -911,9 +911,9 @@ def main_timeseries() -> None:
     big = base.crossJoin(reps).select(
         # wide axis: SAME keys, 60x longer series (time shifted per rep)
         F.col("user_id").alias("k_wide"),
-        # many axis: 100x the keys, each series ~1/100 the length
-        (F.col("user_id") * 100 + F.col("rep")
-         + (F.unix_timestamp("ts") % 97) * 1_000).alias("k_many"),
+        # many axis: 60x the keys (1.5k users x 60 reps = 90k,
+        # collision-free: rep < 60 < 100), each series 1/60 the length
+        (F.col("user_id") * 100 + F.col("rep")).alias("k_many"),
         F.col("ts"),
         (F.expr("ts + make_interval(0, 0, 0, 0, 0, 0, rep * 500000)")
          ).alias("ts_wide"),
@@ -921,7 +921,7 @@ def main_timeseries() -> None:
     ).persist()
     n = big.count()
     for label, key, ts in (("wide_1.5k_keys", "k_wide", "ts_wide"),
-                           ("many_150k_keys", "k_many", "ts")):
+                           ("many_90k_keys", "k_many", "ts")):
         t0 = time.time()
         out = resample_gapfill(
             big.select(F.col(key).alias("k"), F.col(ts).alias("ts"),
@@ -935,7 +935,7 @@ def main_timeseries() -> None:
     # downsampling); the many-tiny-keys shape is included to record the
     # per-group Arrow/pandas tax honestly
     for label, key, n_out in (("wide_1.5k_keys", "k_wide", 200),
-                              ("many_150k_keys", "k_many", 24)):
+                              ("many_90k_keys", "k_many", 24)):
         t0 = time.time()
         cnt = lttb_downsample(
             big.select(F.col(key).alias("k"), "ts", "value"),

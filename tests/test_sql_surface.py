@@ -1627,4 +1627,40 @@ def test_continuous_aggregate_mv(ghs, spark):
     # durable: a fresh GhsSql over the warehouse re-attaches with derive
     fresh = GhsSql(spark, ghs.warehouse)
     assert fresh.mviews["daily"].derive == {
-        "day": "date_trunc('day', ts)"}
+        "day": "date_trunc('day', `ts`)"}
+
+
+def test_uncache_if_exists_and_explain_keeps_pin(ghs, spark):
+    """Second-review pins: UNCACHE TABLE IF EXISTS on an unknown table is
+    a no-op (Spark parity); EXPLAIN on a cached table reports the pin and
+    does NOT destroy it; a rolled-back transaction releases the pin of a
+    table CREATEd (and cached) inside it."""
+    assert ghs.sql("UNCACHE TABLE IF EXISTS ghost") is None
+    with pytest.raises(ValueError, match="unknown table"):
+        ghs.sql("UNCACHE TABLE ghost")
+
+    from pyspark.sql import functions as F
+    t = NativeTable(spark, ghs.warehouse / "pinned", record_keys=["id"],
+                    stats_cols=["b"], files_per_partition=4)
+    t.bulk_insert(spark.range(100).select(
+        F.col("id"), (F.col("id") % 10).alias("b")))
+    ghs.register("pinned", t)
+    ghs.sql("CACHE TABLE pinned")
+    plan = "\n".join(r[0] for r in
+                     ghs.sql("EXPLAIN SELECT * FROM pinned WHERE b >= 5")
+                     .collect())
+    assert "pinned by CACHE TABLE" in plan
+    assert "pinned" in ghs._cached  # the pin survived the EXPLAIN
+    assert ghs.sql("SELECT COUNT(*) FROM pinned").first()[0] == 100
+
+    # txn rollback of a CREATE+CACHE releases the pin
+    ghs.sql("""
+        BEGIN;
+        CREATE TABLE txncached (id BIGINT, v DOUBLE) USING ghs_table
+            TBLPROPERTIES ('primaryKey'='id');
+        INSERT INTO txncached VALUES (1, 1.0);
+        CACHE TABLE txncached;
+        ROLLBACK
+    """)
+    assert "txncached" not in ghs._cached
+    assert "txncached" not in ghs.tables
