@@ -42,6 +42,7 @@ def resample_gapfill(
     unit: str = "day",
     locf: bool = True,
     max_buckets: int | None = None,
+    interpolate: bool = False,
 ) -> DataFrame:
     """Dense per-key time grid with aggregated observations and gaps.
 
@@ -58,6 +59,13 @@ def resample_gapfill(
     clamped (buckets past the cap dropped) and flagged via
     ``_gf_clamped`` so a quality gate can quarantine them — one corrupt
     timestamp must not explode a key's grid to millions of rows.
+
+    ``interpolate`` (TimescaleDB's ``interpolate``): adds a
+    ``<name>_interp`` DOUBLE per value — gap buckets take the linear
+    blend of the nearest non-null observations on each side (positioned
+    by bucket index, so unevenly-spanned gaps blend proportionally);
+    buckets before the first / after the last observation stay NULL
+    (no extrapolation); observed buckets pass their own value through.
 
     Rows with a NULL ``ts_col`` are dropped up front: they belong to no
     bucket, and letting them linger in the aggregation would silently
@@ -106,6 +114,26 @@ def resample_gapfill(
              .rowsBetween(Window.unboundedPreceding, 0))
         cols += [F.last(k, ignorenulls=True).over(w).alias(f"{k}_locf")
                  for k in values]
+    if interpolate:
+        wb = (Window.partitionBy(*keys).orderBy("bucket")
+              .rowsBetween(Window.unboundedPreceding, 0))
+        wf = (Window.partitionBy(*keys).orderBy("bucket")
+              .rowsBetween(0, Window.unboundedFollowing))
+        rn = F.row_number().over(
+            Window.partitionBy(*keys).orderBy("bucket"))
+        for k in values:
+            v = F.col(k).cast("double")
+            anchor = F.when(v.isNotNull(), rn)
+            pv = F.last(v, ignorenulls=True).over(wb)
+            nv = F.first(v, ignorenulls=True).over(wf)
+            pp = F.last(anchor, ignorenulls=True).over(wb)
+            np_ = F.first(anchor, ignorenulls=True).over(wf)
+            cols.append(
+                F.when(v.isNotNull(), v)
+                .when(
+                    pv.isNotNull() & nv.isNotNull(),
+                    pv + (nv - pv) * (rn - pp) / (np_ - pp))
+                .alias(f"{k}_interp"))
     if max_buckets is not None:
         cols.append(F.col("_gf_clamped"))
     return out.select(*cols)

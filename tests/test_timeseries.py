@@ -108,3 +108,69 @@ def test_lttb_short_series_and_multi_key(spark):
     assert len(out) == 10  # n <= n_out: series pass through untouched
     with pytest.raises(ValueError, match="n_out"):
         lttb_downsample(short, ["k"], "ts", "v", n_out=2)
+
+
+def test_gapfill_matches_plain_groupby_property(spark):
+    """Property (hypothesis-lite over a seeded grid of shapes): on the
+    dense grid, non-gap buckets must equal the plain groupBy aggregate,
+    locf must equal the last non-null observation at-or-before the
+    bucket, and each key's grid must be dense from its min to max day."""
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    for k in ("a", "b", "c"):
+        for _ in range(rnd.randint(1, 25)):
+            rows.append(Row(
+                k=k,
+                ts=dt.datetime(2024, 1, rnd.randint(1, 20),
+                               rnd.randint(0, 23)),
+                v=float(rnd.randint(-5, 50))))
+    df = spark.createDataFrame(rows)
+    out = resample_gapfill(df, ["k"], "ts",
+                           {"t": F.sum("v")}, unit="day") \
+        .orderBy("k", "bucket").collect()
+
+    # reference: plain python
+    from collections import defaultdict
+    obs = defaultdict(dict)
+    for r in rows:
+        d = r.ts.date()
+        obs[r.k][d] = obs[r.k].get(d, 0.0) + r.v
+    by_key = defaultdict(list)
+    for r in out:
+        by_key[r["k"]].append(r)
+    assert set(by_key) == set(obs)
+    for k, rs in by_key.items():
+        days = sorted(obs[k])
+        expect_days = [days[0] + dt.timedelta(days=i)
+                       for i in range((days[-1] - days[0]).days + 1)]
+        assert [r["bucket"].date() for r in rs] == expect_days  # dense
+        last = None
+        for r in rs:
+            d = r["bucket"].date()
+            if d in obs[k]:
+                assert r["is_gap"] is False
+                assert r["t"] == pytest.approx(obs[k][d])
+                last = obs[k][d]
+            else:
+                assert r["is_gap"] is True and r["t"] is None
+            assert (r["t_locf"] is None and last is None) or \
+                r["t_locf"] == pytest.approx(last)
+
+
+def test_gapfill_linear_interpolation(spark):
+    """interpolate=True: gap buckets blend the nearest observations
+    proportionally to bucket distance; no extrapolation past the edges;
+    observed buckets pass through."""
+    df = _ev(spark, [("a", 1, 8, 10), ("a", 4, 8, 40),   # gaps at 2,3
+                     ("a", 5, 8, 0),
+                     ("b", 2, 9, 7)])
+    out = {(r["k"], r["bucket"].day): r for r in resample_gapfill(
+        df, ["k"], "ts", {"t": F.sum("v")}, unit="day",
+        interpolate=True).collect()}
+    a = [out[("a", d)]["t_interp"] for d in (1, 2, 3, 4, 5)]
+    assert a == [pytest.approx(10.0), pytest.approx(20.0),
+                 pytest.approx(30.0), pytest.approx(40.0),
+                 pytest.approx(0.0)]
+    assert out[("b", 2)]["t_interp"] == pytest.approx(7.0)
