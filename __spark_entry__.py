@@ -1336,6 +1336,81 @@ FROM kept GROUP BY 1
 """
 
 
+def events_gapfill_interpolate(spark, sf_dir):
+    """Linear interpolation over the gap-filled grid (round-11
+    continuation; ``resample_gapfill(interpolate=True)`` — TimescaleDB's
+    ``interpolate``): gap buckets blend the nearest observations on each
+    side proportionally to bucket distance, no extrapolation past the
+    edges. The oracle replays the same two-window construction in
+    DuckDB (IGNORE NULLS last/first + anchored row positions), so the
+    blend arithmetic itself is hash-checked, not just the grid. Values
+    are rounded to 6 dp on BOTH sides: the blend is double arithmetic
+    and the two engines may differ in the last ulp."""
+    from glue_hudi_spark.operators.timeseries import resample_gapfill
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("user_id") % 3 == 0)
+    out = resample_gapfill(
+        ev, keys=["user_id"], ts_col="ts",
+        values={"v": F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("decimal(18,6)")},
+        unit="day", locf=False, interpolate=True,
+    )
+    return out.select(
+        "user_id",
+        F.to_date("bucket").alias("day"),
+        "is_gap",
+        F.round(F.col("v_interp"), 6).alias("v_interp"),
+    )
+
+
+EVENTS_GAPFILL_INTERPOLATE_ORACLE = """
+WITH obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS v
+  FROM events WHERE user_id % 3 = 0 GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT s.user_id, CAST(gs.d AS DATE) AS day
+  FROM span s,
+       LATERAL (SELECT unnest(generate_series(CAST(s.lo AS TIMESTAMP),
+                                              CAST(s.hi AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS d) gs
+),
+joined AS (
+  SELECT g.user_id, g.day, CAST(o.v AS DOUBLE) AS v,
+         (o.day IS NULL) AS is_gap,
+         ROW_NUMBER() OVER (PARTITION BY g.user_id ORDER BY g.day) AS rn
+  FROM grid g
+  LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+),
+w AS (
+  SELECT user_id, day, v, is_gap, rn,
+         LAST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         FIRST_VALUE(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY rn
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN rn END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY rn
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+  FROM joined
+)
+SELECT user_id, day, is_gap,
+       ROUND(CASE
+         WHEN v IS NOT NULL THEN v
+         WHEN pv IS NOT NULL AND nv IS NOT NULL
+           THEN pv + (nv - pv) * (rn - pp) / (np - pp)
+       END, 6) AS v_interp
+FROM w
+"""
+
+
 def events_lttb_downsample(spark, sf_dir):
     """LTTB visualization downsampling (operators/timeseries.py —
     TimescaleDB's ``lttb``): each user's event series reduced to 24
@@ -9546,6 +9621,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_analyze_stats": sql_analyze_stats,
         "events_resample_gapfill": events_resample_gapfill,
         "sql_continuous_aggregate": sql_continuous_aggregate,
+        "events_gapfill_interpolate": events_gapfill_interpolate,
         "events_lttb_downsample": events_lttb_downsample,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
@@ -9955,5 +10031,6 @@ def oracle_sql() -> dict[str, str]:
         "sql_analyze_stats": SQL_ANALYZE_STATS_ORACLE,
         "events_resample_gapfill": EVENTS_RESAMPLE_GAPFILL_ORACLE,
         "sql_continuous_aggregate": SQL_CONTINUOUS_AGGREGATE_ORACLE,
+        "events_gapfill_interpolate": EVENTS_GAPFILL_INTERPOLATE_ORACLE,
         "corpus_classifier_curation": CLASSIFIER_CURATION_ORACLE,
     }

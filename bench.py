@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "events_resample_gapfill",
     "events_lttb_downsample",
     "sql_continuous_aggregate",
+    "events_gapfill_interpolate",
 ]
 
 
