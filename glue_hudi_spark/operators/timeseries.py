@@ -145,6 +145,7 @@ def lttb_downsample(
     ts_col: str,
     value_col: str,
     n_out: int = 100,
+    pack_buckets: int = 1024,
 ) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling, per key.
 
@@ -158,33 +159,42 @@ def lttb_downsample(
     The selection is inherently sequential WITHIN a key (each pick
     depends on the previous one), so this is the documented
     Pandas-UDF path (SURVEY §7.2: built-ins can't express it):
-    ``applyInPandas`` groups by key — one Arrow batch per key, numpy
-    vectorized per bucket inside. Scale contract: parallelism is across
-    keys; ONE key's series must fit a worker (the same contract as any
-    per-entity sequential model), and at 100 TB the per-key series for a
-    dashboard-sized query is bounded by retention x sample rate, not by
-    corpus size. Null values are dropped before selection (a NaN
-    triangle area would poison every comparison).
+    ``applyInPandas`` — numpy vectorized per bucket inside. Scale
+    contract: parallelism is across keys; ONE key's series must fit a
+    worker (the same contract as any per-entity sequential model), and
+    at 100 TB the per-key series for a dashboard-sized query is bounded
+    by retention x sample rate, not by corpus size. Null values are
+    dropped before selection (a NaN triangle area would poison every
+    comparison).
+
+    Many-tiny-keys regime (r11 verdict #3): grouping the Arrow exchange
+    BY KEY pays a fixed per-group Arrow/pandas tax — 36 s at 6M rows /
+    90k keys vs 7 s for the same rows under few keys. So the exchange
+    groups by ``xxhash64(keys) % pack_buckets`` instead: one pandas
+    batch carries ~keys/pack_buckets whole series, sorted ONCE by
+    (keys, ts); key runs are then contiguous slices found with numpy
+    (no per-key pandas objects at all), and only the inherently
+    sequential bucket loop runs per key. Per-group overhead is
+    amortized ~keys-per-bucket-fold. With few keys (fewer than
+    buckets) only non-empty buckets materialize, so the packed plan
+    degenerates to the per-key one; telemetry-shaped key counts
+    (millions) keep per-bucket payloads bounded by rows/buckets, and a
+    same-key series is never split across buckets.
     """
     import numpy as np
-    import pandas as pd  # noqa: F401 — applyInPandas contract
+    import pandas as pd
 
     if n_out < 3:
         raise ValueError("lttb_downsample: n_out must be >= 3")
+    if pack_buckets < 1:
+        raise ValueError("lttb_downsample: pack_buckets must be >= 1")
     proj = df.select(*keys, ts_col, value_col)
     schema = proj.schema
 
-    def _one(pdf):
-        pdf = pdf.dropna(subset=[ts_col, value_col]) \
-                 .sort_values(ts_col).reset_index(drop=True)
-        n = len(pdf)
-        if n <= n_out:
-            return pdf
-        x = pdf[ts_col].to_numpy()
-        if np.issubdtype(x.dtype, np.datetime64):
-            x = x.astype("datetime64[ns]").astype("int64")
-        x = x.astype("float64")
-        y = pdf[value_col].to_numpy(dtype="float64")
+    def _select(x, y):
+        """Pure-numpy LTTB over one key's (time-sorted) series; returns
+        the selected local indices, ascending."""
+        n = len(x)
         # bucket edges over the interior points [1, n-1)
         edges = np.linspace(1, n - 1, n_out - 1).astype("int64")
         sel = [0]
@@ -200,6 +210,35 @@ def lttb_downsample(
             area = np.abs((ax - cx) * (by - ay) - (ax - bx) * (cy - ay))
             sel.append(lo + int(area.argmax()))
         sel.append(n - 1)
-        return pdf.iloc[sel]
+        return np.asarray(sel, dtype="int64")
 
-    return proj.groupBy(*keys).applyInPandas(_one, schema)
+    def _packed(pdf):
+        pdf = pdf.drop(columns="_pack").dropna(subset=[ts_col, value_col])
+        if not len(pdf):
+            return pdf
+        pdf = pdf.sort_values([*keys, ts_col], kind="mergesort") \
+                 .reset_index(drop=True)
+        if len(keys) == 1:
+            codes, _ = pd.factorize(pdf[keys[0]], use_na_sentinel=False)
+        else:
+            codes, _ = pd.factorize(
+                pd.MultiIndex.from_frame(pdf[keys]), use_na_sentinel=False)
+        change = np.flatnonzero(np.diff(codes)) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(pdf)]))
+        x_all = pdf[ts_col].to_numpy()
+        if np.issubdtype(x_all.dtype, np.datetime64):
+            x_all = x_all.astype("datetime64[ns]").astype("int64")
+        x_all = x_all.astype("float64")
+        y_all = pdf[value_col].to_numpy(dtype="float64")
+        take = []
+        for s, e in zip(starts, ends):
+            if e - s <= n_out:
+                take.append(np.arange(s, e))
+            else:
+                take.append(_select(x_all[s:e], y_all[s:e]) + s)
+        return pdf.iloc[np.concatenate(take)]
+
+    packed = proj.withColumn(
+        "_pack", F.pmod(F.xxhash64(*keys), F.lit(int(pack_buckets))))
+    return packed.groupBy("_pack").applyInPandas(_packed, schema)
