@@ -32,7 +32,8 @@ Beyond single statements the dispatcher carries: multi-table
 transactions (``BEGIN``/``COMMIT``/``ROLLBACK`` with ``SAVEPOINT`` /
 ``ROLLBACK TO`` / ``RELEASE`` nesting), materialized views bound to the
 incremental-maintenance machinery (``CREATE/REFRESH/DROP MATERIALIZED
-VIEW``; ``'refresh'='auto'`` for eager per-statement maintenance),
+VIEW``; ``'refresh'='auto'`` for eager per-statement maintenance,
+``'refresh'='commit:N'`` for deferred every-Nth-commit batching),
 Delta-parity history reads (``VERSION/TIMESTAMP AS OF``,
 ``table_changes('t', from [, to])``), ``COPY INTO`` bookmarked file
 ingestion, ``CREATE TABLE ... SHALLOW CLONE``, ``RESTORE TABLE``,
@@ -53,6 +54,13 @@ from pyspark.sql import types as T
 from glue_hudi_spark.storage.native import NativeTable
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*|`[^`]+`"
+
+
+class TxnConflictError(RuntimeError):
+    """A foreign writer's commit landed on a table while this session
+    held an open BEGIN..COMMIT — the transaction's OCC head-check
+    failed. The open transaction is aborted; NOTHING was restored
+    (a ROLLBACK restore_to would delete the foreign commit)."""
 
 
 def _unq(name: str) -> str:
@@ -231,6 +239,13 @@ class GhsSql:
         # autocommit. See _begin/_commit_txn/_rollback.
         self._txn: dict[str, int] | None = None
         self._txn_created: set[str] = set()
+        # OCC head-check state: name -> head commit id as THIS session
+        # last observed it (BEGIN snapshot, refreshed after each of the
+        # transaction's own statements). COMMIT/ROLLBACK verify the
+        # actual heads still match — a mismatch means a FOREIGN writer
+        # interleaved and restore_to would clobber its commit; the
+        # transaction aborts with TxnConflictError instead.
+        self._txn_expected: dict[str, int] | None = None
         # name -> (heads-at-savepoint, created-at-savepoint); insertion
         # order = declaration order (ROLLBACK TO discards later ones)
         self._txn_savepoints: dict[str, tuple] = {}
@@ -278,7 +293,51 @@ class GhsSql:
                         # handle the error mid-flight)
                         self._rollback()
                     raise
+                if self._txn is not None:
+                    # refresh the OCC expectation to include this
+                    # statement's own commits (granularity = statement
+                    # boundary; see _occ_check)
+                    self._txn_expected = self._current_heads()
         return out
+
+    def _current_heads(self) -> dict[str, int]:
+        return {
+            name: (h.commit_id if (h := t.timeline.latest()) else 0)
+            for name, t in self.tables.items()
+        }
+
+    def _occ_check(self, op: str) -> None:
+        """OCC head-check (multi-writer honesty): BEGIN..COMMIT holds no
+        locks, so a foreign writer's commit landing mid-transaction
+        would be silently deleted by ROLLBACK's ``restore_to``. Before
+        COMMIT / ROLLBACK / ROLLBACK TO act, verify every registered
+        table's head is exactly what this session last observed (BEGIN
+        snapshot + its own statements). On divergence the transaction
+        aborts: state is cleared, NO table is restored (the only safe
+        choice — this session's statements are already durable
+        per-statement commits, and restoring would destroy the foreign
+        writer's), and TxnConflictError names the conflicting tables.
+        Granularity is the statement boundary: a foreign commit landing
+        DURING one of our statements is attributed to it."""
+        if self._txn is None or self._txn_expected is None:
+            return
+        dirty = [
+            f"{name} (head {cur}, expected "
+            f"{self._txn_expected.get(name, 0)})"
+            for name, cur in self._current_heads().items()
+            if cur != self._txn_expected.get(name, 0)
+        ]
+        if dirty:
+            self._txn, self._txn_created = None, set()
+            self._txn_savepoints = {}
+            self._txn_constraints = {}
+            self._txn_views = None
+            self._txn_expected = None
+            raise TxnConflictError(
+                f"ghs.sql: {op} aborted — concurrent writer detected on "
+                f"{', '.join(dirty)}; transaction state discarded, no "
+                "table restored (this session's statements remain as "
+                "ordinary commits; the foreign commit is preserved)")
 
     def _one(self, s: str) -> DataFrame | None:
         head = s.split(None, 2)[0].upper() if s.split() else ""
@@ -771,13 +830,18 @@ class GhsSql:
         ``timeline.restore_to`` (pure manifest truncation + orphan-file
         deletion) and removes tables CREATEd inside the transaction.
 
-        SINGLE-WRITER semantics, stated plainly: restore truncates the
+        MULTI-WRITER honesty (r11 verdict #5): restore truncates the
         timeline, so a FOREIGN writer's commit landing between BEGIN
-        and ROLLBACK on the same table would be rolled back with ours
-        — the same single-pipeline-owns-the-table assumption the
-        reference's driver loop makes (processData.py's per-table
-        sequential batches). Cross-process isolation needs a catalog
-        service (lakeFS-style ref store), out of scope by design.
+        and ROLLBACK on the same table would be rolled back with ours.
+        COMMIT / ROLLBACK / ROLLBACK TO therefore run an OCC
+        head-check (``_occ_check``): every registered table's head must
+        be exactly BEGIN-snapshot + this session's own statements;
+        on divergence the transaction aborts with ``TxnConflictError``
+        and restores NOTHING (this session's statements stay as the
+        ordinary durable commits they already are; the foreign commit
+        is preserved). True cross-process isolation still needs a
+        catalog service (lakeFS-style ref store), out of scope by
+        design — the check turns silent clobbering into a loud abort.
         DROP/VACUUM are rejected inside a transaction: they delete
         files restore cannot resurrect."""
         words = s.upper().split()
@@ -799,6 +863,7 @@ class GhsSql:
             name: list(t.constraints) for name, t in self.tables.items()}
         self._txn_views = dict(self.views)
         self._txn = heads
+        self._txn_expected = dict(heads)
         self._txn_created = set()
         self._txn_savepoints = {}
         return None
@@ -808,11 +873,13 @@ class GhsSql:
             raise ValueError(f"ghs.sql: cannot parse {s[:40]!r} — use "
                              "COMMIT [TRANSACTION]")
         self._require_txn("COMMIT")
+        self._occ_check("COMMIT")
         self._txn = None
         self._txn_created = set()
         self._txn_savepoints = {}
         self._txn_constraints = {}
         self._txn_views = None
+        self._txn_expected = None
         return None
 
     def _remove_created(self, names, heads: dict | None = None) -> None:
@@ -854,6 +921,7 @@ class GhsSql:
                     self.spark.catalog.dropTempView(name)
 
     def _rollback(self) -> None:
+        self._occ_check("ROLLBACK")
         txn, created = self._txn, self._txn_created
         # restore FIRST, clear the transaction record LAST: if a
         # restore_to raises mid-way (ref protection, I/O), the record
@@ -877,6 +945,7 @@ class GhsSql:
         self._txn_savepoints = {}
         self._txn_constraints = {}
         self._txn_views = None
+        self._txn_expected = None
         return None
 
     # ---- savepoints: nested rollback scopes inside an open transaction
@@ -932,6 +1001,7 @@ class GhsSql:
     def _rollback_to(self, sp: str) -> None:
         if sp not in self._txn_savepoints:
             raise ValueError(f"ghs.sql: unknown savepoint {sp!r}")
+        self._occ_check("ROLLBACK TO")
         heads, created_at_sp, cons_at_sp, views_at_sp = \
             self._txn_savepoints[sp]
         self._remove_created(self._txn_created - created_at_sp)
@@ -1231,7 +1301,7 @@ class GhsSql:
             return {"kind": "join", "fact": fact, "dim": dim,
                     "join_col": join_col, "dim_cols": dim_cols,
                     "cluster_by": props.get("clusterBy") or None,
-                    "auto": props.get("refresh", "").lower() == "auto",
+                    **self._refresh_props(props),
                     "query": q}
         am = self._MV_AGG.match(q)
         if not am:
@@ -1284,8 +1354,29 @@ class GhsSql:
         return {"kind": "agg", "base": base, "group_cols": group_cols,
                 "sum_col": sum_col,
                 **({"derive": derive} if derive else {}),
-                "auto": props.get("refresh", "").lower() == "auto",
+                **self._refresh_props(props),
                 "query": q}
+
+    @staticmethod
+    def _refresh_props(props: dict) -> dict:
+        """TBLPROPERTIES 'refresh' maintenance policy (r11 verdict #7):
+        absent/'' = manual (REFRESH MATERIALIZED VIEW on the user's
+        cadence), 'auto' = eager per-write-statement, 'commit:N' =
+        deferred batching — refresh only once N or more base commits
+        have landed past the view's watermark, amortizing maintenance
+        to 1/N of the write statements (per-write latency stops scaling
+        with the number of auto views at high commit rates)."""
+        mode = (props.get("refresh") or "").lower()
+        if not mode:
+            return {"auto": False}
+        if mode == "auto":
+            return {"auto": True}
+        m = re.fullmatch(r"commit:(\d+)", mode)
+        if m and int(m.group(1)) >= 1:
+            return {"auto": False, "every": int(m.group(1))}
+        raise ValueError(
+            f"ghs.sql: unknown refresh mode {props['refresh']!r} — "
+            "use 'auto' or 'commit:N' (N >= 1)")
 
     def _attach_mview(self, name: str, spec: dict):
         from glue_hudi_spark.streaming.materialized import (
@@ -1371,12 +1462,23 @@ class GhsSql:
         ('refresh'='auto') refreshes after EVERY write statement on a
         base table — always-fresh reads at per-statement refresh cost
         (each refresh is still the incremental O(changes) merge, so the
-        cost scales with the statement, not the view). Default stays
-        deferred: REFRESH MATERIALIZED VIEW on the user's cadence."""
+        cost scales with the statement, not the view).
+        ('refresh'='commit:N') defers to every Nth base commit: the
+        per-write cost is one metadata watermark check, bounding reads'
+        staleness at N-1 commits. Default stays manual: REFRESH
+        MATERIALIZED VIEW on the user's cadence."""
         name = _unq(name)
         for mv_name in self._mv_dependents(name):
-            if self._mv_specs[mv_name].get("auto"):
+            spec = self._mv_specs[mv_name]
+            if spec.get("auto"):
                 self.mviews[mv_name].refresh()
+            elif spec.get("every"):
+                # deferred batching ('commit:N'): a metadata-only
+                # watermark check per write; the incremental refresh
+                # runs once per N base commits
+                mv = self.mviews[mv_name]
+                if mv.pending_commits() >= spec["every"]:
+                    mv.refresh()
 
     # ------------------------------------------------------------- INSERT
 
@@ -2104,6 +2206,8 @@ class GhsSql:
                 props["dimCols"] = ",".join(spec["dim_cols"])
             if spec.get("auto"):
                 props["refresh"] = "auto"
+            elif spec.get("every"):
+                props["refresh"] = f"commit:{spec['every']}"
             stmt = f"CREATE MATERIALIZED VIEW {name}"
             if props:
                 stmt += "\nTBLPROPERTIES (" + ", ".join(

@@ -69,6 +69,20 @@ class MaterializedAgg:
             return None
         return latest.stats.get("view_of_commit")
 
+    def pending_commits(self) -> int:
+        """Base commits not yet absorbed by the view (head id minus the
+        recorded watermark; commit ids are head+1 sequential within a
+        timeline). A never-materialized view counts everything pending.
+        Drives the deferred ``refresh='commit:N'`` maintenance policy —
+        a metadata-only check (two manifest heads), no scan."""
+        latest = self.base.timeline.latest()
+        if latest is None:
+            return 0
+        since = self._last_refreshed()
+        if since is None:
+            return latest.commit_id
+        return max(0, latest.commit_id - since)
+
     def refresh(self) -> int | None:
         """Bring the view up to the base table's latest commit. Returns
         the new watermark (base commit id), or None when already fresh.
@@ -217,6 +231,20 @@ class MaterializedJoin:
             return None
         return (last.stats.get("join_of_fact_commit"),
                 last.stats.get("join_of_dim_commit"))
+
+    def pending_commits(self) -> int:
+        """Unabsorbed base commits across BOTH sides (fact + dim head
+        ids minus the recorded watermarks) — the deferred
+        ``refresh='commit:N'`` trigger. Metadata-only."""
+        f = self.fact.timeline.latest()
+        d = self.dim.timeline.latest()
+        if f is None and d is None:
+            return 0
+        wm = self._watermarks()
+        if wm is None or wm[0] is None:
+            return max(f.commit_id if f else 0, d.commit_id if d else 0)
+        return (max(0, (f.commit_id if f else 0) - (wm[0] or 0))
+                + max(0, (d.commit_id if d else 0) - (wm[1] or 0)))
 
     def refresh(self):
         """Bring the view to both base tables' heads. Returns the new

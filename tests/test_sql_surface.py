@@ -1664,3 +1664,123 @@ def test_uncache_if_exists_and_explain_keeps_pin(ghs, spark):
     """)
     assert "txncached" not in ghs._cached
     assert "txncached" not in ghs.tables
+
+
+# ---- OCC head-check: a foreign writer interleaving with an open
+# transaction must abort it loudly instead of being clobbered by
+# ROLLBACK's restore_to (r11 verdict #5)
+
+def _foreign_row(ghs):
+    return ghs.spark.sql(
+        "SELECT 'z' AS id, CAST(77.00 AS DECIMAL(10,2)) AS balance, "
+        "'eu' AS region, 2 AS seq")
+
+
+def test_txn_occ_rollback_preserves_foreign_commit(ghs):
+    """ROLLBACK after a foreign (Python-API) commit: TxnConflictError,
+    nothing restored — the foreign row AND this session's own
+    in-transaction statement both survive as ordinary commits."""
+    from glue_hudi_spark.sql import TxnConflictError
+
+    _mk(ghs)
+    ghs.sql("BEGIN")
+    ghs.sql("UPDATE accounts SET balance = 0 WHERE id = 'a'")
+    ghs.tables["accounts"].upsert(_foreign_row(ghs))  # racing writer
+    with pytest.raises(TxnConflictError, match="accounts"):
+        ghs.sql("ROLLBACK")
+    got = {r[0]: str(r[1]) for r in _rows(ghs)}
+    assert got["z"] == "77.00"  # foreign commit preserved
+    assert got["a"] == "0.00"   # own statement NOT restored
+    # transaction closed, session usable again
+    assert ghs._txn is None
+    ghs.sql("BEGIN; DELETE FROM accounts WHERE id = 'z'; COMMIT")
+    assert "z" not in {r[0] for r in _rows(ghs)}
+
+
+def test_txn_occ_commit_detects_conflict(ghs):
+    from glue_hudi_spark.sql import TxnConflictError
+
+    _mk(ghs)
+    ghs.sql("BEGIN")
+    ghs.sql("DELETE FROM accounts WHERE id = 'b'")
+    ghs.tables["accounts"].upsert(_foreign_row(ghs))
+    with pytest.raises(TxnConflictError, match="COMMIT aborted"):
+        ghs.sql("COMMIT")
+    assert ghs._txn is None
+    got = {r[0] for r in _rows(ghs)}
+    assert "z" in got and "b" not in got
+
+
+def test_txn_occ_savepoint_rollback_detects_conflict(ghs):
+    from glue_hudi_spark.sql import TxnConflictError
+
+    _mk(ghs)
+    ghs.sql("BEGIN; SAVEPOINT sp1")
+    ghs.sql("UPDATE accounts SET balance = 1 WHERE id = 'c'")
+    ghs.tables["accounts"].upsert(_foreign_row(ghs))
+    with pytest.raises(TxnConflictError, match="ROLLBACK TO"):
+        ghs.sql("ROLLBACK TO sp1")
+    assert ghs._txn is None
+
+
+def test_txn_occ_clean_lifecycle_unaffected(ghs):
+    """No foreign writer: BEGIN..ROLLBACK and BEGIN..COMMIT behave
+    exactly as before the OCC check existed."""
+    _mk(ghs)
+    ghs.sql("""
+        BEGIN;
+        UPDATE accounts SET balance = 0 WHERE id = 'a';
+        ROLLBACK
+    """)
+    assert str({r[0]: r[1] for r in _rows(ghs)}["a"]) == "10.00"
+    ghs.sql("""
+        BEGIN;
+        UPDATE accounts SET balance = 5 WHERE id = 'a';
+        COMMIT
+    """)
+    assert str({r[0]: r[1] for r in _rows(ghs)}["a"]) == "5.00"
+
+
+def test_mview_commit_n_deferred_refresh(ghs):
+    """TBLPROPERTIES ('refresh'='commit:N') — deferred batching (r11
+    verdict #7): the view stays stale (one metadata watermark check per
+    write, no refresh work) until N base commits have landed past its
+    watermark, then one incremental refresh absorbs the whole window."""
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE MATERIALIZED VIEW batched TBLPROPERTIES "
+            "('refresh'='commit:3') AS SELECT ck, COUNT(*) AS cnt, "
+            "SUM(amt) AS total FROM fact GROUP BY ck")
+    base_state = {(10, 2), (20, 1)}
+
+    def view():
+        return {(r.ck, r.cnt)
+                for r in ghs.sql("SELECT * FROM batched").collect()}
+
+    ghs.sql("INSERT INTO fact VALUES (4,30,1.0)")   # pending 1
+    assert view() == base_state                      # still deferred
+    ghs.sql("INSERT INTO fact VALUES (5,30,2.0)")   # pending 2
+    assert view() == base_state
+    ghs.sql("DELETE FROM fact WHERE ok = 2")        # pending 3 -> refresh
+    assert view() == {(10, 2), (30, 2)}
+    # window restarts: next write is pending 1 again
+    ghs.sql("INSERT INTO fact VALUES (6,40,9.0)")
+    assert view() == {(10, 2), (30, 2)}
+    # manual REFRESH still works mid-window
+    ghs.sql("REFRESH MATERIALIZED VIEW batched")
+    assert view() == {(10, 2), (30, 2), (40, 1)}
+
+
+def test_mview_commit_n_show_create_roundtrip(ghs):
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE MATERIALIZED VIEW batched TBLPROPERTIES "
+            "('refresh'='commit:5') AS SELECT ck, COUNT(*) AS cnt, "
+            "SUM(amt) AS total FROM fact GROUP BY ck")
+    stmt = ghs.sql("SHOW CREATE TABLE batched").first()[0]
+    assert "commit:5" in stmt
+    ghs.sql("DROP MATERIALIZED VIEW batched")
+    ghs.sql(stmt)  # the emitted statement re-executes
+    assert ghs._mv_specs["batched"].get("every") == 5
+    with pytest.raises(ValueError, match="refresh mode"):
+        ghs.sql("CREATE MATERIALIZED VIEW bad TBLPROPERTIES "
+                "('refresh'='hourly') AS SELECT ck, COUNT(*) AS cnt, "
+                "SUM(amt) AS total FROM fact GROUP BY ck")
