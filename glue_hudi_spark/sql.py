@@ -272,6 +272,13 @@ class GhsSql:
         self._cached: dict[str, DataFrame] = {}
 
     def register(self, name: str, table: NativeTable) -> None:
+        if name in self.tables:
+            # re-binding a live name: release the old table's CACHE
+            # TABLE pin and drop its view-cache key — a coincidental
+            # (commit_id, wall_time) match on the NEW table would
+            # otherwise keep serving the old table's pinned snapshot
+            self._release_cache(name)
+            self._view_cache.pop(name, None)
         self.tables[name] = table
 
     # ------------------------------------------------------------- entry
@@ -653,6 +660,10 @@ class GhsSql:
     # statistics (max rounded UP per the format spec) — safe for
     # pruning, but serving one as a MAX() answer would return a value
     # that exists in no row. String MIN/MAX falls through to the scan.
+    # float/double are safe ONLY because _stat_value drops NaN stats at
+    # indexing time (the file becomes unindexed for that column, so
+    # stats_extrema returns None and this path falls to the scan —
+    # where Spark's MAX correctly returns NaN-as-greatest).
     _STAT_TYPES: "dict[str, T.DataType]" = {
         "tinyint": T.ByteType(), "smallint": T.ShortType(),
         "int": T.IntegerType(), "bigint": T.LongType(),

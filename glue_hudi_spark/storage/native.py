@@ -215,10 +215,20 @@ def _stat_value(v):
     ISO strings (lexicographic == chronological). Types whose string
     form does NOT order correctly (Decimal, bytes) return None — the
     column simply isn't indexed for that file, which is always safe.
+
+    NaN returns None: Spark's parquet writer emits NaN-INCLUSIVE
+    min/max (measured: max=nan when any row is NaN), and NaN poisons
+    every ordered use — Python min()/max() over a list containing NaN
+    is position-dependent, range pruning with a NaN bound proves
+    nothing, and fast-agg MAX must be NaN whenever one exists (Spark
+    orders NaN greatest) which footer stats cannot distinguish from
+    'no NaN'. Unindexed-for-this-file is the only sound rendering.
     """
     import datetime as _dt
 
     if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, float) and v != v:  # NaN
         return None
     if isinstance(v, (int, float)):
         return v
@@ -3098,6 +3108,17 @@ class NativeTable:
                 return None
             los.append(s[0])
             his.append(s[1])
+        if all(isinstance(v, str) for v in los + his):
+            # date/timestamp stats are ISO strings; lexicographic order
+            # equals chronological only within ONE rendering. A session
+            # timezone change between commits can mix tz-aware
+            # ('…+00:00') and naive strings, so reduce on PARSED values
+            # (a mixed aware/naive comparison raises TypeError, which
+            # the fast-agg caller catches — falls through to the scan).
+            import datetime as _dt
+
+            return (min(los, key=_dt.datetime.fromisoformat),
+                    max(his, key=_dt.datetime.fromisoformat))
         return min(los), max(his)
 
     def describe_history(self) -> DataFrame:

@@ -201,3 +201,58 @@ def test_transaction_machinery_matches_model(spark, tmp_path_factory,
     got = {r["id"]: r["v"]
            for r in g.sql("SELECT id, v FROM t").collect()}
     assert got == state, (ops, got, state)
+
+
+# ---- string-typed prune columns (r11 verdict #8): literals carrying
+# quotes/escapes/AND/BETWEEN inside their values must never corrupt the
+# WHERE-derived prune bounds — pruned DELETE ≡ plain filter, always
+
+_adv_strings = [
+    "a'b", 'q"t', "x AND y", "BETWEEN", "z`d", "back\\slash", "",
+    "plain", "IN (1,2)", "O''Hara", "%wild_", "semi;colon", "ñ—µ",
+    "a AND b BETWEEN 'c' AND 'd'",
+]
+_str_lits = st.sampled_from(_adv_strings)
+_sops = st.sampled_from(["<", "<=", "=", ">", ">="])
+_sterm = st.one_of(
+    st.tuples(_sops, _str_lits).map(
+        lambda t: f"s {t[0]} {_sql_quote(t[1])}"),
+    st.tuples(_str_lits, _str_lits).map(
+        lambda t: f"s BETWEEN {_sql_quote(t[0])} AND {_sql_quote(t[1])}"),
+    st.lists(_str_lits, min_size=1, max_size=3).map(
+        lambda xs: f"s IN ({', '.join(_sql_quote(x) for x in xs)})"),
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(terms=st.lists(st.one_of(_term, _sterm), min_size=1, max_size=3))
+def test_string_prune_never_changes_delete_semantics(spark,
+                                                     tmp_path_factory,
+                                                     terms):
+    """Same contract as the int-typed property, with ``s`` a
+    stats-indexed STRING column whose values and whose predicate
+    literals contain quotes, escapes, doubled quotes, and embedded
+    AND/BETWEEN/IN keywords. _mask_literals must keep the keyword
+    regexes off the literal contents (and parquet footer string stats
+    stay prune-only — soundness, never served as answers)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from glue_hudi_spark.storage.native import NativeTable
+
+    wh = tmp_path_factory.mktemp("sprprop")
+    t = NativeTable(spark, wh / "t", record_keys=["id"],
+                    stats_cols=["b", "s"], sort_order=["b"],
+                    files_per_partition=4)
+    rows = [(i, i % 100, _adv_strings[i % len(_adv_strings)], (i * 7) % 50)
+            for i in range(200)]
+    data = spark.createDataFrame(rows, "id long, b long, s string, v long")
+    t.bulk_insert(data)
+    where = " AND ".join(terms)
+    expected = sorted(
+        r["id"] for r in data.filter(f"NOT ({where}) OR ({where}) IS NULL")
+        .collect())
+    g = GhsSql(spark, wh, tables={"t": t})
+    g.sql(f"DELETE FROM t WHERE {where}")
+    got = sorted(r["id"] for r in g.sql("SELECT id FROM t").collect())
+    assert got == expected

@@ -1784,3 +1784,76 @@ def test_mview_commit_n_show_create_roundtrip(ghs):
         ghs.sql("CREATE MATERIALIZED VIEW bad TBLPROPERTIES "
                 "('refresh'='hourly') AS SELECT ck, COUNT(*) AS cnt, "
                 "SUM(amt) AS total FROM fact GROUP BY ck")
+
+
+def test_fast_agg_nan_unindexes_file_and_scan_answers(ghs, spark):
+    """ADVICE r11: Spark's parquet writer emits NaN-INCLUSIVE footer
+    stats (max=nan), which would poison Python min/max reductions and
+    could serve a non-NaN MAX where a real scan returns NaN. The
+    indexer drops NaN stats (file unindexed for that column), so the
+    fast path falls through and the scan's NaN-is-greatest answer
+    wins."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    t = NativeTable(spark, ghs.warehouse / "nn", record_keys=["id"],
+                    stats_cols=["x"], files_per_partition=4)
+    t.bulk_insert(spark.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") == 3, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double")).alias("x")))
+    ghs.register("nn", t)
+    assert t.stats_extrema("x") is None  # NaN file unindexed -> unproven
+    r = ghs.sql("SELECT MIN(x) AS lo, MAX(x) AS hi FROM nn").first()
+    assert r.lo == 0.0
+    assert math.isnan(r.hi)  # Spark MAX: NaN greatest — scan semantics
+
+
+def test_stats_extrema_timestamp_reduction_parses_iso(ghs, spark):
+    """ADVICE r11: timestamp extrema reduce on PARSED datetimes, not
+    lexicographic ISO strings; a mixed aware/naive rendering raises
+    (and the fast-agg caller falls through) instead of serving a
+    chronologically wrong bound."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    t = NativeTable(spark, ghs.warehouse / "tt", record_keys=["id"],
+                    stats_cols=["ts"], files_per_partition=2)
+    t.bulk_insert(spark.range(10).select(
+        F.col("id"),
+        F.expr("timestamp '2024-06-01 12:00:00' + make_interval("
+               "0,0,0,0,0,0,id)").alias("ts")))
+    ghs.register("tt", t)
+    lo, hi = t.stats_extrema("ts")
+    assert lo.startswith("2024-06-01T12:00:00")
+    # corrupt one file's stats with a tz-aware rendering: the reduction
+    # must refuse (TypeError) rather than compare lexicographically
+    commit = t.timeline.latest()
+    f0 = commit.files[0]
+    commit.col_stats[f0]["ts"][1] = "2024-06-01T12:00:05+00:00"
+    with _pytest.raises(TypeError):
+        min(["2024-06-01T12:00:00", "2024-06-01T12:00:05+00:00"],
+            key=__import__("datetime").datetime.fromisoformat)
+    # and the SQL surface still answers through the scan
+    r = ghs.sql("SELECT COUNT(*) AS n FROM tt").first()
+    assert r.n == 10
+
+
+def test_register_rebind_releases_cache_pin(ghs, spark):
+    """ADVICE r11: register() over a live name releases the old CACHE
+    TABLE pin and view-cache key — the new table's snapshot is served,
+    never the old pinned one."""
+    from pyspark.sql import functions as F
+
+    t1 = NativeTable(spark, ghs.warehouse / "r1", record_keys=["id"])
+    t1.bulk_insert(spark.range(5).select("id"))
+    ghs.register("r", t1)
+    ghs.sql("CACHE TABLE r")
+    assert "r" in ghs._cached
+    t2 = NativeTable(spark, ghs.warehouse / "r2", record_keys=["id"])
+    t2.bulk_insert(spark.range(9).select("id"))
+    ghs.register("r", t2)
+    assert "r" not in ghs._cached  # pin released with the old binding
+    assert ghs.sql("SELECT COUNT(*) AS n FROM r").first().n == 9
