@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     "events_lttb_downsample",
     "sql_continuous_aggregate",
     "events_gapfill_interpolate",
+    # round-12 additions (canon probes excluded: constant literal rows,
+    # nothing to measure):
+    "cdc_split_upsert",
 ]
 
 
