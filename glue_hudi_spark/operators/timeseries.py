@@ -218,14 +218,20 @@ def lttb_downsample(
             return pdf
         pdf = pdf.sort_values([*keys, ts_col], kind="mergesort") \
                  .reset_index(drop=True)
-        if len(keys) == 1:
-            codes, _ = pd.factorize(pdf[keys[0]], use_na_sentinel=False)
+        if not keys:
+            # keys=[]: one global series — the whole batch is one run
+            starts = np.array([0])
+            ends = np.array([len(pdf)])
         else:
-            codes, _ = pd.factorize(
-                pd.MultiIndex.from_frame(pdf[keys]), use_na_sentinel=False)
-        change = np.flatnonzero(np.diff(codes)) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(pdf)]))
+            if len(keys) == 1:
+                codes, _ = pd.factorize(pdf[keys[0]], use_na_sentinel=False)
+            else:
+                codes, _ = pd.factorize(
+                    pd.MultiIndex.from_frame(pdf[keys]),
+                    use_na_sentinel=False)
+            change = np.flatnonzero(np.diff(codes)) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pdf)]))
         x_all = pdf[ts_col].to_numpy()
         if np.issubdtype(x_all.dtype, np.datetime64):
             x_all = x_all.astype("datetime64[ns]").astype("int64")
@@ -240,5 +246,7 @@ def lttb_downsample(
         return pdf.iloc[np.concatenate(take)]
 
     packed = proj.withColumn(
-        "_pack", F.pmod(F.xxhash64(*keys), F.lit(int(pack_buckets))))
+        "_pack",
+        F.pmod(F.xxhash64(*keys), F.lit(int(pack_buckets)))
+        if keys else F.lit(0))  # keys=[]: one global series, one bucket
     return packed.groupBy("_pack").applyInPandas(_packed, schema)

@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import json
 import re
+from contextlib import contextmanager
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -239,13 +240,16 @@ class GhsSql:
         # autocommit. See _begin/_commit_txn/_rollback.
         self._txn: dict[str, int] | None = None
         self._txn_created: set[str] = set()
-        # OCC head-check state: name -> head commit id as THIS session
-        # last observed it (BEGIN snapshot, refreshed after each of the
-        # transaction's own statements). COMMIT/ROLLBACK verify the
-        # actual heads still match — a mismatch means a FOREIGN writer
-        # interleaved and restore_to would clobber its commit; the
-        # transaction aborts with TxnConflictError instead.
-        self._txn_expected: dict[str, int] | None = None
+        # OCC writer identity: every commit published while one of THIS
+        # session's statements executes is stamped with this tag
+        # (storage.commits.WRITER_TAG). COMMIT/ROLLBACK/ROLLBACK TO walk
+        # each BEGIN-snapshot table's commits past its recorded head and
+        # verify every one carries the tag — an untagged/foreign commit
+        # means a concurrent writer interleaved and restore_to would
+        # clobber it; the transaction aborts with TxnConflictError.
+        import uuid
+
+        self._writer_tag = uuid.uuid4().hex[:12]
         # name -> (heads-at-savepoint, created-at-savepoint); insertion
         # order = declaration order (ROLLBACK TO discards later ones)
         self._txn_savepoints: dict[str, tuple] = {}
@@ -287,9 +291,12 @@ class GhsSql:
         """Execute one statement (or several, ``;``-separated, in
         order). Returns the last statement's DataFrame for reads, None
         for DDL/DML."""
+        from glue_hudi_spark.storage.commits import WRITER_TAG
+
         out = None
         for stmt in _split_top(_strip_comments(text), ";"):
             if stmt.strip():
+                token = WRITER_TAG.set(self._writer_tag)
                 try:
                     out = self._one(stmt.strip())
                 except Exception:
@@ -300,46 +307,70 @@ class GhsSql:
                         # handle the error mid-flight)
                         self._rollback()
                     raise
-                if self._txn is not None:
-                    # refresh the OCC expectation to include this
-                    # statement's own commits (granularity = statement
-                    # boundary; see _occ_check)
-                    self._txn_expected = self._current_heads()
+                finally:
+                    WRITER_TAG.reset(token)
         return out
 
-    def _current_heads(self) -> dict[str, int]:
-        return {
-            name: (h.commit_id if (h := t.timeline.latest()) else 0)
-            for name, t in self.tables.items()
-        }
+    @contextmanager
+    def tagged_writes(self):
+        """Opt a Python-API write INTO this session's transaction:
+        commits published inside the block carry the session's writer
+        tag, so the OCC ownership check treats them as the
+        transaction's own (restorable by ROLLBACK) instead of a foreign
+        writer's (protected — ROLLBACK aborts with TxnConflictError
+        rather than clobber them). The mixed SQL+Python-API shape
+        ``register()`` exists for, made explicit."""
+        from glue_hudi_spark.storage.commits import WRITER_TAG
+
+        token = WRITER_TAG.set(self._writer_tag)
+        try:
+            yield
+        finally:
+            WRITER_TAG.reset(token)
+
+    def _clear_txn_state(self) -> None:
+        self._txn, self._txn_created = None, set()
+        self._txn_savepoints = {}
+        self._txn_constraints = {}
+        self._txn_views = None
 
     def _occ_check(self, op: str) -> None:
-        """OCC head-check (multi-writer honesty): BEGIN..COMMIT holds no
-        locks, so a foreign writer's commit landing mid-transaction
-        would be silently deleted by ROLLBACK's ``restore_to``. Before
-        COMMIT / ROLLBACK / ROLLBACK TO act, verify every registered
-        table's head is exactly what this session last observed (BEGIN
-        snapshot + its own statements). On divergence the transaction
-        aborts: state is cleared, NO table is restored (the only safe
-        choice — this session's statements are already durable
+        """OCC ownership check (multi-writer honesty): BEGIN..COMMIT
+        holds no locks, so a foreign writer's commit landing anywhere
+        inside the transaction would be silently deleted by ROLLBACK's
+        ``restore_to``. Before COMMIT / ROLLBACK / ROLLBACK TO act, walk
+        each BEGIN-snapshot table's commits past its recorded head:
+        every one must carry THIS session's writer tag (stamped by
+        ``storage.commits.WRITER_TAG`` around every statement). An
+        untagged or other-tagged commit — wherever in the transaction it
+        landed, including between this session's own statements — aborts
+        the transaction: state is cleared, NO table is restored (the
+        only safe choice — this session's statements are already durable
         per-statement commits, and restoring would destroy the foreign
-        writer's), and TxnConflictError names the conflicting tables.
-        Granularity is the statement boundary: a foreign commit landing
-        DURING one of our statements is attributed to it."""
-        if self._txn is None or self._txn_expected is None:
+        writer's), and TxnConflictError names the conflicts. Tables
+        ``register()``ed mid-transaction are outside the BEGIN snapshot:
+        they are neither checked nor restored (documented scope — the
+        transaction protects the tables it began with). A session's own
+        partial commits from a statement that failed MID-statement stay
+        tagged, so the all-or-nothing error rollback still restores
+        them."""
+        if self._txn is None:
             return
-        dirty = [
-            f"{name} (head {cur}, expected "
-            f"{self._txn_expected.get(name, 0)})"
-            for name, cur in self._current_heads().items()
-            if cur != self._txn_expected.get(name, 0)
-        ]
+        dirty = []
+        for name, saved in self._txn.items():
+            t = self.tables.get(name)
+            if t is None:
+                continue
+            for c in t.timeline.history():
+                if c.commit_id <= saved:
+                    continue
+                tag = c.stats.get("writer")
+                if tag != self._writer_tag:
+                    dirty.append(
+                        f"{name} (commit {c.commit_id} by "
+                        f"{'untagged writer' if not tag else tag!r})")
         if dirty:
-            self._txn, self._txn_created = None, set()
-            self._txn_savepoints = {}
-            self._txn_constraints = {}
-            self._txn_views = None
-            self._txn_expected = None
+            self._clear_txn_state()
             raise TxnConflictError(
                 f"ghs.sql: {op} aborted — concurrent writer detected on "
                 f"{', '.join(dirty)}; transaction state discarded, no "
@@ -845,9 +876,13 @@ class GhsSql:
         timeline, so a FOREIGN writer's commit landing between BEGIN
         and ROLLBACK on the same table would be rolled back with ours.
         COMMIT / ROLLBACK / ROLLBACK TO therefore run an OCC
-        head-check (``_occ_check``): every registered table's head must
-        be exactly BEGIN-snapshot + this session's own statements;
-        on divergence the transaction aborts with ``TxnConflictError``
+        ownership check (``_occ_check``): every commit past a
+        BEGIN-snapshot table's recorded head must carry this session's
+        writer tag (stamped around every statement via
+        ``storage.commits.WRITER_TAG``) — a foreign commit is detected
+        wherever in the transaction it landed, not only after the last
+        statement; on divergence the transaction aborts with
+        ``TxnConflictError``
         and restores NOTHING (this session's statements stay as the
         ordinary durable commits they already are; the foreign commit
         is preserved). True cross-process isolation still needs a
@@ -874,7 +909,6 @@ class GhsSql:
             name: list(t.constraints) for name, t in self.tables.items()}
         self._txn_views = dict(self.views)
         self._txn = heads
-        self._txn_expected = dict(heads)
         self._txn_created = set()
         self._txn_savepoints = {}
         return None
@@ -885,12 +919,7 @@ class GhsSql:
                              "COMMIT [TRANSACTION]")
         self._require_txn("COMMIT")
         self._occ_check("COMMIT")
-        self._txn = None
-        self._txn_created = set()
-        self._txn_savepoints = {}
-        self._txn_constraints = {}
-        self._txn_views = None
-        self._txn_expected = None
+        self._clear_txn_state()
         return None
 
     def _remove_created(self, names, heads: dict | None = None) -> None:
@@ -952,11 +981,7 @@ class GhsSql:
             self.views = dict(self._txn_views)
             self._save_views()
             self._views_pending = set(self.views)
-        self._txn, self._txn_created = None, set()
-        self._txn_savepoints = {}
-        self._txn_constraints = {}
-        self._txn_views = None
-        self._txn_expected = None
+        self._clear_txn_state()
         return None
 
     # ---- savepoints: nested rollback scopes inside an open transaction

@@ -24,6 +24,7 @@ format here leaves room for that by versioning the manifest schema.)
 
 from __future__ import annotations
 
+import contextvars
 import json
 import os
 import re
@@ -31,6 +32,13 @@ import tempfile
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
+
+# Writer identity for commits published while the var is set (the SQL
+# layer sets it per statement). Purely informational metadata EXCEPT to
+# the transaction OCC check, which uses it to tell a session's own
+# in-transaction commits from a foreign writer's — see GhsSql._occ_check.
+WRITER_TAG: "contextvars.ContextVar[str | None]" = contextvars.ContextVar(
+    "ghs_writer_tag", default=None)
 
 COMMITS_DIR = "_commits"
 DATA_DIR = "data"
@@ -433,6 +441,9 @@ class CommitTimeline:
         id, where rename would silently clobber the winner's manifest and
         lose its files. On object stores the same role is played by a
         conditional put (if-none-match)."""
+        tag = WRITER_TAG.get()
+        if tag and "writer" not in commit.stats:
+            commit.stats["writer"] = tag
         self.commits_path.mkdir(parents=True, exist_ok=True)
         payload = json.dumps(self._payload(commit), indent=1)
         final = self.commits_path / f"{commit.commit_id:020d}.commit.json"

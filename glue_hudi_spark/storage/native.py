@@ -3108,6 +3108,12 @@ class NativeTable:
                 return None
             los.append(s[0])
             his.append(s[1])
+        if any(isinstance(v, float) and v != v for v in los + his):
+            # NaN stats written by a pre-NaN-aware indexer (current
+            # writes render NaN as unindexed in _stat_value): Python
+            # min()/max() over a NaN-bearing list is position-dependent,
+            # and a non-NaN bound cannot be proven — unprovable.
+            return None
         if all(isinstance(v, str) for v in los + his):
             # date/timestamp stats are ISO strings; lexicographic order
             # equals chronological only within ONE rendering. A session
@@ -3115,10 +3121,17 @@ class NativeTable:
             # ('…+00:00') and naive strings, so reduce on PARSED values
             # (a mixed aware/naive comparison raises TypeError, which
             # the fast-agg caller catches — falls through to the scan).
+            # Genuine STRING-column stats don't parse as ISO at all:
+            # fall back to the documented lexicographic bounds (safe for
+            # PRUNING only — possibly truncated; the fast-agg path never
+            # serves string extrema as answers).
             import datetime as _dt
 
-            return (min(los, key=_dt.datetime.fromisoformat),
-                    max(his, key=_dt.datetime.fromisoformat))
+            try:
+                return (min(los, key=_dt.datetime.fromisoformat),
+                        max(his, key=_dt.datetime.fromisoformat))
+            except ValueError:
+                return min(los), max(his)
         return min(los), max(his)
 
     def describe_history(self) -> DataFrame:

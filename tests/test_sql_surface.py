@@ -1215,12 +1215,14 @@ def test_txn_rollback_of_first_write_drops_stale_view(ghs, spark,
     (restore_to(0)); the temp view bound during the transaction must
     not keep resolving against the deleted files. SQL alone can't
     write a schema-less handle, so the first write lands through the
-    Python API mid-transaction — the mixed-use shape register()
-    exists for."""
+    Python API mid-transaction — inside ``tagged_writes()`` so the OCC
+    ownership check counts it as the transaction's own (an untagged
+    Python-API write is a protected FOREIGN commit since r12)."""
     t = NativeTable(spark, tmp_path / "fresh", record_keys=["id"])
     ghs.register("fresh", t)
     ghs.sql("BEGIN")
-    t.bulk_insert(spark.createDataFrame([(1, 2)], "id int, v int"))
+    with ghs.tagged_writes():
+        t.bulk_insert(spark.createDataFrame([(1, 2)], "id int, v int"))
     assert ghs.sql("SELECT count(*) AS n FROM fresh").first().n == 1
     ghs.sql("ROLLBACK")
     from pyspark.errors import AnalysisException
@@ -1857,3 +1859,108 @@ def test_register_rebind_releases_cache_pin(ghs, spark):
     ghs.register("r", t2)
     assert "r" not in ghs._cached  # pin released with the old binding
     assert ghs.sql("SELECT COUNT(*) AS n FROM r").first().n == 9
+
+
+def test_txn_occ_detects_foreign_commit_between_statements(ghs):
+    """Review r12: a foreign commit landing BETWEEN this session's
+    statements (not just after the last one) must still abort ROLLBACK —
+    ownership is checked per commit via the writer tag, so later own
+    statements cannot absorb the foreign head."""
+    from glue_hudi_spark.sql import TxnConflictError
+
+    _mk(ghs)
+    ghs.sql("BEGIN")
+    ghs.sql("UPDATE accounts SET balance = 0 WHERE id = 'a'")
+    ghs.tables["accounts"].upsert(_foreign_row(ghs))  # interleaved
+    ghs.sql("DELETE FROM accounts WHERE id = 'b'")    # own, AFTER foreign
+    with pytest.raises(TxnConflictError, match="untagged writer"):
+        ghs.sql("ROLLBACK")
+    got = {r[0] for r in _rows(ghs)}
+    assert "z" in got  # the foreign commit was preserved, not clobbered
+
+
+def test_txn_occ_register_mid_txn_no_spurious_conflict(ghs, spark):
+    """Review r12: a table register()ed mid-transaction is outside the
+    BEGIN snapshot — neither OCC-checked nor restored; COMMIT and
+    ROLLBACK proceed without a spurious conflict."""
+    _mk(ghs)
+    ghs.sql("BEGIN")
+    ghs.sql("UPDATE accounts SET balance = 0 WHERE id = 'a'")
+    t = NativeTable(spark, ghs.warehouse / "late", record_keys=["id"])
+    t.bulk_insert(ghs.spark.range(4).select("id"))
+    ghs.register("late", t)
+    ghs.sql("COMMIT")  # no TxnConflictError
+    assert str({r[0]: r[1] for r in _rows(ghs)}["a"]) == "0.00"
+    ghs.sql("BEGIN; DELETE FROM accounts WHERE id = 'c'; ROLLBACK")
+    assert "c" in {r[0] for r in _rows(ghs)}  # rollback still works
+
+
+def test_txn_error_rollback_restores_own_partial_commits(ghs, monkeypatch):
+    """Review r12: a statement that COMMITS to the base and then raises
+    (eager MV maintenance failing) leaves own-tagged partial commits;
+    the error-path rollback must treat them as ours and restore the
+    all-or-nothing BEGIN state — not misread them as a foreign
+    conflict."""
+    from glue_hudi_spark.streaming.materialized import MaterializedAgg
+
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE MATERIALIZED VIEW live TBLPROPERTIES "
+            "('refresh'='auto') AS SELECT ck, COUNT(*) AS cnt, "
+            "SUM(amt) AS total FROM fact GROUP BY ck")
+
+    def boom(self):
+        raise RuntimeError("maintenance exploded")
+
+    monkeypatch.setattr(MaterializedAgg, "refresh", boom)
+    with pytest.raises(RuntimeError, match="maintenance exploded"):
+        ghs.sql("""
+            BEGIN;
+            INSERT INTO fact VALUES (7,70,1.0);
+            COMMIT
+        """)
+    monkeypatch.undo()
+    # the INSERT's base commit (own, tagged) was restored — all-or-nothing
+    assert ghs._txn is None
+    assert ghs.sql("SELECT COUNT(*) AS n FROM fact WHERE ok = 7") \
+        .first().n == 0
+
+
+def test_stats_extrema_string_column_lexicographic(ghs, spark):
+    """Review r12: genuine STRING-column stats (not ISO renderings)
+    fall back to lexicographic bounds for direct API callers (pruning
+    use) instead of crashing in fromisoformat."""
+    t = NativeTable(spark, ghs.warehouse / "ss", record_keys=["id"],
+                    stats_cols=["s"], files_per_partition=2)
+    from pyspark.sql import functions as F
+    t.bulk_insert(spark.range(20).select(
+        "id", F.concat(F.lit("w"), F.col("id").cast("string")).alias("s")))
+    lo, hi = t.stats_extrema("s")
+    assert lo == "w0" and hi == "w9"  # lexicographic, documented
+
+
+def test_stats_extrema_legacy_nan_manifest_unproven(ghs, spark,
+                                                    monkeypatch):
+    """Review r12: a manifest written by a pre-NaN-aware indexer can
+    carry max=nan; stats_extrema must return None (unprovable), not a
+    position-dependent Python max()."""
+    from pyspark.sql import functions as F
+    t = NativeTable(spark, ghs.warehouse / "ln", record_keys=["id"],
+                    stats_cols=["x"], files_per_partition=2)
+    t.bulk_insert(spark.range(20).select(
+        "id", F.col("id").cast("double").alias("x")))
+    commit = t.timeline.latest()
+    f0 = sorted(commit.files)[0]
+    commit.col_stats[f0]["x"][1] = float("nan")  # doctored legacy stat
+    monkeypatch.setattr(t.timeline, "latest", lambda: commit)
+    assert t.stats_extrema("x") is None
+
+
+def test_tagged_writes_opt_in_is_restorable(ghs, spark):
+    """tagged_writes(): a Python-API write inside the block is the
+    transaction's own — ROLLBACK restores it without conflict."""
+    _mk(ghs)
+    ghs.sql("BEGIN")
+    with ghs.tagged_writes():
+        ghs.tables["accounts"].upsert(_foreign_row(ghs))
+    ghs.sql("ROLLBACK")  # no TxnConflictError
+    assert "z" not in {r[0] for r in _rows(ghs)}  # restored away
