@@ -9517,6 +9517,41 @@ ORDER BY source, rank
 """
 
 
+def events_lttb_anchors(spark, sf_dir):
+    """Oracle-gated slice of the LTTB surface (round-12):
+    ``events_lttb_downsample`` itself is rows-only by design (the
+    interior max-triangle selection is sequential, not
+    SQL-expressible), but the operator's ANCHOR contract is — the
+    first and last timestamp of every key must survive downsampling
+    exactly, and the output size must be min(n_out, series length).
+    This query runs the real downsampler and aggregates those three
+    facts per key; the oracle recomputes them from the raw events
+    (mirroring the operator's dropna), so the driver gate now hashes a
+    real LTTB property instead of only counting rows. First-contact
+    candidate for the r13 window."""
+    from glue_hudi_spark.operators.timeseries import lttb_downsample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("user_id", "ts", "value")
+    out = lttb_downsample(ev, keys=["user_id"], ts_col="ts",
+                          value_col="value", n_out=24)
+    return out.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+    )
+
+
+EVENTS_LTTB_ANCHORS_ORACLE = """
+SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       CAST(CASE WHEN COUNT(*) > 24 THEN 24 ELSE COUNT(*) END
+            AS BIGINT) AS n_points
+FROM events
+WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY user_id
+"""
+
+
 def cdc_split_upsert(spark, sf_dir):
     """Split-upsert routing (SURVEY C6; reference processData.py:348-366,
     ``cdc_split_upsert=yes``): 'I' rows route through bulk_insert (no
@@ -9789,6 +9824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canon_probe_scalar": canon_probe_scalar,
         "canon_probe_decimal": canon_probe_decimal,
         "cdc_split_upsert": cdc_split_upsert,
+        "events_lttb_anchors": events_lttb_anchors,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -10202,4 +10238,5 @@ def oracle_sql() -> dict[str, str]:
         "canon_probe_scalar": CANON_PROBE_SCALAR_ORACLE,
         "canon_probe_decimal": CANON_PROBE_DECIMAL_ORACLE,
         "cdc_split_upsert": CDC_SPLIT_UPSERT_ORACLE,
+        "events_lttb_anchors": EVENTS_LTTB_ANCHORS_ORACLE,
     }
