@@ -139,13 +139,25 @@ def resample_gapfill(
     return out.select(*cols)
 
 
+_PACK_COL = "__ghs_pack__"
+
+
+def derive_pack_buckets(n_rows: int, target_rows: int = 1_000_000) -> int:
+    """Default bucket count for the packed LTTB exchange: enough
+    buckets that one pandas batch carries ~``target_rows`` rows (so a
+    100x input can't silently build worker-OOM Arrow batches), floored
+    at 1024 (the measured sweet spot for amortizing per-group Arrow
+    overhead at probe scales)."""
+    return max(1024, -(-int(n_rows) // int(target_rows)))
+
+
 def lttb_downsample(
     df: DataFrame,
     keys: list[str],
     ts_col: str,
     value_col: str,
     n_out: int = 100,
-    pack_buckets: int = 1024,
+    pack_buckets: int | None = None,
 ) -> DataFrame:
     """Largest-Triangle-Three-Buckets downsampling, per key.
 
@@ -180,15 +192,30 @@ def lttb_downsample(
     degenerates to the per-key one; telemetry-shaped key counts
     (millions) keep per-bucket payloads bounded by rows/buckets, and a
     same-key series is never split across buckets.
+
+    ``pack_buckets=None`` (default) auto-sizes via
+    ``derive_pack_buckets``: one extra count of the projected input,
+    then ``max(1024, rows / 1M)`` — a batch targets ~1M rows, so a
+    100x caller can't silently build worker-OOM Arrow batches. Pass an
+    explicit int to skip the count (e.g. when the size is known).
     """
     import numpy as np
     import pandas as pd
 
     if n_out < 3:
         raise ValueError("lttb_downsample: n_out must be >= 3")
+    proj = df.select(*keys, ts_col, value_col)
+    if _PACK_COL in proj.columns:
+        raise ValueError(
+            f"lttb_downsample: input column {_PACK_COL!r} collides with "
+            "the packed exchange's helper column — rename it first")
+    if pack_buckets is None:
+        # auto-size from the input (one metadata-cheap count over the
+        # projected columns): target ~1M rows per pandas batch so the
+        # default survives a 100x scale-up without a caller-tuned knob
+        pack_buckets = derive_pack_buckets(proj.count())
     if pack_buckets < 1:
         raise ValueError("lttb_downsample: pack_buckets must be >= 1")
-    proj = df.select(*keys, ts_col, value_col)
     schema = proj.schema
 
     def _select(x, y):
@@ -213,7 +240,8 @@ def lttb_downsample(
         return np.asarray(sel, dtype="int64")
 
     def _packed(pdf):
-        pdf = pdf.drop(columns="_pack").dropna(subset=[ts_col, value_col])
+        pdf = pdf.drop(columns=_PACK_COL) \
+                 .dropna(subset=[ts_col, value_col])
         if not len(pdf):
             return pdf
         pdf = pdf.sort_values([*keys, ts_col], kind="mergesort") \
@@ -246,7 +274,7 @@ def lttb_downsample(
         return pdf.iloc[np.concatenate(take)]
 
     packed = proj.withColumn(
-        "_pack",
+        _PACK_COL,
         F.pmod(F.xxhash64(*keys), F.lit(int(pack_buckets)))
         if keys else F.lit(0))  # keys=[]: one global series, one bucket
-    return packed.groupBy("_pack").applyInPandas(_packed, schema)
+    return packed.groupBy(_PACK_COL).applyInPandas(_packed, schema)

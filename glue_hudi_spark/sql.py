@@ -299,13 +299,28 @@ class GhsSql:
                 token = WRITER_TAG.set(self._writer_tag)
                 try:
                     out = self._one(stmt.strip())
-                except Exception:
+                except Exception as exc:
                     if self._txn is not None:
                         # all-or-nothing inside an explicit transaction:
                         # a failing statement aborts the whole thing (the
                         # BEGIN; ...; COMMIT batch form has no way to
                         # handle the error mid-flight)
-                        self._rollback()
+                        try:
+                            self._rollback()
+                        except TxnConflictError as conflict:
+                            # a foreign commit blocks the abort-path
+                            # restore too: surface BOTH facts — chain
+                            # the conflict from the statement's own
+                            # error, and flag that the failed
+                            # statement's partial commits stay durable
+                            # (the documented all-or-nothing restore
+                            # could not run)
+                            raise TxnConflictError(
+                                f"{conflict} — raised while aborting a "
+                                f"failed statement ({exc!r}); that "
+                                "statement's partially-applied commits "
+                                "remain durable (no table restored)"
+                            ) from exc
                     raise
                 finally:
                     WRITER_TAG.reset(token)
@@ -342,8 +357,11 @@ class GhsSql:
         each BEGIN-snapshot table's commits past its recorded head:
         every one must carry THIS session's writer tag (stamped by
         ``storage.commits.WRITER_TAG`` around every statement). An
-        untagged or other-tagged commit — wherever in the transaction it
-        landed, including between this session's own statements — aborts
+        untagged or other-tagged commit observed at check time — the
+        timeline is lock-free, so a foreign commit landing AFTER this
+        walk but before the restore completes is inherently racy;
+        ``_restore_heads`` re-verifies per table immediately before
+        each ``restore_to`` to shrink (not close) that window — aborts
         the transaction: state is cleared, NO table is restored (the
         only safe choice — this session's statements are already durable
         per-statement commits, and restoring would destroy the foreign
@@ -361,9 +379,9 @@ class GhsSql:
             t = self.tables.get(name)
             if t is None:
                 continue
-            for c in t.timeline.history():
-                if c.commit_id <= saved:
-                    continue
+            # history(since=saved) skips the pre-BEGIN prefix by
+            # filename — O(txn commits) manifest parses, not O(retained)
+            for c in t.timeline.history(since=saved):
                 tag = c.stats.get("writer")
                 if tag != self._writer_tag:
                     dirty.append(
@@ -953,6 +971,23 @@ class GhsSql:
                 continue
             h = t.timeline.latest()
             if (h.commit_id if h else 0) != saved:
+                # TOCTOU shrink: _occ_check ran before this loop, but
+                # the timeline is lock-free — re-verify THIS table's
+                # post-snapshot commits are all ours immediately before
+                # truncating them. A foreign commit that raced in since
+                # the check aborts here (tables earlier in the loop are
+                # already restored — the residual partiality inherent
+                # to a filesystem timeline without locks).
+                foreign = [
+                    c.commit_id for c in t.timeline.history(since=saved)
+                    if c.stats.get("writer") != self._writer_tag]
+                if foreign:
+                    self._clear_txn_state()
+                    raise TxnConflictError(
+                        f"ghs.sql: restore of {name!r} aborted — "
+                        f"foreign commit(s) {foreign} landed after the "
+                        "conflict check; this table is NOT restored "
+                        "(the foreign writer's commits are preserved)")
                 t.timeline.restore_to(saved)
                 self._view_cache.pop(name, None)
                 if saved == 0:

@@ -230,8 +230,17 @@ class CommitTimeline:
                 best = c
         return best
 
-    def history(self) -> list[Commit]:
-        return [self._load(p) for p in self._manifest_paths()]
+    def history(self, since: int = 0) -> list[Commit]:
+        """Commits in id order. ``since`` skips manifests with
+        commit_id <= since BY FILENAME (ids are zero-padded, so a
+        string compare on the name suffices) — no JSON parse of the
+        already-seen prefix, keeping OCC checks O(txn commits) instead
+        of O(retained commits)."""
+        paths = self._manifest_paths()
+        if since:
+            tok = f"{since:020d}"
+            paths = [p for p in paths if p.name.split(".", 1)[0] > tok]
+        return [self._load(p) for p in paths]
 
     # (path, size, mtime_ns) -> Commit. Manifests are immutable once
     # published (atomic link; never rewritten in place), so identity by

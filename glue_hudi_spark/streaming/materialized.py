@@ -242,7 +242,11 @@ class MaterializedJoin:
             return 0
         wm = self._watermarks()
         if wm is None or wm[0] is None:
-            return max(f.commit_id if f else 0, d.commit_id if d else 0)
+            # never refreshed: every base commit on BOTH sides is
+            # pending — sum (missing watermark = 0), consistent with
+            # the steady-state branch below, so a 'commit:N' trigger
+            # counts the same metric before and after first refresh
+            return (f.commit_id if f else 0) + (d.commit_id if d else 0)
         return (max(0, (f.commit_id if f else 0) - (wm[0] or 0))
                 + max(0, (d.commit_id if d else 0) - (wm[1] or 0)))
 

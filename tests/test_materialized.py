@@ -426,3 +426,22 @@ def test_agg_refresh_deletes_emptied_groups_and_touch(spark, tmp_path):
     assert view.refresh() is not None
     assert view.state.timeline.latest().action == "watermark"
     assert view.refresh() is None  # converged early-exit
+
+
+def test_join_pending_commits_consistent_before_first_refresh(
+        spark, tmp_path):
+    """r12 ADVICE materialized.py:244: never-refreshed views must count
+    pending base commits the same way the steady state does — SUM of
+    both sides (missing watermark = 0), not max — so a 'commit:N'
+    trigger fires after the same N combined commits in both states."""
+    fact, dim, mj = _mk_join_pair(spark, tmp_path)
+    # one bulk_insert each side: fact head 1 + dim head 1
+    assert mj.pending_commits() == 2
+    fact.upsert(spark.createDataFrame(
+        [(200, 1, 3.0, 1)], "oid long, ckey long, amt double, seq int"))
+    assert mj.pending_commits() == 3  # 2 + 1, summed pre-watermark
+    mj.refresh()
+    assert mj.pending_commits() == 0
+    dim.upsert(spark.createDataFrame(
+        [(1, "one", 2)], "ckey long, name string, seq int"))
+    assert mj.pending_commits() == 1  # steady state: same metric

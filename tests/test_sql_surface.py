@@ -1964,3 +1964,87 @@ def test_tagged_writes_opt_in_is_restorable(ghs, spark):
         ghs.tables["accounts"].upsert(_foreign_row(ghs))
     ghs.sql("ROLLBACK")  # no TxnConflictError
     assert "z" not in {r[0] for r in _rows(ghs)}  # restored away
+
+
+def test_txn_error_rollback_with_foreign_commit_chains_conflict(
+        ghs, monkeypatch):
+    """r12 ADVICE sql.py:308: a statement failing mid-flight while a
+    foreign commit is present must NOT mask the original error — the
+    abort-path TxnConflictError chains from it (__cause__) and states
+    that the failed statement's partial commits stay durable."""
+    from glue_hudi_spark.sql import TxnConflictError
+    from glue_hudi_spark.streaming.materialized import MaterializedAgg
+
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE MATERIALIZED VIEW live2 TBLPROPERTIES "
+            "('refresh'='auto') AS SELECT ck, COUNT(*) AS cnt, "
+            "SUM(amt) AS total FROM fact GROUP BY ck")
+    # the racing writer lands FIRST, then a statement commits to the
+    # base and raises during eager MV maintenance
+    ghs.sql("BEGIN")
+    ghs.tables["fact"].upsert(ghs.spark.sql(
+        "SELECT CAST(99 AS BIGINT) AS ok, CAST(10 AS BIGINT) AS ck, "
+        "CAST(1.5 AS DOUBLE) AS amt"))
+
+    def boom(self):
+        raise RuntimeError("maintenance exploded")
+
+    monkeypatch.setattr(MaterializedAgg, "refresh", boom)
+    with pytest.raises(TxnConflictError,
+                       match="partially-applied") as ei:
+        ghs.sql("INSERT INTO fact VALUES (7,70,1.0)")
+    monkeypatch.undo()
+    # chained from the statement's own error, not swallowed
+    assert isinstance(ei.value.__cause__, RuntimeError)
+    assert "maintenance exploded" in str(ei.value.__cause__)
+    # nothing restored: the foreign row AND the partial INSERT survive
+    assert ghs._txn is None
+    keys = {r.ok for r in ghs.sql("SELECT ok FROM fact").collect()}
+    assert 99 in keys and 7 in keys
+
+
+def test_txn_restore_reverifies_head_before_truncate(ghs, monkeypatch):
+    """r12 ADVICE sql.py:337 (TOCTOU): a foreign commit landing AFTER
+    _occ_check's walk but before restore_to must still abort the
+    restore — _restore_heads re-verifies per table. Simulated by
+    no-op'ing the up-front check so the foreign commit is only visible
+    at restore time."""
+    from glue_hudi_spark.sql import TxnConflictError
+
+    _mk(ghs)
+    ghs.sql("BEGIN")
+    ghs.sql("UPDATE accounts SET balance = 0 WHERE id = 'a'")
+    monkeypatch.setattr(ghs, "_occ_check", lambda op: None)
+    ghs.tables["accounts"].upsert(_foreign_row(ghs))  # races past check
+    with pytest.raises(TxnConflictError, match="landed after"):
+        ghs.sql("ROLLBACK")
+    assert ghs._txn is None
+    got = {r[0]: str(r[1]) for r in _rows(ghs)}
+    assert got["z"] == "77.00"  # foreign commit preserved, not truncated
+
+
+def test_timeline_history_since_skips_prefix_by_filename(ghs):
+    """history(since=n) returns only commits with id > n and never
+    parses the skipped manifests (OCC hot path is O(txn commits))."""
+    from glue_hudi_spark.storage.commits import CommitTimeline
+
+    _mk(ghs)
+    ghs.sql("UPDATE accounts SET balance = 1 WHERE id = 'a'")
+    ghs.sql("UPDATE accounts SET balance = 2 WHERE id = 'a'")
+    tl = ghs.tables["accounts"].timeline
+    ids = [c.commit_id for c in tl.history()]
+    assert ids == sorted(ids) and len(ids) >= 3
+    assert [c.commit_id for c in tl.history(since=ids[0])] == ids[1:]
+    assert tl.history(since=ids[-1]) == []
+    # the skipped prefix is filtered by NAME — _load never sees it
+    seen = []
+    orig = CommitTimeline._load
+
+    def spy(self, path):
+        seen.append(path.name)
+        return orig(self, path)
+
+    import unittest.mock as mock
+    with mock.patch.object(CommitTimeline, "_load", spy):
+        tl.history(since=2)
+    assert all(name.split(".", 1)[0] > f"{2:020d}" for name in seen)

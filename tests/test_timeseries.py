@@ -110,6 +110,26 @@ def test_lttb_short_series_and_multi_key(spark):
         lttb_downsample(short, ["k"], "ts", "v", n_out=2)
 
 
+def test_lttb_pack_buckets_autoderive_and_collision_guard(spark):
+    """pack_buckets=None derives max(1024, rows/1M); a reserved helper
+    column in the input raises instead of silently corrupting grouping
+    (r12 ADVICE: the old literal '_pack' name was clobber-able)."""
+    from glue_hudi_spark.operators.timeseries import (
+        _PACK_COL, derive_pack_buckets, lttb_downsample)
+
+    assert derive_pack_buckets(0) == 1024
+    assert derive_pack_buckets(60_000_000) == 1024
+    assert derive_pack_buckets(2_000_000_000) == 2000
+    assert derive_pack_buckets(2_000_000_001) == 2001
+
+    df = _series(spark, 50)
+    # auto-derived default runs end-to-end (the count pass + floor)
+    assert lttb_downsample(df, ["k"], "ts", "v", n_out=10).count() == 10
+    clash = df.withColumnRenamed("v", _PACK_COL)
+    with pytest.raises(ValueError, match="collides"):
+        lttb_downsample(clash, ["k"], "ts", _PACK_COL, n_out=10)
+
+
 def test_gapfill_matches_plain_groupby_property(spark):
     """Property (hypothesis-lite over a seeded grid of shapes): on the
     dense grid, non-gap buckets must equal the plain groupBy aggregate,
