@@ -9552,6 +9552,175 @@ GROUP BY user_id
 """
 
 
+def sql_gapfill(spark, sf_dir):
+    """SQL time-series surface (round-13; r12 verdict #4): TimescaleDB's
+    ``time_bucket_gapfill`` + ``locf`` reachable from the engine's SQL
+    face — ``sql.py:_rewrite_timeseries`` rewrites the TVF to the
+    existing ``operators/timeseries.resample_gapfill`` (no second
+    implementation), binding a dense per-key grid view any plain SQL
+    can select from. The query drives the full SQL path: CREATE TABLE →
+    INSERT (NativeTable storage) → TVF read; the oracle recomputes the
+    grid + carry-forward in DuckDB. Output shapes follow the registry's
+    proven driver-green canon: decimal-internal sums CAST to DOUBLE,
+    ``is_gap`` to INT, DATE bucket."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("user_id") % 4 == 1) \
+        .select("event_id", "user_id", "ts",
+                F.col("value").cast("decimal(18,6)").alias("v")) \
+        .createOrReplaceTempView("gf_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqlgf_"))
+    ghs.sql("""
+        CREATE TABLE gf_events (event_id BIGINT, user_id BIGINT,
+                                ts TIMESTAMP, v DECIMAL(18,6))
+            USING ghs_table TBLPROPERTIES ('primaryKey'='event_id');
+        INSERT INTO gf_events SELECT * FROM gf_src_v
+    """)
+    return ghs.sql("""
+        SELECT user_id, CAST(bucket AS DATE) AS day,
+               CAST(day_value AS DOUBLE) AS day_value,
+               CAST(day_value_locf AS DOUBLE) AS locf_value,
+               CAST(is_gap AS INT) AS is_gap
+        FROM time_bucket_gapfill('gf_events', 'day', 'ts', 'user_id',
+                                 'sum(v) AS day_value')
+    """)
+
+
+SQL_GAPFILL_ORACLE = """
+WITH src AS (
+  SELECT user_id, ts, CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE user_id % 4 = 1 AND ts IS NOT NULL
+),
+obs AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(SUM(v) AS DOUBLE) AS day_value
+  FROM src GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM obs GROUP BY 1),
+grid AS (
+  SELECT s.user_id, CAST(gs.d AS DATE) AS day
+  FROM span s,
+       LATERAL (SELECT unnest(generate_series(CAST(s.lo AS TIMESTAMP),
+                                              CAST(s.hi AS TIMESTAMP),
+                                              INTERVAL 1 DAY)) AS d) gs
+)
+SELECT g.user_id, g.day, o.day_value,
+       LAST_VALUE(o.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value,
+       CAST((o.day IS NULL) AS INT) AS is_gap
+FROM grid g
+LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day
+"""
+
+
+def sql_lttb(spark, sf_dir):
+    """SQL LTTB TVF (round-13; r12 verdict #4): ``lttb('t', ts, value,
+    n[, keys])`` on the SQL face, rewriting to
+    ``operators/timeseries.lttb_downsample`` (packed Arrow exchange,
+    auto-sized buckets). The interior max-triangle selection is
+    sequential and not SQL-expressible, so — like
+    ``events_lttb_anchors`` — the driver gate hashes the operator's
+    ANCHOR contract computed FROM the TVF's output: per key, the first
+    and last timestamps survive exactly and the output size is
+    min(n_out, series length). The oracle recomputes those facts from
+    the raw events (mirroring the operator's dropna)."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .filter(F.col("user_id") % 2 == 0) \
+        .select("event_id", "user_id", "ts",
+                F.col("value").cast("double").alias("value")) \
+        .createOrReplaceTempView("lt_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqllt_"))
+    ghs.sql("""
+        CREATE TABLE lt_events (event_id BIGINT, user_id BIGINT,
+                                ts TIMESTAMP, value DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='event_id');
+        INSERT INTO lt_events SELECT * FROM lt_src_v
+    """)
+    return ghs.sql("""
+        SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM lttb('lt_events', 'ts', 'value', 24, 'user_id')
+        GROUP BY user_id
+    """)
+
+
+SQL_LTTB_ORACLE = """
+SELECT user_id, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       CAST(CASE WHEN COUNT(*) > 24 THEN 24 ELSE COUNT(*) END
+            AS BIGINT) AS n_points
+FROM events
+WHERE user_id % 2 = 0 AND ts IS NOT NULL AND value IS NOT NULL
+GROUP BY user_id
+"""
+
+
+def sql_changes_window(spark, sf_dir):
+    """Windowed read over the change feed in ONE SQL statement (round-13;
+    r12 verdict #8 surface): ``table_changes('t', 1)`` binds the CDF
+    view and a plain window function ranks each key's change rows by
+    commit version — latest-change-per-key, the shape an incremental
+    consumer uses to fold a CDC window into current state. Drives the
+    full SQL lifecycle (CREATE → INSERT → UPDATE wave → DELETE wave)
+    and the per-version attribution contract: updates emit both images
+    at the update commit's version, deletes the deleted state at the
+    delete commit's version. Tie-break inside an update commit is
+    lexicographic on ``_change_type`` ASC, so 'update_postimage' wins —
+    the state AFTER the change. Commit ids: CREATE=1 (schema commit),
+    INSERT=2, UPDATE=3, DELETE=4 — the window opens after the initial
+    load, so insert rows stay out and the oracle pins versions 3/4."""
+    from glue_hudi_spark.sql import GhsSql
+
+    spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .select("event_id", "user_id",
+                F.col("value").cast("double").alias("value")) \
+        .createOrReplaceTempView("cw_src_v")
+    ghs = GhsSql(spark, _scratch_dir("sqlcw_"))
+    ghs.sql("""
+        CREATE TABLE cw_events (event_id BIGINT, user_id BIGINT,
+                                value DOUBLE)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='event_id');
+        INSERT INTO cw_events SELECT * FROM cw_src_v;
+        UPDATE cw_events SET value = value + 500.0
+            WHERE event_id % 40 = 0;
+        DELETE FROM cw_events WHERE event_id % 70 = 0
+    """)
+    return ghs.sql("""
+        SELECT event_id, last_change, last_version FROM (
+            SELECT event_id, _change_type AS last_change,
+                   CAST(_commit_version AS BIGINT) AS last_version,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_id
+                       ORDER BY _commit_version DESC,
+                                _change_type ASC) AS rn
+            FROM table_changes('cw_events', 2)
+        ) WHERE rn = 1
+    """)
+
+
+SQL_CHANGES_WINDOW_ORACLE = """
+WITH changes AS (
+  SELECT event_id, 'update_preimage' AS ct, 3 AS v
+  FROM events WHERE event_id % 40 = 0
+  UNION ALL
+  SELECT event_id, 'update_postimage', 3
+  FROM events WHERE event_id % 40 = 0
+  UNION ALL
+  SELECT event_id, 'delete', 4 FROM events WHERE event_id % 70 = 0
+)
+SELECT event_id, ct AS last_change, CAST(v AS BIGINT) AS last_version
+FROM (
+  SELECT event_id, ct, v,
+         ROW_NUMBER() OVER (PARTITION BY event_id
+                            ORDER BY v DESC, ct ASC) AS rn
+  FROM changes
+) WHERE rn = 1
+"""
+
+
 def cdc_split_upsert(spark, sf_dir):
     """Split-upsert routing (SURVEY C6; reference processData.py:348-366,
     ``cdc_split_upsert=yes``): 'I' rows route through bulk_insert (no
@@ -9726,71 +9895,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # DRIVER WINDOW (first 50 keys): the driver's CORRECTNESS gate samples the
 # registry's first 50 keys in order — rotated each round by reordering the
-# full dict against this list. Round 12 priorities (r11 verdict #1/#2/#6):
-#   1-2  canon probes (NEW) — bisect the r11 hash-red mystery: scalar
-#        probe = proven-green type classes, decimal probe = the suspect
-#        classes; literal rows on both sides, so red == environment skew.
-#   3-7  the five r11 hash-red queries, re-typed to the registry's proven
-#        driver-green output shapes (decimal-internal, DOUBLE-out; INT
-#        is_gap; DECIMAL(12,2) base columns).
-#   8-9  first driver contact ever: events_gapfill_interpolate,
-#        events_lttb_downsample (rows-only by design).
-#   10   cdc_split_upsert (NEW) — the one §2 row that was pytest-only.
-#   11-19 the nine queries deferred twice (r06/r07-era evidence).
-#   20-50 the 31 alphabetically-first queries whose freshest driver
-#        evidence is r08 (ann_*, cdc_* lifecycle — includes the two
-#        bench-regression suspects ann_index_persisted/dedup_index_probe).
+# full dict against this list. Round 13 priorities (r12 verdict #1-3):
+#   1    events_lttb_anchors — the one registry entry with zero driver
+#        contact (committed after the r12 run); the oracle-gated anchor
+#        contract that de-weakens rows-only events_lttb_downsample.
+#   2-4  first contact: the NEW SQL time-series surface (sql_gapfill,
+#        sql_lttb — sql.py:_rewrite_timeseries TVFs) and the windowed
+#        change-feed read (sql_changes_window — verdict #8).
+#   5    canon_probe_scalar stays as the environment sentinel.
+#        canon_probe_decimal is RETIRED from the window (verdict #2):
+#        its job is done — the r12 green-scalar/red-decimal split
+#        proved the decimal-final hash skew is driver-sandbox
+#        canonicalization, not semantics. The conclusion stands as the
+#        registry-wide "never DECIMAL-final" rule; the probe remains in
+#        the registry for local bisection if reds ever recur.
+#   6-23 the 18 queries whose last driver contact is r08 (oldest-first
+#        rotation debt, verdict #3).
+#   24-50 the 27 alphabetically-first queries whose last contact is r09
+#        (the remaining 23 r09 entries rotate in r14).
 _DRIVER_WINDOW = [
+    "events_lttb_anchors",
+    "sql_gapfill",
+    "sql_lttb",
+    "sql_changes_window",
     "canon_probe_scalar",
-    "canon_probe_decimal",
-    "sql_materialized_view",
-    "sql_stored_views",
-    "sql_auto_refresh_mv",
-    "events_resample_gapfill",
-    "sql_continuous_aggregate",
-    "events_gapfill_interpolate",
-    "events_lttb_downsample",
-    "cdc_split_upsert",
-    "text_repetition",
-    "copurchase_triangles",
-    "corpus_top_bigrams",
-    "text_commonness",
-    "corpus_zipf_fit",
-    "events_entropy_profile",
-    "orders_seasonality",
-    "lineitem_winsorized_stats",
-    "customer_rfm_segments",
-    "ann_cosine_topk",
-    "ann_index_persisted",
-    "ann_ivf_kmeans",
-    "ann_ivf_topk",
-    "ann_lsh_bucketed",
-    "brand_nation_lift",
-    "cdc_branch_wap",
-    "cdc_column_mapping",
-    "cdc_concurrent_writers",
-    "cdc_deletion_vectors",
-    "cdc_global_index",
-    "cdc_hidden_partitioning",
-    "cdc_merge_full_sync",
-    "cdc_merge_into",
-    "cdc_partition_evolution",
-    "cdc_sorted_scan",
-    "cdc_table_changes",
-    "cdc_table_merge",
-    "cdc_table_merge_mor",
-    "corpus_bpe_merges",
-    "corpus_curriculum",
-    "corpus_dsir_weights",
-    "corpus_span_dedup",
-    "corpus_tfidf_keywords",
-    "customer_reorder_gaps",
-    "dedup_containment",
-    "dedup_index_probe",
-    "dedup_keep_best",
-    "events_cusum_drift",
-    "events_debounce",
-    "events_kmv_intersection",
+    "events_psi_drift",
+    "events_range_window",
+    "events_user_trend",
+    "events_weekday_hour_heatmap",
+    "lineitem_grouping_sets",
+    "lineitem_unpivot",
+    "multimodal_frame_sample",
+    "multimodal_image_meta",
+    "nation_trade_communities",
+    "orders_above_customer_avg",
+    "orders_backlog_aging",
+    "orders_cohort_ltv",
+    "orders_distribution_funcs",
+    "orders_kaplan_meier",
+    "orders_price_histogram",
+    "orders_setops",
+    "part_price_regression",
+    "text_fingerprint",
+    "cdc_add_column_default",
+    "cdc_bloom_scattered_upsert",
+    "cdc_filter_deletes",
+    "cdc_filter_inserts",
+    "cdc_filter_non_deletes",
+    "cdc_filter_updates",
+    "cdc_incremental_read",
+    "cdc_merge_sql",
+    "cdc_point_lookup",
+    "cdc_project_drop",
+    "cdc_pruned_read",
+    "cdc_rename_lowercase",
+    "cdc_replicated_table",
+    "cdc_retention_delete",
+    "cdc_type_widening",
+    "cdc_window_dedup",
+    "corpus_train_classifier",
+    "dedup_cluster_keep_one",
+    "dedup_embedding_cluster",
+    "dedup_embedding_cosine",
+    "dedup_embedding_multiband",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "events_asof_join",
+    "events_asof_tolerance",
 ]
 
 
@@ -9825,6 +9998,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canon_probe_decimal": canon_probe_decimal,
         "cdc_split_upsert": cdc_split_upsert,
         "events_lttb_anchors": events_lttb_anchors,
+        "sql_gapfill": sql_gapfill,
+        "sql_lttb": sql_lttb,
+        "sql_changes_window": sql_changes_window,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -10239,4 +10415,7 @@ def oracle_sql() -> dict[str, str]:
         "canon_probe_decimal": CANON_PROBE_DECIMAL_ORACLE,
         "cdc_split_upsert": CDC_SPLIT_UPSERT_ORACLE,
         "events_lttb_anchors": EVENTS_LTTB_ANCHORS_ORACLE,
+        "sql_gapfill": SQL_GAPFILL_ORACLE,
+        "sql_lttb": SQL_LTTB_ORACLE,
+        "sql_changes_window": SQL_CHANGES_WINDOW_ORACLE,
     }

@@ -161,6 +161,11 @@ BENCH_QUERIES = [
     # round-12 additions (canon probes excluded: constant literal rows,
     # nothing to measure):
     "cdc_split_upsert",
+    # round-13 additions: SQL time-series TVFs + windowed CDF read
+    "sql_gapfill",
+    "sql_lttb",
+    "sql_changes_window",
+    "events_lttb_anchors",
 ]
 
 

@@ -69,6 +69,16 @@ def _unq(name: str) -> str:
     return name[1:-1] if name.startswith("`") else name
 
 
+def _stable_token(text: str) -> str:
+    """Deterministic 8-hex token for temp-view names derived from TVF
+    argument text (hash() is process-seeded — names must be stable so
+    repeated statements rebind the same view instead of leaking one
+    per call)."""
+    import hashlib
+
+    return hashlib.md5(text.encode()).hexdigest()[:8]
+
+
 def _split_top(text: str, sep: str = ",") -> list[str]:
     """Split on ``sep`` at paren/quote depth 0 (column lists, SET lists,
     VALUES tuples)."""
@@ -534,7 +544,7 @@ class GhsSql:
                 if vname in self._views_pending or \
                         self._mentions(q, replanned):
                     try:
-                        self.spark.sql(self._rewrite_table_changes(
+                        self.spark.sql(self._rewrite_tvfs(
                             self._rewrite_time_travel(q))
                         ).createOrReplaceTempView(vname)
                     except Exception as e:
@@ -587,12 +597,16 @@ class GhsSql:
         return self._TIME_TRAVEL.sub(sub, s)
 
     # Delta's CDC read TVF: ``table_changes('t', from [, to])`` in any
-    # read (or DML source) binds a temp view over the table's change
-    # feed — Delta-CDF-shaped rows (_change_type ∈ insert/
-    # update_preimage/update_postimage/delete). Bounds follow the
-    # engine's change_feed contract: FROM commit exclusive, TO commit
-    # inclusive (omitted TO = head). Planning is O(window files) via the
-    # manifest diff; the corpus is never rescanned.
+    # read (or DML source) binds a temp view over the table's
+    # PER-VERSION change feed — Delta-CDF rows (_change_type ∈ insert/
+    # update_preimage/update_postimage/delete) with _commit_version and
+    # _commit_timestamp attribution, so a windowed/sessionized SQL read
+    # can rank a key's changes by commit (r13: was the endpoint-diff
+    # change_feed, which collapses an update-then-delete key and
+    # carries no version column — Delta's TVF does not). Bounds: FROM
+    # commit exclusive, TO commit inclusive (omitted TO = head).
+    # Planning is O(window versions) pruned manifest diffs; the corpus
+    # is never rescanned.
     _TABLE_CHANGES = re.compile(
         r"\btable_changes\s*\(\s*'(?P<name>[^']+)'\s*,\s*(?P<a>\d+)\s*"
         r"(?:,\s*(?P<b>\d+)\s*)?\)", re.IGNORECASE)
@@ -615,9 +629,117 @@ class GhsSql:
             else:
                 b = head.commit_id
             alias = f"{m.group('name')}__ch{a}_{b}"
-            t.change_feed(a, b).createOrReplaceTempView(alias)
+            t.table_changes(a, b).createOrReplaceTempView(alias)
             return alias
         return self._TABLE_CHANGES.sub(sub, s)
+
+    # TimescaleDB-shaped time-series TVFs (SURVEY §2.5 extension; the
+    # reference's one SQL entry point, processData.py:317-327, set the
+    # precedent that SQL is a first-class face of this engine). Both
+    # rewrite to the existing operators in operators/timeseries.py —
+    # the SQL surface adds no second implementation:
+    #
+    #   time_bucket_gapfill('src', 'day', 'ts', 'k1,k2',
+    #       'sum(value) AS day_value[; avg(x) AS m]'
+    #       [, 'locf,interpolate,max_buckets=N'])
+    #     -> dense per-key grid view: keys..., bucket, <name>...,
+    #        is_gap, <name>_locf..., <name>_interp..., [_gf_clamped]
+    #
+    #   lttb('src', 'ts', 'value', n_out [, 'k1,k2' [, pack_buckets]])
+    #     -> shape-preserving downsample view: keys..., ts, value
+    #
+    # 'src' is a registered table (read at head) or any bound view.
+    # Options default to the operator defaults (locf on, interpolate
+    # off, uncapped grid; lttb auto-sizes its pack buckets).
+    _TS_GAPFILL = re.compile(
+        r"\btime_bucket_gapfill\s*\(\s*'(?P<src>[^']+)'\s*,"
+        r"\s*'(?P<unit>[^']+)'\s*,\s*'(?P<ts>[^']+)'\s*,"
+        r"\s*'(?P<keys>[^']*)'\s*,\s*'(?P<aggs>[^']+)'"
+        r"(?:\s*,\s*'(?P<opts>[^']*)')?\s*\)", re.IGNORECASE)
+    _TS_LTTB = re.compile(
+        r"\blttb\s*\(\s*'(?P<src>[^']+)'\s*,\s*'(?P<ts>[^']+)'\s*,"
+        r"\s*'(?P<val>[^']+)'\s*,\s*(?P<n>\d+)"
+        r"(?:\s*,\s*'(?P<keys>[^']*)'(?:\s*,\s*(?P<pack>\d+))?)?\s*\)",
+        re.IGNORECASE)
+    _TS_AGG_ITEM = re.compile(
+        rf"^(?P<expr>.+?)\s+AS\s+(?P<out>{_IDENT})\s*$",
+        re.IGNORECASE | re.DOTALL)
+
+    def _ts_source(self, who: str, name: str) -> DataFrame:
+        t = self.tables.get(name)
+        if t is not None:
+            return t.read_snapshot()
+        try:
+            return self.spark.table(name)
+        except Exception:
+            raise ValueError(
+                f"ghs.sql: {who}: unknown table or view {name!r}")
+
+    def _rewrite_timeseries(self, s: str) -> str:
+        from glue_hudi_spark.operators.timeseries import (
+            lttb_downsample, resample_gapfill)
+
+        def gapfill(m: "re.Match[str]") -> str:
+            keys = [k.strip() for k in m.group("keys").split(",")
+                    if k.strip()]
+            values = {}
+            for item in m.group("aggs").split(";"):
+                am = self._TS_AGG_ITEM.match(item.strip())
+                if not am:
+                    raise ValueError(
+                        "ghs.sql: time_bucket_gapfill: each aggregate "
+                        f"must be '<expr> AS <name>' (got {item!r}); "
+                        "separate several with ';'")
+                values[_unq(am.group("out"))] = F.expr(am.group("expr"))
+            locf, interp, max_buckets = True, False, None
+            for opt in (m.group("opts") or "").split(","):
+                opt = opt.strip().lower()
+                if not opt:
+                    continue
+                if opt == "locf":
+                    locf = True
+                elif opt == "nolocf":
+                    locf = False
+                elif opt == "interpolate":
+                    interp = True
+                elif opt.startswith("max_buckets="):
+                    max_buckets = int(opt.split("=", 1)[1])
+                else:
+                    raise ValueError(
+                        "ghs.sql: time_bucket_gapfill: unknown option "
+                        f"{opt!r} (locf | nolocf | interpolate | "
+                        "max_buckets=N)")
+            out = resample_gapfill(
+                self._ts_source("time_bucket_gapfill", m.group("src")),
+                keys=keys, ts_col=m.group("ts"), values=values,
+                unit=m.group("unit").lower(), locf=locf,
+                interpolate=interp, max_buckets=max_buckets)
+            alias = (f"{m.group('src')}__gf_"
+                     f"{_stable_token(m.group(0))}")
+            out.createOrReplaceTempView(alias)
+            return alias
+
+        def lttb(m: "re.Match[str]") -> str:
+            keys = [k.strip() for k in (m.group("keys") or "").split(",")
+                    if k.strip()]
+            out = lttb_downsample(
+                self._ts_source("lttb", m.group("src")),
+                keys=keys, ts_col=m.group("ts"),
+                value_col=m.group("val"), n_out=int(m.group("n")),
+                pack_buckets=(int(m.group("pack"))
+                              if m.group("pack") else None))
+            alias = f"{m.group('src')}__lttb_{_stable_token(m.group(0))}"
+            out.createOrReplaceTempView(alias)
+            return alias
+
+        s = self._TS_GAPFILL.sub(gapfill, s)
+        return self._TS_LTTB.sub(lttb, s)
+
+    def _rewrite_tvfs(self, s: str) -> str:
+        """All read-side TVF rewrites, in one place: change-feed reads
+        first (a time-series TVF may not wrap one — its source must be
+        a name), then the time-series functions."""
+        return self._rewrite_timeseries(self._rewrite_table_changes(s))
 
     _KEYWORD_ALIAS = (
         "WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|"
@@ -802,7 +924,7 @@ class GhsSql:
                 prune=bounds).createOrReplaceTempView(name)
             self._view_cache.pop(name, None)
         return self.spark.sql(
-            self._rewrite_table_changes(self._rewrite_time_travel(s)))
+            self._rewrite_tvfs(self._rewrite_time_travel(s)))
 
     _EXPLAIN = re.compile(
         r"^EXPLAIN(?:\s+(?P<mode>FORMATTED|EXTENDED|CODEGEN|COST))?\s+"
@@ -852,7 +974,7 @@ class GhsSql:
                 "range-bound WHERE terms): full live-file listing; "
                 "parquet row-group pushdown still applies")
         mode = (m.group("mode") or "").upper()
-        rewritten = self._rewrite_table_changes(
+        rewritten = self._rewrite_tvfs(
             self._rewrite_time_travel(q))
         plan = self.spark.sql(
             f"EXPLAIN {mode} {rewritten}".replace("EXPLAIN  ", "EXPLAIN "))
@@ -868,7 +990,7 @@ class GhsSql:
         # reads — INSERT INTO ... SELECT FROM t VERSION AS OF n restores
         # history; ... FROM table_changes('t', a) replays a CDC window
         return self.spark.sql(
-            self._rewrite_table_changes(self._rewrite_time_travel(q)))
+            self._rewrite_tvfs(self._rewrite_time_travel(q)))
 
     # ------------------------------------------------------- transactions
 
@@ -1174,7 +1296,7 @@ class GhsSql:
         # validate NOW against current bindings — a typo'd view must
         # fail at CREATE, not at first read
         self._with_views()
-        self.spark.sql(self._rewrite_table_changes(
+        self.spark.sql(self._rewrite_tvfs(
             self._rewrite_time_travel(m.group("q"))))
         self.views[name] = m.group("q").strip()
         self._save_views()
