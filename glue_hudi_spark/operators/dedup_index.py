@@ -66,13 +66,31 @@ class DedupIndex:
 
     def __init__(self, table, id_col: str, text_col: str = "text",
                  n: int = 3, num_hashes: int = 16, bands: int = 8,
-                 prefix_len: int = 1):
+                 prefix_len: int = 1, probe_pushdown_max: int = 0):
         self.table = table
         self.spark = table.spark
         self.id_col = id_col
         self.text_col = text_col
         self.n, self.num_hashes, self.bands = n, num_hashes, bands
         self.prefix_len = prefix_len
+        # value-pushdown probe path (r12 verdict #8, OPT-IN — set to
+        # e.g. 1000 on object-storage corpora): batches with at most
+        # this many distinct hashes push the hash SET into the store
+        # scan as an In predicate — stores are written hash-sorted
+        # within each prefix with parquet bloom filters, so row groups
+        # without a batch hash are skipped by stats/bloom and the scan
+        # reads O(batch) row groups, not the whole touched prefix.
+        # Bigger batches (backfills) fall back to the prefix-pruned
+        # anti-join; the collect is bounded by this knob (driver holds
+        # ≤ max hash strings — metadata-sized). Default OFF because the
+        # win needs many row groups per prefix (100-TB corpora on
+        # object storage); on a local-NVMe prefix of 1-2 row groups the
+        # nested predicate costs more than it skips (measured: 2.9 s
+        # pushed vs 2.0 s plain on a 20M-row store — same precedent as
+        # rewrite_persist_max_bytes). Ceiling: parquet translates the
+        # pushed In into a NESTED Or tree, which stack-overflows past
+        # ~2000 values (measured) — never set this above 1000.
+        self.probe_pushdown_max = probe_pushdown_max
         self.root = Path(table.root) / "_index" / "dedup"
         self.exact_store = self.root / "exact"
         self.bands_store = self.root / "bands"
@@ -139,10 +157,16 @@ class DedupIndex:
             # repartition on the partition column so each prefix dir is
             # one task's output — without it every shuffle task writes a
             # sliver into every dir (T×P tiny files, the small-file
-            # problem at any scale)
-            (self._exact_rows(fp).repartition("hp").write.mode("overwrite")
+            # problem at any scale). Hash-sorted within each prefix +
+            # parquet bloom filters so the probe's pushed In predicate
+            # skips row groups by stats/bloom (see probe_pushdown_max).
+            (self._exact_rows(fp).repartition("hp")
+             .sortWithinPartitions("h").write.mode("overwrite")
+             .option("parquet.bloom.filter.enabled#h", "true")
              .partitionBy("hp").parquet(str(self.exact_store)))
-            (self._band_rows(fp).repartition("bp").write.mode("overwrite")
+            (self._band_rows(fp).repartition("bp")
+             .sortWithinPartitions("band_hash").write.mode("overwrite")
+             .option("parquet.bloom.filter.enabled#band_hash", "true")
              .partitionBy("bp").parquet(str(self.bands_store)))
         finally:
             fp.unpersist()
@@ -157,14 +181,18 @@ class DedupIndex:
     # --------------------------------------------------------------- refresh
 
     def _rewrite_store(self, path: Path, part_col: str, old_filtered,
-                       changed_ids, new_rows) -> None:
+                       changed_ids, new_rows, sort_col: str) -> None:
         """Rewrite one store's affected partitions: old rows minus every
         changed id, plus the new rows. Dynamic overwrite skips emptied
-        partitions, so those are cleared explicitly."""
+        partitions, so those are cleared explicitly. Keeps the build
+        layout contract: hash-sorted within prefix + parquet bloom, so
+        refreshed partitions stay probe-pushdown-prunable."""
         keep = old_filtered.join(changed_ids, on="id", how="left_anti")
         out = keep.unionByName(new_rows).localCheckpoint(eager=True)
-        (out.repartition(part_col).write.mode("overwrite")
+        (out.repartition(part_col).sortWithinPartitions(sort_col)
+         .write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
+         .option(f"parquet.bloom.filter.enabled#{sort_col}", "true")
          .partitionBy(part_col).parquet(str(path)))
         self.spark.catalog.refreshByPath(str(path))
         return out
@@ -204,7 +232,7 @@ class DedupIndex:
                        .filter(F.col("hp").isin(hps)))
                 out = self._rewrite_store(
                     self.exact_store, "hp", old, changed_ids,
-                    self._exact_rows(add_fp))
+                    self._exact_rows(add_fp), sort_col="h")
                 still = {r["hp"] for r in
                          out.select("hp").distinct().collect()}
                 for p in hps:
@@ -219,7 +247,7 @@ class DedupIndex:
                        .filter(F.col("bp").isin(bps)))
                 out = self._rewrite_store(
                     self.bands_store, "bp", old, changed_ids,
-                    self._band_rows(add_fp))
+                    self._band_rows(add_fp), sort_col="band_hash")
                 still = {r["bp"] for r in
                          out.select("bp").distinct().collect()}
                 for p in bps:
@@ -236,6 +264,57 @@ class DedupIndex:
         return {"refreshed": True, "partitions_rewritten": n_parts}
 
     # ----------------------------------------------------------------- probe
+
+    def _pushed_store_read(self, path: Path, part_col: str,
+                           hash_col: str, batch_rows: DataFrame,
+                           select_cols: list,
+                           empty_as_none: bool = False):
+        """Read one fingerprint store pruned for a probe batch.
+
+        Fast path (opt-in, ``probe_pushdown_max`` > 0 and at most that
+        many distinct batch hashes):
+        collect the hash set, derive the partition prefixes driver-side
+        (no second job), and push BOTH ``part_col IN (prefixes)``
+        (partition pruning) and ``hash_col IN (hashes)`` into the scan.
+        The stores are hash-sorted within each prefix and carry parquet
+        bloom filters on the hash column, so the pushed In skips row
+        groups by stats/bloom — the scan cost tracks the batch, not the
+        touched prefixes. Spark folds In lists past
+        ``spark.sql.parquet.pushdown.inFilterThreshold`` into a useless
+        min/max range for uniform hashes, so the threshold is raised
+        for the scan's own execution (the eager localCheckpoint runs it
+        inside the conf scope); the result is batch-bounded by
+        construction. Slow path (bigger batches — bulk backfills):
+        the original lazy prefix-pruned read, no driver hash set."""
+        if self.probe_pushdown_max > 0:
+            hs = [r[hash_col] for r in
+                  batch_rows.select(hash_col).distinct()
+                  .limit(self.probe_pushdown_max + 1).collect()]
+            if len(hs) <= self.probe_pushdown_max:
+                if empty_as_none and not hs:
+                    return None
+                self.spark.catalog.refreshByPath(str(path))
+                store = self.spark.read.parquet(str(path))
+                pfx = sorted({h[:self.prefix_len] for h in hs})
+                conf = self.spark.conf
+                key = "spark.sql.parquet.pushdown.inFilterThreshold"
+                prev = conf.get(key, None)
+                conf.set(key, str(len(hs) + 1))
+                try:
+                    return (store.filter(F.col(part_col).isin(pfx)
+                                         & F.col(hash_col).isin(hs))
+                            .select(*select_cols)
+                            .localCheckpoint(eager=True))
+                finally:
+                    (conf.set(key, prev) if prev is not None
+                     else conf.unset(key))
+        pfx = sorted({r[part_col] for r in
+                      batch_rows.select(part_col).distinct().collect()})
+        if empty_as_none and not pfx:
+            return None
+        self.spark.catalog.refreshByPath(str(path))
+        store = self.spark.read.parquet(str(path))
+        return store.filter(F.col(part_col).isin(pfx)).select(*select_cols)
 
     def probe(self, batch: DataFrame, verify_threshold: float = 0.5,
               max_candidates: int = 100_000,
@@ -259,25 +338,27 @@ class DedupIndex:
                 f"{head.commit_id}; refresh() or pass allow_stale=True")
         fp = self._fingerprints(batch).persist()
         try:
-            # exact: prune the store to the batch's hash prefixes
-            hps = sorted({r["hp"] for r in self._exact_rows(fp)
-                          .select("hp").distinct().collect()})
-            self.spark.catalog.refreshByPath(str(self.exact_store))
-            seen_h = (self.spark.read.parquet(str(self.exact_store))
-                      .filter(F.col("hp").isin(hps))
-                      .select("h").distinct())
+            # exact: prune the store to the batch's hash prefixes; with
+            # probe_pushdown_max set, small (micro-batch-shaped) batches
+            # additionally push the hash SET into the scan — the store
+            # files are hash-sorted with parquet bloom filters, so
+            # In(h, ...) skips row groups holding none of the batch's
+            # hashes (the scan reads O(batch) row groups, not the whole
+            # touched prefix)
+            seen_h = self._pushed_store_read(
+                self.exact_store, "hp", "h",
+                self._exact_rows(fp), ["h"])
             fresh = fp.join(seen_h, on="h", how="left_anti")
             # in-batch exact keep-one (same min-id policy as exact_dedup)
             keep = fresh.groupBy("h").agg(F.min("id").alias("id"))
             fresh = fresh.join(keep, on=["h", "id"], how="left_semi")
             # near-dup candidates: band-collide the survivors against the
-            # batch's band-hash prefixes only
-            bps = sorted({r["bp"] for r in self._band_rows(fresh)
-                          .select("bp").distinct().collect()})
-            self.spark.catalog.refreshByPath(str(self.bands_store))
-            store_bands = (self.spark.read.parquet(str(self.bands_store))
-                           .filter(F.col("bp").isin(bps)) if bps
-                           else None)
+            # batch's band-hash prefixes only (same value-pushdown fast
+            # path as the exact store, on band_hash)
+            store_bands = self._pushed_store_read(
+                self.bands_store, "bp", "band_hash",
+                self._band_rows(fresh),
+                ["id", "band", "band_hash"], empty_as_none=True)
             surviving_ids = fresh.select("id").distinct()
             if store_bands is not None:
                 cand = (fresh.select("id", "band", "band_hash")

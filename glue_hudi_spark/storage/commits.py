@@ -578,6 +578,76 @@ class CommitTimeline:
             "deleted_files": deleted,
         }
 
+    # -- reader leases (vacuum/clean-safe long scans) -----------------------
+    #
+    # A reader that planned a scan from manifest N holds only a PLAN —
+    # retention cleaning dropping N mid-scan deletes files the executors
+    # have not opened yet (object stores especially; POSIX only protects
+    # already-open handles). A lease is a tiny JSON under
+    # ``_leases/<cid>-<uuid>.lease.json`` pinning ONE commit id for a
+    # TTL: clean()/expire_snapshots() treat leased manifests as
+    # retained, which transitively protects every file they reference
+    # (and vacuum never deletes referenced files). Leases guard
+    # RETENTION only — an explicit restore_to/ROLLBACK is a user state
+    # change and is not blocked. Expired leases are reaped
+    # opportunistically, so a crashed reader delays cleaning by at most
+    # its TTL; the files are lock-free atomic writes (tmp + rename),
+    # same publish discipline as manifests.
+
+    def _leases_path(self) -> Path:
+        base = self.root / "_leases"
+        return base / REFS_DIR / self.ref if self.ref else base
+
+    def acquire_lease(self, commit_id: int | None = None,
+                      ttl: float = 3600.0, holder: str = "") -> Path:
+        """Pin ``commit_id`` (default: head) against retention for
+        ``ttl`` seconds. Returns the lease file path (pass to
+        :meth:`release_lease`). The commit must still be retained."""
+        if commit_id is None:
+            head = self.latest()
+            if head is None:
+                raise ValueError("acquire_lease: table has no commits")
+            commit_id = head.commit_id
+        if self.at(commit_id) is None:
+            raise ValueError(
+                f"acquire_lease: commit {commit_id} is not retained — "
+                "a lease can only pin a still-readable snapshot")
+        import uuid
+
+        d = self._leases_path()
+        d.mkdir(parents=True, exist_ok=True)
+        payload = {"commit_id": int(commit_id),
+                   "expires_at": time.time() + float(ttl),
+                   "holder": holder}
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(payload))
+        final = d / f"{commit_id:020d}-{uuid.uuid4().hex}.lease.json"
+        os.replace(tmp, final)
+        return final
+
+    def release_lease(self, lease: Path) -> None:
+        Path(lease).unlink(missing_ok=True)
+
+    def leased_commits(self) -> set[int]:
+        """Commit ids with an unexpired lease; expired lease files are
+        reaped in passing (metadata-only — one tiny JSON per lease)."""
+        d = self._leases_path()
+        if not d.is_dir():
+            return set()
+        now = time.time()
+        out: set[int] = set()
+        for p in sorted(d.glob("*.lease.json")):
+            try:
+                rec = json.loads(p.read_text())
+            except (OSError, ValueError):
+                continue
+            if float(rec.get("expires_at", 0)) <= now:
+                p.unlink(missing_ok=True)
+                continue
+            out.add(int(rec["commit_id"]))
+        return out
+
     # -- cleaning (processData.py:196-197: KEEP_LATEST_COMMITS, retain 10) --
 
     def clean(self, retain_commits: int = 10) -> list[str]:
@@ -585,11 +655,18 @@ class CommitTimeline:
         data files no retained manifest references. Files a TAG or another
         branch still references survive (Iceberg ref-retention semantics:
         a tagged snapshot's files outlive the timeline window that
-        produced them). Returns deleted files."""
+        produced them), as do manifests a live reader LEASE pins.
+        Returns deleted files."""
         paths = self._manifest_paths()
         if len(paths) <= retain_commits:
             return []
-        return self._reap(paths[-retain_commits:], paths[:-retain_commits])
+        leased = self.leased_commits()
+        drop = [p for p in paths[:-retain_commits]
+                if int(p.name.split(".", 1)[0]) not in leased]
+        if not drop:
+            return []
+        keep = [p for p in paths if p not in drop]
+        return self._reap(keep, drop)
 
     def expire_snapshots(self, older_than: float | str,
                          retain_last: int = 1) -> dict:
@@ -610,7 +687,9 @@ class CommitTimeline:
             older_than = parsed.timestamp()
         paths = self._manifest_paths()
         keep_tail = paths[-retain_last:] if retain_last > 0 else []
+        leased = self.leased_commits()
         drop = [p for p in paths if p not in keep_tail
+                and int(p.name.split(".", 1)[0]) not in leased
                 and 0 < self._load(p).wall_time < older_than]
         keep = [p for p in paths if p not in drop]
         deleted = self._reap(keep, drop) if drop else []

@@ -2140,6 +2140,32 @@ class NativeTable:
 
     # ----------------------------------------------------------------- reads
 
+    @contextmanager
+    def read_lease(self, as_of: int | None = None, ttl: float = 3600.0,
+                   holder: str = "", **read_kwargs):
+        """Lease-pinned snapshot read for scans that outlive retention.
+
+        A plain ``read_snapshot`` holds only a PLAN over one manifest's
+        file set; a concurrent ``clean``/``expire_snapshots`` dropping
+        that manifest deletes files the scan has not opened yet. Inside
+        this context the snapshot's commit carries a reader lease
+        (``CommitTimeline.acquire_lease``) that retention treats as
+        retained — the yielded DataFrame stays fully readable however
+        aggressively a maintenance job cleans, and the lease is
+        released (one unlink) on exit. ``ttl`` bounds how long a
+        crashed reader can delay cleaning. Leases do not block an
+        explicit ``restore_to`` — that is a state change, not
+        maintenance."""
+        head = self.timeline.latest()
+        pin = as_of if as_of is not None else (
+            head.commit_id if head else None)
+        lease = self.timeline.acquire_lease(
+            commit_id=pin, ttl=ttl, holder=holder)
+        try:
+            yield self.read_snapshot(as_of=pin, **read_kwargs)
+        finally:
+            self.timeline.release_lease(lease)
+
     def read_snapshot(
         self,
         with_meta: bool = False,
