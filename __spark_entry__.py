@@ -9527,8 +9527,8 @@ def events_lttb_anchors(spark, sf_dir):
     This query runs the real downsampler and aggregates those three
     facts per key; the oracle recomputes them from the raw events
     (mirroring the operator's dropna), so the driver gate now hashes a
-    real LTTB property instead of only counting rows. First-contact
-    candidate for the r13 window."""
+    real LTTB property instead of only counting rows. Heads the r13
+    window (its first driver contact)."""
     from glue_hudi_spark.operators.timeseries import lttb_downsample
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet") \

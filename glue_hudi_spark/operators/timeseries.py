@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-_UNITS = ("hour", "day", "week", "month")
+_UNITS = ("minute", "hour", "day", "week", "month", "year")
 
 
 def resample_gapfill(

@@ -604,23 +604,43 @@ class GhsSql:
     # can rank a key's changes by commit (r13: was the endpoint-diff
     # change_feed, which collapses an update-then-delete key and
     # carries no version column — Delta's TVF does not). Bounds: FROM
-    # commit exclusive, TO commit inclusive (omitted TO = head).
+    # commit exclusive, TO commit inclusive (omitted TO = head); either
+    # bound may be a quoted ISO-8601 timestamp (Delta's timestamp form),
+    # resolved to the newest commit published at or before it.
     # Planning is O(window versions) pruned manifest diffs; the corpus
     # is never rescanned.
     _TABLE_CHANGES = re.compile(
-        r"\btable_changes\s*\(\s*'(?P<name>[^']+)'\s*,\s*(?P<a>\d+)\s*"
-        r"(?:,\s*(?P<b>\d+)\s*)?\)", re.IGNORECASE)
+        r"\btable_changes\s*\(\s*'(?P<name>[^']+)'\s*,"
+        r"\s*(?:(?P<a>\d+)|'(?P<ats>[^']+)')\s*"
+        r"(?:,\s*(?:(?P<b>\d+)|'(?P<bts>[^']+)')\s*)?\)", re.IGNORECASE)
 
     def _rewrite_table_changes(self, s: str) -> str:
+        def ts_bound(t, name: str, ts: str, which: str) -> int:
+            # Delta's timestamp form: a bound string resolves to the
+            # newest commit published AT OR BEFORE it; FROM stays
+            # exclusive of that commit (changes strictly after the
+            # instant), TO inclusive — the same alignment as the id form
+            c = t.timeline.at_timestamp(ts)
+            if c is None:
+                raise ValueError(
+                    f"ghs.sql: table_changes: no retained commit of "
+                    f"{name!r} at or before {ts!r} ({which} bound)")
+            return c.commit_id
+
         def sub(m: "re.Match[str]") -> str:
             t = self.tables.get(m.group("name"))
             if t is None:
                 raise ValueError(
                     f"ghs.sql: table_changes: unknown table "
                     f"{m.group('name')!r}")
-            a = int(m.group("a"))
+            if m.group("ats") is not None:
+                a = ts_bound(t, m.group("name"), m.group("ats"), "FROM")
+            else:
+                a = int(m.group("a"))
             head = t.timeline.latest()
-            if m.group("b"):
+            if m.group("bts") is not None:
+                b = ts_bound(t, m.group("name"), m.group("bts"), "TO")
+            elif m.group("b"):
                 b = int(m.group("b"))
             elif head is None:
                 raise ValueError(

@@ -2048,3 +2048,31 @@ def test_timeline_history_since_skips_prefix_by_filename(ghs):
     with mock.patch.object(CommitTimeline, "_load", spy):
         tl.history(since=2)
     assert all(name.split(".", 1)[0] > f"{2:020d}" for name in seen)
+
+
+def test_table_changes_timestamp_bounds(ghs):
+    """r13: Delta's timestamp form — table_changes('t', '<iso>'[, ...])
+    resolves each bound to the newest commit at or before the instant
+    (FROM exclusive / TO inclusive, same alignment as the id form)."""
+    import datetime as dt
+
+    _mk_mv_bases(ghs)  # fact head: commit 2
+    ghs.sql("UPDATE fact SET amt = amt + 1 WHERE ok = 1")     # commit 3
+    ghs.sql("DELETE FROM fact WHERE ok = 2")                  # commit 4
+
+    def iso(cid):
+        wt = ghs.tables["fact"].timeline.at(cid).wall_time
+        return dt.datetime.fromtimestamp(
+            wt, dt.timezone.utc).strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+    got = {(r.ok, r._change_type) for r in ghs.sql(
+        f"SELECT ok, _change_type FROM table_changes('fact', '{iso(2)}')"
+    ).collect()}
+    assert got == {(1, "update_preimage"), (1, "update_postimage"),
+                   (2, "delete")}
+    got = {(r.ok, r._change_type) for r in ghs.sql(
+        f"SELECT ok, _change_type FROM table_changes('fact', 2, "
+        f"'{iso(3)}')").collect()}
+    assert got == {(1, "update_preimage"), (1, "update_postimage")}
+    with pytest.raises(ValueError, match="at or before"):
+        ghs.sql("SELECT * FROM table_changes('fact', '1999-01-01')")

@@ -146,3 +146,38 @@ def test_tvf_error_shapes(ghs):
                 "'k','sum(v) AS x')")
     with pytest.raises(ValueError, match="n_out"):
         ghs.sql("SELECT * FROM lttb('m', 'ts', 'v', 2, 'k')")
+
+
+def test_gapfill_minute_and_year_units(ghs):
+    """r13: telemetry-grade 'minute' and compliance-grade 'year' grids
+    (max_buckets is the poisoned-timestamp guard at minute granularity)."""
+    rows = ghs.sql(
+        "SELECT k, bucket, is_gap "
+        "FROM time_bucket_gapfill('m', 'minute', 'ts', 'k', "
+        "'count(*) AS n', 'nolocf,max_buckets=100') WHERE k = 'b' "
+        "ORDER BY bucket").collect()
+    # b: 10:00 and 11:00 observations → 61-minute dense grid
+    assert len(rows) == 61
+    assert sum(r.is_gap for r in rows) == 59
+    years = ghs.sql(
+        "SELECT k, bucket FROM time_bucket_gapfill('m', 'year', 'ts', "
+        "'k', 'count(*) AS n', 'nolocf')").collect()
+    assert {str(r.bucket)[:4] for r in years} == {"2024"}
+    with pytest.raises(ValueError, match="unit"):
+        ghs.sql("SELECT * FROM time_bucket_gapfill('m','second','ts',"
+                "'k','count(*) AS n')")
+
+
+def test_lttb_tvf_global_series_no_keys(ghs, spark):
+    import pyspark.sql.functions as F
+
+    spark.range(40).select(
+        (F.lit("2024-02-01 00:00:00").cast("timestamp")
+         + F.make_interval(hours=F.col("id").cast("int"))).alias("ts"),
+        (F.col("id") % 5).cast("double").alias("v"),
+    ).createOrReplaceTempView("gseries")
+    out = ghs.sql("SELECT ts, v FROM lttb('gseries', 'ts', 'v', 8) "
+                  "ORDER BY ts").collect()
+    assert len(out) == 8
+    src = spark.table("gseries").orderBy("ts").collect()
+    assert out[0].ts == src[0].ts and out[-1].ts == src[-1].ts

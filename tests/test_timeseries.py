@@ -57,7 +57,8 @@ def test_gapfill_clamps_poisoned_span(spark):
 def test_gapfill_guards(spark):
     df = _ev(spark, [("a", 1, 8, 1)])
     with pytest.raises(ValueError, match="unit"):
-        resample_gapfill(df, ["k"], "ts", {"t": F.sum("v")}, unit="minute")
+        resample_gapfill(df, ["k"], "ts", {"t": F.sum("v")},
+                         unit="fortnight")  # minute/year are valid (r13)
     with pytest.raises(ValueError, match="value agg"):
         resample_gapfill(df, ["k"], "ts", {})
     with pytest.raises(ValueError, match="max_buckets"):
