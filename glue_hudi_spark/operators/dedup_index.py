@@ -39,6 +39,7 @@ SQL oracle replays the store and the probe decision exactly.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -55,6 +56,17 @@ from glue_hudi_spark.operators.dedup import (
 )
 from glue_hudi_spark.operators.vector_index import StaleIndexError
 
+#: Bloom pre-filter sizing (probe_bloom_max path): k probes per hash,
+#: target bits-per-key, and the bitstring clamp. At 16 bits/key with
+#: k=4 the false-positive rate is ~0.24%; the cap bounds the literal
+#: shipped to executors at 4 MiB (one shared JVM object — java
+#: serialization back-references repeated literals within a task
+#: binary, so the k probes don't multiply it).
+_BLOOM_K = 4
+_BLOOM_BITS_PER_KEY = 16
+_BLOOM_MIN_BITS = 1 << 13
+_BLOOM_MAX_BITS = 1 << 22
+
 
 class DedupIndex:
     """Exact + near-dup fingerprint store attached to one text column.
@@ -66,7 +78,8 @@ class DedupIndex:
 
     def __init__(self, table, id_col: str, text_col: str = "text",
                  n: int = 3, num_hashes: int = 16, bands: int = 8,
-                 prefix_len: int = 1, probe_pushdown_max: int = 0):
+                 prefix_len: int = 1, probe_pushdown_max: int = 0,
+                 probe_bloom_max: int = 0):
         self.table = table
         self.spark = table.spark
         self.id_col = id_col
@@ -91,6 +104,26 @@ class DedupIndex:
         # pushed In into a NESTED Or tree, which stack-overflows past
         # ~2000 values (measured) — never set this above 1000.
         self.probe_pushdown_max = probe_pushdown_max
+        # Bloom-prefilter probe path (r12 verdict #8's scale follow-up,
+        # OPT-IN — set to e.g. 200_000): the In pushdown above is
+        # ceiling-bound (~1000 values before parquet's nested-Or tree
+        # overflows), so mid-size batches fell straight to the plain
+        # anti-join, which at a 100-TB corpus shuffles every scanned
+        # store row. This path covers the gap: collect the batch's
+        # distinct hashes (bounded by this knob — driver holds ≤ max
+        # 32-char strings), build a Bloom BITSTRING driver-side from
+        # md5-derived positions, and pre-filter the store scan JVM-side
+        # with k substr probes against the bitstring literal before the
+        # exact join. Store rows whose hash is in the batch always pass
+        # (positions are the same md5 on both sides — no false
+        # negatives by construction), so the exact anti-join result is
+        # unchanged; false positives only add rows to the shuffle
+        # (~0.2% at the sizing below). The literal is one shared JVM
+        # object (java serialization back-references it across the k
+        # probes), capped at _BLOOM_MAX_BITS chars. This cuts the
+        # store-side SHUFFLE to O(batch), not the scan I/O — the scan
+        # stays prefix-pruned (a big batch touches every prefix).
+        self.probe_bloom_max = probe_bloom_max
         self.root = Path(table.root) / "_index" / "dedup"
         self.exact_store = self.root / "exact"
         self.bands_store = self.root / "bands"
@@ -265,6 +298,54 @@ class DedupIndex:
 
     # ----------------------------------------------------------------- probe
 
+    @staticmethod
+    def _bloom_positions(h: str, m: int) -> list:
+        """The k bit positions of one hash — md5 of ``h|j`` (first 15
+        hex chars → int, mod m). Mirrored EXACTLY by the Spark-side
+        expression in ``_bloom_predicate`` (Spark ``md5``/``substring``/
+        ``conv`` on UTF-8 agree with hashlib/int(,16) — verified by the
+        position-parity test), which is what makes false negatives
+        impossible: a store hash equal to a batch hash derives the same
+        positions on both sides."""
+        return [int(hashlib.md5(f"{h}|{j}".encode())
+                    .hexdigest()[:15], 16) % m
+                for j in range(_BLOOM_K)]
+
+    @staticmethod
+    def _bloom_bits(hs: list) -> str:
+        """Build the '0'/'1' bitstring for a batch hash set, sized at
+        ``_BLOOM_BITS_PER_KEY`` bits per key rounded up to a power of
+        two and clamped to [_BLOOM_MIN_BITS, _BLOOM_MAX_BITS]. Past the
+        cap the false-positive rate degrades gracefully (more shuffle,
+        same results)."""
+        target = max(_BLOOM_BITS_PER_KEY * max(len(hs), 1),
+                     _BLOOM_MIN_BITS)
+        m = min(_BLOOM_MAX_BITS, 1 << (target - 1).bit_length())
+        bits = bytearray(b"0") * m
+        for h in hs:
+            for p in DedupIndex._bloom_positions(h, m):
+                bits[p] = 0x31
+        return bits.decode("ascii")
+
+    def _bloom_predicate(self, hash_col: str, bits: str):
+        """JVM-side membership test of ``hash_col`` against the
+        bitstring: AND over k probes of ``substr(bits, pos+1, 1) = '1'``
+        with pos = conv(substr(md5(h|j),1,15),16,10) % m — all built-in
+        expressions, no Python in the scan path."""
+        m = F.lit(len(bits))
+        bs = F.lit(bits)
+        pred = None
+        for j in range(_BLOOM_K):
+            pos = F.pmod(
+                F.conv(F.substring(F.md5(F.concat_ws(
+                    "|", F.col(hash_col), F.lit(str(j)))), 1, 15),
+                    16, 10).cast("long"),
+                m)
+            bit = F.substring(
+                bs, (pos + F.lit(1)).cast("int"), F.lit(1)) == "1"
+            pred = bit if pred is None else (pred & bit)
+        return pred
+
     def _pushed_store_read(self, path: Path, part_col: str,
                            hash_col: str, batch_rows: DataFrame,
                            select_cols: list,
@@ -285,29 +366,48 @@ class DedupIndex:
         for the scan's own execution (the eager localCheckpoint runs it
         inside the conf scope); the result is batch-bounded by
         construction. Slow path (bigger batches — bulk backfills):
-        the original lazy prefix-pruned read, no driver hash set."""
-        if self.probe_pushdown_max > 0:
+        the original lazy prefix-pruned read, no driver hash set.
+
+        Middle path (opt-in, ``probe_bloom_max`` > 0): batches past the
+        In ceiling but within the bloom cap get a driver-built Bloom
+        BITSTRING pre-filter applied JVM-side to the prefix-pruned scan
+        — store rows whose hash is in the batch always pass (same
+        md5-derived positions on both sides, no false negatives), so
+        downstream exact joins are unchanged; the store-side shuffle
+        drops to O(batch + false positives) instead of every scanned
+        row. The scan I/O itself stays prefix-pruned only (a
+        substr-over-literal predicate is not parquet-pushable — that is
+        the In path's job)."""
+        cap = max(self.probe_pushdown_max, self.probe_bloom_max)
+        if cap > 0:
             hs = [r[hash_col] for r in
                   batch_rows.select(hash_col).distinct()
-                  .limit(self.probe_pushdown_max + 1).collect()]
-            if len(hs) <= self.probe_pushdown_max:
+                  .limit(cap + 1).collect()]
+            if len(hs) <= cap:
                 if empty_as_none and not hs:
                     return None
                 self.spark.catalog.refreshByPath(str(path))
                 store = self.spark.read.parquet(str(path))
                 pfx = sorted({h[:self.prefix_len] for h in hs})
-                conf = self.spark.conf
-                key = "spark.sql.parquet.pushdown.inFilterThreshold"
-                prev = conf.get(key, None)
-                conf.set(key, str(len(hs) + 1))
-                try:
-                    return (store.filter(F.col(part_col).isin(pfx)
-                                         & F.col(hash_col).isin(hs))
-                            .select(*select_cols)
-                            .localCheckpoint(eager=True))
-                finally:
-                    (conf.set(key, prev) if prev is not None
-                     else conf.unset(key))
+                if (self.probe_pushdown_max > 0
+                        and len(hs) <= self.probe_pushdown_max):
+                    conf = self.spark.conf
+                    key = "spark.sql.parquet.pushdown.inFilterThreshold"
+                    prev = conf.get(key, None)
+                    conf.set(key, str(len(hs) + 1))
+                    try:
+                        return (store.filter(F.col(part_col).isin(pfx)
+                                             & F.col(hash_col).isin(hs))
+                                .select(*select_cols)
+                                .localCheckpoint(eager=True))
+                    finally:
+                        (conf.set(key, prev) if prev is not None
+                         else conf.unset(key))
+                return (store.filter(
+                            F.col(part_col).isin(pfx)
+                            & self._bloom_predicate(
+                                hash_col, self._bloom_bits(hs)))
+                        .select(*select_cols))
         pfx = sorted({r[part_col] for r in
                       batch_rows.select(part_col).distinct().collect()})
         if empty_as_none and not pfx:

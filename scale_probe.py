@@ -947,6 +947,63 @@ def main_timeseries() -> None:
     spark.stop()
 
 
+def main_dedup_bloom() -> None:
+    """A/B the dedup-index probe paths on a 1M-doc corpus (9M-row
+    fingerprint stores, prefix_len=2) with a 20k-doc micro-batch — the
+    batch size PAST the In-pushdown ceiling (~1000 values) that the
+    bloom pre-filter exists for. Reports wall time per path plus the
+    store rows surviving the exact-store read (the rows that would
+    enter the anti-join SHUFFLE — the 100-TB cost the bloom cuts)."""
+    from glue_hudi_spark.operators.dedup_index import DedupIndex
+
+    spark = get_spark(app="ghs-dedup-bloom-probe")
+    work = tempfile.mkdtemp(prefix="ghs_bloomprobe_")
+    try:
+        n_docs = 1_000_000
+        corpus = spark.range(n_docs).select(
+            F.format_string("%012d", "id").alias("dk"),
+            F.col("id").alias("doc_id"),
+            F.format_string(
+                "w%da x%db y%dc z%dd q%de r%df s%dg t%dh",
+                *([F.col("id")] * 8)).alias("text"))
+        docs_tbl = NativeTable(
+            spark, f"{work}/docs_tbl", record_keys=["dk"],
+            precombine="doc_id", files_per_partition=64,
+            stats_cols=["doc_id"])
+        docs_tbl.bulk_insert(corpus)
+        ix0 = DedupIndex(docs_tbl, id_col="doc_id", prefix_len=2)
+        t0 = time.perf_counter()
+        ix0.build()
+        probe("dedup_bloom_build_1m_docs", time.perf_counter() - t0)
+        # batch: 2k exact re-crawls + 18k novel
+        batch = (spark.range(2_000).select(
+            (F.col("id") + 5_000_000).alias("doc_id"),
+            F.format_string(
+                "w%da x%db y%dc z%dd q%de r%df s%dg t%dh",
+                *([F.col("id") * 137] * 8)).alias("text"))
+            .unionByName(spark.range(18_000).select(
+                (F.col("id") + 6_000_000).alias("doc_id"),
+                F.format_string(
+                    "n%dz m%dy l%dx k%dw j%dv i%du h%dt g%ds",
+                    *([F.col("id")] * 8)).alias("text")))
+            .localCheckpoint(eager=True))
+        for label, kw in (("plain", {}),
+                          ("bloom", {"probe_bloom_max": 250_000})):
+            ix = DedupIndex(docs_tbl, id_col="doc_id", prefix_len=2, **kw)
+            t0 = time.perf_counter()
+            novel = ix.probe(batch).count()
+            sec = time.perf_counter() - t0
+            fp = ix._fingerprints(batch)
+            joined = ix._pushed_store_read(
+                ix.exact_store, "hp", "h", ix._exact_rows(fp),
+                ["h"]).count()
+            probe(f"dedup_bloom_probe_{label}_20k_batch", sec,
+                  novel=novel, exact_rows_into_join=joined)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 if __name__ == "__main__":
     if "--sql" in sys.argv[1:]:
         main_sql()
@@ -962,5 +1019,7 @@ if __name__ == "__main__":
         main_classifier()
     elif "--maggr" in sys.argv[1:]:
         main_maggr()
+    elif "--dedup-bloom" in sys.argv[1:]:
+        main_dedup_bloom()
     else:
         main()

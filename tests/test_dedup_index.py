@@ -175,3 +175,88 @@ def test_probe_pushdown_path_matches_join_path(spark, tmp_path):
     tiny = DedupIndex(t, id_col="doc_id", probe_pushdown_max=1)
     got2 = sorted(r["doc_id"] for r in tiny.probe(batch).collect())
     assert got2 == want
+
+
+def test_probe_bloom_path_matches_join_path(spark, tmp_path):
+    """Opt-in Bloom pre-filter (probe_bloom_max > 0, batches past the
+    In ceiling): identical probe verdicts to the default anti-join
+    path, store-side rows entering the join cut to O(batch), and the
+    whole pre-filter stays JVM-side (no Python eval in the scan)."""
+    t = _mk(spark, tmp_path / "t")
+    corpus = t.read_snapshot()
+    batch = spark.createDataFrame([
+        dict(doc_id=1003, text=corpus.filter("doc_id = 3")
+             .collect()[0]["text"]),
+        dict(doc_id=1004, text=corpus.filter("doc_id = 4")
+             .collect()[0]["text"].replace("joins", "unions")),
+        dict(doc_id=1005, text="совершенно new words never seen in corpus "
+                               "zetetic quixotic phlogiston"),
+        dict(doc_id=1006, text="duplicate pair payload words here now"),
+        dict(doc_id=1007, text="duplicate pair payload words here now"),
+    ])
+    plain = DedupIndex(t, id_col="doc_id")
+    plain.build()
+    bloom = DedupIndex(t, id_col="doc_id", probe_bloom_max=1000)
+    want = sorted(r["doc_id"] for r in plain.probe(batch).collect())
+    got = sorted(r["doc_id"] for r in bloom.probe(batch).collect())
+    assert got == want == [1005, 1006]
+    # the pre-filtered store read: only batch-matching rows (+ rare
+    # false positives) survive, and the plan holds no Python stage
+    fp = bloom._fingerprints(batch)
+    read = bloom._pushed_store_read(
+        bloom.exact_store, "hp", "h", bloom._exact_rows(fp), ["h"])
+    plan = read._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    survivors = read.count()
+    store_total = spark.read.parquet(str(bloom.exact_store)).count()
+    # exactly one store hash is in the batch (doc 3's re-crawl); allow
+    # a handful of false positives, but nothing near the full store
+    assert 1 <= survivors <= 5 < store_total
+
+
+def test_bloom_positions_spark_parity(spark):
+    """The driver-side (hashlib) and store-side (Spark md5/conv/substr)
+    position derivations agree bit-for-bit — the property that makes
+    bloom false negatives impossible."""
+    from glue_hudi_spark.operators.dedup_index import _BLOOM_K
+    m = 1 << 14
+    hs = ["00ff" * 8, "deadbeef" + "0" * 24, "7" * 32, "abc", ""]
+    df = spark.createDataFrame([(h,) for h in hs], ["h"])
+    cols = []
+    for j in range(_BLOOM_K):
+        pos = F.pmod(
+            F.conv(F.substring(F.md5(F.concat_ws(
+                "|", F.col("h"), F.lit(str(j)))), 1, 15), 16, 10)
+            .cast("long"), F.lit(m))
+        cols.append(pos.alias(f"p{j}"))
+    for r in df.select("h", *cols).collect():
+        want = DedupIndex._bloom_positions(r["h"], m)
+        assert [r[f"p{j}"] for j in range(_BLOOM_K)] == want
+
+
+def test_bloom_no_false_negatives(spark, tmp_path):
+    """Every store row whose hash is in the batch passes the bloom
+    predicate — over a few hundred random-ish hashes."""
+    hs = [f"{i:032x}" for i in range(0, 9000, 13)]
+    bits = DedupIndex._bloom_bits(hs[: len(hs) // 2])
+    df = spark.createDataFrame([(h,) for h in hs], ["h"])
+    ix = DedupIndex.__new__(DedupIndex)  # predicate needs no table
+    passed = {r["h"] for r in
+              df.filter(ix._bloom_predicate("h", bits)).collect()}
+    member = set(hs[: len(hs) // 2])
+    assert member <= passed  # no false negative, ever
+    fp = len(passed - member) / max(len(hs) - len(member), 1)
+    assert fp < 0.05, f"bloom false-positive rate {fp:.3f}"
+
+
+def test_bloom_over_cap_falls_back(spark, tmp_path):
+    t = _mk(spark, tmp_path / "t")
+    ix = DedupIndex(t, id_col="doc_id")
+    ix.build()
+    batch = spark.createDataFrame(
+        [dict(doc_id=2000 + i, text=f"novel document number {i} with "
+              f"unique payload token{i}") for i in range(8)])
+    tiny = DedupIndex(t, id_col="doc_id", probe_bloom_max=1)
+    want = sorted(r["doc_id"] for r in ix.probe(batch).collect())
+    got = sorted(r["doc_id"] for r in tiny.probe(batch).collect())
+    assert got == want
