@@ -217,16 +217,25 @@ class CommitTimeline:
         matching the epoch wall_time the manifests record). None when
         every retained commit is newer (or wall times are missing —
         pre-field manifests)."""
-        if isinstance(ts, str):
-            import datetime as _dt
+        import datetime as _dt
 
+        utc = _dt.timezone.utc
+        if isinstance(ts, str):
             parsed = _dt.datetime.fromisoformat(ts)
             if parsed.tzinfo is None:
-                parsed = parsed.replace(tzinfo=_dt.timezone.utc)
-            ts = parsed.timestamp()
+                parsed = parsed.replace(tzinfo=utc)
+        else:
+            parsed = _dt.datetime.fromtimestamp(ts, utc)
+        # quantize wall_time through the SAME datetime path as the
+        # bound: wall_time floats carry sub-µs bits (and datetime's
+        # float→µs conversion is not round(x*1e6) at epoch magnitudes),
+        # so a raw float compare made a commit's OWN formatted instant
+        # resolve to the PREVIOUS commit whenever those bits rounded
+        # differently — format-then-reparse must be identity
         best = None
         for c in self.history():
-            if c.wall_time and c.wall_time <= ts:
+            if c.wall_time and _dt.datetime.fromtimestamp(
+                    c.wall_time, utc) <= parsed:
                 best = c
         return best
 
