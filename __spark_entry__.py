@@ -9721,6 +9721,95 @@ FROM (
 """
 
 
+def sql_dedup_probe(spark, sf_dir):
+    """SQL face of the persisted dedup index (round 13): CREATE DEDUP
+    INDEX / REFRESH DEDUP INDEX DDL plus the ``dedup_probe('t',
+    'batch')`` read TVF (``sql.py:_create_index`` /
+    ``_rewrite_index_tvfs``) — thin bindings onto
+    ``operators/dedup_index.DedupIndex``, the same engine
+    ``dedup_index_probe`` drives through the Python API (Hudi's
+    spark-sql index DDL is the surface precedent; the reference reaches
+    Hudi's record index through write options only,
+    processData.py:64-78). Same corpus/refresh/batch script as
+    ``dedup_index_probe``, driven ENTIRELY in SQL: build on the even
+    docs, late-arrival INSERT + REFRESH, probe odd docs + 50 exact
+    re-crawls — so the two surfaces and the DuckDB oracle must agree
+    three ways on the novel-survivor set."""
+    from glue_hudi_spark.sql import GhsSql
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d.filter(F.col("doc_id") % 2 == 0).createOrReplaceTempView(
+        "corpus_sx_v")
+    (d.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") < 20))
+     .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+     .createOrReplaceTempView("late_sx_v"))
+    recrawl = (d.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 100))
+               .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    (d.filter(F.col("doc_id") % 2 == 1).unionByName(recrawl)
+     .createOrReplaceTempView("batch_sx_v"))
+    ghs = GhsSql(spark, _scratch_dir("sqldix_"))
+    ghs.sql("""
+        CREATE TABLE docs_sx (dk STRING, doc_id BIGINT, text STRING)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='dk',
+                                           'preCombineField'='doc_id');
+        INSERT INTO docs_sx
+            SELECT format_string('%09d', doc_id), doc_id, text
+            FROM corpus_sx_v;
+        CREATE DEDUP INDEX ON docs_sx (text) OPTIONS (id_col = doc_id);
+        INSERT INTO docs_sx
+            SELECT format_string('%09d', doc_id), doc_id, text
+            FROM late_sx_v;
+        REFRESH DEDUP INDEX ON docs_sx
+    """)
+    assert ghs.sql("SHOW INDEXES ON docs_sx").first().stale is False
+    return ghs.sql(
+        "SELECT doc_id FROM dedup_probe('docs_sx', 'batch_sx_v')")
+
+
+def sql_vector_search(spark, sf_dir):
+    """SQL face of the persisted IVF vector index (round 13): CREATE
+    VECTOR INDEX / REFRESH VECTOR INDEX DDL plus the
+    ``vector_search('t', 'queries', k, nprobe)`` read TVF — thin
+    bindings onto ``operators/vector_index.VectorIndex``, the same
+    engine ``ann_index_persisted`` drives through the Python API. Same
+    script (train-free 8-centroid build, sign-flip churn + deletes via
+    SQL UPDATE/DELETE, stale query RAISES — asserted in-query —
+    then REFRESH and probe), so the SQL surface, the Python surface,
+    and the DuckDB oracle must agree three ways on the top-k."""
+    from glue_hudi_spark.operators.vector_index import StaleIndexError
+    from glue_hudi_spark.sql import GhsSql
+
+    emb = _t(spark, sf_dir, "embeddings")
+    (emb.select(F.format_string("%08d", F.col("vec_id")).alias("vk"),
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"))
+     .createOrReplaceTempView("emb_sx_v"))
+    ghs = GhsSql(spark, _scratch_dir("sqlvix_"))
+    ghs.sql("""
+        CREATE TABLE emb_sx (vk STRING, vec_id BIGINT,
+                             embedding ARRAY<DOUBLE>)
+            USING ghs_table TBLPROPERTIES ('primaryKey'='vk',
+                                           'preCombineField'='vec_id');
+        INSERT INTO emb_sx SELECT * FROM emb_sx_v;
+        CREATE VECTOR INDEX ON emb_sx (embedding)
+            OPTIONS (id_col = vec_id, n_centroids = 8);
+        UPDATE emb_sx SET embedding = transform(embedding, x -> -x)
+            WHERE vec_id >= 10 AND vec_id % 11 = 5;
+        DELETE FROM emb_sx WHERE vec_id >= 10 AND vec_id % 13 = 9
+    """)
+    ghs.sql("SELECT vec_id, embedding FROM emb_sx WHERE vec_id < 5") \
+        .createOrReplaceTempView("q_sx_v")
+    try:
+        ghs.sql("SELECT * FROM vector_search('emb_sx', 'q_sx_v')")
+        raise AssertionError("stale index TVF must raise")
+    except StaleIndexError:
+        pass
+    ghs.sql("REFRESH VECTOR INDEX ON emb_sx (embedding)")
+    assert ghs.sql("SHOW INDEXES ON emb_sx").first().stale is False
+    return ghs.sql("SELECT query_id, neighbor_id, rank, sim "
+                   "FROM vector_search('emb_sx', 'q_sx_v', 10, 1)")
+
+
 def cdc_split_upsert(spark, sf_dir):
     """Split-upsert routing (SURVEY C6; reference processData.py:348-366,
     ``cdc_split_upsert=yes``): 'I' rows route through bulk_insert (no
@@ -9909,15 +9998,23 @@ def entry(spark: SparkSession) -> DataFrame:
 #        canonicalization, not semantics. The conclusion stands as the
 #        registry-wide "never DECIMAL-final" rule; the probe remains in
 #        the registry for local bisection if reds ever recur.
-#   6-23 the 18 queries whose last driver contact is r08 (oldest-first
+#   5-6  first contact: the SQL secondary-index surface (sql_dedup_probe,
+#        sql_vector_search — CREATE/REFRESH INDEX DDL + probe TVFs,
+#        sql.py:_create_index/_rewrite_index_tvfs), displacing the two
+#        alphabetically-last r09 entries (events_asof_join,
+#        events_asof_tolerance → r14 with the rest of the r09 debt).
+#   7    canon_probe_scalar stays as the environment sentinel.
+#   8-25 the 18 queries whose last driver contact is r08 (oldest-first
 #        rotation debt, verdict #3).
-#   24-50 the 27 alphabetically-first queries whose last contact is r09
-#        (the remaining 23 r09 entries rotate in r14).
+#   26-50 the 25 alphabetically-first queries whose last contact is r09
+#        (the remaining 25 r09 entries rotate in r14).
 _DRIVER_WINDOW = [
     "events_lttb_anchors",
     "sql_gapfill",
     "sql_lttb",
     "sql_changes_window",
+    "sql_dedup_probe",
+    "sql_vector_search",
     "canon_probe_scalar",
     "events_psi_drift",
     "events_range_window",
@@ -10001,6 +10098,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_gapfill": sql_gapfill,
         "sql_lttb": sql_lttb,
         "sql_changes_window": sql_changes_window,
+        "sql_dedup_probe": sql_dedup_probe,
+        "sql_vector_search": sql_vector_search,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -10418,4 +10517,8 @@ def oracle_sql() -> dict[str, str]:
         "sql_gapfill": SQL_GAPFILL_ORACLE,
         "sql_lttb": SQL_LTTB_ORACLE,
         "sql_changes_window": SQL_CHANGES_WINDOW_ORACLE,
+        # the SQL index surfaces replay the SAME engine paths as their
+        # Python-API twins — one oracle text each, three-way agreement
+        "sql_dedup_probe": _dedup_index_oracle(),
+        "sql_vector_search": ANN_INDEX_PERSISTED_ORACLE,
     }

@@ -758,8 +758,315 @@ class GhsSql:
     def _rewrite_tvfs(self, s: str) -> str:
         """All read-side TVF rewrites, in one place: change-feed reads
         first (a time-series TVF may not wrap one — its source must be
-        a name), then the time-series functions."""
-        return self._rewrite_timeseries(self._rewrite_table_changes(s))
+        a name), then the time-series functions, then the secondary-
+        index probes."""
+        return self._rewrite_index_tvfs(
+            self._rewrite_timeseries(self._rewrite_table_changes(s)))
+
+    # ------------------------------------------------- secondary indexes
+    #
+    # SQL face for the two persisted secondary indexes the Python API
+    # carries (operators/dedup_index.DedupIndex, operators/vector_index.
+    # VectorIndex) — Hudi's spark-sql exposes index DDL the same way
+    # (CREATE INDEX ... USING <type>); the reference itself configures
+    # Hudi's record-key index through write options only
+    # (processData.py:64-78), so SQL index DDL is the lakehouse-parity
+    # extension. Index state lives ON DISK next to the table
+    # (_index/dedup/meta.json, _index/ivf/<col>/meta.json), so every
+    # statement here re-binds from the meta — indexes survive sessions
+    # and SHOW INDEXES needs no session registry.
+
+    _CREATE_INDEX = re.compile(
+        rf"^CREATE\s+(?P<kind>DEDUP|VECTOR)\s+INDEX\s+"
+        rf"(?P<ine>IF\s+NOT\s+EXISTS\s+)?ON\s+(?P<name>{_IDENT})\s*"
+        rf"\(\s*(?P<col>{_IDENT})\s*\)"
+        rf"(?:\s+OPTIONS\s*\((?P<opts>[^)]*)\))?\s*$", re.IGNORECASE)
+    _REFRESH_INDEX = re.compile(
+        rf"^REFRESH\s+(?P<kind>DEDUP|VECTOR)\s+INDEX\s+ON\s+"
+        rf"(?P<name>{_IDENT})\s*(?:\(\s*(?P<col>{_IDENT})\s*\))?\s*$",
+        re.IGNORECASE)
+    _DROP_INDEX = re.compile(
+        rf"^DROP\s+(?P<kind>DEDUP|VECTOR)\s+INDEX\s+"
+        rf"(?P<ie>IF\s+EXISTS\s+)?ON\s+(?P<name>{_IDENT})\s*"
+        rf"(?:\(\s*(?P<col>{_IDENT})\s*\))?\s*$", re.IGNORECASE)
+    _SHOW_INDEXES = re.compile(
+        rf"^SHOW\s+INDEXES\s+(?:ON|FROM)\s+(?P<name>{_IDENT})\s*$",
+        re.IGNORECASE)
+
+    @staticmethod
+    def _index_opts(raw: str | None, who: str, allowed: dict) -> dict:
+        """Parse ``k = v, ...`` OPTIONS. ``allowed`` maps option name →
+        coercion (int/str); unknown keys raise (typos must not
+        silently become defaults)."""
+        out: dict = {}
+        for item in (raw or "").split(","):
+            item = item.strip()
+            if not item:
+                continue
+            if "=" not in item:
+                raise ValueError(
+                    f"ghs.sql: {who}: OPTIONS entries are k = v "
+                    f"(got {item!r})")
+            k, v = (p.strip() for p in item.split("=", 1))
+            k = k.lower()
+            if k not in allowed:
+                raise ValueError(
+                    f"ghs.sql: {who}: unknown option {k!r} "
+                    f"(known: {sorted(allowed)})")
+            v = v[1:-1] if v.startswith("'") and v.endswith("'") else v
+            out[k] = allowed[k](_unq(v))
+        return out
+
+    def _dedup_index(self, t: NativeTable):
+        """Re-bind the table's persisted dedup index from its on-disk
+        meta (None if never created)."""
+        from glue_hudi_spark.operators.dedup_index import DedupIndex
+
+        meta_p = Path(t.root) / "_index" / "dedup" / "meta.json"
+        if not meta_p.exists():
+            return None
+        meta = json.loads(meta_p.read_text())
+        return DedupIndex(
+            t, id_col=meta["id_col"], text_col=meta["text_col"],
+            n=meta["n"], num_hashes=meta["num_hashes"],
+            bands=meta["bands"], prefix_len=meta["prefix_len"])
+
+    def _vector_indexes(self, t: NativeTable) -> list:
+        """All persisted IVF indexes on the table (one per vector
+        column), re-bound from their on-disk meta."""
+        from glue_hudi_spark.operators.vector_index import VectorIndex
+
+        base = Path(t.root) / "_index" / "ivf"
+        out = []
+        if base.is_dir():
+            for d in sorted(base.iterdir()):
+                ix = VectorIndex(t, vec_col=d.name)
+                if ix.exists():
+                    out.append(ix)
+        return out
+
+    def _one_vector_index(self, t: NativeTable, col: str | None,
+                          who: str):
+        ixs = self._vector_indexes(t)
+        if col:
+            for ix in ixs:
+                if ix.vec_col == _unq(col):
+                    return ix
+            raise ValueError(
+                f"ghs.sql: {who}: no VECTOR INDEX on column "
+                f"{_unq(col)!r} (existing: {[i.vec_col for i in ixs]})")
+        if not ixs:
+            raise ValueError(
+                f"ghs.sql: {who}: table has no VECTOR INDEX — "
+                "CREATE VECTOR INDEX first")
+        if len(ixs) > 1:
+            raise ValueError(
+                f"ghs.sql: {who}: table has VECTOR INDEXes on "
+                f"{[i.vec_col for i in ixs]} — name the column")
+        return ixs[0]
+
+    def _no_txn_index(self, verb: str) -> None:
+        if self._txn is not None:
+            raise ValueError(
+                f"ghs.sql: {verb} is not allowed inside a transaction "
+                "— index stores commit outside the table protocol, so "
+                "ROLLBACK could not undo them (COMMIT or ROLLBACK "
+                "first)")
+
+    def _create_index(self, m: "re.Match[str]") -> None:
+        self._no_txn_index("CREATE INDEX")
+        kind = m.group("kind").upper()
+        t = self._target(m.group("name"))
+        col = _unq(m.group("col"))
+        if kind == "DEDUP":
+            opts = self._index_opts(
+                m.group("opts"), "CREATE DEDUP INDEX",
+                {"id_col": str, "n": int, "num_hashes": int,
+                 "bands": int, "prefix_len": int})
+            if "id_col" not in opts:
+                raise ValueError(
+                    "ghs.sql: CREATE DEDUP INDEX needs OPTIONS "
+                    "(id_col = <numeric id column>) — probe results "
+                    "key on it")
+            if self._dedup_index(t) is not None:
+                if m.group("ine"):
+                    return None
+                raise ValueError(
+                    f"ghs.sql: table {_unq(m.group('name'))!r} already "
+                    "has a DEDUP INDEX — DROP DEDUP INDEX first")
+            from glue_hudi_spark.operators.dedup_index import DedupIndex
+
+            DedupIndex(t, text_col=col, **opts).build()
+            return None
+        opts = self._index_opts(
+            m.group("opts"), "CREATE VECTOR INDEX",
+            {"id_col": str, "n_centroids": int, "train_iters": int})
+        id_col = opts.pop("id_col", None)
+        if id_col is None:
+            raise ValueError(
+                "ghs.sql: CREATE VECTOR INDEX needs OPTIONS "
+                "(id_col = <numeric id column>)")
+        from glue_hudi_spark.operators.vector_index import VectorIndex
+
+        ix = VectorIndex(t, vec_col=col)
+        if ix.exists():
+            if m.group("ine"):
+                return None
+            raise ValueError(
+                f"ghs.sql: table {_unq(m.group('name'))!r} already has "
+                f"a VECTOR INDEX on {col!r} — DROP VECTOR INDEX first")
+        ix.build(id_col=id_col, **opts)
+        return None
+
+    def _refresh_index(self, m: "re.Match[str]") -> None:
+        self._no_txn_index("REFRESH INDEX")
+        t = self._target(m.group("name"))
+        if m.group("kind").upper() == "DEDUP":
+            ix = self._dedup_index(t)
+            if ix is None:
+                raise ValueError(
+                    f"ghs.sql: table {_unq(m.group('name'))!r} has no "
+                    "DEDUP INDEX — CREATE DEDUP INDEX first")
+            if m.group("col") and _unq(m.group("col")) != ix.text_col:
+                raise ValueError(
+                    f"ghs.sql: the DEDUP INDEX is on "
+                    f"{ix.text_col!r}, not {_unq(m.group('col'))!r}")
+        else:
+            ix = self._one_vector_index(
+                t, m.group("col"), "REFRESH VECTOR INDEX")
+        ix.refresh()
+        return None
+
+    def _drop_index(self, m: "re.Match[str]") -> None:
+        import shutil
+
+        self._no_txn_index("DROP INDEX")
+        t = self._target(m.group("name"))
+        kind = m.group("kind").upper()
+        if kind == "DEDUP":
+            root = Path(t.root) / "_index" / "dedup"
+            ix = self._dedup_index(t)
+            if ix is None:
+                if m.group("ie"):
+                    return None
+                raise ValueError(
+                    f"ghs.sql: table {_unq(m.group('name'))!r} has no "
+                    "DEDUP INDEX")
+            if m.group("col") and _unq(m.group("col")) != ix.text_col:
+                raise ValueError(
+                    f"ghs.sql: the DEDUP INDEX is on "
+                    f"{ix.text_col!r}, not {_unq(m.group('col'))!r}")
+        else:
+            try:
+                ix = self._one_vector_index(
+                    t, m.group("col"), "DROP VECTOR INDEX")
+            except ValueError:
+                if m.group("ie"):
+                    return None
+                raise
+            root = ix.root
+        shutil.rmtree(root, ignore_errors=True)
+        return None
+
+    def _show_indexes(self, name: str) -> DataFrame:
+        t = self._table(name)
+        head = t.timeline.latest()
+        rows = []
+        ix = self._dedup_index(t)
+        if ix is not None:
+            meta = json.loads((ix.root / "meta.json").read_text())
+            rows.append(
+                ("dedup", meta["text_col"],
+                 json.dumps({k: meta[k] for k in
+                             ("id_col", "n", "num_hashes", "bands",
+                              "prefix_len")}, sort_keys=True),
+                 meta["indexed_commit"],
+                 head is not None
+                 and head.commit_id != meta["indexed_commit"]))
+        for vx in self._vector_indexes(t):
+            st = vx.status()
+            meta = json.loads((vx.root / "meta.json").read_text())
+            rows.append(
+                ("ivf", vx.vec_col,
+                 json.dumps({"id_col": meta["id_col"],
+                             "n_centroids": meta["n_centroids"],
+                             "train_iters": meta["train_iters"]},
+                            sort_keys=True),
+                 meta["indexed_commit"], bool(st.get("stale"))))
+        return self.spark.createDataFrame(
+            rows or [],
+            "kind string, column string, options string, "
+            "indexed_commit string, stale boolean")
+
+    _TVF_DEDUP_PROBE = re.compile(
+        r"\bdedup_probe\s*\(\s*'(?P<tbl>[^']+)'\s*,"
+        r"\s*'(?P<batch>[^']+)'"
+        r"(?:\s*,\s*(?P<thr>\d*\.?\d+))?"
+        r"(?:\s*,\s*'(?P<opts>[^']*)')?\s*\)", re.IGNORECASE)
+    _TVF_VECTOR_SEARCH = re.compile(
+        r"\bvector_search\s*\(\s*'(?P<tbl>[^']+)'\s*,"
+        r"\s*'(?P<q>[^']+)'"
+        r"(?:\s*,\s*(?P<k>\d+))?(?:\s*,\s*(?P<np>\d+))?"
+        r"(?:\s*,\s*'(?P<col>[^']*)')?\s*\)", re.IGNORECASE)
+
+    def _rewrite_index_tvfs(self, s: str) -> str:
+        """Read-side TVFs over the persisted indexes:
+        ``dedup_probe('t', 'batch'[, threshold[, 'allow_stale']])`` —
+        the batch rows that are NOVEL against t's dedup index; and
+        ``vector_search('t', 'queries'[, k[, nprobe[, 'vec_col']]])``
+        — (query_id, neighbor_id, rank, sim) top-k off t's IVF index,
+        reading only the probed cell partitions. Both bind
+        deterministic temp views plain SQL composes over, exactly like
+        the time-series TVFs."""
+
+        def probe(m: "re.Match[str]") -> str:
+            t = self._table(m.group("tbl"))
+            ix = self._dedup_index(t)
+            if ix is None:
+                raise ValueError(
+                    f"ghs.sql: dedup_probe: table "
+                    f"{_unq(m.group('tbl'))!r} has no DEDUP INDEX — "
+                    "CREATE DEDUP INDEX first")
+            opts = [o.strip().lower()
+                    for o in (m.group("opts") or "").split(",")
+                    if o.strip()]
+            bad = [o for o in opts if o != "allow_stale"]
+            if bad:
+                raise ValueError(
+                    f"ghs.sql: dedup_probe: unknown option {bad[0]!r} "
+                    "(allow_stale)")
+            out = ix.probe(
+                self._ts_source("dedup_probe", m.group("batch")),
+                verify_threshold=(float(m.group("thr"))
+                                  if m.group("thr") else 0.5),
+                allow_stale="allow_stale" in opts)
+            alias = (f"{m.group('tbl')}__dprobe_"
+                     f"{_stable_token(m.group(0))}")
+            out.createOrReplaceTempView(alias)
+            return alias
+
+        def search(m: "re.Match[str]") -> str:
+            t = self._table(m.group("tbl"))
+            ix = self._one_vector_index(
+                t, m.group("col"), "vector_search")
+            qdf = self._ts_source("vector_search", m.group("q"))
+            others = [c for c in qdf.columns if c != ix.vec_col]
+            if ix.vec_col not in qdf.columns or len(others) != 1:
+                raise ValueError(
+                    "ghs.sql: vector_search: the query source must "
+                    f"have exactly two columns — an id and "
+                    f"{ix.vec_col!r} (got {qdf.columns})")
+            out = ix.query(
+                qdf, id_col=others[0],
+                k=int(m.group("k")) if m.group("k") else 10,
+                nprobe=int(m.group("np")) if m.group("np") else 1)
+            alias = (f"{m.group('tbl')}__vsearch_"
+                     f"{_stable_token(m.group(0))}")
+            out.createOrReplaceTempView(alias)
+            return alias
+
+        s = self._TVF_DEDUP_PROBE.sub(probe, s)
+        return self._TVF_VECTOR_SEARCH.sub(search, s)
 
     _KEYWORD_ALIAS = (
         "WHERE|GROUP|ORDER|HAVING|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|"
@@ -1328,6 +1635,9 @@ class GhsSql:
         rf"\s+SHALLOW\s+CLONE\s+(?P<src>{_IDENT})\s*$", re.IGNORECASE)
 
     def _create(self, s: str) -> None:
+        im = self._CREATE_INDEX.match(s)
+        if im:
+            return self._create_index(im)
         if re.match(r"^CREATE\s+MATERIALIZED\s+VIEW\b", s, re.IGNORECASE):
             return self._create_mview(s)
         vm = self._CREATE_VIEW.match(s)
@@ -1657,11 +1967,15 @@ class GhsSql:
         re.IGNORECASE)
 
     def _refresh_mv(self, s: str) -> None:
+        rim = self._REFRESH_INDEX.match(s)
+        if rim:
+            return self._refresh_index(rim)
         m = self._REFRESH_MV.match(s)
         if not m:
             raise ValueError(
                 f"ghs.sql: cannot parse REFRESH: {s[:80]!r} — use "
-                "REFRESH MATERIALIZED VIEW name")
+                "REFRESH MATERIALIZED VIEW name or REFRESH "
+                "DEDUP|VECTOR INDEX ON table")
         name = _unq(m.group("name"))
         mv = self.mviews.get(name)
         if mv is None:
@@ -2319,6 +2633,9 @@ class GhsSql:
         cm = self._SHOW_CREATE.match(s)
         if cm:
             return self._show_create(_unq(cm.group("name")))
+        sim = self._SHOW_INDEXES.match(s)
+        if sim:
+            return self._show_indexes(sim.group("name"))
         pm = self._SHOW_PARTITIONS.match(s)
         if pm:
             # metadata-only: partition tuples come from the manifest's
@@ -2705,6 +3022,9 @@ class GhsSql:
                       if v != name and self._mentions(q, {name}))
 
     def _drop(self, s: str) -> None:
+        dim = self._DROP_INDEX.match(s)
+        if dim:
+            return self._drop_index(dim)
         m = self._DROP.match(s)
         if not m:
             raise ValueError(f"ghs.sql: cannot parse DROP: {s[:80]!r}")
