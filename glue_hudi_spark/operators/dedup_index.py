@@ -207,6 +207,12 @@ class DedupIndex:
             "id_col": self.id_col, "text_col": self.text_col,
             "n": self.n, "num_hashes": self.num_hashes,
             "bands": self.bands, "prefix_len": self.prefix_len,
+            # probe-path knobs persist with the index so a session that
+            # re-binds from meta (the SQL face) probes the way the
+            # index was declared — they are deployment shape, not
+            # per-call tuning
+            "probe_pushdown_max": self.probe_pushdown_max,
+            "probe_bloom_max": self.probe_bloom_max,
             "indexed_commit": head.commit_id,
         })
         return {"indexed_commit": head.commit_id}

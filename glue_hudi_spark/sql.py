@@ -829,7 +829,9 @@ class GhsSql:
         return DedupIndex(
             t, id_col=meta["id_col"], text_col=meta["text_col"],
             n=meta["n"], num_hashes=meta["num_hashes"],
-            bands=meta["bands"], prefix_len=meta["prefix_len"])
+            bands=meta["bands"], prefix_len=meta["prefix_len"],
+            probe_pushdown_max=meta.get("probe_pushdown_max", 0),
+            probe_bloom_max=meta.get("probe_bloom_max", 0))
 
     def _vector_indexes(self, t: NativeTable) -> list:
         """All persisted IVF indexes on the table (one per vector
@@ -882,7 +884,8 @@ class GhsSql:
             opts = self._index_opts(
                 m.group("opts"), "CREATE DEDUP INDEX",
                 {"id_col": str, "n": int, "num_hashes": int,
-                 "bands": int, "prefix_len": int})
+                 "bands": int, "prefix_len": int,
+                 "probe_pushdown_max": int, "probe_bloom_max": int})
             if "id_col" not in opts:
                 raise ValueError(
                     "ghs.sql: CREATE DEDUP INDEX needs OPTIONS "
@@ -975,11 +978,15 @@ class GhsSql:
         ix = self._dedup_index(t)
         if ix is not None:
             meta = json.loads((ix.root / "meta.json").read_text())
+            shown = {k: meta[k] for k in
+                     ("id_col", "n", "num_hashes", "bands",
+                      "prefix_len")}
+            shown.update({k: meta[k] for k in
+                          ("probe_pushdown_max", "probe_bloom_max")
+                          if meta.get(k)})
             rows.append(
                 ("dedup", meta["text_col"],
-                 json.dumps({k: meta[k] for k in
-                             ("id_col", "n", "num_hashes", "bands",
-                              "prefix_len")}, sort_keys=True),
+                 json.dumps(shown, sort_keys=True),
                  meta["indexed_commit"],
                  head is not None
                  and head.commit_id != meta["indexed_commit"]))

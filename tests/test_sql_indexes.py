@@ -158,3 +158,23 @@ def test_index_tvf_in_stored_view(ghs, spark, tmp_path):
     assert ghs.sql("SELECT * FROM novelties").count() == 1
     g2 = GhsSql(spark, tmp_path / "wh")
     assert g2.sql("SELECT * FROM novelties").count() == 1
+
+
+def test_probe_knobs_persist_through_sql(ghs, spark):
+    """OPTIONS (probe_bloom_max = N) on CREATE DEDUP INDEX persists in
+    the index meta and is honored by every session that re-binds from
+    it — the SQL face reaches the same scale knobs as the Python API,
+    and the probe verdicts are unchanged."""
+    ghs.sql("CREATE DEDUP INDEX ON docs (text) OPTIONS "
+            "(id_col = doc_id, probe_bloom_max = 1000)")
+    opts = ghs.sql("SHOW INDEXES ON docs").first().options
+    assert '"probe_bloom_max": 1000' in opts
+    ix = ghs._dedup_index(ghs.tables["docs"])
+    assert ix.probe_bloom_max == 1000 and ix.probe_pushdown_max == 0
+    spark.createDataFrame(
+        [(8000, TEXTS[2] + " tail2"),            # exact re-crawl
+         (8001, "fresh bloom-path probe document qwertzuiop")],
+        "doc_id bigint, text string").createOrReplaceTempView("b4")
+    got = sorted(r.doc_id for r in ghs.sql(
+        "SELECT doc_id FROM dedup_probe('docs', 'b4')").collect())
+    assert got == [8001]
