@@ -39,7 +39,6 @@ SQL oracle replays the store and the probe decision exactly.
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
@@ -56,16 +55,17 @@ from glue_hudi_spark.operators.dedup import (
 )
 from glue_hudi_spark.operators.vector_index import StaleIndexError
 
-#: Bloom pre-filter sizing (probe_bloom_max path): k probes per hash,
-#: target bits-per-key, and the bitstring clamp. At 16 bits/key with
-#: k=4 the false-positive rate is ~0.24%; the cap bounds the literal
-#: shipped to executors at 4 MiB (one shared JVM object — java
-#: serialization back-references repeated literals within a task
-#: binary, so the k probes don't multiply it).
-_BLOOM_K = 4
-_BLOOM_BITS_PER_KEY = 16
-_BLOOM_MIN_BITS = 1 << 13
-_BLOOM_MAX_BITS = 1 << 22
+#: Bloom pre-filter modulus (probe_bloom_max path): the batch's hash
+#: set maps to ``pmod(xxhash64(h), _BLOOM_BUCKETS)`` buckets and the
+#: store is LEFT SEMI broadcast-joined against that bucket set — a
+#: single-hash Bloom filter expressed as a join, so the "bitset" is a
+#: broadcast LongHashedRelation (≤ batch-distinct longs), never a plan
+#: literal. False-positive rate ≈ distinct_hashes / _BLOOM_BUCKETS
+#: (~0.3% at a 200k batch). An earlier design shipped a bitstring as a
+#: 4 MiB string literal probed with substr — Catalyst duplicates big
+#: literals across expression copies (measured: 36 MiB task binaries
+#: and a >20× slowdown), so literals are out.
+_BLOOM_BUCKETS = 1 << 26
 
 
 class DedupIndex:
@@ -111,18 +111,15 @@ class DedupIndex:
         # anti-join, which at a 100-TB corpus shuffles every scanned
         # store row. This path covers the gap: collect the batch's
         # distinct hashes (bounded by this knob — driver holds ≤ max
-        # 32-char strings), build a Bloom BITSTRING driver-side from
-        # md5-derived positions, and pre-filter the store scan JVM-side
-        # with k substr probes against the bitstring literal before the
-        # exact join. Store rows whose hash is in the batch always pass
-        # (positions are the same md5 on both sides — no false
+        # 32-char strings), map it to xxhash64 buckets, and pre-filter
+        # the store scan JVM-side with a broadcast LEFT SEMI join on
+        # the same bucket expression before the exact join. Store rows whose hash is in the batch always pass
+        # (the same xxhash64-bucket expression on both sides — no false
         # negatives by construction), so the exact anti-join result is
         # unchanged; false positives only add rows to the shuffle
-        # (~0.2% at the sizing below). The literal is one shared JVM
-        # object (java serialization back-references it across the k
-        # probes), capped at _BLOOM_MAX_BITS chars. This cuts the
-        # store-side SHUFFLE to O(batch), not the scan I/O — the scan
-        # stays prefix-pruned (a big batch touches every prefix).
+        # (~|batch|/2^26). This cuts the store-side SHUFFLE to
+        # O(batch), not the scan I/O — the scan stays prefix-pruned (a
+        # big batch touches every prefix).
         self.probe_bloom_max = probe_bloom_max
         self.root = Path(table.root) / "_index" / "dedup"
         self.exact_store = self.root / "exact"
@@ -305,52 +302,33 @@ class DedupIndex:
     # ----------------------------------------------------------------- probe
 
     @staticmethod
-    def _bloom_positions(h: str, m: int) -> list:
-        """The k bit positions of one hash — md5 of ``h|j`` (first 15
-        hex chars → int, mod m). Mirrored EXACTLY by the Spark-side
-        expression in ``_bloom_predicate`` (Spark ``md5``/``substring``/
-        ``conv`` on UTF-8 agree with hashlib/int(,16) — verified by the
-        position-parity test), which is what makes false negatives
-        impossible: a store hash equal to a batch hash derives the same
-        positions on both sides."""
-        return [int(hashlib.md5(f"{h}|{j}".encode())
-                    .hexdigest()[:15], 16) % m
-                for j in range(_BLOOM_K)]
+    def _bloom_bucket(col):
+        """The Bloom bucket of a hash column — the SAME expression is
+        applied to the batch's hash set and to the store scan, so a
+        store hash equal to a batch hash lands in the same bucket and
+        always survives the semi-join: false negatives are impossible
+        by construction (no cross-language hash parity to maintain)."""
+        return F.pmod(F.xxhash64(col), F.lit(_BLOOM_BUCKETS))
 
-    @staticmethod
-    def _bloom_bits(hs: list) -> str:
-        """Build the '0'/'1' bitstring for a batch hash set, sized at
-        ``_BLOOM_BITS_PER_KEY`` bits per key rounded up to a power of
-        two and clamped to [_BLOOM_MIN_BITS, _BLOOM_MAX_BITS]. Past the
-        cap the false-positive rate degrades gracefully (more shuffle,
-        same results)."""
-        target = max(_BLOOM_BITS_PER_KEY * max(len(hs), 1),
-                     _BLOOM_MIN_BITS)
-        m = min(_BLOOM_MAX_BITS, 1 << (target - 1).bit_length())
-        bits = bytearray(b"0") * m
-        for h in hs:
-            for p in DedupIndex._bloom_positions(h, m):
-                bits[p] = 0x31
-        return bits.decode("ascii")
-
-    def _bloom_predicate(self, hash_col: str, bits: str):
-        """JVM-side membership test of ``hash_col`` against the
-        bitstring: AND over k probes of ``substr(bits, pos+1, 1) = '1'``
-        with pos = conv(substr(md5(h|j),1,15),16,10) % m — all built-in
-        expressions, no Python in the scan path."""
-        m = F.lit(len(bits))
-        bs = F.lit(bits)
-        pred = None
-        for j in range(_BLOOM_K):
-            pos = F.pmod(
-                F.conv(F.substring(F.md5(F.concat_ws(
-                    "|", F.col(hash_col), F.lit(str(j)))), 1, 15),
-                    16, 10).cast("long"),
-                m)
-            bit = F.substring(
-                bs, (pos + F.lit(1)).cast("int"), F.lit(1)) == "1"
-            pred = bit if pred is None else (pred & bit)
-        return pred
+    def _bloom_semi_filter(self, store: DataFrame, hash_col: str,
+                           hs: list) -> DataFrame:
+        """Pre-filter the store with the batch's Bloom bucket set via a
+        broadcast LEFT SEMI join: the driver-held hash list becomes a
+        one-column DataFrame, bucketized by :meth:`_bloom_bucket`, and
+        the store streams against the broadcast LongHashedRelation —
+        no shuffle of store rows, no plan literal, JVM-side end to
+        end. Survivors ≈ batch matches + ~|hs|/_BLOOM_BUCKETS of the
+        scanned rows (false positives only add anti-join input)."""
+        bdf = (self.spark.createDataFrame([(h,) for h in hs],
+                                          f"{hash_col} string")
+               .select(self._bloom_bucket(F.col(hash_col))
+                       .alias("__ghs_bb__"))
+               .distinct())
+        return store.join(
+            F.broadcast(bdf),
+            on=self._bloom_bucket(F.col(hash_col))
+            == bdf["__ghs_bb__"],
+            how="left_semi")
 
     def _pushed_store_read(self, path: Path, part_col: str,
                            hash_col: str, batch_rows: DataFrame,
@@ -375,15 +353,15 @@ class DedupIndex:
         the original lazy prefix-pruned read, no driver hash set.
 
         Middle path (opt-in, ``probe_bloom_max`` > 0): batches past the
-        In ceiling but within the bloom cap get a driver-built Bloom
-        BITSTRING pre-filter applied JVM-side to the prefix-pruned scan
-        — store rows whose hash is in the batch always pass (same
-        md5-derived positions on both sides, no false negatives), so
-        downstream exact joins are unchanged; the store-side shuffle
-        drops to O(batch + false positives) instead of every scanned
-        row. The scan I/O itself stays prefix-pruned only (a
-        substr-over-literal predicate is not parquet-pushable — that is
-        the In path's job)."""
+        In ceiling but within the bloom cap get a Bloom-bucket
+        pre-filter applied as a broadcast LEFT SEMI join over the
+        prefix-pruned scan (:meth:`_bloom_semi_filter`) — store rows
+        whose hash is in the batch always pass (same bucket expression
+        on both sides, no false negatives), so downstream exact joins
+        are unchanged; the store-side shuffle drops to O(batch + false
+        positives) instead of every scanned row. The scan I/O itself
+        stays prefix-pruned only (a bucket-of-hash expression is not
+        parquet-pushable — that is the In path's job)."""
         cap = max(self.probe_pushdown_max, self.probe_bloom_max)
         if cap > 0:
             hs = [r[hash_col] for r in
@@ -409,10 +387,9 @@ class DedupIndex:
                     finally:
                         (conf.set(key, prev) if prev is not None
                          else conf.unset(key))
-                return (store.filter(
-                            F.col(part_col).isin(pfx)
-                            & self._bloom_predicate(
-                                hash_col, self._bloom_bits(hs)))
+                return (self._bloom_semi_filter(
+                            store.filter(F.col(part_col).isin(pfx)),
+                            hash_col, hs)
                         .select(*select_cols))
         pfx = sorted({r[part_col] for r in
                       batch_rows.select(part_col).distinct().collect()})

@@ -214,36 +214,21 @@ def test_probe_bloom_path_matches_join_path(spark, tmp_path):
     assert 1 <= survivors <= 5 < store_total
 
 
-def test_bloom_positions_spark_parity(spark):
-    """The driver-side (hashlib) and store-side (Spark md5/conv/substr)
-    position derivations agree bit-for-bit — the property that makes
-    bloom false negatives impossible."""
-    from glue_hudi_spark.operators.dedup_index import _BLOOM_K
-    m = 1 << 14
-    hs = ["00ff" * 8, "deadbeef" + "0" * 24, "7" * 32, "abc", ""]
-    df = spark.createDataFrame([(h,) for h in hs], ["h"])
-    cols = []
-    for j in range(_BLOOM_K):
-        pos = F.pmod(
-            F.conv(F.substring(F.md5(F.concat_ws(
-                "|", F.col("h"), F.lit(str(j)))), 1, 15), 16, 10)
-            .cast("long"), F.lit(m))
-        cols.append(pos.alias(f"p{j}"))
-    for r in df.select("h", *cols).collect():
-        want = DedupIndex._bloom_positions(r["h"], m)
-        assert [r[f"p{j}"] for j in range(_BLOOM_K)] == want
-
-
-def test_bloom_no_false_negatives(spark, tmp_path):
-    """Every store row whose hash is in the batch passes the bloom
-    predicate — over a few hundred random-ish hashes."""
+def test_bloom_no_false_negatives(spark):
+    """Every store row whose hash is in the batch survives the bloom
+    semi-join (same bucket expression on both sides), and the
+    broadcast pre-filter is in the plan — no shuffle of the store
+    side, no Python stage."""
     hs = [f"{i:032x}" for i in range(0, 9000, 13)]
-    bits = DedupIndex._bloom_bits(hs[: len(hs) // 2])
-    df = spark.createDataFrame([(h,) for h in hs], ["h"])
-    ix = DedupIndex.__new__(DedupIndex)  # predicate needs no table
-    passed = {r["h"] for r in
-              df.filter(ix._bloom_predicate("h", bits)).collect()}
     member = set(hs[: len(hs) // 2])
+    df = spark.createDataFrame([(h,) for h in hs], ["h"])
+    ix = DedupIndex.__new__(DedupIndex)  # semi-join needs no table
+    ix.spark = spark
+    out = ix._bloom_semi_filter(df, "h", sorted(member))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BatchEvalPython" not in plan
+    passed = {r["h"] for r in out.collect()}
     assert member <= passed  # no false negative, ever
     fp = len(passed - member) / max(len(hs) - len(member), 1)
     assert fp < 0.05, f"bloom false-positive rate {fp:.3f}"
