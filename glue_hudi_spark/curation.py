@@ -224,7 +224,8 @@ class CurationPipeline:
         return table.bulk_insert(
             out, extra_stats={"curation_stages": dict(counts)})
 
-    def run_incremental(self, new_docs: DataFrame, table) -> "object | None":
+    def run_incremental(self, new_docs: DataFrame, table,
+                        bloom_max_buckets: int = 0) -> "object | None":
         """Curate only the NEW documents and append the survivors —
         the batch sibling of ``CorpusIngestStream``: first an
         arrival-time exact-dedup anti-join against the existing corpus
@@ -240,7 +241,8 @@ class CurationPipeline:
         if table.exists():
             fresh = _dedup.incremental_exact(
                 new_docs, table.read_snapshot().select(self.text_col),
-                id_col=self.id_col, text_col=self.text_col)
+                id_col=self.id_col, text_col=self.text_col,
+                bloom_max_buckets=bloom_max_buckets)
         else:
             keep = _dedup.exact_dedup(
                 new_docs, id_col=self.id_col, text_col=self.text_col

@@ -862,11 +862,58 @@ def boilerplate_score(
 # ----------------------------------------------------- incremental dedup
 
 
+#: Bloom bucket modulus shared by the pre-filter paths (see
+#: ``operators/dedup_index._BLOOM_BUCKETS`` for the design record):
+#: false-positive rate ≈ distinct_small_side / 2^26.
+_BLOOM_BUCKETS = 1 << 26
+
+
+def bloom_bucket_prefilter(
+    big: DataFrame,
+    big_col: str,
+    small: DataFrame,
+    small_col: str,
+    max_buckets: int = 1_000_000,
+) -> DataFrame | None:
+    """Single-hash Bloom pre-filter expressed as a broadcast LEFT SEMI
+    join: the small side's values map to ``pmod(xxhash64(v), 2^26)``
+    buckets (materialized executor-side, distinct — batch-sized), and
+    the big side streams against the broadcast LongHashedRelation of
+    that bucket set. The SAME bucket expression on both sides means a
+    big-side value equal to a small-side value always survives — false
+    negatives are impossible; false positives (~|small|/2^26 of the big
+    side) only pass extra rows to whatever exact join follows, so
+    correctness is never in the pre-filter's hands.
+
+    Returns the filtered big side, or None when the small side exceeds
+    ``max_buckets`` distinct buckets — force-broadcasting an unbounded
+    set is how drivers die, so oversized callers keep their plain plan.
+
+    Never a plan literal: shipping the bucket set as an ``F.lit``
+    bitstring was measured at 36 MiB task binaries and a >20× stall
+    (Catalyst duplicates large literals across expression copies)."""
+    buckets = (
+        small.select(F.pmod(F.xxhash64(small_col), F.lit(_BLOOM_BUCKETS))
+                     .alias("__ghs_bb__"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if buckets.limit(max_buckets + 1).count() > max_buckets:
+        return None
+    return big.join(
+        F.broadcast(buckets),
+        on=F.pmod(F.xxhash64(big_col), F.lit(_BLOOM_BUCKETS))
+        == F.col("__ghs_bb__"),
+        how="left_semi",
+    )
+
+
 def incremental_exact(
     batch: DataFrame,
     existing: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bloom_max_buckets: int = 0,
 ) -> DataFrame:
     """Arrival-time dedup for a continuously-ingested corpus: keep only
     the batch rows whose normalized content hash is absent from the
@@ -880,11 +927,29 @@ def incremental_exact(
     written side-agnostically so a backfill-sized batch still plans as a
     shuffle join), and the in-batch keep-one is the same one-aggregate
     pattern as ``exact_dedup``.
+
+    ``bloom_max_buckets`` (opt-in, e.g. 1_000_000): the left_anti's
+    RIGHT side cannot broadcast, so every distinct corpus hash shuffles
+    per batch — at a 100-TB corpus that shuffle, not the scan, is the
+    per-batch bill. The knob pre-filters the corpus hash projection
+    with :func:`bloom_bucket_prefilter` against the batch's bucket set
+    (identical verdicts — the exact anti-join still runs), cutting the
+    corpus-side shuffle to O(batch + false positives). Batches wider
+    than the cap keep the plain plan. The corpus TEXT scan is intrinsic
+    either way; the persisted ``DedupIndex`` is the path that removes
+    it.
     """
     bh = batch.withColumn("_ghs_h", F.md5(normalized_text(text_col)))
-    seen = existing.select(
+    seen_src = existing.select(
         F.md5(normalized_text(text_col)).alias("_ghs_h")
-    ).distinct()
+    )
+    if bloom_max_buckets > 0:
+        filtered = bloom_bucket_prefilter(
+            seen_src, "_ghs_h", bh.select("_ghs_h"), "_ghs_h",
+            max_buckets=bloom_max_buckets)
+        if filtered is not None:
+            seen_src = filtered
+    seen = seen_src.distinct()
     fresh = bh.join(seen, "_ghs_h", "left_anti")
     keep = fresh.groupBy("_ghs_h").agg(F.min(id_col).alias(id_col))
     return (

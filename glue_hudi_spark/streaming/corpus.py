@@ -48,6 +48,7 @@ class CorpusIngestStream:
         pipeline=None,
         use_index: bool = False,
         near_dup_threshold: float = 0.5,
+        bloom_max_buckets: int = 0,
     ):
         self.spark = spark
         self.docs_dir = str(docs_dir)
@@ -75,6 +76,10 @@ class CorpusIngestStream:
         # next batch's refresh is change-feed-driven and idempotent).
         self.use_index = use_index
         self.near_dup_threshold = near_dup_threshold
+        # opt-in corpus-side Bloom bucket pre-filter for the non-index
+        # dedup path (dedup.incremental_exact(bloom_max_buckets=));
+        # irrelevant when use_index (the store probe is already pruned)
+        self.bloom_max_buckets = bloom_max_buckets
         self.schema = schema or self.spark.read.parquet(self.docs_dir).schema
         self.max_files_per_trigger = max_files_per_trigger
         self.table = NativeTable(
@@ -112,6 +117,7 @@ class CorpusIngestStream:
                 self.table.read_snapshot().select(self.text_col),
                 id_col=self.id_col,
                 text_col=self.text_col,
+                bloom_max_buckets=self.bloom_max_buckets,
             )
         else:
             # first batch: in-batch dedup only (empty corpus)

@@ -369,6 +369,50 @@ def test_incremental_exact_semantics(spark):
     assert got == {11, 15}
 
 
+def test_incremental_exact_bloom_prefilter(spark):
+    """Opt-in corpus-side Bloom bucket pre-filter: identical verdicts
+    to the plain path, broadcast semi-join in the plan (the corpus
+    hash projection never shuffles in full), over-cap batches fall
+    back silently."""
+    existing = spark.createDataFrame(
+        [Row(doc_id=i, text=f"corpus document number {i}")
+         for i in range(200)])
+    batch = spark.createDataFrame(
+        [Row(doc_id=1000, text="corpus   DOCUMENT number 7"),  # dup
+         Row(doc_id=1001, text="novel text one"),
+         Row(doc_id=1002, text="novel text two"),
+         Row(doc_id=1003, text="NOVEL  text two")])            # in-batch dup
+    want = {r["doc_id"] for r in
+            dedup.incremental_exact(batch, existing).collect()}
+    out = dedup.incremental_exact(batch, existing,
+                                  bloom_max_buckets=10_000)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == want == {1001, 1002}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # over-cap: plain plan, same verdicts
+    got2 = {r["doc_id"] for r in
+            dedup.incremental_exact(batch, existing,
+                                    bloom_max_buckets=1).collect()}
+    assert got2 == want
+
+
+def test_bloom_bucket_prefilter_no_false_negatives(spark):
+    big = spark.createDataFrame(
+        [Row(v=f"val{i}") for i in range(3000)])
+    small = spark.createDataFrame(
+        [Row(v=f"val{i}") for i in range(0, 3000, 7)])
+    out = dedup.bloom_bucket_prefilter(big, "v", small, "v")
+    passed = {r["v"] for r in out.collect()}
+    member = {f"val{i}" for i in range(0, 3000, 7)}
+    assert member <= passed
+    fp = len(passed - member) / (3000 - len(member))
+    assert fp < 0.05
+    # cap respected
+    assert dedup.bloom_bucket_prefilter(
+        big, "v", small, "v", max_buckets=10) is None
+
+
 def test_pq_topk_recall_vs_exact_l2(spark):
     """PQ ADC ranking must recover most exact-L2 neighbors (coarse 8x8
     codebooks on 500 vecs -> expect imperfect but substantial recall),
