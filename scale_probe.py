@@ -956,7 +956,7 @@ def main_dedup_bloom() -> None:
     enter the anti-join SHUFFLE — the 100-TB cost the bloom cuts)."""
     from glue_hudi_spark.operators.dedup_index import DedupIndex
 
-    spark = get_spark(app="ghs-dedup-bloom-probe")
+    spark = get_spark(app_name="glue_hudi_spark-dedup-bloom-probe")
     work = tempfile.mkdtemp(prefix="ghs_bloomprobe_")
     try:
         n_docs = 1_000_000
@@ -999,6 +999,18 @@ def main_dedup_bloom() -> None:
                 ["h"]).count()
             probe(f"dedup_bloom_probe_{label}_20k_batch", sec,
                   novel=novel, exact_rows_into_join=joined)
+        # non-indexed arrival dedup, same corpus/batch: the corpus-side
+        # hash projection is the left_anti's RIGHT side (cannot
+        # broadcast), so plain shuffles all 1M distinct hashes per
+        # batch; the bloom knob cuts it to O(batch)
+        corpus_txt = docs_tbl.read_snapshot().select("text")
+        for label, kw in (("plain", {}),
+                          ("bloom", {"bloom_max_buckets": 1_000_000})):
+            t0 = time.perf_counter()
+            novel = dedup.incremental_exact(
+                batch, corpus_txt, **kw).count()
+            probe(f"incremental_exact_{label}_20k_batch",
+                  time.perf_counter() - t0, novel=novel)
     finally:
         shutil.rmtree(work, ignore_errors=True)
         spark.stop()
