@@ -1594,6 +1594,75 @@ FROM fact f LEFT JOIN dim d USING (o_custkey)
 """
 
 
+def orders_mv_join_agg(spark, sf_dir):
+    """Incrementally-maintained AGGREGATE-OVER-JOIN view (round 13):
+    ``SELECT segment, count, sum(total) FROM orders ⋈ customer GROUP BY
+    segment`` — the revenue-by-nation class, maintained by
+    ``MaterializedJoinAgg`` with the bilinear delta Δ(F⋈D) = ΔF⋈D_new +
+    F_old⋈ΔD (the NEW dim for the fact leg and the OLD fact for the dim
+    leg cancel the cross term exactly; both legs run the same signed
+    ``ivm.change_feed_delta`` the plain aggregate view uses). The churn
+    window mixes BOTH feeds: fact late inserts + doubled totals +
+    retention deletes AND a dim segment-rename wave (every %10 customer
+    moves to segment 'MOVED' — its facts change GROUPS). One refresh
+    absorbs it all in O(changes + affected facts); the final state must
+    equal the from-scratch GROUP BY over the inner join the oracle
+    computes. Exact DECIMAL sums internally, DOUBLE final (the
+    registry's driver-canon rule)."""
+    from glue_hudi_spark.streaming.materialized import MaterializedJoinAgg
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("total"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("seg"))
+    tmp = _scratch_dir("matjagg_")
+    fact = NativeTable(spark, f"{tmp}/fact", record_keys=["o_orderkey"],
+                       precombine=None, stats_cols=["o_custkey"])
+    dim = NativeTable(spark, f"{tmp}/dim", record_keys=["o_custkey"],
+                      precombine=None)
+    fact.bulk_insert(orders.filter(F.col("o_orderkey") % 4 != 0))
+    dim.bulk_insert(cust)
+    ja = MaterializedJoinAgg(spark, fact, dim, f"{tmp}/mv",
+                             join_col="o_custkey", group_cols=["seg"],
+                             sum_col="total", dim_cols=["seg"])
+    ja.refresh()
+    fact.upsert(
+        orders.filter(F.col("o_orderkey") % 4 == 0).unionByName(
+            orders.filter((F.col("o_orderkey") % 7 == 0)
+                          & (F.col("o_orderkey") % 4 != 0))
+            .withColumn("total", (F.col("total") * 2)
+                        .cast("decimal(12,2)"))))
+    fact.delete(orders.filter(F.col("o_orderkey") % 5 == 0)
+                .select("o_orderkey"))
+    dim.upsert(cust.filter(F.col("o_custkey") % 10 == 0)
+               .withColumn("seg", F.lit("MOVED")))
+    ja.refresh()
+    return ja.read().select(
+        "seg", "cnt", F.col("total").cast("double").alias("total_rev"))
+
+
+MV_JOIN_AGG_ORACLE = """
+WITH fact AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 4 <> 0
+              THEN CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 2
+                        AS DECIMAL(12,2))
+              ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS total
+  FROM orders WHERE o_orderkey % 5 <> 0),
+dim AS (
+  SELECT c_custkey AS o_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN 'MOVED'
+              ELSE c_mktsegment END AS seg
+  FROM customer)
+SELECT d.seg, COUNT(*) AS cnt,
+       CAST(SUM(CAST(f.total AS DECIMAL(28,6))) AS DOUBLE) AS total_rev
+FROM fact f JOIN dim d USING (o_custkey)
+GROUP BY d.seg
+"""
+
+
 def cdc_merge_into(spark, sf_dir):
     """Conditional SQL MERGE INTO through the real storage path (Delta
     whenMatched/whenNotMatched parity; the general form of the
@@ -9998,16 +10067,19 @@ def entry(spark: SparkSession) -> DataFrame:
 #        canonicalization, not semantics. The conclusion stands as the
 #        registry-wide "never DECIMAL-final" rule; the probe remains in
 #        the registry for local bisection if reds ever recur.
-#   5-6  first contact: the SQL secondary-index surface (sql_dedup_probe,
+#   5-7  first contact: the SQL secondary-index surface (sql_dedup_probe,
 #        sql_vector_search — CREATE/REFRESH INDEX DDL + probe TVFs,
-#        sql.py:_create_index/_rewrite_index_tvfs), displacing the two
-#        alphabetically-last r09 entries (events_asof_join,
-#        events_asof_tolerance → r14 with the rest of the r09 debt).
-#   7    canon_probe_scalar stays as the environment sentinel.
-#   8-25 the 18 queries whose last driver contact is r08 (oldest-first
+#        sql.py:_create_index/_rewrite_index_tvfs) and the
+#        aggregate-over-join materialized view (orders_mv_join_agg —
+#        streaming/materialized.MaterializedJoinAgg), displacing the
+#        three alphabetically-last r09 entries (dedup_simhash,
+#        events_asof_join, events_asof_tolerance → r14 with the rest
+#        of the r09 debt).
+#   8    canon_probe_scalar stays as the environment sentinel.
+#   9-26 the 18 queries whose last driver contact is r08 (oldest-first
 #        rotation debt, verdict #3).
-#   26-50 the 25 alphabetically-first queries whose last contact is r09
-#        (the remaining 25 r09 entries rotate in r14).
+#   27-50 the 24 alphabetically-first queries whose last contact is r09
+#        (the remaining 26 r09 entries rotate in r14).
 _DRIVER_WINDOW = [
     "events_lttb_anchors",
     "sql_gapfill",
@@ -10015,6 +10087,7 @@ _DRIVER_WINDOW = [
     "sql_changes_window",
     "sql_dedup_probe",
     "sql_vector_search",
+    "orders_mv_join_agg",
     "canon_probe_scalar",
     "events_psi_drift",
     "events_range_window",
@@ -10058,9 +10131,6 @@ _DRIVER_WINDOW = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "events_asof_join",
-    "events_asof_tolerance",
 ]
 
 
@@ -10100,6 +10170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_changes_window": sql_changes_window,
         "sql_dedup_probe": sql_dedup_probe,
         "sql_vector_search": sql_vector_search,
+        "orders_mv_join_agg": orders_mv_join_agg,
         "corpus_classifier_curation": corpus_classifier_curation,
         "cdc_replicated_table": cdc_replicated_table,
         "cdc_incremental_read": cdc_incremental_read,
@@ -10521,4 +10592,5 @@ def oracle_sql() -> dict[str, str]:
         # Python-API twins — one oracle text each, three-way agreement
         "sql_dedup_probe": _dedup_index_oracle(),
         "sql_vector_search": ANN_INDEX_PERSISTED_ORACLE,
+        "orders_mv_join_agg": MV_JOIN_AGG_ORACLE,
     }

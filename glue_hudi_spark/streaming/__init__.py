@@ -9,7 +9,8 @@ from glue_hudi_spark.streaming.dedup import (
     streaming_exact_dedup,
     streaming_sessionization,
 )
-from glue_hudi_spark.streaming.materialized import MaterializedAgg
+from glue_hudi_spark.streaming.materialized import (
+    MaterializedAgg, MaterializedJoinAgg)
 from glue_hudi_spark.streaming.sketches import SketchStream
 from glue_hudi_spark.streaming.stateful import running_user_profiles
 from glue_hudi_spark.streaming.windowed import windowed_event_counts
@@ -21,6 +22,7 @@ __all__ = [
     "EnrichStream",
     "enrich_asof",
     "MaterializedAgg",
+    "MaterializedJoinAgg",
     "SketchStream",
     "streaming_exact_dedup",
     "streaming_sessionization",

@@ -445,3 +445,116 @@ def test_join_pending_commits_consistent_before_first_refresh(
     dim.upsert(spark.createDataFrame(
         [(1, "one", 2)], "ckey long, name string, seq int"))
     assert mj.pending_commits() == 1  # steady state: same metric
+
+
+# --------------------------------------------------- aggregate-over-join view
+
+def _mk_ja(spark, tmp_path, **kw):
+    from glue_hudi_spark.streaming import MaterializedJoinAgg
+    fact = NativeTable(spark, tmp_path / "jf", record_keys=["oid"],
+                       precombine="seq", stats_cols=["ckey"])
+    dim = NativeTable(spark, tmp_path / "jd", record_keys=["ckey"],
+                      precombine="seq")
+    fact.bulk_insert(spark.createDataFrame(
+        [(i, i % 3, float(i), 1) for i in range(12)],
+        "oid long, ckey long, amt double, seq int"))
+    dim.bulk_insert(spark.createDataFrame(
+        [(c, f"nation{c}", 1) for c in range(3)],
+        "ckey long, nation string, seq int"))
+    ja = MaterializedJoinAgg(spark, fact, dim, tmp_path / "jv",
+                             join_col="ckey", group_cols=["nation"],
+                             sum_col="amt", dim_cols=["nation"], **kw)
+    return fact, dim, ja
+
+
+def _ja_recompute(fact, dim):
+    j = fact.read_snapshot().join(
+        dim.read_snapshot().select("ckey", "nation"),
+        on="ckey", how="inner")
+    return _state(ivm.aggregate_state(j, ["nation"], "amt")
+                  .withColumnRenamed("nation", "grp"))
+
+
+def _ja_state(ja):
+    return _state(ja.read().withColumnRenamed("nation", "grp"))
+
+
+def test_join_agg_initial_and_fact_deltas(spark, tmp_path):
+    fact, dim, ja = _mk_ja(spark, tmp_path)
+    assert ja.refresh() is not None
+    assert _ja_state(ja) == _ja_recompute(fact, dim)
+    # insert, value update, JOIN-KEY repoint, delete — one refresh
+    fact.upsert(spark.createDataFrame(
+        [(100, 2, 50.0, 1),        # new fact
+         (1, 1, 41.0, 2),          # value change, same key
+         (3, 2, 3.0, 2)],          # repoint ckey 0 -> 2
+        "oid long, ckey long, amt double, seq int"))
+    fact.delete(spark.createDataFrame([(6,)], "oid long"))
+    assert ja.refresh() is not None
+    assert _ja_state(ja) == _ja_recompute(fact, dim)
+    # fresh → no-op, no extra state commit
+    n = len(ja.state.timeline.history())
+    assert ja.refresh() is None
+    assert len(ja.state.timeline.history()) == n
+
+
+def test_join_agg_dim_deltas_rename_and_delete(spark, tmp_path):
+    fact, dim, ja = _mk_ja(spark, tmp_path)
+    ja.refresh()
+    # group RENAME: nation1 -> renamed (all its facts move groups)
+    dim.upsert(spark.createDataFrame(
+        [(1, "renamed", 2)], "ckey long, nation string, seq int"))
+    assert ja.refresh() is not None
+    got = _ja_state(ja)
+    assert got == _ja_recompute(fact, dim)
+    assert "renamed" in got and "nation1" not in got
+    # dim DELETE: inner-join semantics — ckey 2's facts drop from view
+    dim.delete(spark.createDataFrame([(2,)], "ckey long"))
+    assert ja.refresh() is not None
+    got = _ja_state(ja)
+    assert got == _ja_recompute(fact, dim)
+    assert "nation2" not in got
+
+
+def test_join_agg_mixed_window_both_feeds(spark, tmp_path):
+    """Fact churn AND dim churn in ONE refresh window — the bilinear
+    delta's cross-term cancellation (ΔF⋈D_new + F_old⋈ΔD) must land
+    exactly on the recompute."""
+    fact, dim, ja = _mk_ja(spark, tmp_path)
+    ja.refresh()
+    fact.upsert(spark.createDataFrame(
+        [(4, 1, 40.0, 2),          # value change on a dim-churned key
+         (200, 1, 7.0, 1)],        # new fact on the churned key
+        "oid long, ckey long, amt double, seq int"))
+    dim.upsert(spark.createDataFrame(
+        [(1, "moved", 2)], "ckey long, nation string, seq int"))
+    fact.delete(spark.createDataFrame([(10,)], "oid long"))
+    assert ja.refresh() is not None
+    assert _ja_state(ja) == _ja_recompute(fact, dim)
+
+
+def test_join_agg_single_atomic_merge_commit(spark, tmp_path):
+    fact, dim, ja = _mk_ja(spark, tmp_path)
+    ja.refresh()
+    fact.upsert(spark.createDataFrame(
+        [(300, 0, 9.0, 1)], "oid long, ckey long, amt double, seq int"))
+    n = len(ja.state.timeline.history())
+    ja.refresh()
+    hist = ja.state.timeline.history()
+    assert len(hist) == n + 1 and hist[-1].action == "merge"
+    assert hist[-1].stats["ja_of_fact_commit"] == \
+        fact.timeline.latest().commit_id
+
+
+def test_join_agg_pending_commits_and_empty_window(spark, tmp_path):
+    fact, dim, ja = _mk_ja(spark, tmp_path)
+    assert ja.pending_commits() == 2       # never refreshed: both heads
+    ja.refresh()
+    assert ja.pending_commits() == 0
+    # dim churn touching NO fact (new dim key): watermark still advances
+    dim.upsert(spark.createDataFrame(
+        [(99, "ghost", 1)], "ckey long, nation string, seq int"))
+    assert ja.pending_commits() == 1
+    assert ja.refresh() is not None
+    assert ja.pending_commits() == 0
+    assert _ja_state(ja) == _ja_recompute(fact, dim)
