@@ -1768,18 +1768,28 @@ class GhsSql:
         rf"LEFT\s+(?:OUTER\s+)?JOIN\s+(?P<dim>{_IDENT})\s+"
         rf"(?:ON\s+(?P<on>.+?)|USING\s*\(\s*(?P<using>{_IDENT})\s*\))"
         rf"\s*$", re.IGNORECASE | re.DOTALL)
+    _MV_JOINAGG = re.compile(
+        rf"^SELECT\s+(?P<sel>.+?)\s+FROM\s+(?P<fact>{_IDENT})\s+"
+        rf"(?P<jkind>LEFT\s+(?:OUTER\s+)?|INNER\s+)?"
+        rf"JOIN\s+(?P<dim>{_IDENT})\s+"
+        rf"(?:ON\s+(?P<on>.+?)|USING\s*\(\s*(?P<using>{_IDENT})\s*\))\s+"
+        rf"GROUP\s+BY\s+(?P<grp>.+?)\s*$", re.IGNORECASE | re.DOTALL)
     _MV_ON = re.compile(
         rf"^\s*(?P<q1>{_IDENT})\.(?P<c1>{_IDENT})\s*=\s*"
         rf"(?P<q2>{_IDENT})\.(?P<c2>{_IDENT})\s*$")
 
     _MV_SHAPES = (
-        "ghs.sql: CREATE MATERIALIZED VIEW supports exactly two "
+        "ghs.sql: CREATE MATERIALIZED VIEW supports exactly three "
         "maintainable query shapes — the additive aggregate "
         "'SELECT g1[, g2...], COUNT(*) AS cnt, SUM(col) AS total FROM "
         "base GROUP BY g1[, g2...]' (MaterializedAgg: O(changed groups) "
-        "refresh off the change feed) and the N:1 enrichment join "
+        "refresh off the change feed), the N:1 enrichment join "
         "'SELECT * FROM fact LEFT JOIN dim ON fact.k = dim.k' "
-        "(MaterializedJoin: O(changes + affected facts)). Arbitrary "
+        "(MaterializedJoin: O(changes + affected facts)), and the "
+        "aggregate over that join 'SELECT g1[, g2...], COUNT(*) AS "
+        "cnt, SUM(col) AS total FROM fact JOIN dim ON fact.k = dim.k "
+        "GROUP BY g1[, g2...]' (MaterializedJoinAgg: INNER join, both "
+        "feeds, bilinear delta). Arbitrary "
         "queries have no incremental maintenance plan — use CREATE "
         "TABLE ... AS SELECT for a one-shot snapshot")
 
@@ -1796,6 +1806,30 @@ class GhsSql:
                 "materialized view")
         return name
 
+    def _mv_on_col(self, m: "re.Match[str]", fact: str, dim: str) -> str:
+        """Resolve a matched MV join's ON/USING clause to the single
+        same-named join column both view classes key their state and
+        merge pruning by."""
+        if m.group("using"):
+            return _unq(m.group("using"))
+        om = self._MV_ON.match(m.group("on"))
+        if not om:
+            raise ValueError(self._MV_SHAPES)
+        q1, c1 = _unq(om.group("q1")), _unq(om.group("c1"))
+        q2, c2 = _unq(om.group("q2")), _unq(om.group("c2"))
+        if c1 != c2:
+            raise ValueError(
+                "ghs.sql: the join column must have the SAME "
+                f"name on both sides (got {c1!r} = {c2!r}) — "
+                "the view keys its state and its merge "
+                "pruning by one column name")
+        if {q1, q2} != {fact, dim}:
+            raise ValueError(
+                f"ghs.sql: ON qualifiers {sorted({q1, q2})} must "
+                f"be the joined tables {sorted({fact, dim})} "
+                "(aliases are not supported in MV definitions)")
+        return c1
+
     def _parse_mv_query(self, q: str, props: dict) -> dict:
         """Recognize the two maintainable shapes (see _MV_SHAPES) and
         return the durable spec dict. Conservative on purpose: anything
@@ -1806,31 +1840,47 @@ class GhsSql:
         if jm:
             fact = self._mv_base(jm.group("fact"))
             dim = self._mv_base(jm.group("dim"))
-            if jm.group("using"):
-                join_col = _unq(jm.group("using"))
-            else:
-                om = self._MV_ON.match(jm.group("on"))
-                if not om:
-                    raise ValueError(self._MV_SHAPES)
-                q1, c1 = _unq(om.group("q1")), _unq(om.group("c1"))
-                q2, c2 = _unq(om.group("q2")), _unq(om.group("c2"))
-                if c1 != c2:
-                    raise ValueError(
-                        "ghs.sql: the join column must have the SAME "
-                        f"name on both sides (got {c1!r} = {c2!r}) — "
-                        "MaterializedJoin keys its state and its merge "
-                        "pruning by one column name")
-                if {q1, q2} != {fact, dim}:
-                    raise ValueError(
-                        f"ghs.sql: ON qualifiers {sorted({q1, q2})} must "
-                        f"be the joined tables {sorted({fact, dim})} "
-                        "(aliases are not supported in MV definitions)")
-                join_col = c1
+            join_col = self._mv_on_col(jm, fact, dim)
             dim_cols = ([c.strip() for c in props["dimCols"].split(",")]
                         if props.get("dimCols") else None)
             return {"kind": "join", "fact": fact, "dim": dim,
                     "join_col": join_col, "dim_cols": dim_cols,
                     "cluster_by": props.get("clusterBy") or None,
+                    **self._refresh_props(props),
+                    "query": q}
+        jam = self._MV_JOINAGG.match(q)
+        if jam:
+            if jam.group("jkind") and \
+                    jam.group("jkind").upper().startswith("LEFT"):
+                raise ValueError(
+                    "ghs.sql: the aggregate-over-join view is INNER "
+                    "join only (a LEFT join's NULL groups have no "
+                    "keyed-state identity) — drop LEFT, or use the "
+                    "plain join view + aggregate reads")
+            fact = self._mv_base(jam.group("fact"))
+            dim = self._mv_base(jam.group("dim"))
+            join_col = self._mv_on_col(jam, fact, dim)
+            items = _split_top(jam.group("sel"))
+            if len(items) < 3 or not self._MV_AGG_CNT.match(items[-2]) \
+                    or not self._MV_AGG_SUM.match(items[-1]):
+                raise ValueError(self._MV_SHAPES)
+            sum_col = _unq(self._MV_AGG_SUM.match(items[-1]).group("col"))
+            group_cols = []
+            for it in items[:-2]:
+                if not re.fullmatch(_IDENT, it):
+                    raise ValueError(self._MV_SHAPES)
+                group_cols.append(_unq(it))
+            grp = [_unq(g.strip()) for g in _split_top(jam.group("grp"))]
+            if grp != group_cols:
+                raise ValueError(
+                    f"ghs.sql: GROUP BY columns {grp} must equal the "
+                    f"select list's leading columns {group_cols} — the "
+                    "state table is keyed by exactly the group columns")
+            dim_cols = ([c.strip() for c in props["dimCols"].split(",")]
+                        if props.get("dimCols") else None)
+            return {"kind": "joinagg", "fact": fact, "dim": dim,
+                    "join_col": join_col, "group_cols": group_cols,
+                    "sum_col": sum_col, "dim_cols": dim_cols,
                     **self._refresh_props(props),
                     "query": q}
         am = self._MV_AGG.match(q)
@@ -1910,7 +1960,7 @@ class GhsSql:
 
     def _attach_mview(self, name: str, spec: dict):
         from glue_hudi_spark.streaming.materialized import (
-            MaterializedAgg, MaterializedJoin)
+            MaterializedAgg, MaterializedJoin, MaterializedJoinAgg)
 
         path = self.warehouse / name
         if spec["kind"] == "agg":
@@ -1918,6 +1968,15 @@ class GhsSql:
                                  path, list(spec["group_cols"]),
                                  spec["sum_col"],
                                  derive=spec.get("derive"))
+        elif spec["kind"] == "joinagg":
+            mv = MaterializedJoinAgg(
+                self.spark, self.tables[spec["fact"]],
+                self.tables[spec["dim"]], path,
+                join_col=spec["join_col"],
+                group_cols=list(spec["group_cols"]),
+                sum_col=spec["sum_col"],
+                dim_cols=(list(spec["dim_cols"])
+                          if spec.get("dim_cols") else None))
         else:
             mv = MaterializedJoin(
                 self.spark, self.tables[spec["fact"]],

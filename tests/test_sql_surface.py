@@ -2076,3 +2076,63 @@ def test_table_changes_timestamp_bounds(ghs):
     assert got == {(1, "update_preimage"), (1, "update_postimage")}
     with pytest.raises(ValueError, match="at or before"):
         ghs.sql("SELECT * FROM table_changes('fact', '1999-01-01')")
+
+
+def test_mview_joinagg_lifecycle(ghs):
+    """Aggregate-over-join MV (round 13, MaterializedJoinAgg): group
+    columns come from the DIM side, both feeds absorb in one refresh
+    (fact churn + dim group rename), INNER semantics drop facts whose
+    dim row is gone, and the state equals a from-scratch GROUP BY over
+    the join."""
+    _mk_mv_bases(ghs)
+    ghs.sql("""
+        CREATE MATERIALIZED VIEW seg_rev AS
+            SELECT name, COUNT(*) AS cnt, SUM(amt) AS total
+            FROM fact JOIN dim ON fact.ck = dim.ck
+            GROUP BY name
+    """)
+    got = {(r.name, r.cnt, str(r.total))
+           for r in ghs.sql("SELECT * FROM seg_rev").collect()}
+    assert got == {("ten", 2, "12.000000"), ("twenty", 1, "6.000000")}
+    # mixed window: fact insert + delete AND a dim group rename
+    ghs.sql("""
+        INSERT INTO fact VALUES (4,20,4.0);
+        DELETE FROM fact WHERE ok = 1;
+        UPDATE dim SET name = 'TEN' WHERE ck = 10;
+        REFRESH MATERIALIZED VIEW seg_rev
+    """)
+    got = {(r.name, r.cnt, str(r.total))
+           for r in ghs.sql("SELECT * FROM seg_rev").collect()}
+    assert got == {("TEN", 1, "7.000000"), ("twenty", 2, "10.000000")}
+    # dim delete: INNER semantics — ck 20's facts leave the view
+    ghs.sql("DELETE FROM dim WHERE ck = 20; "
+            "REFRESH MATERIALIZED VIEW seg_rev")
+    got = {(r.name, r.cnt, str(r.total))
+           for r in ghs.sql("SELECT * FROM seg_rev").collect()}
+    assert got == {("TEN", 1, "7.000000")}
+    # incremental: state commits after the first are merges
+    actions = [c.action for c in ghs.tables["seg_rev"].timeline.history()]
+    assert actions[0] == "insert_overwrite"
+    assert "insert_overwrite" not in actions[1:]
+    # writes to the view are rejected; LEFT form is rejected
+    with pytest.raises(ValueError, match="MATERIALIZED VIEW"):
+        ghs.sql("INSERT INTO seg_rev VALUES ('x', 1, 1.0)")
+    with pytest.raises(ValueError, match="INNER join only"):
+        ghs.sql("CREATE MATERIALIZED VIEW bad AS "
+                "SELECT name, COUNT(*) AS cnt, SUM(amt) AS total "
+                "FROM fact LEFT JOIN dim ON fact.ck = dim.ck "
+                "GROUP BY name")
+
+
+def test_mview_joinagg_durable_reattach(ghs, spark, tmp_path):
+    _mk_mv_bases(ghs)
+    ghs.sql("CREATE MATERIALIZED VIEW seg2 AS "
+            "SELECT name, COUNT(*) AS cnt, SUM(amt) AS total "
+            "FROM fact JOIN dim USING (ck) GROUP BY name")
+    g2 = GhsSql(spark, ghs.warehouse)
+    assert g2._mv_specs["seg2"]["kind"] == "joinagg"
+    g2.sql("INSERT INTO fact VALUES (9,10,3.0)")
+    g2.sql("REFRESH MATERIALIZED VIEW seg2")
+    got = {(r.name, str(r.total))
+           for r in g2.sql("SELECT * FROM seg2").collect()}
+    assert got == {("ten", "15.000000"), ("twenty", "6.000000")}
