@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "multimodal_image_dedup",
     "cdc_type_widening",
     "orders_materialized_join",
+    "orders_mv_join_agg",
     "corpus_train_classifier",
     "cdc_add_column_default",
     "cdc_decimal_widening",
