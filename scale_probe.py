@@ -947,6 +947,73 @@ def main_timeseries() -> None:
     spark.stop()
 
 
+def main_matjoinagg() -> None:
+    """Round-13 probe: aggregate-over-join view at 10×. state =
+    GROUP BY grp over (6M-row fact ⋈ 100-key dim). The bilinear-delta
+    claims: initial = the one full join+aggregate; a fact-side refresh
+    costs O(Δfact) (feed ⋈ dim, signed group delta); a dim-side
+    refresh costs O(affected facts) — 5 of 100 keys changing groups
+    re-reads ~5% of the OLD fact via the stats-pruned point lookup,
+    never the view or the corpus."""
+    from glue_hudi_spark.streaming.materialized import MaterializedJoinAgg
+
+    spark = get_spark(app_name="glue_hudi_spark-scale-probe-matjoinagg")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warm
+    work = tempfile.mkdtemp(prefix="ghs_scale_mja_")
+    try:
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            "l_orderkey", "l_linenumber", "l_quantity")
+        rep = spark.range(10).select(F.col("id").alias("rep"))
+        big = (
+            li.crossJoin(rep)
+            .select(
+                (F.col("l_orderkey") * 1000 + F.col("l_linenumber") * 10
+                 + F.col("rep")).alias("k"),
+                (F.col("l_orderkey") % 100).alias("ckey"),
+                F.col("l_quantity").cast("double").alias("q"),
+            )
+            .dropDuplicates(["k"])
+        )
+        fact = NativeTable(spark, f"{work}/fact", record_keys=["k"],
+                           precombine="q", files_per_partition=32,
+                           stats_cols=["ckey"])
+        fact.bulk_insert(big)
+        n_fact = fact.read_snapshot().count()
+        dim = NativeTable(spark, f"{work}/dim", record_keys=["ckey"],
+                          precombine="q")
+        dim.bulk_insert(spark.range(100).select(
+            F.col("id").alias("ckey"), F.lit(1.0).alias("q"),
+            F.concat(F.lit("grp"), (F.col("id") % 7).cast("string"))
+            .alias("grp")))
+        ja = MaterializedJoinAgg(spark, fact, dim, f"{work}/mv",
+                                 join_col="ckey", group_cols=["grp"],
+                                 sum_col="q", dim_cols=["grp"])
+        t0 = time.perf_counter()
+        ja.refresh()
+        probe("matjoinagg_initial_6m", time.perf_counter() - t0,
+              rows=n_fact, groups=ja.read().count())
+
+        band = big.filter((F.col("k") >= 1_000_000)
+                          & (F.col("k") < 1_250_000))
+        fact.upsert(band.select("k", "ckey", (F.col("q") + 1).alias("q")))
+        t0 = time.perf_counter()
+        ja.refresh()
+        probe("matjoinagg_fact_delta_band", time.perf_counter() - t0,
+              batch_rows=band.count())
+
+        dim.upsert(spark.range(5).select(
+            F.col("id").alias("ckey"), F.lit(2.0).alias("q"),
+            F.lit("MOVED").alias("grp")))
+        t0 = time.perf_counter()
+        ja.refresh()
+        moved = ja.read().filter(F.col("grp") == "MOVED").collect()
+        probe("matjoinagg_dim_delta_5pct", time.perf_counter() - t0,
+              moved_cnt=int(moved[0]["cnt"]) if moved else 0)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
 def main_dedup_bloom() -> None:
     """A/B the dedup-index probe paths on a 1M-doc corpus (9M-row
     fingerprint stores, prefix_len=2) with a 20k-doc micro-batch — the
@@ -1033,5 +1100,7 @@ if __name__ == "__main__":
         main_maggr()
     elif "--dedup-bloom" in sys.argv[1:]:
         main_dedup_bloom()
+    elif "--matjoinagg" in sys.argv[1:]:
+        main_matjoinagg()
     else:
         main()

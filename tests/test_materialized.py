@@ -558,3 +558,73 @@ def test_join_agg_pending_commits_and_empty_window(spark, tmp_path):
     assert ja.refresh() is not None
     assert ja.pending_commits() == 0
     assert _ja_state(ja) == _ja_recompute(fact, dim)
+
+
+import random
+
+import pytest
+
+
+@pytest.mark.parametrize("seed", [11, 202, 4040])
+def test_join_agg_random_churn_property(spark, tmp_path, seed):
+    """Seeded-random churn property for the bilinear-delta algebra:
+    arbitrary interleavings of fact upserts (value changes + join-key
+    repoints + inserts), fact deletes, dim attribute renames, dim
+    inserts and deletes — with a refresh after every wave — must keep
+    the maintained state equal to the from-scratch GROUP BY over the
+    inner join, wave after wave."""
+    from glue_hudi_spark.streaming import MaterializedJoinAgg
+    rng = random.Random(seed)
+    fact = NativeTable(spark, tmp_path / "pf", record_keys=["oid"],
+                       precombine="seq", stats_cols=["ckey"])
+    dim = NativeTable(spark, tmp_path / "pd", record_keys=["ckey"],
+                      precombine="seq")
+    fact.bulk_insert(spark.createDataFrame(
+        [(i, i % 4, float(rng.randrange(100)), 1) for i in range(20)],
+        "oid long, ckey long, amt double, seq int"))
+    dim.bulk_insert(spark.createDataFrame(
+        [(c, f"g{c}", 1) for c in range(4)],
+        "ckey long, nation string, seq int"))
+    ja = MaterializedJoinAgg(spark, fact, dim, tmp_path / "pv",
+                             join_col="ckey", group_cols=["nation"],
+                             sum_col="amt", dim_cols=["nation"])
+    ja.refresh()
+    next_oid, seq = 100, 2
+    live_dim = set(range(4))
+    for wave in range(4):
+        # fact churn: a few upserts (mix of repoints/new/changed values)
+        ups = []
+        for _ in range(rng.randrange(1, 5)):
+            if rng.random() < 0.4:
+                oid, next_oid = next_oid, next_oid + 1   # insert
+            else:
+                oid = rng.randrange(20)                  # update
+            ups.append((oid, rng.randrange(6),           # may dangle
+                        float(rng.randrange(100)), seq))
+        seq += 1
+        fact.upsert(spark.createDataFrame(
+            ups, "oid long, ckey long, amt double, seq int"))
+        if rng.random() < 0.7:
+            fact.delete(spark.createDataFrame(
+                [(rng.randrange(20),)], "oid long"))
+        # dim churn: rename / insert / delete
+        r = rng.random()
+        if r < 0.4 and live_dim:
+            ck = rng.choice(sorted(live_dim))
+            dim.upsert(spark.createDataFrame(
+                [(ck, f"g{ck}w{wave}", seq)],
+                "ckey long, nation string, seq int"))
+        elif r < 0.7:
+            ck = 4 + wave
+            dim.upsert(spark.createDataFrame(
+                [(ck, f"new{ck}", seq)],
+                "ckey long, nation string, seq int"))
+            live_dim.add(ck)
+        elif live_dim:
+            ck = rng.choice(sorted(live_dim))
+            dim.delete(spark.createDataFrame([(ck,)], "ckey long"))
+            live_dim.discard(ck)
+        seq += 1
+        assert ja.refresh() is not None
+        assert _ja_state(ja) == _ja_recompute(fact, dim), \
+            f"seed {seed} wave {wave} diverged"
