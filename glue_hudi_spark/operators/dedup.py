@@ -101,8 +101,12 @@ def ngram_jaccard_pairs(
         F.array_distinct(word_shingles(text_col, n)).alias("sh"),
         *[F.col(c) for c in (block_cols or []) if candidates is None],
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # |A∪B| = |A| + |B| − |A∩B| on the already-distinct shingle arrays:
+    # same integer, but skips array_union's second per-pair hash-set
+    # build + union-array allocation (the verify join's other half)
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    inter = inter_n.cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - inter_n).cast("double")
     if candidates is not None:
         sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -285,8 +289,11 @@ def minhash_lsh_pairs(
     sa = shingled.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     sb = shingled.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     verified = cand.join(sa, on="id_a").join(sb, on="id_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # |A∪B| arithmetically from the distinct arrays — one hash-set pass
+    # (the intersect) per pair instead of two (see ngram_jaccard_pairs)
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    inter = inter_n.cast("double")
+    union = (F.size("sh_a") + F.size("sh_b") - inter_n).cast("double")
     out = (
         verified.withColumn("jaccard", F.round(inter / union, 6))
         .filter(F.col("jaccard") >= verify_threshold)
@@ -309,6 +316,7 @@ def containment_pairs(
     threshold: float = 0.9,
     rare_per_doc: int = 3,
     max_df: int = 50,
+    materialize: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC near-duplicate pairs by n-gram shingle CONTAINMENT:
     |A∩B| / min(|A|, |B|) ≥ threshold (Broder's containment measure).
@@ -340,11 +348,23 @@ def containment_pairs(
     combinable), and a candidate equi-join bounded by Σ df(g) over
     rare picks ≤ r × N × max_df — never block-population-squared;
     exact verification joins only the candidates.
+
+    ``materialize``: the shingled projection feeds FOUR plan legs (the
+    df-count groupBy, the rare-pick join, and both verify sides);
+    un-persisted, Catalyst re-runs the regex shingle split once per leg
+    (measured: 4 near-equal heavy jobs at sf0.1 — the dominant term).
+    True (default) persists it for the call, eagerly checkpoints the
+    tiny survivor-pair output, and releases the cache before returning —
+    the same single-scan discipline as ``minhash_lsh_pairs``. False
+    returns the fully lazy plan (plan-shape tests; the caller owns any
+    caching).
     """
     shingled = df.select(
         F.col(id_col).alias("id"),
         F.array_distinct(word_shingles(text_col, n)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
+    if materialize:
+        shingled = shingled.persist()
     ex = shingled.select("id", F.explode("sh").alias("g"))
     dfreq = (ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
              .filter(F.col("df") <= max_df))
@@ -383,13 +403,20 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
     )
     small_first = F.col("n_a") <= F.col("n_b")
-    return verified.select(
+    out = verified.select(
         F.when(small_first, F.col("id_a")).otherwise(F.col("id_b"))
         .alias("id_small"),
         F.when(small_first, F.col("id_b")).otherwise(F.col("id_a"))
         .alias("id_big"),
         "containment",
     )
+    if materialize:
+        # survivor pairs are tiny relative to the corpus: checkpoint them,
+        # then release the shingle cache (same lifecycle as
+        # minhash_lsh_pairs — a bare persist would leak until session end)
+        out = out.localCheckpoint(eager=True)
+        shingled.unpersist()
+    return out
 
 
 # ------------------------------------------------- embedding near-dup

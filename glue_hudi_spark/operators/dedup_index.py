@@ -468,8 +468,10 @@ class DedupIndex:
                         F.col(self.id_col).alias("id"),
                         F.array_distinct(word_shingles(
                             self.text_col, self.n)).alias("sh_b"))
+                    # union size arithmetically (arrays are distinct):
+                    # one per-pair hash-set pass, not two
                     inter = F.size(F.array_intersect("sh_b", "sh_c"))
-                    union = F.size(F.array_union("sh_b", "sh_c"))
+                    union = F.size("sh_b") + F.size("sh_c") - inter
                     dup_ids = (cand.join(bsh, on="id")
                                .join(csh, on="corpus_id")
                                .withColumn("jac", F.round(
