@@ -42,6 +42,7 @@ import time
 import urllib.parse
 from contextlib import contextmanager
 from dataclasses import dataclass
+from functools import lru_cache
 from pathlib import Path
 
 from pyspark import StorageLevel
@@ -466,6 +467,48 @@ def _widen_type(stored: T.DataType, incoming: T.DataType):
     return None
 
 
+def _murmur3_hash_int32(x: int, seed: int = 42) -> int:
+    """Spark's ``Murmur3_x86_32.hashInt`` (the hash behind
+    ``HashPartitioning`` of a single int column, seed 42), as SIGNED
+    int32 — so the driver can predict which shuffle partition an int
+    value routes to. Parity is pinned by a unit test against
+    ``F.hash``; a mismatch only mis-buckets a rewrite (uneven file
+    sizes), never affects results."""
+    m = 0xFFFFFFFF
+    k1 = (x * 0xCC9E2D51) & m
+    k1 = ((k1 << 15) | (k1 >> 17)) & m
+    k1 = (k1 * 0x1B873593) & m
+    h1 = (seed ^ k1) & m
+    h1 = ((h1 << 13) | (h1 >> 19)) & m
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # fmix: total bytes hashed
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+@lru_cache(maxsize=128)
+def _hash_partition_tokens(width: int) -> tuple[int, ...]:
+    """``width`` small ints whose Murmur3 hash lands each in a DISTINCT
+    shuffle partition under ``pmod(hash, width)`` — the driver-side
+    inverse of HashPartitioning. Mapping bucket i → token[i] before a
+    ``repartition(width, token_col)`` gives exact bucket→partition
+    routing with a plain hash exchange (coupon-collector search,
+    ~width·ln(width) hash evaluations, cached per width)."""
+    toks: list[int | None] = [None] * width
+    found, x = 0, 0
+    while found < width:
+        i = _murmur3_hash_int32(x) % width  # Python % == Java pmod here
+        if toks[i] is None:
+            toks[i] = x
+            found += 1
+        x += 1
+    return tuple(toks)  # type: ignore[arg-type]
+
+
 def record_key_expr(keys: list[str]):
     """Build the record-key string column.
 
@@ -837,6 +880,7 @@ class NativeTable:
     def _write_files(
         self, df: DataFrame, commit_id: int, n_files: int | None = None,
         cluster_col: str | None = None, build_blooms: bool = True,
+        boundaries: list[str] | None = None,
     ) -> list[str]:
         """Write one commit's data dir; return new file paths (rel to root).
 
@@ -854,6 +898,15 @@ class NativeTable:
         write: range-partition + sort on it instead of the record key
         (used by Z-order clustering, which passes a precomputed z-value);
         the column is dropped before the files are written.
+
+        ``boundaries`` (merge rewrites, unpartitioned key layout): the
+        ``width - 1`` record-key split points to range-cluster WITHOUT
+        sampling. ``repartitionByRange`` runs RangePartitioner's sample
+        pass first, so the whole merged plan — affected-file scan,
+        anti-join, union — EXECUTES TWICE per rewrite; the caller already
+        knows the affected files' key intervals from the manifest, and
+        clustering on those boundaries produces the same disjoint-interval
+        layout in a single execution (see ``_boundary_cluster``).
         """
         commit_dir = self.root / DATA_DIR / self.timeline.dir_token(commit_id)
         if commit_dir.exists():
@@ -927,6 +980,12 @@ class NativeTable:
             out = self._range_cluster(
                 out, width, *self.sort_order
             ).sortWithinPartitions(*self.sort_order)
+        elif width and boundaries is not None and len(boundaries) == width - 1:
+            # merge rewrite with manifest-derived split points: same
+            # disjoint-interval layout as the sampling path, ONE execution
+            out = self._boundary_cluster(
+                out, width, boundaries
+            ).sortWithinPartitions(*self.record_keys)
         elif width:
             # unpartitioned: RANGE-cluster on the record key so each file
             # covers a disjoint key interval — that's what makes the
@@ -965,6 +1024,52 @@ class NativeTable:
         if width == 1:
             return df.repartition(1)
         return df.repartitionByRange(width, *cols)
+
+    @staticmethod
+    def _boundary_cluster(df: DataFrame, width: int,
+                          boundaries: list[str]) -> DataFrame:
+        """Range-cluster on the record key using DRIVER-KNOWN split
+        points — no RangePartitioner sampling pass, so the input plan
+        executes once instead of twice.
+
+        Bucket = count of boundaries ≤ key (the ``_zorder_value``
+        filter-count idiom, O(width) comparisons per row — callers cap
+        width); the bucket index is mapped through
+        ``_hash_partition_tokens`` so the plain hash ``repartition``
+        routes bucket i exactly to partition i, preserving the
+        one-disjoint-interval-per-file layout the per-file key_stats
+        index depends on. Boundaries come from the affected files' own
+        manifest key ranges: the rewritten batch is small next to the
+        files it rewrites, so the old intervals remain size-balanced
+        split points (skew there only un-balances file sizes, never
+        correctness — and the next ``maintain()`` re-packs)."""
+        toks = _hash_partition_tokens(width)
+        arr = F.array(*[F.lit(b) for b in boundaries])
+        bucket = F.size(F.filter(arr, lambda b: b <= F.col(RECORD_KEY_COL)))
+        tok = F.element_at(
+            F.array(*[F.lit(t) for t in toks]), bucket + 1
+        ).cast("int")
+        return df.repartition(width, tok)
+
+    def _merge_boundaries(self, affected: list[str],
+                          prev: "Commit") -> list[str] | None:
+        """Record-key split points for a merge rewrite, from the affected
+        files' own manifest key ranges — lets ``_write_files`` range-
+        cluster in ONE execution instead of repartitionByRange's
+        sample-then-exchange two. None (→ sampling path) when the layout
+        isn't the unpartitioned record-key one, any affected file lacks
+        key stats, or the rewrite is wide enough that the O(width)
+        per-row filter-count would outgrow the saved pass (cap 256)."""
+        if (self.partition_keys or self.sort_order
+                or not 1 < len(affected) <= 256):
+            return None
+        los = sorted(
+            prev.key_stats[f][0] for f in affected
+            if f in prev.key_stats and prev.key_stats[f]
+        )
+        if len(los) != len(affected):
+            return None
+        return los[1:]
 
     #: a rewrite whose output will be RANGE-clustered executes its plan
     #: twice (RangePartitioner samples the child before the exchange);
@@ -3850,11 +3955,15 @@ class NativeTable:
             *prev_cols, *[c for c in merged.columns if c not in prev_cols]
         )
 
-        with self._range_write_cache(merged, affected, prev) as merged:
+        boundaries = self._merge_boundaries(affected, prev)
+        with self._range_write_cache(
+                merged, affected if boundaries is None else [],
+                prev) as merged:
             files = self._write_files(
                 merged, cid,
                 n_files=(max(1, len(affected))
                          if not self.partition_keys else None),
+                boundaries=boundaries,
             )
         if persisted is not None:
             persisted.unpersist()
@@ -3914,11 +4023,15 @@ class NativeTable:
         # the SAME pruned affected set, nothing table-wide
         tombstones = self._write_tombstones(
             existing.filter(F.coalesce(cond, F.lit(False))))
-        with self._range_write_cache(kept, affected, prev) as kept:
+        boundaries = self._merge_boundaries(affected, prev)
+        with self._range_write_cache(
+                kept, affected if boundaries is None else [],
+                prev) as kept:
             files = self._write_files(
                 kept, cid,
                 n_files=(max(1, len(affected))
                          if not self.partition_keys else None),
+                boundaries=boundaries,
             )
         new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
@@ -4050,11 +4163,15 @@ class NativeTable:
         merged = merged.select(
             *prev_cols, *[c for c in merged.columns if c not in prev_cols]
         )
-        with self._range_write_cache(merged, affected, prev) as merged:
+        boundaries = self._merge_boundaries(affected, prev)
+        with self._range_write_cache(
+                merged, affected if boundaries is None else [],
+                prev) as merged:
             files = self._write_files(
                 merged, cid,
                 n_files=(max(1, len(affected))
                          if not self.partition_keys else None),
+                boundaries=boundaries,
             )
         if persisted is not None:
             persisted.unpersist()

@@ -1151,6 +1151,10 @@ def test_rewrite_persist_knob_on_path(spark, tmp_table_dir):
     t.bulk_insert(_rows(spark, [dict(id=f"{i:04d}", v="old", seq=1)
                                 for i in range(400)]))
     t.rewrite_persist_max_bytes = 8 << 30
+    # the knob pays for repartitionByRange's SAMPLING pass; manifest-
+    # boundary rewrites have no sampling pass and rightly skip the
+    # persist — force the sampling path this test exists to cover
+    t._merge_boundaries = lambda affected, prev: None
     jsc = spark.sparkContext._jsc.sc()
     cached_before = jsc.getPersistentRDDs().size()
     # spy: the cache must actually ENGAGE (a broken size guard that
