@@ -611,8 +611,14 @@ def resolve_clusters(
     whose size is |nodes-in-any-pair| — tiny next to the corpus. Label
     tables are checkpointed per round to truncate lineage (the standard
     Spark iterative-algorithm pattern; all driver-side state is a single
-    per-round converged? boolean — an isEmpty take-1 probe, never data or
-    even a full count). Deterministic: fixpoint is
+    per-round changed-row count). Each round is ONE Spark job: the
+    checkpoint is lazy and the convergence count's action materializes
+    it (an eager checkpoint + isEmpty probe was 2-4 jobs/round — take-1
+    escalates over the empty filter result on the converged round).
+    Superseded label tables and the edge list are unpersisted as soon
+    as the next round's checkpoint holds — without that, every round of
+    every call leaks a MEMORY_AND_DISK table until the ContextCleaner's
+    periodic GC (default 30 min). Deterministic: fixpoint is
     independent of iteration order/count, so a SQL oracle can replay it
     with a recursive transitive closure.
 
@@ -620,6 +626,8 @@ def resolve_clusters(
     (with path-halving that needs a component diameter > 2^max_iters —
     pathological input, not a tuning problem).
     """
+    from glue_hudi_spark.checkpoints import release_checkpoint
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     sym = fwd.union(rev).distinct().localCheckpoint(eager=True)
@@ -629,6 +637,7 @@ def resolve_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels  # released once its successor round holds
     for _ in range(max_iters):
         neigh = (
             sym.join(
@@ -655,11 +664,15 @@ def resolve_clusters(
                     F.coalesce("ll", "label"),
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # isEmpty (take-1 short-circuit over the just-checkpointed table),
-        # not count(): the fixpoint test needs existence, not a tally
-        converged = nxt.filter(F.col("label") < F.col("old")).isEmpty()
+        # the count's action materializes the LAZY checkpoint in the
+        # same job it probes — one job per round, and a full count of
+        # the (tiny, now-cached) label table instead of isEmpty's
+        # escalating take-1 sweep on the converged round
+        converged = nxt.filter(F.col("label") < F.col("old")).count() == 0
+        release_checkpoint(prev_ckpt)
+        prev_ckpt = nxt
         labels = nxt.select("id", "label")
         if converged:
             break
@@ -667,6 +680,7 @@ def resolve_clusters(
         raise RuntimeError(
             f"resolve_clusters did not converge in {max_iters} rounds"
         )
+    release_checkpoint(sym)
     return labels.select(
         F.col("id").alias("member_id"),
         F.col("label").alias("cluster_id"),

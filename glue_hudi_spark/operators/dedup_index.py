@@ -48,6 +48,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from glue_hudi_spark.checkpoints import release_checkpoint
 from glue_hudi_spark.operators.dedup import (
     minhash_signature,
     normalized_text,
@@ -247,6 +248,7 @@ class DedupIndex:
         add_fp = self._fingerprints(
             feed.filter(F.col("_change_type")
                         .isin("insert", "update_postimage"))).persist()
+        changed_ids = None
         try:
             changed_ids = (gone_fp.select("id").unionByName(
                 add_fp.select("id")).distinct()
@@ -271,6 +273,7 @@ class DedupIndex:
                     self._exact_rows(add_fp), sort_col="h")
                 still = {r["hp"] for r in
                          out.select("hp").distinct().collect()}
+                release_checkpoint(out)  # write + collect both done
                 for p in hps:
                     if p not in still:
                         d = self.exact_store / f"hp={p}"
@@ -286,6 +289,7 @@ class DedupIndex:
                     self._band_rows(add_fp), sort_col="band_hash")
                 still = {r["bp"] for r in
                          out.select("bp").distinct().collect()}
+                release_checkpoint(out)  # write + collect both done
                 for p in bps:
                     if p not in still:
                         d = self.bands_store / f"bp={p}"
@@ -295,6 +299,9 @@ class DedupIndex:
         finally:
             gone_fp.unpersist()
             add_fp.unpersist()
+            # both store rewrites have consumed the changed-id set
+            if changed_ids is not None:
+                release_checkpoint(changed_ids)
         meta["indexed_commit"] = head.commit_id
         self._write_meta(meta)
         return {"refreshed": True, "partitions_rewritten": n_parts}

@@ -280,9 +280,18 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
         .groupBy("tok").agg(F.count(F.lit(1)).alias("w"))
         .select(_bpe_wrap("tok").alias("seq"), "w")
     )
+    from glue_hudi_spark.checkpoints import release_checkpoint
+
     merges: list[dict] = []
+    prev_ckpt = None
     for rnd in range(1, rounds + 1):
         vocab = vocab.localCheckpoint(eager=True)  # truncate replace chain
+        # the eager checkpoint above just consumed the previous round's
+        # (via the replace projection) — drop the dead table now instead
+        # of leaking one per round until the ContextCleaner's periodic GC
+        if prev_ckpt is not None:
+            release_checkpoint(prev_ckpt)
+        prev_ckpt = vocab
         syms = F.transform(
             F.split(F.col("seq"), " "),
             lambda s: F.regexp_replace(s, _BPE_SEP, ""),
@@ -316,6 +325,10 @@ def bpe_train(docs: DataFrame, text_col: str = "text",
         vocab = vocab.select(
             F.replace(F.col("seq"), F.lit(tgt), F.lit(rep)).alias("seq"),
             "w")
+    # only the merges list leaves this function — the last vocab
+    # checkpoint is dead too
+    if prev_ckpt is not None:
+        release_checkpoint(prev_ckpt)
     return merges
 
 

@@ -166,10 +166,53 @@ def _py_norm(cv) -> float:
     return math.sqrt(acc)
 
 
-def _scored_cells_expr(cents: list[tuple], vec):
-    """Array column of struct(-sim, cell) for ``vec`` against an inlined
-    centroid literal — the shared core of argmax assignment (min element)
-    and multi-probe (first p of the sorted array).
+def _f_sql(x) -> str:
+    """A double as an EXACT Spark SQL literal: ``repr`` is Python's
+    shortest-roundtrip decimal and the SQL parser's Double.parseDouble
+    restores the identical bits (pinned incl. exponent forms/denormals
+    by tests); the ``D`` suffix keeps Spark from typing plain decimals
+    as DECIMAL."""
+    return f"{float(x)!r}D"
+
+
+def _arr_sql(xs) -> str:
+    return "array(" + ", ".join(_f_sql(x) for x in xs) + ")"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of ``_dot`` — the same zip_with/aggregate fold, parsed
+    JVM-side. The assignment builders below render their whole
+    expression as ONE ``F.expr`` string because constructing the
+    centroid trees node-by-node through py4j dominated small-corpus
+    latency: a measured 2.1 s of pure driver-side expression BUILD for
+    one pq_encode projection (8 subspaces × 8 centroids), 0.38 s as
+    text — execution plans and results are identical."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, "
+            f"(s, x) -> s + x)")
+
+
+def _norm_sql(a: str) -> str:
+    return (f"sqrt(aggregate(transform({a}, x -> "
+            f"CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, "
+            f"(s, x) -> s + x))")
+
+
+def _vec_sql(vec) -> str:
+    """SQL text of the vector operand: pass through strings; render a
+    Column through its node's own SQL form (``Column.toString`` — e.g.
+    ``slice(CAST(embedding AS ARRAY<DOUBLE>), 1, 8)``). Callers pass
+    simple shapes only — a bare column or slice(cast(col)) — which
+    re-parse to the identical tree."""
+    if isinstance(vec, str):
+        return vec
+    return vec._jc.toString()
+
+
+def _scored_cells_sql(cents: list[tuple], vec_sql: str) -> str:
+    """SQL text of the array of struct(-sim, cell) for ``vec`` against an
+    inlined centroid literal — the shared core of argmax assignment (min
+    element) and multi-probe (first p of the sorted array).
 
     The row norm is evaluated ONCE per row: it enters the per-centroid
     lambda as a ``zip_with`` operand (``array_repeat(nv, k)`` — the
@@ -178,23 +221,17 @@ def _scored_cells_expr(cents: list[tuple], vec):
     norms are driver-side literals. The round-2 version called
     ``cosine(vec, cv)`` inside the lambda — no CSE across lambda args
     meant k norm-folds per row, the one bench regression of the round."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                F.array(*[F.lit(float(x)) for x in cv]).alias("cv"),
-                F.lit(_py_norm(cv)).alias("cn"),
-            )
-            for cell, cv in cents
-        ]
-    )
-    return F.zip_with(
-        cent_arr,
-        F.array_repeat(_norm(vec), len(cents)),
-        lambda c, nv: F.struct(
-            (-F.round(_dot(vec, c["cv"]) / (nv * c["cn"]), 6)).alias("_ns"),
-            c["cell"].alias("cell"),
-        ),
+    cent_arr = "array(" + ", ".join(
+        f"named_struct('cell', {int(cell)}L, 'cv', {_arr_sql(cv)}, "
+        f"'cn', {_f_sql(_py_norm(cv))})"
+        for cell, cv in cents
+    ) + ")"
+    return (
+        f"zip_with({cent_arr}, "
+        f"array_repeat({_norm_sql(vec_sql)}, {len(cents)}), "
+        f"(c, nv) -> named_struct("
+        f"'_ns', -round({_dot_sql(vec_sql, 'c.cv')} / (nv * c.cn), 6), "
+        f"'cell', c.cell))"
     )
 
 
@@ -202,8 +239,9 @@ def _nearest_cell_expr(cents: list[tuple], vec):
     """Column expr: nearest-centroid cell id for ``vec`` against an inlined
     centroid literal. Lexicographic ``array_min`` over (-sim, cell) = max
     similarity, ties to the lowest cell id — zero shuffle, zero row
-    amplification."""
-    return F.array_min(_scored_cells_expr(cents, vec))["cell"]
+    amplification. Built as one SQL string (see ``_dot_sql``)."""
+    return F.expr(
+        f"array_min({_scored_cells_sql(cents, _vec_sql(vec))}).cell")
 
 
 def _l2sq(a, b):
@@ -237,38 +275,29 @@ def _nearest_cell_expr_l2(cents: list[tuple], vec):
     the centroid count (the unrolled per-centroid form made codegen
     compilation, not execution, the dominant cost). Arithmetic is the
     identical ((a·a - 2a·b) + b·b) round-6 composition the SQL oracle
-    spells."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(cell).alias("cell"),
-                # one py4j call per centroid (F.lit of the whole list),
-                # not one per component — expression BUILD time on the
-                # driver was a visible slice of small-corpus latency
-                F.lit([float(x) for x in cv]).alias("cv"),
-                F.lit(_py_sumsq(cv)).alias("cn2"),
-            )
-            for cell, cv in cents
-        ]
+    spells. Built as one SQL string (see ``_dot_sql``)."""
+    vec_sql = _vec_sql(vec)
+    cent_arr = "array(" + ", ".join(
+        f"named_struct('cell', {int(cell)}L, 'cv', {_arr_sql(cv)}, "
+        f"'cn2', {_f_sql(_py_sumsq(cv))})"
+        for cell, cv in cents
+    ) + ")"
+    return F.expr(
+        f"array_min(zip_with({cent_arr}, "
+        f"array_repeat({_dot_sql(vec_sql, vec_sql)}, {len(cents)}), "
+        f"(c, dvv) -> named_struct("
+        f"'d', round(dvv - 2.0D * {_dot_sql(vec_sql, 'c.cv')} + c.cn2, 6), "
+        f"'cell', c.cell))).cell"
     )
-    scored = F.zip_with(
-        cent_arr,
-        F.array_repeat(_dot(vec, vec), len(cents)),
-        lambda c, dvv: F.struct(
-            F.round(
-                dvv - F.lit(2.0) * _dot(vec, c["cv"]) + c["cn2"], 6
-            ).alias("d"),
-            c["cell"].alias("cell"),
-        ),
-    )
-    return F.array_min(scored)["cell"]
 
 
 def _probe_cells_expr(cents: list[tuple], vec, nprobe: int):
     """Array of the ``nprobe`` nearest cell ids (sim desc, ties to lowest
     cell) — the multi-probe variant of ``_nearest_cell_expr``."""
-    top = F.slice(F.sort_array(_scored_cells_expr(cents, vec)), 1, nprobe)
-    return F.transform(top, lambda s: s["cell"])
+    return F.expr(
+        f"transform(slice(sort_array("
+        f"{_scored_cells_sql(cents, _vec_sql(vec))}), 1, {int(nprobe)}), "
+        f"s -> s.cell)")
 
 
 def _collect_centroids(centroids: DataFrame, id_col: str, vec_col: str) -> list[tuple]:
@@ -657,24 +686,28 @@ def pq_topk(
     books = pq_train(corpus, m, n_codes, iters, id_col, vec_col)
     enc = pq_encode(corpus, books, id_col, vec_col)
     sd = len(books[0][0][1])
-    qv = F.col("q_vec")
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("q_vec")
     )
+
     # per-subspace distance: element_at over the inlined codebook literal,
     # selected by the corpus row's code — m lookups + m small L2 folds per
-    # (query, row) pair, never a d-wide fold over corpus data
-    def sub_dist(s: int):
-        cent = F.element_at(
-            F.lit([[float(x) for x in cv] for _, cv in books[s]]),
-            F.col(f"code{s}").cast("int") + 1,
-        )
-        return _l2sq(F.slice(qv, s * sd + 1, sd), cent)
+    # (query, row) pair, never a d-wide fold over corpus data. The whole
+    # m-term sum is ONE SQL string (see _dot_sql): the same ((a·a - 2a·b)
+    # + b·b) round-6 terms, left-associated adds.
+    def sub_dist_sql(s: int) -> str:
+        book_arr = "array(" + ", ".join(
+            _arr_sql(cv) for _, cv in books[s]) + ")"
+        cent = f"element_at({book_arr}, CAST(code{s} AS INT) + 1)"
+        qs = f"slice(q_vec, {s * sd + 1}, {sd})"
+        return (f"round({_dot_sql(qs, qs)} - 2.0D * {_dot_sql(qs, cent)}"
+                f" + {_dot_sql(cent, cent)}, 6)")
 
     scored = (
         F.broadcast(q).crossJoin(enc.withColumnRenamed(id_col, "neighbor_id"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("dist", sum(sub_dist(s) for s in range(m)))
+        .withColumn(
+            "dist", F.expr(" + ".join(sub_dist_sql(s) for s in range(m))))
     )
     ranked = _topk_per_query(scored.withColumn("sim", -F.col("dist")), k)
     return ranked.select(

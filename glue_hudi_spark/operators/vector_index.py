@@ -206,6 +206,9 @@ class VectorIndex:
         # serving its STALE files — clear those dirs explicitly
         still = {r["cell"] for r in
                  out.select("cell").distinct().collect()}
+        from glue_hudi_spark.checkpoints import release_checkpoint
+
+        release_checkpoint(out)  # write + collect both done
         import shutil
 
         for c in cells:

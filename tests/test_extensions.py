@@ -176,6 +176,39 @@ def test_ivf_multiprobe_recall_monotone_and_exact_at_full_probe(spark):
     assert p1 <= p1 | p2  # sanity: candidate growth, never loss
 
 
+def test_sql_float_literals_bit_exact(spark):
+    """The assignment builders render centroids as SQL text (one F.expr
+    py4j call instead of hundreds of node builds — round-13 driver-side
+    optimization). That is only sound if repr(float) → SQL double
+    literal restores the identical bits for every shape a centroid
+    component can take."""
+    import struct
+
+    from glue_hudi_spark.operators.similarity import _f_sql
+
+    vals = [1e-07, -1e300, 3.141592653589793, 5.0, -0.0, 1.5e-308,
+            123456789.123456789, 2.2250738585072014e-308, 0.1, -2.5e-10]
+    row = spark.sql(
+        "SELECT array(" + ", ".join(_f_sql(v) for v in vals) + ") AS a"
+    ).first()
+    for got, want in zip(row["a"], vals):
+        assert struct.pack("d", got) == struct.pack("d", want), (got, want)
+
+
+def test_nearest_cell_expr_column_and_sql_operands_agree(spark):
+    """_vec_sql renders a Column operand to SQL text; both operand forms
+    must build the same expression."""
+    emb = _clustered_embeddings(spark, n_clusters=4, per_cluster=8, dim=8)
+    cents = similarity._collect_centroids(
+        emb.filter(F.col("vec_id") < 4), "vec_id", "embedding")
+    v = F.col("embedding").cast("array<double>")
+    a = emb.select("vec_id", similarity._nearest_cell_expr(
+        cents, v).alias("cell"))
+    b = emb.select("vec_id", similarity._nearest_cell_expr(
+        cents, "CAST(embedding AS ARRAY<DOUBLE>)").alias("cell"))
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_ivf_assign_join_path_matches_literal_path(spark):
     """Above INLINE_CENTROID_MAX the broadcast-join scorer takes over; both
     paths must assign identically (same arithmetic, same tie-break)."""
