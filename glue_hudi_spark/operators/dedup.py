@@ -592,6 +592,7 @@ def resolve_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    broadcast_max_nodes: int = 1_000_000,
 ) -> DataFrame:
     """Connected components over near-dup pairs → (member_id, cluster_id,
     keep_id), the step every fuzzy-dedup tier needs before rows can be
@@ -618,9 +619,20 @@ def resolve_clusters(
     Superseded label tables and the edge list are unpersisted as soon
     as the next round's checkpoint holds — without that, every round of
     every call leaks a MEMORY_AND_DISK table until the ContextCleaner's
-    periodic GC (default 30 min). Deterministic: fixpoint is
-    independent of iteration order/count, so a SQL oracle can replay it
-    with a recursive transitive closure.
+    periodic GC (default 30 min).
+
+    Join strategy is picked DELIBERATELY from a measured size, not left
+    to the planner: checkpointed frames carry no statistics, so every
+    per-round join would default to sort-merge — ~7 exchanges/round
+    that AQE schedules as ~14 tiny stage-jobs (measured 64 jobs/4.5 s
+    for a 330-pair input, pure scheduling). One count of the node table
+    (known and CONSTANT across rounds) decides: at or below
+    ``broadcast_max_nodes`` (default 1M rows ≈ tens of MB built) the
+    label/neighbor/hop sides broadcast and each round's only exchange
+    is the message groupBy; above it, the sort-merge shape — the one
+    that scales — is kept unchanged. Deterministic: fixpoint is
+    independent of iteration order/count (and of join strategy), so a
+    SQL oracle can replay it with a recursive transitive closure.
 
     Raises ``RuntimeError`` if not converged after ``max_iters`` rounds
     (with path-halving that needs a component diameter > 2^max_iters —
@@ -638,10 +650,18 @@ def resolve_clusters(
         .localCheckpoint(eager=True)
     )
     prev_ckpt = labels  # released once its successor round holds
+    # |nodes| never changes across rounds: one metadata-sized count on
+    # the just-checkpointed init table decides the round join strategy
+    small = labels.count() <= broadcast_max_nodes
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     for _ in range(max_iters):
         neigh = (
             sym.join(
-                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                _b(labels.select(F.col("id").alias("dst"),
+                                 F.col("label").alias("nl"))),
                 on="dst",
             )
             .groupBy("src")
@@ -653,8 +673,8 @@ def resolve_clusters(
             F.col("id").alias("label"), F.col("label").alias("ll")
         )
         nxt = (
-            labels.join(neigh, on="id", how="left")
-            .join(hop, on="label", how="left")
+            labels.join(_b(neigh), on="id", how="left")
+            .join(_b(hop), on="label", how="left")
             .select(
                 "id",
                 F.col("label").alias("old"),

@@ -49,16 +49,23 @@ def pagerank(
     """
     if not (0 < damping_pct < 100):
         raise ValueError("damping_pct must be in (0, 100)")
-    # Deliberately NOT checkpointed: the unrolled rounds all reference
-    # this subplan and Spark's ReusedExchange already evaluates it once
-    # per action (measured — an eager localCheckpoint here was slightly
-    # SLOWER, paying a materialization barrier for nothing). Contrast
-    # dedup.resolve_clusters, whose loop is driver-driven across many
-    # actions and genuinely needs the checkpoint.
+    # The edge projection is MATERIALIZED once (eager localCheckpoint):
+    # the unrolled rounds, the node set, and the out-weight table all
+    # reference this subplan, and without the checkpoint the whole
+    # upstream edge pipeline is REPLICATED into the plan per reference —
+    # nation_trade_pagerank's 3-round plan carried 264 parquet scans /
+    # 316 exchanges across 816 operators, and Catalyst+AQE re-planned
+    # all of it every action. Round-13 A/B at sf0.1: checkpointed 2.5 s
+    # warm / 3.3 s cold vs 3.7 s / 9.7 s uncheckpointed. (An earlier
+    # round measured the opposite on a much smaller plan; the barrier
+    # only pays once the replicated subtree is nontrivial — which an
+    # aggregated edge list always is.) The checkpoint is edge-aggregate
+    # sized (|E| post-groupBy), the same table every iterative graph
+    # engine materializes.
     e = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight).cast("bigint").alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     nodes = (
         e.select(F.col("src").alias("id"))
         .union(e.select(F.col("dst").alias("id")))
@@ -143,10 +150,14 @@ def label_propagation(
         F.col(src).alias("src"), F.col(dst).alias("dst"),
         F.col(weight).cast("bigint").alias("w"),
     )
+    # materialized once for the same reason as pagerank's edge
+    # projection: every unrolled round references it, and the caller's
+    # whole edge pipeline would otherwise replicate into the plan
     und = (
         e.union(e.select(F.col("dst").alias("src"),
                          F.col("src").alias("dst"), "w"))
         .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
     )
     labels = und.select("src").distinct().select(
         F.col("src").alias("id"), F.col("src").alias("lbl"))
