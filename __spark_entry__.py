@@ -3278,21 +3278,28 @@ def events_funnel(spark, sf_dir):
     already-aggregated (small) prior-step frame that AQE broadcasts —
     no window over the event stream, no self-join of raw events."""
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    # each step table feeds the NEXT step's join and its own count;
+    # unshared, the chain re-derived v 3x and c 2x (6 events scans in
+    # the measured plan). Lazy checkpoints of the user-sized step
+    # tables make it one events pass per step.
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+        .localCheckpoint(eager=False)
     )
     step = lambda name, df: df.agg(  # noqa: E731
         F.lit(name).alias("step"), F.count(F.lit(1)).alias("n_users")
@@ -6506,8 +6513,11 @@ def events_cms_heavy_hitters(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("user_id")
     table = SK.cms_build(ev, "user_id")
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    # 10-row frame probed AND joined — checkpointed so the exact
+    # aggregate runs once, not once per reference
     top = exact.orderBy(F.col("exact_count").desc(),
-                        F.col("user_id").asc()).limit(10)
+                        F.col("user_id").asc()).limit(10)\
+        .localCheckpoint(eager=False)
     est = SK.cms_probe(table, top.select("user_id"), "user_id")
     return (
         top.join(est, "user_id")
@@ -6883,10 +6893,14 @@ def events_sliding_distinct(spark, sf_dir):
     Each day's registers fan out to the ≤7 days they serve (explode —
     an equi-join on serve day, no range join). Exact trailing distinct
     rides along for comparison via the same fan-out."""
+    # the distinct (day, user) projection feeds the day set, the
+    # register build AND the exact leg — one lazy checkpoint = one
+    # events pass (was 4 in the measured plan), store is |user-days|
     ev = (
         _t(spark, sf_dir, "events")
         .select(F.to_date(F.col("ts")).alias("d"), "user_id")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     days = ev.select("d").distinct()
     # per-day registers
@@ -9075,6 +9089,9 @@ def orders_kaplan_meier(spark, sf_dir):
         .filter(F.col("days") > 0)
         .select(
             F.ceil(F.col("days") / 7).cast("int").alias("week"), "is_event")
+        # (week, bool) observation rows feed per_week AND the total —
+        # one lazy checkpoint, one derivation (was 2 orders scans each)
+        .localCheckpoint(eager=False)
     )
     per_week = obs.groupBy("week").agg(
         F.sum(F.when(F.col("is_event"), 1).otherwise(0))
@@ -9157,10 +9174,13 @@ def events_kmv_intersection(spark, sf_dir):
     k = 64
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view"))
+    # referenced by every sketch/estimate/membership leg below (the
+    # measured plan re-scanned events 11x); one lazy checkpoint of the
+    # distinct-hash projection = one events pass, synopsis-sized store
     hashes = ev.select(
         "event_type",
         F.md5(F.col("user_id").cast("string")).alias("h"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
 
     def sketch(df):
         # k smallest distinct hashes — orderBy+limit compiles to
@@ -9276,8 +9296,11 @@ def events_psi_drift(spark, sf_dir):
     cut = F.lit(CUTOFF).cast("timestamp")
     ref = ev.filter(F.col("ts") < cut)
     cur = ev.filter(F.col("ts") >= cut)
+    # 1-row frame referenced by BOTH binned legs — without the
+    # checkpoint each reference re-scans the reference window
     bounds = ref.agg(
-        F.min("value").alias("_lo"), F.max("value").alias("_hi"))
+        F.min("value").alias("_lo"), F.max("value").alias("_hi"))\
+        .localCheckpoint(eager=False)
 
     def binned(df, n_col):
         return (
@@ -9296,7 +9319,11 @@ def events_psi_drift(spark, sf_dir):
             .groupBy("bin").agg(F.count(F.lit(1)).alias(n_col))
         )
 
-    rb, cb = binned(ref, "n_ref"), binned(cur, "n_cur")
+    # each 10-row bin table feeds its total AND the full-outer join;
+    # checkpointed, the docstring's promised two data scans (+ the
+    # bounds pass) is what the plan actually does — it was 8 before
+    rb = binned(ref, "n_ref").localCheckpoint(eager=False)
+    cb = binned(cur, "n_cur").localCheckpoint(eager=False)
     tot = rb.agg(F.sum("n_ref").alias("_tr")).crossJoin(
         cb.agg(F.sum("n_cur").alias("_tc")))
     j = (
@@ -9537,7 +9564,10 @@ def corpus_tfidf_keywords(spark, sf_dir):
         "source",
         F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
     )
-    tf = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # the (source, token) aggregate feeds df, N and the scoring join —
+    # one lazy checkpoint = one corpus tokenization (was 3)
+    tf = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("tf")).localCheckpoint(eager=False)
     df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = tf.select("source").distinct().agg(F.count(F.lit(1)).alias("_n"))
     scored = (

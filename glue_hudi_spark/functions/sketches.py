@@ -99,17 +99,17 @@ def cms_build(df: DataFrame, key: str) -> DataFrame:
     across partitions/batches by summing cnt — the linearity that makes
     CMS the streaming/distributed frequency sketch."""
     k = F.col(key).cast("string")
-    rows = [
-        df.select(
-            F.lit(r).alias("row"),
-            (F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}:"), k)), 1, 8), 16, 10)
-             .cast("bigint") % CMS_W).alias("bucket"),
-        )
-        for r in range(CMS_D)
-    ]
-    u = rows[0]
-    for other in rows[1:]:
-        u = u.unionByName(other)
+    # one posexplode over the d salted hashes, NOT a d-way union of
+    # per-row projections — the union form scanned the input d times
+    # (measured in the plan); identical (row, bucket) rows, one scan
+    u = df.select(
+        F.posexplode(F.array(*[
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{r}:"), k)), 1, 8), 16, 10)
+             .cast("bigint") % CMS_W)
+            for r in range(CMS_D)
+        ])).alias("row", "bucket")
+    )
     return u.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 

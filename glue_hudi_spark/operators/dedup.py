@@ -1011,7 +1011,13 @@ def incremental_exact(
         if filtered is not None:
             seen_src = filtered
     seen = seen_src.distinct()
-    fresh = bh.join(seen, "_ghs_h", "left_anti")
+    # fresh is referenced by BOTH the keep-one aggregate and the final
+    # semi-join; left lazy-unshared, each reference re-runs the whole
+    # batch hash + corpus anti-join (12 parquet scans in the measured
+    # plan). One lazy checkpoint of the batch-sized novel set makes it
+    # one batch pass + one corpus pass.
+    fresh = bh.join(seen, "_ghs_h", "left_anti").localCheckpoint(
+        eager=False)
     keep = fresh.groupBy("_ghs_h").agg(F.min(id_col).alias(id_col))
     return (
         fresh.join(keep, ["_ghs_h", id_col], "left_semi")

@@ -46,7 +46,14 @@ def unigram_train(
     toks = docs.select(
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok")
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # the count table feeds the totals aggregate AND the final model
+    # projection, and the model itself is referenced per score join +
+    # per OOV-floor aggregate by every consumer — left unshared, each
+    # reference re-tokenizes the corpus (corpus_dsir_weights planned 10
+    # documents scans). Lazy checkpoints: ONE corpus token pass per
+    # train, vocabulary-sized stores, construction stays lazy.
+    counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("cnt")).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("cnt").alias("_n"), F.count(F.lit(1)).alias("_v"))
     return (
@@ -58,6 +65,7 @@ def unigram_train(
             F.log(F.lit(1.0) / (F.col("_n") + F.col("_v")).cast("double"))
             .alias("oov_logp"),
         )
+        .localCheckpoint(eager=False)
     )
 
 
@@ -92,9 +100,12 @@ def bigram_train(
             )
         ).alias("p")
     ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
-    c12 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    # same sharing discipline as unigram_train: one corpus pair pass,
+    # bigram-vocabulary-sized stores
+    c12 = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")).localCheckpoint(eager=False)
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    return c12.join(c1, on="w1")
+    return c12.join(c1, on="w1").localCheckpoint(eager=False)
 
 
 def bigram_score(

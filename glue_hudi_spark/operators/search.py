@@ -68,8 +68,16 @@ def bm25_topk(
 
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text"))
+    # lens feeds the corpus stats AND the per-posting normalization, and
+    # postings feed the document frequencies AND the contributions — left
+    # as plain subtrees each reference re-tokenizes the corpus from
+    # parquet (5 scans of `documents` per query, measured in the plan).
+    # LAZY localCheckpoints keep construction lazy (first action
+    # materializes, later references read the stored blocks): 2 scans,
+    # one tokenization each.
     lens = base.select(
-        "doc_id", F.size(tokens("text")).cast("bigint").alias("dl"))
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("dl")
+    ).localCheckpoint(eager=False)
     stats = lens.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("dl").alias("sum_dl"),
@@ -78,7 +86,8 @@ def bm25_topk(
         (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
 
-    post = doc_postings(docs, terms, id_col, text_col)
+    post = doc_postings(docs, terms, id_col, text_col).localCheckpoint(
+        eager=False)
     dfreq = post.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df_t"))
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
