@@ -149,16 +149,22 @@ class DedupIndex:
     def _pfx(self, col):
         return F.substring(col, 1, self.prefix_len)
 
-    def _fingerprints(self, df: DataFrame) -> DataFrame:
+    def _fingerprints(self, df: DataFrame,
+                      extra_cols: list | None = None) -> DataFrame:
         """(id, h, band, band_hash) — per doc, ``bands`` small rows; the
-        stores never carry text or shingles."""
+        stores never carry text or shingles. ``extra_cols``: extra column
+        expressions carried through the pass unchanged (refresh uses a
+        gone/add marker so ONE MinHash pass serves both change sides)."""
         r = self.num_hashes // self.bands
+        extra = list(extra_cols or [])
         sig = df.select(
             F.col(self.id_col).alias("id"),
             F.md5(normalized_text(self.text_col)).alias("h"),
             minhash_signature(self.text_col, self.n,
                               self.num_hashes).alias("mh"),
+            *extra,
         )
+        carried = sig.columns[3:]
         return sig.select(
             "id", "h",
             F.posexplode(F.array(*[
@@ -166,6 +172,7 @@ class DedupIndex:
                     "|", *[F.col("mh")[b * r + i] for i in range(r)]))
                 for b in range(self.bands)
             ])).alias("band", "band_hash"),
+            *carried,
         )
 
     def _exact_rows(self, fp: DataFrame) -> DataFrame:
@@ -242,27 +249,30 @@ class DedupIndex:
         if head is None or head.commit_id == meta["indexed_commit"]:
             return {"refreshed": False, "partitions_rewritten": 0}
         feed = self.table.change_feed(meta["indexed_commit"], head.commit_id)
-        gone_fp = self._fingerprints(
-            feed.filter(F.col("_change_type")
-                        .isin("delete", "update_preimage"))).persist()
-        add_fp = self._fingerprints(
-            feed.filter(F.col("_change_type")
-                        .isin("insert", "update_postimage"))).persist()
+        # ONE fingerprint pass over the feed (MinHash is the expensive
+        # leg): pre-images and post-images are disjoint row sets, so a
+        # gone/add marker carried through the pass splits them afterwards
+        # — two filtered passes computed every salted hash twice.
+        gone_col = F.col("_change_type").isin("delete", "update_preimage")
+        fp_all = self._fingerprints(
+            feed, extra_cols=[gone_col.alias("__ghs_gone__")]).persist()
+        # gone fingerprints only feed the prefix sets and the changed-id
+        # set (both taken from fp_all whole); the rewrites add back the
+        # POST-image rows only
+        add_fp = fp_all.filter(~F.col("__ghs_gone__")).drop("__ghs_gone__")
         changed_ids = None
         try:
-            changed_ids = (gone_fp.select("id").unionByName(
-                add_fp.select("id")).distinct()
-                .localCheckpoint(eager=True))
-            hps = sorted(
-                {r["hp"] for r in self._exact_rows(gone_fp).select("hp")
-                 .distinct().collect()}
-                | {r["hp"] for r in self._exact_rows(add_fp).select("hp")
-                   .distinct().collect()})
-            bps = sorted(
-                {r["bp"] for r in self._band_rows(gone_fp).select("bp")
-                 .distinct().collect()}
-                | {r["bp"] for r in self._band_rows(add_fp).select("bp")
-                   .distinct().collect()})
+            changed_ids = (fp_all.select("id").distinct()
+                           .localCheckpoint(eager=True))
+            # both stores' touched prefixes in ONE cached aggregate
+            # (every fingerprint row carries h AND band_hash — the
+            # prefix SETS equal the four distinct-collects this folds)
+            prow = fp_all.agg(
+                F.collect_set(self._pfx(F.col("h"))).alias("hp"),
+                F.collect_set(self._pfx(F.col("band_hash"))).alias("bp"),
+            ).first()
+            hps = sorted(prow["hp"])
+            bps = sorted(prow["bp"])
             n_parts = 0
             if hps:
                 self.spark.catalog.refreshByPath(str(self.exact_store))
@@ -297,8 +307,7 @@ class DedupIndex:
                             shutil.rmtree(d)
                 n_parts += len(bps)
         finally:
-            gone_fp.unpersist()
-            add_fp.unpersist()
+            fp_all.unpersist()
             # both store rewrites have consumed the changed-id set
             if changed_ids is not None:
                 release_checkpoint(changed_ids)
