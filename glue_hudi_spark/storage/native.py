@@ -1338,28 +1338,6 @@ class NativeTable:
             return None
         return row.lo, row.hi
 
-    def _batch_probe(
-        self, keyed: DataFrame
-    ) -> tuple[int, "tuple[str, str] | None"]:
-        """Row count + record-key hull of a merge batch in ONE aggregate
-        job — replaces the caller's ``isEmpty`` probe and
-        ``_batch_key_range``'s separate action, each of which executed
-        the batch plan again. ``keyed`` must already carry
-        ``RECORD_KEY_COL`` (``_with_meta`` adds it); the hull is
-        identical before and after precombine dedup (dropping a
-        duplicate key never changes the distinct key set). Called on
-        the merge's persisted batch, this is also the action that
-        materializes the cache every later leg reuses."""
-        row = keyed.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min(RECORD_KEY_COL).alias("lo"),
-            F.max(RECORD_KEY_COL).alias("hi"),
-        ).first()
-        n = int(row["n"])
-        key_range = ((row["lo"], row["hi"])
-                     if n and row["lo"] is not None else None)
-        return n, key_range
-
     def _prune_by_key_range(
         self,
         files: list[str],
@@ -3403,44 +3381,34 @@ class NativeTable:
         republish the empty frame's schema verbatim, bypassing the
         type-widening/strict-schema chokepoints.
         """
+        if df.isEmpty():
+            if not allow_empty:
+                return None
+            prev = self.timeline.latest()
+            if prev is not None:
+                # schema-only commits exist to make CREATE TABLE's
+                # declared schema readable BEFORE the first write; on a
+                # table with history they would republish the empty
+                # batch's schema verbatim, bypassing type-widening and
+                # strict-schema checks (round-10 advice — latent, no
+                # caller does this today)
+                raise ValueError(
+                    f"table {self.root}: bulk_insert(allow_empty=True) "
+                    "is the empty-table schema-publish path; this table "
+                    "already has commits — an empty batch is a no-op "
+                    "(call with allow_empty=False)")
+            cid = self.timeline.next_commit_id()
+            out = self._with_meta(df, f"{cid:020d}")
+            return self._commit(
+                cid, "bulk_insert", [], [],
+                out.schema.json(), dict(extra_stats or {}), {}, {},
+            )
         cid = self.timeline.next_commit_id()
         out = self._with_meta(df, f"{cid:020d}")
-        # one materialization serves the emptiness probe, the range
-        # clustering's SAMPLING pass (RangePartitioner executes its child
-        # once to pick boundaries), and the write exchange — unpersisted,
-        # a derived initial load (e.g. a window-deduped snapshot) executed
-        # up to three times. The staging cost is one round trip through
-        # executor memory/local disk, the same order as the clustering
-        # shuffle the write pays anyway; on object storage it replaces
-        # 1-2 full re-reads of the source. Released in the finally.
-        persisted = out = out.persist()
-        try:
-            n_rows, _ = self._batch_probe(out)
-            if n_rows == 0:
-                if not allow_empty:
-                    return None
-                if self.timeline.latest() is not None:
-                    # schema-only commits exist to make CREATE TABLE's
-                    # declared schema readable BEFORE the first write; on a
-                    # table with history they would republish the empty
-                    # batch's schema verbatim, bypassing type-widening and
-                    # strict-schema checks (round-10 advice — latent, no
-                    # caller does this today)
-                    raise ValueError(
-                        f"table {self.root}: bulk_insert(allow_empty=True) "
-                        "is the empty-table schema-publish path; this table "
-                        "already has commits — an empty batch is a no-op "
-                        "(call with allow_empty=False)")
-                return self._commit(
-                    cid, "bulk_insert", [], [],
-                    out.schema.json(), dict(extra_stats or {}), {}, {},
-                )
-            if parallelism > 0:
-                out = out.repartition(parallelism, *self.record_keys)
-            out = out.sortWithinPartitions(*self.record_keys)
-            files = self._write_files(out, cid)
-        finally:
-            persisted.unpersist()
+        if parallelism > 0:
+            out = out.repartition(parallelism, *self.record_keys)
+        out = out.sortWithinPartitions(*self.record_keys)
+        files = self._write_files(out, cid)
         prev = self.timeline.latest()
         prev_files = prev.files if prev else []
         prev_deltas = prev.deltas if prev else []
@@ -3457,18 +3425,11 @@ class NativeTable:
     def insert(self, df: DataFrame) -> Commit | None:
         """Plain append (the reference defines but never routes to this —
         processData.py:201-205; exposed for completeness)."""
+        if df.isEmpty():
+            return None
         cid = self.timeline.next_commit_id()
         out = self._with_meta(df, f"{cid:020d}")
-        # one materialization serves the emptiness probe, the width
-        # clustering's sampling pass, and the write (see _cow_merge)
-        persisted = out = out.persist()
-        try:
-            n_rows, _ = self._batch_probe(out)
-            if n_rows == 0:
-                return None
-            files = self._write_files(out, cid)
-        finally:
-            persisted.unpersist()
+        files = self._write_files(out, cid)
         prev = self.timeline.latest()
         new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = dict(prev.key_stats) if prev else {}
@@ -3501,13 +3462,10 @@ class NativeTable:
         coalesce must see merged rows to resolve against) — same
         documented trade as ``delete_where``.
         """
+        if batch.isEmpty():
+            return None
         if self.storage_type == "mor":
-            # the CoW and delta routes fold their emptiness probe into the
-            # batch's single persisted aggregate; the partial route still
-            # needs the explicit guard (an empty batch must not compact)
             if partial:
-                if batch.isEmpty():
-                    return None
                 if (self.timeline.latest() or Commit(0, "", [])).deltas:
                     self.compact()
                 return self._cow_merge(batch, deletes=False,
@@ -3542,6 +3500,8 @@ class NativeTable:
                extra_stats: dict | None = None) -> Commit | None:
         """Hard delete by key (processData.py:215-218,377-382 — the
         EmptyHoodieRecordPayload path)."""
+        if batch.isEmpty():
+            return None
         if self.storage_type == "mor":
             return self._delta_commit(batch, "delta_delete", "d", extra_stats)
         if self.deletion_vectors:
@@ -3630,16 +3590,13 @@ class NativeTable:
         cid = self.timeline.next_commit_id()
         keyed = batch.withColumn(
             RECORD_KEY_COL, record_key_expr(self.record_keys))
+        touched = self._batch_partitions(batch)
+        affected, _ = self._split_files(prev.files, touched)
+        affected, _ = self._prune_by_key_range(
+            affected, prev.key_stats, self._batch_key_range(batch)
+        )
         persisted = keyed = keyed.persist()  # probe + semi-join + tombstones
         try:
-            n_rows, key_range = self._batch_probe(keyed)
-            if n_rows == 0:
-                return None
-            touched = self._batch_partitions(batch)
-            affected, _ = self._split_files(prev.files, touched)
-            affected, _ = self._prune_by_key_range(
-                affected, prev.key_stats, key_range
-            )
             if self.bloom_index and affected:
                 affected, _ = self._prune_by_bloom(
                     affected, keyed, prev.key_stats)
@@ -3912,59 +3869,35 @@ class NativeTable:
         keyed = self._precombine_dedup(keyed)
         read_schema_json, keyed = self._apply_type_widening(prev, keyed)
 
-        # ONE materialization of the batch for the whole merge. Unpersisted,
-        # the batch plan executed up to four times per commit — emptiness
-        # probe, key-range probe, the anti-join's broadcast key set, and
-        # the union's write leg (plus tombstone/bloom probes) — so an
-        # expensive derivation (a window over a raw feed) paid 4x, and a
-        # non-deterministic one could even disagree with itself between
-        # legs (the same reason Delta's MERGE materializes its source).
-        # Batch-sized executor storage, spills to disk, released in the
-        # finally — a change batch, never the table.
-        persisted = keyed = keyed.persist()
-        try:
-            n_rows, key_range = self._batch_probe(keyed)
-            if n_rows == 0:
-                return None
-
-            # two-level pruning: partition dirs first, then per-file key
-            # ranges (the record-level index) — a narrow-key upsert on an
-            # unpartitioned table rewrites only the files whose key interval
-            # it can hit. A GLOBAL index skips the partition level (a key may
-            # live in ANY partition; relocation must find and remove the old
-            # copy) and lets the key-range/bloom indexes bound the affected
-            # set. The partition probe runs on the RAW batch: precombine
-            # dedup may drop a duplicate row living in a DIFFERENT partition
-            # than its winner, and that partition's old copy must still be
-            # rewritten out.
-            touched = (None if self.global_index
-                       else self._batch_partitions(batch))
-            affected, untouched = self._split_files(prev.files, touched)
-            affected, skipped = self._prune_by_key_range(
-                affected, prev.key_stats, key_range
+        # two-level pruning: partition dirs first, then per-file key ranges
+        # (the record-level index) — a narrow-key upsert on an unpartitioned
+        # table rewrites only the files whose key interval it can hit.
+        # A GLOBAL index skips the partition level (a key may live in ANY
+        # partition; relocation must find and remove the old copy) and
+        # lets the key-range/bloom indexes bound the affected set.
+        touched = (None if self.global_index
+                   else self._batch_partitions(batch))
+        affected, untouched = self._split_files(prev.files, touched)
+        affected, skipped = self._prune_by_key_range(
+            affected, prev.key_stats, self._batch_key_range(batch)
+        )
+        untouched = untouched + skipped
+        persisted = None
+        if deletes and self.change_feed_deletes:
+            # the tombstone write is an extra action over the batch:
+            # persist so its lineage computes once for write + anti-join
+            persisted = keyed = keyed.persist()
+        if self.bloom_index and affected:
+            # membership pass behind the interval pass: catches scattered
+            # batches whose [lo, hi] hull spans files none of their keys
+            # hit. Probing is an extra action over the batch, so persist
+            # it for the merge's lifetime (released after the write).
+            if persisted is None:
+                persisted = keyed = keyed.persist()
+            affected, bloom_skipped = self._prune_by_bloom(
+                affected, keyed, prev.key_stats
             )
-            untouched = untouched + skipped
-            if self.bloom_index and affected:
-                # membership pass behind the interval pass: catches
-                # scattered batches whose [lo, hi] hull spans files none of
-                # their keys hit
-                affected, bloom_skipped = self._prune_by_bloom(
-                    affected, keyed, prev.key_stats
-                )
-                untouched = untouched + bloom_skipped
-            return self._cow_merge_write(
-                prev, cid, keyed, read_schema_json, affected, untouched,
-                deletes, parallelism, extra_stats, partial)
-        finally:
-            persisted.unpersist()
-
-    def _cow_merge_write(self, prev: "Commit", cid: int, keyed: DataFrame,
-                         read_schema_json: str, affected: list[str],
-                         untouched: list[str], deletes: bool,
-                         parallelism: int, extra_stats: dict | None,
-                         partial: bool) -> Commit:
-        """The rewrite + publish tail of :meth:`_cow_merge`, operating on
-        the already-persisted, already-pruned batch."""
+            untouched = untouched + bloom_skipped
         existing = self._read_files(affected, read_schema_json, dvs=prev.dvs,
                                     defaults=prev.column_defaults)
 
@@ -4032,6 +3965,8 @@ class NativeTable:
                          if not self.partition_keys else None),
                 boundaries=boundaries,
             )
+        if persisted is not None:
+            persisted.unpersist()
         new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(new_key_stats)
@@ -4163,6 +4098,8 @@ class NativeTable:
         not be passed when batch rows hold NULL in the column (min/max
         stats are silent about NULLs).
         """
+        if batch.isEmpty():
+            return None
         prev = self.timeline.latest()
         drop_cols = drop_cols or []
         if self.storage_type == "mor":
@@ -4181,66 +4118,62 @@ class NativeTable:
         keyed = self._precombine_dedup(keyed)
         read_schema_json, keyed = self._apply_type_widening(prev, keyed)
 
-        # one materialization for probe + tombstones + anti-join + union —
-        # the batch lineage is often a window over the raw feed; see
-        # _cow_merge's note (the r8 bench caught the unpersisted version
-        # re-deriving it per action)
-        persisted = keyed = keyed.persist()
-        try:
-            n_rows, key_range = self._batch_probe(keyed)
-            if n_rows == 0:
-                return None
-            touched = (None if self.global_index
-                       else self._batch_partitions(batch))
-            affected, untouched = self._split_files(prev.files, touched)
-            affected, skipped = self._prune_by_key_range(
-                affected, prev.key_stats, key_range
+        touched = (None if self.global_index
+                   else self._batch_partitions(batch))
+        affected, untouched = self._split_files(prev.files, touched)
+        affected, skipped = self._prune_by_key_range(
+            affected, prev.key_stats, self._batch_key_range(batch)
+        )
+        untouched = untouched + skipped
+        if prune_values and affected:
+            vkept = self._prune_candidates_by_values(
+                affected, prev.col_stats, prune_values)
+            untouched = untouched + [f for f in affected
+                                     if f not in set(vkept)]
+            affected = vkept
+        persisted = None
+        # the tombstone pass adds two extra actions over the batch
+        # (emptiness probe + key write); persist so the batch lineage —
+        # often a window over the raw feed — computes ONCE for all of
+        # probe, tombstone write, anti-join, and union (the r8 bench
+        # caught the unpersisted version re-deriving it per action)
+        if self.change_feed_deletes:
+            persisted = keyed = keyed.persist()
+        if self.bloom_index and affected:
+            if persisted is None:
+                persisted = keyed = keyed.persist()
+            affected, bloom_skipped = self._prune_by_bloom(
+                affected, keyed, prev.key_stats
             )
-            untouched = untouched + skipped
-            if prune_values and affected:
-                vkept = self._prune_candidates_by_values(
-                    affected, prev.col_stats, prune_values)
-                untouched = untouched + [f for f in affected
-                                         if f not in set(vkept)]
-                affected = vkept
-            if self.bloom_index and affected:
-                affected, bloom_skipped = self._prune_by_bloom(
-                    affected, keyed, prev.key_stats
-                )
-                untouched = untouched + bloom_skipped
-            existing = self._read_files(affected, read_schema_json,
-                                        dvs=prev.dvs,
-                                        defaults=prev.column_defaults)
-            if parallelism > 0:
-                existing = existing.repartition(parallelism, RECORD_KEY_COL)
+            untouched = untouched + bloom_skipped
+        existing = self._read_files(affected, read_schema_json, dvs=prev.dvs,
+                                    defaults=prev.column_defaults)
+        if parallelism > 0:
+            existing = existing.repartition(parallelism, RECORD_KEY_COL)
 
-            kept = existing.join(
-                keyed.select(RECORD_KEY_COL), on=RECORD_KEY_COL,
-                how="left_anti"
+        kept = existing.join(
+            keyed.select(RECORD_KEY_COL), on=RECORD_KEY_COL, how="left_anti"
+        )
+        dels = keyed.filter(F.col(op_col) == "D")
+        tombstones = ([] if not self.change_feed_deletes or dels.isEmpty()
+                      else self._write_tombstones(dels))
+        incoming = keyed.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
+        merged = kept.unionByName(incoming, allowMissingColumns=True)
+        prev_cols = [c for c in existing.columns]
+        merged = merged.select(
+            *prev_cols, *[c for c in merged.columns if c not in prev_cols]
+        )
+        boundaries = self._merge_boundaries(affected, prev)
+        with self._range_write_cache(
+                merged, affected if boundaries is None else [],
+                prev) as merged:
+            files = self._write_files(
+                merged, cid,
+                n_files=(max(1, len(affected))
+                         if not self.partition_keys else None),
+                boundaries=boundaries,
             )
-            dels = keyed.filter(F.col(op_col) == "D")
-            tombstones = ([] if not self.change_feed_deletes
-                          or dels.isEmpty()
-                          else self._write_tombstones(dels))
-            incoming = keyed.filter(
-                F.col(op_col) != "D").drop(op_col, *drop_cols)
-            merged = kept.unionByName(incoming, allowMissingColumns=True)
-            prev_cols = [c for c in existing.columns]
-            merged = merged.select(
-                *prev_cols,
-                *[c for c in merged.columns if c not in prev_cols]
-            )
-            boundaries = self._merge_boundaries(affected, prev)
-            with self._range_write_cache(
-                    merged, affected if boundaries is None else [],
-                    prev) as merged:
-                files = self._write_files(
-                    merged, cid,
-                    n_files=(max(1, len(affected))
-                             if not self.partition_keys else None),
-                    boundaries=boundaries,
-                )
-        finally:
+        if persisted is not None:
             persisted.unpersist()
         new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
@@ -4487,17 +4420,13 @@ class NativeTable:
 
     def _delta_commit(self, batch: DataFrame, action: str, op: str,
                       extra_stats: dict | None = None,
-                      op_col: str | None = None) -> Commit | None:
+                      op_col: str | None = None) -> Commit:
         """One delta append + one manifest publish. ``op`` stamps every
         row; ``op_col`` instead takes each row's op from that column
         ('D' → delete marker, else upsert) — the ATOMIC MoR merge: a
         mixed CDC batch lands as ONE delta file under ONE commit, the
         row-level 'u'/'d' markers the `_rt` read and compaction already
-        resolve (delete deltas have always been marker rows).
-
-        Returns ``None`` for an empty batch — the emptiness probe is
-        folded into the batch's single persisted materialization (see
-        ``_cow_merge``'s note), so callers must not pre-probe."""
+        resolve (delete deltas have always been marker rows)."""
         prev = self.timeline.latest()
         cid = self.timeline.next_commit_id()
         keyed = self._with_meta(batch, f"{cid:020d}", op)
@@ -4513,18 +4442,11 @@ class NativeTable:
             # columns are cast up, so compaction and _rt merges read
             # base (narrow, scan-upcast) + delta (wide) consistently
             widened_json, keyed = self._apply_type_widening(prev, keyed)
-        persisted = keyed = keyed.persist()
-        try:
-            n_rows, _ = self._batch_probe(keyed)
-            if n_rows == 0:
-                return None
-            has_dels = op == "d" or op_col is not None
-            tombstones = (self._write_tombstones(
-                keyed.filter(F.col(DELTA_OP_COL) == "d"))
-                if has_dels and self.change_feed_deletes else [])
-            files = self._write_files(keyed, cid, build_blooms=False)
-        finally:
-            persisted.unpersist()
+        has_dels = op == "d" or op_col is not None
+        tombstones = (self._write_tombstones(
+            keyed.filter(F.col(DELTA_OP_COL) == "d"))
+            if has_dels and self.change_feed_deletes else [])
+        files = self._write_files(keyed, cid, build_blooms=False)
         if prev is None:
             base_files, deltas, schema = [], [], keyed.schema.json()
         else:
