@@ -2696,6 +2696,11 @@ def corpus_curriculum(spark, sf_dir):
     by_dec, _ = sampling.global_row_number(
         with_dec, [F.col("decile").asc(), F.col("doc_id").asc()],
         rn_col="_drn")
+    # the second call's EAGER checkpoint truncated lineage past the
+    # first one — release the first's blocks now instead of waiting for
+    # the ContextCleaner's periodic GC (checkpoint-hygiene rule)
+    from glue_hudi_spark.checkpoints import release_checkpoint
+    release_checkpoint(ranked)
     q, r = divmod(total, 10)
     starts = [(dd, (q + 1) * min(dd - 1, r) + q * max(0, dd - 1 - r))
               for dd in range(1, 11)]
