@@ -1339,31 +1339,54 @@ class NativeTable:
         return row.lo, row.hi
 
     def _batch_probe(
-        self, batch: DataFrame
-    ) -> "tuple[int, tuple[str, str] | None] | None":
-        """(row count, record-key hull) of a merge batch in ONE key-only
-        aggregate job — subsumes the caller's separate ``isEmpty`` probe
-        (a take-1 that still executes the batch derivation) and
-        ``_batch_key_range``'s action. Unlike a persisted full-width
+        self, batch: DataFrame, want_partitions: bool = False
+    ) -> "tuple[int, tuple[str, str] | None, set | None] | None":
+        """(row count, record-key hull, touched partitions) of a merge
+        batch in ONE narrow aggregate job — subsumes the caller's
+        separate ``isEmpty`` probe (a take-1 that still executes the
+        batch derivation), ``_batch_key_range``'s action, AND (with
+        ``want_partitions``) ``_batch_partitions``' distinct-collect, a
+        third action over the same batch. Unlike a persisted full-width
         materialization (measured 2-3x slower across the CDC bench and
-        reverted), this scans only the key projection, so column pruning
-        reaches the batch's source scan and nothing stages in executor
-        storage. Returns None when the batch does not carry the record
-        key columns — callers then fall back to ``isEmpty`` + no key
-        pruning, exactly the old behavior."""
+        reverted), this scans only the key (+ partition-source)
+        projection, so column pruning reaches the batch's source scan
+        and nothing stages in executor storage.
+
+        Touched partitions come back as a ``collect_set`` of the
+        partition-field structs — same distinct tuple set as
+        ``_batch_partitions`` (a struct with NULL fields is itself
+        non-null, so null partition values survive), metadata-sized by
+        the same partition-cardinality assumption. The third element is
+        None when partitions were not requested or the batch lacks the
+        source columns (callers then skip partition pruning — the old
+        ``_batch_partitions`` None contract). Returns None outright
+        when the batch does not carry the record key columns — callers
+        fall back to ``isEmpty`` + no pruning, exactly the old
+        behavior."""
         if not all(k in batch.columns for k in self.record_keys):
             return None
-        row = batch.select(
-            record_key_expr(self.record_keys).alias("k")
-        ).agg(
+        want_partitions = (
+            want_partitions and bool(self.partition_keys)
+            and all(f.source in batch.columns for f in self._pfields))
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.min("k").alias("lo"),
             F.max("k").alias("hi"),
-        ).first()
+        ]
+        cols = [record_key_expr(self.record_keys).alias("k")]
+        if want_partitions:
+            cols.append(F.struct(
+                *[f.expr().alias(f.name) for f in self._pfields]
+            ).alias("p"))
+            aggs.append(F.collect_set("p").alias("parts"))
+        row = batch.select(*cols).agg(*aggs).first()
         n = int(row["n"])
         key_range = ((row["lo"], row["hi"])
                      if n and row["lo"] is not None else None)
-        return n, key_range
+        touched = ({tuple(p[f.name] for f in self._pfields)
+                    for p in row["parts"]}
+                   if want_partitions else None)
+        return n, key_range, touched
 
     def _prune_by_key_range(
         self,
@@ -3620,19 +3643,18 @@ class NativeTable:
         prev = self.timeline.latest()
         if prev is None:
             return None
-        probe = self._batch_probe(batch)
+        probe = self._batch_probe(batch, want_partitions=True)
         if probe is not None:
-            n_rows, key_range = probe
+            n_rows, key_range, touched = probe
             if n_rows == 0:
                 return None
         else:
             if batch.isEmpty():
                 return None
-            key_range = None
+            key_range, touched = None, self._batch_partitions(batch)
         cid = self.timeline.next_commit_id()
         keyed = batch.withColumn(
             RECORD_KEY_COL, record_key_expr(self.record_keys))
-        touched = self._batch_partitions(batch)
         affected, _ = self._split_files(prev.files, touched)
         affected, _ = self._prune_by_key_range(
             affected, prev.key_stats, key_range
@@ -3906,18 +3928,22 @@ class NativeTable:
             if deletes:  # delete against an empty table is a no-op
                 return None
             return self.bulk_insert(batch, parallelism, extra_stats)
-        # one key-only aggregate decides emptiness AND the key hull —
-        # the callers' former isEmpty probe (a take-1 that still ran the
-        # batch derivation) is folded in; see _batch_probe
-        probe = self._batch_probe(batch)
+        # one narrow aggregate decides emptiness, the key hull AND the
+        # touched partitions — the callers' former isEmpty probe (a
+        # take-1 that still ran the batch derivation) and the separate
+        # partition distinct-collect are folded in; see _batch_probe
+        probe = self._batch_probe(
+            batch, want_partitions=not self.global_index)
         if probe is not None:
-            n_rows, key_range = probe
+            n_rows, key_range, touched = probe
             if n_rows == 0:
                 return None
         else:
             if batch.isEmpty():
                 return None
             key_range = None
+            touched = (None if self.global_index
+                       else self._batch_partitions(batch))
         cid = self.timeline.next_commit_id()
         keyed = self._with_meta(batch, f"{cid:020d}")
         keyed = self._precombine_dedup(keyed)
@@ -3928,9 +3954,10 @@ class NativeTable:
         # table rewrites only the files whose key interval it can hit.
         # A GLOBAL index skips the partition level (a key may live in ANY
         # partition; relocation must find and remove the old copy) and
-        # lets the key-range/bloom indexes bound the affected set.
-        touched = (None if self.global_index
-                   else self._batch_partitions(batch))
+        # lets the key-range/bloom indexes bound the affected set. The
+        # partition probe ran on the RAW batch (pre-precombine-dedup):
+        # a dropped duplicate may live in a different partition than its
+        # winner, and that partition's old copy must still be rewritten.
         affected, untouched = self._split_files(prev.files, touched)
         affected, skipped = self._prune_by_key_range(
             affected, prev.key_stats, key_range
@@ -4167,23 +4194,25 @@ class NativeTable:
         if prev is None:
             keep = batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
             return self.bulk_insert(keep, parallelism, extra_stats)
-        # emptiness folded into the key-hull aggregate — see _batch_probe
-        probe = self._batch_probe(batch)
+        # emptiness + key hull + touched partitions in one aggregate —
+        # see _batch_probe
+        probe = self._batch_probe(
+            batch, want_partitions=not self.global_index)
         if probe is not None:
-            n_rows, key_range = probe
+            n_rows, key_range, touched = probe
             if n_rows == 0:
                 return None
         else:
             if batch.isEmpty():
                 return None
             key_range = None
+            touched = (None if self.global_index
+                       else self._batch_partitions(batch))
         cid = self.timeline.next_commit_id()
         keyed = self._with_meta(batch, f"{cid:020d}")
         keyed = self._precombine_dedup(keyed)
         read_schema_json, keyed = self._apply_type_widening(prev, keyed)
 
-        touched = (None if self.global_index
-                   else self._batch_partitions(batch))
         affected, untouched = self._split_files(prev.files, touched)
         affected, skipped = self._prune_by_key_range(
             affected, prev.key_stats, key_range

@@ -33,9 +33,10 @@ def test_probe_count_and_hull(spark, tmp_table_dir):
         dict(id=5, v="a", seq=1), dict(id=1, v="b", seq=1),
         dict(id=9, v="c", seq=1), dict(id=5, v="d", seq=2),
     ])
-    n, hull = t._batch_probe(batch)
+    n, hull, touched = t._batch_probe(batch)
     assert n == 4  # counts every row, duplicates included
     assert hull == ("1", "9")  # record_key_expr casts to string
+    assert touched is None  # not requested
 
 
 def test_probe_matches_batch_key_range(spark, tmp_table_dir):
@@ -44,14 +45,14 @@ def test_probe_matches_batch_key_range(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir)
     batch = _rows(spark, [dict(id=i * 3 % 7, v="x", seq=1)
                           for i in range(1, 7)])
-    _, hull = t._batch_probe(batch)
+    _, hull, _ = t._batch_probe(batch)
     assert hull == t._batch_key_range(batch)
 
 
 def test_probe_empty_and_missing_keys(spark, tmp_table_dir):
     t = _mk(spark, tmp_table_dir)
     empty = _rows(spark, [dict(id=1, v="x", seq=1)]).filter(F.lit(False))
-    assert t._batch_probe(empty) == (0, None)
+    assert t._batch_probe(empty) == (0, None, None)
     # batch without the record-key column: probe declines, caller falls
     # back to the legacy isEmpty path
     keyless = _rows(spark, [dict(v="x", seq=1)])
@@ -101,3 +102,35 @@ def test_upsert_results_unchanged_by_fold(spark, tmp_table_dir):
     got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
     assert got[2] == "new" and got[3] == "new" and got[0] == "old"
     assert len(got) == 40
+
+
+def test_probe_touched_partitions_match_batch_partitions(spark, tmp_table_dir):
+    """With want_partitions the probe's collect_set(struct) must equal
+    _batch_partitions' distinct-collect — including null partition
+    values — so the folded aggregate prunes identically."""
+    t = _mk(spark, tmp_table_dir, partition_keys=["pt"])
+    batch = _rows(spark, [
+        dict(id=1, v="a", seq=1, pt="x"), dict(id=2, v="b", seq=1, pt="y"),
+        dict(id=3, v="c", seq=1, pt="x"), dict(id=4, v="d", seq=1, pt=None),
+    ])
+    n, hull, touched = t._batch_probe(batch, want_partitions=True)
+    assert n == 4
+    assert touched == t._batch_partitions(batch)
+    # batch without the partition source column: probe degrades to
+    # touched=None (cannot prune), key probe still answered
+    nop = batch.drop("pt")
+    n2, hull2, touched2 = t._batch_probe(nop, want_partitions=True)
+    assert (n2, touched2) == (4, None) and hull2 == hull
+
+
+def test_partitioned_merge_prunes_with_folded_probe(spark, tmp_table_dir):
+    """End-to-end on a partitioned table: an upsert touching one
+    partition must carry the other partition's files by reference."""
+    t = _mk(spark, tmp_table_dir, partition_keys=["pt"])
+    t.bulk_insert(_rows(spark, [
+        dict(id=i, v="old", seq=1, pt="a" if i < 5 else "b")
+        for i in range(10)]))
+    c = t.upsert(_rows(spark, [dict(id=1, v="new", seq=2, pt="a")]))
+    assert c.stats["files_carried"] >= 1  # partition b untouched
+    got = {r["id"]: r["v"] for r in t.read_snapshot().collect()}
+    assert got[1] == "new" and got[7] == "old" and len(got) == 10
