@@ -2698,9 +2698,11 @@ def corpus_curriculum(spark, sf_dir):
         rn_col="_drn")
     # the second call's EAGER checkpoint truncated lineage past the
     # first one — release the first's blocks now instead of waiting for
-    # the ContextCleaner's periodic GC (checkpoint-hygiene rule)
-    from glue_hudi_spark.checkpoints import release_checkpoint
-    release_checkpoint(ranked)
+    # the ContextCleaner's periodic GC (checkpoint-hygiene rule).
+    # ``ranked`` is a frame DERIVED from the checkpoint, so the release
+    # walks its plan's LogicalRDD leaves (the checkpoint itself).
+    from glue_hudi_spark.checkpoints import release_checkpoint_leaves
+    release_checkpoint_leaves(ranked)
     q, r = divmod(total, 10)
     starts = [(dd, (q + 1) * min(dd - 1, r) + q * max(0, dd - 1 - r))
               for dd in range(1, 11)]

@@ -509,6 +509,24 @@ def _hash_partition_tokens(width: int) -> tuple[int, ...]:
     return tuple(toks)  # type: ignore[arg-type]
 
 
+def _plan_is_deterministic(df: DataFrame) -> bool:
+    """True when the batch's analyzed plan contains no non-deterministic
+    expression (``rand()``, ``monotonically_increasing_id()``, ...).
+    Merge paths re-execute an UNPERSISTED batch lineage several times
+    (key-hull probe, prune decisions, anti-join, write leg); that is only
+    sound when every execution yields the same rows — the hazard Delta
+    MERGE solves by materializing non-deterministic sources. Catalyst's
+    ``QueryPlan.deterministic`` recurses over the node and its children,
+    so one py4j call answers it. A failed reflection reports False
+    (persist — correctness over the saved materialization);
+    ``tests/test_batch_probe.py`` pins that plain scans return True so a
+    Spark-upgrade rot surfaces as a test failure, not a silent slowdown."""
+    try:
+        return bool(df._jdf.queryExecution().analyzed().deterministic())
+    except Exception:
+        return False
+
+
 def record_key_expr(keys: list[str]):
     """Build the record-key string column.
 
@@ -3643,6 +3661,22 @@ class NativeTable:
         prev = self.timeline.latest()
         if prev is None:
             return None
+        # the probe runs on the raw batch BEFORE the persist below; a
+        # non-deterministic derivation must materialize first or its
+        # pruning decisions can disagree with the persisted frame the
+        # semi-join reads (same guard as _cow_merge)
+        nd_persisted = None
+        if not _plan_is_deterministic(batch):
+            nd_persisted = batch = batch.persist()
+        try:
+            return self._dv_delete_guarded(batch, extra_stats, prev)
+        finally:
+            if nd_persisted is not None:
+                nd_persisted.unpersist()
+
+    def _dv_delete_guarded(self, batch: DataFrame,
+                           extra_stats: dict | None,
+                           prev: "Commit") -> Commit | None:
         probe = self._batch_probe(batch, want_partitions=True)
         if probe is not None:
             n_rows, key_range, touched = probe
@@ -3659,7 +3693,9 @@ class NativeTable:
         affected, _ = self._prune_by_key_range(
             affected, prev.key_stats, key_range
         )
-        persisted = keyed = keyed.persist()  # probe + semi-join + tombstones
+        # bloom probe + semi-join + tombstones share one materialization
+        # (the emptiness/hull probe above ran pre-persist on the raw batch)
+        persisted = keyed = keyed.persist()
         try:
             if self.bloom_index and affected:
                 affected, _ = self._prune_by_bloom(
@@ -3928,6 +3964,35 @@ class NativeTable:
             if deletes:  # delete against an empty table is a no-op
                 return None
             return self.bulk_insert(batch, parallelism, extra_stats)
+        # the probe, prune decisions, anti-join key set, and write leg
+        # each execute the batch lineage; a non-deterministic derivation
+        # (rand, monotonically_increasing_id) could prune files whose old
+        # rows the re-derived write leg then hits — materialize it ONCE
+        # first (Delta MERGE's source materialization). Deterministic
+        # batches (the common case) keep the cheap unpersisted passes.
+        nd_persisted = None
+        if not _plan_is_deterministic(batch):
+            nd_persisted = batch = batch.persist()
+        try:
+            return self._cow_merge_guarded(
+                batch, deletes, parallelism, extra_stats, partial, prev)
+        finally:
+            # a failing read/join/write must not leave either frame
+            # pinned in executor storage until ContextCleaner GC
+            if self._merge_persisted is not None:
+                self._merge_persisted.unpersist()
+                self._merge_persisted = None
+            if nd_persisted is not None:
+                nd_persisted.unpersist()
+
+    # the batch frame a merge body persisted for its extra actions
+    # (tombstones / bloom probe); owned and released by the caller's
+    # finally so exceptions cannot leak it. Write paths are
+    # single-threaded per table handle (OCC serializes commits).
+    _merge_persisted = None
+
+    def _cow_merge_guarded(self, batch, deletes, parallelism, extra_stats,
+                           partial, prev) -> "Commit | None":
         # one narrow aggregate decides emptiness, the key hull AND the
         # touched partitions — the callers' former isEmpty probe (a
         # take-1 that still ran the batch derivation) and the separate
@@ -3967,14 +4032,15 @@ class NativeTable:
         if deletes and self.change_feed_deletes:
             # the tombstone write is an extra action over the batch:
             # persist so its lineage computes once for write + anti-join
-            persisted = keyed = keyed.persist()
+            # (registered with the caller's finally — see _cow_merge)
+            self._merge_persisted = persisted = keyed = keyed.persist()
         if self.bloom_index and affected:
             # membership pass behind the interval pass: catches scattered
             # batches whose [lo, hi] hull spans files none of their keys
             # hit. Probing is an extra action over the batch, so persist
-            # it for the merge's lifetime (released after the write).
+            # it for the merge's lifetime (released by the caller).
             if persisted is None:
-                persisted = keyed = keyed.persist()
+                self._merge_persisted = persisted = keyed = keyed.persist()
             affected, bloom_skipped = self._prune_by_bloom(
                 affected, keyed, prev.key_stats
             )
@@ -4047,7 +4113,10 @@ class NativeTable:
                 boundaries=boundaries,
             )
         if persisted is not None:
+            # eager release on the success path; the caller's finally is
+            # the exception backstop
             persisted.unpersist()
+            self._merge_persisted = None
         new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(new_key_stats)
@@ -4194,6 +4263,28 @@ class NativeTable:
         if prev is None:
             keep = batch.filter(F.col(op_col) != "D").drop(op_col, *drop_cols)
             return self.bulk_insert(keep, parallelism, extra_stats)
+        # non-deterministic batch derivations materialize once, and a
+        # failing read/join/write cannot leak the persisted frame — the
+        # same guard _cow_merge carries (see there for the rationale)
+        nd_persisted = None
+        if not _plan_is_deterministic(batch):
+            nd_persisted = batch = batch.persist()
+        try:
+            return self._merge_guarded(
+                batch, op_col, drop_cols, parallelism, extra_stats,
+                prune_values, prev)
+        finally:
+            if self._merge_persisted is not None:
+                self._merge_persisted.unpersist()
+                self._merge_persisted = None
+            if nd_persisted is not None:
+                nd_persisted.unpersist()
+
+    def _merge_guarded(self, batch: DataFrame, op_col: str,
+                       drop_cols: list[str], parallelism: int,
+                       extra_stats: dict | None,
+                       prune_values: dict[str, list] | None,
+                       prev: "Commit") -> Commit | None:
         # emptiness + key hull + touched partitions in one aggregate —
         # see _batch_probe
         probe = self._batch_probe(
@@ -4231,10 +4322,10 @@ class NativeTable:
         # probe, tombstone write, anti-join, and union (the r8 bench
         # caught the unpersisted version re-deriving it per action)
         if self.change_feed_deletes:
-            persisted = keyed = keyed.persist()
+            self._merge_persisted = persisted = keyed = keyed.persist()
         if self.bloom_index and affected:
             if persisted is None:
-                persisted = keyed = keyed.persist()
+                self._merge_persisted = persisted = keyed = keyed.persist()
             affected, bloom_skipped = self._prune_by_bloom(
                 affected, keyed, prev.key_stats
             )
@@ -4268,6 +4359,7 @@ class NativeTable:
             )
         if persisted is not None:
             persisted.unpersist()
+            self._merge_persisted = None
         new_key_stats, new_col_stats = self._collect_file_stats(files)
         key_stats = {f: prev.key_stats[f] for f in untouched if f in prev.key_stats}
         key_stats.update(new_key_stats)

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
-from glue_hudi_spark.storage.native import NativeTable
+from glue_hudi_spark.storage.native import NativeTable, _plan_is_deterministic
 
 
 def _mk(spark, path, **kw):
@@ -121,6 +121,65 @@ def test_probe_touched_partitions_match_batch_partitions(spark, tmp_table_dir):
     nop = batch.drop("pt")
     n2, hull2, touched2 = t._batch_probe(nop, want_partitions=True)
     assert (n2, touched2) == (4, None) and hull2 == hull
+
+
+def test_plan_determinism_detection(spark):
+    """The merge guard's detector: plain scans/joins/windows/aggregates
+    must read as deterministic (so the cheap unpersisted probe path
+    stays on — a False here after a Spark upgrade means EVERY merge
+    batch silently persists, the 2-3x regression round 13 reverted);
+    rand/monotonically_increasing_id derivations must read as
+    non-deterministic (the correctness hazard the persist closes)."""
+    from pyspark.sql import Window
+
+    base = spark.range(50).select(
+        F.col("id"), (F.col("id") % 5).alias("g"))
+    w = Window.partitionBy("g").orderBy("id")
+    assert _plan_is_deterministic(base)
+    assert _plan_is_deterministic(base.withColumn("rn", F.row_number().over(w)))
+    assert _plan_is_deterministic(
+        base.groupBy("g").agg(F.collect_set("id").alias("s")))
+    assert _plan_is_deterministic(base.join(base.select("id"), "id"))
+    assert not _plan_is_deterministic(base.withColumn("r", F.rand()))
+    assert not _plan_is_deterministic(
+        base.withColumn("m", F.monotonically_increasing_id()))
+
+
+def test_nondeterministic_batch_merges_consistently(spark, tmp_table_dir):
+    """A batch whose derivation rolls fresh randomness per execution
+    must still produce a consistent table: the guard materializes it
+    once, so the probe's pruning, the anti-join and the write leg all
+    see the SAME rows (no stale copies / duplicate keys)."""
+    import time
+
+    def persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def settled():
+        n = persistent()
+        for _ in range(20):
+            time.sleep(0.1)
+            m = persistent()
+            if m == n:
+                return m
+            n = m
+        return n
+
+    before = settled()
+    t = _mk(spark, tmp_table_dir, files_per_partition=4)
+    t.bulk_insert(_rows(spark, [dict(id=i, v="old", seq=1)
+                                for i in range(40)]))
+    # keys drawn via rand(): unpersisted, every pass would re-roll them
+    nd = (spark.range(200)
+          .select((F.floor(F.rand() * 40)).cast("long").alias("id"))
+          .groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+          .select("id", F.lit("new").alias("v"), F.lit(2).alias("seq")))
+    t.upsert(nd)
+    got = [(r["id"], r["v"]) for r in t.read_snapshot().collect()]
+    assert len(got) == 40  # one row per key: no duplicates, none lost
+    assert len({k for k, _ in got}) == 40
+    # storage hygiene: the guard's persist was released
+    assert settled() <= before
 
 
 def test_partitioned_merge_prunes_with_folded_probe(spark, tmp_table_dir):

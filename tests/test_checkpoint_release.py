@@ -14,8 +14,12 @@ import time
 
 import pyspark.sql.functions as F
 
-from glue_hudi_spark.checkpoints import release_checkpoint
-from glue_hudi_spark.operators import dedup, lm
+from glue_hudi_spark import checkpoints
+from glue_hudi_spark.checkpoints import (
+    release_checkpoint,
+    release_checkpoint_leaves,
+)
+from glue_hudi_spark.operators import dedup, lm, sampling
 
 
 def _n_persistent(spark) -> int:
@@ -37,10 +41,33 @@ def _settle(spark) -> int:
 
 def test_release_checkpoint_frees_storage(spark):
     before = _settle(spark)
+    released_before = checkpoints.stats["released"]
     df = spark.range(100).localCheckpoint(eager=True)
     assert _settle(spark) <= before + 1
-    release_checkpoint(df)
+    assert release_checkpoint(df) is True
     assert _settle(spark) == before
+    # the private-API path actually fired (rot guard: a Spark upgrade
+    # that breaks the reflection turns this into a failing test, not a
+    # silent storage leak)
+    assert checkpoints.stats["released"] == released_before + 1
+
+
+def test_release_checkpoint_leaves_frees_derived_frames(spark):
+    """A frame DERIVED from a checkpoint (global_row_number's output)
+    releases through the leaf walk; plain release_checkpoint is a no-op
+    on it (the ADVICE-pinned bug this API fixes)."""
+    before = _settle(spark)
+    leaves_before = checkpoints.stats["leaves_released"]
+    ranked, total = sampling.global_row_number(
+        spark.range(500).select(F.col("id")), [F.col("id").asc()])
+    assert total == 500
+    assert ranked.count() == 500  # consume it fully
+    assert _settle(spark) >= before + 1
+    assert release_checkpoint(ranked) is False  # derived: not releasable
+    assert _settle(spark) >= before + 1
+    assert release_checkpoint_leaves(ranked) >= 1
+    assert _settle(spark) == before
+    assert checkpoints.stats["leaves_released"] > leaves_before
 
 
 def test_release_checkpoint_harmless_on_plain_frames(spark):

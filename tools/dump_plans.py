@@ -1,4 +1,4 @@
-"""Dump .explain('formatted') for named queries to plans/r13/<q>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/r14/<q>_<tag>.txt.
 
 Driver-side planning only — no action is executed, so this is safe to run
 while other workloads own the machine (unlike timing runs).
@@ -22,12 +22,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="ghs-dump-plans", master="local[2]")
     queries = entry_mod.queries()
-    os.makedirs(os.path.join(HERE, "plans", "r13"), exist_ok=True)
+    os.makedirs(os.path.join(HERE, "plans", "r14"), exist_ok=True)
     for name in names:
         df = queries[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted")
-        path = os.path.join(HERE, "plans", "r13", f"{name}_{tag}.txt")
+        path = os.path.join(HERE, "plans", "r14", f"{name}_{tag}.txt")
         with open(path, "w") as fh:
             fh.write(plan)
         print(f"wrote {path} ({len(plan)} bytes)", flush=True)

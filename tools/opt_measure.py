@@ -3,7 +3,7 @@
 Times a named subset of the bench queries EXACTLY the way ``bench.py``
 does (one cold pass, then median of N warm passes into the noop sink,
 ``local[$SPARK_GRAFT_CPUS]``) and optionally captures
-``.explain("formatted")`` for each into ``plans/r13/<q>_<tag>.txt``.
+``.explain("formatted")`` for each into ``plans/r14/<q>_<tag>.txt``.
 
 Usage:
     python tools/opt_measure.py q1 q2 ...            # time queries
@@ -36,7 +36,7 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--plans", metavar="TAG", default=None,
-                    help="dump explain('formatted') to plans/r13/<q>_<TAG>.txt")
+                    help="dump explain('formatted') to plans/r14/<q>_<TAG>.txt")
     ap.add_argument("--jobs", action="store_true",
                     help="report Spark job count per timed pass")
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -72,12 +72,12 @@ def main() -> None:
         if args.jobs:
             rec["jobs_per_pass"] = jobcounts
         if args.plans:
-            os.makedirs(os.path.join(HERE, "plans", "r13"), exist_ok=True)
+            os.makedirs(os.path.join(HERE, "plans", "r14"), exist_ok=True)
             df = fn(spark, args.sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted")
             with open(os.path.join(
-                    HERE, "plans", "r13",
+                    HERE, "plans", "r14",
                     f"{name}_{args.plans}.txt"), "w") as fh:
                 fh.write(plan)
         out[name] = rec
