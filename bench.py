@@ -250,6 +250,12 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — record and move on
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
+    # probe AGAIN after the queries: a host that degrades mid-run is
+    # invisible to a single up-front probe (the r13 host swung its
+    # fixed-work probe 0.116-0.849 WITHIN sessions). pre/post bracket
+    # the run so a drifting host self-annotates and cross-round
+    # comparisons can be probe-gated per run.
+    probe_post = machine_probe(spark)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -260,6 +266,7 @@ def main() -> None:
         "runs": n_runs,
         "cold_value": round(sum(cold.values()), 3),
         "machine_probe": probe,
+        "machine_probe_post": probe_post,
     }
     if errors:
         out["errors"] = errors
@@ -300,6 +307,7 @@ def main() -> None:
             sum(timings.get(k, 0.0) for k in BENCH_QUERIES[:25]), 3
         ),
         "machine_probe": probe,
+        "machine_probe_post": probe_post,
     }
     if errors:
         compact["failed_queries"] = len(errors)

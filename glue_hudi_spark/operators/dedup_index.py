@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from glue_hudi_spark.checkpoints import release_checkpoint
+from glue_hudi_spark.functions.exprs import in_values
 from glue_hudi_spark.operators.dedup import (
     minhash_signature,
     normalized_text,
@@ -396,8 +397,8 @@ class DedupIndex:
                     prev = conf.get(key, None)
                     conf.set(key, str(len(hs) + 1))
                     try:
-                        return (store.filter(F.col(part_col).isin(pfx)
-                                             & F.col(hash_col).isin(hs))
+                        return (store.filter(in_values(part_col, pfx)
+                                             & in_values(hash_col, hs))
                                 .select(*select_cols)
                                 .localCheckpoint(eager=True))
                     finally:

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from glue_hudi_spark.functions.exprs import in_values
 from glue_hudi_spark.storage.commits import (
     COMMITS_DIR,
     DATA_DIR,
@@ -2183,7 +2184,7 @@ class NativeTable:
         key_list = [str(k) for k in keys]
         if commit.deltas:
             out = self.read_snapshot(with_meta=True)
-            out = out.filter(F.col(RECORD_KEY_COL).isin(key_list))
+            out = out.filter(in_values(RECORD_KEY_COL, key_list))
             return out if with_meta else out.drop(*META_COLS)
         candidates = []
         for f in commit.files:
@@ -2207,7 +2208,7 @@ class NativeTable:
             self._read_files(candidates, commit.schema_json,
                              dvs=commit.dvs,
                              defaults=commit.column_defaults), commit
-        ).filter(F.col(RECORD_KEY_COL).isin(key_list))
+        ).filter(in_values(RECORD_KEY_COL, key_list))
         return out if with_meta else out.drop(*META_COLS)
 
     def read_by_value(
@@ -2296,7 +2297,7 @@ class NativeTable:
 
         def _exact(df: DataFrame) -> DataFrame:
             for c, vals in probes.items():
-                df = df.filter(F.col(c).isin(vals))
+                df = df.filter(in_values(c, vals))
             return df
 
         if commit.deltas:

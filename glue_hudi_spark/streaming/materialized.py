@@ -24,6 +24,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
+from glue_hudi_spark.checkpoints import release_checkpoint
 from glue_hudi_spark.operators import ivm
 from glue_hudi_spark.storage.native import NativeTable
 
@@ -119,11 +120,19 @@ class MaterializedAgg:
             delta.select(*self.group_cols), on=self.group_cols,
             how="left_semi")
         merged = ivm.merge_delta(touched, delta, self.group_cols)
+        # the merge's probe, anti-join and write leg each execute this
+        # batch; its derivation is the whole signed-delta pipeline while
+        # its SIZE is O(touched groups) — checkpoint so the pipeline
+        # runs once (lazy: the probe's action materializes it). The
+        # caller-side decision the round-13 revert demanded: storage
+        # must not persist every batch, but a view class KNOWS its
+        # delta is expensive-to-derive and metadata-sized.
         batch = merged.withColumn(
             "_ma_op", F.when(F.col("cnt") > 0, F.lit("U"))
-            .otherwise(F.lit("D")))
+            .otherwise(F.lit("D"))).localCheckpoint(eager=False)
         committed = self.state.merge(batch, op_col="_ma_op",
                                      extra_stats=marker)
+        release_checkpoint(batch)  # merge committed: the frame is dead
         if committed is None:
             # empty window (head moved by compact/etc.): metadata-only
             # watermark commit keeps the converged cadence O(1)
@@ -327,12 +336,18 @@ class MaterializedJoin:
         batch = parts[0]
         for p in parts[1:]:
             batch = batch.unionByName(p, allowMissingColumns=True)
+        # derivation (feeds + affected-fact selection + dim join) runs
+        # once; the merge's probe/anti-join/write read the checkpoint —
+        # O(window changes) stored, the whole pipeline not re-executed
+        # per leg (see MaterializedAgg.refresh)
+        batch = batch.localCheckpoint(eager=False)
         # one atomic commit applies the window's upserts AND deletes,
         # with the watermarks in its stats
         committed = self.state.merge(
             batch, op_col="_mj_op", extra_stats=marker,
             prune_values=({self.join_col: sorted(prune_keys)}
                           if prune_keys else None))
+        release_checkpoint(batch)
         if ff_persisted is not None:
             ff_persisted.unpersist()
         if committed is None:
@@ -515,11 +530,15 @@ class MaterializedJoinAgg:
             delta.select(*self.group_cols), on=self.group_cols,
             how="left_semi")
         merged = ivm.merge_delta(touched, delta, self.group_cols)
+        # both bilinear legs (feed joins + signed aggregates) compute
+        # once; the merge's probe/anti-join/write read the O(touched
+        # groups) checkpoint (see MaterializedAgg.refresh)
         batch = merged.withColumn(
             "_ja_op", F.when(F.col("cnt") > 0, F.lit("U"))
-            .otherwise(F.lit("D")))
+            .otherwise(F.lit("D"))).localCheckpoint(eager=False)
         committed = self.state.merge(batch, op_col="_ja_op",
                                      extra_stats=marker)
+        release_checkpoint(batch)
         if committed is None:
             # empty window: metadata-only watermark commit keeps the
             # converged cadence O(1)

@@ -539,3 +539,38 @@ def test_drop_near_duplicates_keep_best(spark):
     elected = dedup.keep_best_in_clusters(df, clusters,
                                           score_col="n_chars").collect()
     assert all(r["keep_id"] == 2 for r in elected)
+
+
+def test_resolve_clusters_random_graphs_match_union_find(spark):
+    """Batched two-rounds-per-action propagation (round 14) must reach
+    the SAME fixpoint as a driver-side union-find on arbitrary graph
+    shapes — deep chains (many batches), stars, forests, self-loops,
+    duplicate and reversed edges."""
+    import random
+
+    rng = random.Random(14)
+    for trial in range(6):
+        n = rng.randint(2, 60)
+        edges = [(rng.randint(0, n), rng.randint(0, n))
+                 for _ in range(rng.randint(1, 2 * n))]
+        if trial == 0:  # guaranteed deep chain: diameter ~50
+            edges = [(i, i + 1) for i in range(50)]
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expect = {x: find(x) for x in parent}
+        pairs = spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in edges])
+        got = {r["member_id"]: r["cluster_id"]
+               for r in dedup.resolve_clusters(pairs).collect()}
+        assert got == expect, (trial, sorted(edges))
