@@ -43,6 +43,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from glue_hudi_spark.checkpoints import release_checkpoint
 from glue_hudi_spark.operators.similarity import (
     INLINE_CENTROID_MAX,
     _assign_by_join,
@@ -169,25 +170,46 @@ class VectorIndex:
         id_col = meta["id_col"]
         cents = [(c, comps) for c, comps in meta["centroids"]]
         feed = self.table.change_feed(meta["indexed_commit"], head.commit_id)
-        # pre-images locate a moved/removed row WITHOUT reading postings:
-        # assignment is deterministic, so old vector → old cell
-        gone = self._assign(self._keyed(
-            feed.filter(F.col("_change_type")
-                        .isin("delete", "update_preimage")), id_col), cents)
-        add = self._assign(self._keyed(
-            feed.filter(F.col("_change_type")
-                        .isin("insert", "update_postimage")), id_col), cents)
+        # ONE assignment pass over the feed (the expensive leg — the
+        # centroid argmax over every changed vector): pre-images locate a
+        # moved/removed row WITHOUT reading postings (assignment is
+        # deterministic, so old vector → old cell), and since pre- and
+        # post-images are disjoint row sets a gone/add marker carried
+        # through the pass splits them afterwards. The separate gone/add
+        # frames re-executed feed + argmax for each of: two cell
+        # collects, the changed-id set, the keep anti-join, and the
+        # postings add rows (~5 passes per refresh — same fold
+        # dedup_index.refresh got in round 13). Large-k centroid sets
+        # keep the two-pass broadcast-join path (``_assign_by_join``
+        # projects the marker away).
+        gone_col = F.col("_change_type").isin("delete", "update_preimage")
+        if len(cents) > INLINE_CENTROID_MAX:
+            gone = self._assign(self._keyed(
+                feed.filter(gone_col), id_col), cents)
+            add = self._assign(self._keyed(
+                feed.filter(~gone_col), id_col), cents)
+            marked = (gone.withColumn("__ghs_gone__", F.lit(True))
+                      .unionByName(
+                          add.withColumn("__ghs_gone__", F.lit(False))))
+        else:
+            keyed = feed.select(
+                F.col(id_col).alias("id"),
+                F.col(self.vec_col).cast("array<double>").alias("v"),
+                gone_col.alias("__ghs_gone__"))
+            marked = keyed.withColumn(
+                "cell", _nearest_cell_expr(cents, F.col("v")))
+        fp = marked.localCheckpoint(eager=False)
         cells = sorted(
-            {r["cell"] for r in gone.select("cell").distinct().collect()}
-            | {r["cell"] for r in add.select("cell").distinct().collect()})
+            {r["cell"] for r in fp.select("cell").distinct().collect()})
         if not cells:
+            release_checkpoint(fp)  # materialized by the empty collect
             meta["indexed_commit"] = head.commit_id
             self._write_meta(meta)
             return {"refreshed": True, "cells_rewritten": 0}
+        add = fp.filter(~F.col("__ghs_gone__")).drop("__ghs_gone__")
         # rewrite ONLY the affected cell partitions: their old postings
         # minus every changed id, plus the new assignments
-        changed_ids = (gone.select("id").unionByName(add.select("id"))
-                       .distinct())
+        changed_ids = fp.select("id").distinct()
         self.spark.catalog.refreshByPath(str(self.postings))
         old = (self.spark.read.parquet(str(self.postings))
                .filter(F.col("cell").isin(cells)))
@@ -206,9 +228,8 @@ class VectorIndex:
         # serving its STALE files — clear those dirs explicitly
         still = {r["cell"] for r in
                  out.select("cell").distinct().collect()}
-        from glue_hudi_spark.checkpoints import release_checkpoint
-
         release_checkpoint(out)  # write + collect both done
+        release_checkpoint(fp)  # out materialized: the marked pass is dead
         import shutil
 
         for c in cells:
