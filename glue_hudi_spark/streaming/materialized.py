@@ -120,19 +120,19 @@ class MaterializedAgg:
             delta.select(*self.group_cols), on=self.group_cols,
             how="left_semi")
         merged = ivm.merge_delta(touched, delta, self.group_cols)
-        # the merge's probe, anti-join and write leg each execute this
-        # batch; its derivation is the whole signed-delta pipeline while
-        # its SIZE is O(touched groups) — checkpoint so the pipeline
-        # runs once (lazy: the probe's action materializes it). The
-        # caller-side decision the round-13 revert demanded: storage
-        # must not persist every batch, but a view class KNOWS its
-        # delta is expensive-to-derive and metadata-sized.
+        # NO batch checkpoint here, unlike the two join-shaped views:
+        # this delta derives from ONE change feed + a map-side-combined
+        # aggregate — the round-14 interleaved A/B measured the
+        # checkpoint 1.4x SLOWER (sql_continuous_aggregate 4.78→6.61 s,
+        # sql_materialized_view 7.72→8.65 s) because the full-width
+        # materialization costs more than the cheap per-leg
+        # re-executions it saves. The join shapes' multi-join legs
+        # measured the opposite (orders_mv_join_agg 13.7→10.4 s).
         batch = merged.withColumn(
             "_ma_op", F.when(F.col("cnt") > 0, F.lit("U"))
-            .otherwise(F.lit("D"))).localCheckpoint(eager=False)
+            .otherwise(F.lit("D")))
         committed = self.state.merge(batch, op_col="_ma_op",
                                      extra_stats=marker)
-        release_checkpoint(batch)  # merge committed: the frame is dead
         if committed is None:
             # empty window (head moved by compact/etc.): metadata-only
             # watermark commit keeps the converged cadence O(1)
