@@ -1035,12 +1035,16 @@ def incremental_exact(
             seen_src = filtered
     seen = seen_src.distinct()
     # fresh is referenced by BOTH the keep-one aggregate and the final
-    # semi-join; left lazy-unshared, each reference re-runs the whole
-    # batch hash + corpus anti-join (12 parquet scans in the measured
-    # plan). One lazy checkpoint of the batch-sized novel set makes it
-    # one batch pass + one corpus pass.
-    fresh = bh.join(seen, "_ghs_h", "left_anti").localCheckpoint(
-        eager=False)
+    # semi-join. Deliberately NOT checkpointed (round 14): the plan
+    # text shows the subtree twice, but both references end in
+    # exchanges, so runtime ReusedExchange computes the anti-join ONCE
+    # and the apparent re-scans never execute. A lazy checkpoint here
+    # was measured 1.4x SLOWER at a 300x corpus (36.3 s vs 25.5 s,
+    # tools/ab_sharing_bigsf.py) — it stores the FULL-WIDTH novel rows
+    # (text included) in executor storage to save re-scans that
+    # exchange reuse already elides, and at backfill batch sizes that
+    # store is corpus-scale.
+    fresh = bh.join(seen, "_ghs_h", "left_anti")
     keep = fresh.groupBy("_ghs_h").agg(F.min(id_col).alias(id_col))
     return (
         fresh.join(keep, ["_ghs_h", id_col], "left_semi")
