@@ -9182,12 +9182,12 @@ def events_kmv_intersection(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "view"))
     # referenced by every sketch/estimate/membership leg below. The
-    # plan text shows 11 events scans, but each leg's distinct ends in
-    # the SAME exchange, so runtime ReusedExchange computes the
-    # projection once — a lazy checkpoint here measured 1.3x SLOWER at
-    # a 100x events table (5.7 s vs 4.3 s, tools/ab_sharing_bigsf.py):
-    # it stores the O(distinct users) hash set (NOT synopsis-sized) to
-    # save re-scans that exchange reuse already elides (round 14).
+    # plan text shows 11 events scans, but each is a two-column pruned
+    # projection + md5 — map-side cheap — while a lazy checkpoint
+    # stores the O(distinct users) hash set (NOT synopsis-sized) in
+    # executor storage: measured 1.3x SLOWER with the checkpoint at a
+    # 100x events table (5.7 s vs 4.3 s, tools/ab_sharing_bigsf.py;
+    # round 14), so the projection is deliberately left unshared.
     hashes = ev.select(
         "event_type",
         F.md5(F.col("user_id").cast("string")).alias("h"),

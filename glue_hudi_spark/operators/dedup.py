@@ -1035,15 +1035,14 @@ def incremental_exact(
             seen_src = filtered
     seen = seen_src.distinct()
     # fresh is referenced by BOTH the keep-one aggregate and the final
-    # semi-join. Deliberately NOT checkpointed (round 14): the plan
-    # text shows the subtree twice, but both references end in
-    # exchanges, so runtime ReusedExchange computes the anti-join ONCE
-    # and the apparent re-scans never execute. A lazy checkpoint here
-    # was measured 1.4x SLOWER at a 300x corpus (36.3 s vs 25.5 s,
-    # tools/ab_sharing_bigsf.py) — it stores the FULL-WIDTH novel rows
-    # (text included) in executor storage to save re-scans that
-    # exchange reuse already elides, and at backfill batch sizes that
-    # store is corpus-scale.
+    # semi-join. Deliberately NOT checkpointed (round 14): each
+    # re-derivation is a column-pruned scan + md5 + an anti-join whose
+    # corpus side AQE runtime-broadcasts — map-side cheap, nothing wide
+    # shuffles — while a lazy checkpoint materializes the FULL-WIDTH
+    # novel rows (text included) through executor storage. Measured
+    # 1.4x SLOWER with the checkpoint at a 300x corpus (36.3 s vs
+    # 25.5 s, tools/ab_sharing_bigsf.py), and at backfill batch sizes
+    # the store is corpus-scale.
     fresh = bh.join(seen, "_ghs_h", "left_anti")
     keep = fresh.groupBy("_ghs_h").agg(F.min(id_col).alias(id_col))
     return (
