@@ -510,20 +510,63 @@ def _hash_partition_tokens(width: int) -> tuple[int, ...]:
     return tuple(toks)  # type: ignore[arg-type]
 
 
+# Non-deterministic-to-Catalyst expressions that are ROW-STABLE on this
+# engine's storage: committed data files are immutable and re-executions
+# re-read the same file set, so a row's input_file_name() never changes
+# — the engine itself derives _ghs_commit_time from the path
+# (_read_files' coalesce), which would otherwise flag EVERY change-feed
+# batch and persist every MV-maintenance merge (measured +1.5-2 s per
+# sql_continuous_aggregate pass when it did).
+_ROW_STABLE_ND = frozenset(
+    {"InputFileName", "InputFileBlockStart", "InputFileBlockLength"})
+
+
+def _nd_culprits(expr, out: set) -> None:
+    """Collect the class names of the PRIMITIVE non-deterministic nodes
+    under ``expr`` (the deepest nodes whose own non-determinism is not
+    inherited from a child)."""
+    if expr.deterministic():
+        return
+    kids = expr.children()
+    any_nd_child = False
+    for i in range(kids.size()):
+        k = kids.apply(i)
+        if not k.deterministic():
+            any_nd_child = True
+            _nd_culprits(k, out)
+    if not any_nd_child:
+        out.add(expr.getClass().getSimpleName())
+
+
 def _plan_is_deterministic(df: DataFrame) -> bool:
     """True when the batch's analyzed plan contains no non-deterministic
-    expression (``rand()``, ``monotonically_increasing_id()``, ...).
-    Merge paths re-execute an UNPERSISTED batch lineage several times
-    (key-hull probe, prune decisions, anti-join, write leg); that is only
-    sound when every execution yields the same rows — the hazard Delta
-    MERGE solves by materializing non-deterministic sources. Catalyst's
-    ``QueryPlan.deterministic`` recurses over the node and its children,
-    so one py4j call answers it. A failed reflection reports False
-    (persist — correctness over the saved materialization);
-    ``tests/test_batch_probe.py`` pins that plain scans return True so a
-    Spark-upgrade rot surfaces as a test failure, not a silent slowdown."""
+    expression (``rand()``, ``monotonically_increasing_id()``, ...) —
+    row-stable sources in ``_ROW_STABLE_ND`` excepted. Merge paths
+    re-execute an UNPERSISTED batch lineage several times (key-hull
+    probe, prune decisions, anti-join, write leg); that is only sound
+    when every execution yields the same rows — the hazard Delta MERGE
+    solves by materializing non-deterministic sources. Catalyst's
+    ``QueryPlan.deterministic`` answers the common case in one py4j
+    call; only a False escalates to the per-expression culprit walk. A
+    failed reflection reports False (persist — correctness over the
+    saved materialization); ``tests/test_batch_probe.py`` pins that
+    plain scans return True so a Spark-upgrade rot surfaces as a test
+    failure, not a silent slowdown."""
     try:
-        return bool(df._jdf.queryExecution().analyzed().deterministic())
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.deterministic():
+            return True
+        culprits: set[str] = set()
+        stack = [plan]
+        while stack:
+            node = stack.pop()
+            exprs = node.expressions()
+            for i in range(exprs.size()):
+                _nd_culprits(exprs.apply(i), culprits)
+            kids = node.children()
+            for i in range(kids.size()):
+                stack.append(kids.apply(i))
+        return culprits <= _ROW_STABLE_ND
     except Exception:
         return False
 

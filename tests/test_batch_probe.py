@@ -143,6 +143,16 @@ def test_plan_determinism_detection(spark):
     assert not _plan_is_deterministic(base.withColumn("r", F.rand()))
     assert not _plan_is_deterministic(
         base.withColumn("m", F.monotonically_increasing_id()))
+    # input_file_name is row-stable on immutable committed files — the
+    # engine derives _ghs_commit_time from it in every change-feed read,
+    # so flagging it would persist every MV-maintenance merge batch
+    assert _plan_is_deterministic(
+        base.withColumn("f", F.regexp_extract(
+            F.input_file_name(), r"data/(\d+)", 1)))
+    # ...but it must not mask a real hazard elsewhere in the plan
+    assert not _plan_is_deterministic(
+        base.withColumn("f", F.input_file_name())
+        .withColumn("r", F.rand()))
 
 
 def test_nondeterministic_batch_merges_consistently(spark, tmp_table_dir):
